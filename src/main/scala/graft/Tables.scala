@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * `events.ts` is written as parquet `timestamp[ns]`, which Spark 4 refuses
+  * to read natively; sessions are created with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]) so the
+  * column arrives as `LongType` nanoseconds and is converted here to a
+  * microsecond `TimestampType` via integer division — bit-identical to the
+  * truncation DuckDB applies when it reads the same file, which keeps the
+  * DuckDB oracle comparable.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // `div` (integer division) — ts is ~1.7e18, beyond double's 2^53.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Session settings shared by Verify / Bench / tests so that every entry
+  * point reads the fixtures identically and plans with the same shuffle
+  * parallelism.
+  */
+object GraftSession {
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.Djb2
+
+/** Batch re-expressions of the reference's three pipelines (SURVEY.md §3):
+  * EP1 ingest/partitioner, EP2 signing, EP3 key seeding — plus the
+  * monitoring aggregations (D1/D2/S2/S3 batch analogs).
+  *
+  * The `events` fixture stands in for the ingest stream (FIXTURES.md §A);
+  * `props` plays the role of the opaque JSON payload, `$.k` the optional
+  * record id (reference partitioner/index.js:51).
+  */
+object Pipeline {
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Record key with whole-payload fallback (partitioner/index.js:51:
+    * `payload.id || JSON.stringify(payload)`). */
+  private def recordKey(props: Column): Column =
+    coalesce(get_json_object(props, "$.k"), props)
+
+  private val recordKeySql = "COALESCE(json_extract_string(props, '$.k'), props)"
+
+  // ---------------------------------------------------------------- q20
+  /** EP1 partitioner: key extract → djb2 → modulo partition label
+    * (partitioner/index.js:40–83), aggregated per partition. At 100 TB this
+    * is a map-only stage: the hash is a codegen'd expression and the
+    * aggregation is partial+final. */
+  def q20Partitioner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("bucket_partition",
+        concat(lit("partition_"), pmod(Djb2.djb2(recordKey($"props")), lit(5L)).cast("string")))
+      .groupBy($"bucket_partition")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"bucket_partition")
+  }
+
+  val q20Oracle: String =
+    s"""SELECT 'partition_' || CAST(${Sql.pmod("h", 5)} AS VARCHAR) AS bucket_partition,
+       |  COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value
+       |FROM (SELECT ${Sql.djb2(recordKeySql)} AS h, value FROM events)
+       |GROUP BY 1 ORDER BY bucket_partition""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** SHA-256 record identity (signer/index.js:133–137) + dedup cardinality
+    * per event type (S4 idempotency, README.md:120–122). */
+  def q21ShaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("pk", sha2($"props", 256))
+      .groupBy($"event_type")
+      .agg(countDistinct($"pk").as("n_unique"), count(lit(1)).as("cnt"))
+      .orderBy($"event_type")
+  }
+
+  val q21Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT sha256(props)) AS n_unique,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** EP2 signing pipeline, batch analog (SURVEY.md §3 EP2): hash → dedup
+    * (first-writer-wins, deterministic) → key assignment via djb2 → broadcast
+    * join against the 100-key keyring → surrogate deterministic signature.
+    *
+    * The keyring is derived from `spark.range(100)` with sha2-derived
+    * addresses/private keys (real ECDSA is a pluggable UDF; the surrogate is
+    * deterministic and oracle-checkable — SURVEY.md §7 F8). The keyring join
+    * is an explicit `broadcast` — 100 rows against the full stream, never a
+    * shuffle. Dedup partitions by `pk`, the same key the signatures sink
+    * upserts on. */
+  def q22SignPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyring = s.range(100).select(
+      $"id".as("key_id"),
+      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
+      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
+    val keyed = Tables(s, dir, "events")
+      .select($"event_id", $"props", recordKey($"props").as("key"))
+      .withColumn("pk", sha2($"props", 256))
+      .withColumn("key_id", pmod(Djb2.djb2($"key"), lit(100L)))
+    val w = Window.partitionBy($"pk").orderBy($"event_id")
+    keyed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(broadcast(keyring), "key_id")
+      .select($"event_id", $"pk", $"key_id", $"address",
+        sha2(concat($"priv", lit("|"), $"props"), 256).as("signature"))
+      .orderBy($"event_id")
+  }
+
+  val q22Oracle: String =
+    s"""WITH keyring AS (
+       |  SELECT i AS key_id,
+       |    '0x' || substr(sha256('addr-' || CAST(i AS VARCHAR)), 1, 40) AS address,
+       |    sha256('priv-' || CAST(i AS VARCHAR)) AS priv
+       |  FROM range(100) t(i)
+       |), keyed AS (
+       |  SELECT event_id, props, sha256(props) AS pk,
+       |    ${Sql.pmod(Sql.djb2(recordKeySql), 100)} AS key_id,
+       |    row_number() OVER (PARTITION BY sha256(props) ORDER BY event_id) AS rn
+       |  FROM events)
+       |SELECT event_id, pk, keyed.key_id, address,
+       |  sha256(priv || '|' || props) AS signature
+       |FROM keyed JOIN keyring ON keyring.key_id = keyed.key_id
+       |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** SQS S3-notification envelope construct + extract (F7,
+    * signer/index.js:271–273 — implementing the intended extraction, not the
+    * reference's double-parse bug). */
+  def q23EnvelopeExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s3key = concat(lit("raw/partition_"), pmod($"event_id", lit(5L)).cast("string"),
+      lit("/year=2024/obj-"), $"event_id".cast("string"), lit(".json"))
+    Tables(s, dir, "events")
+      .select($"event_id",
+        concat(lit("{\"Records\":[{\"s3\":{\"bucket\":{\"name\":\"data-lake\"},\"object\":{\"key\":\""),
+          s3key, lit("\"}}}]}")).as("envelope"))
+      .select($"event_id",
+        get_json_object($"envelope", "$.Records[0].s3.object.key").as("object_key"))
+      .orderBy($"event_id")
+  }
+
+  val q23Oracle: String =
+    s"""SELECT event_id,
+       |  json_extract_string(
+       |    '{"Records":[{"s3":{"bucket":{"name":"data-lake"},"object":{"key":"'
+       |    || 'raw/partition_' || CAST(${Sql.pmod("event_id", 5)} AS VARCHAR)
+       |    || '/year=2024/obj-' || CAST(event_id AS VARCHAR) || '.json'
+       |    || '"}}}]}',
+       |    '$$.Records[0].s3.object.key') AS object_key
+       |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** Field redaction projection (B5, signer/index.js:51–63). */
+  def q24Redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id", $"event_type", lit("[REDACTED]").as("props"), $"value")
+      .orderBy($"event_id")
+  }
+
+  val q24Oracle: String =
+    """SELECT event_id, event_type, '[REDACTED]' AS props, value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Hive-style time-partition derivation (F10, app.ts:400:
+    * `year=/month=/day=/hour=` lake prefix), aggregated per partition. */
+  def q25TimePartition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(year($"ts").cast("long").as("year"), month($"ts").cast("long").as("month"),
+        dayofmonth($"ts").cast("long").as("day"), hour($"ts").cast("long").as("hour"))
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"year", $"month", $"day", $"hour")
+  }
+
+  val q25Oracle: String =
+    s"""SELECT CAST(year(ts) AS BIGINT) AS year, CAST(month(ts) AS BIGINT) AS month,
+       |  CAST(day(ts) AS BIGINT) AS day, CAST(hour(ts) AS BIGINT) AS hour,
+       |  COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2, 3, 4 ORDER BY year, month, day, hour""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** 1-minute tumbling metrics (D1/D2/S2 batch analog of the CloudWatch
+    * Sum/Average statistics, app.ts:452–502). */
+  def q26Metrics1min(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(unix_millis(date_trunc("minute", $"ts")).as("minute_ms"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"),
+        (dsum($"value") / count(lit(1))).as("avg_value"))
+      .orderBy($"minute_ms", $"event_type")
+  }
+
+  val q26Oracle: String =
+    s"""SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms, event_type,
+       |  COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value,
+       |  ${Sql.dsum("value")} / COUNT(*) AS avg_value
+       |FROM events GROUP BY 1, 2 ORDER BY minute_ms, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  /** Threshold alarm on windowed aggregates (S3, app.ts:547–588): errors>1
+    * per minute; `breach3` = 3 consecutive breached evaluation periods. */
+  def q27AlarmBreach(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perMin = Tables(s, dir, "events")
+      .filter($"event_type" === "error")
+      .groupBy(unix_millis(date_trunc("minute", $"ts")).as("minute_ms"))
+      .agg(count(lit(1)).as("err_cnt"))
+    val w = Window.orderBy($"minute_ms")
+    perMin.withColumn("breach", $"err_cnt" > 1)
+      .withColumn("breach3", $"breach"
+        && coalesce(lag($"breach", 1).over(w), lit(false))
+        && coalesce(lag($"breach", 2).over(w), lit(false)))
+      .orderBy($"minute_ms")
+  }
+
+  val q27Oracle: String =
+    """SELECT minute_ms, err_cnt, breach,
+      |  breach AND COALESCE(lag(breach, 1) OVER (ORDER BY minute_ms), false)
+      |         AND COALESCE(lag(breach, 2) OVER (ORDER BY minute_ms), false)
+      |    AS breach3
+      |FROM (
+      |  SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms,
+      |    COUNT(*) AS err_cnt, COUNT(*) > 1 AS breach
+      |  FROM events WHERE event_type = 'error' GROUP BY 1)
+      |ORDER BY minute_ms""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Ok/error record split (A3, partitioner/index.js:71–80 +
+    * app.ts:412 errorOutputPrefix): one predicate, two sides, re-unioned as
+    * per-side totals. */
+  def q28ErrorSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("side", when($"event_type" === "error", lit("err")).otherwise(lit("ok")))
+      .groupBy($"side")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"side")
+  }
+
+  val q28Oracle: String =
+    s"""SELECT CASE WHEN event_type = 'error' THEN 'err' ELSE 'ok' END AS side,
+       |  COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY side""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** EP3 key-seed generator (scripts/seed-keys.ts:32–85): N deterministic
+    * surrogate keypairs chunked into files of 100 (`keysPerFile` analog).
+    * RSA keygen is the pluggable part; the surrogate is sha2-derived so the
+    * oracle can check it. Generation is `spark.range` — fully parallel,
+    * no driver loop. */
+  def q29SeedKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(1000).select(
+      $"id".as("key_id"),
+      expr("id div 100").as("file_id"),
+      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
+      sha2(concat(lit("pub-"), $"id".cast("string")), 256).as("public_key"),
+      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("private_key"))
+      .orderBy($"key_id")
+  }
+
+  val q29Oracle: String =
+    """SELECT i AS key_id, i // 100 AS file_id,
+      |  '0x' || substr(sha256('addr-' || CAST(i AS VARCHAR)), 1, 40) AS address,
+      |  sha256('pub-' || CAST(i AS VARCHAR)) AS public_key,
+      |  sha256('priv-' || CAST(i AS VARCHAR)) AS private_key
+      |FROM range(1000) t(i) ORDER BY key_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Data-lake write/read round trip (A2/D2 layout, app.ts:400,411): write
+    * the partitioned lake (`bucket_partition`/`year`/`month`/`day`), read it
+    * back with partition filters — Catalyst prunes directories, so the scan
+    * touches only `partition_3`, days 1–10 — and aggregate. The oracle
+    * computes the same aggregate straight off `events`, proving the round
+    * trip is lossless. */
+  def q30LakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"/root/repo/target/lake/${new java.io.File(dir).getName}"
+    Tables(s, dir, "events")
+      .withColumn("bucket_partition",
+        concat(lit("partition_"), pmod(Djb2.djb2(recordKey($"props")), lit(5L)).cast("string")))
+      .withColumn("year", year($"ts").cast("long"))
+      .withColumn("month", month($"ts").cast("long"))
+      .withColumn("day", dayofmonth($"ts").cast("long"))
+      .write.mode("overwrite")
+      .partitionBy("bucket_partition", "year", "month", "day")
+      .parquet(out)
+    s.read.parquet(out)
+      .filter($"bucket_partition" === "partition_3" && $"day" <= 10)
+      .groupBy($"day".cast("long").as("day"))
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .orderBy($"day")
+  }
+
+  val q30Oracle: String =
+    s"""SELECT CAST(day(ts) AS BIGINT) AS day, COUNT(*) AS cnt,
+       |  ${Sql.dsum("value")} AS sum_value
+       |FROM (SELECT ts, value, ${Sql.djb2(recordKeySql)} AS h FROM events)
+       |WHERE ${Sql.pmod("h", 5)} = 3 AND day(ts) <= 10
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_partitioner" -> q20Partitioner _,
+    "q21_sha_dedup" -> q21ShaDedup _,
+    "q22_sign_pipeline" -> q22SignPipeline _,
+    "q23_envelope_extract" -> q23EnvelopeExtract _,
+    "q24_redact" -> q24Redact _,
+    "q25_time_partition" -> q25TimePartition _,
+    "q26_metrics_1min" -> q26Metrics1min _,
+    "q27_alarm_breach" -> q27AlarmBreach _,
+    "q28_error_split" -> q28ErrorSplit _,
+    "q29_seed_keys" -> q29SeedKeys _,
+    "q30_lake_roundtrip" -> q30LakeRoundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_partitioner" -> q20Oracle,
+    "q21_sha_dedup" -> q21Oracle,
+    "q22_sign_pipeline" -> q22Oracle,
+    "q23_envelope_extract" -> q23Oracle,
+    "q24_redact" -> q24Oracle,
+    "q25_time_partition" -> q25Oracle,
+    "q26_metrics_1min" -> q26Oracle,
+    "q27_alarm_breach" -> q27Oracle,
+    "q28_error_split" -> q28Oracle,
+    "q29_seed_keys" -> q29Oracle,
+    "q30_lake_roundtrip" -> q30Oracle,
+  )
+}

@@ -1,0 +1,384 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2 B/C/D/E/G/H).
+  *
+  * The reference has no relational engine — its joins/aggregations are
+  * implicit in cross-service key lookups (SURVEY.md §2 C) and CloudWatch
+  * metric statistics (app.ts:452–502). Here each shape is made explicit as a
+  * Catalyst-optimizable DataFrame plan over the TPC-H-ish fixtures, plus the
+  * standard extension surface (rollup, distinct, set ops, as-of join).
+  *
+  * Scale notes (100 TB design stance):
+  *  - `customer`/`nation`/`region`/`part`/`supplier` are dimension-sized →
+  *    broadcast-joined explicitly so the fact scan never shuffles for them.
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once; group
+  *    keys reuse that partitioning where possible.
+  *  - all aggregates are partial (map-side) + final hash aggregates — free
+  *    from Catalyst since the plans are declarative.
+  */
+object Relational {
+
+  /** Exact decimal sum surfaced as double (deterministic, association-free,
+    * hash-matches the DuckDB oracle — see [[Sql.dsum]]). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  private def ts(lit0: String): Column = to_timestamp(lit(lit0))
+
+  // ---------------------------------------------------------------- q01
+  /** TPC-H Q1-shaped pricing summary: filter → group → multi-agg (D5). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" <= ts("2000-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6).as("sum_charge"),
+        (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (dsum($"l_extendedprice") / count(lit(1))).as("avg_price"),
+        (dsum($"l_discount", 6) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Sql.dsum("l_quantity")} AS sum_qty,
+       |  ${Sql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       |  ${Sql.dsum("l_quantity")} / COUNT(*) AS avg_qty,
+       |  ${Sql.dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+       |  ${Sql.dsum("l_discount", 6)} / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** TPC-H Q3-shaped shipping priority: broadcast dim join + fact join +
+    * agg + top-k (C4/D5/G2). `customer` is broadcast (dimension); the
+    * orders⋈lineitem join shuffles once on the order key. */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables(s, dir, "orders").filter($"o_orderdate" < ts("1997-01-01"))
+    val li = Tables(s, dir, "lineitem").filter($"l_shipdate" > ts("1997-01-01"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+      .select($"o_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q03Oracle: String =
+    s"""SELECT o_orderkey,
+       |  ${Sql.dsum("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** EXISTS-shaped left-semi join (C4): orders with at least one lineitem
+    * shipped after the order date, counted per priority. */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1997-07-01"))
+    val li = Tables(s, dir, "lineitem")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** NOT-EXISTS-shaped left-anti join — the reference's idempotency probe
+    * shape (SURVEY.md §2 C3: new hashes anti-joined against the signatures
+    * table, signer/index.js:229–242). Here: customers with no orders. */
+  def q05AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables(s, dir, "customer")
+    val ord = Tables(s, dir, "orders").filter($"o_orderdate" >= ts("1999-01-01"))
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q05Oracle: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** TPC-H Q6-shaped selective filter + single agg — the predicate-pushdown
+    * showcase: all three filters reach the parquet scan. */
+  def q06FilterRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01")
+        && $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount", 6).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q06Oracle: String =
+    s"""SELECT ${Sql.dsum("l_extendedprice * l_discount", 6)} AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Ranking window (E3): top-2 orders per customer by totalprice. */
+  def q07TopOrdersPerCust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q07Oracle: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Frame-spec running sum (E3) over the event stream: cumulative value per
+    * user, exact decimal accumulation. */
+  def q08RunningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .withColumn("running_value",
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select($"user_id", $"event_id", $"running_value")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q08Oracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** ROLLUP hierarchy aggregation (D5). */
+  def q09Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q09Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus, ${Sql.dsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS cnt
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Distinct aggregation (D5): exact distinct counts per group. */
+  def q10DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q10Oracle: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Top-k (G2): Spark plans TakeOrderedAndProject — no full sort at scale. */
+  def q11TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q11Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q12-14
+  /** Set ops (H): INTERSECT / EXCEPT / UNION over customer key sets. */
+  def q12Intersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rich = Tables(s, dir, "customer").filter($"c_acctbal" > 5000).select($"c_custkey")
+    val active = Tables(s, dir, "orders").select($"o_custkey".as("c_custkey"))
+    rich.intersect(active).orderBy($"c_custkey")
+  }
+
+  val q12Oracle: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      |INTERSECT SELECT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  def q13Except(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Tables(s, dir, "customer").select($"c_custkey")
+    val recent = Tables(s, dir, "orders").filter($"o_orderdate" >= ts("2000-01-01"))
+      .select($"o_custkey".as("c_custkey"))
+    all.except(recent).orderBy($"c_custkey")
+  }
+
+  val q13Oracle: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |ORDER BY c_custkey""".stripMargin
+
+  def q14Union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rich = Tables(s, dir, "customer").filter($"c_acctbal" > 9000).select($"c_custkey")
+    val mach = Tables(s, dir, "customer").filter($"c_mktsegment" === "MACHINERY").select($"c_custkey")
+    rich.union(mach).distinct().orderBy($"c_custkey")
+  }
+
+  val q14Oracle: String =
+    """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+      |UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** As-of join (C4 extension): for each event, the latest order of that
+    * customer at-or-before the event time (ties → max orderkey).
+    *
+    * Spark-first implementation: tagged union + running `last(ignoreNulls)`
+    * window — one shuffle on the key, linear state, no O(events×orders)
+    * blow-up; this is the scalable pattern for 100 TB (vs. the oracle's
+    * quadratic inequality join which is only viable at test scale).
+    */
+  def q15AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"user_id".as("k"), $"ts",
+        lit(null).cast("long").as("o_orderkey"), lit(2).as("tag"))
+    val ord = Tables(s, dir, "orders")
+      .select(lit(null).cast("long").as("event_id"), $"o_custkey".as("k"),
+        $"o_orderdate".as("ts"), $"o_orderkey", lit(1).as("tag"))
+    // Order rows sort before the event at equal ts (tag 1 < 2) → inclusive
+    // as-of; within a tie the larger orderkey is seen last → wins.
+    val w = Window.partitionBy($"k").orderBy($"ts", $"tag", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .filter($"tag" === 2)
+      .select($"event_id", $"k".as("user_id"), $"asof_orderkey")
+      .orderBy($"event_id")
+  }
+
+  val q15Oracle: String =
+    """SELECT event_id, user_id, o_orderkey AS asof_orderkey FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** LRU pick (D3/E1/G1) — the reference's key-lease query shape
+    * (signer/index.js:160–172: `ORDER BY last_used_at ASC LIMIT 1`).
+    * Keyring analog: each user's last activity time; the lease goes to the
+    * least-recently-active user. Spark plans TakeOrderedAndProject (top-k),
+    * not a full sort. */
+  def q16LeaseLru(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(max(unix_millis($"ts")).as("last_used_ms"))
+      .filter($"last_used_ms".isNotNull) // reference quirk, signer/index.js:166
+      .orderBy($"last_used_ms", $"user_id")
+      .limit(1)
+  }
+
+  val q16Oracle: String =
+    """SELECT user_id, MAX(epoch_ms(ts)) AS last_used_ms FROM events
+      |GROUP BY user_id HAVING MAX(epoch_ms(ts)) IS NOT NULL
+      |ORDER BY last_used_ms, user_id LIMIT 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q03_shipping_priority" -> q03ShippingPriority _,
+    "q04_semi_join" -> q04SemiJoin _,
+    "q05_anti_join" -> q05AntiJoin _,
+    "q06_filter_revenue" -> q06FilterRevenue _,
+    "q07_top_orders_per_cust" -> q07TopOrdersPerCust _,
+    "q08_running_sum" -> q08RunningSum _,
+    "q09_rollup" -> q09Rollup _,
+    "q10_distinct_agg" -> q10DistinctAgg _,
+    "q11_topk" -> q11TopK _,
+    "q12_intersect" -> q12Intersect _,
+    "q13_except" -> q13Except _,
+    "q14_union" -> q14Union _,
+    "q15_asof_join" -> q15AsofJoin _,
+    "q16_lease_lru" -> q16LeaseLru _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q03_shipping_priority" -> q03Oracle,
+    "q04_semi_join" -> q04Oracle,
+    "q05_anti_join" -> q05Oracle,
+    "q06_filter_revenue" -> q06Oracle,
+    "q07_top_orders_per_cust" -> q07Oracle,
+    "q08_running_sum" -> q08Oracle,
+    "q09_rollup" -> q09Oracle,
+    "q10_distinct_agg" -> q10Oracle,
+    "q11_topk" -> q11Oracle,
+    "q12_intersect" -> q12Oracle,
+    "q13_except" -> q13Oracle,
+    "q14_union" -> q14Oracle,
+    "q15_asof_join" -> q15Oracle,
+    "q16_lease_lru" -> q16Oracle,
+  )
+}

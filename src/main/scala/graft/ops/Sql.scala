@@ -1,0 +1,38 @@
+package graft.ops
+
+/** Snippet builders for the DuckDB oracle SQL.
+  *
+  * The driver re-runs every `SparkEntry.oracleSql` entry in DuckDB over the
+  * same parquet tables and hash-compares with the Spark result, so every
+  * snippet here is written to be *bit-identical* to the Spark-side plan:
+  *   - double sums go through DECIMAL (exact, association-free) then back to
+  *     DOUBLE;
+  *   - djb2 mirrors the JS semantics of [[graft.functions.Djb2]] including
+  *     the ToInt32 wrap on `h << 5` only;
+  *   - pmod mirrors Spark's non-negative modulo.
+  */
+object Sql {
+  /** Signed-32-bit wrap of a BIGINT expression (JS ToInt32). */
+  def s32(x: String): String =
+    s"((($x + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648)"
+
+  /** djb2 over an ASCII varchar column, matching graft.functions.Djb2.hash.
+    * `(h << 5)` wraps via ToInt32 twice (coerce + shift); the additions do
+    * not wrap. BIGINT is exact far beyond the JS double range used here.
+    */
+  def djb2(col: String): String = {
+    val t = s32(s"${s32("h")} * 32")
+    "abs(list_reduce(list_prepend(5381::BIGINT, " +
+      s"list_transform(list_filter(string_split_regex($col, ''), c -> len(c) > 0), " +
+      s"c -> unicode(c)::BIGINT)), (h, c) -> $t + h + c))"
+  }
+
+  /** Spark pmod (always non-negative). */
+  def pmod(x: String, n: Long): String = s"((($x) % $n + $n) % $n)"
+
+  /** Exact decimal sum surfaced as DOUBLE — matches
+    * `sum(col.cast(DecimalType(18,scale))).cast("double")` on the Spark side.
+    */
+  def dsum(x: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+}
