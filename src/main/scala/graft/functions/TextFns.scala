@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Column builders for the text-analysis operators. Pure
+  * `org.apache.spark.sql.functions` compositions — codegen'd, no UDFs.
+  */
+object TextFns {
+  /** Whitespace tokenization (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Count of tokens contained in a fixed wordlist (multiset semantics). */
+  def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedLit(words), t))).cast("long")
+
+  /** Total character length of all tokens (long). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Per-language stopword lists for the language-ID heuristic. Deliberately
+    * tiny — the operator's contract is the deterministic argmax rule, not
+    * linguistic accuracy (the fixture text is synthetic word soup).
+    */
+  val langWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+}
+
+/** Column builders for vector similarity over `embedding: array<float>`.
+  * Everything is promoted to double and folded left-to-right with a 0.0
+  * seed, which the DuckDB oracle mirrors exactly (list_prepend(0.0, …) +
+  * list_reduce) — the doubles come out bit-identical.
+  */
+object VecFns {
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+}

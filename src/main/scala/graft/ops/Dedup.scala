@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFns, TextFns, VecFns}
+
+/** Deduplication operator family over `documents` / `embeddings` — the
+  * training-data-pipeline surface: exact (hash groupBy), n-gram Jaccard via
+  * inverted shingle index, MinHash+LSH banding, SimHash, embedding-cosine
+  * near-dup with blocking.
+  *
+  * Scale stance: nothing here is O(n²) in documents. Exact dedup is one
+  * shuffle on the content hash; Jaccard and MinHash/LSH shuffle on shingle /
+  * band buckets so candidate generation is proportional to true collisions;
+  * cosine near-dup blocks on `label` (the IVF-style coarse quantizer column)
+  * before comparing.
+  */
+object Dedup {
+
+  private def distinctShingles(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", array_distinct(TextFns.shingles($"text", 3)).as("shs"))
+      .filter(size($"shs") > 0)
+  }
+
+  /** Shared oracle CTE prefix: distinct 3-token shingles per doc. */
+  private val shCte: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(${Sql.shingles("tokens", 3)}) AS shs
+       |        FROM tok WHERE len(${Sql.shingles("tokens", 3)}) > 0),
+       |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl)""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Exact dedup: content-hash groups (keeper = min doc_id). One shuffle on
+    * sha256(text) — the same plan at 100 TB, with AQE handling skew. */
+  def q50DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .groupBy(sha2($"text", 256).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper"))
+      .orderBy($"content_hash")
+  }
+
+  val q50Oracle: String =
+    """SELECT sha256(text) AS content_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
+    * distinct shingles, self-join on shingle (collisions only — never the
+    * full cross product), count common, Jaccard ≥ 0.5. */
+  def q51NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = distinctShingles(s, dir).select($"doc_id", explode($"shs").as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val jac = $"common".cast("double") /
+      ($"sa.n_sh" + $"sb.n_sh" - $"common").cast("double")
+    common
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .withColumn("jaccard", jac)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q51Oracle: String =
+    s"""$shCte,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, common,
+       |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q52
+  /** MinHash + LSH near-dup: k=16 signature (custom expression), 4 bands ×
+    * 4 rows, candidates = band-bucket collisions, estimated Jaccard =
+    * matching components / 16. Linear in docs + collisions — the 100 TB
+    * path (the exact-Jaccard q51 verifies it at test scale). */
+  def q52MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = distinctShingles(s, dir)
+      .select($"doc_id", HashFns.minhash($"shs", 16).as("sig"))
+    val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("band_key", concat_ws(":", $"b".cast("string"),
+        concat_ws("-", transform(slice($"sig", $"b" * 4 + 1, lit(4)), x => x.cast("string")))))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(16.0))
+      .filter($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q52Oracle: String =
+    s"""$shCte,
+       |hs AS (SELECT doc_id, ${Sql.djb2("s")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, i, MIN(((2*i+1)*h + (7919*i+13)) % 2147483647) AS mh
+       |         FROM hs CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, sig,
+       |          CAST(b AS VARCHAR) || ':' || array_to_string(
+       |            list_transform(sig[4*b+1:4*b+4], bk_x -> CAST(bk_x AS VARCHAR)), '-') AS band_key
+       |          FROM sigarr CROSS JOIN range(4) bd(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                x.sig AS sig_a, y.sig AS sig_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0
+       |    AS est_jaccard
+       |FROM cand
+       |WHERE CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** SimHash document sketch: 32-bit signature over the token multiset
+    * (custom expression [[graft.functions.SimHash32]]); near-dups share
+    * signatures / low Hamming distance. */
+  def q53Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val q53Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, ${Sql.djb2("t")} AS h FROM tok),
+       |bits AS (SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
+       |         FROM th CROSS JOIN range(32) bitidx(j) GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Embedding-cosine near-dup with coarse blocking on `label` (IVF-style:
+    * compare only within a block, never the full cross product). */
+  def q54CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", VecFns.cosine($"a.embedding", $"b.embedding"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        $"a.label".as("label"), $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val q54Oracle: String = {
+    val cos = Sql.cosine("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label, $cos AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cos >= 0.35
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_exact" -> q50DedupExact _,
+    "q51_ngram_jaccard" -> q51NgramJaccard _,
+    "q52_minhash_lsh" -> q52MinhashLsh _,
+    "q53_simhash" -> q53Simhash _,
+    "q54_cosine_neardup" -> q54CosineNeardup _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q50_dedup_exact" -> q50Oracle,
+    "q51_ngram_jaccard" -> q51Oracle,
+    "q52_minhash_lsh" -> q52Oracle,
+    "q53_simhash" -> q53Oracle,
+    "q54_cosine_neardup" -> q54Oracle,
+  )
+}

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`
+  * (`array<float>`, dim 64): brute-force cosine top-k as the correctness
+  * baseline, and a random-hyperplane LSH-bucketed variant as the scale path
+  * (candidates come from one hash-partitioned bucket join instead of the
+  * full cross product).
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component p(i,d) ∈ [−0.5, 0.5):
+    * an LCG over the (plane, dim) index — integer arithmetic is exact in
+    * both engines, so the plane is bit-identical in the DuckDB oracle. */
+  private def planeVal(i: Column, d: Column): Column =
+    ((lit(1103515245L) * (i * 64 + d) + lit(12345L)) % lit(2147483648L)).cast("double") /
+      lit(2147483648.0) - lit(0.5)
+
+  private val planeValSql =
+    "(CAST((1103515245 * (PL_I * 64 + PL_D) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
+  /** Signed projection of v onto pseudo-plane i (sequential fold over dims). */
+  private def lshDot(v: Column, i: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0.0),
+      (acc, d) => acc + element_at(v, d + 1).cast("double") * planeVal(i, d))
+
+  private def lshDotSql(v: String, i: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(0, 64), pd -> " +
+      s"CAST(($v)[pd + 1] AS DOUBLE) * ${planeValSql.replace("PL_I", i).replace("PL_D", "pd")})), " +
+      "(pa, pb) -> pa + pb)"
+
+  /** 8-bit LSH bucket: fold over planes, acc·2 + sign-bit. */
+  private def bucket(v: Column): Column =
+    aggregate(sequence(lit(0), lit(7)), lit(0L),
+      (acc, i) => acc * 2 + when(lshDot(v, i) >= 0, 1L).otherwise(0L))
+
+  private def bucketSql(v: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), pi -> " +
+      s"CASE WHEN ${lshDotSql(v, "pi")} >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)), " +
+      "(ba, bb) -> ba * 2 + bb)"
+
+  // ---------------------------------------------------------------- q55
+  /** Brute-force cosine top-5 for 10 query vectors: broadcast the queries,
+    * map-side cosine, per-query top-k window. At scale: queries are always
+    * the broadcast side; the corpus scan stays shuffle-free until the final
+    * per-query top-k (which AQE keeps tiny). */
+  def q55AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q55Oracle: String = {
+    val cos = Sql.cosine("q.embedding", "v.embedding")
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id, $cos AS cos
+       |  FROM embeddings q, embeddings v
+       |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, cos FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** LSH-bucketed ANN: 8 random hyperplanes → 256 buckets; candidates are
+    * only the query's own bucket, then exact cosine top-3 within it. The
+    * bucket join is an equi-join on the bucket id — hash-partitionable, no
+    * cross product; this is the 100 TB path (q55 is its correctness
+    * baseline at test scale). */
+  def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").withColumn("bucket", bucket($"embedding"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.join(broadcast(q), Seq("bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"bucket", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q56Oracle: String = {
+    val cos = Sql.cosine("q.embedding", "v.embedding")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id, q.bucket AS bucket, $cos AS cos
+       |  FROM bucketed q JOIN bucketed v ON q.bucket = v.bucket
+       |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
+       |SELECT q_id, rank, vec_id, bucket, cos FROM (
+       |  SELECT q_id, vec_id, bucket, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sims)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_ann_brute" -> q55AnnBrute _,
+    "q56_ann_lsh" -> q56AnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q55_ann_brute" -> q55Oracle,
+    "q56_ann_lsh" -> q56Oracle,
+  )
+}

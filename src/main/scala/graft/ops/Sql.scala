@@ -35,4 +35,28 @@ object Sql {
     */
   def dsum(x: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Word n-gram shingles over a token-list expression — mirrors
+    * [[graft.functions.TextFns.shingles]]. */
+  def shingles(tokens: String, n: Int): String =
+    s"CASE WHEN len($tokens) >= $n THEN list_transform(range(1, len($tokens) - ${n - 2}), " +
+      s"sh_i -> array_to_string(($tokens)[sh_i:sh_i+${n - 1}], ' ')) ELSE []::VARCHAR[] END"
+
+  /** Sequential-fold dot product over two 64-dim float lists, promoted to
+    * double — mirrors [[graft.functions.VecFns.dot]] (0.0 seed, left fold →
+    * bit-identical doubles). */
+  def dot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"dp_i -> CAST(($a)[dp_i] AS DOUBLE) * CAST(($b)[dp_i] AS DOUBLE))), (dp_x, dp_y) -> dp_x + dp_y)"
+
+  /** Cosine similarity — mirrors [[graft.functions.VecFns.cosine]]. */
+  def cosine(a: String, b: String): String =
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+  /** Rolling polynomial fingerprint — mirrors
+    * [[graft.functions.HashFns.rollingHash]]. */
+  def rollingHash(col: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+      s"list_filter(string_split_regex($col, ''), rh_c -> len(rh_c) > 0), " +
+      s"rh_c -> unicode(rh_c)::BIGINT)), (rh_h, rh_c) -> (rh_h * 31 + rh_c) % 1000000007)"
 }

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFns, TextFns}
+
+/** Text-analysis operators over `documents` (the training-data-pipeline
+  * extension surface): token counting, language-ID heuristic, quality
+  * scoring, document fingerprinting, corpus term statistics.
+  *
+  * All are map-side-only or single-shuffle plans — at 100 TB each is a scan
+  * + codegen'd projection (+ one partial/final agg for q44).
+  */
+object TextAnalysis {
+
+  // ---------------------------------------------------------------- q40
+  /** Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    * regex segmentation count (letters / digits / other runs). */
+  def q40TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFns.tokens($"text")
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_pieces"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val q40Oracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_pieces,
+      |  len(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Language-ID heuristic: per-language stopword hit counts + deterministic
+    * argmax (fixed priority order, 'und' when no list matches). */
+  def q41LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFns.tokens($"text")
+    val withHits = TextFns.langWords.foldLeft(
+      Tables(s, dir, "documents").withColumn("toks", toks)) {
+      case (df, (l, words)) => df.withColumn(s"${l}_hits", TextFns.hits($"toks", words))
+    }
+    withHits
+      .withColumn("m", greatest($"en_hits", $"es_hits", $"de_hits", $"fr_hits", $"zh_hits"))
+      .withColumn("lang_pred",
+        when($"m" === 0, "und")
+          .when($"en_hits" === $"m", "en")
+          .when($"es_hits" === $"m", "es")
+          .when($"de_hits" === $"m", "de")
+          .when($"fr_hits" === $"m", "fr")
+          .otherwise("zh"))
+      .select($"doc_id", $"lang".as("lang_label"), $"lang_pred",
+        $"en_hits", $"es_hits", $"de_hits", $"fr_hits", $"zh_hits")
+      .orderBy($"doc_id")
+  }
+
+  val q41Oracle: String = {
+    val hitCols = TextFns.langWords.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS ${l}_hits"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, lang_label, lang_pred, en_hits, es_hits, de_hits, fr_hits, zh_hits
+       |FROM (
+       |  SELECT doc_id, lang AS lang_label,
+       |    CASE WHEN m = 0 THEN 'und'
+       |         WHEN en_hits = m THEN 'en' WHEN es_hits = m THEN 'es'
+       |         WHEN de_hits = m THEN 'de' WHEN fr_hits = m THEN 'fr'
+       |         ELSE 'zh' END AS lang_pred,
+       |    en_hits, es_hits, de_hits, fr_hits, zh_hits
+       |  FROM (
+       |    SELECT *, GREATEST(en_hits, es_hits, de_hits, fr_hits, zh_hits) AS m
+       |    FROM (SELECT doc_id, lang, $hitCols FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q42
+  /** Quality scoring: distinct-token ratio, mean token length, stopword
+    * ratio → deterministic linear score + keep/drop flag. */
+  def q42Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("toks", TextFns.tokens($"text"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("distinct_ratio",
+        size(array_distinct($"toks")).cast("long").cast("double") / $"n_tokens".cast("double"))
+      .withColumn("mean_token_len",
+        TextFns.totalTokenLen($"toks").cast("double") / $"n_tokens".cast("double"))
+      .withColumn("stop_ratio",
+        TextFns.hits($"toks", TextFns.langWords.head._2).cast("double") / $"n_tokens".cast("double"))
+      .withColumn("quality_score",
+        lit(0.4) * $"distinct_ratio"
+          + lit(0.3) * least($"mean_token_len" / lit(10.0), lit(1.0))
+          + lit(0.3) * least($"n_tokens".cast("double") / lit(100.0), lit(1.0)))
+      .withColumn("is_quality", $"quality_score" > 0.5)
+      .select($"doc_id", $"n_tokens", $"distinct_ratio", $"mean_token_len",
+        $"stop_ratio", $"quality_score", $"is_quality")
+      .orderBy($"doc_id")
+  }
+
+  val q42Oracle: String = {
+    val en = TextFns.langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    """SELECT doc_id, n_tokens, distinct_ratio, mean_token_len, stop_ratio,
+      |  quality_score, quality_score > 0.5 AS is_quality
+      |FROM (
+      |  SELECT doc_id, n_tokens, distinct_ratio, mean_token_len, stop_ratio,
+      |    0.4 * distinct_ratio
+      |      + 0.3 * LEAST(mean_token_len / 10.0, 1.0)
+      |      + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality_score
+      |  FROM (
+      |    SELECT doc_id, len(toks) AS n_tokens,
+      |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+      |      CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> len(t)::BIGINT)),
+      |        (a, b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+      |      CAST(len(list_filter(toks, t -> list_contains(ENWORDS, t))) AS DOUBLE)
+      |        / CAST(len(toks) AS DOUBLE) AS stop_ratio
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
+      |ORDER BY doc_id""".stripMargin.replace("ENWORDS", en)
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Document fingerprint: rolling polynomial hash (custom codegen'd
+    * Catalyst expression [[graft.functions.RollingHash]]). */
+  def q43Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.fingerprint($"text").as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val q43Oracle: String =
+    s"""SELECT doc_id, ${Sql.rollingHash("text")} AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  /** Corpus term statistics: explode tokens → global term frequencies +
+    * document frequencies, top 20. The generator/UDTF surface (§2 J). */
+  def q44TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+      .orderBy($"tf".desc, $"token")
+      .limit(20)
+  }
+
+  val q44Oracle: String =
+    """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_token_count" -> q40TokenCount _,
+    "q41_langid" -> q41LangId _,
+    "q42_quality" -> q42Quality _,
+    "q43_fingerprint" -> q43Fingerprint _,
+    "q44_top_terms" -> q44TopTerms _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_count" -> q40Oracle,
+    "q41_langid" -> q41Oracle,
+    "q42_quality" -> q42Oracle,
+    "q43_fingerprint" -> q43Oracle,
+    "q44_top_terms" -> q44Oracle,
+  )
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashExprsSpec extends AnyFunSuite {
+
+  test("rollingHash matches the (h*31 + c) mod 1e9+7 recurrence") {
+    assert(HashFns.rollingHash("") === 0L)
+    assert(HashFns.rollingHash("a") === 97L)
+    assert(HashFns.rollingHash("ab") === 97L * 31 + 98)
+    // stays within the modulus
+    val h = HashFns.rollingHash("x" * 10000)
+    assert(h >= 0 && h < 1000000007L)
+  }
+
+  test("simhash of identical token multisets is identical; near multisets are near") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c", "d", "e", "f")),
+      (3L, Seq("a", "b", "c", "d", "e", "g"))).toDF("id", "toks")
+    val out = df.select($"id", HashFns.simhash32($"toks").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L))
+    val hamming = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(hamming < 16, s"near-identical docs should be hamming-close, got $hamming")
+  }
+
+  test("minhash estimates Jaccard within tolerance on overlapping sets") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"sh-$i")
+    val b = (21 to 120).map(i => s"sh-$i") // true Jaccard = 80/120 = 2/3
+    val df = Seq((1L, a), (2L, b)).toDF("id", "shs")
+    val sigs = df.select($"id", HashFns.minhash($"shs", 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val est = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 16.0
+    assert(est > 0.3 && est < 1.0, s"est=$est, expected near 0.67")
+  }
+}
