@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** The CloudWatch monitoring surface as Structured Streaming (SURVEY.md §2
+  * D1/D2/S2/S3): 1-minute tumbling Sum/Average metrics (app.ts:452–502) and
+  * threshold alarms with N consecutive evaluation periods (app.ts:547–588).
+  */
+object MetricsStream {
+
+  case class MetricPoint(ts: Timestamp, component: String, value: Double)
+
+  /** Per-key alarm state: last closed minute + current consecutive-breach
+    * run length (the "3 evaluation periods" counter). */
+  case class BreachState(lastMinuteMs: Long, consecutive: Int)
+
+  case class MinuteStat(component: String, minuteMs: Long, cnt: Long,
+      sum: Double, breached: Boolean, consecutive: Int, alarm: Boolean)
+
+  /** 1-minute tumbling Sum/Average over an event-time watermark — the D1/D2
+    * statistics. Late data beyond 10 minutes is dropped (the reference has
+    * no event-time lateness concept at all; arrival time only). */
+  def tumbling1min(points: DataFrame): DataFrame =
+    points
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("component"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(unix_millis(col("window.start")).as("minute_ms"),
+        col("component"), col("cnt"), col("sum_value"), col("avg_value"))
+
+  /** Stateful consecutive-breach alarm (S3): per component, bucket points
+    * into minutes, mark minutes whose count exceeds `threshold`, and raise
+    * `alarm` once `periods` consecutive minutes breach — the
+    * `evaluationPeriods` semantics of app.ts:558–566. Keyed state is
+    * hash-partitioned by component: no global ordering is needed, which is
+    * what lets this scale; within a component, minutes are assumed to
+    * arrive in order (arrival-time semantics, as in the reference).
+    */
+  def consecutiveBreaches(points: Dataset[MetricPoint], threshold: Long, periods: Int)(
+      implicit spark: SparkSession): Dataset[MinuteStat] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.component)
+      .flatMapGroupsWithState[BreachState, MinuteStat](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (component, it, state: GroupState[BreachState]) =>
+          var st = state.getOption.getOrElse(BreachState(Long.MinValue, 0))
+          val byMinute = it.toSeq
+            .groupBy(p => p.ts.getTime - p.ts.getTime % 60000L)
+            .toSeq.sortBy(_._1)
+          val out = byMinute.map { case (minuteMs, pts) =>
+            val cnt = pts.size.toLong
+            val breached = cnt > threshold
+            st =
+              if (breached) BreachState(minuteMs, st.consecutive + 1)
+              else BreachState(minuteMs, 0)
+            MinuteStat(component, minuteMs, cnt,
+              pts.map(_.value).sum, breached, st.consecutive,
+              alarm = st.consecutive >= periods)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

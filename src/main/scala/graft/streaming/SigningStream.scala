@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.functions.Djb2
+
+/** EP2 — the signing pipeline as Structured Streaming (SURVEY.md §3 EP2).
+  * The reference's S3→SQS→Lambda fan-out collapses into Spark's file-source
+  * new-file discovery: `readStream` over the lake directory replaces the
+  * ObjectCreated notification chain (A4 subsumes A5).
+  *
+  * Flow: new lake files → PK = sha2(payload) (signer/index.js:133–137) →
+  * streaming dedup within the watermark (S4 "signed only once",
+  * README.md:120–122) → broadcast keyring join (C1/C2; 100 keys) →
+  * deterministic surrogate signature (F8) → idempotent anti-join upsert
+  * into the signatures table (C3/A6, the DynamoDB `PutItem` analog).
+  */
+object SigningStream {
+
+  /** Pure transform: payload → (pk, key_id, signature columns). Shared by
+    * the streaming pipeline and batch backfills — same plan either way.
+    */
+  def signRecords(records: DataFrame, keyring: DataFrame): DataFrame = {
+    val keyed = records
+      .withColumn("pk", sha2(col("payload"), 256))
+      .withColumn("key",
+        coalesce(get_json_object(col("payload"), "$.id"), col("payload")))
+      .withColumn("key_id", pmod(Djb2.djb2(col("key")), lit(100L)))
+    keyed
+      .join(broadcast(keyring), "key_id")
+      .withColumn("signature", sha2(concat(col("priv"), lit("|"), col("payload")), 256))
+      .select(col("pk"), col("key_id"), col("address"), col("signature"),
+        col("s3_path"))
+  }
+
+  /** Streaming driver: dedup within the watermark, then per micro-batch an
+    * anti-join against the existing signatures table before appending —
+    * the upsert is idempotent even across restarts (at-least-once file
+    * source × anti-join = effectively exactly-once rows).
+    */
+  def run(lake: DataFrame, keyring: DataFrame, sigDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))(
+      implicit spark: SparkSession): StreamingQuery = {
+    signedStream(lake, keyring)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsert(batch, sigDir)(batch.sparkSession)
+      }
+      .start()
+  }
+
+  def signedStream(lake: DataFrame, keyring: DataFrame): DataFrame =
+    signRecords(
+      lake.withWatermark("ts", "10 minutes").dropDuplicates("payload"), keyring)
+
+  /** C3: left-anti against existing PKs, then append — "if the same
+    * transaction is seen again, the signature is not duplicated". */
+  def upsert(batch: DataFrame, sigDir: String)(spark: SparkSession): Unit = {
+    val fresh = batch.dropDuplicates("pk")
+    val toWrite =
+      if (new java.io.File(sigDir).exists()) {
+        val existing = spark.read.parquet(sigDir).select("pk")
+        fresh.join(existing, Seq("pk"), "left_anti")
+      } else fresh
+    toWrite.write.mode(SaveMode.Append).parquet(sigDir)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.MetricsStream.MetricPoint
+
+class MetricsStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("1-minute tumbling Sum/Average over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = MetricsStream.tumbling1min(input.toDF())
+      .writeStream.format("memory").queryName("metrics1m").outputMode("complete").start()
+    input.addData(
+      MetricPoint(ts("2024-01-01 10:00:05"), "lambda", 2.0),
+      MetricPoint(ts("2024-01-01 10:00:45"), "lambda", 4.0),
+      MetricPoint(ts("2024-01-01 10:01:10"), "lambda", 6.0),
+      MetricPoint(ts("2024-01-01 10:00:30"), "sqs", 10.0))
+    q.processAllAvailable()
+    val rows = s.table("metrics1m")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    q.stop()
+    val m0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val m1 = Timestamp.valueOf("2024-01-01 10:01:00").getTime
+    assert(rows((m0, "lambda")) === ((2L, 6.0, 3.0)))
+    assert(rows((m1, "lambda")) === ((1L, 6.0, 6.0)))
+    assert(rows((m0, "sqs")) === ((1L, 10.0, 10.0)))
+  }
+
+  test("watermark drops rows later than 10 minutes behind max event time") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = MetricsStream.tumbling1min(input.toDF())
+      .writeStream.format("memory").queryName("metricswm").outputMode("update").start()
+    input.addData(MetricPoint(ts("2024-01-01 10:00:10"), "lambda", 1.0),
+      MetricPoint(ts("2024-01-01 10:30:00"), "lambda", 1.0)) // advances watermark to 10:20
+    q.processAllAvailable()
+    input.addData(MetricPoint(ts("2024-01-01 10:00:20"), "lambda", 1.0)) // late beyond watermark
+    q.processAllAvailable()
+    val m0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val counts = s.table("metricswm").filter($"minute_ms" === m0)
+      .collect().map(_.getLong(2))
+    q.stop()
+    // the late row was dropped: minute 10:00 was only ever emitted with cnt=1
+    assert(counts.nonEmpty && counts.max === 1L)
+  }
+
+  test("consecutive-breach alarm counts evaluation periods per component") {
+    val s = spark
+    implicit val sp = s
+    import s.implicits._
+    // minutes: 10:00 (3 pts, breach), 10:01 (2 pts, breach), 10:02 (3 pts,
+    // breach → alarm at 3 consecutive), 10:03 (1 pt, reset)
+    val pts = Seq(
+      "2024-01-01 10:00:01", "2024-01-01 10:00:02", "2024-01-01 10:00:03",
+      "2024-01-01 10:01:01", "2024-01-01 10:01:02",
+      "2024-01-01 10:02:01", "2024-01-01 10:02:02", "2024-01-01 10:02:03",
+      "2024-01-01 10:03:01",
+    ).map(t => MetricPoint(ts(t), "lambda", 1.0))
+    val out = MetricsStream.consecutiveBreaches(pts.toDS(), threshold = 1, periods = 3)
+      .collect().sortBy(_.minuteMs)
+    assert(out.map(_.breached).toSeq === Seq(true, true, true, false))
+    assert(out.map(_.consecutive).toSeq === Seq(1, 2, 3, 0))
+    assert(out.map(_.alarm).toSeq === Seq(false, false, true, false))
+  }
+}
