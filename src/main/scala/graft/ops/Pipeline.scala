@@ -119,13 +119,17 @@ object Pipeline {
     import s.implicits._
     val s3key = concat(lit("raw/partition_"), pmod($"event_id", lit(5L)).cast("string"),
       lit("/year=2024/obj-"), $"event_id".cast("string"), lit(".json"))
+    // Sort the narrow key first, project after: the range-partitioner's
+    // sampling pass would otherwise evaluate the Jackson-backed
+    // get_json_object (CodegenFallback) twice over every row.
     Tables(s, dir, "events")
+      .select($"event_id")
+      .orderBy($"event_id")
       .select($"event_id",
         concat(lit("{\"Records\":[{\"s3\":{\"bucket\":{\"name\":\"data-lake\"},\"object\":{\"key\":\""),
           s3key, lit("\"}}}]}")).as("envelope"))
       .select($"event_id",
         get_json_object($"envelope", "$.Records[0].s3.object.key").as("object_key"))
-      .orderBy($"event_id")
   }
 
   val q23Oracle: String =

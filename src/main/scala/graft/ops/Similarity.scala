@@ -52,12 +52,14 @@ object Similarity {
     * per-query top-k (which AQE keeps tiny). */
   def q55AnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings")
-    val q = e.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val e = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .select($"q_id", $"rank", $"vec_id", $"cos")
@@ -86,12 +88,14 @@ object Similarity {
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").withColumn("bucket", bucket($"embedding"))
+      .withColumn("nrm", VecFns.norm($"embedding"))
     val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"bucket", $"nrm".as("q_nrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     e.join(broadcast(q), Seq("bucket"))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)
       .select($"q_id", $"rank", $"vec_id", $"bucket", $"cos")

@@ -28,6 +28,35 @@ class HashExprsSpec extends AnyFunSuite {
     assert(hamming < 16, s"near-identical docs should be hamming-close, got $hamming")
   }
 
+  test("shingleHashes == djb2 of the materialized shingle strings") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("the quick brown fox jumps", "a b", "", "one two three")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val fast = df.select($"id", HashFns.shingleHashes(TextFns.tokens($"text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((t, i) <- texts.zipWithIndex) {
+      val toks = t.split(" ", -1).toSeq
+      val expected =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(w => Djb2.hash(w.mkString(" "))).toSeq
+      assert(fast(i.toLong) === expected, s"text=$t")
+    }
+  }
+
+  test("minhashFromHashes(shingleHashes) == minhash(shingle strings)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("id", "text")
+    val a = df.select(HashFns.minhash(TextFns.shingles($"text", 3), 16))
+      .head.getSeq[Long](0)
+    val b = df.select(HashFns.minhashFromHashes(
+      HashFns.shingleHashes(TextFns.tokens($"text"), 3), 16)).head.getSeq[Long](0)
+    assert(a === b)
+  }
+
   test("minhash estimates Jaccard within tolerance on overlapping sets") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
