@@ -294,6 +294,88 @@ object Pipeline {
        |WHERE ${Sql.pmod("h", 5)} = 3 AND day(ts) <= 10
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** KV point lookup (D4 surface, app.ts:127–134): fetch specific
+    * signatures by PK — the DynamoDB GetItem analog. The probe keys are
+    * broadcast and semi-joined; at scale this is a broadcast-semi-join
+    * against a PK-bucketed table, never a scan-and-collect. */
+  def q31PointLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = q22SignPipeline(s, dir)
+    val probeKeys = Tables(s, dir, "events")
+      .filter($"event_id" < 50)
+      .select(sha2($"props", 256).as("pk")).distinct()
+    sigs.join(broadcast(probeKeys), Seq("pk"), "left_semi")
+      .orderBy($"pk")
+  }
+
+  val q31Oracle: String =
+    // q22's result set as a subquery (inner ORDER BY is inert but must not
+    // be textually stripped — the dedup window has its own ORDER BY),
+    // probed by an IN-subquery on the PKs
+    s"""SELECT pk, event_id, key_id, address, signature FROM ($q22Oracle) sigs
+       |WHERE pk IN (SELECT DISTINCT sha256(props) FROM events WHERE event_id < 50)
+       |ORDER BY pk""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Sketch aggregation (D5): HyperLogLog++ approximate distinct counts.
+    * No oracle — HLL estimates are implementation-specific (the driver
+    * records a rows-only check); the exact countDistinct rides along so the
+    * estimate's error is visible in the output. */
+  def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("approx_users"),
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"props").as("approx_payloads"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** Scalar-function surface (F1/F11/F12): base64 round trip, exponential
+    * backoff (2^n × 100 ms, signer/index.js:102), case/format functions. */
+  def q33ScalarMisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"props")
+      .orderBy($"event_id")
+      .select(
+        $"event_id",
+        base64($"props".cast("binary")).as("props_b64"),
+        (unbase64(base64($"props".cast("binary"))).cast("string") === $"props").as("roundtrip_ok"),
+        (pow(lit(2.0), pmod($"event_id", lit(5L))) * 100).as("backoff_ms"),
+        upper($"event_type").as("type_upper"),
+        initcap($"event_type").as("type_initcap"),
+        format_string("%s:%04d", $"event_type", pmod($"event_id", lit(1000L))).as("shard_label"))
+  }
+
+  val q33Oracle: String =
+    s"""SELECT event_id,
+       |  to_base64(CAST(props AS BLOB)) AS props_b64,
+       |  decode(from_base64(to_base64(CAST(props AS BLOB)))) = props AS roundtrip_ok,
+       |  pow(2.0, ${Sql.pmod("event_id", 5)}) * 100 AS backoff_ms,
+       |  upper(event_type) AS type_upper,
+       |  upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS type_initcap,
+       |  printf('%s:%04d', event_type, ${Sql.pmod("event_id", 1000)}) AS shard_label
+       |FROM events ORDER BY event_id""".stripMargin
+
+  /** A8/EP3 — the chunked JSON seed-file sink (scripts/seed-keys.ts:68–81):
+    * write the keyring as JSON, ≤`perFile` records per file, and return the
+    * output path. `maxRecordsPerFile` gives the 1000-per-file chunking
+    * without a manual loop; at scale the range partitioning keeps files
+    * key-ordered. Exercised by PipelineSpec (file layout + roundtrip). */
+  def writeSeedKeys(s: SparkSession, n: Long, dir: String, perFile: Int = 1000): Unit = {
+    import s.implicits._
+    q29SeedKeys(s, dir)
+      .limit(n.toInt)
+      .repartitionByRange(math.max(1, (n / perFile / 4).toInt), $"key_id")
+      .sortWithinPartitions($"key_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", perFile)
+      .json(dir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_partitioner" -> q20Partitioner _,
     "q21_sha_dedup" -> q21ShaDedup _,
@@ -306,6 +388,9 @@ object Pipeline {
     "q28_error_split" -> q28ErrorSplit _,
     "q29_seed_keys" -> q29SeedKeys _,
     "q30_lake_roundtrip" -> q30LakeRoundtrip _,
+    "q31_point_lookup" -> q31PointLookup _,
+    "q32_approx_distinct" -> q32ApproxDistinct _,
+    "q33_scalar_misc" -> q33ScalarMisc _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,5 +405,8 @@ object Pipeline {
     "q28_error_split" -> q28Oracle,
     "q29_seed_keys" -> q29Oracle,
     "q30_lake_roundtrip" -> q30Oracle,
+    "q31_point_lookup" -> q31Oracle,
+    // q32 intentionally has no oracle: HLL sketches are engine-specific
+    "q33_scalar_misc" -> q33Oracle,
   )
 }

@@ -346,6 +346,118 @@ object Relational {
       |GROUP BY user_id HAVING MAX(epoch_ms(ts)) IS NOT NULL
       |ORDER BY last_used_ms, user_id LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- q17
+  /** Range (theta) join (C4 extension): lineitem priced into fixed bands.
+    * The band dim is broadcast (nested-loop against 10 rows is free); at
+    * 100 TB with a large band table you'd bucketize the probe side into an
+    * equi-join on floor(price/width) first — same results, one shuffle. */
+  def q17RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = s.range(10).select($"id".as("band_id"),
+      ($"id" * lit(10000.0)).as("lo"), (($"id" + 1) * lit(10000.0)).as("hi"))
+    Tables(s, dir, "lineitem")
+      .join(broadcast(bands),
+        $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+      .groupBy($"band_id", $"lo", $"hi")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"band_id")
+  }
+
+  val q17Oracle: String =
+    s"""SELECT i AS band_id, i * 10000.0 AS lo, (i + 1) * 10000.0 AS hi,
+       |  COUNT(*) AS cnt, ${Sql.dsum("l_extendedprice")} AS sum_price
+       |FROM range(10) bands(i)
+       |JOIN lineitem ON l_extendedprice >= i * 10000.0
+       |             AND l_extendedprice < (i + 1) * 10000.0
+       |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** CUBE aggregation (D5): all grouping combinations in one pass. */
+  def q18Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val q18Oracle: String =
+    s"""SELECT l_returnflag, l_linestatus, ${Sql.dsum("l_quantity")} AS sum_qty,
+       |  COUNT(*) AS cnt
+       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Full analytic-window surface (E3): lag/lead over event time,
+    * rank/dense_rank over value, ntile quartiles, and an integer RANGE
+    * frame (last-3-event-ids rolling sum, exact decimal). */
+  def q19WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wVal = Window.partitionBy($"user_id").orderBy($"value".desc)
+    val wRange = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rangeBetween(-2, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"value",
+        lag($"value", 1).over(wOrd).as("prev_value"),
+        lead($"value", 1).over(wOrd).as("next_value"),
+        rank().over(wVal).cast("long").as("val_rank"),
+        dense_rank().over(wVal).cast("long").as("val_dense_rank"),
+        ntile(4).over(wOrd).cast("long").as("quartile"),
+        sum($"value".cast(DecimalType(18, 2))).over(wRange).cast(DoubleType).as("win3_sum"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q19Oracle: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS val_rank,
+      |  CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS BIGINT) AS val_dense_rank,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY event_id
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS win3_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Gaps-and-islands breach runs (E3/S3 batch analog): per event type, the
+    * longest run of consecutive breached hours (cnt > 1) and the number
+    * of distinct runs — the batch mirror of the consecutive-breach alarm
+    * state machine. */
+  def q34BreachRuns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perHour = Tables(s, dir, "events")
+      .groupBy($"event_type", unix_millis(date_trunc("hour", $"ts")).as("hour_ms"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" > 1)
+    val w = Window.partitionBy($"event_type").orderBy($"hour_ms")
+    perHour
+      .withColumn("island", expr("hour_ms div 3600000") - row_number().over(w))
+      .groupBy($"event_type", $"island")
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy($"event_type")
+      .agg(max($"run_len").as("max_run"), count(lit(1)).as("n_runs"))
+      .orderBy($"event_type")
+  }
+
+  val q34Oracle: String =
+    """WITH per_min AS (
+      |  SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      |islands AS (
+      |  SELECT event_type,
+      |    hour_ms // 3600000
+      |      - row_number() OVER (PARTITION BY event_type ORDER BY hour_ms) AS island
+      |  FROM per_min),
+      |runs AS (SELECT event_type, island, COUNT(*) AS run_len
+      |         FROM islands GROUP BY 1, 2)
+      |SELECT event_type, MAX(run_len) AS max_run, COUNT(*) AS n_runs
+      |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -362,6 +474,10 @@ object Relational {
     "q14_union" -> q14Union _,
     "q15_asof_join" -> q15AsofJoin _,
     "q16_lease_lru" -> q16LeaseLru _,
+    "q17_range_join" -> q17RangeJoin _,
+    "q18_cube" -> q18Cube _,
+    "q19_window_analytics" -> q19WindowAnalytics _,
+    "q34_breach_runs" -> q34BreachRuns _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,5 +496,9 @@ object Relational {
     "q14_union" -> q14Oracle,
     "q15_asof_join" -> q15Oracle,
     "q16_lease_lru" -> q16Oracle,
+    "q17_range_join" -> q17Oracle,
+    "q18_cube" -> q18Oracle,
+    "q19_window_analytics" -> q19Oracle,
+    "q34_breach_runs" -> q34Oracle,
   )
 }
