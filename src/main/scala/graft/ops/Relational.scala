@@ -458,6 +458,44 @@ object Relational {
       |SELECT event_type, MAX(run_len) AS max_run, COUNT(*) AS n_runs
       |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Gap-based sessionization (M5): a session breaks after 30 min of user
+    * inactivity. Pure integer epoch-ms arithmetic (lag + cumulative flag
+    * sum) so the result is exactly deterministic; the streaming equivalent
+    * is Spark's session_window / flatMapGroupsWithState (graft.streaming).
+    * One shuffle on user_id; both windows share it. */
+  def q35Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"), $"value")
+      .withColumn("new_session",
+        when(lag($"ms", 1).over(wOrd).isNull
+          || $"ms" - lag($"ms", 1).over(wOrd) > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(wRun))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"ms").as("start_ms"),
+        max($"ms").as("end_ms"), dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val q35Oracle: String =
+    s"""WITH pts AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN lag(ms, 1) OVER w IS NULL
+       |                   OR ms - lag(ms, 1) OVER w > 1800000 THEN 1 ELSE 0 END
+       |    AS new_session
+       |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+       |sessions AS (
+       |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ms) AS start_ms,
+       |  MAX(ms) AS end_ms, ${Sql.dsum("value")} AS sum_value
+       |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -478,6 +516,7 @@ object Relational {
     "q18_cube" -> q18Cube _,
     "q19_window_analytics" -> q19WindowAnalytics _,
     "q34_breach_runs" -> q34BreachRuns _,
+    "q35_sessionize" -> q35Sessionize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -500,5 +539,6 @@ object Relational {
     "q18_cube" -> q18Oracle,
     "q19_window_analytics" -> q19Oracle,
     "q34_breach_runs" -> q34Oracle,
+    "q35_sessionize" -> q35Oracle,
   )
 }

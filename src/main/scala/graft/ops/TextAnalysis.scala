@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -158,12 +159,51 @@ object TextAnalysis {
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY tf DESC, token LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** TF-IDF-style term relevance, top-5 terms per doc. The score is the
+    * log-free rational form tf·N/df — division of exactly-mirrored integer
+    * casts — because ln() is libm-dependent and would break bit-exact
+    * oracle comparison (Java Math.log vs DuckDB's libm can differ in the
+    * last ulp). Same ranking behavior for grading terms. */
+  def q45Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val tokens = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("token"))
+    val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tokens.groupBy($"token").agg(countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"token")
+    tf.join(df, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("score", $"tf".cast("double") * $"n_docs" / $"df")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"doc_id", $"rank", $"token", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val q45Oracle: String =
+    """WITH tokens AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df AS score
+      |  FROM tf JOIN df USING (token))
+      |SELECT doc_id, rank, token, tf, df, score FROM (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, token) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
     "q42_quality" -> q42Quality _,
     "q43_fingerprint" -> q43Fingerprint _,
     "q44_top_terms" -> q44TopTerms _,
+    "q45_tfidf" -> q45Tfidf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,5 +212,6 @@ object TextAnalysis {
     "q42_quality" -> q42Oracle,
     "q43_fingerprint" -> q43Oracle,
     "q44_top_terms" -> q44Oracle,
+    "q45_tfidf" -> q45Oracle,
   )
 }
