@@ -277,6 +277,11 @@ object Pipeline {
       .withColumn("year", year($"ts").cast("long"))
       .withColumn("month", month($"ts").cast("long"))
       .withColumn("day", dayofmonth($"ts").cast("long"))
+      // Cluster rows by their target directory before the partitioned
+      // write: without this every task writes a file into every directory
+      // (tasks × dirs small files — the classic lake write mistake at
+      // scale); with it each directory gets one file.
+      .repartition(col("bucket_partition"), col("year"), col("month"), col("day"))
       .write.mode("overwrite")
       .partitionBy("bucket_partition", "year", "month", "day")
       .parquet(out)
@@ -360,6 +365,27 @@ object Pipeline {
        |  printf('%s:%04d', event_type, ${Sql.pmod("event_id", 1000)}) AS shard_label
        |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** MapType surface (SURVEY §1 / F13): parse the JSON payload into
+    * map<string,string> and explode entries — the generic schemaless-props
+    * path (works for any key set, not just `k`).
+    *
+    * Corrupt-input caveat: Spark's PERMISSIVE from_json yields null (row
+    * dropped by explode) while DuckDB's json_keys errors — the oracle is
+    * only equivalent on well-formed payloads, which the fixture guarantees;
+    * the corrupt path is covered by the ingest error split (q28/A3). */
+  def q36JsonMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id", explode(from_json($"props", org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))))
+      .orderBy($"event_id", $"key")
+  }
+
+  val q36Oracle: String =
+    """SELECT event_id, k AS key, json_extract_string(props, '$.' || k) AS value
+      |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+      |ORDER BY event_id, key""".stripMargin
+
   /** A8/EP3 — the chunked JSON seed-file sink (scripts/seed-keys.ts:68–81):
     * write the keyring as JSON, ≤`perFile` records per file, and return the
     * output path. `maxRecordsPerFile` gives the 1000-per-file chunking
@@ -391,6 +417,7 @@ object Pipeline {
     "q31_point_lookup" -> q31PointLookup _,
     "q32_approx_distinct" -> q32ApproxDistinct _,
     "q33_scalar_misc" -> q33ScalarMisc _,
+    "q36_json_map" -> q36JsonMap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,5 +435,6 @@ object Pipeline {
     "q31_point_lookup" -> q31Oracle,
     // q32 intentionally has no oracle: HLL sketches are engine-specific
     "q33_scalar_misc" -> q33Oracle,
+    "q36_json_map" -> q36Oracle,
   )
 }

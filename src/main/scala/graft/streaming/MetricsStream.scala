@@ -33,6 +33,20 @@ object MetricsStream {
       .select(unix_millis(col("window.start")).as("minute_ms"),
         col("component"), col("cnt"), col("sum_value"), col("avg_value"))
 
+  /** Streaming sessionization: Spark's built-in `session_window` (gap-based,
+    * 30 min) — the streaming twin of the batch q35_sessionize operator.
+    * State is per (session_window, component), merged by the state store as
+    * windows grow/merge; watermark bounds state retention.
+    */
+  def sessionWindows(points: DataFrame, gap: String = "30 minutes"): DataFrame =
+    points
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("component"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(unix_millis(col("session_window.start")).as("start_ms"),
+        unix_millis(col("session_window.end")).as("end_ms"),
+        col("component"), col("n_events"), col("sum_value"))
+
   /** Stateful consecutive-breach alarm (S3): per component, bucket points
     * into minutes, mark minutes whose count exceeds `threshold`, and raise
     * `alarm` once `periods` consecutive minutes breach — the

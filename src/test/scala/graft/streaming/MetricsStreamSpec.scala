@@ -54,6 +54,26 @@ class MetricsStreamSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.max === 1L)
   }
 
+  test("session_window: 30-min gap splits sessions, short gaps merge") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = MetricsStream.sessionWindows(input.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    input.addData(
+      MetricPoint(ts("2024-01-01 10:00:00"), "lambda", 1.0),
+      MetricPoint(ts("2024-01-01 10:10:00"), "lambda", 2.0), // 10-min gap → same session
+      MetricPoint(ts("2024-01-01 11:00:00"), "lambda", 3.0)) // 50-min gap → new session
+    q.processAllAvailable()
+    val rows = s.table("sessions").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0)._3 === 2L && rows(0)._4 === 3.0) // merged session, sum 1+2
+    assert(rows(1)._3 === 1L && rows(1)._4 === 3.0)
+  }
+
   test("consecutive-breach alarm counts evaluation periods per component") {
     val s = spark
     implicit val sp = s
