@@ -496,6 +496,67 @@ object Relational {
        |  MAX(ms) AS end_ms, ${Sql.dsum("value")} AS sum_value
        |FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Skew-safe two-phase aggregation (salting): events has only 5 hot keys
+    * (event_type) — at 100 TB a naive groupBy sends 20% of the table to one
+    * reducer. Salt with 16 sub-keys → phase-1 partial aggregation spreads
+    * over 80 reducers, phase 2 combines 80 tiny rows. Decimal partials sum
+    * exactly, so the result is identical to the direct group-by (which the
+    * oracle computes). */
+  def q37SkewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .withColumn("salt", pmod($"event_id", lit(16L)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pc"), sum($"value".cast(DecimalType(18, 2))).as("ps"))
+      .groupBy($"event_type")
+      .agg(sum($"pc").as("cnt"), sum($"ps").cast(DoubleType).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val q37Oracle: String =
+    s"""SELECT event_type, COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Bucketed co-located join: both fact tables written bucketBy(8) on the
+    * join key → the sort-merge join reads bucket-aligned files with NO
+    * shuffle exchange on either side. This is the pre-partitioning story
+    * for repeated fact-fact joins at 100 TB (pay the shuffle once at write
+    * time, reuse it every query). Results equal the plain join (oracle). */
+  def q38BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = new java.io.File(dir).getName.replace(".", "_")
+    val ordT = s"orders_bucketed_$tag"
+    val liT = s"lineitem_bucketed_$tag"
+    // The in-memory catalog forgets tables between sessions but their
+    // warehouse directories survive — drop both sides before rewriting.
+    for (t <- Seq(ordT, liT)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    Tables(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ordT)
+    Tables(s, dir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(liT)
+    s.table(liT).join(s.table(ordT), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q38Oracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS cnt,
+       |  ${Sql.dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -517,6 +578,8 @@ object Relational {
     "q19_window_analytics" -> q19WindowAnalytics _,
     "q34_breach_runs" -> q34BreachRuns _,
     "q35_sessionize" -> q35Sessionize _,
+    "q37_skew_salted_agg" -> q37SkewSaltedAgg _,
+    "q38_bucketed_join" -> q38BucketedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -540,5 +603,7 @@ object Relational {
     "q19_window_analytics" -> q19Oracle,
     "q34_breach_runs" -> q34Oracle,
     "q35_sessionize" -> q35Oracle,
+    "q37_skew_salted_agg" -> q37Oracle,
+    "q38_bucketed_join" -> q38Oracle,
   )
 }
