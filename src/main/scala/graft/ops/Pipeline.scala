@@ -8,6 +8,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Tables
 import graft.functions.Djb2
 
+/** Seed keypair row (scripts/seed-keys.ts:9–14 analog; surrogate keys). */
+case class KeyPair(key_id: Long, file_id: Long, address: String,
+    public_key: String, private_key: String)
+
 /** Batch re-expressions of the reference's three pipelines (SURVEY.md §3):
   * EP1 ingest/partitioner, EP2 signing, EP3 key seeding — plus the
   * monitoring aggregations (D1/D2/S2/S3 batch analogs).
@@ -386,6 +390,28 @@ object Pipeline {
       |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
       |ORDER BY event_id, key""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** Typed-Aggregator UDAF (§2 J): exact weighted mean of `value`, weighted
+    * by a derived per-event weight. The decimal buffer makes the aggregate
+    * order-insensitive (partition merges commute), so the custom UDAF
+    * hash-matches the declarative oracle. */
+  def q39WeightedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wmean = udaf(graft.functions.WeightedMeanAgg)
+    Tables(s, dir, "events")
+      .select($"event_type", $"value", (pmod($"event_id", lit(7L)) + 1).as("w"))
+      .groupBy($"event_type")
+      .agg(wmean($"value", $"w").as("weighted_mean"), sum($"w").as("total_w"))
+      .orderBy($"event_type")
+  }
+
+  val q39Oracle: String =
+    s"""SELECT event_type,
+       |  ${Sql.dsum(s"value * (${Sql.pmod("event_id", 7)} + 1)", 6)}
+       |    / CAST(SUM(${Sql.pmod("event_id", 7)} + 1) AS DOUBLE) AS weighted_mean,
+       |  CAST(SUM(${Sql.pmod("event_id", 7)} + 1) AS BIGINT) AS total_w
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** A8/EP3 — the chunked JSON seed-file sink (scripts/seed-keys.ts:68–81):
     * write the keyring as JSON, ≤`perFile` records per file, and return the
     * output path. `maxRecordsPerFile` gives the 1000-per-file chunking
@@ -395,6 +421,7 @@ object Pipeline {
     import s.implicits._
     q29SeedKeys(s, dir)
       .limit(n.toInt)
+      .as[KeyPair] // typed boundary: the generator yields Dataset[KeyPair]
       .repartitionByRange(math.max(1, (n / perFile / 4).toInt), $"key_id")
       .sortWithinPartitions($"key_id")
       .write.mode("overwrite")
@@ -418,6 +445,7 @@ object Pipeline {
     "q32_approx_distinct" -> q32ApproxDistinct _,
     "q33_scalar_misc" -> q33ScalarMisc _,
     "q36_json_map" -> q36JsonMap _,
+    "q39_weighted_mean" -> q39WeightedMean _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +464,6 @@ object Pipeline {
     // q32 intentionally has no oracle: HLL sketches are engine-specific
     "q33_scalar_misc" -> q33Oracle,
     "q36_json_map" -> q36Oracle,
+    "q39_weighted_mean" -> q39Oracle,
   )
 }
