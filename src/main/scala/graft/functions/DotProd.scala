@@ -3,28 +3,44 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Codegen'd dot product over two `array<float>` columns, promoted to
-  * double, accumulated left-to-right — numerically identical to the
-  * higher-order `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation (and
-  * to the DuckDB oracle's list_reduce fold), but ~100× faster: higher-order
+/** Codegen'd dot product over two numeric array columns (float or double
+  * elements per side), promoted to double, accumulated left-to-right —
+  * numerically identical to the higher-order
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` formulation (and to the
+  * DuckDB oracle's list_reduce fold), but ~100× faster: higher-order
   * functions are interpreted per element, this is a tight generated loop
   * inside whole-stage codegen. At 100 TB this is the difference between the
   * ANN scan being compute-bound and lambda-allocation-bound.
+  *
+  * Mixed types appear in the IVF path: raw vectors are `array<float>`,
+  * centroids are computed `array<double>`.
   */
 case class DotProd(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_prod"
 
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
     acc
   }
 
@@ -33,11 +49,13 @@ case class DotProd(left: Expression, right: Expression) extends BinaryExpression
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val ax = if (elemIsFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val bx = if (elemIsFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  $acc += $ax * $bx;
          |}
          |${ev.value} = $acc;
        """.stripMargin

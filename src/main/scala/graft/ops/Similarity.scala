@@ -118,13 +118,93 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q59
+  /** IVF-flat ANN: (1) deterministic coarse centroids — per-label, per-dim
+    * exact decimal means (k-means would be iteration-order-dependent; the
+    * label grouping is the fixed coarse quantizer, the mean is the learned
+    * part); (2) every vector assigned to its *nearest* centroid (computed,
+    * not assumed — a vector may land outside its own label's cell);
+    * (3) queries probe their top-2 cells (nprobe=2) and run exact cosine
+    * top-3 inside them.
+    *
+    * Scale shape: centroids are tiny and broadcast; assignment is map-only;
+    * the probe is an equi-join on the cell id. The full corpus is never
+    * pair-compared — candidates ≈ corpus·(nprobe/nlist). q55 (brute force)
+    * is the recall baseline at test scale. */
+  def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val emb = Tables(s, dir, "embeddings")
+    val cent = emb
+      .select($"label", posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy($"label", $"d")
+      .agg((sum($"v".cast(DecimalType(18, 9))).cast(DoubleType) / count(lit(1))).as("m"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"d", $"m"))).as("dm"))
+      .select($"label".cast("long").as("cell"),
+        transform($"dm", x => x.getField("m")).as("centroid"))
+    def centCos = VecFns.dot($"embedding", $"centroid") /
+      (sqrt(VecFns.dot($"embedding", $"embedding")) * sqrt(VecFns.dot($"centroid", $"centroid")))
+    val scored = emb.crossJoin(broadcast(cent)).withColumn("ccos", centCos)
+    val wCell = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell")
+    val assigned = scored
+      .withColumn("arn", row_number().over(wCell)).filter($"arn" === 1)
+      .select($"vec_id", $"embedding", $"cell")
+    val qprobe = scored.filter($"vec_id" < 10)
+      .withColumn("crn", row_number().over(wCell)).filter($"crn" <= 2)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"cell")
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    qprobe.join(assigned, Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"cell", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q59Oracle: String = {
+    val ccos = s"(${Sql.dotFD("e.embedding", "c.centroid")} / " +
+      s"(sqrt(${Sql.dot("e.embedding", "e.embedding")}) * sqrt(${Sql.dotD("c.centroid", "c.centroid")})))"
+    val cos = Sql.cosine("q.q_emb", "a.embedding")
+    s"""WITH cent AS (
+       |  SELECT CAST(label AS BIGINT) AS cell, list(m ORDER BY d) AS centroid FROM (
+       |    SELECT label, i AS d,
+       |      CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+       |    FROM embeddings CROSS JOIN range(0, 64) r(i)
+       |    GROUP BY label, i)
+       |  GROUP BY label),
+       |scored AS (
+       |  SELECT e.vec_id, e.embedding, c.cell, $ccos AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS arn
+       |    FROM scored)
+       |  WHERE arn = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn
+       |    FROM scored WHERE vec_id < 10)
+       |  WHERE crn <= 2),
+       |cand AS (
+       |  SELECT q.q_id, a.vec_id, a.cell, $cos AS cos
+       |  FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id)
+       |SELECT q_id, rank, vec_id, cell, cos FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM cand)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
+    "q59_ann_ivf" -> q59AnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(
     "q55_ann_brute" -> q55Oracle,
     "q56_ann_lsh" -> q56Oracle,
+    "q59_ann_ivf" -> q59Oracle,
   )
 }

@@ -53,6 +53,18 @@ object Sql {
   def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
 
+  /** Dot product of a float-element list against a double-element list
+    * (only the float side is cast) — mirrors the mixed-type DotProd branch
+    * used on the IVF vector×centroid path. */
+  def dotFD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"dp_i -> CAST(($a)[dp_i] AS DOUBLE) * ($b)[dp_i])), (dp_x, dp_y) -> dp_x + dp_y)"
+
+  /** Dot product of two double-element lists (no casts). */
+  def dotD(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+      s"dp_i -> ($a)[dp_i] * ($b)[dp_i])), (dp_x, dp_y) -> dp_x + dp_y)"
+
   /** Rolling polynomial fingerprint — mirrors
     * [[graft.functions.HashFns.rollingHash]]. */
   def rollingHash(col: String): String =
