@@ -557,6 +557,99 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Exact median (percentile 0.5, linear interpolation). l_quantity is
+    * integral-valued, so the midpoint is exactly representable and the
+    * interpolation formulas of both engines agree bit-for-bit; arbitrary
+    * percentiles of arbitrary doubles would not (different interpolation
+    * expression shapes → last-ulp divergence). */
+  def q46Median(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q46Oracle: String =
+    """SELECT l_returnflag, median(l_quantity) AS median_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  /** Exact second-moment statistics: variance / covariance / correlation of
+    * quantity vs extendedprice via decimal-exact sums + the moment formula
+    * mirrored term-for-term. Built-in var_samp/corr accumulate doubles in
+    * partition order (non-deterministic at scale); this formulation is
+    * order-free and hash-checkable. */
+  def q47MomentStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Work in exact integer cents: round(x·100) is an exact integral
+    // double, products stay < 2^53 (exact), and the scale-0 decimal sums
+    // convert to double with a SINGLE correctly-rounded step in both
+    // engines. (A scaled decimal like DECIMAL(38,4) with unscaled > 2^53
+    // double-rounds in DuckDB — int128→double then ÷10^4 — and diverges
+    // from Java's one-step BigDecimal conversion by 1 ulp.)
+    val cq = round($"l_quantity" * 100)
+    val cp = round($"l_extendedprice" * 100)
+    def isum(c: Column): Column = sum(c.cast(DecimalType(38, 0))).cast(DoubleType)
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum($"l_quantity").as("sx"), dsum($"l_extendedprice").as("sy"),
+        isum(cq * cq).as("sxx"), isum(cp * cp).as("syy"), isum(cq * cp).as("sxy"))
+      .select($"l_returnflag",
+        (($"sxx" / 10000.0 - $"sx" * $"sx" / $"n") / $"n").as("var_qty"),
+        (($"syy" / 10000.0 - $"sy" * $"sy" / $"n") / $"n").as("var_price"),
+        (($"sxy" / 10000.0 - $"sx" * $"sy" / $"n") / $"n").as("cov"),
+        ((($"sxy" / 10000.0 - $"sx" * $"sy" / $"n") / $"n") /
+          (sqrt(($"sxx" / 10000.0 - $"sx" * $"sx" / $"n") / $"n")
+            * sqrt(($"syy" / 10000.0 - $"sy" * $"sy" / $"n") / $"n"))).as("corr"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q47Oracle: String = {
+    def isum(x: String) = s"CAST(SUM(CAST($x AS DECIMAL(38,0))) AS DOUBLE)"
+    s"""SELECT l_returnflag,
+       |  (sxx / 10000.0 - sx * sx / n) / n AS var_qty,
+       |  (syy / 10000.0 - sy * sy / n) / n AS var_price,
+       |  (sxy / 10000.0 - sx * sy / n) / n AS cov,
+       |  ((sxy / 10000.0 - sx * sy / n) / n)
+       |    / (sqrt((sxx / 10000.0 - sx * sx / n) / n)
+       |       * sqrt((syy / 10000.0 - sy * sy / n) / n)) AS corr
+       |FROM (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${Sql.dsum("l_quantity")} AS sx, ${Sql.dsum("l_extendedprice")} AS sy,
+       |    ${isum("round(l_quantity * 100) * round(l_quantity * 100)")} AS sxx,
+       |    ${isum("round(l_extendedprice * 100) * round(l_extendedprice * 100)")} AS syy,
+       |    ${isum("round(l_quantity * 100) * round(l_extendedprice * 100)")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q48
+  /** Pivot (columns from values): linestatus counts spread into columns;
+    * absent combinations coalesce to 0 so both engines agree. */
+  def q48Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .select($"l_returnflag",
+        coalesce($"F", lit(0L)).as("cnt_f"), coalesce($"O", lit(0L)).as("cnt_o"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q48Oracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+      |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -580,6 +673,9 @@ object Relational {
     "q35_sessionize" -> q35Sessionize _,
     "q37_skew_salted_agg" -> q37SkewSaltedAgg _,
     "q38_bucketed_join" -> q38BucketedJoin _,
+    "q46_median" -> q46Median _,
+    "q47_moment_stats" -> q47MomentStats _,
+    "q48_pivot" -> q48Pivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -605,5 +701,8 @@ object Relational {
     "q35_sessionize" -> q35Oracle,
     "q37_skew_salted_agg" -> q37Oracle,
     "q38_bucketed_join" -> q38Oracle,
+    "q46_median" -> q46Oracle,
+    "q47_moment_stats" -> q47Oracle,
+    "q48_pivot" -> q48Oracle,
   )
 }
