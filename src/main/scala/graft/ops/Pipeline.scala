@@ -412,6 +412,26 @@ object Pipeline {
        |  CAST(SUM(${Sql.pmod("event_id", 7)} + 1) AS BIGINT) AS total_w
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** StructType JSON parse + canonical serialization (F3, SURVEY §1):
+    * `from_json` into a typed struct, field access, and `to_json` with the
+    * schema-defined field order — the canonicalization that makes
+    * SHA-256 record identities reproducible (the reference depends on JS
+    * insertion order, signer/index.js:135; here the schema IS the order). */
+  def q49JsonStruct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"event_id", from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("parsed"))
+      .select($"event_id", $"parsed.k".cast("long").as("k"),
+        to_json($"parsed").as("canonical_json"))
+      .orderBy($"event_id")
+  }
+
+  val q49Oracle: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  '{"k":' || json_extract_string(props, '$.k') || '}' AS canonical_json
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** A8/EP3 — the chunked JSON seed-file sink (scripts/seed-keys.ts:68–81):
     * write the keyring as JSON, ≤`perFile` records per file, and return the
     * output path. `maxRecordsPerFile` gives the 1000-per-file chunking
@@ -446,6 +466,7 @@ object Pipeline {
     "q33_scalar_misc" -> q33ScalarMisc _,
     "q36_json_map" -> q36JsonMap _,
     "q39_weighted_mean" -> q39WeightedMean _,
+    "q49_json_struct" -> q49JsonStruct _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -465,5 +486,6 @@ object Pipeline {
     "q33_scalar_misc" -> q33Oracle,
     "q36_json_map" -> q36Oracle,
     "q39_weighted_mean" -> q39Oracle,
+    "q49_json_struct" -> q49Oracle,
   )
 }
