@@ -5,8 +5,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Bench-scale tuning (results are config-independent — aggregation is
+    // order-insensitive by design): sub-GB inputs want few shuffle
+    // partitions and no AQE materialization barriers. At 100 TB the
+    // defaults flip back (partitions ≈ 2–4× cores, AQE on — SCALE.md §2/3).
     val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+      SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/classloading/codegen startup must not be booked
     // against whichever query happens to run first.

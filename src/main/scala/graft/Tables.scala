@@ -37,7 +37,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE on by default (the 100 TB stance — see SCALE.md §3); results
+      // are config-independent (order-insensitive aggregation), so perf
+      // harnesses may switch it off where its per-query materialization
+      // barriers dominate (sub-GB inputs).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
       .config("spark.ui.enabled", "false")
 }
