@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{IngestStream, SigningStream}
+
+/** End-to-end streaming throughput: the full EP1→EP2 chain (base64 decode →
+  * djb2 partition → dedup → keyring join → sign) over the sf events replayed
+  * as a file-source stream, measured in records/second.
+  *
+  * The reference's derived signing ceiling is 0.056–1.67 objects/s
+  * (BASELINE.md: 5 concurrent Lambdas × batches of 10 × 30 s admission);
+  * this number is the single-node Spark equivalent for the same semantics.
+  * Prints one JSON line. Run: `sbt "runMain graft.StreamBench"`.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", "8"))
+      .getOrCreate()
+    implicit val sp: SparkSession = spark
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}"
+    val incoming = s"$root/incoming"
+    // Replay events as raw ingest records (base64-wrapped JSON payloads).
+    val raw = Tables(spark, sfDir, "events")
+      .select($"event_id".cast("string").as("recordId"),
+        base64($"props".cast("binary")).as("data"), $"ts")
+    raw.write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+
+    val keyring = spark.range(100).select(
+      $"id".as("key_id"),
+      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
+      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
+
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("recordId string, data string, ts timestamp")
+      .parquet(incoming)
+    val partitioned = IngestStream.partitionRecords(stream, 5)
+      .filter(col("result") === "Ok")
+      .select(col("payload"), col("ts"),
+        concat(lit("raw/"), col("bucket_partition"), lit("/obj-"), col("recordId")).as("s3_path"))
+    val q = SigningStream.run(partitioned, keyring, s"$root/sigs", s"$root/ckpt",
+      Trigger.AvailableNow())
+    q.awaitTermination(600000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val signed = spark.read.parquet(s"$root/sigs").count()
+    println(s"""{"metric":"stream_records_per_sec","value":${n / secs},"unit":"rec/sec","records":$n,"signed":$signed,"seconds":$secs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

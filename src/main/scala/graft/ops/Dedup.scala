@@ -183,12 +183,70 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Near-dup clustering: connected components over the q51 Jaccard≥0.5
+    * pair graph via min-label propagation (cluster id = smallest reachable
+    * doc_id; the cluster's keeper). Fixed 10 rounds — near-dup components
+    * are clique-like, diameter ≪ 10 (verified against the oracle's exact
+    * transitive closure). At 100 TB this is the alternating
+    * large-star/small-star CC algorithm with checkpointing between rounds;
+    * the per-round plan here is the same join+min. */
+  def q60DupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = q51NgramJaccard(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+    // Materialize each round (localCheckpoint): labels feeds both the join
+    // and the union, so without a lineage cut the unrolled plan doubles
+    // per iteration (2^10 operators by round 10). This is the same
+    // checkpoint-between-rounds any iterative graph algorithm needs on a
+    // cluster — local mode just makes the cost of forgetting it obvious.
+    val edgesM = edges.localCheckpoint(true)
+    var labels = edgesM.select($"u".as("doc_id")).distinct()
+      .withColumn("cluster", $"doc_id")
+      .localCheckpoint(true)
+    for (_ <- 1 to 10) {
+      val prop = edgesM.join(labels, edgesM("v") === labels("doc_id"))
+        .select(edgesM("u").as("doc_id"), $"cluster")
+      labels = labels.union(prop).groupBy($"doc_id")
+        .agg(min($"cluster").as("cluster"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  val q60Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${Dedup.q51OracleNoOrder}) p
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  /** q51 without its final ORDER BY/extra columns, for composition. */
+  private def q51OracleNoOrder: String =
+    s"""$shCte,
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
+       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b FROM common
+       |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> q51NgramJaccard _,
     "q52_minhash_lsh" -> q52MinhashLsh _,
     "q53_simhash" -> q53Simhash _,
     "q54_cosine_neardup" -> q54CosineNeardup _,
+    "q60_dup_clusters" -> q60DupClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +255,6 @@ object Dedup {
     "q52_minhash_lsh" -> q52Oracle,
     "q53_simhash" -> q53Oracle,
     "q54_cosine_neardup" -> q54Oracle,
+    "q60_dup_clusters" -> q60Oracle,
   )
 }
