@@ -18,8 +18,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/classloading/codegen startup must not be booked
-    // against whichever query happens to run first.
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // against whichever query happens to run first. Guarded: a warmup
+    // failure must never break the one-JSON-line contract.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink evaluates every column of every row (count() would let

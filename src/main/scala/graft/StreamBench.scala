@@ -29,6 +29,9 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}"
+    // stale checkpoint + signatures would turn the timed run into an
+    // anti-join-suppressed no-op — always measure from a clean slate
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val incoming = s"$root/incoming"
     // Replay events as raw ingest records (base64-wrapped JSON payloads).
     val raw = Tables(spark, sfDir, "events")
@@ -37,10 +40,7 @@ object StreamBench {
     raw.write.mode("overwrite").parquet(incoming)
     val n = spark.read.parquet(incoming).count()
 
-    val keyring = spark.range(100).select(
-      $"id".as("key_id"),
-      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
-      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
+    val keyring = ops.Pipeline.keyring(spark)
 
     val t0 = System.nanoTime()
     val stream = spark.readStream

@@ -91,6 +91,9 @@ object Multimodal {
     mediaTable(s, dir)
       .withColumn("n_bytes", length($"payload").cast("long"))
       .withColumn("n_frames", expr("(n_bytes + 63) div 64"))
+      // guard the zero-byte payload: sequence(0, -1) would step DOWN and
+      // emit two bogus frames (the oracle's range(0, 0) emits none)
+      .filter($"n_frames" > 0)
       .select($"doc_id", $"kind", $"n_bytes",
         explode(sequence(lit(0L), $"n_frames" - 1)).as("frame_id"))
       .withColumn("frame_offset", $"frame_id" * 64)

@@ -32,6 +32,17 @@ object Pipeline {
 
   private val recordKeySql = "COALESCE(json_extract_string(props, '$.k'), props)"
 
+  /** The sha2-surrogate keyring — single source of truth for the batch
+    * pipeline, streaming bench, and specs: signatures must agree
+    * bit-for-bit across every path (and with the DuckDB oracle). */
+  def keyring(s: SparkSession, n: Int = 100): DataFrame = {
+    import s.implicits._
+    s.range(n).select(
+      $"id".as("key_id"),
+      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
+      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
+  }
+
   // ---------------------------------------------------------------- q20
   /** EP1 partitioner: key extract → djb2 → modulo partition label
     * (partitioner/index.js:40–83), aggregated per partition. At 100 TB this
@@ -83,17 +94,14 @@ object Pipeline {
     * upserts on. */
   def q22SignPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val keyring = s.range(100).select(
-      $"id".as("key_id"),
-      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
-      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
+    val ring = keyring(s)
     val keyed = Tables(s, dir, "events")
       .select($"event_id", $"props", recordKey($"props").as("key"))
       .withColumn("pk", sha2($"props", 256))
       .withColumn("key_id", pmod(Djb2.djb2($"key"), lit(100L)))
     val w = Window.partitionBy($"pk").orderBy($"event_id")
     keyed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .join(broadcast(keyring), "key_id")
+      .join(broadcast(ring), "key_id")
       .select($"event_id", $"pk", $"key_id", $"address",
         sha2(concat($"priv", lit("|"), $"props"), 256).as("signature"))
       .orderBy($"event_id")
@@ -205,10 +213,14 @@ object Pipeline {
       .groupBy(unix_millis(date_trunc("minute", $"ts")).as("minute_ms"))
       .agg(count(lit(1)).as("err_cnt"))
     val w = Window.orderBy($"minute_ms")
+    // breach3 requires the two previous breached rows to be the two
+    // ADJACENT minutes — without the adjacency check, error-free minutes
+    // (absent from perMin entirely) would not reset the run.
     perMin.withColumn("breach", $"err_cnt" > 1)
       .withColumn("breach3", $"breach"
         && coalesce(lag($"breach", 1).over(w), lit(false))
-        && coalesce(lag($"breach", 2).over(w), lit(false)))
+        && coalesce(lag($"breach", 2).over(w), lit(false))
+        && coalesce($"minute_ms" - lag($"minute_ms", 2).over(w) === 120000L, lit(false)))
       .orderBy($"minute_ms")
   }
 
@@ -216,6 +228,7 @@ object Pipeline {
     """SELECT minute_ms, err_cnt, breach,
       |  breach AND COALESCE(lag(breach, 1) OVER (ORDER BY minute_ms), false)
       |         AND COALESCE(lag(breach, 2) OVER (ORDER BY minute_ms), false)
+      |         AND COALESCE(minute_ms - lag(minute_ms, 2) OVER (ORDER BY minute_ms) = 120000, false)
       |    AS breach3
       |FROM (
       |  SELECT epoch_ms(date_trunc('minute', ts)) AS minute_ms,

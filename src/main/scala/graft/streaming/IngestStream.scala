@@ -29,7 +29,10 @@ object IngestStream {
     val payload = unbase64(col("data")).cast("string")
     records
       .withColumn("payload", payload)
-      // get_json_object($"payload", "$") is null ⇔ JSON.parse would throw
+      // get_json_object(payload, "$") null ⇔ JSON.parse throws OR the root
+      // is JSON null — the latter also fails in the reference (payload.id
+      // on null throws TypeError, partitioner/index.js:51), so the
+      // classification matches either way
       .withColumn("parse_ok", get_json_object(col("payload"), "$").isNotNull)
       .withColumn("result", when(col("parse_ok"), "Ok").otherwise("ProcessingFailed"))
       .withColumn("key",
@@ -55,15 +58,20 @@ object IngestStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ok = batch.filter(col("result") === "Ok")
-        ok.write.mode("append")
-          .partitionBy("bucket_partition", "year", "month", "day", "hour")
-          .parquet(s"$lakeDir/raw")
-        val err = batch.filter(col("result") =!= "Ok")
-        if (!err.isEmpty)
-          err.write.mode("append")
-            .partitionBy("year", "month", "day", "hour")
-            .parquet(s"$lakeDir/errors")
+        // three actions below (ok write, err probe, err write) — persist so
+        // the source micro-batch and the decode projection run once
+        batch.persist()
+        try {
+          val ok = batch.filter(col("result") === "Ok")
+          ok.write.mode("append")
+            .partitionBy("bucket_partition", "year", "month", "day", "hour")
+            .parquet(s"$lakeDir/raw")
+          val err = batch.filter(col("result") =!= "Ok")
+          if (!err.isEmpty)
+            err.write.mode("append")
+              .partitionBy("year", "month", "day", "hour")
+              .parquet(s"$lakeDir/errors")
+        } finally batch.unpersist()
       }
       .start()
   }

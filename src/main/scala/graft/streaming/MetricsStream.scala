@@ -70,12 +70,18 @@ object MetricsStream {
           val out = byMinute.map { case (minuteMs, pts) =>
             val cnt = pts.size.toLong
             val breached = cnt > threshold
-            st =
-              if (breached) BreachState(minuteMs, st.consecutive + 1)
-              else BreachState(minuteMs, 0)
+            // "Consecutive" means minute-adjacent: a gap of unbreached
+            // (point-free) minutes resets the run; a minute split across
+            // micro-batches continues the same run without double-counting.
+            val cons =
+              if (!breached) 0
+              else if (minuteMs == st.lastMinuteMs) math.max(st.consecutive, 1)
+              else if (minuteMs == st.lastMinuteMs + 60000L) st.consecutive + 1
+              else 1
+            st = BreachState(minuteMs, cons)
             MinuteStat(component, minuteMs, cnt,
-              pts.map(_.value).sum, breached, st.consecutive,
-              alarm = st.consecutive >= periods)
+              pts.map(_.value).sum, breached, cons,
+              alarm = cons >= periods)
           }
           state.update(st)
           out.iterator

@@ -54,8 +54,12 @@ object SigningStream {
   }
 
   def signedStream(lake: DataFrame, keyring: DataFrame): DataFrame =
+    // dropDuplicatesWithinWatermark (not dropDuplicates on a non-event-time
+    // subset) so the state store evicts entries as the watermark advances —
+    // otherwise dedup state grows without bound on a long-running stream.
     signRecords(
-      lake.withWatermark("ts", "10 minutes").dropDuplicates("payload"), keyring)
+      lake.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("payload"),
+      keyring)
 
   /** C3: left-anti against existing PKs, then append — "if the same
     * transaction is seen again, the signature is not duplicated". */

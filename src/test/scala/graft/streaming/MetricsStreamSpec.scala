@@ -92,4 +92,20 @@ class MetricsStreamSpec extends SparkSpec {
     assert(out.map(_.consecutive).toSeq === Seq(1, 2, 3, 0))
     assert(out.map(_.alarm).toSeq === Seq(false, false, true, false))
   }
+
+  test("non-adjacent breached minutes do NOT accumulate a consecutive run") {
+    val s = spark
+    implicit val sp = s
+    import s.implicits._
+    // breaches at 10:00, 10:07, 10:15 — isolated, never 'consecutive'
+    val pts = Seq(
+      "2024-01-01 10:00:01", "2024-01-01 10:00:02",
+      "2024-01-01 10:07:01", "2024-01-01 10:07:02",
+      "2024-01-01 10:15:01", "2024-01-01 10:15:02",
+    ).map(t => MetricPoint(ts(t), "lambda", 1.0))
+    val out = MetricsStream.consecutiveBreaches(pts.toDS(), threshold = 1, periods = 3)
+      .collect().sortBy(_.minuteMs)
+    assert(out.map(_.consecutive).toSeq === Seq(1, 1, 1))
+    assert(out.forall(!_.alarm))
+  }
 }

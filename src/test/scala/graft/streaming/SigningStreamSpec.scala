@@ -10,14 +10,7 @@ import graft.SparkSpec
 
 class SigningStreamSpec extends SparkSpec {
 
-  private def keyring = {
-    val s = spark
-    import s.implicits._
-    s.range(100).select(
-      $"id".as("key_id"),
-      concat(lit("0x"), substring(sha2(concat(lit("addr-"), $"id".cast("string")), 256), 1, 40)).as("address"),
-      sha2(concat(lit("priv-"), $"id".cast("string")), 256).as("priv"))
-  }
+  private def keyring = graft.ops.Pipeline.keyring(spark)
 
   test("end-to-end: lake files → dedup → sign → idempotent signatures table") {
     val s = spark
