@@ -46,16 +46,24 @@ object StreamBench {
     val stream = spark.readStream
       .schema("recordId string, data string, ts timestamp")
       .parquet(incoming)
-    val partitioned = IngestStream.partitionRecords(stream, 5)
+    // the fixture's record-id field is `k` (FIXTURES.md) — same key rule
+    // as batch q20/q22, so partition routing and signatures agree
+    val partitioned = IngestStream.partitionRecords(stream, 5, keyField = "k")
       .filter(col("result") === "Ok")
       .select(col("payload"), col("ts"),
         concat(lit("raw/"), col("bucket_partition"), lit("/obj-"), col("recordId")).as("s3_path"))
     val q = SigningStream.run(partitioned, keyring, s"$root/sigs", s"$root/ckpt",
-      Trigger.AvailableNow())
-    q.awaitTermination(600000)
+      Trigger.AvailableNow(), keyField = "k")
+    val finished = q.awaitTermination(600000)
     val secs = (System.nanoTime() - t0) / 1e9
-    val signed = spark.read.parquet(s"$root/sigs").count()
-    println(s"""{"metric":"stream_records_per_sec","value":${n / secs},"unit":"rec/sec","records":$n,"signed":$signed,"seconds":$secs,"sf":"$sfDir"}""")
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench] timed out after $secs s")
+      println(s"""{"metric":"stream_records_per_sec","value":-1,"unit":"rec/sec","records":$n,"signed":-1,"seconds":$secs,"sf":"$sfDir"}""")
+    } else {
+      val signed = spark.read.parquet(s"$root/sigs").count()
+      println(s"""{"metric":"stream_records_per_sec","value":${n / secs},"unit":"rec/sec","records":$n,"signed":$signed,"seconds":$secs,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -453,7 +453,7 @@ object Pipeline {
   def writeSeedKeys(s: SparkSession, n: Long, dir: String, perFile: Int = 1000): Unit = {
     import s.implicits._
     q29SeedKeys(s, dir)
-      .limit(n.toInt)
+      .filter($"key_id" < n) // Long-safe (limit(n.toInt) overflows past 2^31)
       .as[KeyPair] // typed boundary: the generator yields Dataset[KeyPair]
       .repartitionByRange(math.max(1, (n / perFile / 4).toInt), $"key_id")
       .sortWithinPartitions($"key_id")

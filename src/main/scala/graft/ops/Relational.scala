@@ -537,8 +537,9 @@ object Relational {
         .stripPrefix("file:"), t)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        val walk = java.nio.file.Files.walk(loc)
+        val paths = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        paths.foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
     Tables(s, dir, "orders").write.mode("overwrite")

@@ -25,7 +25,8 @@ object IngestStream {
     * Input schema: `recordId: string, data: string` (base64 payload),
     * optionally `ts: timestamp` for the time-partition columns.
     */
-  def partitionRecords(records: DataFrame, nPartitions: Int): DataFrame = {
+  def partitionRecords(records: DataFrame, nPartitions: Int,
+      keyField: String = "id"): DataFrame = {
     val payload = unbase64(col("data")).cast("string")
     records
       .withColumn("payload", payload)
@@ -36,7 +37,7 @@ object IngestStream {
       .withColumn("parse_ok", get_json_object(col("payload"), "$").isNotNull)
       .withColumn("result", when(col("parse_ok"), "Ok").otherwise("ProcessingFailed"))
       .withColumn("key",
-        coalesce(get_json_object(col("payload"), "$.id"), col("payload")))
+        coalesce(get_json_object(col("payload"), s"$$.$keyField"), col("payload")))
       .withColumn("bucket_partition",
         when(col("parse_ok"),
           concat(lit("partition_"),

@@ -14,9 +14,11 @@ object MetricsStream {
 
   case class MetricPoint(ts: Timestamp, component: String, value: Double)
 
-  /** Per-key alarm state: last closed minute + current consecutive-breach
-    * run length (the "3 evaluation periods" counter). */
-  case class BreachState(lastMinuteMs: Long, consecutive: Int)
+  /** Per-key alarm state: the minute currently accumulating (a minute may
+    * arrive split across micro-batches), its cumulative count/sum, and the
+    * consecutive-breach run length through the minute BEFORE it. */
+  case class BreachState(curMinuteMs: Long, curCnt: Long, curSum: Double,
+      runBefore: Int)
 
   case class MinuteStat(component: String, minuteMs: Long, cnt: Long,
       sum: Double, breached: Boolean, consecutive: Int, alarm: Boolean)
@@ -63,25 +65,28 @@ object MetricsStream {
       .flatMapGroupsWithState[BreachState, MinuteStat](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (component, it, state: GroupState[BreachState]) =>
-          var st = state.getOption.getOrElse(BreachState(Long.MinValue, 0))
+          var st = state.getOption.getOrElse(BreachState(Long.MinValue, 0L, 0.0, 0))
           val byMinute = it.toSeq
             .groupBy(p => p.ts.getTime - p.ts.getTime % 60000L)
             .toSeq.sortBy(_._1)
+          // "Consecutive" means minute-ADJACENT: a gap of point-free minutes
+          // resets the run. A minute split across micro-batches accumulates
+          // into the same state (cumulative cnt/sum re-emitted per fragment)
+          // and extends the run at most once.
           val out = byMinute.map { case (minuteMs, pts) =>
-            val cnt = pts.size.toLong
-            val breached = cnt > threshold
-            // "Consecutive" means minute-adjacent: a gap of unbreached
-            // (point-free) minutes resets the run; a minute split across
-            // micro-batches continues the same run without double-counting.
-            val cons =
-              if (!breached) 0
-              else if (minuteMs == st.lastMinuteMs) math.max(st.consecutive, 1)
-              else if (minuteMs == st.lastMinuteMs + 60000L) st.consecutive + 1
-              else 1
-            st = BreachState(minuteMs, cons)
-            MinuteStat(component, minuteMs, cnt,
-              pts.map(_.value).sum, breached, cons,
-              alarm = cons >= periods)
+            if (minuteMs != st.curMinuteMs) {
+              val runThroughPrev =
+                if (st.curCnt > threshold) st.runBefore + 1 else 0
+              val adjacent = minuteMs == st.curMinuteMs + 60000L
+              st = BreachState(minuteMs, 0L, 0.0,
+                if (adjacent) runThroughPrev else 0)
+            }
+            st = st.copy(curCnt = st.curCnt + pts.size,
+              curSum = st.curSum + pts.map(_.value).sum)
+            val breached = st.curCnt > threshold
+            val cons = if (breached) st.runBefore + 1 else 0
+            MinuteStat(component, minuteMs, st.curCnt, st.curSum, breached,
+              cons, alarm = cons >= periods)
           }
           state.update(st)
           out.iterator

@@ -22,11 +22,12 @@ object SigningStream {
   /** Pure transform: payload → (pk, key_id, signature columns). Shared by
     * the streaming pipeline and batch backfills — same plan either way.
     */
-  def signRecords(records: DataFrame, keyring: DataFrame): DataFrame = {
+  def signRecords(records: DataFrame, keyring: DataFrame,
+      keyField: String = "id"): DataFrame = {
     val keyed = records
       .withColumn("pk", sha2(col("payload"), 256))
       .withColumn("key",
-        coalesce(get_json_object(col("payload"), "$.id"), col("payload")))
+        coalesce(get_json_object(col("payload"), s"$$.$keyField"), col("payload")))
       .withColumn("key_id", pmod(Djb2.djb2(col("key")), lit(100L)))
     keyed
       .join(broadcast(keyring), "key_id")
@@ -41,9 +42,10 @@ object SigningStream {
     * source × anti-join = effectively exactly-once rows).
     */
   def run(lake: DataFrame, keyring: DataFrame, sigDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))(
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      keyField: String = "id")(
       implicit spark: SparkSession): StreamingQuery = {
-    signedStream(lake, keyring)
+    signedStream(lake, keyring, keyField)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -53,18 +55,26 @@ object SigningStream {
       .start()
   }
 
-  def signedStream(lake: DataFrame, keyring: DataFrame): DataFrame =
+  def signedStream(lake: DataFrame, keyring: DataFrame,
+      keyField: String = "id"): DataFrame =
     // dropDuplicatesWithinWatermark (not dropDuplicates on a non-event-time
     // subset) so the state store evicts entries as the watermark advances —
     // otherwise dedup state grows without bound on a long-running stream.
     signRecords(
       lake.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("payload"),
-      keyring)
+      keyring, keyField)
 
   /** C3: left-anti against existing PKs, then append — "if the same
     * transaction is seen again, the signature is not duplicated". */
   def upsert(batch: DataFrame, sigDir: String)(spark: SparkSession): Unit = {
-    val fresh = batch.dropDuplicates("pk")
+    // deterministic survivor per pk (batch q22 uses first-by-event_id; the
+    // stream has no event id, so first-by-s3_path — dropDuplicates alone
+    // would keep an arbitrary row per run)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pk")).orderBy(col("s3_path"))
+    val fresh = batch
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
     val toWrite =
       if (new java.io.File(sigDir).exists()) {
         val existing = spark.read.parquet(sigDir).select("pk")

@@ -93,6 +93,37 @@ class MetricsStreamSpec extends SparkSpec {
     assert(out.map(_.alarm).toSeq === Seq(false, false, true, false))
   }
 
+  test("a minute split across micro-batches accumulates without double-counting") {
+    val s = spark
+    implicit val sp = s
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = MetricsStream.consecutiveBreaches(input.toDS(), threshold = 1, periods = 2)
+      .writeStream.format("memory").queryName("breachsplit").outputMode("append").start()
+    // batch 1: two points in minute 10:00 → breached, consecutive=1
+    input.addData(MetricPoint(ts("2024-01-01 10:00:01"), "lambda", 1.0),
+      MetricPoint(ts("2024-01-01 10:00:02"), "lambda", 1.0))
+    q.processAllAvailable()
+    // batch 2: a late fragment of 10:00 (must NOT reset or re-count the
+    // run) then a breaching 10:01 (run continues → alarm at periods=2)
+    input.addData(MetricPoint(ts("2024-01-01 10:00:03"), "lambda", 1.0))
+    q.processAllAvailable()
+    input.addData(MetricPoint(ts("2024-01-01 10:01:01"), "lambda", 1.0),
+      MetricPoint(ts("2024-01-01 10:01:02"), "lambda", 1.0))
+    q.processAllAvailable()
+    val rows = s.table("breachsplit")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(5), r.getBoolean(6)))
+      .sortBy(r => (r._1, r._2))
+    q.stop()
+    val m0 = ts("2024-01-01 10:00:00").getTime
+    val m1 = ts("2024-01-01 10:01:00").getTime
+    // fragment rows: (minute, cumulative cnt, consecutive, alarm)
+    assert(rows.contains((m0, 2L, 1, false)))
+    assert(rows.contains((m0, 3L, 1, false))) // continuation, still run=1
+    assert(rows.contains((m1, 2L, 2, true)))  // adjacent minute → alarm
+  }
+
   test("non-adjacent breached minutes do NOT accumulate a consecutive run") {
     val s = spark
     implicit val sp = s
