@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's output must reach stdout UNDECORATED: sbt's default
+// output strategy routes the child's stdout through its logger, prefixing
+// every line with "[info] " — which broke the driver's parse of Bench's
+// one-JSON-line contract (BENCH_r01 "parsed": null). StdoutOutput pipes
+// the child's stdout/stderr straight through.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

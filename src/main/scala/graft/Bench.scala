@@ -38,7 +38,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Triple-redundant emission: the driver parses the last JSON line of the
+    // captured output, and sbt's logger must not be allowed to decorate it
+    // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets
+    // run/outputStrategy := StdoutOutput so stdout passes through raw; the
+    // file and stderr copies are belt-and-braces for any other launcher.
+    println(line)
+    System.err.println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }
