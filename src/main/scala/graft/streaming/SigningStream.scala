@@ -64,8 +64,26 @@ object SigningStream {
       lake.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("payload"),
       keyring, keyField)
 
+  /** Hive partition column of the signatures table: the first two hex chars
+    * of the sha-256 PK — 256 uniformly-populated buckets (the PK is a
+    * cryptographic hash, so bucket skew is impossible by construction).
+    */
+  val BucketCol = "pk_bucket"
+
   /** C3: left-anti against existing PKs, then append — "if the same
-    * transaction is seen again, the signature is not duplicated". */
+    * transaction is seen again, the signature is not duplicated".
+    *
+    * Scale shape: the signatures table grows monotonically for the lifetime
+    * of the stream, so an anti-join against the WHOLE table is
+    * O(total-history) per micro-batch — quadratic over the stream's life.
+    * Instead the table is written Hive-partitioned by [[BucketCol]] and each
+    * batch anti-joins only the ≤256 partitions whose prefixes actually occur
+    * in the batch (`isin` on the partition column → directory-level
+    * partition pruning at planning time). Per-batch cost is then
+    * O(batch + touched-buckets), independent of bucket count growth beyond
+    * the 1/256 slice — the Spark-native analog of DynamoDB's hash-key
+    * routing on `pk` (reference signer/index.js:210–216, table keyed by PK).
+    */
   def upsert(batch: DataFrame, sigDir: String)(spark: SparkSession): Unit = {
     // deterministic survivor per pk (batch q22 uses first-by-event_id; the
     // stream has no event id, so first-by-s3_path — dropDuplicates alone
@@ -75,11 +93,42 @@ object SigningStream {
     val fresh = batch
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    val toWrite =
-      if (new java.io.File(sigDir).exists()) {
-        val existing = spark.read.parquet(sigDir).select("pk")
-        fresh.join(existing, Seq("pk"), "left_anti")
-      } else fresh
-    toWrite.write.mode(SaveMode.Append).parquet(sigDir)
+      .withColumn(BucketCol, substring(col("pk"), 1, 2))
+      // evaluated twice (prefix collect + write) — cache so the signing
+      // join doesn't re-run
+      .persist()
+    try {
+      val toWrite =
+        if (tableExists(sigDir)(spark)) {
+          // ≤256 two-hex-char strings — bounded driver-side metadata, not a
+          // data collect
+          val prefixes = fresh.select(BucketCol).distinct()
+            .collect().map(_.getString(0)).toSeq
+          fresh.join(existingPks(sigDir, prefixes)(spark), Seq("pk"), "left_anti")
+        } else fresh
+      toWrite.write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(sigDir)
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** PKs already present in the buckets named by `prefixes` — the `isin` on
+    * the Hive partition column prunes every other bucket directory from the
+    * scan (assert via `.inputFiles` in the spec). */
+  def existingPks(sigDir: String, prefixes: Seq[String])(
+      spark: SparkSession): DataFrame =
+    spark.read.parquet(sigDir)
+      .filter(col(BucketCol).isin(prefixes: _*))
+      .select("pk")
+
+  /** Existence probe through the Hadoop FileSystem API — works on HDFS/S3A,
+    * not just the local FS, and treats a present-but-empty directory (e.g.
+    * created by a previous failed attempt before any parquet landed) as
+    * absent so the first read can't die on schema inference. */
+  private def tableExists(dir: String)(spark: SparkSession): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.listStatus(path).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 }

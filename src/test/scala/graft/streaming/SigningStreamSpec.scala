@@ -55,5 +55,25 @@ class SigningStreamSpec extends SparkSpec {
     // signatures are the deterministic surrogate: sha2(priv || '|' || payload)
     val row = sigs2.filter($"s3_path" === "raw/p2/obj-3.json").head
     assert(row.getAs[String]("signature").length === 64)
+
+    // the table is Hive-partitioned on the pk prefix, and the per-batch
+    // anti-join probe prunes to just the buckets present in the batch:
+    // reading one bucket must touch ONLY that bucket's directory
+    val buckets = sigs2.select(SigningStream.BucketCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(buckets.forall(_.length == 2))
+    assert(buckets.length >= 2) // 3 random sha-256 prefixes collide w.p. ~1e-4
+    val one = buckets.head
+    val pruned = SigningStream.existingPks(sigDir, Seq(one))(s)
+    pruned.collect() // populate scan metrics
+    // Dataset.inputFiles ignores pushed filters — the proof of directory
+    // pruning is the scan node's numFiles metric after execution
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val totalFiles = s.read.parquet(sigDir).inputFiles.length
+    assert(totalFiles >= buckets.length)
+    assert(scan.metrics("numFiles").value < totalFiles,
+      s"bucket read not pruned: ${scan.metrics("numFiles").value} of $totalFiles files")
   }
 }
