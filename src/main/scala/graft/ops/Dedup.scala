@@ -31,13 +31,56 @@ object Dedup {
       .filter(size($"hs") > 0)
   }
 
-  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles. */
+  /** Posting-list cap: shingles appearing in more than this many documents
+    * are dropped from the inverted index before any pair generation. A
+    * shingle shared by d documents produces O(d²) candidate pairs — on real
+    * text, stop-word shingles reach d in the millions, turning the bucket
+    * join quadratic. Ultra-common shingles carry ~zero signal for near-dup
+    * detection (a pair sharing ONLY stop shingles never reaches Jaccard
+    * 0.5), so capping df bounds every bucket at maxDf² pairs while leaving
+    * discriminative shingles untouched. The fixtures' max df is 25
+    * (sf0.1), so test-scale results are unchanged; the DuckDB oracle
+    * applies the identical filter, so results stay hash-matched even at
+    * scales where the cap bites. Jaccard is computed over the df-FILTERED
+    * shingle sets (common counts and set sizes both) — coherent set
+    * semantics, mirrored in SQL. */
+  val HotShingleMaxDf = 256L
+
+  /** df-filtered inverted shingle index: (doc_id, h), one row per distinct
+    * surviving shingle per doc. One shuffle on `h` for the df window — the
+    * same key the downstream self-join shuffles on. */
+  private[graft] def coldShingles(s: SparkSession, dir: String,
+      maxDf: Long): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    distinctShingleHashes(s, dir)
+      .select($"doc_id", explode($"hs").as("h"))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter($"df" <= maxDf).drop("df")
+  }
+
+  /** [[coldShingles]] plus `n_sh`, each doc's filtered-set size (window on
+    * doc_id — the partitioning the q52 signature groupBy reuses). */
+  private[graft] def shingleIndex(s: SparkSession, dir: String,
+      maxDf: Long): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+    coldShingles(s, dir, maxDf).withColumn("n_sh", count(lit(1)).over(w))
+  }
+
+  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles,
+    * df-filtered exactly like [[coldShingles]]/[[shingleIndex]]. */
   private val shCte: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
        |shl AS (SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 3)},
        |        shing -> ${Sql.djb2("shing")})) AS hs
        |        FROM tok WHERE len(${Sql.shingles("tokens", 3)}) > 0),
-       |sh AS (SELECT doc_id, len(hs) AS n_sh, unnest(hs) AS h FROM shl)""".stripMargin
+       |sh0 AS (SELECT doc_id, unnest(hs) AS h FROM shl),
+       |cold AS (SELECT doc_id, h FROM (SELECT doc_id, h,
+       |         COUNT(*) OVER (PARTITION BY h) AS df FROM sh0) hot_filter
+       |         WHERE df <= $HotShingleMaxDf),
+       |sh AS (SELECT doc_id, h,
+       |       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM cold)""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Exact dedup: content-hash groups (keeper = min doc_id). One shuffle on
@@ -57,15 +100,14 @@ object Dedup {
 
   // ---------------------------------------------------------------- q51
   /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
-    * distinct shingles, self-join on shingle (collisions only — never the
-    * full cross product), count common, Jaccard ≥ 0.5. */
-  def q51NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * distinct shingles, df-filter hot shingles ([[HotShingleMaxDf]] — every
+    * bucket bounded, no quadratic stop-word buckets), self-join on shingle
+    * (collisions only — never the full cross product), count common,
+    * Jaccard ≥ 0.5 over the filtered sets. */
+  def q51NgramJaccard(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
-    // Shingle-set size rides along through the explode, so the pair scores
-    // need no extra aggregation or join — one shuffle on the shingle hash
-    // for the inverted index, one on the pair for the common count.
-    val sh = distinctShingleHashes(s, dir)
-      .select($"doc_id", size($"hs").cast("long").as("n_sh"), explode($"hs").as("h"))
+    val sh = shingleIndex(s, dir, maxDf)
     sh.as("a").join(sh.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -95,9 +137,15 @@ object Dedup {
     * 4 rows, candidates = band-bucket collisions, estimated Jaccard =
     * matching components / 16. Linear in docs + collisions — the 100 TB
     * path (the exact-Jaccard q51 verifies it at test scale). */
-  def q52MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q52MinhashLsh(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
-    val sigs = distinctShingleHashes(s, dir)
+    // Signatures over the df-FILTERED shingle sets (collect_list order is
+    // irrelevant — minhash is a min over permutations); the groupBy reuses
+    // coldShingles' post-window partitioning only if keyed the same, so key
+    // on doc_id straight off the filtered index.
+    val sigs = coldShingles(s, dir, maxDf)
+      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
       .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
     val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("band_key", concat_ws(":", $"b".cast("string"),
@@ -119,7 +167,7 @@ object Dedup {
   val q52Oracle: String =
     s"""$shCte,
        |sigs AS (SELECT doc_id, i, MIN(((2*i+1)*h + (7919*i+13)) % 2147483647) AS mh
-       |         FROM sh CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
+       |         FROM cold CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
        |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
        |bands AS (SELECT doc_id, sig,
        |          CAST(b AS VARCHAR) || ':' || array_to_string(
@@ -242,8 +290,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
-    "q51_ngram_jaccard" -> q51NgramJaccard _,
-    "q52_minhash_lsh" -> q52MinhashLsh _,
+    "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
+    "q52_minhash_lsh" -> ((s: SparkSession, d: String) => q52MinhashLsh(s, d)),
     "q53_simhash" -> q53Simhash _,
     "q54_cosine_neardup" -> q54CosineNeardup _,
     "q60_dup_clusters" -> q60DupClusters _,

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hot-shingle mitigation (SCALE.md §3): stop-word shingles shared by many
+  * documents must not create quadratic inverted-index buckets. The fixture
+  * gives every doc the same stop phrase; the df-filter must cap the posting
+  * lists while still finding the genuine near-dup pair.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def writeDocs(): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-dedup-").toString
+    // Every doc opens with the same 4 stop tokens → the shingles inside
+    // that prefix have df = n_docs. Docs 1 and 2 share a long distinctive
+    // tail (true near-dups); all other docs are pairwise unrelated beyond
+    // the stop prefix.
+    val stop = "it is well known"
+    val tail = "grumpy wizards make toxic brew for the evil queen and jack"
+    val docs = Seq(
+      (1L, s"$stop $tail alpha"),
+      (2L, s"$stop $tail omega"),
+    ) ++ (3L to 12L).map(i =>
+      (i, s"$stop u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i u${i}j"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    root
+  }
+
+  test("df-filter bounds every posting list and drops stop-shingle pairs") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs()
+    val maxDf = 4L
+
+    // Unfiltered index: the stop shingles appear in all 12 docs — the
+    // pathological bucket (12²/2 = 66 candidate pairs from one shingle).
+    val rawMax = Dedup.coldShingles(s, dir, Long.MaxValue)
+      .groupBy($"h").count().agg(max($"count")).head.getLong(0)
+    assert(rawMax === 12)
+
+    // Filtered index: every bucket bounded by maxDf.
+    val coldMax = Dedup.coldShingles(s, dir, maxDf)
+      .groupBy($"h").count().agg(max($"count")).head.getLong(0)
+    assert(coldMax <= maxDf)
+
+    // The genuine near-dup pair survives (its evidence is the distinctive
+    // tail, not the stop prefix)...
+    val pairs = Dedup.q51NgramJaccard(s, dir, maxDf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // ...and no pair is manufactured from stop shingles alone: docs 3..12
+    // share ONLY the stop prefix with everyone.
+    assert(pairs.forall { case (a, b) => a <= 2 && b <= 2 })
+
+    // MinHash/LSH over the same filtered sets: the near-dup pair is a
+    // candidate with high estimated Jaccard, and no stop-only pair appears.
+    val lsh = Dedup.q52MinhashLsh(s, dir, maxDf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((1L, 2L)))
+    assert(lsh.forall { case (a, b) => a <= 2 && b <= 2 })
+  }
+}
