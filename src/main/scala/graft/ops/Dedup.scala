@@ -31,24 +31,32 @@ object Dedup {
       .filter(size($"hs") > 0)
   }
 
-  /** Posting-list cap: shingles appearing in more than this many documents
-    * are dropped from the inverted index before any pair generation. A
-    * shingle shared by d documents produces O(d²) candidate pairs — on real
-    * text, stop-word shingles reach d in the millions, turning the bucket
-    * join quadratic. Ultra-common shingles carry ~zero signal for near-dup
-    * detection (a pair sharing ONLY stop shingles never reaches Jaccard
-    * 0.5), so capping df bounds every bucket at maxDf² pairs while leaving
-    * discriminative shingles untouched. The fixtures' max df is 25
-    * (sf0.1), so test-scale results are unchanged; the DuckDB oracle
-    * applies the identical filter, so results stay hash-matched even at
-    * scales where the cap bites. Jaccard is computed over the df-FILTERED
-    * shingle sets (common counts and set sizes both) — coherent set
-    * semantics, mirrored in SQL. */
+  /** Posting-list cap for CANDIDATE GENERATION: shingles appearing in more
+    * than this many documents are dropped from the inverted index before
+    * pair generation. A shingle shared by d documents produces O(d²)
+    * candidate pairs — on real text, stop-word shingles reach d in the
+    * millions, turning the bucket join quadratic; the cap bounds every
+    * bucket at maxDf² pairs.
+    *
+    * The cap prunes candidates ONLY — the Jaccard score of every surviving
+    * candidate is then computed over the UNFILTERED shingle sets (rejoin to
+    * the full index), so the reported similarity is true n-gram Jaccard,
+    * never the similarity of the filtered residue. (Scoring the filtered
+    * sets can manufacture false positives: two dissimilar docs whose
+    * shingles are almost all hot shrink to tiny filtered sets and one shared
+    * cold shingle scores 1.0 — DedupSpec has that exact fixture.)
+    *
+    * Recall caveat, by design: a pair whose EVERY common shingle is hot
+    * (each shared by > maxDf docs) is never a candidate. Such pairs are
+    * boilerplate-only overlaps at corpus scale — any distinctive shared
+    * phrase produces a cold shingle — and byte-identical dups are caught by
+    * q50's exact pass. The DuckDB oracle mirrors candidate-then-verify
+    * exactly, so results stay hash-matched at scales where the cap bites. */
   val HotShingleMaxDf = 256L
 
   /** df-filtered inverted shingle index: (doc_id, h), one row per distinct
-    * surviving shingle per doc. One shuffle on `h` for the df window — the
-    * same key the downstream self-join shuffles on. */
+    * surviving shingle per doc — the candidate generator. One shuffle on `h`
+    * for the df window — the same key the downstream self-join shuffles on. */
   private[graft] def coldShingles(s: SparkSession, dir: String,
       maxDf: Long): DataFrame = {
     import s.implicits._
@@ -59,17 +67,37 @@ object Dedup {
       .filter($"df" <= maxDf).drop("df")
   }
 
-  /** [[coldShingles]] plus `n_sh`, each doc's filtered-set size (window on
-    * doc_id — the partitioning the q52 signature groupBy reuses). */
-  private[graft] def shingleIndex(s: SparkSession, dir: String,
-      maxDf: Long): DataFrame = {
+  /** UNFILTERED inverted shingle index with each doc's full distinct-shingle
+    * count — the verification side. `n_sh` comes from `size(hs)` before the
+    * explode: map-only, no window shuffle. */
+  private[graft] def fullShingleIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
-    coldShingles(s, dir, maxDf).withColumn("n_sh", count(lit(1)).over(w))
+    distinctShingleHashes(s, dir)
+      .select($"doc_id", size($"hs").cast("long").as("n_sh"),
+        explode($"hs").as("h"))
   }
 
-  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles,
-    * df-filtered exactly like [[coldShingles]]/[[shingleIndex]]. */
+  /** Verify candidate pairs against the full sets: true common-shingle count
+    * and true set sizes via two joins to [[fullShingleIndex]] — cost is
+    * O(candidates × shingles-per-doc), linear because candidates are already
+    * pruned. `cand` must have exactly (doc_a, doc_b), distinct. */
+  private def verifiedJaccard(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
+    import s.implicits._
+    val full = fullShingleIndex(s, dir)
+    val fa = full.select($"doc_id".as("doc_a"), $"n_sh".as("na"), $"h")
+    val fb = full.select($"doc_id".as("doc_b"), $"n_sh".as("nb"), $"h")
+    cand.join(fa, "doc_a").join(fb, Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))
+  }
+
+  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles;
+    * `cold` = the df-filtered candidate index (mirrors [[coldShingles]]),
+    * `sh` = the unfiltered verification index (mirrors
+    * [[fullShingleIndex]]). */
   private val shCte: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
        |shl AS (SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 3)},
@@ -79,8 +107,7 @@ object Dedup {
        |cold AS (SELECT doc_id, h FROM (SELECT doc_id, h,
        |         COUNT(*) OVER (PARTITION BY h) AS df FROM sh0) hot_filter
        |         WHERE df <= $HotShingleMaxDf),
-       |sh AS (SELECT doc_id, h,
-       |       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh FROM cold)""".stripMargin
+       |sh AS (SELECT doc_id, unnest(hs) AS h, len(hs) AS n_sh FROM shl)""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Exact dedup: content-hash groups (keeper = min doc_id). One shuffle on
@@ -99,44 +126,53 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
 
   // ---------------------------------------------------------------- q51
-  /** Exact n-gram Jaccard near-dup via inverted shingle index: explode
-    * distinct shingles, df-filter hot shingles ([[HotShingleMaxDf]] — every
-    * bucket bounded, no quadratic stop-word buckets), self-join on shingle
-    * (collisions only — never the full cross product), count common,
-    * Jaccard ≥ 0.5 over the filtered sets. */
+  /** Exact n-gram Jaccard near-dup, candidate-then-verify: candidates from
+    * the df-filtered inverted index self-join ([[HotShingleMaxDf]] — every
+    * bucket bounded, no quadratic stop-word buckets, collisions only, never
+    * a cross product), then TRUE Jaccard over each candidate's unfiltered
+    * shingle sets via [[verifiedJaccard]]. */
   def q51NgramJaccard(s: SparkSession, dir: String,
       maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
-    val sh = shingleIndex(s, dir, maxDf)
-    sh.as("a").join(sh.as("b"),
+    val cold = coldShingles(s, dir, maxDf)
+    val cand = cold.as("a").join(cold.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    verifiedJaccard(s, dir, cand)
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Oracle CTEs shared by q51/q52/q60: candidates (from `cold`) verified
+    * over the full sets (`sh`) — mirrors [[verifiedJaccard]]. */
+  private val candVerifyCte: String =
+    s"""cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |ver AS (SELECT c.doc_a, c.doc_b, fa.n_sh AS na, fb.n_sh AS nb,
+       |        COUNT(*) AS common
+       |        FROM cand c
+       |        JOIN sh fa ON fa.doc_id = c.doc_a
+       |        JOIN sh fb ON fb.doc_id = c.doc_b AND fb.h = fa.h
+       |        GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val q51Oracle: String =
     s"""$shCte,
-       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
-       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2, 3, 4)
+       |$candVerifyCte
        |SELECT doc_a, doc_b, common,
        |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
-       |FROM common
+       |FROM ver
        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q52
-  /** MinHash + LSH near-dup: k=16 signature (custom expression), 4 bands ×
-    * 4 rows, candidates = band-bucket collisions, estimated Jaccard =
-    * matching components / 16. Linear in docs + collisions — the 100 TB
-    * path (the exact-Jaccard q51 verifies it at test scale). */
+  /** MinHash + LSH near-dup, the full textbook pipeline: k=16 signature
+    * (custom expression) over the df-filtered shingle sets, 4 bands × 4
+    * rows, candidates = band-bucket collisions, then each candidate
+    * VERIFIED with true Jaccard over the unfiltered sets (same
+    * [[verifiedJaccard]] as q51 — the signature's estimate rides along for
+    * observability but the accept/reject decision is exact). Linear in
+    * docs + collisions + candidate shingles — the 100 TB path. */
   def q52MinhashLsh(s: SparkSession, dir: String,
       maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
@@ -155,12 +191,14 @@ object Dedup {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
       .distinct()
-    cand
-      .withColumn("est_jaccard",
+    val est = cand.withColumn("est_jaccard",
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(16.0))
-      .filter($"est_jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"est_jaccard")
+    verifiedJaccard(s, dir, est.select($"doc_a", $"doc_b"))
+      .join(est, Seq("doc_a", "doc_b"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -176,13 +214,22 @@ object Dedup {
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |                x.sig AS sig_a, y.sig AS sig_b
        |         FROM bands x JOIN bands y
-       |           ON x.band_key = y.band_key AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0
-       |    AS est_jaccard
-       |FROM cand
-       |WHERE CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0 >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |           ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |est AS (SELECT doc_a, doc_b,
+       |        CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0
+       |          AS est_jaccard
+       |        FROM cand),
+       |ver AS (SELECT c.doc_a, c.doc_b, fa.n_sh AS na, fb.n_sh AS nb,
+       |        COUNT(*) AS common
+       |        FROM (SELECT doc_a, doc_b FROM cand) c
+       |        JOIN sh fa ON fa.doc_id = c.doc_a
+       |        JOIN sh fb ON fb.doc_id = c.doc_b AND fb.h = fa.h
+       |        GROUP BY 1, 2, 3, 4)
+       |SELECT v.doc_a, v.doc_b, e.est_jaccard,
+       |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+       |FROM ver v JOIN est e ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
+       |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+       |ORDER BY v.doc_a, v.doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q53
   /** SimHash document sketch: 32-bit signature over the token multiset
@@ -281,11 +328,8 @@ object Dedup {
   /** q51 without its final ORDER BY/extra columns, for composition. */
   private def q51OracleNoOrder: String =
     s"""$shCte,
-       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |           a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS common
-       |           FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b FROM common
+       |$candVerifyCte
+       |SELECT doc_a, doc_b FROM ver
        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -69,4 +69,47 @@ class DedupSpec extends SparkSpec {
     assert(lsh.contains((1L, 2L)))
     assert(lsh.forall { case (a, b) => a <= 2 && b <= 2 })
   }
+
+  test("df-cap cannot manufacture false positives: scores are true Jaccard") {
+    // Two docs whose shingles are almost all HOT (each shared with its own
+    // clique, not with each other) plus one shared cold tail. Scoring the
+    // filtered residue would report jaccard 0.6 and pair them; their true
+    // Jaccard is 6/30 = 0.2, so candidate-then-verify must reject.
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-dedup-fp-").toString
+    val p1 = (1 to 12).map(i => s"p${i}x").mkString(" ") // doc 1's hot body
+    val p2 = (1 to 12).map(i => s"q${i}y").mkString(" ") // doc 2's hot body
+    val t = (1 to 8).map(i => s"t${i}z").mkString(" ")   // shared cold tail
+    val docs = Seq((1L, s"$p1 $t"), (2L, s"$p2 $t")) ++
+      (3L to 8L).map(i => (i, p1)) ++ (9L to 14L).map(i => (i, p2))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val maxDf = 4L
+
+    // Capped: docs 1+2's only cold overlap is the tail → candidate, but the
+    // verified (true) jaccard is 0.2 → rejected. The hot-body cliques
+    // (3..8, 9..14) have NO cold shingles → no candidates (the documented
+    // recall caveat; byte-identical dups are q50's job). Result: no pairs.
+    val capped = Dedup.q51NgramJaccard(s, root, maxDf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((1L, 2L)), "df-cap manufactured a false positive")
+    assert(capped.isEmpty)
+    val cappedLsh = Dedup.q52MinhashLsh(s, root, maxDf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!cappedLsh.contains((1L, 2L)))
+
+    // Uncapped ground truth: (1,2) is genuinely below 0.5, while the
+    // identical-body cliques pair at jaccard 1.0 and doc 1 contains doc 3's
+    // body (10/18 = 0.556) — the verify path reports TRUE similarity.
+    val full = Dedup.q51NgramJaccard(s, root, Long.MaxValue)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val fullPairs = full.map(r => (r._1, r._2)).toSet
+    assert(!fullPairs.contains((1L, 2L)))
+    assert(fullPairs.contains((3L, 4L)))
+    assert(full.find(r => r._1 == 3L && r._2 == 4L).get._3 === 1.0)
+  }
 }
