@@ -278,6 +278,47 @@ object Pipeline {
       |  sha256('priv-' || CAST(i AS VARCHAR)) AS private_key
       |FROM range(1000) t(i) ORDER BY key_id""".stripMargin
 
+  /** PEM-encode a DER key (RFC 7468: 64-char base64 lines between BEGIN/END
+    * markers) — the on-disk format of the reference's seed files. */
+  private def pem(label: String, der: Array[Byte]): String = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes("US-ASCII"))
+      .encodeToString(der)
+    s"-----BEGIN $label-----\n$b64\n-----END $label-----\n"
+  }
+
+  /** Real RSA keypair generation (scripts/seed-keys.ts:16–30:
+    * `generateKeyPairSync('rsa', { modulusLength: 2048 })` with PEM spki /
+    * pkcs8 encodings) — the production implementation behind the q29
+    * surrogate. Generation is distributed (`spark.range` → one keygen per
+    * row, no driver loop) and deterministic: each key id seeds its own
+    * SHA1PRNG, so a replayed/retried partition regenerates byte-identical
+    * keys instead of silently rotating the keyring (the reference's
+    * nondeterministic keygen makes retries destructive; determinism is what
+    * makes the source idempotent under Spark's task-retry model). Not
+    * oracle-checkable (DuckDB has no RSA), so q29 keeps the sha2 surrogate
+    * as its hash-checked twin; PipelineSpec validates PEM structure,
+    * key-parseability, determinism, and the keysPerFile chunking here. */
+  def seedKeysRsa(s: SparkSession, n: Int, modulusBits: Int = 2048,
+      keysPerFile: Int = 100): DataFrame = {
+    import s.implicits._
+    s.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val rnd = java.security.SecureRandom.getInstance("SHA1PRNG")
+        rnd.setSeed(java.security.MessageDigest.getInstance("SHA-256")
+          .digest(s"graft-seed-key-$id".getBytes("UTF-8")))
+        val kpg = java.security.KeyPairGenerator.getInstance("RSA")
+        kpg.initialize(modulusBits, rnd)
+        val kp = kpg.generateKeyPair()
+        val pubDer = kp.getPublic.getEncoded   // X.509 SubjectPublicKeyInfo
+        val privDer = kp.getPrivate.getEncoded // PKCS#8
+        val addr = "0x" + java.security.MessageDigest.getInstance("SHA-256")
+          .digest(pubDer).map("%02x".format(_)).mkString.substring(0, 40)
+        (id, id / keysPerFile, addr, pem("PUBLIC KEY", pubDer),
+          pem("PRIVATE KEY", privDer))
+      }
+    }.toDF("key_id", "file_id", "address", "public_key", "private_key")
+  }
+
   // ---------------------------------------------------------------- q30
   /** Data-lake write/read round trip (A2/D2 layout, app.ts:400,411): write
     * the partitioned lake (`bucket_partition`/`year`/`month`/`day`), read it
@@ -341,18 +382,35 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q32
   /** Sketch aggregation (D5): HyperLogLog++ approximate distinct counts.
-    * No oracle — HLL estimates are implementation-specific (the driver
-    * records a rows-only check); the exact countDistinct rides along so the
-    * estimate's error is visible in the output. */
+    * HLL estimates are engine-specific, so the estimate itself can't be
+    * oracle-compared; instead the query surfaces the exact count plus a
+    * Spark-computed `within_bounds` check that the estimate lands inside the
+    * sketch's documented error envelope (rsd=0.05, 3σ), and the oracle
+    * asserts exact count + literal TRUE. HLL is deterministic for a fixed
+    * input, so the check is stable run-to-run, and a broken sketch (estimate
+    * drifting outside 3σ) flips the boolean → hash mismatch. */
   def q32ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables(s, dir, "events")
       .groupBy($"event_type")
       .agg(approx_count_distinct($"user_id").as("approx_users"),
         countDistinct($"user_id").as("exact_users"),
-        approx_count_distinct($"props").as("approx_payloads"))
+        approx_count_distinct($"props").as("approx_payloads"),
+        countDistinct($"props").as("exact_payloads"))
+      .select($"event_type", $"exact_users",
+        (abs($"approx_users" - $"exact_users").cast("double") /
+          $"exact_users".cast("double") <= 0.15).as("users_within_bounds"),
+        (abs($"approx_payloads" - $"exact_payloads").cast("double") /
+          $"exact_payloads".cast("double") <= 0.15).as("payloads_within_bounds"))
       .orderBy($"event_type")
   }
+
+  val q32Oracle: String =
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS users_within_bounds,
+      |  TRUE AS payloads_within_bounds
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- q33
   /** Scalar-function surface (F1/F11/F12): base64 round trip, exponential
@@ -495,7 +553,7 @@ object Pipeline {
     "q29_seed_keys" -> q29Oracle,
     "q30_lake_roundtrip" -> q30Oracle,
     "q31_point_lookup" -> q31Oracle,
-    // q32 intentionally has no oracle: HLL sketches are engine-specific
+    "q32_approx_distinct" -> q32Oracle,
     "q33_scalar_misc" -> q33Oracle,
     "q36_json_map" -> q36Oracle,
     "q39_weighted_mean" -> q39Oracle,
