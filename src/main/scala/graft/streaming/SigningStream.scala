@@ -98,13 +98,15 @@ object SigningStream {
       // join doesn't re-run
       .persist()
     try {
+      migrateLegacyLayout(sigDir, fresh.schema)(spark)
       val toWrite =
         if (tableExists(sigDir)(spark)) {
           // ≤256 two-hex-char strings — bounded driver-side metadata, not a
           // data collect
           val prefixes = fresh.select(BucketCol).distinct()
             .collect().map(_.getString(0)).toSeq
-          fresh.join(existingPks(sigDir, prefixes)(spark), Seq("pk"), "left_anti")
+          fresh.join(existingPks(sigDir, prefixes, fresh.schema)(spark),
+            Seq("pk"), "left_anti")
         } else fresh
       toWrite.write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(sigDir)
     } finally { fresh.unpersist(); () }
@@ -112,12 +114,62 @@ object SigningStream {
 
   /** PKs already present in the buckets named by `prefixes` — the `isin` on
     * the Hive partition column prunes every other bucket directory from the
-    * scan (assert via `.inputFiles` in the spec). */
-  def existingPks(sigDir: String, prefixes: Seq[String])(
+    * scan (assert via `.inputFiles` in the spec).
+    *
+    * The schema is passed explicitly rather than inferred: partition-column
+    * type inference would read `pk_bucket` as an INT whenever every bucket
+    * directory present happens to be digit-only hex (`pk_bucket=07`,
+    * `pk_bucket=42` — likely early in a stream's life), making the column's
+    * type flip between string and int across batches and the `isin` match
+    * only via implicit casts. With a user schema the partition column is
+    * stably a 2-char string. */
+  def existingPks(sigDir: String, prefixes: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)(
       spark: SparkSession): DataFrame =
-    spark.read.parquet(sigDir)
+    spark.read.schema(schema).parquet(sigDir)
       .filter(col(BucketCol).isin(prefixes: _*))
       .select("pk")
+
+  /** One-time migration of a signatures table written before the
+    * [[BucketCol]] partitioning (flat parquet files at the table root).
+    * Appending partitioned data next to flat files would produce a mixed
+    * layout Spark's partition discovery rejects outright, so the legacy
+    * files are rewritten into bucket directories and removed: read the flat
+    * files → derive `pk_bucket` → write to a sibling temp dir → move each
+    * bucket's files into the table → delete the flat files. Crash-safe in
+    * the idempotent-upsert sense: a crash mid-move leaves rows duplicated
+    * between flat and bucketed files at worst, and the next run re-migrates
+    * the remaining flat files while the anti-join keeps output rows unique.
+    */
+  private[streaming] def migrateLegacyLayout(sigDir: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      spark: SparkSession): Unit = {
+    val path = new org.apache.hadoop.fs.Path(sigDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val children = fs.listStatus(path).filterNot { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    val flatFiles = children.filter(_.isFile).map(_.getPath)
+    if (flatFiles.isEmpty) return
+    val tmp = new org.apache.hadoop.fs.Path(sigDir + ".migrating")
+    fs.delete(tmp, true)
+    spark.read.schema(org.apache.spark.sql.types.StructType(
+        schema.filterNot(_.name == BucketCol)))
+      .parquet(flatFiles.map(_.toString): _*)
+      .withColumn(BucketCol, substring(col("pk"), 1, 2))
+      .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(tmp.toString)
+    for (bucket <- fs.listStatus(tmp) if bucket.isDirectory) {
+      val target = new org.apache.hadoop.fs.Path(path, bucket.getPath.getName)
+      fs.mkdirs(target)
+      for (f <- fs.listStatus(bucket.getPath) if f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target, f.getPath.getName))
+    }
+    flatFiles.foreach(fs.delete(_, false))
+    fs.delete(tmp, true)
+  }
 
   /** Existence probe through the Hadoop FileSystem API — works on HDFS/S3A,
     * not just the local FS, and treats a present-but-empty directory (e.g.

@@ -64,7 +64,10 @@ class SigningStreamSpec extends SparkSpec {
     assert(buckets.forall(_.length == 2))
     assert(buckets.length >= 2) // 3 random sha-256 prefixes collide w.p. ~1e-4
     val one = buckets.head
-    val pruned = SigningStream.existingPks(sigDir, Seq(one))(s)
+    val sigSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "pk string, key_id bigint, address string, signature string, " +
+        "s3_path string, pk_bucket string")
+    val pruned = SigningStream.existingPks(sigDir, Seq(one), sigSchema)(s)
     pruned.collect() // populate scan metrics
     // Dataset.inputFiles ignores pushed filters — the proof of directory
     // pruning is the scan node's numFiles metric after execution
@@ -75,5 +78,45 @@ class SigningStreamSpec extends SparkSpec {
     assert(totalFiles >= buckets.length)
     assert(scan.metrics("numFiles").value < totalFiles,
       s"bucket read not pruned: ${scan.metrics("numFiles").value} of $totalFiles files")
+  }
+
+  test("legacy flat signatures table is migrated to the bucketed layout") {
+    val s = spark
+    import s.implicits._
+    val sigDir = Files.createTempDirectory("graft-legacy-").toString + "/sigs"
+    // a pre-pk_bucket table: flat parquet files at the root, digit-only pk
+    // prefixes (the partition-type-inference trap: 07/42 would infer INT)
+    val legacy = Seq(
+      ("07" + "a" * 62, 1L, "0xaddr1", "s" * 64, "raw/p0/old-1.json"),
+      ("42" + "b" * 62, 2L, "0xaddr2", "t" * 64, "raw/p1/old-2.json"),
+    ).toDF("pk", "key_id", "address", "signature", "s3_path")
+    legacy.write.parquet(sigDir)
+    val fs = new org.apache.hadoop.fs.Path(sigDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def rootFlatFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(sigDir))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+
+    assert(rootFlatFiles().nonEmpty)
+    // batch: a replay of one legacy pk + one new record
+    val batch = Seq(
+      ("07" + "a" * 62, 1L, "0xaddr1", "s" * 64, "raw/p0/replay.json"),
+      ("99" + "c" * 62, 3L, "0xaddr3", "u" * 64, "raw/p2/new-3.json"),
+    ).toDF("pk", "key_id", "address", "signature", "s3_path")
+    SigningStream.upsert(batch, sigDir)(s)
+
+    // migration: no flat files remain, everything lives in pk_bucket= dirs
+    assert(rootFlatFiles().isEmpty)
+    // explicit schema: with inference the all-digit buckets (07/42/99) would
+    // come back as INTs and "07" would silently become 7
+    val after = s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+      "pk string, key_id bigint, address string, signature string, " +
+        "s3_path string, pk_bucket string")).parquet(sigDir)
+    assert(after.count() === 3) // replayed legacy pk suppressed by anti-join
+    assert(after.filter($"pk".startsWith("07")).count() === 1)
+    assert(after.filter($"pk".startsWith("07")).select("s3_path").head.getString(0)
+      === "raw/p0/old-1.json") // the legacy row, not the replay, survived
+    val bucketVals = after.select(SigningStream.BucketCol).distinct()
+      .as[String].collect().sorted
+    assert(bucketVals.toSeq === Seq("07", "42", "99"))
   }
 }
