@@ -45,12 +45,18 @@ object KeyLease {
         case (shard, it, state: GroupState[ShardKeyring]) =>
           var st = state.getOption.getOrElse(
             ShardKeyring((0 until keysPerShard).map(_ -> 0L).toMap, 0L))
-          // deterministic in-batch order (SQS batches are ordered per queue)
-          val out = it.toSeq.sortBy(_.eventId).map { r =>
+          // Deterministic in-batch order (SQS batches are ordered per queue)
+          // needs a sort, and a sort needs the batch materialized — but only
+          // the 8-byte event ids, not the full requests with payloads
+          // (project while draining the iterator, then sort in place). A
+          // flooded shard costs one long per request, not one record.
+          val ids = it.map(_.eventId).toArray
+          java.util.Arrays.sort(ids)
+          val out = ids.map { eventId =>
             val (keyId, _) = st.lastUsed.minBy { case (k, lu) => (lu, k.toLong) }
             val seq = st.clock + 1
             st = ShardKeyring(st.lastUsed + (keyId -> seq), seq)
-            Leased(r.eventId, shard, keyId, seq)
+            Leased(eventId, shard, keyId, seq)
           }
           state.update(st)
           out.iterator

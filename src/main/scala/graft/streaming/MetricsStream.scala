@@ -66,14 +66,21 @@ object MetricsStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (component, it, state: GroupState[BreachState]) =>
           var st = state.getOption.getOrElse(BreachState(Long.MinValue, 0L, 0.0, 0))
-          val byMinute = it.toSeq
-            .groupBy(p => p.ts.getTime - p.ts.getTime % 60000L)
-            .toSeq.sortBy(_._1)
+          // Pre-aggregate to per-minute partials WHILE draining the iterator:
+          // task memory is O(distinct minutes in the batch), never O(points)
+          // — a single-component flood of raw points must not materialize
+          // (the previous it.toSeq would OOM on exactly that batch).
+          val partials = scala.collection.mutable.TreeMap.empty[Long, (Long, Double)]
+          it.foreach { p =>
+            val m = p.ts.getTime - p.ts.getTime % 60000L
+            val (c0, s0) = partials.getOrElse(m, (0L, 0.0))
+            partials.update(m, (c0 + 1L, s0 + p.value))
+          }
           // "Consecutive" means minute-ADJACENT: a gap of point-free minutes
           // resets the run. A minute split across micro-batches accumulates
           // into the same state (cumulative cnt/sum re-emitted per fragment)
           // and extends the run at most once.
-          val out = byMinute.map { case (minuteMs, pts) =>
+          val out = partials.toSeq.map { case (minuteMs, (cnt, sumV)) =>
             if (minuteMs != st.curMinuteMs) {
               val runThroughPrev =
                 if (st.curCnt > threshold) st.runBefore + 1 else 0
@@ -81,8 +88,7 @@ object MetricsStream {
               st = BreachState(minuteMs, 0L, 0.0,
                 if (adjacent) runThroughPrev else 0)
             }
-            st = st.copy(curCnt = st.curCnt + pts.size,
-              curSum = st.curSum + pts.map(_.value).sum)
+            st = st.copy(curCnt = st.curCnt + cnt, curSum = st.curSum + sumV)
             val breached = st.curCnt > threshold
             val cons = if (breached) st.runBefore + 1 else 0
             MinuteStat(component, minuteMs, st.curCnt, st.curSum, breached,

@@ -20,6 +20,24 @@ class KeyLeaseSpec extends SparkSpec {
     assert(out.map(_.leaseSeq).toSeq === (1L to 10L))
   }
 
+  test("flooded shard: only event ids are materialized, leases stay exact") {
+    val s = spark
+    implicit val sp = s
+    import s.implicits._
+    // 100k requests on ONE shard with fat payloads — the task materializes
+    // an 8-byte id per request (not the record), so this must complete and
+    // stay exactly LRU-round-robin.
+    val pad = "x" * 200
+    val reqs = s.range(100000).map(i => SignRequest(i, shard = 0, s"payload-$pad-$i"))
+    val out = KeyLease.leaseAndAssign(reqs, keysPerShard = 7)
+    val n = out.count()
+    assert(n === 100000L)
+    val sample = out.filter(_.eventId < 14).collect().sortBy(_.eventId)
+    assert(sample.map(_.keyId).toSeq === (0 to 6).toSeq ++ (0 to 6).toSeq)
+    // lease sequence is a bijection onto 1..100000 → exclusivity held
+    assert(out.map(_.leaseSeq).distinct().count() === 100000L)
+  }
+
   test("state persists across micro-batches and shards are independent") {
     val s = spark
     implicit val sp = s

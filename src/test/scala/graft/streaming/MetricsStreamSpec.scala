@@ -124,6 +124,29 @@ class MetricsStreamSpec extends SparkSpec {
     assert(rows.contains((m1, 2L, 2, true)))  // adjacent minute → alarm
   }
 
+  test("single-component flood: per-minute partials, not per-point state") {
+    val s = spark
+    implicit val sp = s
+    import s.implicits._
+    // One component, 200k points crammed into 3 minutes — the batch shape
+    // that OOMed the old it.toSeq materialization. The op must emit one
+    // cumulative row per minute with exact counts/sums.
+    val base = ts("2024-01-01 10:00:00").getTime
+    val flood = s.range(200000).map { i =>
+      MetricPoint(new Timestamp(base + (i % 3) * 60000L + (i % 59) * 1000L % 60000L,
+        ), "lambda", 1.0)
+    }
+    val out = MetricsStream.consecutiveBreaches(flood, threshold = 60000, periods = 2)
+      .collect().sortBy(_.minuteMs)
+    assert(out.length === 3)
+    assert(out.map(_.cnt).sum === 200000L)
+    assert(out.map(_.sum).sum === 200000.0)
+    // 200000 = 66667 + 66667 + 66666 — every minute breaches 60000
+    assert(out.map(_.breached).toSeq === Seq(true, true, true))
+    assert(out.map(_.consecutive).toSeq === Seq(1, 2, 3))
+    assert(out.map(_.alarm).toSeq === Seq(false, true, true))
+  }
+
   test("non-adjacent breached minutes do NOT accumulate a consecutive run") {
     val s = spark
     implicit val sp = s
