@@ -67,37 +67,30 @@ object Dedup {
       .filter($"df" <= maxDf).drop("df")
   }
 
-  /** UNFILTERED inverted shingle index with each doc's full distinct-shingle
-    * count — the verification side. `n_sh` comes from `size(hs)` before the
-    * explode: map-only, no window shuffle. */
-  private[graft] def fullShingleIndex(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    distinctShingleHashes(s, dir)
-      .select($"doc_id", size($"hs").cast("long").as("n_sh"),
-        explode($"hs").as("h"))
-  }
-
-  /** Verify candidate pairs against the full sets: true common-shingle count
-    * and true set sizes via two joins to [[fullShingleIndex]] — cost is
-    * O(candidates × shingles-per-doc), linear because candidates are already
-    * pruned. `cand` must have exactly (doc_a, doc_b), distinct. */
+  /** Verify candidate pairs against the full sets: join each pair to the
+    * per-doc distinct-shingle ARRAYS (one row per doc — never the exploded
+    * index, whose re-shuffle would dwarf candidate verification) and count
+    * the true overlap with `array_intersect`. Cost is O(candidates ×
+    * shingles-per-doc) compute and O(candidates + docs) shuffle. `cand`
+    * must have exactly (doc_a, doc_b), distinct. */
   private def verifiedJaccard(s: SparkSession, dir: String,
       cand: DataFrame): DataFrame = {
     import s.implicits._
-    val full = fullShingleIndex(s, dir)
-    val fa = full.select($"doc_id".as("doc_a"), $"n_sh".as("na"), $"h")
-    val fb = full.select($"doc_id".as("doc_b"), $"n_sh".as("nb"), $"h")
-    cand.join(fa, "doc_a").join(fb, Seq("doc_b", "h"))
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
-      .agg(count(lit(1)).as("common"))
+    val docs = distinctShingleHashes(s, dir)
+    val fa = docs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"))
+    val fb = docs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"))
+    cand.join(fa, "doc_a").join(fb, "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("common"),
+        size($"hs_a").cast("long").as("na"), size($"hs_b").cast("long").as("nb"))
       .withColumn("jaccard",
         $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))
   }
 
-  /** Shared oracle CTE prefix: distinct djb2-hashed 3-token shingles;
-    * `cold` = the df-filtered candidate index (mirrors [[coldShingles]]),
-    * `sh` = the unfiltered verification index (mirrors
-    * [[fullShingleIndex]]). */
+  /** Shared oracle CTE prefix: `shl` = distinct djb2-hashed 3-token shingle
+    * lists per doc (mirrors [[distinctShingleHashes]] — the verification
+    * side), `cold` = the df-filtered candidate index (mirrors
+    * [[coldShingles]]). */
   private val shCte: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
        |shl AS (SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 3)},
@@ -106,8 +99,7 @@ object Dedup {
        |sh0 AS (SELECT doc_id, unnest(hs) AS h FROM shl),
        |cold AS (SELECT doc_id, h FROM (SELECT doc_id, h,
        |         COUNT(*) OVER (PARTITION BY h) AS df FROM sh0) hot_filter
-       |         WHERE df <= $HotShingleMaxDf),
-       |sh AS (SELECT doc_id, unnest(hs) AS h, len(hs) AS n_sh FROM shl)""".stripMargin
+       |         WHERE df <= $HotShingleMaxDf)""".stripMargin
 
   // ---------------------------------------------------------------- q50
   /** Exact dedup: content-hash groups (keeper = min doc_id). One shuffle on
@@ -145,16 +137,18 @@ object Dedup {
   }
 
   /** Oracle CTEs shared by q51/q52/q60: candidates (from `cold`) verified
-    * over the full sets (`sh`) — mirrors [[verifiedJaccard]]. */
+    * over the full per-doc shingle lists (`shl`) — mirrors
+    * [[verifiedJaccard]] (list_intersect ↔ array_intersect; both operate
+    * on already-distinct lists, so the counts agree). */
   private val candVerifyCte: String =
     s"""cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |         FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
-       |ver AS (SELECT c.doc_a, c.doc_b, fa.n_sh AS na, fb.n_sh AS nb,
-       |        COUNT(*) AS common
+       |ver AS (SELECT c.doc_a, c.doc_b,
+       |        len(list_intersect(fa.hs, fb.hs)) AS common,
+       |        len(fa.hs) AS na, len(fb.hs) AS nb
        |        FROM cand c
-       |        JOIN sh fa ON fa.doc_id = c.doc_a
-       |        JOIN sh fb ON fb.doc_id = c.doc_b AND fb.h = fa.h
-       |        GROUP BY 1, 2, 3, 4)""".stripMargin
+       |        JOIN shl fa ON fa.doc_id = c.doc_a
+       |        JOIN shl fb ON fb.doc_id = c.doc_b)""".stripMargin
 
   val q51Oracle: String =
     s"""$shCte,
@@ -219,12 +213,12 @@ object Dedup {
        |        CAST(len(list_filter(range(1, 17), mi -> sig_a[mi] = sig_b[mi])) AS DOUBLE) / 16.0
        |          AS est_jaccard
        |        FROM cand),
-       |ver AS (SELECT c.doc_a, c.doc_b, fa.n_sh AS na, fb.n_sh AS nb,
-       |        COUNT(*) AS common
+       |ver AS (SELECT c.doc_a, c.doc_b,
+       |        len(list_intersect(fa.hs, fb.hs)) AS common,
+       |        len(fa.hs) AS na, len(fb.hs) AS nb
        |        FROM (SELECT doc_a, doc_b FROM cand) c
-       |        JOIN sh fa ON fa.doc_id = c.doc_a
-       |        JOIN sh fb ON fb.doc_id = c.doc_b AND fb.h = fa.h
-       |        GROUP BY 1, 2, 3, 4)
+       |        JOIN shl fa ON fa.doc_id = c.doc_a
+       |        JOIN shl fb ON fb.doc_id = c.doc_b)
        |SELECT v.doc_a, v.doc_b, e.est_jaccard,
        |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
        |FROM ver v JOIN est e ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b

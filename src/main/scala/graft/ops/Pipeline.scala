@@ -205,22 +205,32 @@ object Pipeline {
 
   // ---------------------------------------------------------------- q27
   /** Threshold alarm on windowed aggregates (S3, app.ts:547–588): errors>1
-    * per minute; `breach3` = 3 consecutive breached evaluation periods. */
+    * per minute; `breach3` = 3 consecutive breached evaluation periods.
+    *
+    * "3 consecutive breaches" = minutes m, m−1, m−2 all present and
+    * breached, so instead of a GLOBAL window (lag over an unpartitioned
+    * ORDER BY → every minute of history through one task) the two
+    * predecessors are fetched by equi-self-joins on `minute_ms` shifted by
+    * one and two minutes — fully parallel at any history length, and
+    * absent (error-free) minutes reset the run for free because the join
+    * finds no row. */
   def q27AlarmBreach(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perMin = Tables(s, dir, "events")
       .filter($"event_type" === "error")
       .groupBy(unix_millis(date_trunc("minute", $"ts")).as("minute_ms"))
       .agg(count(lit(1)).as("err_cnt"))
-    val w = Window.orderBy($"minute_ms")
-    // breach3 requires the two previous breached rows to be the two
-    // ADJACENT minutes — without the adjacency check, error-free minutes
-    // (absent from perMin entirely) would not reset the run.
-    perMin.withColumn("breach", $"err_cnt" > 1)
+      .withColumn("breach", $"err_cnt" > 1)
+    val prev1 = perMin.select(($"minute_ms" + 60000L).as("minute_ms"),
+      $"breach".as("breach_prev1"))
+    val prev2 = perMin.select(($"minute_ms" + 120000L).as("minute_ms"),
+      $"breach".as("breach_prev2"))
+    perMin.join(prev1, Seq("minute_ms"), "left")
+      .join(prev2, Seq("minute_ms"), "left")
       .withColumn("breach3", $"breach"
-        && coalesce(lag($"breach", 1).over(w), lit(false))
-        && coalesce(lag($"breach", 2).over(w), lit(false))
-        && coalesce($"minute_ms" - lag($"minute_ms", 2).over(w) === 120000L, lit(false)))
+        && coalesce($"breach_prev1", lit(false))
+        && coalesce($"breach_prev2", lit(false)))
+      .select($"minute_ms", $"err_cnt", $"breach", $"breach3")
       .orderBy($"minute_ms")
   }
 
