@@ -54,17 +54,49 @@ object Dedup {
     * exactly, so results stay hash-matched at scales where the cap bites. */
   val HotShingleMaxDf = 256L
 
+  /** Per-doc shingle arrays materialized ONCE (localCheckpoint) and shared
+    * by candidate generation and verification — without it the
+    * scan→tokenize→hash pipeline runs once per consumer (4 document scans
+    * in q51's plan). At cluster scale this is `.persist(DISK_ONLY)` of the
+    * dedup job's working set: one row per doc, 8-byte hashes — orders of
+    * magnitude smaller than the text it derives from. */
+  private def sharedShingleDocs(s: SparkSession, dir: String): DataFrame =
+    distinctShingleHashes(s, dir).localCheckpoint(true)
+
   /** df-filtered inverted shingle index: (doc_id, h), one row per distinct
-    * surviving shingle per doc — the candidate generator. One shuffle on `h`
-    * for the df window — the same key the downstream self-join shuffles on. */
-  private[graft] def coldShingles(s: SparkSession, dir: String,
+    * surviving shingle per doc — the candidate generator. Shape chosen for
+    * the mega-bucket case: the df pass is a map-side-combined COUNT (never
+    * materializes a posting list), its hot survivors (df > maxDf — the
+    * stop-word shingles, few by construction at any corpus size) broadcast
+    * into a left_anti join, so no task ever buffers a hot bucket. A
+    * window/groupBy df-filter would hold the full posting list of every
+    * shingle in memory — exactly the list that's millions long for the
+    * shingles being dropped. */
+  private def coldFrom(s: SparkSession, docs: DataFrame,
       maxDf: Long): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-    distinctShingleHashes(s, dir)
-      .select($"doc_id", explode($"hs").as("h"))
-      .withColumn("df", count(lit(1)).over(w))
-      .filter($"df" <= maxDf).drop("df")
+    val ex = docs.select($"doc_id", explode($"hs").as("h"))
+    val hot = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"h")
+    ex.join(broadcast(hot), Seq("h"), "left_anti").select($"doc_id", $"h")
+  }
+
+  private[graft] def coldShingles(s: SparkSession, dir: String,
+      maxDf: Long): DataFrame =
+    coldFrom(s, distinctShingleHashes(s, dir), maxDf)
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing a cold shingle: the
+    * cold index self-joined on `h` — a codegen'd equi-join whose two sides
+    * are the same subplan (one exchange, reused), with per-bucket pair count
+    * bounded ≤ maxDf²/2 by [[coldFrom]]. (A groupBy-into-posting-lists +
+    * HOF pair-explosion variant was measured 7× slower here: nested
+    * `transform`/`slice` run interpreted, paying per-pair allocation that
+    * the joined shape gets codegen'd for free.) */
+  private def candidatePairs(s: SparkSession, cold: DataFrame): DataFrame = {
+    import s.implicits._
+    cold.as("a").join(cold.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
   }
 
   /** Verify candidate pairs against the full sets: join each pair to the
@@ -73,10 +105,9 @@ object Dedup {
     * the true overlap with `array_intersect`. Cost is O(candidates ×
     * shingles-per-doc) compute and O(candidates + docs) shuffle. `cand`
     * must have exactly (doc_a, doc_b), distinct. */
-  private def verifiedJaccard(s: SparkSession, dir: String,
+  private def verifiedJaccard(s: SparkSession, docs: DataFrame,
       cand: DataFrame): DataFrame = {
     import s.implicits._
-    val docs = distinctShingleHashes(s, dir)
     val fa = docs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"))
     val fb = docs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"))
     cand.join(fa, "doc_a").join(fb, "doc_b")
@@ -119,18 +150,17 @@ object Dedup {
 
   // ---------------------------------------------------------------- q51
   /** Exact n-gram Jaccard near-dup, candidate-then-verify: candidates from
-    * the df-filtered inverted index self-join ([[HotShingleMaxDf]] — every
-    * bucket bounded, no quadratic stop-word buckets, collisions only, never
-    * a cross product), then TRUE Jaccard over each candidate's unfiltered
-    * shingle sets via [[verifiedJaccard]]. */
+    * the df-filtered inverted index via [[candidatePairs]]
+    * ([[HotShingleMaxDf]] — every bucket bounded, no quadratic stop-word
+    * buckets, collisions only, never a cross product), then TRUE Jaccard
+    * over each candidate's unfiltered shingle sets via
+    * [[verifiedJaccard]]. */
   def q51NgramJaccard(s: SparkSession, dir: String,
       maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
-    val cold = coldShingles(s, dir, maxDf)
-    val cand = cold.as("a").join(cold.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    verifiedJaccard(s, dir, cand)
+    val docs = sharedShingleDocs(s, dir)
+    val cand = candidatePairs(s, coldFrom(s, docs, maxDf))
+    verifiedJaccard(s, docs, cand)
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
@@ -174,7 +204,8 @@ object Dedup {
     // irrelevant — minhash is a min over permutations); the groupBy reuses
     // coldShingles' post-window partitioning only if keyed the same, so key
     // on doc_id straight off the filtered index.
-    val sigs = coldShingles(s, dir, maxDf)
+    val docs = sharedShingleDocs(s, dir)
+    val sigs = coldFrom(s, docs, maxDf)
       .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
       .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
     val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
@@ -189,7 +220,7 @@ object Dedup {
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(16.0))
       .select($"doc_a", $"doc_b", $"est_jaccard")
-    verifiedJaccard(s, dir, est.select($"doc_a", $"doc_b"))
+    verifiedJaccard(s, docs, est.select($"doc_a", $"doc_b"))
       .join(est, Seq("doc_a", "doc_b"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
