@@ -326,12 +326,24 @@ object Dedup {
     var labels = edgesM.select($"u".as("doc_id")).distinct()
       .withColumn("cluster", $"doc_id")
       .localCheckpoint(true)
-    for (_ <- 1 to 10) {
+    // Convergence test: min-label propagation only ever DECREASES labels,
+    // so sum(cluster) strictly decreases until fixpoint — an unchanged sum
+    // (one cheap action on the checkpointed labels) is an exact "no label
+    // moved" check. Components here are clique-like (diameter ≪ 10), so
+    // this usually stops after 2–3 rounds; 10 stays as the hard bound.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"cluster"), lit(0L))).head.getLong(0)
+    var lastSum = labelSum(labels)
+    var converged = false
+    for (_ <- 1 to 10 if !converged) {
       val prop = edgesM.join(labels, edgesM("v") === labels("doc_id"))
         .select(edgesM("u").as("doc_id"), $"cluster")
       labels = labels.union(prop).groupBy($"doc_id")
         .agg(min($"cluster").as("cluster"))
         .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == lastSum
+      lastSum = s
     }
     labels.orderBy($"doc_id")
   }
