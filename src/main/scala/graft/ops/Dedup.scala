@@ -375,7 +375,8 @@ object Dedup {
     labels.orderBy($"doc_id")
   }
 
-  val q60Oracle: String =
+  /** q60 without its final ORDER BY, for composition (q62). */
+  private def q60OracleNoOrder: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${Dedup.q51OracleNoOrder}) p
        |), edges AS (
@@ -387,7 +388,36 @@ object Dedup {
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
        |)
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
-       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+       |FROM reach GROUP BY u""".stripMargin
+
+  val q60Oracle: String = s"$q60OracleNoOrder ORDER BY doc_id"
+
+  // ---------------------------------------------------------------- q62
+  /** The deduplicated corpus — the pipeline's actual end product: a doc is
+    * kept iff it is the min-doc_id representative of its exact content-hash
+    * group AND the representative (cluster == doc_id) of any near-dup
+    * cluster it belongs to. Composes q50 (exact) and q60 (near-dup CC); the
+    * final joins are one hash shuffle plus a left_anti against the (small)
+    * non-representative set. */
+  def q62DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", sha2($"text", 256).as("content_hash"), $"n_chars")
+    val keepers = docs.groupBy($"content_hash").agg(min($"doc_id").as("doc_id"))
+    val dupMembers = q60DupClusters(s, dir).filter($"cluster" =!= $"doc_id")
+      .select($"doc_id")
+    docs.join(keepers, Seq("content_hash", "doc_id"), "left_semi")
+      .join(dupMembers, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q62Oracle: String =
+    s"""SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))
+       |  AND d.doc_id NOT IN (
+       |    SELECT doc_id FROM (${q60OracleNoOrder}) cc WHERE cc.cluster <> cc.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q51 without its final ORDER BY/extra columns, for composition. */
   private def q51OracleNoOrder: String =
@@ -403,6 +433,7 @@ object Dedup {
     "q53_simhash" -> q53Simhash _,
     "q54_cosine_neardup" -> q54CosineNeardup _,
     "q60_dup_clusters" -> q60DupClusters _,
+    "q62_dedup_corpus" -> q62DedupCorpus _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -412,5 +443,6 @@ object Dedup {
     "q53_simhash" -> q53Oracle,
     "q54_cosine_neardup" -> q54Oracle,
     "q60_dup_clusters" -> q60Oracle,
+    "q62_dedup_corpus" -> q62Oracle,
   )
 }

@@ -197,6 +197,70 @@ object TextAnalysis {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** PII scrubbing (the redaction stage every training-data pipeline runs
+    * before release): email and phone-number patterns are counted and
+    * replaced with typed placeholder tags. Map-only — a scan + two
+    * codegen'd regex passes; at 100 TB this is embarrassingly parallel.
+    * Patterns are kept to syntax with identical semantics in Java regex
+    * and DuckDB's RE2 (character classes + bounded quantifiers, no
+    * backtracking-dependent constructs) so the oracle is bit-exact; the
+    * scrubbed text is surfaced as sha256 to keep result rows narrow. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val PhoneRe = "[+]?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  def q61PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        regexp_count($"text", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(PhoneRe)).cast("long").as("n_phones"),
+        sha2(regexp_replace(regexp_replace($"text", EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"), 256).as("scrubbed_sha"))
+      .orderBy($"doc_id")
+  }
+
+  val q61Oracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  sha256(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_sha
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Repetition filtering (the Gopher/Dolma duplicate-n-gram rule): the
+    * fraction of a doc's 3-grams that are repeats of an earlier 3-gram in
+    * the same doc. Map-only over the codegen'd shingle-hash expression —
+    * both engines count distinct over the same djb2 shingle hashes, so the
+    * fraction is deterministic and oracle-identical. */
+  def q63Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .withColumn("hs", HashFns.shingleHashes(TextFns.tokens($"text"), 3))
+      .filter(size($"hs") > 0)
+      .select($"doc_id",
+        size($"hs").cast("long").as("n_3grams"),
+        size(array_distinct($"hs")).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct($"hs")).cast("double")
+          / size($"hs").cast("double")).as("dup_3gram_frac"))
+      .withColumn("is_repetitive", $"dup_3gram_frac" > 0.2)
+      .orderBy($"doc_id")
+  }
+
+  val q63Oracle: String =
+    s"""SELECT doc_id, n_3grams, n_distinct,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS dup_3gram_frac,
+       |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE)) > 0.2 AS is_repetitive
+       |FROM (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_3grams,
+       |    CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct
+       |  FROM (SELECT doc_id, list_transform(${Sql.shingles("tokens", 3)},
+       |          shing -> ${Sql.djb2("shing")}) AS hs
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
+       |  WHERE len(hs) > 0)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -204,6 +268,8 @@ object TextAnalysis {
     "q43_fingerprint" -> q43Fingerprint _,
     "q44_top_terms" -> q44TopTerms _,
     "q45_tfidf" -> q45Tfidf _,
+    "q61_pii_scrub" -> q61PiiScrub _,
+    "q63_repetition" -> q63Repetition _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +279,7 @@ object TextAnalysis {
     "q43_fingerprint" -> q43Oracle,
     "q44_top_terms" -> q44Oracle,
     "q45_tfidf" -> q45Oracle,
+    "q61_pii_scrub" -> q61Oracle,
+    "q63_repetition" -> q63Oracle,
   )
 }

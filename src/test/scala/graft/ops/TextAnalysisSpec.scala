@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixture-level semantics for the pipeline-hygiene operators: the driver
+  * corpus contains no PII and little repetition, so the oracle check alone
+  * proves determinism, not behavior — these fixtures prove the behavior.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-text-").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    root
+  }
+
+  test("q61 scrubs emails and phones and counts them") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or 555-123-4567 today"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.org one phone +555 123-456-7890"),
+    ))
+    val byId = TextAnalysis.q61PiiScrub(s, dir)
+      .select($"doc_id", $"n_emails", $"n_phones").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byId(1L) === ((1L, 1L)))
+    assert(byId(2L) === ((0L, 0L)))
+    assert(byId(3L) === ((2L, 1L)))
+    // Redaction really removes the PII: scrubbed hash equals the hash of the
+    // hand-redacted text.
+    val expected = "contact <EMAIL> or <PHONE> today"
+    val gotSha = TextAnalysis.q61PiiScrub(s, dir)
+      .filter($"doc_id" === 1L).select($"scrubbed_sha").head.getString(0)
+    val expSha = Seq(expected).toDF("t").select(sha2($"t", 256)).head.getString(0)
+    assert(gotSha === expSha)
+  }
+
+  test("q63 flags repetitive docs by duplicate-3-gram fraction") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(10)("buy cheap pills now").mkString(" ")), // heavy repeats
+      (2L, "every token here is completely unique in this doc"),
+    ))
+    val rows = TextAnalysis.q63Repetition(s, dir)
+      .select($"doc_id", $"dup_3gram_frac", $"is_repetitive").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(rows(1L)._1 > 0.8 && rows(1L)._2)
+    assert(rows(2L)._1 === 0.0 && !rows(2L)._2)
+  }
+
+  test("q62 keeps one representative per exact and near-dup group") {
+    val s = spark
+    import s.implicits._
+    val base = "grumpy wizards make toxic brew for the evil queen and jack " +
+      "while zebras vex quick daft jumping dogs near the quiet riverbank"
+    val dir = writeDocs(Seq(
+      (1L, base),                    // representative
+      (2L, base),                    // exact dup of 1 → dropped
+      (3L, s"$base indeed"),         // near-dup of 1 → dropped
+      (4L, "a wholly different document about spark shuffles and parquet " +
+        "scans that shares nothing with the others at all"),
+    ))
+    val kept = Dedup.q62DedupCorpus(s, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 4L))
+  }
+}
