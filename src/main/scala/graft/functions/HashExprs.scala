@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -42,6 +42,15 @@ object HashFns {
     */
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), n))
+
+  /** Cardinality of the intersection of two SORTED-ascending long arrays —
+    * a two-pointer merge walk: no per-pair hash set, no materialized result
+    * array (what `size(array_intersect(a, b))` would pay per candidate
+    * pair). Both inputs must be distinct and sorted; equals DuckDB
+    * `len(list_intersect(a, b))` on the same arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   val MinHashP: Long = 2147483647L
 
@@ -190,4 +199,36 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with
   }
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
+}
+
+/** Intersection cardinality of two sorted-ascending distinct long arrays
+  * (two-pointer merge) — see [[HashFns.sortedIntersectCount]]. The per-row
+  * loop is a tight primitive walk; CodegenFallback is fine because the
+  * surrounding join/project stage still codegens.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }

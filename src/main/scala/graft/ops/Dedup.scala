@@ -19,15 +19,19 @@ import graft.functions.{HashFns, TextFns, VecFns}
   */
 object Dedup {
 
-  /** Distinct djb2-hashed 3-token shingles per doc. Hashing up front (the
-    * standard shingle-fingerprint trick) keeps every downstream shuffle on
-    * 8-byte keys; both engines hash with the same function, so Jaccard over
-    * hashed shingles is deterministic and oracle-identical. */
+  /** Distinct djb2-hashed 3-token shingles per doc, SORTED ascending.
+    * Hashing up front (the standard shingle-fingerprint trick) keeps every
+    * downstream shuffle on 8-byte keys; both engines hash with the same
+    * function, so Jaccard over hashed shingles is deterministic and
+    * oracle-identical. Sorting once here gives the prefix filter its
+    * canonical order and the verifier its merge-walk precondition for
+    * free — every consumer is otherwise order-insensitive. */
   private def distinctShingleHashes(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables(s, dir, "documents")
       .select($"doc_id",
-        array_distinct(HashFns.shingleHashes(TextFns.tokens($"text"), 3)).as("hs"))
+        sort_array(array_distinct(
+          HashFns.shingleHashes(TextFns.tokens($"text"), 3))).as("hs"))
       .filter(size($"hs") > 0)
   }
 
@@ -98,8 +102,10 @@ object Dedup {
   private def prefixCold(s: SparkSession, docs: DataFrame,
       maxDf: Long): DataFrame = {
     import s.implicits._
+    // hs is already sorted ascending ([[distinctShingleHashes]]), so the
+    // canonical-order prefix is a plain slice.
     dfCapped(docs.select($"doc_id",
-      explode(expr("slice(sort_array(hs), 1, size(hs) div 2 + 1)")).as("h")),
+      explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h")),
       maxDf)
   }
 
@@ -124,9 +130,11 @@ object Dedup {
   /** Verify candidate pairs against the full sets: join each pair to the
     * per-doc distinct-shingle ARRAYS (one row per doc — never the exploded
     * index, whose re-shuffle would dwarf candidate verification) and count
-    * the true overlap with `array_intersect`. Cost is O(candidates ×
-    * shingles-per-doc) compute and O(candidates + docs) shuffle. `cand`
-    * must have exactly (doc_a, doc_b), distinct. */
+    * the true overlap with a merge walk over the sorted arrays
+    * ([[graft.functions.SortedIntersectCount]] — no per-pair hash set or
+    * materialized intersection). Cost is O(candidates × shingles-per-doc)
+    * compute and O(candidates + docs) shuffle. `cand` must have exactly
+    * (doc_a, doc_b), distinct. */
   private def verifiedJaccard(s: SparkSession, docs: DataFrame,
       cand: DataFrame): DataFrame = {
     import s.implicits._
@@ -134,7 +142,7 @@ object Dedup {
     val fb = docs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"))
     cand.join(fa, "doc_a").join(fb, "doc_b")
       .select($"doc_a", $"doc_b",
-        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("common"),
+        HashFns.sortedIntersectCount($"hs_a", $"hs_b").as("common"),
         size($"hs_a").cast("long").as("na"), size($"hs_b").cast("long").as("nb"))
       .withColumn("jaccard",
         $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))

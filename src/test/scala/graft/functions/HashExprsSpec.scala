@@ -57,6 +57,22 @@ class HashExprsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("sortedIntersectCount == set-intersection size on random sorted arrays") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1L to 100L).map { id =>
+      def arr() = (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(30).toLong)
+        .distinct.sorted
+      (id, arr(), arr())
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select($"id", HashFns.sortedIntersectCount($"a", $"b").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, a, b) <- rows)
+      assert(got(id) === (a.toSet & b.toSet).size.toLong, s"a=$a b=$b")
+  }
+
   test("minhash estimates Jaccard within tolerance on overlapping sets") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
