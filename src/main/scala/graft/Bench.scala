@@ -22,7 +22,11 @@ object Bench {
     // failure must never break the one-JSON-line contract.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Clamped ≥ 1 and guarded against non-numeric values: a bad env var
+    // must degrade to the default, never break the one-JSON-line contract.
+    val iters = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+        .getOrElse(3))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),

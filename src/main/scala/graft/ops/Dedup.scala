@@ -133,17 +133,20 @@ object Dedup {
     * the true overlap with a merge walk over the sorted arrays
     * ([[graft.functions.SortedIntersectCount]] — no per-pair hash set or
     * materialized intersection). Cost is O(candidates × shingles-per-doc)
-    * compute and O(candidates + docs) shuffle. `cand` must have exactly
-    * (doc_a, doc_b), distinct. */
+    * compute and O(candidates + docs) shuffle. `cand` must contain
+    * distinct (doc_a, doc_b) pairs; any extra columns (e.g. q52's
+    * est_jaccard) ride along, so callers never need to re-join their own
+    * candidate metadata afterwards. */
   private def verifiedJaccard(s: SparkSession, docs: DataFrame,
       cand: DataFrame): DataFrame = {
     import s.implicits._
     val fa = docs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"))
     val fb = docs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"))
     cand.join(fa, "doc_a").join(fb, "doc_b")
-      .select($"doc_a", $"doc_b",
-        HashFns.sortedIntersectCount($"hs_a", $"hs_b").as("common"),
-        size($"hs_a").cast("long").as("na"), size($"hs_b").cast("long").as("nb"))
+      .withColumn("common", HashFns.sortedIntersectCount($"hs_a", $"hs_b"))
+      .withColumn("na", size($"hs_a").cast("long"))
+      .withColumn("nb", size($"hs_b").cast("long"))
+      .drop("hs_a", "hs_b")
       .withColumn("jaccard",
         $"common".cast("double") / ($"na" + $"nb" - $"common").cast("double"))
   }
@@ -255,8 +258,8 @@ object Dedup {
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(16.0))
       .select($"doc_a", $"doc_b", $"est_jaccard")
-    verifiedJaccard(s, docs, est.select($"doc_a", $"doc_b"))
-      .join(est, Seq("doc_a", "doc_b"))
+    // est_jaccard rides through the verification join — no re-join needed
+    verifiedJaccard(s, docs, est)
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard")
       .orderBy($"doc_a", $"doc_b")

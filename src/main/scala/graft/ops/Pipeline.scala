@@ -298,24 +298,37 @@ object Pipeline {
 
   /** Real RSA keypair generation (scripts/seed-keys.ts:16–30:
     * `generateKeyPairSync('rsa', { modulusLength: 2048 })` with PEM spki /
-    * pkcs8 encodings) — the production implementation behind the q29
-    * surrogate. Generation is distributed (`spark.range` → one keygen per
-    * row, no driver loop) and deterministic: each key id seeds its own
-    * SHA1PRNG, so a replayed/retried partition regenerates byte-identical
-    * keys instead of silently rotating the keyring (the reference's
-    * nondeterministic keygen makes retries destructive; determinism is what
-    * makes the source idempotent under Spark's task-retry model). Not
-    * oracle-checkable (DuckDB has no RSA), so q29 keeps the sha2 surrogate
-    * as its hash-checked twin; PipelineSpec validates PEM structure,
-    * key-parseability, determinism, and the keysPerFile chunking here. */
+    * pkcs8 encodings), distributed (`spark.range` → one keygen per row, no
+    * driver loop) and deterministic: each key id seeds its own SHA1PRNG
+    * from sha256(seedSecret ‖ id), so a replayed/retried partition
+    * regenerates byte-identical keys instead of silently rotating the
+    * keyring (the reference's nondeterministic keygen makes retries
+    * destructive; determinism is what makes the source idempotent under
+    * Spark's task-retry model).
+    *
+    * Security caveats, stated plainly: with the DEFAULT seedSecret the
+    * derivation is public — anyone with this source can regenerate every
+    * private key, which is exactly right for test fixtures and exactly
+    * wrong for production. A production deployment must pass a secret
+    * `seedSecret` (from a real secret store) — or drop determinism
+    * entirely and accept that task retries rotate keys. The determinism
+    * also relies on SUN-provider SHA1PRNG semantics (`setSeed` REPLACES
+    * the state before the first next-bytes call); other JCE providers may
+    * mix in entropy instead, so the spec asserts two runs produce
+    * identical PEMs and would fail loudly on such a JVM.
+    *
+    * Not oracle-checkable (DuckDB has no RSA), so q29 keeps the sha2
+    * surrogate as its hash-checked twin; PipelineSpec validates PEM
+    * structure, key-parseability, determinism, and keysPerFile chunking. */
   def seedKeysRsa(s: SparkSession, n: Int, modulusBits: Int = 2048,
-      keysPerFile: Int = 100): DataFrame = {
+      keysPerFile: Int = 100,
+      seedSecret: String = "graft-seed-key"): DataFrame = {
     import s.implicits._
     s.range(n).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val rnd = java.security.SecureRandom.getInstance("SHA1PRNG")
         rnd.setSeed(java.security.MessageDigest.getInstance("SHA-256")
-          .digest(s"graft-seed-key-$id".getBytes("UTF-8")))
+          .digest(s"$seedSecret-$id".getBytes("UTF-8")))
         val kpg = java.security.KeyPairGenerator.getInstance("RSA")
         kpg.initialize(modulusBits, rnd)
         val kp = kpg.generateKeyPair()

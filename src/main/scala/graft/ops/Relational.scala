@@ -547,7 +547,14 @@ object Relational {
 
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedCache.getOrElseUpdate((s, dir), {
-      val tag = new java.io.File(dir).getName.replace(".", "_")
+      // The tag carries a digest of the FULL canonical path, not just the
+      // basename: two dirs named sf0.1 must not share physical tables, or
+      // the second build would overwrite the first and its cache entry
+      // would silently serve the wrong data.
+      val canon = new java.io.File(dir).getCanonicalPath
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(canon.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val tag = new java.io.File(dir).getName.replace(".", "_") + "_" + digest
       val ordT = s"orders_bucketed_$tag"
       val liT = s"lineitem_bucketed_$tag"
       // The in-memory catalog forgets tables between sessions but their

@@ -203,11 +203,13 @@ object TextAnalysis {
     * replaced with typed placeholder tags. Map-only — a scan + two
     * codegen'd regex passes; at 100 TB this is embarrassingly parallel.
     * Patterns are kept to syntax with identical semantics in Java regex
-    * and DuckDB's RE2 (character classes + bounded quantifiers, no
-    * backtracking-dependent constructs) so the oracle is bit-exact; the
+    * and DuckDB's RE2 (character classes, bounded quantifiers, the `(?i)`
+    * flag — no backtracking-dependent constructs) so the oracle is
+    * bit-exact; emails match case-insensitively and phones accept
+    * `(555) 123-4567` / `555.123.4567` / `555-123-4567` shapes. The
     * scrubbed text is surfaced as sha256 to keep result rows narrow. */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
-  private val PhoneRe = "[+]?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+  private val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  private val PhoneRe = "[+]?[(]?[0-9]{3}[)]?[-. ][0-9]{3}[-. ][0-9]{4}"
 
   def q61PiiScrub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

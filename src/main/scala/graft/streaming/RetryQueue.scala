@@ -18,8 +18,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object RetryQueue {
 
-  /** One delivery attempt: the record plus its processing outcome. */
-  case class Attempt(recordId: String, payload: String, ok: Boolean)
+  /** One delivery attempt: the record plus its processing outcome. `seq`
+    * is the delivery sequence (receipt order — SQS deliveries are
+    * timestamped); it makes in-batch ordering of one record's multiple
+    * deliveries explicit rather than shuffle-order-dependent. */
+  case class Attempt(recordId: String, payload: String, ok: Boolean,
+      seq: Long = 0L)
 
   case class ReceiveCount(receives: Int)
 
@@ -50,8 +54,12 @@ object RetryQueue {
         case (recordId, it, state: GroupState[ReceiveCount]) =>
           var receives = state.getOption.map(_.receives).getOrElse(0)
           // each group is ONE record's deliveries within the batch — tiny by
-          // construction, safe to drain before the state update below
-          val out = it.map { a =>
+          // construction, safe to drain before the state update below. The
+          // group iterator arrives in shuffle order; sort by the delivery
+          // sequence (tie-broken totally) so a batch holding both a failure
+          // and a success for one record routes the same way on every
+          // replay — the same trick KeyLease uses with eventId.
+          val out = it.toVector.sortBy(a => (a.seq, a.ok, a.payload)).map { a =>
             if (a.ok) {
               receives = 0
               Routed(recordId, a.payload, 0, RouteOk)

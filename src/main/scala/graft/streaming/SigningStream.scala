@@ -134,41 +134,70 @@ object SigningStream {
     * [[BucketCol]] partitioning (flat parquet files at the table root).
     * Appending partitioned data next to flat files would produce a mixed
     * layout Spark's partition discovery rejects outright, so the legacy
-    * files are rewritten into bucket directories and removed: read the flat
-    * files → derive `pk_bucket` → write to a sibling temp dir → move each
-    * bucket's files into the table → delete the flat files. Crash-safe in
-    * the idempotent-upsert sense: a crash mid-move leaves rows duplicated
-    * between flat and bucketed files at worst, and the next run re-migrates
-    * the remaining flat files while the anti-join keeps output rows unique.
-    */
+    * files are rewritten into bucket directories and removed.
+    *
+    * Protocol — every row lives in exactly ONE place at all times, so a
+    * crash at any point neither loses nor duplicates data, and the next
+    * call resumes:
+    *  1. move the flat files into `<dir>.migrating-src` (per-file rename,
+    *     atomic on HDFS/local; a crash mid-step leaves each file at root
+    *     or in src, never both);
+    *  2. rewrite src → `<dir>.migrating-out` partitioned by [[BucketCol]]
+    *     (skipped on resume when out's `_SUCCESS` marker already exists;
+    *     a partial out without the marker is discarded and rebuilt from
+    *     src, which still holds every row);
+    *  3. move out's bucket files into the table (per-file rename; files
+    *     already moved by a crashed prior attempt are gone from out, so
+    *     resuming moves only the remainder — no row lands twice);
+    *  4. delete src, then out.
+    * Any rename the filesystem refuses (`rename` returns false — how
+    * Hadoop filesystems report most failures) aborts with an exception
+    * BEFORE any delete, so nothing is dropped on a failed move. */
   private[streaming] def migrateLegacyLayout(sigDir: String,
       schema: org.apache.spark.sql.types.StructType)(
       spark: SparkSession): Unit = {
     val path = new org.apache.hadoop.fs.Path(sigDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return
-    val children = fs.listStatus(path).filterNot { st =>
-      val n = st.getPath.getName
-      n.startsWith("_") || n.startsWith(".")
+    def strictRename(a: org.apache.hadoop.fs.Path,
+        b: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(a, b))
+        throw new java.io.IOException(s"migration rename failed: $a -> $b")
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val src = new org.apache.hadoop.fs.Path(sigDir + ".migrating-src")
+    val out = new org.apache.hadoop.fs.Path(sigDir + ".migrating-out")
+    val flatFiles = dataFiles(path).map(_.getPath)
+    if (flatFiles.isEmpty && !fs.exists(src)) return
+    // 1. root → src
+    if (flatFiles.nonEmpty) fs.mkdirs(src)
+    for (f <- flatFiles) strictRename(f, new org.apache.hadoop.fs.Path(src, f.getName))
+    if (dataFiles(src).isEmpty) { fs.delete(src, true); fs.delete(out, true); return }
+    // 2. src → out (resume-aware: a completed rewrite is marked by _SUCCESS)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(out, "_SUCCESS"))) {
+      fs.delete(out, true)
+      spark.read.schema(org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == BucketCol)))
+        .parquet(src.toString)
+        .withColumn(BucketCol, substring(col("pk"), 1, 2))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(out.toString)
     }
-    val flatFiles = children.filter(_.isFile).map(_.getPath)
-    if (flatFiles.isEmpty) return
-    val tmp = new org.apache.hadoop.fs.Path(sigDir + ".migrating")
-    fs.delete(tmp, true)
-    spark.read.schema(org.apache.spark.sql.types.StructType(
-        schema.filterNot(_.name == BucketCol)))
-      .parquet(flatFiles.map(_.toString): _*)
-      .withColumn(BucketCol, substring(col("pk"), 1, 2))
-      .write.mode(SaveMode.Append).partitionBy(BucketCol).parquet(tmp.toString)
-    for (bucket <- fs.listStatus(tmp) if bucket.isDirectory) {
+    // 3. out buckets → table
+    for (bucket <- fs.listStatus(out) if bucket.isDirectory) {
       val target = new org.apache.hadoop.fs.Path(path, bucket.getPath.getName)
       fs.mkdirs(target)
-      for (f <- fs.listStatus(bucket.getPath) if f.isFile &&
-          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(target, f.getPath.getName))
+      for (f <- dataFiles(bucket.getPath))
+        strictRename(f.getPath,
+          new org.apache.hadoop.fs.Path(target, f.getPath.getName))
     }
-    flatFiles.foreach(fs.delete(_, false))
-    fs.delete(tmp, true)
+    // 4. cleanup — src first: once out's rows are in the table, src is the
+    // only copy that could re-introduce duplicates on a resume.
+    fs.delete(src, true)
+    fs.delete(out, true)
   }
 
   /** Existence probe through the Hadoop FileSystem API — works on HDFS/S3A,

@@ -31,6 +31,7 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "contact alice.smith+spam@example.co.uk or 555-123-4567 today"),
       (2L, "no pii here at all"),
       (3L, "two mails a@b.io c@d.org one phone +555 123-456-7890"),
+      (4L, "mixed-case Alice.Smith@Example.COM rings (555) 123-4567 or 555.123.4567"),
     ))
     val byId = TextAnalysis.q61PiiScrub(s, dir)
       .select($"doc_id", $"n_emails", $"n_phones").collect()
@@ -38,6 +39,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L) === ((1L, 1L)))
     assert(byId(2L) === ((0L, 0L)))
     assert(byId(3L) === ((2L, 1L)))
+    assert(byId(4L) === ((1L, 2L)), "case-insensitive email + ()/. phone shapes")
     // Redaction really removes the PII: scrubbed hash equals the hash of the
     // hand-redacted text.
     val expected = "contact <EMAIL> or <PHONE> today"
