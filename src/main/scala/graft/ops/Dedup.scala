@@ -423,12 +423,14 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  val q62Oracle: String =
+  val q62Oracle: String = s"$q62OracleNoOrder\nORDER BY d.doc_id"
+
+  /** q62 without its final ORDER BY, for composition (q64). */
+  private[ops] def q62OracleNoOrder: String =
     s"""SELECT d.doc_id, d.n_chars FROM documents d
        |WHERE d.doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY sha256(text))
        |  AND d.doc_id NOT IN (
-       |    SELECT doc_id FROM (${q60OracleNoOrder}) cc WHERE cc.cluster <> cc.doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+       |    SELECT doc_id FROM (${q60OracleNoOrder}) cc WHERE cc.cluster <> cc.doc_id)""".stripMargin
 
   /** q51 without its final ORDER BY/extra columns, for composition. */
   private def q51OracleNoOrder: String =

@@ -263,6 +263,36 @@ object TextAnalysis {
        |  WHERE len(hs) > 0)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** The end-to-end corpus gate — the keep-set a pretraining run would
+    * actually ingest: a doc survives iff it is its exact/near-dup group's
+    * representative (q62), scores above the quality threshold (q42), and
+    * is not repetition-dominated (q63). Pure composition of already-
+    * oracle-checked stages: two equi-joins on doc_id over their outputs,
+    * so the plan is the union of the component plans plus two hash joins
+    * — nothing new to break at scale. */
+  def q64CorpusGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = Dedup.q62DedupCorpus(s, dir)
+    val quality = q42Quality(s, dir).select($"doc_id", $"quality_score")
+    val rep = q63Repetition(s, dir).select($"doc_id", $"dup_3gram_frac")
+    kept.join(quality, "doc_id").join(rep, "doc_id")
+      .filter($"quality_score" > 0.5 && $"dup_3gram_frac" <= 0.2)
+      .select($"doc_id", $"n_chars", $"quality_score", $"dup_3gram_frac")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the component oracles embedded verbatim as derived tables, so
+    * the gate's arithmetic is bit-identical to the already-matching
+    * q42/q62/q63 formulations. */
+  val q64Oracle: String =
+    s"""SELECT k.doc_id, k.n_chars, q.quality_score, r.dup_3gram_frac
+       |FROM (${Dedup.q62OracleNoOrder}) k
+       |JOIN ($q42Oracle) q USING (doc_id)
+       |JOIN ($q63Oracle) r USING (doc_id)
+       |WHERE q.quality_score > 0.5 AND r.dup_3gram_frac <= 0.2
+       |ORDER BY k.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -272,6 +302,7 @@ object TextAnalysis {
     "q45_tfidf" -> q45Tfidf _,
     "q61_pii_scrub" -> q61PiiScrub _,
     "q63_repetition" -> q63Repetition _,
+    "q64_corpus_gate" -> q64CorpusGate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +314,6 @@ object TextAnalysis {
     "q45_tfidf" -> q45Oracle,
     "q61_pii_scrub" -> q61Oracle,
     "q63_repetition" -> q63Oracle,
+    "q64_corpus_gate" -> q64Oracle,
   )
 }
