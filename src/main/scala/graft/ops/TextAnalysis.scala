@@ -107,7 +107,8 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val q42Oracle: String = {
+  /** q42 without its final ORDER BY, for composition (q64). */
+  private val q42OracleNoOrder: String = {
     val en = TextFns.langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
     """SELECT doc_id, n_tokens, distinct_ratio, mean_token_len, stop_ratio,
       |  quality_score, quality_score > 0.5 AS is_quality
@@ -123,9 +124,11 @@ object TextAnalysis {
       |        (a, b) -> a + b) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
       |      CAST(len(list_filter(toks, t -> list_contains(ENWORDS, t))) AS DOUBLE)
       |        / CAST(len(toks) AS DOUBLE) AS stop_ratio
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))
-      |ORDER BY doc_id""".stripMargin.replace("ENWORDS", en)
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+      .replace("ENWORDS", en)
   }
+
+  val q42Oracle: String = s"$q42OracleNoOrder\nORDER BY doc_id"
 
   // ---------------------------------------------------------------- q43
   /** Document fingerprint: rolling polynomial hash (custom codegen'd
@@ -250,7 +253,8 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  val q63Oracle: String =
+  /** q63 without its final ORDER BY, for composition (q64). */
+  private val q63OracleNoOrder: String =
     s"""SELECT doc_id, n_3grams, n_distinct,
        |  1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE) AS dup_3gram_frac,
        |  (1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_3grams AS DOUBLE)) > 0.2 AS is_repetitive
@@ -260,8 +264,9 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, list_transform(${Sql.shingles("tokens", 3)},
        |          shing -> ${Sql.djb2("shing")}) AS hs
        |        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))
-       |  WHERE len(hs) > 0)
-       |ORDER BY doc_id""".stripMargin
+       |  WHERE len(hs) > 0)""".stripMargin
+
+  val q63Oracle: String = s"$q63OracleNoOrder\nORDER BY doc_id"
 
   // ---------------------------------------------------------------- q64
   /** The end-to-end corpus gate — the keep-set a pretraining run would
@@ -274,23 +279,32 @@ object TextAnalysis {
   def q64CorpusGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val kept = Dedup.q62DedupCorpus(s, dir)
-    val quality = q42Quality(s, dir).select($"doc_id", $"quality_score")
-    val rep = q63Repetition(s, dir).select($"doc_id", $"dup_3gram_frac")
-    kept.join(quality, "doc_id").join(rep, "doc_id")
-      .filter($"quality_score" > 0.5 && $"dup_3gram_frac" <= 0.2)
-      .select($"doc_id", $"n_chars", $"quality_score", $"dup_3gram_frac")
+    val quality = q42Quality(s, dir).select($"doc_id", $"quality_score", $"is_quality")
+    val rep = q63Repetition(s, dir)
+      .select($"doc_id", $"dup_3gram_frac", $"is_repetitive")
+    // rep is LEFT-joined: a doc with fewer than 3 tokens has no 3-grams at
+    // all (absent from q63), which means it cannot be repetition-dominated
+    // — an inner join would silently drop it. The keep decision reuses the
+    // components' own is_quality / is_repetitive flags, so their
+    // thresholds live in exactly one place each.
+    kept.join(quality, "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .filter($"is_quality" && !coalesce($"is_repetitive", lit(false)))
+      .select($"doc_id", $"n_chars", $"quality_score",
+        coalesce($"dup_3gram_frac", lit(0.0)).as("dup_3gram_frac"))
       .orderBy($"doc_id")
   }
 
-  /** Oracle: the component oracles embedded verbatim as derived tables, so
-    * the gate's arithmetic is bit-identical to the already-matching
-    * q42/q62/q63 formulations. */
+  /** Oracle: the component oracles embedded verbatim (order-free variants)
+    * as derived tables, so the gate's arithmetic is bit-identical to the
+    * already-matching q42/q62/q63 formulations. */
   val q64Oracle: String =
-    s"""SELECT k.doc_id, k.n_chars, q.quality_score, r.dup_3gram_frac
+    s"""SELECT k.doc_id, k.n_chars, q.quality_score,
+       |  COALESCE(r.dup_3gram_frac, 0.0) AS dup_3gram_frac
        |FROM (${Dedup.q62OracleNoOrder}) k
-       |JOIN ($q42Oracle) q USING (doc_id)
-       |JOIN ($q63Oracle) r USING (doc_id)
-       |WHERE q.quality_score > 0.5 AND r.dup_3gram_frac <= 0.2
+       |JOIN ($q42OracleNoOrder) q USING (doc_id)
+       |LEFT JOIN ($q63OracleNoOrder) r USING (doc_id)
+       |WHERE q.is_quality AND NOT COALESCE(r.is_repetitive, false)
        |ORDER BY k.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

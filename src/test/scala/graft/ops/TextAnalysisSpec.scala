@@ -63,6 +63,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L)._1 === 0.0 && !rows(2L)._2)
   }
 
+  test("q64 keeps a unique short doc that has no 3-grams at all") {
+    val s = spark
+    import s.implicits._
+    // 2 tokens → zero 3-grams → absent from q63; the gate's LEFT join must
+    // treat it as non-repetitive, not drop it. Long tokens keep
+    // quality_score above the cut (0.4·1.0 + 0.3·1.0 + 0.3·0.02 ≈ 0.71).
+    val dir = writeDocs(Seq(
+      (1L, "encyclopedia dictionary"),
+      (2L, "a proper document with plenty of distinct tokens inside it here"),
+    ))
+    val kept = TextAnalysis.q64CorpusGate(s, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "short no-3-gram doc dropped by the gate")
+    assert(kept.contains(2L))
+  }
+
   test("q62 keeps one representative per exact and near-dup group") {
     val s = spark
     import s.implicits._
