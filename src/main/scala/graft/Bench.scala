@@ -27,7 +27,13 @@ object Bench {
     val iters = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
         .getOrElse(3))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev knob: SPARK_GRAFT_BENCH_ONLY=q53_simhash,q59_ann_ivf times a
+    // subset while iterating. Unset (the driver's path) = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),
       // which is far beyond the 2× regression threshold the gate enforces.

@@ -63,31 +63,12 @@ object HashFns {
     while (i < s.length) { h = (h * 31L + s.charAt(i).toLong) % 1000000007L; i += 1 }
     h
   }
-}
 
-/** Codegen'd scalar: stays inside whole-stage codegen on the scan. */
-case class RollingHash(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "rolling_fingerprint"
-  override protected def nullSafeEval(input: Any): Any =
-    HashFns.rollingHash(input.asInstanceOf[UTF8String].toString)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.rollingHash($c.toString())")
-  override protected def withNewChildInternal(newChild: Expression): RollingHash =
-    copy(child = newChild)
-}
+  // --- static eval bodies, shared by the interpreted path (nullSafeEval)
+  // --- and generated code (doGenCode calls these through the object's
+  // --- static forwarders — same pattern as [[rollingHash]] above)
 
-/** One pass over the token array per row; cheap enough that interpreted
-  * evaluation (CodegenFallback) is fine — the surrounding project/filter
-  * still codegens.
-  */
-case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash32"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash32Arr(arr: ArrayData): Long = {
     val bal = new Array[Int](32)
     var i = 0
     val n = arr.numElements()
@@ -105,6 +86,96 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
     while (j < 32) { if (bal(j) > 0) out |= (1L << j); j += 1 }
     out
   }
+
+  @inline private def djb2Step(h0: Long, c: Char): Long =
+    ((h0.toInt << 5).toLong) + h0 + c.toLong
+
+  def shingleHashesArr(toks: ArrayData, n: Int): ArrayData = {
+    val nTok = toks.numElements()
+    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
+    val strs = new Array[String](nTok)
+    var i = 0
+    while (i < nTok) { strs(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](nTok - n + 1)
+    var s0 = 0
+    while (s0 <= nTok - n) {
+      var h = 5381L
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = djb2Step(h, ' ')
+        val s = strs(s0 + t)
+        var j = 0
+        val len = s.length
+        while (j < len) { h = djb2Step(h, s.charAt(j)); j += 1 }
+        t += 1
+      }
+      out(s0) = math.abs(h)
+      s0 += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def minhashFromHashesArr(arr: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = minhashPerm(j, h)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def sortedIntersectCountArr(xs: ArrayData, ys: ArrayData): Long = {
+    val nx = xs.numElements()
+    val ny = ys.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val x = xs.getLong(i)
+      val y = ys.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Codegen'd scalar: stays inside whole-stage codegen on the scan. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rolling_fingerprint"
+  override protected def nullSafeEval(input: Any): Any =
+    HashFns.rollingHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.rollingHash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Codegen'd: the per-token 32-bit balance loop runs ~|tokens|·32 iterations
+  * per row, which made interpreted evaluation (CodegenFallback boxing + the
+  * broken whole-stage span) the dominant cost of the q53 scan — measured
+  * 1.63 s vs ~0.3 s map-only peers at sf0.1. The generated code calls the
+  * shared static body, staying inside the scan's WholeStageCodegen.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash32"
+  override protected def nullSafeEval(input: Any): Any =
+    HashFns.simhash32Arr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.simhash32Arr($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
     copy(child = newChild)
 }
@@ -134,100 +205,52 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with Co
     copy(child = newChild)
 }
 
-/** [[MinHashSig]] over pre-hashed shingles (array<long>). */
-case class MinHashSigH(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+/** [[MinHashSig]] over pre-hashed shingles (array<long>) — codegen'd (k·|hs|
+  * multiply-mod iterations per row; the q52 signature pass is a hot scan). */
+case class MinHashSigH(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "minhash_sig_h"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = HashFns.minhashPerm(j, h)
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashFns.minhashFromHashesArr(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.minhashFromHashesArr($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigH =
     copy(child = newChild)
 }
 
 /** One-pass djb2 hashing of word n-gram shingles over a token array — see
   * [[HashFns.shingleHashes]]. Returns an empty array when there are fewer
-  * than n tokens (mirrors [[TextFns.shingles]]).
+  * than n tokens (mirrors [[TextFns.shingles]]). Codegen'd: this runs on
+  * every document scan of the dedup family (q51/q52/q63 prep).
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "shingle_hashes"
-
-  @inline private def step(h0: Long, c: Char): Long =
-    ((h0.toInt << 5).toLong) + h0 + c.toLong
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
-    val nTok = toks.numElements()
-    if (nTok < n) return new GenericArrayData(Array.emptyLongArray)
-    val strs = new Array[String](nTok)
-    var i = 0
-    while (i < nTok) { strs(i) = toks.getUTF8String(i).toString; i += 1 }
-    val out = new Array[Long](nTok - n + 1)
-    var s0 = 0
-    while (s0 <= nTok - n) {
-      var h = 5381L
-      var t = 0
-      while (t < n) {
-        if (t > 0) h = step(h, ' ')
-        val s = strs(s0 + t)
-        var j = 0
-        val len = s.length
-        while (j < len) { h = step(h, s.charAt(j)); j += 1 }
-        t += 1
-      }
-      out(s0) = math.abs(h)
-      s0 += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashFns.shingleHashesArr(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.shingleHashesArr($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 
 /** Intersection cardinality of two sorted-ascending distinct long arrays
-  * (two-pointer merge) — see [[HashFns.sortedIntersectCount]]. The per-row
-  * loop is a tight primitive walk; CodegenFallback is fine because the
-  * surrounding join/project stage still codegens.
+  * (two-pointer merge) — see [[HashFns.sortedIntersectCount]]. Codegen'd:
+  * it runs once per candidate pair in the dedup verification join, and a
+  * CodegenFallback here would break that stage's whole-stage span.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_intersect_count"
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData]
-    val ys = b.asInstanceOf[ArrayData]
-    val nx = xs.numElements()
-    val ny = ys.numElements()
-    var i = 0
-    var j = 0
-    var c = 0L
-    while (i < nx && j < ny) {
-      val x = xs.getLong(i)
-      val y = ys.getLong(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
-    }
-    c
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashFns.sortedIntersectCountArr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashFns.sortedIntersectCountArr($a, $b)")
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
