@@ -127,10 +127,17 @@ object Similarity {
     * (3) queries probe their top-2 cells (nprobe=2) and run exact cosine
     * top-3 inside them.
     *
-    * Scale shape: centroids are tiny and broadcast; assignment is map-only;
-    * the probe is an equi-join on the cell id. The full corpus is never
-    * pair-compared — candidates ≈ corpus·(nprobe/nlist). q55 (brute force)
-    * is the recall baseline at test scale. */
+    * Scale shape: the centroid table is bounded metadata (nlist rows), so
+    * it is COLLECTED — same class as the signing upsert's ≤256 bucket
+    * prefixes — and assignment is a single codegen'd map-side projection
+    * ([[graft.functions.NearestCells]]): zero exchange from scan to cell
+    * id. (The previous crossJoin(corpus × centroids) + row_number window
+    * shuffled corpus×nlist rows to make a per-row decision — at 100 TB with
+    * nlist=1024, a petabyte-class exchange.) The probe side broadcasts the
+    * nprobe·|queries| rows into the candidate equi-join on cell, so the
+    * corpus never shuffles at all before the final per-query top-k.
+    * Candidates ≈ corpus·(nprobe/nlist); q55 (brute force) is the recall
+    * baseline at test scale. */
   def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -143,18 +150,19 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"d", $"m"))).as("dm"))
       .select($"label".cast("long").as("cell"),
         transform($"dm", x => x.getField("m")).as("centroid"))
-    def centCos = VecFns.dot($"embedding", $"centroid") /
-      (sqrt(VecFns.dot($"embedding", $"embedding")) * sqrt(VecFns.dot($"centroid", $"centroid")))
-    val scored = emb.crossJoin(broadcast(cent)).withColumn("ccos", centCos)
-    val wCell = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cell")
-    val assigned = scored
-      .withColumn("arn", row_number().over(wCell)).filter($"arn" === 1)
-      .select($"vec_id", $"embedding", $"cell")
-    val qprobe = scored.filter($"vec_id" < 10)
-      .withColumn("crn", row_number().over(wCell)).filter($"crn" <= 2)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"cell")
+    // nlist rows of 64 doubles — bounded driver metadata, not a data collect
+    val centRows = cent.orderBy($"cell").collect()
+    val cells = centRows.map(_.getLong(0))
+    val mats = centRows.map(_.getSeq[Double](1).toArray)
+    def nc(v: Column, k: Int): Column =
+      graft.functions.NearestCellsUtil.column(v, cells, mats, k)
+    val assigned = emb.select($"vec_id", $"embedding",
+      element_at(nc($"embedding", 1), 1).as("cell"))
+    val qprobe = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
+        explode(nc($"embedding", 2)).as("cell"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    qprobe.join(assigned, Seq("cell"))
+    assigned.join(broadcast(qprobe), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
