@@ -112,4 +112,39 @@ class DedupSpec extends SparkSpec {
     assert(fullPairs.contains((3L, 4L)))
     assert(full.find(r => r._1 == 3L && r._2 == 4L).get._3 === 1.0)
   }
+
+  // Adversarial diameter: near-dup components are usually clique-like, but
+  // the CC core must not silently mis-cluster a long chain. With pointer
+  // doubling, a path graph converges in O(log diameter) rounds; without it
+  // 10 rounds of 1-hop propagation would stop 30 hops short here.
+  test("connected components converge on a diameter-40 path graph") {
+    val s = spark
+    import s.implicits._
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size === 41)
+    assert(labels.values.toSet === Set(0L), "every node must reach the min label")
+  }
+
+  test("connected components fail loudly when rounds are exhausted") {
+    val s = spark
+    import s.implicits._
+    // diameter 12 but only 1 round: prop+doubling reaches ≤ 3 hops — the
+    // call must throw, never return partially-merged clusters
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connected components: two components keep distinct min labels") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((5L, 7L), (7L, 9L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels === Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
 }
