@@ -65,4 +65,9 @@ object VecFns {
     * is identical, so the oracle is unchanged). */
   def cosinePrenorm(dotAb: Column, normA: Column, normB: Column): Column =
     dotAb / (normA * normB)
+
+  /** Banded random-hyperplane sketch (array<long> of nPlanes/beta band
+    * keys) — see [[PlaneBands]]. */
+  def planeBands(v: Column, nPlanes: Int, beta: Int): Column =
+    ColumnBridge.column(PlaneBands(ColumnBridge.expression(v), nPlanes, beta))
 }

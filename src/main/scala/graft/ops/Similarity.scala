@@ -30,15 +30,19 @@ object Similarity {
     aggregate(sequence(lit(0), lit(63)), lit(0.0),
       (acc, d) => acc + element_at(v, d + 1).cast("double") * planeVal(i, d))
 
-  private def lshDotSql(v: String, i: String): String =
+  private[ops] def lshDotSql(v: String, i: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(0, 64), pd -> " +
       s"CAST(($v)[pd + 1] AS DOUBLE) * ${planeValSql.replace("PL_I", i).replace("PL_D", "pd")})), " +
       "(pa, pb) -> pa + pb)"
 
-  /** 8-bit LSH bucket: fold over planes, acc·2 + sign-bit. */
+  /** 8-bit LSH bucket: sign bits of planes 0–7, plane 0 the MSB — a single
+    * band of the codegen'd [[graft.functions.PlaneBands]] sketch (band 0's
+    * key carries no band-index offset, so it IS the 8-bit bucket). The
+    * interpreted higher-order fold this replaces ([[lshDot]], kept for the
+    * oracle-SQL mirror and specs) computes the identical doubles — the
+    * expression just runs them as a tight generated loop on the scan. */
   private def bucket(v: Column): Column =
-    aggregate(sequence(lit(0), lit(7)), lit(0L),
-      (acc, i) => acc * 2 + when(lshDot(v, i) >= 0, 1L).otherwise(0L))
+    element_at(VecFns.planeBands(v, 8, 8), 1)
 
   private def bucketSql(v: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), pi -> " +

@@ -147,4 +147,28 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(labels === Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("q54 banded candidates: exact precision, recall contract vs all-pairs") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.VecFns
+    val found = Dedup.q54CosineNeardup(s, sf)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // Ground truth: the pre-r5 all-pairs-within-label semantics.
+    val e = graft.Tables(s, sf, "embeddings")
+      .withColumn("nrm", VecFns.norm($"embedding"))
+    val truth = e.as("a")
+      .join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"))
+      .filter($"cos" >= 0.35)
+      .select($"a.vec_id", $"b.vec_id").as[(Long, Long)].collect().toSet
+    // Exact verify ⇒ every reported pair is a true pair (precision 1.0)
+    assert(found.subsetOf(truth))
+    // Banding recall contract: ≥ 1 − (1 − p(0.35)²)⁸ ≈ 0.977 in expectation;
+    // on this fixed data the deterministic planes find 13 of 14.
+    assert(truth.nonEmpty)
+    assert(found.size.toDouble / truth.size >= 0.9,
+      s"recall ${found.size}/${truth.size}")
+  }
 }
