@@ -336,14 +336,63 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  val q53Oracle: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+  /** q53's sketch as a reusable CTE body (no ORDER BY) — shared with q65. */
+  private val simhashCte: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |th AS (SELECT doc_id, ${Sql.djb2("t")} AS h FROM tok),
        |bits AS (SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
-       |         FROM th CROSS JOIN range(32) bitidx(j) GROUP BY 1, 2)
-       |SELECT doc_id,
-       |  CAST(SUM(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |         FROM th CROSS JOIN range(32) bitidx(j) GROUP BY 1, 2),
+       |sk AS (SELECT doc_id,
+       |       CAST(SUM(CASE WHEN bal > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY doc_id)""".stripMargin
+
+  val q53Oracle: String =
+    s"""WITH $simhashCte
+       |SELECT doc_id, simhash FROM sk ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** SimHash banded Hamming near-dup: the consumer of q53's sketches. The
+    * 32-bit signature splits into 4 bands of 8 bits; candidates are pairs
+    * agreeing on at least one band — by pigeonhole, EVERY pair at Hamming
+    * distance ≤ 3 agrees on some band (3 differing bits can dirty at most
+    * 3 of 4 bands), so recall at the ≤3 radius is exactly 100%, the
+    * standard banded-Hamming guarantee. Each candidate is then verified
+    * with the true popcount of the XOR. The candidate join is an equi-join
+    * on the band key — hash-partitionable, collision-proportional, the
+    * same shape as q52's MinHash banding; the sketch itself is the
+    * codegen'd map-side [[graft.functions.SimHash32]]. */
+  def q65SimhashBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
+    // band key = band·256 + that band's 8 bits (band 0 = low byte)
+    val banded = sk.select($"doc_id", $"simhash", explode(array(
+      (0 until 4).map(b => lit(b.toLong * 256L) +
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L))): _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q65Oracle: String =
+    s"""WITH $simhashCte,
+       |banded AS (
+       |  SELECT doc_id, simhash, b * 256 + ((simhash >> (8 * b)) & 255) AS bk
+       |  FROM sk CROSS JOIN range(0, 4) bd(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q54
   /** Number of hyperplanes / planes per band for q54's candidate sketch.
@@ -567,6 +616,7 @@ object Dedup {
     "q54_cosine_neardup" -> q54CosineNeardup _,
     "q60_dup_clusters" -> q60DupClusters _,
     "q62_dedup_corpus" -> q62DedupCorpus _,
+    "q65_simhash_banded" -> q65SimhashBanded _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -577,5 +627,6 @@ object Dedup {
     "q54_cosine_neardup" -> q54Oracle,
     "q60_dup_clusters" -> q60Oracle,
     "q62_dedup_corpus" -> q62Oracle,
+    "q65_simhash_banded" -> q65Oracle,
   )
 }

@@ -148,6 +148,24 @@ class DedupSpec extends SparkSpec {
     assert(labels === Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("q65 banded candidates find exactly the Hamming ≤ 3 pairs (pigeonhole)") {
+    val s = spark
+    import s.implicits._
+    val found = Dedup.q65SimhashBanded(s, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    // 3 differing bits can dirty at most 3 of the 4 bands, so every pair at
+    // Hamming ≤ 3 collides in some band: the banded result must EQUAL the
+    // brute-force all-pairs truth, not merely approximate it.
+    val sk = Dedup.q53Simhash(s, sf).as[(Long, Long)].collect()
+    val truth = (for {
+      i <- sk.indices.iterator
+      j <- (i + 1) until sk.length
+      h = java.lang.Long.bitCount(sk(i)._2 ^ sk(j)._2).toLong
+      if h <= 3
+    } yield (sk(i)._1 min sk(j)._1, sk(i)._1 max sk(j)._1, h)).toSet
+    assert(found === truth)
+  }
+
   test("q54 banded candidates: exact precision, recall contract vs all-pairs") {
     val s = spark
     import s.implicits._
