@@ -369,14 +369,16 @@ object Dedup {
     val banded = sk.select($"doc_id", $"simhash", explode(array(
       (0 until 4).map(b => lit(b.toLong * 256L) +
         shiftright($"simhash", 8 * b).bitwiseAND(lit(255L))): _*)).as("bk"))
+    // popcount-filter BEFORE the distinct: hamming is a function of the
+    // pair, so filtering early is equivalent — and the dedup shuffle then
+    // carries only surviving pairs instead of every band collision
     banded.as("a").join(banded.as("b"),
         $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.simhash".as("sh_a"), $"b.simhash".as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count($"sh_a".bitwiseXOR($"sh_b")).cast("long"))
+      .withColumn("hamming",
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
       .filter($"hamming" <= 3)
-      .select($"doc_a", $"doc_b", $"hamming")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -387,11 +389,10 @@ object Dedup {
        |  FROM sk CROSS JOIN range(0, 4) bd(b)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |         a.simhash AS sh_a, b.simhash AS sh_b
-       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand
-       |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+       |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT doc_a, doc_b, hamming FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q54

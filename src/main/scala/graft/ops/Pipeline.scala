@@ -543,6 +543,43 @@ object Pipeline {
       .json(dir)
   }
 
+  // ---------------------------------------------------------------- q66
+  /** EP2 with the REAL signature seam: the same hash → dedup → key-assign →
+    * broadcast-keyring join as q22, but the signature is genuine
+    * deterministic ECDSA — RFC 6979 nonce, secp256k1, low-s — from the
+    * pure-JVM [[graft.crypto.Ecdsa]] (the behavior the reference delegates
+    * to ethers.js: signer/index.js:295). Every row also carries an
+    * in-query verification against the key's derived public point, so the
+    * result is self-evidencing: `valid` must be uniformly true.
+    *
+    * No DuckDB oracle — ECDSA is not SQL-expressible — so this query takes
+    * the driver's weaker rows-only check; the crypto itself is pinned by
+    * EcdsaSpec (RFC 6979 A.2.5 published vector + standard secp256k1
+    * vectors) and the surrogate twin q22 stays hash-checked. Bounded to
+    * 500 records so the bench books signing cost without drowning in it;
+    * the public points are derived once per keyring row (bounded), never
+    * per record. */
+  def q66EcdsaSign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.SignFns
+    val ring = keyring(s)
+      .withColumn("pubkey", SignFns.pub($"priv"))
+      .select($"key_id", $"address", $"priv",
+        $"pubkey._1".as("qx"), $"pubkey._2".as("qy"))
+    val keyed = Tables(s, dir, "events")
+      .filter($"event_id" < 500)
+      .select($"event_id", $"props", recordKey($"props").as("key"))
+      .withColumn("pk", sha2($"props", 256))
+      .withColumn("key_id", pmod(Djb2.djb2($"key"), lit(100L)))
+    val w = Window.partitionBy($"pk").orderBy($"event_id")
+    keyed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(broadcast(ring), "key_id")
+      .withColumn("signature", SignFns.sign($"priv", $"props"))
+      .select($"event_id", $"pk", $"key_id", $"address", $"signature",
+        SignFns.verify($"qx", $"qy", $"props", $"signature").as("valid"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_partitioner" -> q20Partitioner _,
     "q21_sha_dedup" -> q21ShaDedup _,
@@ -561,6 +598,7 @@ object Pipeline {
     "q36_json_map" -> q36JsonMap _,
     "q39_weighted_mean" -> q39WeightedMean _,
     "q49_json_struct" -> q49JsonStruct _,
+    "q66_ecdsa_sign" -> q66EcdsaSign _,
   )
 
   val oracles: Map[String, String] = Map(

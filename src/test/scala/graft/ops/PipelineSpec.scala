@@ -76,4 +76,26 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("private_key")).toSeq ===
       again.map(_.getAs[String]("private_key")).toSeq)
   }
+
+  test("q66: real ECDSA signatures verify in-query and are replay-stable") {
+    val s = spark
+    import s.implicits._
+    val rows = Pipeline.q66EcdsaSign(s, sf).collect()
+    assert(rows.nonEmpty)
+    // every signature verifies against its key's derived public point
+    assert(rows.forall(_.getAs[Boolean]("valid")), "all signatures must verify")
+    // 128-char compact r||s hex
+    assert(rows.forall(_.getAs[String]("signature").matches("[0-9a-f]{128}")))
+    // deterministic nonce (RFC 6979) ⇒ a replay signs byte-identically —
+    // the S4 idempotency contract, now with real crypto
+    val again = Pipeline.q66EcdsaSign(s, sf).collect()
+    assert(rows.map(_.getAs[String]("signature")).toSeq ===
+      again.map(_.getAs[String]("signature")).toSeq)
+    // the surrogate twin is untouched: q22 still emits sha2 signatures on
+    // the same dedup/key-assignment (same event set at this filter)
+    val q22 = Pipeline.q22SignPipeline(s, sf)
+      .filter($"event_id" < 500).select($"event_id", $"key_id").collect()
+    val q66 = rows.map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("key_id")))
+    assert(q22.map(r => (r.getLong(0), r.getLong(1))).toSeq === q66.toSeq)
+  }
 }
