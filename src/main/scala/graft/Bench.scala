@@ -31,7 +31,31 @@ object Bench {
     // subset while iterating. Unset (the driver's path) = all queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A typo'd name must not silently vanish from the results list.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet - "dedup_prep"
+      if (unknown.nonEmpty) System.err.println(
+        s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
+    }
+    // Dedup shared-prep cost, on the books: time the shingle-checkpoint
+    // build exactly once, COLD (evict first), as its own entry — then warm
+    // the composed-query caches so every query's timed iterations are
+    // uniformly warm (the pair-graph and CC build costs stay measured:
+    // they are q51's and q60's own timed bodies, rebuilt per iteration).
+    val prepEntry: Seq[(String, Double)] =
+      if (!only.forall(_.contains("dedup_prep"))) Seq.empty
+      else try {
+        graft.ops.Dedup.evictSession(spark)
+        val t0 = System.nanoTime()
+        graft.ops.Dedup.prepShingles(spark, sfDir)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.warmComposedCaches(spark, sfDir)
+        Seq("dedup_prep" -> dt)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup_prep failed: ${e.getMessage}")
+        Seq("dedup_prep" -> -1.0)
+      }
+    val results = prepEntry ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to

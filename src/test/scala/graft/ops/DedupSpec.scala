@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpec {
     assert(labels === Map(5L -> 5L, 7L -> 5L, 9L -> 5L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("shared-prep cache: eviction forces a rebuild with identical results") {
+    val s = spark
+    import s.implicits._
+    val before = Dedup.cachedNearDupPairs(s, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    Dedup.evictSession(s)
+    // after eviction the next call must rebuild (not fail on a removed
+    // entry) and reproduce the same pair graph deterministically
+    val after = Dedup.cachedNearDupPairs(s, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(after === before)
+  }
+
   test("q65 banded candidates find exactly the Hamming ≤ 3 pairs (pigeonhole)") {
     val s = spark
     import s.implicits._
