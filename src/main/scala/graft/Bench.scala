@@ -24,9 +24,14 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // Clamped ≥ 1 and guarded against non-numeric values: a bad env var
     // must degrade to the default, never break the one-JSON-line contract.
+    // Default raised 3 → 5 in round 5: sub-second queries were observed
+    // swinging 2.3× round-to-round on UNCHANGED code under median-of-3
+    // (q45 0.62→1.42→0.81s with no plan diff); a 5-run median tolerates
+    // two outliers and keeps the regression gate adjudicating real
+    // changes instead of scheduler noise.
     val iters = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
-        .getOrElse(3))
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt)
+        .getOrElse(5))
     // Dev knob: SPARK_GRAFT_BENCH_ONLY=q53_simhash,q59_ann_ivf times a
     // subset while iterating. Unset (the driver's path) = all queries.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
