@@ -38,7 +38,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     // A typo'd name must not silently vanish from the results list.
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet - "dedup_prep"
+      val unknown = names -- SparkEntry.queries.keySet - "dedup_prep" - "streambench"
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
     }
@@ -84,7 +84,20 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Streaming throughput rides along in the round artifact (VERDICT r4
+    // item 5: the number must live in a persisted artifact, not verdict
+    // prose). Guarded — a streaming failure degrades to an error marker,
+    // never breaks the batch bench line. Skipped under BENCH_ONLY unless
+    // requested, so dev subset runs stay fast.
+    val streamJson =
+      if (!only.forall(_.contains("streambench"))) None
+      else try Some(StreamBench.measure(spark, sfDir).json)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] streambench failed: ${e.getMessage}")
+        Some("""{"records_per_sec":-1}""")
+      }
+    val streamField = streamJson.map(j => s""","streambench":$j""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streamField,"sf":"$sfDir"}"""
     // Triple-redundant emission: the driver parses the last JSON line of the
     // captured output, and sbt's logger must not be allowed to decorate it
     // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets

@@ -13,20 +13,29 @@ import graft.streaming.{IngestStream, SigningStream}
   * The reference's derived signing ceiling is 0.056–1.67 objects/s
   * (BASELINE.md: 5 concurrent Lambdas × batches of 10 × 30 s admission);
   * this number is the single-node Spark equivalent for the same semantics.
-  * Prints one JSON line. Run: `sbt "runMain graft.StreamBench"`.
+  *
+  * Two entry points: [[measure]] (reused by [[Bench]], whose JSON line —
+  * the per-round BENCH artifact — carries a `streambench` object, so
+  * streaming throughput regressions are visible round-to-round, not only
+  * in verdict prose) and [[main]] (standalone, one JSON line, emitted
+  * triple-redundantly like Bench: stdout, stderr, and
+  * `target/streambench.json`). Run: `sbt "runMain graft.StreamBench"`.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.configure(
-      SparkSession.builder().master(s"local[$cpus]"), cpus)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", "8"))
-      .getOrCreate()
-    implicit val sp: SparkSession = spark
+  final case class Result(recordsPerSec: Double, records: Long, signed: Long,
+      seconds: Double) {
+    /** The embeddable JSON object (no metric wrapper). */
+    def json: String =
+      s"""{"records_per_sec":$recordsPerSec,"records":$records,"signed":$signed,"seconds":$seconds}"""
+  }
+
+  /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.
+    * recordsPerSec is −1 on timeout (signed = −1), so a stream that stops
+    * completing cannot masquerade as a fast one. */
+  def measure(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): Result = {
     import spark.implicits._
-    spark.sparkContext.setLogLevel("WARN")
+    implicit val sp: SparkSession = spark
 
     val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}"
     // stale checkpoint + signatures would turn the timed run into an
@@ -54,15 +63,42 @@ object StreamBench {
         concat(lit("raw/"), col("bucket_partition"), lit("/obj-"), col("recordId")).as("s3_path"))
     val q = SigningStream.run(partitioned, keyring, s"$root/sigs", s"$root/ckpt",
       Trigger.AvailableNow(), keyField = "k")
-    val finished = q.awaitTermination(600000)
+    val finished = q.awaitTermination(timeoutMs)
     val secs = (System.nanoTime() - t0) / 1e9
     if (!finished) {
       q.stop()
       System.err.println(s"[streambench] timed out after $secs s")
-      println(s"""{"metric":"stream_records_per_sec","value":-1,"unit":"rec/sec","records":$n,"signed":-1,"seconds":$secs,"sf":"$sfDir"}""")
+      Result(-1.0, n, -1L, secs)
     } else {
       val signed = spark.read.parquet(s"$root/sigs").count()
-      println(s"""{"metric":"stream_records_per_sec","value":${n / secs},"unit":"rec/sec","records":$n,"signed":$signed,"seconds":$secs,"sf":"$sfDir"}""")
+      Result(n / secs, n, signed, secs)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTITIONS", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val r = measure(spark, sfDir)
+    val line = s"""{"metric":"stream_records_per_sec","value":${r.recordsPerSec},""" +
+      s""""unit":"rec/sec","records":${r.records},"signed":${r.signed},""" +
+      s""""seconds":${r.seconds},"sf":"$sfDir"}"""
+    // Triple-redundant emission, same contract as Bench: raw stdout for
+    // the parser, stderr + file as belt-and-braces.
+    println(line)
+    System.err.println(line)
+    try {
+      val out = java.nio.file.Paths.get("target", "streambench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[streambench] file write failed: ${e.getMessage}")
     }
     spark.stop()
   }
