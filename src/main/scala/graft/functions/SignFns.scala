@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
 
-import graft.crypto.{EcCurve, Ecdsa}
+import graft.crypto.{EcCurve, Ecdsa, Keccak256}
 
 /** Spark column surface for the real signature seam
   * ([[graft.crypto.Ecdsa]]): deterministic RFC-6979 ECDSA over secp256k1.
@@ -58,6 +58,18 @@ object SignFns {
     else {
       val (qx, qy) = Ecdsa.derivePub(privFromHex(privHex), c)
       (Ecdsa.hex(Ecdsa.toFixed(qx, c.qlenBytes)), Ecdsa.hex(Ecdsa.toFixed(qy, c.qlenBytes)))
+    }
+  }
+
+  /** eth_address(privHex) → the EIP-55-checksummed Ethereum address of the
+    * derived public key (keccak256 of the uncompressed point, last 20
+    * bytes) — the reference's `wallet.address` (scripts/seed-keys.ts:60),
+    * real instead of surrogate. Bounded use only: once per keyring row. */
+  val ethAddress: UserDefinedFunction = udf { (privHex: String) =>
+    if (privHex == null) null
+    else {
+      val (qx, qy) = Ecdsa.derivePub(privFromHex(privHex), c)
+      Keccak256.ethAddress(qx, qy)
     }
   }
 

@@ -565,7 +565,8 @@ object Pipeline {
     val ring = keyring(s)
       .withColumn("pubkey", SignFns.pub($"priv"))
       .select($"key_id", $"address", $"priv",
-        $"pubkey._1".as("qx"), $"pubkey._2".as("qy"))
+        $"pubkey._1".as("qx"), $"pubkey._2".as("qy"),
+        SignFns.ethAddress($"priv").as("eth_address"))
     val keyed = Tables(s, dir, "events")
       .filter($"event_id" < 500)
       .select($"event_id", $"props", recordKey($"props").as("key"))
@@ -575,7 +576,8 @@ object Pipeline {
     keyed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .join(broadcast(ring), "key_id")
       .withColumn("signature", SignFns.sign($"priv", $"props"))
-      .select($"event_id", $"pk", $"key_id", $"address", $"signature",
+      .select($"event_id", $"pk", $"key_id", $"address", $"eth_address",
+        $"signature",
         SignFns.verify($"qx", $"qy", $"props", $"signature").as("valid"))
       .orderBy($"event_id")
   }

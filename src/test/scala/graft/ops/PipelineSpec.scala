@@ -86,6 +86,10 @@ class PipelineSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Boolean]("valid")), "all signatures must verify")
     // 128-char compact r||s hex
     assert(rows.forall(_.getAs[String]("signature").matches("[0-9a-f]{128}")))
+    // real Ethereum addresses: EIP-55 shape, deterministic per key
+    assert(rows.forall(_.getAs[String]("eth_address").matches("0x[0-9a-fA-F]{40}")))
+    assert(rows.groupBy(_.getAs[Long]("key_id"))
+      .forall { case (_, rs) => rs.map(_.getAs[String]("eth_address")).distinct.length == 1 })
     // deterministic nonce (RFC 6979) ⇒ a replay signs byte-identically —
     // the S4 idempotency contract, now with real crypto
     val again = Pipeline.q66EcdsaSign(s, sf).collect()
