@@ -319,7 +319,12 @@ object Pipeline {
     *
     * Not oracle-checkable (DuckDB has no RSA), so q29 keeps the sha2
     * surrogate as its hash-checked twin; PipelineSpec validates PEM
-    * structure, key-parseability, determinism, and keysPerFile chunking. */
+    * structure, key-parseability, determinism, and keysPerFile chunking.
+    *
+    * Round 5: the Ethereum half of the reference KeyPair is real too —
+    * `eth_private_key` is a deterministic secp256k1 scalar and `address`
+    * is its keccak256/EIP-55 address (graft.crypto), exactly how ethers
+    * derives `wallet.address` from `wallet.privateKey`. */
   def seedKeysRsa(s: SparkSession, n: Int, modulusBits: Int = 2048,
       keysPerFile: Int = 100,
       seedSecret: String = "graft-seed-key"): DataFrame = {
@@ -334,12 +339,24 @@ object Pipeline {
         val kp = kpg.generateKeyPair()
         val pubDer = kp.getPublic.getEncoded   // X.509 SubjectPublicKeyInfo
         val privDer = kp.getPrivate.getEncoded // PKCS#8
-        val addr = "0x" + java.security.MessageDigest.getInstance("SHA-256")
-          .digest(pubDer).map("%02x".format(_)).mkString.substring(0, 40)
+        // Real Ethereum side of the reference KeyPair (seed-keys.ts:58–63:
+        // ethers Wallet.createRandom → {address, ethPrivateKey}): a
+        // deterministic secp256k1 scalar per key id, with the ADDRESS
+        // derived from it the way ethers does — keccak256 of the
+        // uncompressed public point, EIP-55 checksummed — not a sha2
+        // surrogate (q29 keeps the surrogate for the oracle).
+        val ethPriv = graft.functions.SignFns.privFromHex(
+          graft.crypto.Ecdsa.hex(java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"$seedSecret-eth-$id".getBytes("UTF-8"))))
+        val (qx, qy) = graft.crypto.Ecdsa.derivePub(ethPriv, graft.crypto.EcCurve.secp256k1)
+        val addr = graft.crypto.Keccak256.ethAddress(qx, qy)
+        val ethPrivHex = "0x" + graft.crypto.Ecdsa.hex(
+          graft.crypto.Ecdsa.toFixed(ethPriv, 32))
         (id, id / keysPerFile, addr, pem("PUBLIC KEY", pubDer),
-          pem("PRIVATE KEY", privDer))
+          pem("PRIVATE KEY", privDer), ethPrivHex)
       }
-    }.toDF("key_id", "file_id", "address", "public_key", "private_key")
+    }.toDF("key_id", "file_id", "address", "public_key", "private_key",
+      "eth_private_key")
   }
 
   // ---------------------------------------------------------------- q30

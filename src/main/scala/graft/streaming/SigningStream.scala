@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -19,11 +19,29 @@ import graft.functions.Djb2
   */
 object SigningStream {
 
+  /** The default signature column: the deterministic sha2 surrogate (F8's
+    * oracle-checkable twin — bit-identical to batch q22 and the DuckDB
+    * oracle). */
+  val surrogateSigner: (Column, Column) => Column =
+    (priv, payload) => sha2(concat(priv, lit("|"), payload), 256)
+
+  /** The REAL signature column: RFC-6979 secp256k1 ECDSA over
+    * sha256(payload) ([[graft.functions.SignFns]]) — the reference signer's
+    * actual behavior (signer/index.js:295). Same seam, same determinism
+    * (RFC 6979 k ⇒ replays sign byte-identically, preserving the S4
+    * idempotent-upsert contract); not oracle-expressible, so specs verify
+    * it cryptographically instead. */
+  val ecdsaSigner: (Column, Column) => Column =
+    (priv, payload) => graft.functions.SignFns.sign(priv, payload)
+
   /** Pure transform: payload → (pk, key_id, signature columns). Shared by
     * the streaming pipeline and batch backfills — same plan either way.
+    * `signer` is the signature seam: surrogate by default, [[ecdsaSigner]]
+    * for real crypto.
     */
   def signRecords(records: DataFrame, keyring: DataFrame,
-      keyField: String = "id"): DataFrame = {
+      keyField: String = "id",
+      signer: (Column, Column) => Column = surrogateSigner): DataFrame = {
     val keyed = records
       .withColumn("pk", sha2(col("payload"), 256))
       .withColumn("key",
@@ -31,7 +49,7 @@ object SigningStream {
       .withColumn("key_id", pmod(Djb2.djb2(col("key")), lit(100L)))
     keyed
       .join(broadcast(keyring), "key_id")
-      .withColumn("signature", sha2(concat(col("priv"), lit("|"), col("payload")), 256))
+      .withColumn("signature", signer(col("priv"), col("payload")))
       .select(col("pk"), col("key_id"), col("address"), col("signature"),
         col("s3_path"))
   }

@@ -67,7 +67,15 @@ class PipelineSpec extends SparkSpec {
       sig.initVerify(pubKey)
       sig.update("graft".getBytes("UTF-8"))
       assert(sig.verify(signed))
-      assert(r.getAs[String]("address").matches("0x[0-9a-f]{40}"))
+      // the Ethereum half is real: address re-derives from eth_private_key
+      // via secp256k1 pubkey → keccak256 → EIP-55, exactly like ethers
+      val ethPrivHex = r.getAs[String]("eth_private_key")
+      assert(ethPrivHex.matches("0x[0-9a-f]{64}"))
+      val ethPriv = new java.math.BigInteger(ethPrivHex.drop(2), 16)
+      val (qx, qy) = graft.crypto.Ecdsa.derivePub(ethPriv,
+        graft.crypto.EcCurve.secp256k1)
+      assert(r.getAs[String]("address") ===
+        graft.crypto.Keccak256.ethAddress(qx, qy))
     }
     // deterministic: a re-run (a retried task in production) regenerates
     // byte-identical keys instead of rotating the keyring
@@ -75,6 +83,8 @@ class PipelineSpec extends SparkSpec {
       .collect()
     assert(rows.map(_.getAs[String]("private_key")).toSeq ===
       again.map(_.getAs[String]("private_key")).toSeq)
+    assert(rows.map(_.getAs[String]("eth_private_key")).toSeq ===
+      again.map(_.getAs[String]("eth_private_key")).toSeq)
   }
 
   test("q66: real ECDSA signatures verify in-query and are replay-stable") {

@@ -80,6 +80,33 @@ class SigningStreamSpec extends SparkSpec {
       s"bucket read not pruned: ${scan.metrics("numFiles").value} of $totalFiles files")
   }
 
+  test("signature seam: the real ECDSA signer plugs into signRecords and verifies") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.SignFns
+    val records = Seq(
+      ("""{"id": "tx-a", "v": 1}""", "raw/p0/a.json"),
+      ("""{"id": "tx-b", "v": 2}""", "raw/p1/b.json"),
+      ("""{"id": "tx-c", "v": 3}""", "raw/p2/c.json"),
+    ).toDF("payload", "s3_path")
+    val signed = SigningStream.signRecords(records, keyring,
+      signer = SigningStream.ecdsaSigner)
+    // rejoin the keyring to get each row's key, derive the public point,
+    // and cryptographically verify every emitted signature
+    val ring = keyring.withColumn("pubkey", SignFns.pub($"priv"))
+      .select($"key_id", $"pubkey._1".as("qx"), $"pubkey._2".as("qy"))
+    val checked = signed
+      .join(records, "s3_path")
+      .join(ring, "key_id")
+      .select(SignFns.verify($"qx", $"qy", $"payload", $"signature").as("valid"))
+      .collect()
+    assert(checked.length === 3)
+    assert(checked.forall(_.getBoolean(0)))
+    // the surrogate default is untouched: same records, sha2 signatures
+    val sur = SigningStream.signRecords(records, keyring).collect()
+    assert(sur.forall(_.getAs[String]("signature").matches("[0-9a-f]{64}")))
+  }
+
   test("legacy flat signatures table is migrated to the bucketed layout") {
     val s = spark
     import s.implicits._
