@@ -43,4 +43,27 @@ class PlaneBandsSpec extends SparkSpec {
       assert(mismatches === 0, s"nPlanes=$nPlanes beta=$beta")
     }
   }
+
+  test("PlaneBands property: random vectors (negatives, zeros, magnitudes)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 60).map { i =>
+      val v = Array.fill(64)((rnd.nextFloat() - 0.5f) * math.pow(10,
+        rnd.nextInt(5) - 2).toFloat)
+      if (i % 7 == 0) v(rnd.nextInt(64)) = 0.0f // exact zeros in the fold
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "v")
+    val hof = array((0 until 8).map(b => hofBandKey($"v", b, 2)): _*)
+    val bad = df.select(VecFns.planeBands($"v", 16, 2).as("fast"), hof.as("slow"))
+      .filter($"fast" =!= $"slow").count()
+    assert(bad === 0)
+    // structural: key b lies in [b·4, b·4+3] — bands can never collide
+    // across band indexes
+    val keys = df.select(VecFns.planeBands($"v", 16, 2).as("ks"))
+      .as[Seq[Long]].collect()
+    for (ks <- keys; (k, b) <- ks.zipWithIndex)
+      assert(k >= b * 4 && k < b * 4 + 4, s"band $b key $k")
+  }
 }
