@@ -427,7 +427,17 @@ object Dedup {
     * with the true popcount of the XOR. The candidate join is an equi-join
     * on the band key — hash-partitionable, collision-proportional, the
     * same shape as q52's MinHash banding; the sketch itself is the
-    * codegen'd map-side [[graft.functions.SimHash32]]. */
+    * codegen'd map-side [[graft.functions.SimHash32]].
+    *
+    * Width caveat, stated plainly: a 32-bit sketch has 2^8 values per
+    * band, so band buckets grow linearly with the corpus and the
+    * candidate join stays collision-proportional — but the SKETCH itself
+    * saturates once the corpus approaches 2^32 documents (unrelated docs
+    * start colliding at Hamming ≤ 3 by pigeonhole). At that scale the
+    * production setting widens the signature (64/128-bit) and the bands
+    * (8→16 bits); the plan shape — map-side sketch, band-key equi-join,
+    * popcount verify — is unchanged. 32 bits here keeps the sketch
+    * oracle-expressible with DuckDB integer bit ops. */
   def q65SimhashBanded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sk = Tables(s, dir, "documents")
