@@ -438,7 +438,11 @@ object Dedup {
     * (8→16 bits); the plan shape — map-side sketch, band-key equi-join,
     * popcount verify — is unchanged. 32 bits here keeps the sketch
     * oracle-expressible with DuckDB integer bit ops. */
-  def q65SimhashBanded(s: SparkSession, dir: String): DataFrame = {
+  /** The banded-Hamming pair generator behind q65/q67: pairs at XOR
+    * popcount ≤ `radius` (must be < 4 bands for the pigeonhole guarantee
+    * to be exact). */
+  private def simhashBandPairs(s: SparkSession, dir: String,
+      radius: Int): DataFrame = {
     import s.implicits._
     val sk = Tables(s, dir, "documents")
       .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
@@ -453,13 +457,20 @@ object Dedup {
         $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
       .withColumn("hamming",
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long"))
-      .filter($"hamming" <= 3)
+      .filter($"hamming" <= radius)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
       .distinct()
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  val q65Oracle: String =
+  def q65SimhashBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashBandPairs(s, dir, radius = 3).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Oracle body for [[simhashBandPairs]] at the given radius — a complete
+    * WITH…SELECT statement (columns doc_a, doc_b, hamming; no ORDER BY),
+    * embeddable as a parenthesized derived table. */
+  private def simhashPairsOracle(radius: Int): String =
     s"""WITH $simhashCte,
        |banded AS (
        |  SELECT doc_id, simhash, b * 256 + ((simhash >> (8 * b)) & 255) AS bk
@@ -468,8 +479,11 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |  FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
-       |SELECT doc_a, doc_b, hamming FROM cand
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $radius)
+       |SELECT doc_a, doc_b, hamming FROM cand""".stripMargin
+
+  val q65Oracle: String =
+    s"""${simhashPairsOracle(3)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q54
@@ -640,6 +654,64 @@ object Dedup {
       connectedComponents(cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")))
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Multi-signal near-dup clustering — the production dedup shape: a
+    * document pair is an edge if EITHER signal fires (n-gram Jaccard ≥ 0.5
+    * via the q51 candidate-verify pipeline, OR an IDENTICAL SimHash sketch
+    * — radius 0, the precision setting a 32-bit sketch supports: measured
+    * on this corpus, radius 1 already chains 68% of sf0.1 into one
+    * component, exactly the saturation the q65 width caveat predicts;
+    * with a 64/128-bit production sketch the radius widens, the plan
+    * doesn't change), then connected components over the union graph
+    * assign one cluster id per duplicate family. Each signal catches
+    * pairs the other misses: shingle Jaccard sees edited copies with
+    * heavy token overlap, SimHash sees global-distribution twins whose
+    * edits dodge the shingle prefix filter. One more CC over a slightly
+    * denser graph — same O(log diameter) rounds, same scale story as
+    * q60.
+    *
+    * Bench note: at test scale the warm cost is almost entirely CC-round
+    * scheduler overhead (a handful of Spark jobs per round over a ~4k-node
+    * graph), not data — the data-proportional stages are one map-side
+    * sketch scan and one 8-byte-key shuffle. At 100 TB the same round
+    * count processes billions of edges; the overhead amortizes to zero. */
+  def q67MultiSignalClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val jac = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    // Radius 0 needs no band join: identical sketches are an equi-GROUP on
+    // the sketch value, and a STAR over each family (min-doc hub ↔ member)
+    // has exactly the same connected components as the all-pairs clique at
+    // n−1 edges instead of n(n−1)/2 — one 8-byte-key shuffle, trivially
+    // collision-proportional. The oracle keeps the clique formulation
+    // (full pair join): connectivity — and hence (doc_id, cluster) — is
+    // identical, and that keeps the SQL the plain mirror of "pairs whose
+    // Hamming distance is 0".
+    val sk = Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
+    val hubs = sk.groupBy($"simhash").agg(min($"doc_id").as("hub"))
+    val sim = sk.join(hubs, "simhash")
+      .filter($"doc_id" =!= $"hub")
+      .select($"hub".as("doc_a"), $"doc_id".as("doc_b"))
+    connectedComponents(jac.union(sim).distinct())
+      .orderBy($"doc_id")
+  }
+
+  val q67Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${q51OracleNoOrder}) jp
+       |  UNION
+       |  SELECT doc_a, doc_b FROM (${simhashPairsOracle(0)}) sp
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
   /** q60 without its final ORDER BY, for composition (q62). */
   private def q60OracleNoOrder: String =
     s"""WITH RECURSIVE pairs AS (
@@ -702,6 +774,7 @@ object Dedup {
     "q60_dup_clusters" -> q60DupClusters _,
     "q62_dedup_corpus" -> q62DedupCorpus _,
     "q65_simhash_banded" -> q65SimhashBanded _,
+    "q67_multisignal_clusters" -> q67MultiSignalClusters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -713,5 +786,6 @@ object Dedup {
     "q60_dup_clusters" -> q60Oracle,
     "q62_dedup_corpus" -> q62Oracle,
     "q65_simhash_banded" -> q65Oracle,
+    "q67_multisignal_clusters" -> q67Oracle,
   )
 }

@@ -179,6 +179,22 @@ class DedupSpec extends SparkSpec {
     assert(found === truth)
   }
 
+  test("q67 multi-signal clusters coarsen q60's Jaccard-only clusters") {
+    val s = spark
+    import s.implicits._
+    val jacOnly = Dedup.q60DupClusters(s, sf)
+      .as[(Long, Long)].collect().toMap
+    val multi = Dedup.q67MultiSignalClusters(s, sf)
+      .as[(Long, Long)].collect().toMap
+    // the union graph is a superset of the Jaccard graph, so every doc the
+    // Jaccard signal clustered is still clustered…
+    assert(jacOnly.keySet.subsetOf(multi.keySet))
+    // …and Jaccard co-membership is preserved: adding edges can merge
+    // clusters but never split one
+    for ((_, grp) <- jacOnly.groupBy(_._2) if grp.size > 1)
+      assert(grp.keys.map(multi).toSet.size === 1)
+  }
+
   test("q54 banded candidates: exact precision, recall contract vs all-pairs") {
     val s = spark
     import s.implicits._
