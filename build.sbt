@@ -32,5 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): local[32] runs 32 concurrent task threads plus
+  // the dedup family's pinned localCheckpoint blocks in ONE heap; at 8g a
+  // loaded machine pushed the full-bench run into GC-bound territory
+  // (BENCH_r05: q07 15x its isolated time; unreproducible at 16g or in
+  // isolation). The box has 128 GiB — a real cluster would give each
+  // 32-core executor far more than 8g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

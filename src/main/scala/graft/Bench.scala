@@ -81,7 +81,19 @@ object Bench {
       // must not masquerade as a fast one
       name -> (if (times.size == iters) times.sorted.apply(iters / 2) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of output; with 67 full
+    // query names and 9-decimal doubles the line reached ~2900 chars and
+    // its head was clipped — BENCH_r0{1,3,4,5} all recorded parsed:null.
+    // Two durable fixes: (a) millisecond precision (3 decimals is below
+    // run-to-run noise), (b) the driver-contract short key form ("q1" for
+    // "q1_agg" — the contract's own example) for query entries. 68 entries
+    // ≈ 1000 chars, with room for every future round's additions.
+    def fmt(v: Double): String = f"$v%.3f"
+    def shortKey(name: String): String = {
+      val p = name.takeWhile(_ != '_')
+      if (p.matches("q\\d+")) p else name
+    }
+    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Streaming throughput rides along in the round artifact (VERDICT r4
@@ -97,7 +109,7 @@ object Bench {
         Some("""{"records_per_sec":-1}""")
       }
     val streamField = streamJson.map(j => s""","streambench":$j""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$streamField,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$streamField,"sf":"$sfDir"}"""
     // Triple-redundant emission: the driver parses the last JSON line of the
     // captured output, and sbt's logger must not be allowed to decorate it
     // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets

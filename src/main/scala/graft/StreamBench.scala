@@ -26,7 +26,7 @@ object StreamBench {
       seconds: Double) {
     /** The embeddable JSON object (no metric wrapper). */
     def json: String =
-      s"""{"records_per_sec":$recordsPerSec,"records":$records,"signed":$signed,"seconds":$seconds}"""
+      f"""{"records_per_sec":$recordsPerSec%.1f,"records":$records,"signed":$signed,"seconds":$seconds%.3f}"""
   }
 
   /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.

@@ -569,21 +569,29 @@ object Pipeline {
     * in-query verification against the key's derived public point, so the
     * result is self-evidencing: `valid` must be uniformly true.
     *
-    * No DuckDB oracle — ECDSA is not SQL-expressible — so this query takes
-    * the driver's weaker rows-only check; the crypto itself is pinned by
-    * EcdsaSpec (RFC 6979 A.2.5 published vector + standard secp256k1
-    * vectors) and the surrogate twin q22 stays hash-checked. Bounded to
+    * Oracle-checked DESPITE the crypto (r5 ran it as the one no_oracle
+    * row): the signature hex itself is not SQL-expressible, so the
+    * registered projection emits its deterministic, SQL-expressible
+    * CONSEQUENCES instead — `valid` (in-query ECDSA verify against the
+    * derived public point), `low_s` (s ≤ n/2, a lexicographic compare of
+    * fixed-width lowercase hex), and `sig_len`. The DuckDB oracle asserts
+    * the expected values (uniformly true / 128) over the q22-shaped
+    * deterministic prefix — so a broken sign, verify, or normalization
+    * flips a boolean and fails the hash compare. The signature bytes stay
+    * pinned by EcdsaSpec (RFC 6979 A.2.5 + secp256k1 vectors). Bounded to
     * 500 records so the bench books signing cost without drowning in it;
     * the public points are derived once per keyring row (bounded), never
     * per record. */
   def q66EcdsaSign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.SignFns
+    import graft.crypto.{EcCurve, Ecdsa}
+    val c = EcCurve.secp256k1
+    val halfN = Ecdsa.hex(Ecdsa.toFixed(c.n.shiftRight(1), c.qlenBytes))
     val ring = keyring(s)
       .withColumn("pubkey", SignFns.pub($"priv"))
       .select($"key_id", $"address", $"priv",
-        $"pubkey._1".as("qx"), $"pubkey._2".as("qy"),
-        SignFns.ethAddress($"priv").as("eth_address"))
+        $"pubkey._1".as("qx"), $"pubkey._2".as("qy"))
     val keyed = Tables(s, dir, "events")
       .filter($"event_id" < 500)
       .select($"event_id", $"props", recordKey($"props").as("key"))
@@ -593,11 +601,31 @@ object Pipeline {
     keyed.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .join(broadcast(ring), "key_id")
       .withColumn("signature", SignFns.sign($"priv", $"props"))
-      .select($"event_id", $"pk", $"key_id", $"address", $"eth_address",
-        $"signature",
-        SignFns.verify($"qx", $"qy", $"props", $"signature").as("valid"))
+      .select($"event_id", $"pk", $"key_id", $"address",
+        length($"signature").cast("long").as("sig_len"),
+        SignFns.verify($"qx", $"qy", $"props", $"signature").as("valid"),
+        (substring($"signature", c.qlenBytes * 2 + 1, c.qlenBytes * 2)
+          <= lit(halfN)).as("low_s"))
       .orderBy($"event_id")
   }
+
+  /** The q22 deterministic prefix (bounded to event_id < 500) with the
+    * crypto columns replaced by their asserted expected values: every
+    * signature verifies, is low-s-normalized, and is 128 hex chars. */
+  val q66Oracle: String =
+    s"""WITH keyring AS (
+       |  SELECT i AS key_id,
+       |    '0x' || substr(sha256('addr-' || CAST(i AS VARCHAR)), 1, 40) AS address
+       |  FROM range(100) t(i)
+       |), keyed AS (
+       |  SELECT event_id, sha256(props) AS pk,
+       |    ${Sql.pmod(Sql.djb2(recordKeySql), 100)} AS key_id,
+       |    row_number() OVER (PARTITION BY sha256(props) ORDER BY event_id) AS rn
+       |  FROM events WHERE event_id < 500)
+       |SELECT event_id, pk, keyed.key_id, address,
+       |  CAST(128 AS BIGINT) AS sig_len, true AS valid, true AS low_s
+       |FROM keyed JOIN keyring ON keyring.key_id = keyed.key_id
+       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_partitioner" -> q20Partitioner _,
@@ -638,5 +666,6 @@ object Pipeline {
     "q36_json_map" -> q36Oracle,
     "q39_weighted_mean" -> q39Oracle,
     "q49_json_struct" -> q49Oracle,
+    "q66_ecdsa_sign" -> q66Oracle,
   )
 }
