@@ -93,8 +93,22 @@ object Bench {
       val p = name.takeWhile(_ != '_')
       if (p.matches("q\\d+")) p else name
     }
-    val qs = results.map { case (k, v) => s"\"" + shortKey(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // ADVICE r6: two full names sharing a qN prefix would collide on the
+    // short key and silently drop a timing from the JSON object. Keep the
+    // short form only where it is unique; colliding entries fall back to
+    // their full (unique) names plus a loud stderr warning — no timing is
+    // ever lost, and the contract's one-JSON-line shape is preserved.
+    val keyCounts = results.groupBy { case (k, _) => shortKey(k) }.map {
+      case (sk, vs) => sk -> vs.size
+    }
+    val qs = results.map { case (k, v) =>
+      val sk = shortKey(k)
+      val key = if (keyCounts(sk) == 1) sk else {
+        System.err.println(s"[bench] WARNING: short key '$sk' is ambiguous; emitting full name '$k'")
+        k
+      }
+      s"\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Streaming throughput rides along in the round artifact (VERDICT r4
     // item 5: the number must live in a persisted artifact, not verdict

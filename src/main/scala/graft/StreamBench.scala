@@ -24,9 +24,16 @@ import graft.streaming.{IngestStream, SigningStream}
 object StreamBench {
   final case class Result(recordsPerSec: Double, records: Long, signed: Long,
       seconds: Double) {
-    /** The embeddable JSON object (no metric wrapper). */
-    def json: String =
-      f"""{"records_per_sec":$recordsPerSec%.1f,"records":$records,"signed":$signed,"seconds":$seconds%.3f}"""
+    /** The embeddable JSON object (no metric wrapper). A degenerate run
+      * (zero or non-finite seconds → Infinity/NaN rate) emits -1 markers:
+      * bare `Infinity`/`NaN` tokens are not valid JSON and would break the
+      * driver's parse of the whole bench line (ADVICE r6). */
+    def json: String = {
+      val rate = if (seconds.isFinite && seconds > 0 && recordsPerSec.isFinite)
+        recordsPerSec else -1.0
+      val secs = if (seconds.isFinite) seconds else -1.0
+      f"""{"records_per_sec":$rate%.1f,"records":$records,"signed":$signed,"seconds":$secs%.3f}"""
+    }
   }
 
   /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.
