@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFns, TextFns}
+
+/** Corpus-curation operators — the release-gating stages of a training-data
+  * pipeline that sit downstream of dedup/quality (q50–q64): benchmark
+  * decontamination, n-gram LM rarity scoring, and deterministic stratified
+  * sampling.
+  *
+  * Scale stance: every join here is keyed on an 8-byte shingle hash or a
+  * stratum key; the eval-benchmark side of decontamination is broadcast
+  * (a benchmark suite is small and fixed — ~10⁵ n-grams — regardless of
+  * corpus size); the sampler's per-stratum top-k goes through Spark's
+  * WindowGroupLimit so each map task forwards at most k rows per stratum.
+  * Nothing is O(n²) in documents.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- q68
+  /** Benchmark decontamination (the GPT-3 appendix-C rule, re-expressed
+    * Spark-first): a corpus document is contaminated iff it shares at least
+    * one distinct 4-token n-gram with the held-out evaluation set. The
+    * fixture's eval set is the deterministic `doc_id % 97 == 0` slice of
+    * `documents`; in production it is the benchmark suite itself.
+    *
+    * Plan shape: one codegen'd shingle-hash projection over the scan, the
+    * eval side reduced to a DISTINCT hash set and broadcast, then a
+    * broadcast semi-style inner join + per-doc aggregation. The corpus side
+    * never shuffles before the join; the only wide exchange is the final
+    * groupBy(doc_id), whose input is already collision-proportional (only
+    * hit shingles survive the join).
+    */
+  def q68Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "documents")
+      .select($"doc_id",
+        array_distinct(HashFns.shingleHashes(TextFns.tokens($"text"), 4)).as("hs"))
+      .filter(size($"hs") > 0)
+    val evalSet = hashed.filter($"doc_id" % 97 === 0)
+      .select(explode($"hs").as("h")).distinct()
+    val corpus = hashed.filter($"doc_id" % 97 =!= 0)
+    val hits = corpus.select($"doc_id", explode($"hs").as("h"))
+      .join(broadcast(evalSet), "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hit")) // hs is pre-distinct per doc → count == countDistinct
+    corpus.select($"doc_id", size($"hs").cast("long").as("n_shingles"))
+      .join(hits, "doc_id")
+      .withColumn("hit_frac", $"n_hit".cast("double") / $"n_shingles".cast("double"))
+      .withColumn("severe", $"hit_frac" > 0.2)
+      .select($"doc_id", $"n_shingles", $"n_hit", $"hit_frac", $"severe")
+      .orderBy($"doc_id")
+  }
+
+  val q68Oracle: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 4)},
+       |    shing -> ${Sql.djb2("shing")})) AS hs
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+       |nonempty AS (SELECT * FROM hashed WHERE len(hs) > 0),
+       |ev AS (SELECT DISTINCT unnest(hs) AS h FROM nonempty WHERE doc_id % 97 = 0),
+       |corpus AS (SELECT * FROM nonempty WHERE doc_id % 97 <> 0),
+       |hits AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM (SELECT doc_id, unnest(hs) AS h FROM corpus) ch JOIN ev USING (h)
+       |  GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_shingles, hits.n_hit,
+       |  CAST(hits.n_hit AS DOUBLE) / CAST(len(c.hs) AS DOUBLE) AS hit_frac,
+       |  (CAST(hits.n_hit AS DOUBLE) / CAST(len(c.hs) AS DOUBLE)) > 0.2 AS severe
+       |FROM corpus c JOIN hits USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** N-gram LM rarity scoring (the CCNet quality-bucket idea with the LM
+    * replaced by corpus bigram statistics, kept integer-exact): train bigram
+    * counts over the whole corpus, then score each document by the fraction
+    * of its bigram OCCURRENCES whose corpus count is at or below the corpus
+    * mean. The rare test `count * vocab <= total` is pure 64-bit integer
+    * arithmetic — scale-invariant (both sides grow linearly with data) and
+    * bit-identical in any engine, where a floating `count <= total/vocab`
+    * would hang the flag on a libm division.
+    *
+    * Plan shape: two passes over the exploded bigram hashes — one partial-
+    * aggregated groupBy(hash) to train counts, one hash-keyed join back +
+    * groupBy(doc_id) to score. All shuffles are on 8-byte keys; the
+    * (vocab, total) pair is a 2-value broadcast scalar.
+    */
+  def q69LmRarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables(s, dir, "documents")
+      .select($"doc_id", explode(HashFns.shingleHashes(TextFns.tokens($"text"), 2)).as("h"))
+    val counts = bg.groupBy($"h").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(count(lit(1)).as("vocab"), sum($"c").as("total"))
+    bg.join(counts, "h")
+      .crossJoin(broadcast(totals))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when($"c" * $"vocab" <= $"total", 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_frac", $"n_rare".cast("double") / $"n_bigrams".cast("double"))
+      .withColumn("is_lowquality", $"rare_frac" > 0.5)
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"rare_frac", $"is_lowquality")
+      .orderBy($"doc_id")
+  }
+
+  val q69Oracle: String =
+    s"""WITH bg AS (
+       |  SELECT doc_id, unnest(list_transform(${Sql.shingles("tokens", 2)},
+       |    shing -> ${Sql.djb2("shing")})) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+       |counts AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY h),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab, CAST(SUM(c) AS BIGINT) AS total FROM counts)
+       |SELECT doc_id, n_bigrams, n_rare,
+       |  CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS rare_frac,
+       |  (CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) > 0.5 AS is_lowquality
+       |FROM (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN c * (SELECT vocab FROM tot) <= (SELECT total FROM tot)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+       |  FROM bg JOIN counts USING (h)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Deterministic stratified sampling: at most k documents per language
+    * stratum, selected by md5(doc_id) order — a fixed, engine-independent
+    * pseudo-random permutation, so the SAME sample comes out of any engine,
+    * any run, any parallelism (the property that makes a training-mix
+    * reproducible). md5 over the decimal doc_id string is collision-free
+    * here and bit-identical in Spark and DuckDB.
+    *
+    * Plan shape: row_number over (lang, md5) compiles to WindowGroupLimit —
+    * each map task forwards only its local top-k per stratum before the
+    * single shuffle on lang, so a 100 TB stratum moves k·tasks rows, not
+    * its full size. Skew note (SCALE.md §3): with few huge strata the
+    * residual sort is bounded by k·tasks, which is why the rank filter must
+    * stay adjacent to the window (no intervening projection) to keep the
+    * group-limit pushdown.
+    */
+  def q70StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 50
+    val w = Window.partitionBy($"lang").orderBy($"rand_key", $"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("rand_key", md5($"doc_id".cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= k)
+      .select($"lang", $"sample_rank", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"sample_rank")
+  }
+
+  val q70Oracle: String =
+    """SELECT lang, sample_rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 50
+      |ORDER BY lang, sample_rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_decontaminate" -> q68Decontaminate _,
+    "q69_lm_rarity" -> q69LmRarity _,
+    "q70_stratified_sample" -> q70StratifiedSample _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q68_decontaminate" -> q68Oracle,
+    "q69_lm_rarity" -> q69Oracle,
+    "q70_stratified_sample" -> q70Oracle,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantic fixtures for the curation family: decontamination flags exactly
+  * the docs sharing a 4-gram with the eval slice, LM rarity implements the
+  * integer `count * vocab <= total` rule, and the stratified sample is the
+  * same set under any partitioning (the reproducible-mix property).
+  */
+class CurationSpec extends SparkSpec {
+
+  private def writeDocs(docs: Seq[(Long, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-curation-").toString
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    root
+  }
+
+  test("q68 flags exactly the corpus docs sharing a 4-gram with the eval slice") {
+    val s = spark
+    import s.implicits._
+    // doc 0 (0 % 97 == 0) is the eval slice. doc 1 shares the 4-gram
+    // "secret eval answer key" with it; doc 2 shares only a 3-gram-long
+    // overlap ("secret eval answer" then diverges) — below the n=4 window;
+    // doc 3 is disjoint.
+    val dir = writeDocs(Seq(
+      (0L, "the secret eval answer key is here", "en"),
+      (1L, "leaked copy secret eval answer key inside", "en"),
+      (2L, "partial secret eval answer run elsewhere today", "en"),
+      (3L, "completely unrelated text with many plain words", "en"),
+    ))
+    val out = Curation.q68Decontaminate(s, dir)
+      .select($"doc_id", $"n_hit").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L)), s"expected only doc 1 contaminated, got $out")
+  }
+
+  test("q68 severity uses the distinct-shingle fraction") {
+    val s = spark
+    import s.implicits._
+    // doc 1 IS (nearly) the eval doc — every one of its 4-grams collides →
+    // hit_frac 1.0, severe. doc 2 has one collision among many shingles →
+    // not severe at the 0.2 threshold.
+    val evalText = "alpha beta gamma delta epsilon"
+    val dir = writeDocs(Seq(
+      (0L, evalText, "en"),
+      (1L, evalText, "en"),
+      (2L, "alpha beta gamma delta x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12", "en"),
+    ))
+    val out = Curation.q68Decontaminate(s, dir)
+      .select($"doc_id", $"severe").as[(Long, Boolean)].collect().toMap
+    assert(out === Map(1L -> true, 2L -> false), s"got $out")
+  }
+
+  test("q69 implements the integer rare rule count*vocab <= total") {
+    val s = spark
+    import s.implicits._
+    // Bigram occurrences: "a a" ×6 (3 per doc in docs 10/11), and four
+    // singletons from doc 12 ("p q","q r","r s","s t" — wait: tokens
+    // p q r s t give bigrams p-q, q-r, r-s, s-t). vocab = 5, total = 10,
+    // mean = 2. Rare iff c*5 <= 10 ⇔ c <= 2: the four singletons are rare,
+    // "a a" (c=6) is not. Doc 12: rare_frac = 4/4 = 1.0 → flagged; docs
+    // 10/11: 0/3 → clean.
+    val dir = writeDocs(Seq(
+      (10L, "a a a a", "en"),
+      (11L, "a a a a", "en"),
+      (12L, "p q r s t", "en"),
+    ))
+    val out = Curation.q69LmRarity(s, dir)
+      .select($"doc_id", $"n_bigrams", $"n_rare", $"is_lowquality")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq((10L, 3L, 0L, false), (11L, 3L, 0L, false),
+      (12L, 4L, 4L, true)), s"got $out")
+  }
+
+  test("q70 sample is identical across partitionings and respects the cap") {
+    val s = spark
+    import s.implicits._
+    val out1 = Curation.q70StratifiedSample(s, sf).collect().toSeq
+    // Same data, radically different physical layout → same sample.
+    val reshuffled = graft.Tables(s, sf, "documents").repartition(13)
+    val tmp = Files.createTempDirectory("graft-sample-").toString
+    reshuffled.write.parquet(s"$tmp/documents.parquet")
+    val out2 = Curation.q70StratifiedSample(s, tmp).collect().toSeq
+    assert(out1 === out2, "stratified sample changed under repartitioning")
+    val perLang = out1.groupBy(_.getString(0)).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ <= 50), s"stratum cap violated: $perLang")
+    // ranks are 1..k dense per stratum
+    out1.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val ranks = rows.map(_.getLong(1)).sorted
+      assert(ranks === (1L to ranks.size).toSeq, s"ranks not dense for $lang")
+    }
+  }
+}

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
@@ -90,21 +92,33 @@ class PipelineSpec extends SparkSpec {
   test("q66: real ECDSA signatures verify in-query and are replay-stable") {
     val s = spark
     import s.implicits._
+    // The registered projection emits the crypto's SQL-expressible
+    // consequences (r6 reshape, so the DuckDB oracle can hash-check it):
+    // in-query verification must hold uniformly, signatures are 128-hex
+    // (64-byte r||s), and low-s normalization is applied everywhere.
     val rows = Pipeline.q66EcdsaSign(s, sf).collect()
     assert(rows.nonEmpty)
-    // every signature verifies against its key's derived public point
     assert(rows.forall(_.getAs[Boolean]("valid")), "all signatures must verify")
-    // 128-char compact r||s hex
-    assert(rows.forall(_.getAs[String]("signature").matches("[0-9a-f]{128}")))
-    // real Ethereum addresses: EIP-55 shape, deterministic per key
-    assert(rows.forall(_.getAs[String]("eth_address").matches("0x[0-9a-fA-F]{40}")))
-    assert(rows.groupBy(_.getAs[Long]("key_id"))
-      .forall { case (_, rs) => rs.map(_.getAs[String]("eth_address")).distinct.length == 1 })
-    // deterministic nonce (RFC 6979) ⇒ a replay signs byte-identically —
-    // the S4 idempotency contract, now with real crypto
+    assert(rows.forall(_.getAs[Long]("sig_len") == 128L))
+    assert(rows.forall(_.getAs[Boolean]("low_s")), "all signatures must be low-s")
+    // deterministic nonce (RFC 6979) ⇒ a replay is row-identical — the S4
+    // idempotency contract, now with real crypto
     val again = Pipeline.q66EcdsaSign(s, sf).collect()
-    assert(rows.map(_.getAs[String]("signature")).toSeq ===
-      again.map(_.getAs[String]("signature")).toSeq)
+    assert(rows.toSeq === again.toSeq)
+    // the signature hex itself (dropped from the projection) stays pinned
+    // through the same seam: byte-identical on replay, 128-char lowercase
+    // hex, and EIP-55 addresses deterministic per key
+    val ring = Pipeline.keyring(s).limit(5)
+      .select($"priv", graft.functions.SignFns.ethAddress($"priv").as("eth_address"),
+        graft.functions.SignFns.sign($"priv", lit("payload-1")).as("signature"))
+      .collect()
+    assert(ring.forall(_.getAs[String]("signature").matches("[0-9a-f]{128}")))
+    assert(ring.forall(_.getAs[String]("eth_address").matches("0x[0-9a-fA-F]{40}")))
+    val ring2 = Pipeline.keyring(s).limit(5)
+      .select(graft.functions.SignFns.sign($"priv", lit("payload-1")).as("signature"))
+      .collect()
+    assert(ring.map(_.getAs[String]("signature")).toSeq ===
+      ring2.map(_.getAs[String]("signature")).toSeq)
     // the surrogate twin is untouched: q22 still emits sha2 signatures on
     // the same dedup/key-assignment (same event set at this filter)
     val q22 = Pipeline.q22SignPipeline(s, sf)
