@@ -161,15 +161,94 @@ object Curation {
       |WHERE sample_rank <= 50
       |ORDER BY lang, sample_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Temperature-weighted source mixing — the training-mix allocator: a
+    * global budget of B documents is split across sources proportionally
+    * to sqrt(n_source) (α = 0.5 up-sampling of small sources, the standard
+    * multilingual/multi-source temperature trick), then each source
+    * contributes its quota by md5(doc_id) order.
+    *
+    * Determinism discipline: the weight is floor(sqrt(n)) — IEEE-754
+    * sqrt is correctly rounded and therefore bit-identical in the JVM and
+    * DuckDB — and everything downstream is 64-bit integer arithmetic:
+    * quotas are largest-remainder apportionment (base = B·w div W, the
+    * B − Σbase leftover seats go to the largest B·w mod W, ties broken by
+    * source name). No float ever touches an allocation decision, so the
+    * mix is reproducible anywhere. Sampling is without replacement: a
+    * quota exceeding its source's size yields the whole source (the rank
+    * filter runs out of rows), which under-spends the budget — production
+    * repeats small sources across epochs instead of duplicating rows.
+    *
+    * Plan shape: per-source counts are one partial-aggregated groupBy over
+    * the scan; the apportionment runs on that ~|sources|-row table (window
+    * over a constant partition — trivially small); the quota table then
+    * broadcasts back onto documents and the per-source rank is the q70
+    * window. Two scans of documents (count pass + sample pass), one
+    * shuffle each — at 100 TB the count pass is a metadata-sized
+    * aggregate. */
+  def q71SourceMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 200L
+    val docs = Tables(s, dir, "documents")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt($"n_docs".cast("double"))).cast("long"))
+    val all = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1)).orderBy($"rem".desc, $"source")
+    val quotas = counts
+      .withColumn("w_total", sum($"weight").over(all))
+      .withColumn("base", expr(s"($budget * weight) div w_total"))
+      .withColumn("rem", ($"weight" * budget) % $"w_total")
+      .withColumn("leftover", lit(budget) - sum($"base").over(all))
+      .withColumn("bump",
+        when(row_number().over(byRem) <= $"leftover", 1L).otherwise(0L))
+      .withColumn("quota", $"base" + $"bump")
+      .select($"source", $"n_docs", $"weight", $"quota")
+    val w = Window.partitionBy($"source").orderBy($"rand_key", $"doc_id")
+    docs.select($"source", $"doc_id")
+      .withColumn("rand_key", md5($"doc_id".cast("string")))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), "source")
+      .filter($"sample_rank" <= $"quota")
+      .select($"source", $"n_docs", $"weight", $"quota", $"sample_rank", $"doc_id")
+      .orderBy($"source", $"sample_rank")
+  }
+
+  val q71Oracle: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |apportion AS (
+      |  SELECT source, n_docs, weight,
+      |    (200 * weight) // SUM(weight) OVER () AS base,
+      |    (200 * weight) % SUM(weight) OVER () AS rem
+      |  FROM counts),
+      |quotas AS (
+      |  SELECT source, n_docs, weight,
+      |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |      <= 200 - SUM(base) OVER () THEN 1 ELSE 0 END AS quota
+      |  FROM apportion),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+      |  FROM documents)
+      |SELECT q.source, q.n_docs, q.weight, q.quota, r.sample_rank, r.doc_id
+      |FROM ranked r JOIN quotas q ON r.source = q.source
+      |WHERE r.sample_rank <= q.quota
+      |ORDER BY q.source, r.sample_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
     "q70_stratified_sample" -> q70StratifiedSample _,
+    "q71_source_mix" -> q71SourceMix _,
   )
 
   val oracles: Map[String, String] = Map(
     "q68_decontaminate" -> q68Oracle,
     "q69_lm_rarity" -> q69Oracle,
     "q70_stratified_sample" -> q70Oracle,
+    "q71_source_mix" -> q71Oracle,
   )
 }

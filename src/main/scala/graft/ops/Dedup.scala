@@ -765,6 +765,54 @@ object Dedup {
        |SELECT doc_a, doc_b FROM ver
        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Incremental (delta-vs-corpus) near-dup — the shape a production
+    * corpus runs EVERY refresh: a new batch arrives (here the
+    * deterministic `doc_id % 10 == 7` slice) and must be checked against
+    * the standing corpus WITHOUT re-pairing the corpus against itself.
+    * Candidates come from the same prefix-filtered, df-capped inverted
+    * index as q51, but the pair join is delta-side × corpus-side — its
+    * cost is proportional to the BATCH's collisions, not the corpus
+    * squared, and the corpus index is the standing asset a real pipeline
+    * keeps materialized between refreshes. Verification is the exact
+    * merge-walk Jaccard over unfiltered sets, so accepted pairs carry
+    * true similarity. AllPairs prefix filtering is a per-pair guarantee
+    * (a qualifying pair must collide within the two prefixes regardless
+    * of which set each doc is in), so recall is unchanged from q51. */
+  def q72DeltaDedup(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
+    import s.implicits._
+    val docs = sharedShingleDocs(s, dir)
+    // df cap computed over the FULL collection (corpus ∪ delta) — the
+    // population the index actually serves; mirrored in the oracle.
+    val pfx = prefixCold(s, docs, maxDf)
+    val cand = pfx.filter($"doc_id" % 10 === 7).as("a")
+      .join(pfx.filter($"doc_id" % 10 =!= 7).as("b"), $"a.h" === $"b.h")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    verifiedJaccard(s, docs, cand)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a".as("delta_doc"), $"doc_b".as("corpus_doc"),
+        $"common", $"jaccard")
+      .orderBy($"delta_doc", $"corpus_doc")
+  }
+
+  val q72Oracle: String =
+    s"""$shCte,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM coldp a JOIN coldp b ON a.h = b.h
+       |         WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+       |ver AS (SELECT c.doc_a, c.doc_b,
+       |        len(list_intersect(fa.hs, fb.hs)) AS common,
+       |        len(fa.hs) AS na, len(fb.hs) AS nb
+       |        FROM cand c
+       |        JOIN shl fa ON fa.doc_id = c.doc_a
+       |        JOIN shl fb ON fb.doc_id = c.doc_b)
+       |SELECT doc_a AS delta_doc, doc_b AS corpus_doc, common,
+       |  CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+       |FROM ver
+       |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
+       |ORDER BY delta_doc, corpus_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -775,6 +823,7 @@ object Dedup {
     "q62_dedup_corpus" -> q62DedupCorpus _,
     "q65_simhash_banded" -> q65SimhashBanded _,
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
+    "q72_delta_dedup" -> ((s: SparkSession, d: String) => q72DeltaDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -787,5 +836,6 @@ object Dedup {
     "q62_dedup_corpus" -> q62Oracle,
     "q65_simhash_banded" -> q65Oracle,
     "q67_multisignal_clusters" -> q67Oracle,
+    "q72_delta_dedup" -> q72Oracle,
   )
 }

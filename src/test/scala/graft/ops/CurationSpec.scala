@@ -80,6 +80,39 @@ class CurationSpec extends SparkSpec {
       (12L, 4L, 4L, true)), s"got $out")
   }
 
+  test("q71 apportionment spends exactly the budget and sqrt-weights small sources up") {
+    val s = spark
+    import s.implicits._
+    // 3 sources with counts 400 / 100 / 36 → sqrt weights 20 / 10 / 6.
+    // Proportional allocation would give the small source 200·36/536 ≈ 13.4;
+    // sqrt (temperature) allocation gives 200·6/36 ≈ 33.3 — up-sampled 2.5×
+    // (and still under the source's 36 docs, so the budget is exactly spent).
+    val docs = (1L to 400L).map(i => (i, s"t$i", "en", "big")) ++
+      (401L to 500L).map(i => (i, s"t$i", "en", "mid")) ++
+      (501L to 536L).map(i => (i, s"t$i", "en", "small"))
+    val root = Files.createTempDirectory("graft-mix-").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q71SourceMix(s, root).collect()
+    // exactly the budget is spent (every quota ≤ its source's size here)
+    assert(out.length === 200)
+    val quotas = out.map(r => (r.getString(0), r.getAs[Long]("quota"))).distinct.toMap
+    assert(quotas.values.sum === 200L)
+    // integer largest-remainder around 200·w/36: within 1 of the exact share
+    val exact = Map("big" -> 200.0 * 20 / 36, "mid" -> 200.0 * 10 / 36, "small" -> 200.0 * 6 / 36)
+    exact.foreach { case (src, e) =>
+      assert(math.abs(quotas(src) - e) <= 1.0, s"$src quota ${quotas(src)} vs exact $e")
+    }
+    // the small source is up-sampled ~2.5× vs proportional (≈ 13.4 docs)
+    assert(quotas("small") >= 33L)
+    // per-source ranks are dense 1..quota
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      assert(rows.map(_.getAs[Long]("sample_rank")).sorted.toSeq ===
+        (1L to quotas(src)).toSeq, s"ranks not dense for $src")
+    }
+  }
+
   test("q70 sample is identical across partitionings and respects the cap") {
     val s = spark
     import s.implicits._

@@ -218,4 +218,27 @@ class DedupSpec extends SparkSpec {
     assert(found.size.toDouble / truth.size >= 0.9,
       s"recall ${found.size}/${truth.size}")
   }
+
+  test("q72 delta dedup == q51 pairs restricted to delta×corpus (no recall loss)") {
+    val s = spark
+    import s.implicits._
+    // The incremental path must find exactly the full-rebuild pairs that
+    // cross the batch boundary — same prefix index, same df cap, same
+    // verification — with the delta doc surfaced on the left regardless of
+    // doc_id order.
+    val q51 = Dedup.q51NgramJaccard(s, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard")))
+    val expected = q51.flatMap { case (a, b, c, j) =>
+      if (a % 10 == 7 && b % 10 != 7) Some((a, b, c, j))
+      else if (b % 10 == 7 && a % 10 != 7) Some((b, a, c, j))
+      else None
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = Dedup.q72DeltaDedup(s, sf).collect()
+      .map(r => (r.getAs[Long]("delta_doc"), r.getAs[Long]("corpus_doc"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard"))).toSeq
+    assert(got === expected)
+    // and the fixture actually exercises the path
+    assert(got.nonEmpty)
+  }
 }
