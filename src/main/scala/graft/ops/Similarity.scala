@@ -182,7 +182,7 @@ object Similarity {
     s"""WITH cent AS (
        |  SELECT CAST(label AS BIGINT) AS cell, list(m ORDER BY d) AS centroid FROM (
        |    SELECT label, i AS d,
-       |      CAST(SUM(CAST(embedding[i + 1] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+       |      CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
        |    FROM embeddings CROSS JOIN range(0, 64) r(i)
        |    GROUP BY label, i)
        |  GROUP BY label),
@@ -208,15 +208,204 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q73
+  /** Product-quantization ANN (ADC + exact re-rank) — the memory-bound
+    * scale path: 64 dims split into M=8 subspaces of 8; each subspace gets
+    * a ≤16-entry codebook (training clusters = 4-plane LSH cells of the
+    * subvector — the same one-iteration quantizer idea as q59's
+    * label-grouped means, per subspace; centroids are exact decimal means);
+    * every corpus vector is encoded to 8 positional code ids by the
+    * codegen'd [[graft.functions.PqEncode]] (nearest entry by squared L2,
+    * the standard PQ sub-metric) — 32 bits packed vs 256 bytes of floats,
+    * a 64× compression that is what lets a 100 TB embedding corpus live in
+    * cluster RAM. Queries score candidates with ADC (asymmetric distance):
+    * a per-query lookup table of subspace partial dots (10 queries ×
+    * 8×≤16 entries — bounded broadcast metadata), summed per vector in
+    * fixed m-order, normalized by the reconstruction norm → approximate
+    * cosine; the top-64 ADC candidates per query are then re-ranked by
+    * EXACT cosine for the final top-3 (the standard ADC + re-rank).
+    *
+    * Scale shape: training is one partial-aggregated groupBy on
+    * (m, bucket, d) — ≤1024 groups; codebooks + query LUTs are collected
+    * as bounded metadata (same class as q59's centroids); encode + ADC is
+    * a map-side projection + broadcast join over the scan — the corpus
+    * NEVER shuffles before the per-query top-64.
+    *
+    * Determinism discipline (hash-matched oracle despite three layers of
+    * float): decimal-exact centroid means; every fold (L2 distance, ADC
+    * sum, norms, LUT dots) accumulates left-to-right from a 0.0 seed in
+    * both engines; explicit (x−c)·(x−c) products (never pow); argmin/rank
+    * ties to the lower code / vec_id. */
+  def q73AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val emb = Tables(s, dir, "embeddings")
+    // --- train: LSH-cell decimal means per subspace -------------------
+    val msub = emb
+      .select($"vec_id", explode(sequence(lit(0), lit(7))).as("m"), $"embedding")
+      .withColumn("subv", slice($"embedding", $"m" * 8 + 1, lit(8)))
+    def subDot(subv: Column, plane: Column): Column =
+      aggregate(sequence(lit(0), lit(7)), lit(0.0),
+        (acc, d) => acc + element_at(subv, d + 1).cast("double") * planeVal(plane, d))
+    val bucketed = msub.withColumn("bucket",
+      aggregate(sequence(lit(0), lit(3)), lit(0L),
+        (acc, p) => acc * 2 + when(subDot($"subv", $"m" * 4 + p) >= 0, 1L).otherwise(0L)))
+    val cb = bucketed
+      .select($"m", $"bucket", posexplode($"subv").as(Seq("d", "v")))
+      .groupBy($"m", $"bucket", $"d")
+      .agg((sum($"v".cast(DecimalType(18, 9))).cast(DoubleType) / count(lit(1))).as("mean"))
+      .groupBy($"m", $"bucket")
+      .agg(array_sort(collect_list(struct($"d", $"mean"))).as("dm"))
+      .select($"m", $"bucket", transform($"dm", x => x.getField("mean")).as("entry"))
+    // M × ≤16 entries × 8 doubles — bounded metadata, not a data collect
+    val cbRows = cb.orderBy($"m", $"bucket").collect()
+    val codebooks: Array[Array[Array[Double]]] = (0 until 8).map { mi =>
+      cbRows.filter(_.getInt(0) == mi).map(_.getSeq[Double](2).toArray)
+    }.toArray
+    // per-(m, code) reconstruction norm², dim-ordered left fold
+    val norms2: Seq[Seq[Double]] = codebooks.toSeq.map(_.toSeq.map { e =>
+      var acc = 0.0; var i = 0
+      while (i < e.length) { acc += e(i) * e(i); i += 1 }
+      acc
+    })
+    // --- queries: bounded collect → driver-built ADC lookup tables ----
+    val qRows = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").orderBy($"vec_id").collect()
+    val qdf = qRows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      var qq = 0.0; var i = 0
+      while (i < q.length) { qq += q(i).toDouble * q(i).toDouble; i += 1 }
+      val lut: Seq[Seq[Double]] = codebooks.toSeq.zipWithIndex.map { case (entries, mi) =>
+        entries.toSeq.map { e =>
+          var acc = 0.0; var d = 0
+          while (d < e.length) { acc += q(mi * 8 + d).toDouble * e(d); d += 1 }
+          acc
+        }
+      }
+      (id, q, math.sqrt(qq), lut)
+    }.toDF("q_id", "q_emb", "q_nrm", "lut")
+    // --- encode + ADC: map-side over the scan, zero corpus shuffle ----
+    val n2 = typedLit(norms2)
+    val enc = emb.select($"vec_id", $"embedding",
+        graft.functions.PqEncodeUtil.column($"embedding", codebooks).as("codes"))
+      .withColumn("code_packed",
+        aggregate($"codes", lit(0L), (acc, c) => acc * 16 + c))
+      .withColumn("rnorm2",
+        aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, m) => acc +
+          element_at(element_at(n2, m + 1), element_at($"codes", m + 1).cast("int") + 1)))
+    val wCand = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"vec_id")
+    val cand = enc.crossJoin(broadcast(qdf))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adc_dot",
+        aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, m) => acc +
+          element_at(element_at($"lut", m + 1), element_at($"codes", m + 1).cast("int") + 1)))
+      .withColumn("approx_cos", $"adc_dot" / ($"q_nrm" * sqrt($"rnorm2")))
+      .withColumn("crn", row_number().over(wCand))
+      .filter($"crn" <= 64)
+      .select($"q_id", $"q_emb", $"vec_id", $"code_packed", $"approx_cos")
+    // --- exact re-rank of the 64 ADC candidates ------------------------
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"code_packed", $"approx_cos", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val q73Oracle: String = {
+    val plane = planeValSql
+    def planeAt(i: String, d: String): String =
+      plane.replace("PL_I", i).replace("PL_D", d)
+    val subdot = "list_reduce(list_prepend(0.0, list_transform(range(0, 8), sd -> " +
+      s"CAST(subv[sd + 1] AS DOUBLE) * ${planeAt("(m * 4 + p)", "sd")})), (sa, sb) -> sa + sb)"
+    val cos = Sql.cosine("n.q_emb", "e.embedding")
+    s"""WITH msub AS (
+       |  SELECT vec_id, m, embedding[m*8+1 : m*8+8] AS subv
+       |  FROM embeddings CROSS JOIN range(0, 8) r(m)),
+       |bsub AS (
+       |  SELECT vec_id, m, subv,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 4), p ->
+       |      CASE WHEN $subdot >= 0 THEN 1::BIGINT ELSE 0::BIGINT END)),
+       |      (ba, bb) -> ba * 2 + bb) AS bucket
+       |  FROM msub),
+       |cbd AS (
+       |  SELECT m, bucket, sd AS d,
+       |    CAST(SUM(CAST(CAST(subv[sd + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean
+       |  FROM bsub CROSS JOIN range(0, 8) r2(sd)
+       |  GROUP BY m, bucket, sd),
+       |cbl AS (SELECT m, bucket, list(mean ORDER BY d) AS entry FROM cbd GROUP BY m, bucket),
+       |cbi AS (
+       |  SELECT m, bucket, entry,
+       |    CAST(row_number() OVER (PARTITION BY m ORDER BY bucket) - 1 AS BIGINT) AS code,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), ni ->
+       |      entry[ni] * entry[ni])), (na, nb) -> na + nb) AS norm2
+       |  FROM cbl),
+       |vassign AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT b.vec_id, b.m, c.code,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.m ORDER BY
+       |        list_reduce(list_prepend(0.0, list_transform(range(1, 9), di ->
+       |          (CAST(b.subv[di] AS DOUBLE) - c.entry[di]) * (CAST(b.subv[di] AS DOUBLE) - c.entry[di]))),
+       |          (da, db) -> da + db) ASC, c.code ASC) AS arn
+       |    FROM bsub b JOIN cbi c ON c.m = b.m)
+       |  WHERE arn = 1),
+       |vcode AS (
+       |  SELECT a.vec_id,
+       |    list_reduce(list_prepend(0::BIGINT, list(a.code ORDER BY a.m)),
+       |      (pa, pb) -> pa * 16 + pb) AS code_packed,
+       |    list_reduce(list_prepend(0.0, list(c.norm2 ORDER BY a.m)),
+       |      (ra, rb) -> ra + rb) AS rnorm2
+       |  FROM vassign a JOIN cbi c ON c.m = a.m AND c.code = a.code
+       |  GROUP BY a.vec_id),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    sqrt(${Sql.dot("embedding", "embedding")}) AS q_nrm
+       |  FROM embeddings WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.q_id, c.m, c.code,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), li ->
+       |      CAST(q.q_emb[c.m * 8 + li] AS DOUBLE) * c.entry[li])),
+       |      (la, lb) -> la + lb) AS pdot
+       |  FROM qn q CROSS JOIN cbi c),
+       |adc AS (
+       |  SELECT l.q_id, a.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.pdot ORDER BY l.m)),
+       |      (aa, ab) -> aa + ab) AS adc_dot
+       |  FROM vassign a JOIN lut l ON l.m = a.m AND l.code = a.code
+       |  GROUP BY l.q_id, a.vec_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, code_packed, approx_cos FROM (
+       |    SELECT a.q_id, a.vec_id, v.code_packed,
+       |      a.adc_dot / (n.q_nrm * sqrt(v.rnorm2)) AS approx_cos,
+       |      row_number() OVER (PARTITION BY a.q_id
+       |        ORDER BY a.adc_dot / (n.q_nrm * sqrt(v.rnorm2)) DESC, a.vec_id) AS crn
+       |    FROM adc a
+       |    JOIN vcode v ON v.vec_id = a.vec_id
+       |    JOIN qn n ON n.q_id = a.q_id
+       |    WHERE a.vec_id <> a.q_id)
+       |  WHERE crn <= 64)
+       |SELECT q_id, rank, vec_id, code_packed, approx_cos, cos FROM (
+       |  SELECT c.q_id, c.vec_id, c.code_packed, c.approx_cos, $cos AS cos,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id ORDER BY $cos DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN qn n ON n.q_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
     "q59_ann_ivf" -> q59AnnIvf _,
+    "q73_ann_pq" -> q73AnnPq _,
   )
 
   val oracles: Map[String, String] = Map(
     "q55_ann_brute" -> q55Oracle,
     "q56_ann_lsh" -> q56Oracle,
     "q59_ann_ivf" -> q59Oracle,
+    "q73_ann_pq" -> q73Oracle,
   )
 }
