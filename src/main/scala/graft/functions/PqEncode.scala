@@ -51,6 +51,62 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Codegen'd gather-sum: `Σ_m table[m][codes[m]]`, accumulated left-to-right
+  * in m order — the ADC inner loop (sum of per-subspace LUT partial dots)
+  * and the reconstruction-norm lookup, as a tight generated loop instead of
+  * an interpreted `aggregate(sequence(...), element_at(element_at(...)))`
+  * chain. Numerically identical to that HOF formulation and to the DuckDB
+  * oracle's `list_reduce(list_prepend(0.0, list(x ORDER BY m)))` fold: same
+  * values, same order, 0.0 seed. At 100 TB the ADC scan is the hot loop of
+  * the whole PQ path — per-row lambda interpretation is the difference
+  * between memory-bound and allocation-bound (the [[DotProd]] lesson).
+  *
+  * `codes` indexes 0-based; a code outside its table row is a null result
+  * (nullIntolerant propagation keeps corrupt inputs loud, not silent). */
+case class GatherSum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gather_sum"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), table.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += table.getArray(i).getDouble(codes.getLong(i).toInt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $acc += $b.getArray($i).getDouble((int) $a.getLong($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GatherSum = copy(left = newLeft, right = newRight)
+}
+
+object GatherSum {
+  def column(codes: Column, table: Column): Column =
+    ColumnBridge.column(GatherSum(
+      ColumnBridge.expression(codes), ColumnBridge.expression(table)))
+}
+
 object PqEncodeUtil {
   /** Shared by interpreted eval and generated code (static forwarder). */
   def encode(v: ArrayData, cb: Array[Array[Array[Double]]],

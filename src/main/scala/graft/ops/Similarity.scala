@@ -291,15 +291,11 @@ object Similarity {
         graft.functions.PqEncodeUtil.column($"embedding", codebooks).as("codes"))
       .withColumn("code_packed",
         aggregate($"codes", lit(0L), (acc, c) => acc * 16 + c))
-      .withColumn("rnorm2",
-        aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, m) => acc +
-          element_at(element_at(n2, m + 1), element_at($"codes", m + 1).cast("int") + 1)))
+      .withColumn("rnorm2", graft.functions.GatherSum.column($"codes", n2))
     val wCand = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"vec_id")
     val cand = enc.crossJoin(broadcast(qdf))
       .filter($"vec_id" =!= $"q_id")
-      .withColumn("adc_dot",
-        aggregate(sequence(lit(0), lit(7)), lit(0.0), (acc, m) => acc +
-          element_at(element_at($"lut", m + 1), element_at($"codes", m + 1).cast("int") + 1)))
+      .withColumn("adc_dot", graft.functions.GatherSum.column($"codes", $"lut"))
       .withColumn("approx_cos", $"adc_dot" / ($"q_nrm" * sqrt($"rnorm2")))
       .withColumn("crn", row_number().over(wCand))
       .filter($"crn" <= 64)
