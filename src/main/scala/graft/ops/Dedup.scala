@@ -157,8 +157,9 @@ object Dedup {
   private def dfCapped(ex: DataFrame, maxDf: Long): DataFrame = {
     val hot = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("h"))
+    // preserves any extra columns the caller carries (e.g. q72/DedupStream's
+    // is_delta flag) — an anti-join drops nothing but hot rows
     ex.join(broadcast(hot), Seq("h"), "left_anti")
-      .select(col("doc_id"), col("h"))
   }
 
   private def coldFrom(s: SparkSession, docs: DataFrame,
@@ -783,17 +784,46 @@ object Dedup {
       maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
     val docs = sharedShingleDocs(s, dir)
-    // df cap computed over the FULL collection (corpus ∪ delta) — the
-    // population the index actually serves; mirrored in the oracle.
-    val pfx = prefixCold(s, docs, maxDf)
-    val cand = pfx.filter($"doc_id" % 10 === 7).as("a")
-      .join(pfx.filter($"doc_id" % 10 =!= 7).as("b"), $"a.h" === $"b.h")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    verifiedJaccard(s, docs, cand)
-      .filter($"jaccard" >= 0.5)
+    deltaPairsFrom(s, docs.filter($"doc_id" % 10 =!= 7),
+        docs.filter($"doc_id" % 10 === 7), maxDf)
       .select($"doc_a".as("delta_doc"), $"doc_b".as("corpus_doc"),
         $"common", $"jaccard")
       .orderBy($"delta_doc", $"corpus_doc")
+  }
+
+  /** The delta-vs-corpus pair core shared by q72 and the streaming refresh
+    * ([[graft.streaming.DedupStream]]): candidates from the prefix-filtered
+    * index of corpus ∪ delta (the df cap counts over the POPULATION THE
+    * INDEX SERVES — both sides), restricted to delta×corpus collisions,
+    * then exact merge-walk Jaccard over unfiltered sets. doc_ids must be
+    * unique across the two inputs (q72 slices one table; the stream
+    * assigns fresh ids). Returns (doc_a = delta side, doc_b = corpus side,
+    * common, jaccard ≥ 0.5). */
+  private[graft] def deltaPairsFrom(s: SparkSession, corpusDocs: DataFrame,
+      deltaDocs: DataFrame, maxDf: Long = HotShingleMaxDf): DataFrame = {
+    import s.implicits._
+    val all = corpusDocs.select($"doc_id", $"hs").withColumn("is_delta", lit(false))
+      .unionByName(deltaDocs.select($"doc_id", $"hs").withColumn("is_delta", lit(true)))
+    val pfxEx = all.select($"doc_id", $"is_delta",
+      explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+    val capped = dfCapped(pfxEx, maxDf)
+    val cand = capped.filter($"is_delta").as("a")
+      .join(capped.filter(!$"is_delta").as("b"), $"a.h" === $"b.h")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    verifiedJaccard(s, all.select($"doc_id", $"hs"), cand)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+  }
+
+  /** Per-doc sorted distinct shingle-hash arrays for an arbitrary
+    * (doc_id, text) frame — the [[distinctShingleHashes]] projection for
+    * callers whose documents do not live in a fixture dir (the streaming
+    * refresh path). */
+  private[graft] def shingleDocsOf(docs: DataFrame): DataFrame = {
+    docs.select(col("doc_id"),
+      sort_array(array_distinct(
+        HashFns.shingleHashes(TextFns.tokens(col("text")), 3))).as("hs"))
+      .filter(size(col("hs")) > 0)
   }
 
   val q72Oracle: String =
