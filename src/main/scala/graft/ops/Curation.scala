@@ -238,11 +238,83 @@ object Curation {
       |WHERE r.sample_rank <= q.quota
       |ORDER BY q.source, r.sample_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q74
+  /** Distribution-based length-outlier filtering: per language, the docs
+    * above the exact 99th length percentile. The percentile is RANK
+    * arithmetic, never interpolation: a doc is an outlier iff
+    * `rank · 100 > 99 · n` over the total (n_chars, doc_id) order — pure
+    * integers, so the cut is identical in any engine (float quantile
+    * interpolation differs in formula shape between engines and is the
+    * classic oracle-mismatch trap). One shuffle on lang; the window is
+    * rank-only so state per stratum is O(1). */
+  def q74LengthOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val wn = Window.partitionBy($"lang")
+    Tables(s, dir, "documents")
+      .withColumn("len_rank", row_number().over(w).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(wn))
+      .filter($"len_rank" * 100 > $"n_docs" * 99)
+      .select($"lang", $"len_rank", $"doc_id", $"n_chars", $"n_docs")
+      .orderBy($"lang", $"len_rank")
+  }
+
+  val q74Oracle: String =
+    """SELECT lang, len_rank, doc_id, n_chars, n_docs FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS len_rank,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+      |  FROM documents)
+      |WHERE len_rank * 100 > n_docs * 99
+      |ORDER BY lang, len_rank""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Token-budget shard packing — the pretraining-prep step that lays
+    * documents into fixed-capacity training shards: within each source
+    * stream, docs are ordered by md5(doc_id) (the reproducible shuffle)
+    * and packed contiguously into 2048-token shards; a doc's shard is
+    * where its first token lands (`(cum − n_tokens) div 2048` over the
+    * running sum — integer arithmetic, straddling allowed, zero wasted
+    * tokens).
+    *
+    * Scale honesty: a running sum is sequential PER STREAM — the plan is
+    * one shuffle on source and a linear pass per partition, which is
+    * exactly how production packs (independent (source, day) substreams
+    * give the parallelism; the per-stream pass is unavoidable and cheap).
+    */
+  def q75TokenPacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"rand_key", $"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("n_tokens", size(TextFns.tokens($"text")).cast("long"))
+      .withColumn("rand_key", md5($"doc_id".cast("string")))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("shard", expr("(cum_tokens - n_tokens) div 2048"))
+      .select($"source", $"shard", $"doc_id", $"n_tokens", $"cum_tokens")
+      .orderBy($"source", $"cum_tokens", $"doc_id")
+  }
+
+  val q75Oracle: String =
+    """SELECT source, shard, doc_id, n_tokens, cum_tokens FROM (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+      |    (CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens) // 2048 AS shard
+      |  FROM (SELECT source, doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |        FROM documents))
+      |ORDER BY source, cum_tokens, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
     "q70_stratified_sample" -> q70StratifiedSample _,
     "q71_source_mix" -> q71SourceMix _,
+    "q74_length_outliers" -> q74LengthOutliers _,
+    "q75_token_packing" -> q75TokenPacking _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +322,7 @@ object Curation {
     "q69_lm_rarity" -> q69Oracle,
     "q70_stratified_sample" -> q70Oracle,
     "q71_source_mix" -> q71Oracle,
+    "q74_length_outliers" -> q74Oracle,
+    "q75_token_packing" -> q75Oracle,
   )
 }

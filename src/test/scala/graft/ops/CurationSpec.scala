@@ -113,6 +113,63 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q74 outlier cut is exact rank arithmetic: ceil(1% of each stratum), longest docs") {
+    val s = spark
+    import s.implicits._
+    val out = Curation.q74LengthOutliers(s, sf).collect()
+    val all = graft.Tables(s, sf, "documents")
+      .groupBy($"lang").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = out.groupBy(_.getString(0))
+    all.foreach { case (lang, n) =>
+      // rank·100 > 99·n keeps exactly n − floor(0.99·n) docs
+      val expected = n - (99 * n) / 100
+      assert(perLang(lang).length === expected, s"$lang: ${perLang(lang).length} vs $expected")
+    }
+    // the outliers are the stratum's longest docs: every outlier is at
+    // least as long as every non-outlier of its language
+    val maxKept = graft.Tables(s, sf, "documents").collect()
+      .groupBy(_.getAs[String]("lang"))
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val outIds = perLang(lang).map(_.getAs[Long]("doc_id")).toSet
+      val keptMax = maxKept(lang).filterNot(d => outIds(d.getAs[Long]("doc_id")))
+        .map(_.getAs[Long]("n_chars")).max
+      assert(r.getAs[Long]("n_chars") >= keptMax,
+        s"outlier shorter than a kept doc in $lang")
+    }
+  }
+
+  test("q75 packing is gapless, capacity-aligned, and deterministic") {
+    val s = spark
+    import s.implicits._
+    val out = Curation.q75TokenPacking(s, sf).collect()
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      // running sum is gapless: cum == previous cum + n_tokens in order
+      val ordered = rows.sortBy(_.getAs[Long]("cum_tokens"))
+      var prev = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("cum_tokens") === prev + r.getAs[Long]("n_tokens"),
+          s"gap in $src at doc ${r.getAs[Long]("doc_id")}")
+        prev = r.getAs[Long]("cum_tokens")
+      }
+      // shard = where the doc's first token lands
+      ordered.foreach { r =>
+        val start = r.getAs[Long]("cum_tokens") - r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("shard") === start / 2048,
+          s"shard misaligned for doc ${r.getAs[Long]("doc_id")}")
+      }
+      // shard ids are contiguous from 0
+      val shards = ordered.map(_.getAs[Long]("shard"))
+      assert(shards.head === 0L)
+      assert(shards.distinct === (0L to shards.max).toSeq, s"shard gap in $src")
+    }
+    // deterministic under physical reshuffle (same md5 order)
+    val again = Curation.q75TokenPacking(s, sf).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q70 sample is identical across partitionings and respects the cap") {
     val s = spark
     import s.implicits._
