@@ -84,16 +84,21 @@ object Curation {
     * bit-identical in any engine, where a floating `count <= total/vocab`
     * would hang the flag on a libm division.
     *
-    * Plan shape: two passes over the exploded bigram hashes — one partial-
-    * aggregated groupBy(hash) to train counts, one hash-keyed join back +
-    * groupBy(doc_id) to score. All shuffles are on 8-byte keys; the
-    * (vocab, total) pair is a 2-value broadcast scalar.
+    * Plan shape: the trained counts table (the "LM" artifact — bigram
+    * vocab, far smaller than the corpus) is MATERIALIZED once
+    * (localCheckpoint ↔ production writing the model to storage), then
+    * read twice: once for the 2-value (vocab, total) scalar, once as the
+    * scoring join's build side. Without the materialization the corpus is
+    * scanned and shuffle-aggregated twice — the planner does NOT reuse
+    * the exchange across the two consumers (verified: 0 ReusedExchange,
+    * 7 exchanges in the unmaterialized plan). All shuffles are on 8-byte
+    * keys.
     */
   def q69LmRarity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bg = Tables(s, dir, "documents")
       .select($"doc_id", explode(HashFns.shingleHashes(TextFns.tokens($"text"), 2)).as("h"))
-    val counts = bg.groupBy($"h").agg(count(lit(1)).as("c"))
+    val counts = bg.groupBy($"h").agg(count(lit(1)).as("c")).localCheckpoint(true)
     val totals = counts.agg(count(lit(1)).as("vocab"), sum($"c").as("total"))
     bg.join(counts, "h")
       .crossJoin(broadcast(totals))
