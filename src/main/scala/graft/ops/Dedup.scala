@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -843,6 +844,81 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5
        |ORDER BY delta_doc, corpus_doc""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Span length (tokens) for exact-substring-run dedup. Production systems
+    * use ~50-token windows (the "memorized span" scale); 8 keeps shared
+    * runs observable in the synthetic fixtures. The plan is length-
+    * independent: one hash per window position regardless of K. */
+  val SpanTokens = 8
+
+  /** Exact substring-run dedup (the suffix-array-free re-expression of
+    * "remove long exact substring overlaps" — Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): two docs
+    * overlap iff they share a contiguous K-token span verbatim; for each
+    * such pair report how many window positions matched and the LONGEST
+    * shared token run. A suffix array is a sequential single-node
+    * structure; the distributed shape is an inverted index of HASHED
+    * K-token windows WITH POSITIONS — pairs come from index collisions
+    * (equi-join on the 8-byte window hash, df-capped like q51, never
+    * all-pairs), and run lengths fall out of a gaps-and-islands pass over
+    * the matched position lattice: matches of a pair on one diagonal
+    * (pa − pb constant) with consecutive pa form one island; an island of
+    * r matched windows is a shared run of r + K − 1 tokens.
+    *
+    * Scale: windows are position-exploded (doc length × 1 rows, the same
+    * volume q51 already shuffles), the candidate join is collision-
+    * proportional with every bucket bounded by [[HotShingleMaxDf]], and
+    * the islands pass is one window function partitioned by (pair, diag) —
+    * state O(1) per group. Hash width caveat as q51: 31-bit djb2 keeps the
+    * oracle expressible; production widens to 128-bit fingerprints with an
+    * identical plan. */
+  def q76SpanDedup(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
+    import s.implicits._
+    val spans = Tables(s, dir, "documents")
+      .select($"doc_id",
+        posexplode(HashFns.shingleHashes(TextFns.tokens($"text"), SpanTokens))
+          .as(Seq("pos", "h")))
+    val cold = dfCapped(spans, maxDf)
+    val matched = cold.as("a").join(cold.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val wDiag = Window.partitionBy($"doc_a", $"doc_b", $"diag").orderBy($"pa")
+    val runs = matched
+      .withColumn("diag", $"pa" - $"pb")
+      .withColumn("grp", $"pa" - row_number().over(wDiag))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+      .agg(count(lit(1)).as("n_win"))
+    runs.groupBy($"doc_a", $"doc_b")
+      .agg(sum($"n_win").as("n_matches"),
+        (max($"n_win") + (SpanTokens - 1)).as("max_run_tokens"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q76Oracle: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |hs AS (SELECT doc_id, list_transform(${Sql.shingles("tokens", SpanTokens)},
+       |       shing -> ${Sql.djb2("shing")}) AS hl FROM tok),
+       |spans AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, hl[i] AS h
+       |          FROM (SELECT doc_id, hl, unnest(range(1, len(hl) + 1)) AS i FROM hs)),
+       |cold AS (SELECT doc_id, pos, h FROM (
+       |           SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS df FROM spans)
+       |         WHERE df <= $HotShingleMaxDf),
+       |matched AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT doc_a, doc_b, COUNT(*) AS n_win
+       |  FROM (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+       |          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |        FROM matched)
+       |  GROUP BY doc_a, doc_b, diag, grp)
+       |SELECT doc_a, doc_b, CAST(SUM(n_win) AS BIGINT) AS n_matches,
+       |  CAST(MAX(n_win) + ${SpanTokens - 1} AS BIGINT) AS max_run_tokens
+       |FROM runs GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -854,6 +930,7 @@ object Dedup {
     "q65_simhash_banded" -> q65SimhashBanded _,
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
     "q72_delta_dedup" -> ((s: SparkSession, d: String) => q72DeltaDedup(s, d)),
+    "q76_span_dedup" -> ((s: SparkSession, d: String) => q76SpanDedup(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,5 +944,6 @@ object Dedup {
     "q65_simhash_banded" -> q65Oracle,
     "q67_multisignal_clusters" -> q67Oracle,
     "q72_delta_dedup" -> q72Oracle,
+    "q76_span_dedup" -> q76Oracle,
   )
 }

@@ -241,4 +241,38 @@ class DedupSpec extends SparkSpec {
     // and the fixture actually exercises the path
     assert(got.nonEmpty)
   }
+
+  test("q76 span dedup: gaps-and-islands recovers the exact longest run") {
+    val s = spark
+    import s.implicits._
+    // Docs 1 and 2 share the 4-token stop prefix + 11-token tail verbatim
+    // (15 contiguous tokens), then diverge on the final token. With K=8
+    // windows that is windows 0..7 on one diagonal: n_matches = 8,
+    // max_run = 8 + (8−1) = 15. Docs 3..12 share only the 4-token prefix —
+    // below the window size, so no pair.
+    val dir = writeDocs()
+    val rows = Dedup.q76SpanDedup(s, dir).collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      === Seq((1L, 2L)))
+    assert(rows.head.getAs[Long]("n_matches") === 8L)
+    assert(rows.head.getAs[Long]("max_run_tokens") === 15L)
+    // Interrupted runs must NOT merge: a doc repeating a window at a
+    // non-adjacent position shares windows on two diagonals/islands — the
+    // longest run reflects the longest island only.
+    val root = java.nio.file.Files.createTempDirectory("graft-span-").toString
+    val span = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq(
+      (1L, s"$span x1 x2 $span"),          // run of 8, twice, split by x1 x2
+      (2L, s"$span y1 y2 y3 y4 y5 y6 y7 y8")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val r2 = Dedup.q76SpanDedup(s, root).collect()
+    assert(r2.length === 1)
+    // doc 1 matches doc 2's single w-window at two positions (two islands
+    // of size 1 on different diagonals): max run stays 8, matches = 2.
+    assert(r2.head.getAs[Long]("n_matches") === 2L)
+    assert(r2.head.getAs[Long]("max_run_tokens") === 8L)
+  }
 }
