@@ -919,6 +919,84 @@ object Dedup {
        |FROM runs GROUP BY doc_a, doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Cosine threshold for the SemDeDup pass. The paper prunes at very high
+    * similarity (ε ≈ 0.95+ on web-scale embeddings); 0.35 matches this
+    * fixture's similarity distribution (q54's threshold) so the pass has
+    * observable drops at test scale. */
+  val SemDedupTau = 0.35
+
+  /** Semantic dedup (SemDeDup — Abbas et al. 2023, arXiv:2303.09540,
+    * re-expressed Spark-first): cluster the embedding corpus with the IVF
+    * coarse quantizer (q59's deterministic decimal-mean centroids +
+    * codegen'd map-side nearest-cell assignment — the k-means stage of the
+    * paper), then WITHIN each cluster drop every vector that has a
+    * lower-id neighbor above the cosine threshold; survivors are the
+    * semantic keep-set. Output is the full per-vector decision: (vec_id,
+    * cell, keep, dup_of = the smallest same-cell duplicate partner).
+    *
+    * Scale shape — the within-cluster comparison is NOT all-pairs (q54's
+    * old sin): candidates come from an equi-join on (banded hyperplane
+    * sketch key ∩ cell) — [[graft.functions.PlaneBands]], the same
+    * collision-proportional generator as q54 — and only candidates pay an
+    * exact cosine. Both sketch key cardinality and cell count grow with
+    * the corpus (nlist scales with data under IVF sizing rules), so bucket
+    * occupancy — and per-bucket pair count — stays bounded. Recall
+    * contract: identical to q54's banded contract (byte-identical vectors
+    * always collide; a true pair at cosine c is a candidate with
+    * probability 1 − (1 − p(c)^β)^nb per band agreement).
+    *
+    * The final decision join is a left join of the (small) dropped set
+    * back onto the assignment — one 8-byte-key shuffle. */
+  def q77Semdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assigned = Similarity.ivfAssigned(s, dir)
+    val banded = assigned.select($"vec_id", $"cell",
+      explode(VecFns.planeBands($"embedding", CosBandPlanes, CosBandBeta)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.bk" === $"b.bk" && $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"))
+      .distinct()
+    val v = assigned.withColumn("nrm", VecFns.norm($"embedding"))
+    val fa = v.select($"vec_id".as("vec_a"), $"embedding".as("emb_a"), $"nrm".as("nrm_a"))
+    val fb = v.select($"vec_id".as("vec_b"), $"embedding".as("emb_b"), $"nrm".as("nrm_b"))
+    val dropped = cand.join(fa, "vec_a").join(fb, "vec_b")
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
+      .filter($"cos" >= SemDedupTau)
+      .groupBy($"vec_b".as("vec_id")).agg(min($"vec_a").as("dup_of"))
+    assigned.select($"vec_id", $"cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .withColumn("keep", $"dup_of".isNull)
+      .select($"vec_id", $"cell", $"keep", $"dup_of")
+      .orderBy($"vec_id")
+  }
+
+  val q77Oracle: String = {
+    val cos = Sql.cosine("fa.embedding", "fb.embedding")
+    // Banded sketch mirror — same key construction as q54's oracle.
+    val bitHi = s"(CASE WHEN ${Similarity.lshDotSql("embedding", "(2*b)")} >= 0 THEN 2 ELSE 0 END)"
+    val bitLo = s"(CASE WHEN ${Similarity.lshDotSql("embedding", "(2*b+1)")} >= 0 THEN 1 ELSE 0 END)"
+    s"""WITH ${Similarity.ivfAssignCte},
+       |banded AS (
+       |  SELECT vec_id, cell, b * 4 + $bitHi + $bitLo AS bk
+       |  FROM assigned CROSS JOIN range(0, 8) bd(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.bk = b.bk AND a.cell = b.cell AND a.vec_id < b.vec_id),
+       |drp AS (
+       |  SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of
+       |  FROM cand c
+       |  JOIN embeddings fa ON fa.vec_id = c.vec_a
+       |  JOIN embeddings fb ON fb.vec_id = c.vec_b
+       |  WHERE $cos >= $SemDedupTau
+       |  GROUP BY vec_b)
+       |SELECT a.vec_id, a.cell, (d.dup_of IS NULL) AS keep, d.dup_of
+       |FROM assigned a LEFT JOIN drp d USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -931,6 +1009,7 @@ object Dedup {
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
     "q72_delta_dedup" -> ((s: SparkSession, d: String) => q72DeltaDedup(s, d)),
     "q76_span_dedup" -> ((s: SparkSession, d: String) => q76SpanDedup(s, d)),
+    "q77_semdedup" -> q77Semdedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -945,5 +1024,6 @@ object Dedup {
     "q67_multisignal_clusters" -> q67Oracle,
     "q72_delta_dedup" -> q72Oracle,
     "q76_span_dedup" -> q76Oracle,
+    "q77_semdedup" -> q77Oracle,
   )
 }

@@ -142,11 +142,15 @@ object Similarity {
     * corpus never shuffles at all before the final per-query top-k.
     * Candidates ≈ corpus·(nprobe/nlist); q55 (brute force) is the recall
     * baseline at test scale. */
-  def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic IVF coarse-quantizer training shared by q59 and the
+    * SemDeDup pass (q77): per-label, per-dim exact decimal means, collected
+    * as bounded metadata (nlist rows of 64 doubles — same class as the
+    * signing upsert's ≤256 bucket prefixes, not a data collect). */
+  private[ops] def ivfCentroidMeta(s: SparkSession,
+      dir: String): (Array[Long], Array[Array[Double]]) = {
     import s.implicits._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val emb = Tables(s, dir, "embeddings")
-    val cent = emb
+    val cent = Tables(s, dir, "embeddings")
       .select($"label", posexplode($"embedding").as(Seq("d", "v")))
       .groupBy($"label", $"d")
       .agg((sum($"v".cast(DecimalType(18, 9))).cast(DoubleType) / count(lit(1))).as("m"))
@@ -154,10 +158,26 @@ object Similarity {
       .agg(array_sort(collect_list(struct($"d", $"m"))).as("dm"))
       .select($"label".cast("long").as("cell"),
         transform($"dm", x => x.getField("m")).as("centroid"))
-    // nlist rows of 64 doubles — bounded driver metadata, not a data collect
     val centRows = cent.orderBy($"cell").collect()
-    val cells = centRows.map(_.getLong(0))
-    val mats = centRows.map(_.getSeq[Double](1).toArray)
+    (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Every vector with its nearest-cell assignment — a single codegen'd
+    * map-side projection over the scan ([[graft.functions.NearestCells]]),
+    * zero exchange. Columns: vec_id, embedding, cell. */
+  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cells, mats) = ivfCentroidMeta(s, dir)
+    Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
+      element_at(
+        graft.functions.NearestCellsUtil.column($"embedding", cells, mats, 1), 1)
+        .as("cell"))
+  }
+
+  def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val (cells, mats) = ivfCentroidMeta(s, dir)
     def nc(v: Column, k: Int): Column =
       graft.functions.NearestCellsUtil.column(v, cells, mats, k)
     val assigned = emb.select($"vec_id", $"embedding",
@@ -175,11 +195,13 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  val q59Oracle: String = {
+  /** Oracle CTE chunk mirroring [[ivfCentroidMeta]] + [[ivfAssigned]]:
+    * `cent` (decimal-mean centroids), `scored` (vector × centroid cosines),
+    * `assigned` (nearest cell per vector). Shared by q59 and q77. */
+  private[ops] val ivfAssignCte: String = {
     val ccos = s"(${Sql.dotFD("e.embedding", "c.centroid")} / " +
       s"(sqrt(${Sql.dot("e.embedding", "e.embedding")}) * sqrt(${Sql.dotD("c.centroid", "c.centroid")})))"
-    val cos = Sql.cosine("q.q_emb", "a.embedding")
-    s"""WITH cent AS (
+    s"""cent AS (
        |  SELECT CAST(label AS BIGINT) AS cell, list(m ORDER BY d) AS centroid FROM (
        |    SELECT label, i AS d,
        |      CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
@@ -193,7 +215,12 @@ object Similarity {
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS arn
        |    FROM scored)
-       |  WHERE arn = 1),
+       |  WHERE arn = 1)""".stripMargin
+  }
+
+  val q59Oracle: String = {
+    val cos = Sql.cosine("q.q_emb", "a.embedding")
+    s"""WITH $ivfAssignCte,
        |qprobe AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn

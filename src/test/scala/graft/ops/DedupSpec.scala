@@ -275,4 +275,36 @@ class DedupSpec extends SparkSpec {
     assert(r2.head.getAs[Long]("n_matches") === 2L)
     assert(r2.head.getAs[Long]("max_run_tokens") === 8L)
   }
+
+  test("q77 semdedup: drops point to a verified lower-id same-cell partner") {
+    val s = spark
+    import s.implicits._
+    val res = Dedup.q77Semdedup(s, sf).collect()
+    val cellOf = res.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val dropped = res.filter(!_.getAs[Boolean]("keep"))
+    assert(dropped.nonEmpty) // the fixture exercises the drop path (57 at sf0.001)
+    dropped.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val d = r.getAs[Long]("dup_of")
+      assert(d < v, s"dup_of $d !< $v")
+      assert(cellOf(d) === cellOf(v), s"pair ($d, $v) crosses cells")
+    }
+    // every reported (dup_of, vec_id) pair is a true cosine duplicate —
+    // recompute exact cosine for the dropped pairs and check the threshold
+    val emb = graft.Tables(s, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding"))).toMap
+    def cos(a: scala.collection.Seq[Float], b: scala.collection.Seq[Float]): Double = {
+      def dot(x: scala.collection.Seq[Float], y: scala.collection.Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    dropped.foreach { r =>
+      val c = cos(emb(r.getAs[Long]("dup_of")), emb(r.getAs[Long]("vec_id")))
+      assert(c >= Dedup.SemDedupTau, s"cos $c below tau")
+    }
+    // keeps and drops partition the corpus
+    assert(res.length === emb.size)
+  }
 }
