@@ -997,6 +997,56 @@ object Dedup {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Bloom-prefiltered sketch membership for a delta batch — the refresh
+    * pipeline's cheapest gate, upstream of q72's pairwise check: "has the
+    * corpus seen this document's sketch before?" The standing corpus's
+    * SimHash sketches ([[graft.functions.SimHash32]]) build a distributed
+    * Bloom filter ([[graft.functions.BloomFns]] — map-side bit explosion,
+    * partial-aggregated bit_or merge, 16 KiB of collected metadata); every
+    * delta document probes it MAP-SIDE (codegen'd
+    * [[graft.functions.BloomMightContain]]), and only bloom-positives —
+    * true matches plus a (k·n/m)^k sliver of false positives — enter the
+    * exact equi-join that resolves the matched corpus keeper. Bloom
+    * negatives are definitively new (no false negatives by construction)
+    * and never shuffle at all.
+    *
+    * At 100 TB that asymmetry is the point: the delta side's exchange
+    * carries only candidate rows, the same contract as Spark's own
+    * runtime bloom-filter join pruning — expressed here as an explicit,
+    * reusable operator whose filter is a per-refresh artifact. The DuckDB
+    * oracle states the exact semantics (membership + min-keeper join);
+    * the bloom path cannot change results, only prune work — BloomSpec
+    * pins that equivalence plus the no-false-negative property. */
+  def q78BloomDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sk = Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
+    val corpus = sk.filter($"doc_id" % 10 =!= 3)
+    val delta = sk.filter($"doc_id" % 10 === 3)
+    val words = graft.functions.BloomFns.build(corpus.select($"simhash"))
+    val keepers = corpus.groupBy($"simhash").agg(min($"doc_id").as("keeper"))
+    val flagged = delta.withColumn("maybe",
+      graft.functions.BloomFns.mightContain($"simhash", words))
+    val resolved = flagged.filter($"maybe")
+      .join(keepers, Seq("simhash"), "left")
+      .select($"doc_id", $"simhash", $"keeper")
+    val fresh = flagged.filter(!$"maybe")
+      .select($"doc_id", $"simhash", lit(null).cast("long").as("keeper"))
+    resolved.unionByName(fresh)
+      .withColumn("is_dup", $"keeper".isNotNull)
+      .select($"doc_id", $"simhash", $"is_dup", $"keeper")
+      .orderBy($"doc_id")
+  }
+
+  val q78Oracle: String =
+    s"""WITH $simhashCte
+       |SELECT d.doc_id, d.simhash, (k.keeper IS NOT NULL) AS is_dup, k.keeper
+       |FROM (SELECT doc_id, simhash FROM sk WHERE doc_id % 10 = 3) d
+       |LEFT JOIN (SELECT simhash, MIN(doc_id) AS keeper FROM sk
+       |           WHERE doc_id % 10 <> 3 GROUP BY simhash) k USING (simhash)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -1010,6 +1060,7 @@ object Dedup {
     "q72_delta_dedup" -> ((s: SparkSession, d: String) => q72DeltaDedup(s, d)),
     "q76_span_dedup" -> ((s: SparkSession, d: String) => q76SpanDedup(s, d)),
     "q77_semdedup" -> q77Semdedup _,
+    "q78_bloom_delta" -> q78BloomDelta _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1025,5 +1076,6 @@ object Dedup {
     "q72_delta_dedup" -> q72Oracle,
     "q76_span_dedup" -> q76Oracle,
     "q77_semdedup" -> q77Oracle,
+    "q78_bloom_delta" -> q78Oracle,
   )
 }
