@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -313,6 +313,75 @@ object Curation {
       |        FROM documents))
       |ORDER BY source, cum_tokens, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79
+  /** Hashing-trick embedding table size and hidden width for the q79
+    * classifier. 2¹⁶ buckets × 8 dims keeps every LCG index below 2¹⁹, far
+    * from both engines' integer-exactness limits. */
+  val ClsBuckets = 65536L
+  val ClsHidden = 8
+
+  /** Deterministic LCG weight in [−0.5, 0.5) — the same generator family
+    * as the LSH planes (Similarity.planeVal), indexed flat. Integer-exact
+    * in both engines; mirrored by [[Sql.lcg]]. */
+  private def lcgVal(idx: Column): Column =
+    ((lit(1103515245L) * idx + lit(12345L)) % lit(2147483648L)).cast("double") /
+      lit(2147483648.0) - lit(0.5)
+
+  /** Model-based quality-classifier INFERENCE (the fastText shape used for
+    * GPT-3/LLaMA-style quality filtering): each token embeds via the
+    * hashing trick (djb2 token hash → one of [[ClsBuckets]] rows of an
+    * 8-dim table), the document vector is the token-order mean, and a
+    * linear head scores it — here with a deterministically "trained"
+    * LCG-generated weight table so inference is reproducible in any engine
+    * (production swaps in real learned weights; the plan is identical).
+    *
+    * Scale shape: pure map-side — tokenize, hash, fold, dot — one codegen'd
+    * scan projection, no shuffle, no model broadcast beyond the head (the
+    * embedding table is a FORMULA here; a learned table would broadcast
+    * ~2 MB, the same bounded-metadata class as q59's centroids).
+    *
+    * Determinism discipline: every fold is left-to-right from a 0.0 seed in
+    * token order (hs preserves position); weights derive from integer-exact
+    * LCG arithmetic; the head sum is an explicit left-associated chain
+    * mirrored verbatim in the oracle. */
+  def q79QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.shingleHashes(TextFns.tokens($"text"), 1).as("hs"))
+      .filter(size($"hs") > 0)
+      .withColumn("n_tokens", size($"hs").cast("long"))
+    val withHidden = (0 until ClsHidden).foldLeft(base) { (df, j) =>
+      df.withColumn(s"hid_$j",
+        aggregate($"hs", lit(0.0), (acc, h) =>
+          acc + lcgVal(pmod(h, lit(ClsBuckets)) * 8 + lit(j.toLong)))
+          / $"n_tokens".cast("double"))
+    }
+    val z = (0 until ClsHidden).foldLeft(lit(0.0): Column) { (acc, j) =>
+      acc + lcgVal(lit(524288L + j)) * col(s"hid_$j")
+    }
+    withHidden.withColumn("score", z)
+      .withColumn("is_quality", $"score" > 0.0)
+      .select($"doc_id", $"n_tokens", $"score", $"is_quality")
+      .orderBy($"doc_id")
+  }
+
+  val q79Oracle: String = {
+    def hid(j: Int): String =
+      s"list_reduce(list_prepend(0.0, list_transform(hs, h -> " +
+        s"${Sql.lcg(s"(h % $ClsBuckets) * 8 + $j")})), (qa, qb) -> qa + qb) / " +
+        "CAST(n_tokens AS DOUBLE)"
+    val z = "0.0 + " + (0 until ClsHidden)
+      .map(j => s"${Sql.lcg(s"524288 + $j")} * hid_$j").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |hsx AS (SELECT doc_id, list_transform(tokens, t -> ${Sql.djb2("t")}) AS hs,
+       |        CAST(len(tokens) AS BIGINT) AS n_tokens FROM tok WHERE len(tokens) > 0),
+       |hidt AS (SELECT doc_id, n_tokens,
+       |         ${(0 until ClsHidden).map(j => s"${hid(j)} AS hid_$j").mkString(",\n         ")}
+       |         FROM hsx)
+       |SELECT doc_id, n_tokens, ($z) AS score, (($z) > 0.0) AS is_quality
+       |FROM hidt ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -320,6 +389,7 @@ object Curation {
     "q71_source_mix" -> q71SourceMix _,
     "q74_length_outliers" -> q74LengthOutliers _,
     "q75_token_packing" -> q75TokenPacking _,
+    "q79_quality_classifier" -> q79QualityClassifier _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +399,6 @@ object Curation {
     "q71_source_mix" -> q71Oracle,
     "q74_length_outliers" -> q74Oracle,
     "q75_token_packing" -> q75Oracle,
+    "q79_quality_classifier" -> q79Oracle,
   )
 }

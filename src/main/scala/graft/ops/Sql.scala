@@ -65,6 +65,15 @@ object Sql {
     s"list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
       s"dp_i -> ($a)[dp_i] * ($b)[dp_i])), (dp_x, dp_y) -> dp_x + dp_y)"
 
+  /** Deterministic LCG value in [−0.5, 0.5) over a non-negative integer
+    * index expression — the hashed-embedding / trained-weight generator
+    * (integer arithmetic is BIGINT-exact and the final divide is correctly
+    * rounded, so the double is bit-identical in both engines). The ::BIGINT
+    * cast matters: DuckDB otherwise multiplies in INT32 and overflows for
+    * indexes ≥ ~2. */
+  def lcg(idx: String): String =
+    s"(CAST((1103515245::BIGINT * ($idx) + 12345) % 2147483648 AS DOUBLE) / 2147483648.0 - 0.5)"
+
   /** Rolling polynomial fingerprint — mirrors
     * [[graft.functions.HashFns.rollingHash]]. */
   def rollingHash(col: String): String =

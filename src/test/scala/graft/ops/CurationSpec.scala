@@ -188,4 +188,39 @@ class CurationSpec extends SparkSpec {
       assert(ranks === (1L to ranks.size).toSeq, s"ranks not dense for $lang")
     }
   }
+
+  test("q79 classifier scores are bit-identical across partitionings") {
+    val s = spark
+    import s.implicits._
+    // Map-side inference must not depend on physical layout: the token
+    // fold is per-row, so any repartitioning yields the same doubles.
+    val out1 = Curation.q79QualityClassifier(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    val reshuffled = graft.Tables(s, sf, "documents").repartition(13)
+    val tmp = Files.createTempDirectory("graft-cls-").toString
+    reshuffled.write.parquet(s"$tmp/documents.parquet")
+    val out2 = Curation.q79QualityClassifier(s, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(out1 === out2)
+    // non-vacuous: the head separates the fixture into both classes
+    assert(out1.exists(_._4) && out1.exists(!_._4))
+    // a doc's score is the exact left fold of its token embeddings — spot
+    // check one doc against a driver-side recomputation
+    val doc = graft.Tables(s, sf, "documents").orderBy($"doc_id").limit(1)
+      .select($"doc_id", $"text").collect().head
+    val toks = doc.getString(1).split(" ", -1)
+    def djb2(t: String): Long = math.abs(graft.functions.Djb2.hash(t))
+    def lcg(idx: Long): Double =
+      ((1103515245L * idx + 12345L) % 2147483648L).toDouble / 2147483648.0 - 0.5
+    val hid = (0 until Curation.ClsHidden).map { j =>
+      toks.foldLeft(0.0) { (acc, t) =>
+        acc + lcg((djb2(t) % Curation.ClsBuckets) * 8 + j)
+      } / toks.length.toDouble
+    }
+    val z = (0 until Curation.ClsHidden).foldLeft(0.0) { (acc, j) =>
+      acc + lcg(524288L + j) * hid(j)
+    }
+    val got = out1.find(_._1 == doc.getLong(0)).get._3
+    assert(got === z, s"score $got != local fold $z")
+  }
 }
