@@ -56,7 +56,8 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  val q68Oracle: String =
+  /** q68 without its final ORDER BY, for composition (q81). */
+  private val q68OracleNoOrder: String =
     s"""WITH hashed AS (
        |  SELECT doc_id, list_distinct(list_transform(${Sql.shingles("tokens", 4)},
        |    shing -> ${Sql.djb2("shing")})) AS hs
@@ -71,8 +72,9 @@ object Curation {
        |SELECT c.doc_id, CAST(len(c.hs) AS BIGINT) AS n_shingles, hits.n_hit,
        |  CAST(hits.n_hit AS DOUBLE) / CAST(len(c.hs) AS DOUBLE) AS hit_frac,
        |  (CAST(hits.n_hit AS DOUBLE) / CAST(len(c.hs) AS DOUBLE)) > 0.2 AS severe
-       |FROM corpus c JOIN hits USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |FROM corpus c JOIN hits USING (doc_id)""".stripMargin
+
+  val q68Oracle: String = s"$q68OracleNoOrder\nORDER BY doc_id"
 
   // ---------------------------------------------------------------- q69
   /** N-gram LM rarity scoring (the CCNet quality-bucket idea with the LM
@@ -382,6 +384,93 @@ object Curation {
        |FROM hidt ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q80
+  /** Leakage-safe train/val/test split: every document is assigned a split
+    * by the md5 of its NEAR-DUP CLUSTER representative, not of itself — so
+    * a whole duplicate family always lands in the same split and a
+    * val/test member can never leak a train member's content (the classic
+    * split-leakage bug that inflates eval numbers). Singletons are their
+    * own cluster. Buckets are hex-prefix ranges of the md5 ('cc' ≈ 80%,
+    * 'e6' ≈ 90%) — pure string comparison, identical in any engine, and
+    * the assignment is reproducible under any partitioning (the q70
+    * property, inherited from md5 determinism).
+    *
+    * Plan shape: the cluster labels are the materialized q60 CC output
+    * (the staged pipeline asset, as q62/q64 consume it); the assignment
+    * itself is one left join + a map-side md5 projection. */
+  def q80ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Dedup.cachedDupLabels(s, dir)
+      .select($"doc_id", $"cluster".as("cc_cluster"))
+    Tables(s, dir, "documents").select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"cc_cluster", $"doc_id"))
+      .withColumn("rep_key", md5($"cluster".cast("string")))
+      .withColumn("split",
+        when($"rep_key" < "cc", "train")
+          .when($"rep_key" < "e6", "val")
+          .otherwise("test"))
+      .select($"doc_id", $"cluster", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val q80Oracle: String =
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder}),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN md5(CAST(cluster AS VARCHAR)) < 'cc' THEN 'train'
+       |       WHEN md5(CAST(cluster AS VARCHAR)) < 'e6' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assigned ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Near-dup-aware (transitive) decontamination: a corpus document is
+    * excluded iff its near-dup CLUSTER contains any directly-contaminated
+    * doc (q68's n-gram collision rule) — a direct hit's edited twin can
+    * carry the same memorized benchmark content while dodging the n-gram
+    * match, so exclusion must close over the duplicate family (the same
+    * composition discipline as q80's split). Output is the exclusion list
+    * with the audit trail: which cluster, and whether the doc itself hit.
+    *
+    * Plan shape: q68's hit set (already collision-proportional) joins the
+    * materialized CC labels; the contaminated-cluster set is tiny and the
+    * final semi-join is keyed on cluster id. */
+  def q81TransitiveDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val direct = q68Decontaminate(s, dir)
+      .select($"doc_id", lit(true).as("direct_hit"))
+    val labels = Dedup.cachedDupLabels(s, dir)
+      .select($"doc_id", $"cluster".as("cc_cluster"))
+    val corpus = Tables(s, dir, "documents")
+      .filter($"doc_id" % 97 =!= 0).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"cc_cluster", $"doc_id"))
+    val contamClusters = corpus.join(direct.select($"doc_id"), "doc_id")
+      .select($"cluster").distinct()
+    corpus.join(contamClusters, Seq("cluster"), "left_semi")
+      .join(direct, Seq("doc_id"), "left")
+      .withColumn("direct_hit", coalesce($"direct_hit", lit(false)))
+      .select($"doc_id", $"cluster", $"direct_hit")
+      .orderBy($"doc_id")
+  }
+
+  val q81Oracle: String =
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder}),
+       |direct AS (SELECT doc_id FROM (${q68OracleNoOrder}) x),
+       |corpus AS (
+       |  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+       |  WHERE d.doc_id % 97 <> 0),
+       |contam_clusters AS (
+       |  SELECT DISTINCT c.cluster FROM corpus c JOIN direct USING (doc_id))
+       |SELECT c.doc_id, c.cluster,
+       |  (c.doc_id IN (SELECT doc_id FROM direct)) AS direct_hit
+       |FROM corpus c
+       |WHERE c.cluster IN (SELECT cluster FROM contam_clusters)
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -390,6 +479,8 @@ object Curation {
     "q74_length_outliers" -> q74LengthOutliers _,
     "q75_token_packing" -> q75TokenPacking _,
     "q79_quality_classifier" -> q79QualityClassifier _,
+    "q80_cluster_split" -> q80ClusterSplit _,
+    "q81_transitive_decontam" -> q81TransitiveDecontam _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +491,7 @@ object Curation {
     "q74_length_outliers" -> q74Oracle,
     "q75_token_packing" -> q75Oracle,
     "q79_quality_classifier" -> q79Oracle,
+    "q80_cluster_split" -> q80Oracle,
+    "q81_transitive_decontam" -> q81Oracle,
   )
 }

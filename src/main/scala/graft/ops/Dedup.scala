@@ -714,8 +714,8 @@ object Dedup {
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
-  /** q60 without its final ORDER BY, for composition (q62). */
-  private def q60OracleNoOrder: String =
+  /** q60 without its final ORDER BY, for composition (q62, q80, q81). */
+  private[ops] def q60OracleNoOrder: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${Dedup.q51OracleNoOrder}) p
        |), edges AS (

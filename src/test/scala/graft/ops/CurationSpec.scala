@@ -223,4 +223,47 @@ class CurationSpec extends SparkSpec {
     val got = out1.find(_._1 == doc.getLong(0)).get._3
     assert(got === z, s"score $got != local fold $z")
   }
+
+  test("q80/q81: clusters move together; exclusion closes over near-dup families") {
+    val s = spark
+    import s.implicits._
+    // doc 0 (eval slice: 0 % 97 == 0) is the benchmark; doc 1 quotes one of
+    // its 4-grams (direct hit); doc 2 is a near-dup of doc 1 (3-shingle
+    // Jaccard 7/9 ≈ 0.78) that shares NO 4-gram with the benchmark — it
+    // must be excluded TRANSITIVELY, through the cluster; docs 3/4 are
+    // clean unrelated filler.
+    val root = Files.createTempDirectory("graft-td-").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta unrelated tail words here today now"),
+      (2L, "zzz beta gamma delta unrelated tail words here today now"),
+      (3L, "completely different content about storage layouts and codecs"),
+      (4L, "another clean document with its own vocabulary entirely"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+
+    val excl = Curation.q81TransitiveDecontam(s, root).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[Boolean]("direct_hit"))).toSeq.sortBy(_._1)
+    assert(excl.map(_._1) === Seq(1L, 2L), s"exclusion list wrong: $excl")
+    assert(excl.find(_._1 == 1L).get._3 === true,  "doc 1 should be a direct hit")
+    assert(excl.find(_._1 == 2L).get._3 === false, "doc 2 must be transitive-only")
+    assert(excl.map(_._2).distinct.size === 1, "both exclusions share one cluster")
+
+    // q80: the near-dup family (1, 2) lands in ONE split; every doc is
+    // assigned exactly one of train/val/test
+    val split = Curation.q80ClusterSplit(s, root).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"),
+        r.getAs[String]("split"))).toSeq
+    assert(split.map(_._1).sorted === Seq(0L, 1L, 2L, 3L, 4L))
+    val fam = split.filter(t => t._1 == 1L || t._1 == 2L)
+    assert(fam.map(_._3).distinct.size === 1,
+      s"near-dup family split apart: $fam")
+    assert(split.forall(t => Set("train", "val", "test").contains(t._3)))
+    // and on the fixture corpus: same-cluster ⇒ same-split holds globally
+    val bySplit = split.groupBy(_._2).values
+    assert(bySplit.forall(_.map(_._3).distinct.size == 1))
+  }
 }
