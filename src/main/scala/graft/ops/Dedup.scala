@@ -1047,6 +1047,72 @@ object Dedup {
        |           WHERE doc_id % 10 <> 3 GROUP BY simhash) k USING (simhash)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Cross-document segment-level exact dedup with corpus REWRITING (the
+    * C4 rule at paragraph granularity, re-expressed over token segments
+    * since the fixture corpus has no line breaks): each document is cut
+    * into consecutive 8-token segments; a segment occurrence survives iff
+    * it is the globally FIRST occurrence of that exact segment text, in
+    * (doc_id, seg_idx) order; each document is then reassembled from its
+    * surviving segments. Unlike q50 (whole-doc dedup) and q76 (pair span
+    * discovery), this REWRITES every document — the operator a corpus
+    * build runs to strip boilerplate that repeats across documents while
+    * keeping the surrounding novel text.
+    *
+    * Plan shape: one codegen'd segment projection + posexplode on the
+    * scan; ONE wide shuffle on the segment text (the first-occurrence
+    * window — row_number over (doc_id, seg_idx), the same WindowGroupLimit
+    * -friendly rank-1 shape as q70); reassembly is one groupBy(doc_id)
+    * whose input is at most the original token stream. Nothing is ever
+    * all-pairs; a segment's duplicate set meets only in its own hash
+    * bucket. At 100 TB the segment key would be sha256(segment) to keep
+    * shuffle rows narrow — semantics unchanged.
+    */
+  def q82SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Tokens are materialized as a column BEFORE the segment lambda: the
+    // lambda's slice() then binds to the attribute instead of re-running
+    // split(text) once per segment index (which would be O(tokens²/8)
+    // string work per document).
+    val nseg = ceil(size($"toks").cast("double") / 8.0).cast("int")
+    val segs = Tables(s, dir, "documents")
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        when(size($"toks") > 0,
+          transform(sequence(lit(0), nseg - 1),
+            i => concat_ws(" ", slice($"toks", i * 8 + 1, lit(8)))))
+          .otherwise(array().cast("array<string>")).as("segs"))
+      .select($"doc_id", posexplode($"segs").as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy($"seg").orderBy($"doc_id", $"seg_idx")
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when($"rn" === 1, struct($"seg_idx", $"seg")))),
+          x => x("seg")), " ").as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val q82Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |segs AS (
+      |  SELECT doc_id, (st - 1) // 8 AS seg_idx,
+      |    array_to_string(tokens[st:st+7], ' ') AS seg
+      |  FROM toks, UNNEST(range(1, len(tokens) + 1, 8)) AS u(st)),
+      |ranked AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |  FROM segs)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+      |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+      |  COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '')
+      |    AS clean_text
+      |FROM ranked
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -1061,6 +1127,7 @@ object Dedup {
     "q76_span_dedup" -> ((s: SparkSession, d: String) => q76SpanDedup(s, d)),
     "q77_semdedup" -> q77Semdedup _,
     "q78_bloom_delta" -> q78BloomDelta _,
+    "q82_segment_dedup" -> q82SegmentDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1077,5 +1144,6 @@ object Dedup {
     "q76_span_dedup" -> q76Oracle,
     "q77_semdedup" -> q77Oracle,
     "q78_bloom_delta" -> q78Oracle,
+    "q82_segment_dedup" -> q82Oracle,
   )
 }

@@ -307,6 +307,51 @@ object TextAnalysis {
        |WHERE q.is_quality AND NOT COALESCE(r.is_repetitive, false)
        |ORDER BY k.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Vocabulary build + out-of-vocabulary rate: the corpus's top-64 tokens
+    * by (frequency DESC, token ASC — the deterministic tie-break) form the
+    * vocabulary; each document is scored by the fraction of its token
+    * OCCURRENCES outside that vocabulary. This is the tokenizer-coverage
+    * gate of a training pipeline: a spiking OOV rate on a new source means
+    * the tokenizer (or the source) needs attention before the tokens hit
+    * the trainer.
+    *
+    * Plan shape: the vocabulary is one partial-aggregated groupBy(token)
+    * followed by a global top-64 (TakeOrderedAndProject — map tasks forward
+    * 64 rows each, never the full term table); the vocabulary then
+    * BROADCASTS back onto the token stream (64 rows at any corpus scale),
+    * so the per-doc scoring pass shuffles only on doc_id. */
+  def q84VocabOov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("tok"))
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(64)
+      .select($"tok", lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", $"n_oov".cast("double") / $"n_tokens".cast("double"))
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_frac")
+      .orderBy($"doc_id")
+  }
+
+  val q84Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok, 1 AS iv FROM (
+      |    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+      |    ORDER BY c DESC, tok LIMIT 64))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+      |FROM toks LEFT JOIN vocab v USING (tok)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -317,6 +362,7 @@ object TextAnalysis {
     "q61_pii_scrub" -> q61PiiScrub _,
     "q63_repetition" -> q63Repetition _,
     "q64_corpus_gate" -> q64CorpusGate _,
+    "q84_vocab_oov" -> q84VocabOov _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +375,6 @@ object TextAnalysis {
     "q61_pii_scrub" -> q61Oracle,
     "q63_repetition" -> q63Oracle,
     "q64_corpus_gate" -> q64Oracle,
+    "q84_vocab_oov" -> q84Oracle,
   )
 }

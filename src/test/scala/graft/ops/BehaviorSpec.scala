@@ -1,0 +1,74 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Semantic fixtures for the behavioral-analytics family: the funnel's
+  * strictly-ordered within-window stage rule (including the inclusive
+  * 24-hour boundary and the out-of-order exclusion) and the cohort
+  * triangle's pre-signup exclusion.
+  */
+class BehaviorSpec extends SparkSpec {
+
+  private def writeEvents(rows: Seq[(Long, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-behavior-").toString
+    rows.map { case (u, t, ts) => (u, t, Timestamp.valueOf(ts)) }
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$root/events.parquet")
+    root
+  }
+
+  test("q83 funnel: ordered within-window stages, inclusive 24h boundary, strict order") {
+    val s = spark
+    import s.implicits._
+    val dir = writeEvents(Seq(
+      // user 1: full funnel, each step inside 24h
+      (1L, "view", "2024-01-01 00:00:00"),
+      (1L, "click", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      // user 2: click 25h after the view — outside the step window
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "click", "2024-01-02 01:00:00"),
+      // user 3: click BEFORE the first view — order must be strict
+      (3L, "click", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-01 01:00:00"),
+      // user 4: click at exactly +24h (inclusive); purchase at the same
+      // instant as the click (NOT strictly after → no conversion)
+      (4L, "view", "2024-01-01 00:00:00"),
+      (4L, "click", "2024-01-02 00:00:00"),
+      (4L, "purchase", "2024-01-02 00:00:00"),
+    ))
+    val out = Behavior.q83Funnel(s, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("1_view", 4L), ("2_click", 2L), ("3_purchase", 1L)))
+  }
+
+  test("q85 cohort retention: day-offset counts exclude pre-signup activity and non-signups") {
+    val s = spark
+    import s.implicits._
+    val dir = writeEvents(Seq(
+      // user 1: signs up Jan 2; has an event the day BEFORE (excluded),
+      // activity on days 0, 1, 3
+      (1L, "click", "2024-01-01 10:00:00"),
+      (1L, "signup", "2024-01-02 09:00:00"),
+      (1L, "view", "2024-01-03 09:00:00"),
+      (1L, "purchase", "2024-01-05 09:00:00"),
+      // user 2: signs up Jan 3, active days 0 and 1
+      (2L, "signup", "2024-01-03 12:00:00"),
+      (2L, "click", "2024-01-04 12:00:00"),
+      // user 3: never signs up — not in any cohort
+      (3L, "view", "2024-01-02 08:00:00"),
+      (3L, "click", "2024-01-03 08:00:00"),
+    ))
+    val out = Behavior.q85CohortRetention(s, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L), ("2024-01-02", 3L, 1L),
+      ("2024-01-03", 0L, 1L), ("2024-01-03", 1L, 1L),
+    ))
+  }
+}

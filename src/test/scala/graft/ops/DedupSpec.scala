@@ -307,4 +307,30 @@ class DedupSpec extends SparkSpec {
     // keeps and drops partition the corpus
     assert(res.length === emb.size)
   }
+
+  test("q82 segment dedup: first occurrence wins, docs reassemble in order") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-segdedup-").toString
+    val segA = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val segB = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val segC = "c1 c2 c3 c4 c5 c6 c7 c8"
+    Seq(
+      (0L, s"$segA $segB"), // both novel → fully kept
+      (1L, s"$segA $segC"), // segment A already seen in doc 0 → only C survives
+      (2L, "d1 d2 d3"),     // short partial segment, unique → kept
+      (3L, segA),           // entire doc is a seen segment → rewritten to ""
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Dedup.q82SegmentDedup(s, root)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (0L, 2L, 2L, s"$segA $segB"),
+      (1L, 2L, 1L, segC),
+      (2L, 1L, 1L, "d1 d2 d3"),
+      (3L, 1L, 0L, ""),
+    ))
+  }
 }

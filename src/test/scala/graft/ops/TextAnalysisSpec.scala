@@ -95,4 +95,25 @@ class TextAnalysisSpec extends SparkSpec {
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("q84 vocab/OOV: top-64 by (count desc, token asc), rate counts occurrences") {
+    val s = spark
+    import s.implicits._
+    // t01..t63 appear twice (doc 0 + doc 1); t64..t70 appear once (doc 0
+    // only). The 64th vocabulary slot goes to the lexicographically
+    // smallest once-token — t64 — so doc 0's OOV occurrences are exactly
+    // t65..t70.
+    val twice = (1 to 63).map(i => f"t$i%02d")
+    val once = (64 to 70).map(i => f"t$i%02d")
+    val dir = writeDocs(Seq(
+      (0L, (twice ++ once).mkString(" ")),
+      (1L, twice.mkString(" ")),
+    ))
+    val out = TextAnalysis.q84VocabOov(s, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 70L, 6L, 6.0 / 70.0),
+      (1L, 63L, 0L, 0.0),
+    ))
+  }
 }
