@@ -33,6 +33,11 @@ object PlanAudit {
     "q77_semdedup" -> "IVF cells assigned map-side (NearestCells over the scan, centroids = bounded metadata); within-cell candidates from the (PlaneBands key ∩ cell) equi-join — never within-cell all-pairs; exact-cosine verify joins back on vec_id; the keep decision is one left join of the small dropped set",
     "q78_bloom_delta" -> "bloom probe is a codegen'd map-side projection (the 16 KiB word array baked as literal metadata like NearestCells) — bloom-negative delta rows are filtered BEFORE any exchange; only candidates reach the keeper equi-join",
     "q79_quality_classifier" -> "map-only inference: tokenize + hash + embed-fold + linear head in one projection over the scan; the only exchange is the presentation ORDER BY",
+    "q80_cluster_split" -> "split assignment is one left join against the materialized CC labels + a map-side md5 projection — a duplicate family can never straddle a split boundary",
+    "q81_transitive_decontam" -> "the contaminated-cluster set is tiny (hits ∩ labels) → broadcast semi-join on cluster id; the q68 hit side is already collision-proportional",
+    "q82_segment_dedup" -> "segments are a map-side projection + posexplode over the scan; ONE wide shuffle on the segment text for the first-occurrence window (every occurrence keeps its rank — the doc must count kept AND dropped); reassembly is one groupBy(doc_id)",
+    "q83_funnel" -> "each funnel stage is a keyed aggregation + equi-join on user_id — the stage exchanges reuse one hash partitioning; final per-stage counts are single-row aggregates",
+    "q84_vocab_oov" -> "vocabulary via partial-agg groupBy(token) + global top-64 (TakeOrderedAndProject — map tasks forward 64 rows); the 64-row vocab BROADCASTS back onto the token stream, so scoring shuffles only on doc_id",
   )
 
   def main(args: Array[String]): Unit = {

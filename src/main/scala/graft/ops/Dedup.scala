@@ -1060,13 +1060,14 @@ object Dedup {
     * keeping the surrounding novel text.
     *
     * Plan shape: one codegen'd segment projection + posexplode on the
-    * scan; ONE wide shuffle on the segment text (the first-occurrence
-    * window — row_number over (doc_id, seg_idx), the same WindowGroupLimit
-    * -friendly rank-1 shape as q70); reassembly is one groupBy(doc_id)
-    * whose input is at most the original token stream. Nothing is ever
-    * all-pairs; a segment's duplicate set meets only in its own hash
-    * bucket. At 100 TB the segment key would be sha256(segment) to keep
-    * shuffle rows narrow — semantics unchanged.
+    * scan; ONE wide shuffle on the segment text for the first-occurrence
+    * window (row_number over (doc_id, seg_idx); every occurrence keeps its
+    * rank — the per-doc output must count kept AND dropped segments, so no
+    * group-limit applies); reassembly is one groupBy(doc_id) whose input
+    * is at most the original token stream. Nothing is ever all-pairs; a
+    * segment's duplicate set meets only in its own hash bucket. At 100 TB
+    * the segment key would be sha256(segment) to keep shuffle rows
+    * narrow — semantics unchanged.
     */
   def q82SegmentDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
