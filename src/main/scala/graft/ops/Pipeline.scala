@@ -627,6 +627,52 @@ object Pipeline {
        |FROM keyed JOIN keyring ON keyring.key_id = keyed.key_id
        |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Multi-format sink/source roundtrip (A2/A8 generalized): the same
+    * aggregate written to and re-read from CSV (headered), JSON lines, and
+    * ORC, verifying byte-exact fidelity through every text/columnar format
+    * the engine serves. Doubles survive the text formats because Spark
+    * serializes them with shortest-roundtrip representation; the read
+    * schemas are pinned explicitly (never inferred) — the production
+    * discipline for text sources. The reference's lake is text-format JSON
+    * (app.ts:410 `compressionFormat: 'UNCOMPRESSED'`); this query is that
+    * sink plus the two formats a warehouse migration actually encounters.
+    *
+    * Plan shape: one partial+final aggregation, three one-file sinks,
+    * three scans re-united — at scale each sink write is the q30
+    * repartition-before-write pattern; the roundtrip reads prune columns
+    * through every format's reader (ORC vectorized, CSV/JSON schema-
+    * projected). */
+  def q87FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"/root/repo/target/formats/${new java.io.File(dir).getName}"
+    val agg = Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+    agg.coalesce(1).write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+    agg.coalesce(1).write.mode("overwrite").json(s"$out/json")
+    agg.coalesce(1).write.mode("overwrite").orc(s"$out/orc")
+    val schema = "o_orderpriority string, n_orders bigint, total double"
+    val csv = s.read.schema(schema).option("header", "true").csv(s"$out/csv")
+      .withColumn("format", lit("csv"))
+    val json = s.read.schema(schema).json(s"$out/json")
+      .withColumn("format", lit("json"))
+    val orc = s.read.orc(s"$out/orc")
+      .withColumn("format", lit("orc"))
+    csv.unionByName(json).unionByName(orc)
+      .select($"format", $"o_orderpriority", $"n_orders", $"total")
+      .orderBy($"format", $"o_orderpriority")
+  }
+
+  val q87Oracle: String =
+    s"""WITH agg AS (
+       |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    ${Sql.dsum("o_totalprice")} AS total
+       |  FROM orders GROUP BY o_orderpriority)
+       |SELECT f.format, a.o_orderpriority, a.n_orders, a.total
+       |FROM agg a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(format)
+       |ORDER BY f.format, a.o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_partitioner" -> q20Partitioner _,
     "q21_sha_dedup" -> q21ShaDedup _,
@@ -646,6 +692,7 @@ object Pipeline {
     "q39_weighted_mean" -> q39WeightedMean _,
     "q49_json_struct" -> q49JsonStruct _,
     "q66_ecdsa_sign" -> q66EcdsaSign _,
+    "q87_format_roundtrip" -> q87FormatRoundtrip _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -667,5 +714,6 @@ object Pipeline {
     "q39_weighted_mean" -> q39Oracle,
     "q49_json_struct" -> q49Oracle,
     "q66_ecdsa_sign" -> q66Oracle,
+    "q87_format_roundtrip" -> q87Oracle,
   )
 }

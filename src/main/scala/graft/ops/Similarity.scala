@@ -418,11 +418,95 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q86
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    * deterministic ±1 sign matrix (the Achlioptas database-friendly
+    * construction: R(i,j) ∈ {−1,+1}, scaled by 1/√16 = 0.25). Distances
+    * are preserved in expectation, the matrix is never materialized — the
+    * sign is regenerated from the (out-dim, in-dim) index by the same LCG
+    * the hyperplane sketches use, taking bit 30 (NOT the parity bit, whose
+    * LCG period is 2). The fold over input dims is left-to-right, so the
+    * projected doubles are bit-identical in any engine and at any
+    * parallelism; 0.25 scaling is a power of two — exact.
+    *
+    * Plan shape: map-only — one projection over the scan generates all 16
+    * output dims; the only exchange is the presentation ORDER BY. At
+    * 100 TB this is the preprocessing pass that makes a downstream ANN
+    * build 4× cheaper per vector without a shuffle.
+    */
+  def q86RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sign(i: Column, j: Column): Column = {
+      val raw = (lit(1103515245L) * (i * 64 + j) + lit(12345L)) % lit(2147483648L)
+      when(raw >= 1073741824L, lit(1.0)).otherwise(lit(-1.0))
+    }
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", posexplode(
+        transform(sequence(lit(0), lit(15)), i =>
+          lit(0.25) * aggregate(sequence(lit(0), lit(63)), lit(0.0),
+            (acc, j) => acc + element_at($"embedding", j + 1).cast("double") * sign(i, j))))
+        .as(Seq("dim", "value")))
+      .select($"vec_id", $"dim".cast("long").as("dim"), $"value")
+      .orderBy($"vec_id", $"dim")
+  }
+
+  val q86Oracle: String =
+    """SELECT vec_id, CAST(i AS BIGINT) AS dim,
+      |  0.25 * list_reduce(list_prepend(0.0, list_transform(range(0, 64), j ->
+      |    CAST(embedding[j + 1] AS DOUBLE) *
+      |    (CASE WHEN (1103515245::BIGINT * (i * 64 + j) + 12345) % 2147483648 >= 1073741824
+      |          THEN 1.0 ELSE -1.0 END))), (a, b) -> a + b) AS value
+      |FROM embeddings, UNNEST(range(0, 16)) AS u(i)
+      |ORDER BY vec_id, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** ANN recall evaluation: recall@3 of the LSH-bucketed index (q56)
+    * against exact brute-force ground truth (q55's top-3), per query — the
+    * measurement harness that turns an ANN index's recall contract into a
+    * number a pipeline can gate on. Both sides are the registered
+    * operators re-run verbatim, so the metric can never drift from what
+    * the index actually serves.
+    *
+    * Plan shape: both inputs end in per-query top-k over broadcast-join
+    * candidates (no new wide exchange); the comparison is an equi-join on
+    * (q_id, vec_id) over ≤ k·|queries| rows — metadata-sized at any corpus
+    * scale. */
+  def q88AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = q55AnnBrute(s, dir).filter($"rank" <= 3)
+      .select($"q_id", $"vec_id")
+    val approx = q56AnnLsh(s, dir)
+      .select($"q_id", $"vec_id", lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "vec_id"), "left")
+      .groupBy($"q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when($"hit".isNull, 0L).otherwise(1L)).as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"k".cast("double"))
+      .select($"q_id", $"k", $"n_hit", $"recall")
+      .orderBy($"q_id")
+  }
+
+  val q88Oracle: String =
+    s"""WITH truth AS (
+       |  SELECT q_id, vec_id FROM (${q55Oracle.replace("\n", "\n  ")}) t
+       |  WHERE rank <= 3),
+       |approx AS (
+       |  SELECT q_id, vec_id, 1 AS hit FROM (${q56Oracle.replace("\n", "\n  ")}) a)
+       |SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(SUM(CASE WHEN a.hit IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hit,
+       |  CAST(SUM(CASE WHEN a.hit IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a USING (q_id, vec_id)
+       |GROUP BY t.q_id
+       |ORDER BY t.q_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
     "q59_ann_ivf" -> q59AnnIvf _,
     "q73_ann_pq" -> q73AnnPq _,
+    "q86_random_projection" -> q86RandomProjection _,
+    "q88_ann_recall" -> q88AnnRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,5 +514,7 @@ object Similarity {
     "q56_ann_lsh" -> q56Oracle,
     "q59_ann_ivf" -> q59Oracle,
     "q73_ann_pq" -> q73Oracle,
+    "q86_random_projection" -> q86Oracle,
+    "q88_ann_recall" -> q88Oracle,
   )
 }

@@ -126,4 +126,28 @@ class PipelineSpec extends SparkSpec {
     val q66 = rows.map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("key_id")))
     assert(q22.map(r => (r.getLong(0), r.getLong(1))).toSeq === q66.toSeq)
   }
+
+  test("q87 format roundtrip: csv, json, and orc re-read bit-identical rows") {
+    val s = spark
+    import s.implicits._
+    val out = Pipeline.q87FormatRoundtrip(s, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byFormat = out.groupBy(_._1)
+    assert(byFormat.keySet === Set("csv", "json", "orc"))
+    // every format surfaces the identical aggregate — including the
+    // doubles, which must survive the text formats bit-exactly via
+    // shortest-roundtrip serialization
+    val canon = byFormat("orc").map { case (_, p, n, t) => (p, n, t) }.sortBy(_._1)
+    for (f <- Seq("csv", "json")) {
+      val got = byFormat(f).map { case (_, p, n, t) => (p, n, t) }.sortBy(_._1)
+      assert(got === canon, s"format $f diverges from orc")
+    }
+    // and the aggregate itself matches a direct in-memory computation
+    val direct = graft.Tables(s, sf, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    canon.foreach { case (p, n, _) => assert(direct(p) === n) }
+  }
 }

@@ -56,4 +56,64 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.q73AnnPq(s, sf).collect()
     assert(pq.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q86 JL projection: hand-recomputed row, norm concentration, sign balance") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.q86RandomProjection(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size === 500 * 16)
+    // hand-recompute vec 7's dim 3 with the same left fold
+    val emb = graft.Tables(s, sf, "embeddings")
+      .filter($"vec_id" === 7L).collect()(0)
+      .getSeq[Float](1)
+    def sign(i: Long, j: Long): Double = {
+      val raw = (1103515245L * (i * 64 + j) + 12345L) % 2147483648L
+      if (raw >= 1073741824L) 1.0 else -1.0
+    }
+    val expect = 0.25 * (0 until 64).foldLeft(0.0) { (acc, j) =>
+      acc + emb(j).toDouble * sign(3, j)
+    }
+    assert(rows((7L, 3L)) === expect)
+    // the ±1 matrix must be balanced (sign mean near zero over all 16×64
+    // entries); independence across j is what the norm-concentration
+    // check below guards — a parity-bit sign (LCG low bit, period 2 in j)
+    // would pass balance but wreck concentration
+    val signMean = (for (i <- 0L until 16L; j <- 0L until 64L) yield sign(i, j)).sum / 1024.0
+    assert(math.abs(signMean) < 0.15, s"sign matrix unbalanced: $signMean")
+    // JL normalization: with scale 1/√k = 1/4 and independent ±1 signs,
+    // E[||y||²] = ||x||² — the corpus-mean ratio must concentrate near 1
+    // (a parity-bit sign matrix, period 2 in j, fails this badly)
+    val xNorms = graft.Tables(s, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      .toMap
+    val ratios = xNorms.keys.map { id =>
+      val y2 = (0L until 16L).map(d => rows((id, d))).map(v => v * v).sum
+      y2 / xNorms(id)
+    }
+    val meanRatio = ratios.sum / ratios.size
+    assert(meanRatio > 0.6 && meanRatio < 1.4,
+      s"norm ratio off JL expectation 1.0: $meanRatio")
+  }
+
+  test("q88 recall equals a hand join of q55 truth and q56 results") {
+    val s = spark
+    import s.implicits._
+    val truth = Similarity.q55AnnBrute(s, sf).filter($"rank" <= 3)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.q56AnnLsh(s, sf)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = Similarity.q88AnnRecall(s, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L until 10L).toSeq)
+    out.foreach { r =>
+      val (q, k, nHit, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expectHit = truth.count(t => t._1 == q && approx.contains(t))
+      assert(k === 3L)
+      assert(nHit === expectHit.toLong, s"q$q: $nHit vs $expectHit")
+      assert(recall === nHit.toDouble / k)
+    }
+  }
 }
