@@ -38,6 +38,8 @@ object PlanAudit {
     "q82_segment_dedup" -> "segments are a map-side projection + posexplode over the scan; ONE wide shuffle on the segment text for the first-occurrence window (every occurrence keeps its rank — the doc must count kept AND dropped); reassembly is one groupBy(doc_id)",
     "q83_funnel" -> "each funnel stage is a keyed aggregation + equi-join on user_id — the stage exchanges reuse one hash partitioning; final per-stage counts are single-row aggregates",
     "q84_vocab_oov" -> "vocabulary via partial-agg groupBy(token) + global top-64 (TakeOrderedAndProject — map tasks forward 64 rows); the 64-row vocab BROADCASTS back onto the token stream, so scoring shuffles only on doc_id",
+    "q86_random_projection" -> "map-only JL reduction: all 16 output dims generated in ONE projection over the scan (the ±1 matrix is regenerated from the index, never materialized or broadcast); the only exchange is the presentation ORDER BY",
+    "q88_ann_recall" -> "both inputs end in per-query top-k over broadcast-join candidates; the recall comparison is an equi-join on (q_id, vec_id) over k·|queries| rows — metadata at any corpus scale",
   )
 
   def main(args: Array[String]): Unit = {
