@@ -70,4 +70,9 @@ object VecFns {
     * keys) — see [[PlaneBands]]. */
   def planeBands(v: Column, nPlanes: Int, beta: Int): Column =
     ColumnBridge.column(PlaneBands(ColumnBridge.expression(v), nPlanes, beta))
+
+  /** Johnson–Lindenstrauss ±1 projection to outDims doubles — see
+    * [[JlProject]]. */
+  def jlProject(v: Column, outDims: Int, scale: Double): Column =
+    ColumnBridge.column(JlProject(ColumnBridge.expression(v), outDims, scale))
 }

@@ -429,23 +429,18 @@ object Similarity {
     * projected doubles are bit-identical in any engine and at any
     * parallelism; 0.25 scaling is a power of two — exact.
     *
-    * Plan shape: map-only — one projection over the scan generates all 16
-    * output dims; the only exchange is the presentation ORDER BY. At
-    * 100 TB this is the preprocessing pass that makes a downstream ANN
-    * build 4× cheaper per vector without a shuffle.
+    * Plan shape: map-only — the codegen'd [[graft.functions.JlProject]]
+    * generates all 16 output dims in one projection over the scan (an
+    * interpreted higher-order `aggregate` fold here would be a
+    * CodegenFallback on the hot path); the only exchange is the
+    * presentation ORDER BY. At 100 TB this is the preprocessing pass that
+    * makes a downstream ANN build 4× cheaper per vector without a shuffle.
     */
   def q86RandomProjection(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def sign(i: Column, j: Column): Column = {
-      val raw = (lit(1103515245L) * (i * 64 + j) + lit(12345L)) % lit(2147483648L)
-      when(raw >= 1073741824L, lit(1.0)).otherwise(lit(-1.0))
-    }
     Tables(s, dir, "embeddings")
-      .select($"vec_id", posexplode(
-        transform(sequence(lit(0), lit(15)), i =>
-          lit(0.25) * aggregate(sequence(lit(0), lit(63)), lit(0.0),
-            (acc, j) => acc + element_at($"embedding", j + 1).cast("double") * sign(i, j))))
-        .as(Seq("dim", "value")))
+      .select($"vec_id",
+        posexplode(VecFns.jlProject($"embedding", 16, 0.25)).as(Seq("dim", "value")))
       .select($"vec_id", $"dim".cast("long").as("dim"), $"value")
       .orderBy($"vec_id", $"dim")
   }
