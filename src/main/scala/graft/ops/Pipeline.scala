@@ -627,6 +627,36 @@ object Pipeline {
        |FROM keyed JOIN keyring ON keyring.key_id = keyed.key_id
        |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Sliding (hopping) window metrics — 5-minute windows every 1 minute
+    * (D1/D2 generalized beyond q26's tumbling shape; CloudWatch renders
+    * exactly this for any period with a finer refresh, app.ts:452–502).
+    * Spark's `window(ts, "5 minutes", "1 minute")` expands each event into
+    * its 5 covering windows map-side; the aggregation is then the same
+    * partial+final shuffle on (window, type) as q26 — the 5× row expansion
+    * happens BEFORE the map-side combine, so the exchange still moves one
+    * row per (window, type) per task, not 5× the events.
+    *
+    * Each window is surfaced as its epoch-ms start; the oracle generates
+    * the same 5 covering starts per event arithmetically
+    * (minute_floor(ts) − k·60s, k = 0..4) — both sides integer-exact.
+    */
+  def q90SlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "5 minutes", "1 minute"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), dsum($"value").as("sum_value"))
+      .select(unix_millis($"window.start").as("window_ms"), $"event_type",
+        $"cnt", $"sum_value")
+      .orderBy($"window_ms", $"event_type")
+  }
+
+  val q90Oracle: String =
+    s"""SELECT epoch_ms(date_trunc('minute', ts)) - k * 60000 AS window_ms,
+       |  event_type, COUNT(*) AS cnt, ${Sql.dsum("value")} AS sum_value
+       |FROM events, UNNEST(range(0, 5)) AS u(k)
+       |GROUP BY 1, 2 ORDER BY window_ms, event_type""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Multi-format sink/source roundtrip (A2/A8 generalized): the same
     * aggregate written to and re-read from CSV (headered), JSON lines, and
@@ -693,6 +723,7 @@ object Pipeline {
     "q49_json_struct" -> q49JsonStruct _,
     "q66_ecdsa_sign" -> q66EcdsaSign _,
     "q87_format_roundtrip" -> q87FormatRoundtrip _,
+    "q90_sliding_window" -> q90SlidingWindow _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,5 +746,6 @@ object Pipeline {
     "q49_json_struct" -> q49Oracle,
     "q66_ecdsa_sign" -> q66Oracle,
     "q87_format_roundtrip" -> q87Oracle,
+    "q90_sliding_window" -> q90Oracle,
   )
 }

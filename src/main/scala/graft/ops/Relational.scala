@@ -685,6 +685,42 @@ object Relational {
       |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q89
+  /** Salted fact-dim JOIN (the structural-skew companion to q37's salted
+    * aggregation): the dimension is replicated across 16 salt values and
+    * the fact side derives its salt from a row-local column, so a hot join
+    * key's rows spread over 16 reducers instead of one. AQE's skew-join
+    * splitting handles mild runtime skew, but (like q37) a *structurally*
+    * hot key — one customer with 20% of all orders — is better spread by
+    * construction: the dim-side explosion costs |dim|·16 rows (dims are
+    * small by definition; a 100 GB dim would bucket instead), the fact side
+    * never moves twice, and the result is EXACTLY the plain join's (the
+    * oracle is the unsalted formulation). The shuffle_merge hint pins the
+    * shuffle path so the salted key actually partitions (a broadcast of
+    * the small test dim would bypass the mechanism being exercised).
+    */
+  def q89SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nSalt = 16
+    val fact = Tables(s, dir, "orders")
+      .withColumn("salt", pmod($"o_orderkey", lit(nSalt.toLong)))
+    val dim = Tables(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey",
+        explode(sequence(lit(0L), lit(nSalt.toLong - 1))).as("salt"))
+    fact.hint("shuffle_merge")
+      .join(dim, fact("o_custkey") === dim("c_custkey") && fact("salt") === dim("salt"))
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))
+      .orderBy($"c_nationkey")
+  }
+
+  val q89Oracle: String =
+    s"""SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  ${Sql.dsum("o.o_totalprice")} AS total
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |GROUP BY c.c_nationkey
+       |ORDER BY c.c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -711,6 +747,7 @@ object Relational {
     "q46_median" -> q46Median _,
     "q47_moment_stats" -> q47MomentStats _,
     "q48_pivot" -> q48Pivot _,
+    "q89_salted_join" -> q89SaltedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -739,5 +776,6 @@ object Relational {
     "q46_median" -> q46Oracle,
     "q47_moment_stats" -> q47Oracle,
     "q48_pivot" -> q48Oracle,
+    "q89_salted_join" -> q89Oracle,
   )
 }

@@ -150,4 +150,28 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     canon.foreach { case (p, n, _) => assert(direct(p) === n) }
   }
+
+  test("q90 sliding window: each event lands in exactly its 5 covering windows") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-slide-").toString
+    // one event at 00:07:30 → windows starting 00:03 .. 00:07 inclusive;
+    // a second event 2 minutes later shares 3 of those 5 windows
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:07:30"), "click", 2.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:09:30"), "click", 5.0),
+    ).toDF("event_id", "ts", "user_id_raw", "value")
+      .withColumnRenamed("user_id_raw", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Pipeline.q90SlidingWindow(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    def minMs(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime
+    val expect = Seq(
+      (minMs("00:03"), 1L, 2.0), (minMs("00:04"), 1L, 2.0),
+      (minMs("00:05"), 2L, 7.0), (minMs("00:06"), 2L, 7.0),
+      (minMs("00:07"), 2L, 7.0),
+      (minMs("00:08"), 1L, 5.0), (minMs("00:09"), 1L, 5.0),
+    )
+    assert(out.toSeq === expect)
+  }
 }
