@@ -40,6 +40,8 @@ object PlanAudit {
     "q84_vocab_oov" -> "vocabulary via partial-agg groupBy(token) + global top-64 (TakeOrderedAndProject — map tasks forward 64 rows); the 64-row vocab BROADCASTS back onto the token stream, so scoring shuffles only on doc_id",
     "q86_random_projection" -> "map-only JL reduction: all 16 output dims generated in ONE projection over the scan (the ±1 matrix is regenerated from the index, never materialized or broadcast); the only exchange is the presentation ORDER BY",
     "q88_ann_recall" -> "both inputs end in per-query top-k over broadcast-join candidates; the recall comparison is an equi-join on (q_id, vec_id) over k·|queries| rows — metadata at any corpus scale",
+    "q89_salted_join" -> "SortMergeJoin keyed on (custkey, salt) — the hint pins the shuffle path so the 16-way salt actually partitions; dim side is the exploded replicate, fact side computes its salt map-side",
+    "q90_sliding_window" -> "window(ts, 5m, 1m) expands each event to its 5 covering windows MAP-SIDE, before the partial aggregate — the exchange moves one row per (window,type) per task, not 5× the events",
   )
 
   def main(args: Array[String]): Unit = {
