@@ -35,6 +35,21 @@ object MetricsStream {
       .select(unix_millis(col("window.start")).as("minute_ms"),
         col("component"), col("cnt"), col("sum_value"), col("avg_value"))
 
+  /** Sliding (hopping) Sum/Average — 5-minute windows every minute, the
+    * streaming twin of batch q90: CloudWatch's any-period-finer-refresh
+    * chart. The 5× window expansion is map-side, before the partial
+    * aggregate, so state is per (window, component) and the shuffle moves
+    * one row per group per task; the watermark expires each window 10
+    * minutes after its end. */
+  def sliding5min(points: DataFrame): DataFrame =
+    points
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("component"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"),
+        avg(col("value")).as("avg_value"))
+      .select(unix_millis(col("window.start")).as("window_ms"),
+        col("component"), col("cnt"), col("sum_value"), col("avg_value"))
+
   /** Streaming sessionization: Spark's built-in `session_window` (gap-based,
     * 30 min) — the streaming twin of the batch q35_sessionize operator.
     * State is per (session_window, component), merged by the state store as

@@ -12,3 +12,25 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge into the `private[sql]` session function registry: runtime
+  * registration of the graft SQL functions on a live session (the
+  * config-time path is public — `SparkSessionExtensions.injectFunction`
+  * via [[graft.GraftExtensions]]).
+  */
+object FunctionBridge {
+  def register(spark: org.apache.spark.sql.SparkSession, name: String,
+      usage: String, builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Names an extensions instance would inject, observed by letting it
+    * populate a throwaway registry (`registerFunctions` is private[sql]). */
+  def injectedFunctionNames(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Seq[String] = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg.listFunction().map(_.funcName)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFns, TextFns, VecFns}
+
+/** The SQL surface must compute EXACTLY what the Column API computes — the
+  * functions are the same Catalyst expressions, so any divergence would
+  * mean the SQL builders wire arguments wrong (e.g. a swapped literal).
+  * Each test runs a spark.sql query over a temp view and diffs against the
+  * Column formulation.
+  */
+class GraftFunctionsSpec extends SparkSpec {
+
+  private lazy val registered: Unit = GraftFunctions.registerAll(spark)
+
+  test("djb2 / rolling_hash / shingle_hashes / simhash32 via spark.sql equal the Column API") {
+    val s = spark
+    registered
+    import s.implicits._
+    Tables(s, sf, "documents").createOrReplaceTempView("docs_sqlfn")
+    val viaSql = s.sql(
+      """SELECT doc_id, djb2(text) AS h, rolling_hash(text) AS rh,
+        |  simhash32(split(text, ' ')) AS sh,
+        |  shingle_hashes(split(text, ' '), 3) AS shs
+        |FROM docs_sqlfn ORDER BY doc_id""".stripMargin).collect()
+    val viaCol = Tables(s, sf, "documents")
+      .select($"doc_id", graft.functions.Djb2.djb2($"text").as("h"),
+        HashFns.fingerprint($"text").as("rh"),
+        HashFns.simhash32(TextFns.tokens($"text")).as("sh"),
+        HashFns.shingleHashes(TextFns.tokens($"text"), 3).as("shs"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+  }
+
+  test("dot_prod / plane_bands / jl_project via spark.sql equal the Column API") {
+    val s = spark
+    registered
+    import s.implicits._
+    Tables(s, sf, "embeddings").createOrReplaceTempView("emb_sqlfn")
+    val viaSql = s.sql(
+      """SELECT vec_id, dot_prod(embedding, embedding) AS d,
+        |  plane_bands(embedding, 16, 2) AS pb,
+        |  jl_project(embedding, 16, 0.25) AS jl
+        |FROM emb_sqlfn ORDER BY vec_id""".stripMargin).collect()
+    val viaCol = Tables(s, sf, "embeddings")
+      .select($"vec_id", VecFns.dot($"embedding", $"embedding").as("d"),
+        VecFns.planeBands($"embedding", 16, 2).as("pb"),
+        VecFns.jlProject($"embedding", 16, 0.25).as("jl"))
+      .orderBy($"vec_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+  }
+
+  test("non-literal hyperparameters fail loudly, not silently") {
+    val s = spark
+    registered
+    Tables(s, sf, "documents").createOrReplaceTempView("docs_sqlfn2")
+    val e = intercept[Exception] {
+      s.sql("SELECT shingle_hashes(split(text, ' '), doc_id) FROM docs_sqlfn2").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("literal"))
+  }
+
+  test("GraftExtensions wires every builder into SparkSessionExtensions") {
+    // getOrCreate in a shared-JVM suite would return the already-built
+    // session and silently skip withExtensions, so the deployment path is
+    // proven at the extensions object itself: applying GraftExtensions
+    // must inject exactly the builder table.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext)
+    val injected = org.apache.spark.sql.graft.FunctionBridge.injectedFunctionNames(ext)
+    assert(injected.toSet === GraftFunctions.builders.map(_._1).toSet)
+  }
+}

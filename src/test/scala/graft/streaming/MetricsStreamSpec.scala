@@ -34,6 +34,33 @@ class MetricsStreamSpec extends SparkSpec {
     assert(rows((m0, "sqs")) === ((1L, 10.0, 10.0)))
   }
 
+  test("sliding 5-min/1-min windows: a point lands in its 5 covering windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[MetricPoint]
+    val q = MetricsStream.sliding5min(input.toDF())
+      .writeStream.format("memory").queryName("metrics5m").outputMode("complete").start()
+    input.addData(
+      MetricPoint(ts("2024-01-01 10:07:30"), "lambda", 2.0),
+      MetricPoint(ts("2024-01-01 10:09:30"), "lambda", 4.0))
+    q.processAllAvailable()
+    val rows = s.table("metrics5m")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    q.stop()
+    def m(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime
+    // first point covers 10:03..10:07 starts, second 10:05..10:09 — the
+    // 10:05..10:07 overlap carries both
+    assert(rows(m("10:03")) === ((1L, 2.0)))
+    assert(rows(m("10:04")) === ((1L, 2.0)))
+    assert(rows(m("10:05")) === ((2L, 6.0)))
+    assert(rows(m("10:06")) === ((2L, 6.0)))
+    assert(rows(m("10:07")) === ((2L, 6.0)))
+    assert(rows(m("10:08")) === ((1L, 4.0)))
+    assert(rows(m("10:09")) === ((1L, 4.0)))
+    assert(rows.size === 7)
+  }
+
   test("watermark drops rows later than 10 minutes behind max event time") {
     val s = spark
     import s.implicits._
