@@ -232,8 +232,8 @@ object Curation {
       |  FROM counts),
       |quotas AS (
       |  SELECT source, n_docs, weight,
-      |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
-      |      <= 200 - SUM(base) OVER () THEN 1 ELSE 0 END AS quota
+      |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |      <= 200 - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS quota
       |  FROM apportion),
       |ranked AS (
       |  SELECT source, doc_id,
