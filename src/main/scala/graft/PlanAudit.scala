@@ -42,6 +42,8 @@ object PlanAudit {
     "q88_ann_recall" -> "both inputs end in per-query top-k over broadcast-join candidates; the recall comparison is an equi-join on (q_id, vec_id) over k·|queries| rows — metadata at any corpus scale",
     "q89_salted_join" -> "SortMergeJoin keyed on (custkey, salt) — the hint pins the shuffle path so the 16-way salt actually partitions; dim side is the exploded replicate, fact side computes its salt map-side",
     "q90_sliding_window" -> "window(ts, 5m, 1m) expands each event to its 5 covering windows MAP-SIDE, before the partial aggregate — the exchange moves one row per (window,type) per task, not 5× the events",
+    "q91_simhash64" -> "64-bit SimHash sketch, map-only codegen'd projection over the scan; its banded consumer (q67's simhash signal) joins on 16-bit bands — band-key space 4·2^16 = 262,144 vs the 32-bit sketch's 4·2^8 = 1,024, so per-bucket occupancy (and candidate pair count) stays bounded ~256× longer as the corpus grows; pigeonhole recall stays exact at Hamming ≤ 3 (4 bands)",
+    "q67_multisignal_clusters" -> "union graph = q51 Jaccard pairs ∪ 64-bit SimHash banded pairs at Hamming ≤ 3; both edge sources are collision-proportional equi-joins (shingle hash / 16-bit band key); CC is pointer-doubling over 8-byte keys",
   )
 
   def main(args: Array[String]): Unit = {

@@ -23,6 +23,15 @@ object HashFns {
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 
+  /** 64-bit SimHash over a token array: bits 0–31 come from djb2(t), bits
+    * 32–63 from djb2(t ⧺ "#") — two independent 32-bit views instead of a
+    * 64-bit multiply-mix, because the DuckDB oracle must reproduce the
+    * hash and BIGINT multiplication overflows (errors, not wraps) there.
+    * Doubles the q53 sketch width so banded Hamming search stops
+    * saturating as the corpus grows (see Dedup.scala q65 width caveat). */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
   /** MinHash signature (k permutations) over a STRING shingle array:
     * sig_i = min_s ((2i+1)·djb2(s) + (7919i+13)) mod (2^31 − 1). Composed
     * from two codegen'd expressions (per-element [[Djb2Hash]], then
@@ -91,6 +100,28 @@ object HashFns {
     var out = 0L
     var j = 0
     while (j < 32) { if (bal(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def simhash64Arr(arr: ArrayData): Long = {
+    val bal = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      val h1 = Djb2.hash(t)
+      val h2 = Djb2.hash(t + "#")
+      var j = 0
+      while (j < 32) {
+        if (((h1 >> j) & 1L) == 1L) bal(j) += 1 else bal(j) -= 1
+        if (((h2 >> j) & 1L) == 1L) bal(j + 32) += 1 else bal(j + 32) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (bal(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 
@@ -184,6 +215,23 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.simhash32Arr($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+/** 64-bit twin of [[SimHash32]] — same per-token balance loop over twice
+  * the width, same codegen shape (static body call inside the scan's
+  * whole-stage span). See [[HashFns.simhash64]] for the two-view hash
+  * construction and why it is oracle-expressible.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    HashFns.simhash64Arr(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.simhash64Arr($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 

@@ -488,6 +488,91 @@ object Dedup {
     s"""${simhashPairsOracle(3)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** 64-bit SimHash sketch — the production widening the q65 caveat
+    * promises: twice the signature width ([[graft.functions.SimHash64]]:
+    * bits 0–31 from djb2(t), 32–63 from djb2(t ⧺ "#")) and 16-bit bands
+    * instead of 8-bit. Unrelated-doc collisions at Hamming ≤ 3 drop from
+    * ~2^-32-per-pair scale to ~2^-64, so the sketch no longer saturates as
+    * the corpus approaches 2^32 documents — the q67 radius can rise above
+    * 0 without chaining the corpus into one component. q53/q65 keep the
+    * 32-bit sketch byte-stable; this query registers the wide sketch
+    * itself, and [[q67MultiSignalClusters]] consumes its banded pairs. */
+  def q91Simhash64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash64(TextFns.tokens($"text")).as("simhash64"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB twin of [[graft.functions.SimHash64]] as a reusable CTE body
+    * (columns doc_id, simhash64; no ORDER BY). Bit j of the sketch comes
+    * from djb2(t) for j<32 and djb2(t ⧺ '#') for j≥32; the sketch value is
+    * assembled in HUGEINT (BIGINT `1 << 63` overflows — DuckDB errors
+    * rather than wraps) and folded to two's-complement int64 at the end,
+    * which is exactly the Spark LongType bit pattern. */
+  private val simhash64Cte: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id, ${Sql.djb2("t")} AS h1,
+       |       ${Sql.djb2("(t || chr(35))")} AS h2 FROM tok),
+       |bits AS (SELECT doc_id, j,
+       |         SUM(CASE WHEN j < 32 THEN ((h1 >> j) & 1) * 2 - 1
+       |                  ELSE ((h2 >> (j - 32)) & 1) * 2 - 1 END) AS bal
+       |         FROM th CROSS JOIN range(64) bitidx(j) GROUP BY 1, 2),
+       |sk64 AS (SELECT doc_id,
+       |         CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |              THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+       |           AS simhash64
+       |         FROM (SELECT doc_id,
+       |               SUM(CASE WHEN bal > 0 THEN (1::HUGEINT << j)
+       |                        ELSE 0::HUGEINT END) AS s
+       |               FROM bits GROUP BY doc_id) sraw)""".stripMargin
+
+  val q91Oracle: String =
+    s"""WITH $simhash64Cte
+       |SELECT doc_id, simhash64 FROM sk64 ORDER BY doc_id""".stripMargin
+
+  /** Banded-Hamming pair generator over the 64-bit sketch: 4 bands of 16
+    * bits, so by pigeonhole recall at Hamming ≤ 3 is exactly 100% — the
+    * same radius guarantee as the 32-bit/8-bit-band q65, but with a
+    * 4·2^16 = 262,144-value band-key space instead of 1,024: per-bucket
+    * occupancy (and with it the candidate pair count) stays bounded ~256×
+    * longer as the corpus grows. Same plan shape: map-side codegen'd
+    * sketch, equi-join on the band key, popcount verify. */
+  private def simhash64BandPairs(s: SparkSession, dir: String,
+      radius: Int): DataFrame = {
+    import s.implicits._
+    require(radius <= 3, s"4 bands of 16 bits guarantee recall only at r<=3, got $radius")
+    val sk = Tables(s, dir, "documents")
+      .select($"doc_id", HashFns.simhash64(TextFns.tokens($"text")).as("sh"))
+    val banded = sk.select($"doc_id", $"sh", explode(array(
+      (0 until 4).map(b => lit(b.toLong * 65536L) +
+        shiftright($"sh", 16 * b).bitwiseAND(lit(65535L))): _*)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        $"a.bk" === $"b.bk" && $"a.doc_id" < $"b.doc_id")
+      .withColumn("hamming",
+        bit_count($"a.sh".bitwiseXOR($"b.sh")).cast("long"))
+      .filter($"hamming" <= radius)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"hamming")
+      .distinct()
+  }
+
+  /** Oracle body for [[simhash64BandPairs]] — complete WITH…SELECT
+    * (columns doc_a, doc_b, hamming; no ORDER BY), embeddable as a
+    * parenthesized derived table, mirroring [[simhashPairsOracle]]. */
+  private def simhash64PairsOracle(radius: Int): String =
+    s"""WITH $simhash64Cte,
+       |banded64 AS (
+       |  SELECT doc_id, simhash64,
+       |         b * 65536 + ((simhash64 >> (16 * b)) & 65535) AS bk
+       |  FROM sk64 CROSS JOIN range(0, 4) bd(b)),
+       |cand64 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+       |  FROM banded64 a JOIN banded64 b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash64, b.simhash64)) <= $radius)
+       |SELECT doc_a, doc_b, hamming FROM cand64""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** Number of hyperplanes / planes per band for q54's candidate sketch.
     * 16 planes in 8 bands of 2 is the test-scale setting; at production
@@ -659,18 +744,19 @@ object Dedup {
   // ---------------------------------------------------------------- q67
   /** Multi-signal near-dup clustering — the production dedup shape: a
     * document pair is an edge if EITHER signal fires (n-gram Jaccard ≥ 0.5
-    * via the q51 candidate-verify pipeline, OR an IDENTICAL SimHash sketch
-    * — radius 0, the precision setting a 32-bit sketch supports: measured
-    * on this corpus, radius 1 already chains 68% of sf0.1 into one
-    * component, exactly the saturation the q65 width caveat predicts;
-    * with a 64/128-bit production sketch the radius widens, the plan
-    * doesn't change), then connected components over the union graph
-    * assign one cluster id per duplicate family. Each signal catches
-    * pairs the other misses: shingle Jaccard sees edited copies with
-    * heavy token overlap, SimHash sees global-distribution twins whose
-    * edits dodge the shingle prefix filter. One more CC over a slightly
-    * denser graph — same O(log diameter) rounds, same scale story as
-    * q60.
+    * via the q51 candidate-verify pipeline, OR SimHash Hamming distance
+    * ≤ 3 over the 64-bit sketch — [[simhash64BandPairs]]; rounds 1–7 ran
+    * radius 0 on the 32-bit sketch because radius 1 there already chained
+    * 68% of sf0.1 into one component, exactly the saturation the q65
+    * width caveat predicts; the 64-bit widening makes unrelated-doc
+    * collisions at r ≤ 3 ~2^-64-scale, so the radius is now a real
+    * near-dup net, not an exact-sketch-match), then connected components
+    * over the union graph assign one cluster id per duplicate family.
+    * Each signal catches pairs the other misses: shingle Jaccard sees
+    * edited copies with heavy token overlap, SimHash sees
+    * global-distribution twins whose edits dodge the shingle prefix
+    * filter. One more CC over a slightly denser graph — same
+    * O(log diameter) rounds, same scale story as q60.
     *
     * Bench note: at test scale the warm cost is almost entirely CC-round
     * scheduler overhead (a handful of Spark jobs per round over a ~4k-node
@@ -680,20 +766,8 @@ object Dedup {
   def q67MultiSignalClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val jac = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
-    // Radius 0 needs no band join: identical sketches are an equi-GROUP on
-    // the sketch value, and a STAR over each family (min-doc hub ↔ member)
-    // has exactly the same connected components as the all-pairs clique at
-    // n−1 edges instead of n(n−1)/2 — one 8-byte-key shuffle, trivially
-    // collision-proportional. The oracle keeps the clique formulation
-    // (full pair join): connectivity — and hence (doc_id, cluster) — is
-    // identical, and that keeps the SQL the plain mirror of "pairs whose
-    // Hamming distance is 0".
-    val sk = Tables(s, dir, "documents")
-      .select($"doc_id", HashFns.simhash32(TextFns.tokens($"text")).as("simhash"))
-    val hubs = sk.groupBy($"simhash").agg(min($"doc_id").as("hub"))
-    val sim = sk.join(hubs, "simhash")
-      .filter($"doc_id" =!= $"hub")
-      .select($"hub".as("doc_a"), $"doc_id".as("doc_b"))
+    val sim = simhash64BandPairs(s, dir, radius = 3)
+      .select($"doc_a", $"doc_b")
     connectedComponents(jac.union(sim).distinct())
       .orderBy($"doc_id")
   }
@@ -702,7 +776,7 @@ object Dedup {
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM (${q51OracleNoOrder}) jp
        |  UNION
-       |  SELECT doc_a, doc_b FROM (${simhashPairsOracle(0)}) sp
+       |  SELECT doc_a, doc_b FROM (${simhash64PairsOracle(3)}) sp
        |), edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -1129,6 +1203,7 @@ object Dedup {
     "q77_semdedup" -> q77Semdedup _,
     "q78_bloom_delta" -> q78BloomDelta _,
     "q82_segment_dedup" -> q82SegmentDedup _,
+    "q91_simhash64" -> q91Simhash64 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1146,5 +1221,6 @@ object Dedup {
     "q77_semdedup" -> q77Oracle,
     "q78_bloom_delta" -> q78Oracle,
     "q82_segment_dedup" -> q82Oracle,
+    "q91_simhash64" -> q91Oracle,
   )
 }

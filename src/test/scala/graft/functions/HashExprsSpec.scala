@@ -28,6 +28,37 @@ class HashExprsSpec extends AnyFunSuite {
     assert(hamming < 16, s"near-identical docs should be hamming-close, got $hamming")
   }
 
+  test("simhash64: bit construction matches the two-view djb2 definition") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("a", "b", "c", "d", "e", "f")),
+      (3L, Seq("a", "b", "c", "d", "e", "g"))).toDF("id", "toks")
+    val out = df.select($"id", HashFns.simhash64($"toks").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === out(2L))
+    val hamming = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(hamming > 0 && hamming < 32,
+      s"near-identical docs should be hamming-close but distinct, got $hamming")
+    // reference recomputation straight from the definition: bit j<32 from
+    // djb2(t), bit j>=32 from djb2(t + "#"), majority balance per bit
+    def ref(toks: Seq[String]): Long = {
+      val bal = new Array[Int](64)
+      for (t <- toks; j <- 0 until 32) {
+        if (((Djb2.hash(t) >> j) & 1L) == 1L) bal(j) += 1 else bal(j) -= 1
+        if (((Djb2.hash(t + "#") >> j) & 1L) == 1L) bal(j + 32) += 1 else bal(j + 32) -= 1
+      }
+      (0 until 64).foldLeft(0L)((acc, j) => if (bal(j) > 0) acc | (1L << j) else acc)
+    }
+    assert(out(1L) === ref(Seq("a", "b", "c", "d", "e", "f")))
+    assert(out(3L) === ref(Seq("a", "b", "c", "d", "e", "g")))
+    // the low 32 bits agree with simhash32 over the same tokens (same h1 view)
+    val h32 = df.filter($"id" === 1L)
+      .select(HashFns.simhash32($"toks")).head().getLong(0)
+    assert((out(1L) & 0xFFFFFFFFL) === (h32 & 0xFFFFFFFFL))
+  }
+
   test("shingleHashes == djb2 of the materialized shingle strings") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._
