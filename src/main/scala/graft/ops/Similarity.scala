@@ -495,6 +495,74 @@ object Similarity {
        |GROUP BY t.q_id
        |ORDER BY t.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  /** Recall@3 per ANN index FAMILY — q88 widened across the whole index
+    * shelf (VERDICT r7 #4): the LSH (q56), IVF (q59), and PQ (q73) indexes
+    * each re-run verbatim and compared to the same brute-force truth
+    * (q55's top-3), so every family's recall contract is one gateable,
+    * oracle-checked number. A release gate reads one row per family:
+    * mean recall over the query set plus the worst single query — the two
+    * numbers an index SLO is written against.
+    *
+    * Plan shape: each family's input ends in its own per-query top-k (no
+    * new wide exchange — identical subplans to the registered queries);
+    * the recall joins and the final per-family aggregate run over
+    * ≤ k·|queries|·|families| rows — metadata at any corpus scale. */
+  def q92AnnRecallFamilies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = q55AnnBrute(s, dir).filter($"rank" <= 3)
+      .select($"q_id", $"vec_id")
+    def recallOf(family: String, approx: DataFrame): DataFrame =
+      truth.join(approx.select($"q_id", $"vec_id", lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(when($"hit".isNull, 0L).otherwise(1L)).as("n_hit"))
+        // mean = Σhits/Σk in INTEGER sums with one final division — a
+        // double AVG over per-query fractions would be summation-order-
+        // sensitive and break the hash-match; MIN over doubles is
+        // order-free, and each per-query recall is a single division.
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"n_hit").as("total_hit"), sum($"k").as("total_k"),
+          min($"n_hit".cast("double") / $"k".cast("double")).as("worst_recall"))
+        .select(lit(family).as("family"), $"n_queries",
+          ($"total_hit".cast("double") / $"total_k".cast("double")).as("mean_recall"),
+          $"worst_recall")
+    recallOf("ivf", q59AnnIvf(s, dir))
+      .union(recallOf("lsh", q56AnnLsh(s, dir)))
+      .union(recallOf("pq", q73AnnPq(s, dir)))
+      .orderBy($"family")
+  }
+
+  val q92Oracle: String = {
+    def per(family: String): String =
+      s"""SELECT '$family' AS family, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall,
+         |  MIN(CAST(n_hit AS DOUBLE) / CAST(k AS DOUBLE)) AS worst_recall FROM (
+         |  SELECT t.q_id, COUNT(*) AS k,
+         |    SUM(CASE WHEN a.hit IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |  FROM (SELECT q_id, vec_id FROM (${q55Oracle.replace("\n", "\n  ")}) tr
+         |        WHERE rank <= 3) t
+         |  LEFT JOIN (SELECT q_id, vec_id, 1 AS hit
+         |             FROM (${oracle2(family).replace("\n", "\n  ")}) ap) a
+         |    USING (q_id, vec_id)
+         |  GROUP BY t.q_id) perq_$family""".stripMargin
+    s"""${per("ivf")}
+       |UNION ALL
+       |${per("lsh")}
+       |UNION ALL
+       |${per("pq")}
+       |ORDER BY family""".stripMargin
+  }
+
+  /** The per-family approximate-answer oracle behind [[q92Oracle]]. */
+  private def oracle2(family: String): String = family match {
+    case "lsh" => q56Oracle
+    case "ivf" => q59Oracle
+    case "pq"  => q73Oracle
+    case other => throw new IllegalArgumentException(s"unknown ANN family: $other")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
@@ -502,6 +570,7 @@ object Similarity {
     "q73_ann_pq" -> q73AnnPq _,
     "q86_random_projection" -> q86RandomProjection _,
     "q88_ann_recall" -> q88AnnRecall _,
+    "q92_ann_recall_families" -> q92AnnRecallFamilies _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +580,6 @@ object Similarity {
     "q73_ann_pq" -> q73Oracle,
     "q86_random_projection" -> q86Oracle,
     "q88_ann_recall" -> q88Oracle,
+    "q92_ann_recall_families" -> q92Oracle,
   )
 }
