@@ -117,7 +117,7 @@ object Bench {
     // requested, so dev subset runs stay fast.
     val streamJson =
       if (!only.forall(_.contains("streambench"))) None
-      else try Some(StreamBench.measure(spark, sfDir).json)
+      else try Some(StreamBench.combinedJson(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streambench failed: ${e.getMessage}")
         Some("""{"records_per_sec":-1}""")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{IngestStream, SigningStream}
+import graft.streaming.{DecontamStream, DedupStream, IngestStream, SigningStream}
 
 /** End-to-end streaming throughput: the full EP1→EP2 chain (base64 decode →
   * djb2 partition → dedup → keyring join → sign) over the sf events replayed
@@ -34,6 +34,100 @@ object StreamBench {
       val secs = if (seconds.isFinite) seconds else -1.0
       f"""{"records_per_sec":$rate%.1f,"records":$records,"signed":$signed,"seconds":$secs%.3f}"""
     }
+  }
+
+  /** Throughput of one corpus-hygiene seam (S8 dedup / S9 decontam) —
+    * docs/sec through the full streaming split, plus the clean-sink row
+    * count as the observable decision. A failed/timed-out run emits −1
+    * markers, same contract as [[Result]]. */
+  final case class SeamResult(recordsPerSec: Double, records: Long,
+      clean: Long, seconds: Double) {
+    def json: String = {
+      val rate = if (seconds.isFinite && seconds > 0 && recordsPerSec.isFinite)
+        recordsPerSec else -1.0
+      val secs = if (seconds.isFinite) seconds else -1.0
+      f"""{"records_per_sec":$rate%.1f,"records":$records,"clean":$clean,"seconds":$secs%.3f}"""
+    }
+  }
+
+  /** S8 throughput: the q72 delta slice (doc_id % 10 == 7) replayed as a
+    * file-source stream and near-dup-checked against the standing 90%
+    * corpus via [[DedupStream]] — the per-refresh cost of the streaming
+    * corpus-refresh seam, measured from a clean slate. */
+  def measureDedup(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-dedup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // standing corpus = the non-delta 90% (q72's split), materialized as a
+    // corpus dir because the stream's standing index reads a directory
+    val docs = Tables(spark, sfDir, "documents")
+    docs.filter($"doc_id" % 10 =!= 7)
+      .write.mode("overwrite").parquet(s"$root/corpus/documents.parquet")
+    val incoming = s"$root/incoming"
+    docs.filter($"doc_id" % 10 === 7).select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = DedupStream.run(stream, s"$root/corpus", s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:dedup] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val clean = spark.read.parquet(s"$root/out/clean").count()
+      SeamResult(n / secs, n, clean, secs)
+    }
+  }
+
+  /** S9 throughput: the full documents table replayed as a file-source
+    * stream through [[DecontamStream]]'s eval-collision gate (eval set =
+    * q68's doc_id % 97 slice of the same dir) — the admission-gate cost
+    * per document, measured from a clean slate. */
+  def measureDecontam(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-decontam"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = DecontamStream.run(stream, sfDir, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:decontam] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val clean = spark.read.parquet(s"$root/out/clean").count()
+      SeamResult(n / secs, n, clean, secs)
+    }
+  }
+
+  /** The full streambench object for the round artifact: the signing chain's
+    * fields at the top level (shape-compatible with every prior round's
+    * BENCH) plus one nested object per corpus-hygiene seam. Each seam is
+    * guarded — a seam failure degrades to a −1 marker object, never breaks
+    * the others or the JSON. */
+  def combinedJson(spark: SparkSession, sfDir: String): String = {
+    def guarded(tag: String)(body: => String): String =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[streambench:$tag] failed: ${e.getMessage}")
+        """{"records_per_sec":-1}"""
+      }
+    val signing = guarded("signing")(measure(spark, sfDir).json)
+    val dedup = guarded("dedup")(measureDedup(spark, sfDir).json)
+    val decontam = guarded("decontam")(measureDecontam(spark, sfDir).json)
+    signing.stripSuffix("}") + s""","dedup":$dedup,"decontam":$decontam}"""
   }
 
   /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.
@@ -93,9 +187,19 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val r = measure(spark, sfDir)
+    val dedup = try measureDedup(spark, sfDir).json
+      catch { case e: Throwable =>
+        System.err.println(s"[streambench:dedup] failed: ${e.getMessage}")
+        """{"records_per_sec":-1}"""
+      }
+    val decontam = try measureDecontam(spark, sfDir).json
+      catch { case e: Throwable =>
+        System.err.println(s"[streambench:decontam] failed: ${e.getMessage}")
+        """{"records_per_sec":-1}"""
+      }
     val line = s"""{"metric":"stream_records_per_sec","value":${r.recordsPerSec},""" +
       s""""unit":"rec/sec","records":${r.records},"signed":${r.signed},""" +
-      s""""seconds":${r.seconds},"sf":"$sfDir"}"""
+      s""""seconds":${r.seconds},"dedup":$dedup,"decontam":$decontam,"sf":"$sfDir"}"""
     // Triple-redundant emission, same contract as Bench: raw stdout for
     // the parser, stderr + file as belt-and-braces.
     println(line)
