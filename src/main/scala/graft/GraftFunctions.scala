@@ -52,6 +52,8 @@ object GraftFunctions {
       { case Seq(c) => RollingHash(c) }),
     ("simhash32", "simhash32(array<string>) — 32-bit SimHash of a token array",
       { case Seq(c) => SimHash32(c) }),
+    ("simhash64", "simhash64(array<string>) — 64-bit two-view SimHash of a token array",
+      { case Seq(c) => SimHash64(c) }),
     ("shingle_hashes", "shingle_hashes(array<string>, n) — djb2 hashes of word n-grams",
       { case Seq(c, n) => ShingleHashes(c, intArg("shingle_hashes", n)) }),
     ("minhash_sig_h", "minhash_sig_h(array<long>, k) — k-permutation MinHash signature",

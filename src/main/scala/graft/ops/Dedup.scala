@@ -406,7 +406,7 @@ object Dedup {
   }
 
   /** q53's sketch as a reusable CTE body (no ORDER BY) — shared with q65. */
-  private val simhashCte: String =
+  private[ops] val simhashCte: String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |th AS (SELECT doc_id, ${Sql.djb2("t")} AS h FROM tok),
        |bits AS (SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS bal
@@ -511,7 +511,7 @@ object Dedup {
     * assembled in HUGEINT (BIGINT `1 << 63` overflows — DuckDB errors
     * rather than wraps) and folded to two's-complement int64 at the end,
     * which is exactly the Spark LongType bit pattern. */
-  private val simhash64Cte: String =
+  private[ops] val simhash64Cte: String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |th AS (SELECT doc_id, ${Sql.djb2("t")} AS h1,
        |       ${Sql.djb2("(t || chr(35))")} AS h2 FROM tok),

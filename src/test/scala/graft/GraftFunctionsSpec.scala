@@ -14,7 +14,7 @@ class GraftFunctionsSpec extends SparkSpec {
 
   private lazy val registered: Unit = GraftFunctions.registerAll(spark)
 
-  test("djb2 / rolling_hash / shingle_hashes / simhash32 via spark.sql equal the Column API") {
+  test("djb2 / rolling_hash / shingle_hashes / simhash32 / simhash64 via spark.sql equal the Column API") {
     val s = spark
     registered
     import s.implicits._
@@ -22,12 +22,14 @@ class GraftFunctionsSpec extends SparkSpec {
     val viaSql = s.sql(
       """SELECT doc_id, djb2(text) AS h, rolling_hash(text) AS rh,
         |  simhash32(split(text, ' ')) AS sh,
+        |  simhash64(split(text, ' ')) AS sh64,
         |  shingle_hashes(split(text, ' '), 3) AS shs
         |FROM docs_sqlfn ORDER BY doc_id""".stripMargin).collect()
     val viaCol = Tables(s, sf, "documents")
       .select($"doc_id", graft.functions.Djb2.djb2($"text").as("h"),
         HashFns.fingerprint($"text").as("rh"),
         HashFns.simhash32(TextFns.tokens($"text")).as("sh"),
+        HashFns.simhash64(TextFns.tokens($"text")).as("sh64"),
         HashFns.shingleHashes(TextFns.tokens($"text"), 3).as("shs"))
       .orderBy($"doc_id").collect()
     assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
