@@ -510,8 +510,12 @@ object Similarity {
     * ≤ k·|queries|·|families| rows — metadata at any corpus scale. */
   def q92AnnRecallFamilies(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // truth is k·|queries| rows (30 here) but its subplan is the brute-force
+    // cross join — materialize it once instead of re-running the scan for
+    // each of the three family comparisons (the Dedup localCheckpoint
+    // pattern; values unchanged, bounded metadata size)
     val truth = q55AnnBrute(s, dir).filter($"rank" <= 3)
-      .select($"q_id", $"vec_id")
+      .select($"q_id", $"vec_id").localCheckpoint(true)
     def recallOf(family: String, approx: DataFrame): DataFrame =
       truth.join(approx.select($"q_id", $"vec_id", lit(1).as("hit")),
           Seq("q_id", "vec_id"), "left")
