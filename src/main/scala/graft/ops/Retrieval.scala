@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+import graft.functions.{TextFns, VecFns}
+
+/** Hybrid lexical+vector retrieval — the RAG-serving shape of an LLM data
+  * platform: BM25 over the token stream fused with dense-vector cosine via
+  * reciprocal-rank fusion. The reference has no retrieval surface; this is
+  * part of the beyond-reference LLM-pipeline family (builder prompt), built
+  * on the same documents/embeddings fixtures as the dedup/ANN operators
+  * (vec_id aligns with doc_id).
+  *
+  * Float-determinism discipline (every number hash-matches DuckDB):
+  *   - BM25 idf is the LOG-FREE rational form (2N − 2df + 1)/(2df + 1) —
+  *     the (N − df + 0.5)/(df + 0.5) Robertson idf scaled by 2/2; ln() is
+  *     libm-dependent (q45's precedent) and never used.
+  *   - With k1 = 6/5 and b = 3/4 exact, the per-term score is one double
+  *     division of two int64-exact products:
+  *       idf · tf·(k1+1)/(tf + k1(1 − b + b·dl/avgdl))
+  *       = (2N−2df+1)·22·tf·S / [(2df+1)·(10·tf·S + 3·S + 9·dl·N)]
+  *     where S = Σ dl (corpus token count) clears every fraction.
+  *   - The per-(query, doc) sum over matched terms goes through
+  *     DECIMAL(28,12) — exact and associative, so partitioning cannot
+  *     reorder a float sum (the dsum discipline).
+  *   - Int64 headroom: the cleared-fraction products peak ≈ idf_den·10·tf·S
+  *     ≈ 10^13 at fixture scale; they stay in int64 up to corpora of
+  *     ~10^8-token S per 10^4-doc shard. At 100 TB the oracle constraint
+  *     disappears and production BM25 uses the plain double form (same
+  *     ranking); the plan shape is unchanged.
+  *   - RRF adds exactly two doubles in fixed operand order:
+  *     1/(60 + lex_rank) + 1/(60 + vec_rank), integer ranks.
+  *
+  * Scale shape: tf/df/dl are single-shuffle token aggregations (the q44/q45
+  * subplans); the candidate join is qterms × tf on the TOKEN key —
+  * collision-proportional, and the query side is 10 docs' distinct terms
+  * (bounded broadcast). The vector side is the q55 broadcast-queries brute
+  * scan (the declared baseline; the LSH/IVF/PQ indexes are the registered
+  * scale path and slot into the same rank-fusion seam). Fusion itself is a
+  * FULL OUTER equi-join on (q_id, doc_id) over ≤ 2·k·|queries| rows —
+  * driver-free metadata at any corpus scale.
+  */
+object Retrieval {
+
+  private val K = 20 // per-retriever candidate depth fed into the fusion
+  private val RrfK = 60 // the standard RRF dampening constant
+
+  def q94HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("t"))
+    val tf = toks.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val dfT = toks.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
+    val totals = toks.agg(count(lit(1)).as("s_total"),
+      countDistinct($"doc_id").as("n_docs"))
+    // 10 query docs' distinct terms — bounded broadcast side
+    val qterms = tf.filter($"doc_id" < 10).select($"doc_id".as("q_id"), $"t")
+    val termScore =
+      ($"idf_num" * lit(22L) * $"tf" * $"s_total").cast(DoubleType) /
+        ($"idf_den" * (lit(10L) * $"tf" * $"s_total" + lit(3L) * $"s_total" +
+          lit(9L) * $"dl" * $"n_docs")).cast(DoubleType)
+    val lexScores = broadcast(qterms).join(tf.as("c"), Seq("t"))
+      .filter($"c.doc_id" =!= $"q_id")
+      .join(broadcast(dfT), Seq("t"))
+      .crossJoin(broadcast(totals))
+      .join(dl, Seq("doc_id"))
+      .withColumn("idf_num", lit(2L) * $"n_docs" - lit(2L) * $"df" + lit(1L))
+      .withColumn("idf_den", lit(2L) * $"df" + lit(1L))
+      .groupBy($"q_id", $"doc_id")
+      .agg(sum(termScore.cast(DecimalType(28, 12))).as("lex_dec"))
+    val wLex = Window.partitionBy($"q_id").orderBy($"lex_dec".desc, $"doc_id")
+    val lex = lexScores
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .filter($"lex_rank" <= K)
+      .select($"q_id", $"doc_id", $"lex_rank")
+    val vec = vecTopK(s, dir, K)
+    // RRF: fixed operand order (lexical first), 0 for a retriever miss
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + $"vec_rank"), lit(0.0)))
+    val wF = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+    fused
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"doc_id", $"lex_rank", $"vec_rank", $"rrf")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Brute-force cosine top-K per query doc (q55's shape at depth K),
+    * keyed as doc_id for the fusion join. */
+  private def vecTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", VecFns.cosinePrenorm(
+        VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
+      .withColumn("vec_rank", row_number().over(w).cast("long"))
+      .filter($"vec_rank" <= k)
+      .select($"q_id", $"vec_id".as("doc_id"), $"vec_rank")
+  }
+
+  val q94Oracle: String = {
+    val cos = Sql.cosine("q.embedding", "v.embedding")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+       |dft AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+       |totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_total,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+       |qterms AS (SELECT doc_id AS q_id, t FROM tf WHERE doc_id < 10),
+       |lexscore AS (
+       |  SELECT q.q_id, c.doc_id,
+       |    SUM(CAST(
+       |      CAST((2 * n.n_docs - 2 * f.df + 1) * 22 * c.tf * n.s_total AS DOUBLE) /
+       |      CAST((2 * f.df + 1) *
+       |        (10 * c.tf * n.s_total + 3 * n.s_total + 9 * d.dl * n.n_docs) AS DOUBLE)
+       |      AS DECIMAL(28,12))) AS lex_dec
+       |  FROM qterms q
+       |  JOIN tf c ON c.t = q.t AND c.doc_id <> q.q_id
+       |  JOIN dft f ON f.t = q.t
+       |  CROSS JOIN totals n
+       |  JOIN dl d ON d.doc_id = c.doc_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY lex_dec DESC, doc_id) AS BIGINT) AS lex_rank
+       |  FROM lexscore
+       |  QUALIFY lex_rank <= $K),
+       |vsims AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS doc_id, $cos AS cos
+       |  FROM embeddings q, embeddings v
+       |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id),
+       |vec AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+       |  FROM vsims
+       |  QUALIFY vec_rank <= $K),
+       |fused AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), CAST(0 AS DOUBLE))
+       |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+       |SELECT q_id, rank, doc_id, lex_rank, vec_rank, rrf FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_hybrid_retrieval" -> q94HybridRetrieval _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q94_hybrid_retrieval" -> q94Oracle,
+  )
+}

@@ -352,6 +352,45 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95
+  /** Sequence-length distribution — the histogram a packing/batching design
+    * (q75's input) is sized from: per (lang, power-of-2 token-length
+    * bucket), document count, token mass, and each bucket's share of its
+    * language's tokens. The bucket is floor(log2(n_tokens)) computed
+    * INTEGER-EXACTLY as length(bin(n)) − 1 — `bin()` prints the minimal
+    * binary string in both engines, so no libm log2 enters the oracle (the
+    * q45 ln() discipline). One shuffle on (lang, bucket) for the partial
+    * agg; the per-lang share is a window over ≤ |langs|·64 rows —
+    * metadata. */
+  def q95LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables(s, dir, "documents")
+      .select($"lang", size(TextFns.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("bucket", (length(bin($"n_tok")) - 1).cast("long"))
+    val wLang = Window.partitionBy($"lang")
+    perDoc.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .withColumn("token_share",
+        $"n_tokens".cast("double") / sum($"n_tokens").over(wLang).cast("double"))
+      .select($"lang", $"bucket", $"n_docs", $"n_tokens", $"token_share")
+      .orderBy($"lang", $"bucket")
+  }
+
+  val q95Oracle: String =
+    """WITH perdoc AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |hist AS (
+      |  SELECT lang, CAST(length(bin(n_tok)) - 1 AS BIGINT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      |  FROM perdoc GROUP BY 1, 2)
+      |SELECT lang, bucket, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE)
+      |    / CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS token_share
+      |FROM hist
+      |ORDER BY lang, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -363,6 +402,7 @@ object TextAnalysis {
     "q63_repetition" -> q63Repetition _,
     "q64_corpus_gate" -> q64CorpusGate _,
     "q84_vocab_oov" -> q84VocabOov _,
+    "q95_length_histogram" -> q95LengthHistogram _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -376,5 +416,6 @@ object TextAnalysis {
     "q63_repetition" -> q63Oracle,
     "q64_corpus_gate" -> q64Oracle,
     "q84_vocab_oov" -> q84Oracle,
+    "q95_length_histogram" -> q95Oracle,
   )
 }

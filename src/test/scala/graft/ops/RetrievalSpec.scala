@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q94 hybrid retrieval semantics on a controlled corpus: BM25 term
+  * weighting (rare beats common, tf saturates), RRF fusion (a doc found by
+  * BOTH retrievers outranks single-retriever docs), and the full pipeline
+  * against the driver fixture (shape + determinism).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  /** Corpus dir: one query doc (id 0 — ids < 10 are queries), corpus ids
+    * ≥ 10. Doc 10 shares the RARE query term; doc 11 shares only a term
+    * every doc has; doc 12 is lexically unrelated but its embedding is the
+    * query's twin; doc 10's embedding is also near the query — doc 10 is
+    * the both-retrievers doc and must win the fusion. */
+  private def writeFixture(): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-ret-").toString
+    Seq(
+      (0L, "zylophant common alpha beta"), // the query doc
+      (10L, "zylophant common gamma delta"), // rare-term + vector match
+      (11L, "common epsilon zeta eta"), // common-term only
+      (12L, "unrelated words entirely here"), // vector-only match
+      (13L, "more unrelated filler text"),
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, vec(1, 0, 0, 0), 0),
+      (10L, vec(0.9, 0.1, 0, 0), 0), // near the query
+      (11L, vec(0, 1, 0, 0), 0), // orthogonal
+      (12L, vec(1, 0.01, 0, 0), 0), // nearest of all
+      (13L, vec(0, 0, 1, 0), 0),
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    root
+  }
+
+  test("RRF: the doc found by both retrievers wins; ranks are deterministic") {
+    val dir = writeFixture()
+    val out = Retrieval.q94HybridRetrieval(spark, dir).collect()
+    val q0 = out.filter(_.getLong(0) == 0L)
+    assert(q0.nonEmpty)
+    val top = q0.minBy(_.getLong(1))
+    // doc 10: lexical hit (rare term zylophant + common) AND vector rank 2
+    assert(top.getLong(2) === 10L,
+      s"both-retrievers doc should fuse on top, got ${top.getLong(2)}")
+    // its rrf must be the two-term sum, strictly above any single-term doc
+    val rrf = q0.map(r => r.getLong(2) -> r.getDouble(5)).toMap
+    assert(rrf(10L) > rrf.filter(_._1 != 10L).values.max)
+  }
+
+  test("BM25: rare-term doc outranks common-term doc lexically") {
+    val s = spark
+    import s.implicits._
+    val dir = writeFixture()
+    val out = Retrieval.q94HybridRetrieval(s, dir)
+      .filter($"q_id" === 0L && $"lex_rank".isNotNull)
+      .select($"doc_id", $"lex_rank")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 10 (zylophant, df=2) must outrank doc 11 (common, df=3)
+    assert(out(10L) < out(11L),
+      s"rare-term doc must rank above common-term doc: $out")
+  }
+
+  test("fixture run: 5 per query, rrf descending within query, no self-hit") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q94HybridRetrieval(s, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length === 5)
+      assert(!rs.exists(_.getLong(2) == qid), s"query $qid retrieved itself")
+      val rrfs = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
