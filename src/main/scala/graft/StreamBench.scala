@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{DecontamStream, DedupStream, IngestStream, SigningStream}
+import graft.streaming.{DecontamStream, DedupStream, IngestStream, SigningStream, VectorIndexStream}
 
 /** End-to-end streaming throughput: the full EP1→EP2 chain (base64 decode →
   * djb2 partition → dedup → keyring join → sign) over the sf events replayed
@@ -113,6 +113,36 @@ object StreamBench {
     }
   }
 
+  /** S10 throughput: the embeddings table replayed as a file-source stream
+    * through [[VectorIndexStream]]'s cell-assignment + partitioned index
+    * append — vectors/sec into a searchable IVF index, from a clean
+    * slate. `clean` = rows landed in the index (== records on success). */
+  def measureIndexRefresh(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-annrefresh"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("vec_id long, embedding array<float>").parquet(incoming)
+    val q = VectorIndexStream.run(stream, sfDir, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:annrefresh] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val indexed = spark.read.parquet(s"$root/index").count()
+      SeamResult(n / secs, n, indexed, secs)
+    }
+  }
+
   /** The full streambench object for the round artifact: the signing chain's
     * fields at the top level (shape-compatible with every prior round's
     * BENCH) plus one nested object per corpus-hygiene seam. Each seam is
@@ -127,7 +157,9 @@ object StreamBench {
     val signing = guarded("signing")(measure(spark, sfDir).json)
     val dedup = guarded("dedup")(measureDedup(spark, sfDir).json)
     val decontam = guarded("decontam")(measureDecontam(spark, sfDir).json)
-    signing.stripSuffix("}") + s""","dedup":$dedup,"decontam":$decontam}"""
+    val annRefresh = guarded("annrefresh")(measureIndexRefresh(spark, sfDir).json)
+    signing.stripSuffix("}") +
+      s""","dedup":$dedup,"decontam":$decontam,"ann_refresh":$annRefresh}"""
   }
 
   /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.

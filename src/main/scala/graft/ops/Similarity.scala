@@ -146,7 +146,7 @@ object Similarity {
     * SemDeDup pass (q77): per-label, per-dim exact decimal means, collected
     * as bounded metadata (nlist rows of 64 doubles — same class as the
     * signing upsert's ≤256 bucket prefixes, not a data collect). */
-  private[ops] def ivfCentroidMeta(s: SparkSession,
+  private[graft] def ivfCentroidMeta(s: SparkSession,
       dir: String): (Array[Long], Array[Array[Double]]) = {
     import s.implicits._
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -165,7 +165,7 @@ object Similarity {
   /** Every vector with its nearest-cell assignment — a single codegen'd
     * map-side projection over the scan ([[graft.functions.NearestCells]]),
     * zero exchange. Columns: vec_id, embedding, cell. */
-  private[ops] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (cells, mats) = ivfCentroidMeta(s, dir)
     Tables(s, dir, "embeddings").select($"vec_id", $"embedding",
