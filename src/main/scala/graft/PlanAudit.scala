@@ -45,6 +45,7 @@ object PlanAudit {
     "q91_simhash64" -> "64-bit SimHash sketch, map-only codegen'd projection over the scan; its banded consumer (q67's simhash signal) joins on 16-bit bands — band-key space 4·2^16 = 262,144 vs the 32-bit sketch's 4·2^8 = 1,024, so per-bucket occupancy (and candidate pair count) stays bounded ~256× longer as the corpus grows; pigeonhole recall stays exact at Hamming ≤ 3 (4 bands)",
     "q67_multisignal_clusters" -> "union graph = q51 Jaccard pairs ∪ 64-bit SimHash banded pairs at Hamming ≤ 3; both edge sources are collision-proportional equi-joins (shingle hash / 16-bit band key); CC is pointer-doubling over 8-byte keys",
     "q94_hybrid_retrieval" -> "hybrid BM25+vector RRF: tf/df/dl are single-shuffle token aggregations; the lexical candidate join is (broadcast 10-query terms) × tf on the TOKEN key — collision-proportional; the vector side is the q55 broadcast-queries scan; fusion is a FULL OUTER join over ≤ 2·k·|queries| rows — metadata at any scale",
+    "q96_snapshot_diff" -> "corpus versioning: each side is scan + map-side sha2; ONE full-outer equi-join on doc_id (both sides hash-partition the same key); status is a map-side CASE — the 64-byte hash shuffles, never the text",
   )
 
   def main(args: Array[String]): Unit = {
