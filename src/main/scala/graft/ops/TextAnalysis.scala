@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -391,6 +391,76 @@ object TextAnalysis {
       |FROM hist
       |ORDER BY lang, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Count-min heavy hitters — the mergeable-sketch counterpart to q32's
+    * HLL: a 3×1024 count-min sketch of the corpus token stream, probed for
+    * the exact top-20 terms (q44's set) so the sketch's overestimate
+    * contract (est ≥ exact, excess bounded by collisions) is an
+    * oracle-checked number per term. The hash rows are djb2(t ⧺ "#d") mod
+    * 1024 — deterministic and engine-mirrorable, the q91 two-view trick.
+    *
+    * Scale shape: the sketch build is ONE partial-aggregated groupBy over
+    * (row, bucket) — at most 3·1024 groups survive per map task, so the
+    * shuffle is sketch-sized (corpus-size-independent), exactly why CM
+    * sketches are the 100 TB heavy-hitter tool: per-partition sketches
+    * merge by addition (the partial agg IS the merge). The probe side is
+    * 20 terms × 3 rows joined against the 3072-row sketch — metadata. */
+  def q97CountminHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("tok"))
+    def bucket(t: Column, d: Int): Column =
+      pmod(graft.functions.Djb2.djb2(concat(t, lit(s"#$d"))), lit(1024L))
+    // sketch: 3 rows × 1024 buckets, one partial-aggregated shuffle
+    val sketch = toks.select(explode(array((0 until 3).map(d =>
+        struct(lit(d.toLong).as("row"), bucket($"tok", d).as("bucket"))): _*)).as("rb"))
+      .groupBy($"rb.row".as("row"), $"rb.bucket".as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // exact top-20 (q44's deterministic tie-break) as the probe set
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
+      .orderBy($"exact_count".desc, $"tok").limit(20)
+    val probes = top.select($"tok", $"exact_count", explode(array((0 until 3).map(d =>
+      struct(lit(d.toLong).as("row"), bucket($"tok", d).as("bucket"))): _*)).as("rb"))
+      .select($"tok", $"exact_count", $"rb.row".as("row"), $"rb.bucket".as("bucket"))
+    probes.join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy($"tok", $"exact_count")
+      .agg(min($"c").as("cm_estimate"))
+      .withColumn("overestimate", $"cm_estimate" - $"exact_count")
+      .select($"tok", $"exact_count", $"cm_estimate", $"overestimate")
+      .orderBy($"exact_count".desc, $"tok")
+  }
+
+  val q97Oracle: String = {
+    def b(expr: String, d: Int): String =
+      Sql.pmod(Sql.djb2(s"($expr || '#$d')"), 1024)
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |rb AS (
+       |  SELECT tok, d,
+       |    CASE d WHEN 0 THEN ${b("tok", 0)}
+       |           WHEN 1 THEN ${b("tok", 1)}
+       |           ELSE ${b("tok", 2)} END AS bucket
+       |  FROM toks CROSS JOIN range(0, 3) dd(d)),
+       |sketch AS (
+       |  SELECT d AS row, bucket, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM rb GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count
+       |  FROM toks GROUP BY tok
+       |  ORDER BY exact_count DESC, tok LIMIT 20),
+       |probes AS (
+       |  SELECT t.tok, t.exact_count, dd.d AS row,
+       |    CASE dd.d WHEN 0 THEN ${b("t.tok", 0)}
+       |              WHEN 1 THEN ${b("t.tok", 1)}
+       |              ELSE ${b("t.tok", 2)} END AS bucket
+       |  FROM top t CROSS JOIN range(0, 3) dd(d))
+       |SELECT p.tok, p.exact_count, MIN(s.c) AS cm_estimate,
+       |  MIN(s.c) - p.exact_count AS overestimate
+       |FROM probes p JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+       |GROUP BY p.tok, p.exact_count
+       |ORDER BY p.exact_count DESC, p.tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -403,6 +473,7 @@ object TextAnalysis {
     "q64_corpus_gate" -> q64CorpusGate _,
     "q84_vocab_oov" -> q84VocabOov _,
     "q95_length_histogram" -> q95LengthHistogram _,
+    "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -417,5 +488,6 @@ object TextAnalysis {
     "q64_corpus_gate" -> q64Oracle,
     "q84_vocab_oov" -> q84Oracle,
     "q95_length_histogram" -> q95Oracle,
+    "q97_countmin_heavyhitters" -> q97Oracle,
   )
 }

@@ -116,4 +116,21 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 63L, 0L, 0.0),
     ))
   }
+
+  test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.q97CountminHeavyHitters(s, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.length === 20)
+    rows.foreach { case (tok, exact, est, over) =>
+      assert(est >= exact, s"CM must never undercount: $tok est=$est exact=$exact")
+      assert(over === est - exact)
+    }
+    // the probe's min-over-rows is what bounds the excess: with 3 rows of
+    // 1024 buckets over this fixture vocabulary, at least one row must be
+    // collision-free for the vast majority of heavy hitters
+    assert(rows.count { case (_, e, c, _) => e == c } >= 15,
+      s"suspiciously many collisions for 3x1024 at fixture scale: $rows")
+  }
 }
