@@ -218,20 +218,15 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val r = measure(spark, sfDir)
-    val dedup = try measureDedup(spark, sfDir).json
-      catch { case e: Throwable =>
-        System.err.println(s"[streambench:dedup] failed: ${e.getMessage}")
-        """{"records_per_sec":-1}"""
-      }
-    val decontam = try measureDecontam(spark, sfDir).json
-      catch { case e: Throwable =>
-        System.err.println(s"[streambench:decontam] failed: ${e.getMessage}")
-        """{"records_per_sec":-1}"""
-      }
-    val line = s"""{"metric":"stream_records_per_sec","value":${r.recordsPerSec},""" +
-      s""""unit":"rec/sec","records":${r.records},"signed":${r.signed},""" +
-      s""""seconds":${r.seconds},"dedup":$dedup,"decontam":$decontam,"sf":"$sfDir"}"""
+    // One source of truth for all seams (signing + dedup + decontam +
+    // ann_refresh): the same combined object Bench embeds; the headline
+    // value is extracted from its leading signing fields rather than
+    // re-measured (a re-run would double the wall time and could diverge).
+    val combined = combinedJson(spark, sfDir)
+    val rate = """"records_per_sec":(-?[0-9.]+)""".r
+      .findFirstMatchIn(combined).map(_.group(1)).getOrElse("-1")
+    val line = s"""{"metric":"stream_records_per_sec","value":$rate,""" +
+      s""""unit":"rec/sec","streambench":$combined,"sf":"$sfDir"}"""
     // Triple-redundant emission, same contract as Bench: raw stdout for
     // the parser, stderr + file as belt-and-braces.
     println(line)

@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage-codegen spans on the 100 TB ingest path).
   */
 object Djb2 {
-  def hash(s: String): Long = {
+  /** The fold BEFORE the final abs — exposed so derived hashes (e.g.
+    * SimHash64's second view, hash(t ⧺ "#")) can extend an existing fold
+    * by one step instead of re-hashing every character. */
+  def raw(s: String): Long = {
     var h = 5381L
     var i = 0
     val n = s.length
@@ -35,8 +38,14 @@ object Djb2 {
       h = ((h.toInt << 5).toLong) + h + s.charAt(i).toLong
       i += 1
     }
-    math.abs(h)
+    h
   }
+
+  /** One fold step: the state after consuming `c` from state `h`. */
+  @inline def step(h: Long, c: Char): Long =
+    ((h.toInt << 5).toLong) + h + c.toLong
+
+  def hash(s: String): Long = math.abs(raw(s))
 
   /** Column API: `djb2($"key")` → LongType. */
   def djb2(c: Column): Column =

@@ -109,8 +109,12 @@ object HashFns {
     val n = arr.numElements()
     while (i < n) {
       val t = arr.getUTF8String(i).toString
-      val h1 = Djb2.hash(t)
-      val h2 = Djb2.hash(t + "#")
+      // one fold over t serves both views: h2 extends the raw state by a
+      // single '#' step — identical to Djb2.hash(t + "#") bit-for-bit,
+      // without re-hashing the token (this runs in the q91/q67/q93 scans)
+      val raw = Djb2.raw(t)
+      val h1 = math.abs(raw)
+      val h2 = math.abs(Djb2.step(raw, '#'))
       var j = 0
       while (j < 32) {
         if (((h1 >> j) & 1L) == 1L) bal(j) += 1 else bal(j) -= 1

@@ -64,9 +64,13 @@ object Retrieval {
       ($"idf_num" * lit(22L) * $"tf" * $"s_total").cast(DoubleType) /
         ($"idf_den" * (lit(10L) * $"tf" * $"s_total" + lit(3L) * $"s_total" +
           lit(9L) * $"dl" * $"n_docs")).cast(DoubleType)
+    // df is vocabulary-sized (unbounded at corpus scale) — restrict it to
+    // the query terms BEFORE broadcasting, so the broadcast side stays
+    // bounded by the 10 query docs' distinct terms
+    val dfQ = dfT.join(broadcast(qterms.select($"t").distinct()), Seq("t"), "left_semi")
     val lexScores = broadcast(qterms).join(tf.as("c"), Seq("t"))
       .filter($"c.doc_id" =!= $"q_id")
-      .join(broadcast(dfT), Seq("t"))
+      .join(broadcast(dfQ), Seq("t"))
       .crossJoin(broadcast(totals))
       .join(dl, Seq("doc_id"))
       .withColumn("idf_num", lit(2L) * $"n_docs" - lit(2L) * $"df" + lit(1L))
@@ -92,21 +96,12 @@ object Retrieval {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Brute-force cosine top-K per query doc (q55's shape at depth K),
-    * keyed as doc_id for the fusion join. */
+  /** Brute-force cosine top-K per query doc (q55's exact subplan via
+    * [[Similarity.bruteTopK]]), keyed as doc_id for the fusion join. */
   private def vecTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
-    val e = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    e.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", VecFns.cosinePrenorm(
-        VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
-      .withColumn("vec_rank", row_number().over(w).cast("long"))
-      .filter($"vec_rank" <= k)
-      .select($"q_id", $"vec_id".as("doc_id"), $"vec_rank")
+    Similarity.bruteTopK(s, dir, k)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
   }
 
   val q94Oracle: String = {

@@ -54,7 +54,12 @@ object Similarity {
     * map-side cosine, per-query top-k window. At scale: queries are always
     * the broadcast side; the corpus scan stays shuffle-free until the final
     * per-query top-k (which AQE keeps tiny). */
-  def q55AnnBrute(s: SparkSession, dir: String): DataFrame = {
+  /** The shared brute-force subplan: exact cosine top-k per query doc
+    * (queries broadcast, corpus scan shuffle-free until the per-query
+    * window). Columns (q_id, rank, vec_id, cos), no presentation sort —
+    * q55 and the q94 retrieval fusion both consume this, so the candidate
+    * generation (self-hit filter, prenorm cosine, tie-break) lives once. */
+  private[graft] def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
     val q = e.filter($"vec_id" < 10)
@@ -65,9 +70,13 @@ object Similarity {
       .withColumn("cos", VecFns.cosinePrenorm(
         VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 5)
+      .filter($"rank" <= k)
       .select($"q_id", $"rank", $"vec_id", $"cos")
-      .orderBy($"q_id", $"rank")
+  }
+
+  def q55AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bruteTopK(s, dir, 5).orderBy($"q_id", $"rank")
   }
 
   val q55Oracle: String = {

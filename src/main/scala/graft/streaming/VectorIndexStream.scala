@@ -78,7 +78,12 @@ object VectorIndexStream {
   }
 
   /** Driver-side nearest-cell pick for the (single) probe vector — the
-    * same cosine-to-centroid rule as the NearestCells expression. */
+    * same cosine-to-centroid rule as the NearestCells expression,
+    * INCLUDING its NaN order: `Double.compare` sorts NaN greatest, so a
+    * degenerate zero-norm centroid (NaN cosine for every vector) is
+    * probed first, matching where the write side routed those vectors —
+    * a `sortBy(-cos)` would instead sort NaN last and make probes miss
+    * the very cell the index assigned. */
   private def nearestCells(v: Seq[Float], cells: Array[Long],
       cents: Array[Array[Double]], nprobe: Int): Seq[Long] = {
     val vd = v.map(_.toDouble).toArray
@@ -89,6 +94,9 @@ object VectorIndexStream {
       while (i < cent.length) { dot += vd(i) * cent(i); i += 1 }
       val cn = math.sqrt(cent.map(x => x * x).sum)
       (c, dot / (vn * cn))
-    }.sortBy { case (c, cos) => (-cos, c) }.take(nprobe).map(_._1).toSeq
+    }.sortWith { case ((ca, cosa), (cb, cosb)) =>
+      val cmp = java.lang.Double.compare(cosb, cosa) // desc, NaN greatest
+      if (cmp != 0) cmp < 0 else ca < cb
+    }.take(nprobe).map(_._1).toSeq
   }
 }

@@ -23,9 +23,11 @@ PATTERNS = {
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.(spark|commons|derby)|org\.scalatest|org\.scalacheck|graft\.)(org|com|net|io|ai|co|dev|us)\.[a-z0-9_]+\.",
         re.M),
-    # URLs that are not apache/github/ietf/wikipedia-class public hosts
+    # any URL whose host is NOT on the public allowlist — internal wikis,
+    # issue trackers, dashboards, corp TLDs all match (the previous version
+    # only matched *.corp/.internal/.intranet, leaving the category dead)
     "internal-url": re.compile(
-        r"https?://(?!www\.|spark\.apache|github\.com|raw\.githubusercontent|arxiv\.org|duckdb\.org|datatracker\.ietf|en\.wikipedia|docs\.|localhost|127\.0\.0\.1)[a-z0-9.-]+\.(corp|internal|intranet)\b"),
+        r"https?://(?!(www\.)?(spark|commons|orc)\.apache\.org|github\.com|raw\.githubusercontent\.com|arxiv\.org|duckdb\.org|datatracker\.ietf\.org|([a-z]{2}\.)?wikipedia\.org|scala-lang\.org|scalatest\.org|localhost|127\.0\.0\.1)[a-z0-9][a-z0-9.-]*\.[a-z]{2,}"),
     # package refs to obviously-internal namespaces
     "internal-pkg2": re.compile(r"\b(com|net|io)\.[a-z]+\.(internal|proprietary)\b"),
     # cloud bucket identifiers
