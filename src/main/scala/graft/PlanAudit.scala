@@ -46,6 +46,8 @@ object PlanAudit {
     "q67_multisignal_clusters" -> "union graph = q51 Jaccard pairs ∪ 64-bit SimHash banded pairs at Hamming ≤ 3; both edge sources are collision-proportional equi-joins (shingle hash / 16-bit band key); CC is pointer-doubling over 8-byte keys",
     "q94_hybrid_retrieval" -> "hybrid BM25+vector RRF: tf/df/dl are single-shuffle token aggregations; the lexical candidate join is (broadcast 10-query terms) × tf on the TOKEN key — collision-proportional; the vector side is the q55 broadcast-queries scan; fusion is a FULL OUTER join over ≤ 2·k·|queries| rows — metadata at any scale",
     "q96_snapshot_diff" -> "corpus versioning: each side is scan + map-side sha2; ONE full-outer equi-join on doc_id (both sides hash-partition the same key); status is a map-side CASE — the 64-byte hash shuffles, never the text",
+    "q97_countmin_heavyhitters" -> "count-min sketch build is one partial-aggregated groupBy where at most 3·1024 groups survive per map task — the shuffle is sketch-sized, corpus-size-independent (partial aggregation IS the sketch merge); the probe joins 60 rows against the 3072-row sketch",
+    "q98_zorder_layout" -> "Morton key = 20 statically-unrolled shift/mask terms in one codegen'd projection over the scan; the tiling audit is one partial-aggregated groupBy with ≤ 256 groups; no global window — the production write is repartitionByRange(zkey)",
   )
 
   def main(args: Array[String]): Unit = {
