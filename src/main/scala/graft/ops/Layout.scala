@@ -19,7 +19,7 @@ object Layout {
   /** 20-bit Morton interleave of two 10-bit dims: bit i of x lands at
     * 2i, bit i of y at 2i+1. Statically unrolled into 20 codegen'd
     * shift/mask terms — no UDF, no loop at runtime. */
-  private[ops] def morton10(x: Column, y: Column): Column =
+  private[graft] def morton10(x: Column, y: Column): Column =
     (0 until 10).foldLeft(lit(0L)) { (acc, i) =>
       acc +
         shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
