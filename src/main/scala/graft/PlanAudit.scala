@@ -48,6 +48,7 @@ object PlanAudit {
     "q96_snapshot_diff" -> "corpus versioning: each side is scan + map-side sha2; ONE full-outer equi-join on doc_id (both sides hash-partition the same key); status is a map-side CASE — the 64-byte hash shuffles, never the text",
     "q97_countmin_heavyhitters" -> "count-min sketch build is one partial-aggregated groupBy where at most 3·1024 groups survive per map task — the shuffle is sketch-sized, corpus-size-independent (partial aggregation IS the sketch merge); the probe joins 60 rows against the 3072-row sketch",
     "q98_zorder_layout" -> "Morton key = 20 statically-unrolled shift/mask terms in one codegen'd projection over the scan; the tiling audit is one partial-aggregated groupBy with ≤ 256 groups; no global window — the production write is repartitionByRange(zkey)",
+    "q99_merge_upsert" -> "join-based MERGE: the change batch LEFT-joins the target on the key (the only wide exchange — both sides hash-partition the same key; a bucketed target makes it exchange-free); the action decision is a map-side CASE; output is the source-sized delta, never the target",
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.multimodal.Multimodal
-import graft.ops.{Behavior, Curation, Dedup, Layout, Pipeline, Relational, Retrieval, Similarity, SqlSurface, TextAnalysis, Versioning}
+import graft.ops.{Behavior, Curation, Dedup, Layout, Maintenance, Pipeline, Relational, Retrieval, Similarity, SqlSurface, TextAnalysis, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ Pipeline.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Curation.queries ++ Behavior.queries ++ SqlSurface.queries ++
-      Retrieval.queries ++ Versioning.queries ++ Layout.queries
+      Retrieval.queries ++ Versioning.queries ++ Layout.queries ++
+      Maintenance.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Pipeline.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Curation.oracles ++ Behavior.oracles ++ SqlSurface.oracles ++
-      Retrieval.oracles ++ Versioning.oracles ++ Layout.oracles
+      Retrieval.oracles ++ Versioning.oracles ++ Layout.oracles ++
+      Maintenance.oracles
 }

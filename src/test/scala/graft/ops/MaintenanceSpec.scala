@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** q99/q100 warehouse maintenance: merge actions and the forget rewrite,
+  * including the bucket-of-only-forbidden-rows edge that dynamic
+  * partition overwrite cannot clear by itself.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  test("q99: every %11 key updates, every %101 key inserts under key+10M") {
+    val s = spark
+    import s.implicits._
+    val rows = Maintenance.q99MergeUpsert(s, sf)
+      .select($"o_orderkey", $"action").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, action) =>
+      if (k >= 10000000L) {
+        assert(action === "insert", s"key $k")
+        assert((k - 10000000L) % 101 === 0, s"inserted key $k not from %101 rule")
+      } else {
+        assert(action === "update", s"key $k")
+        assert(k % 11 === 0, s"updated key $k not from %11 rule")
+      }
+    }
+  }
+
+  test("q100: a bucket holding ONLY forbidden users vanishes entirely") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-forget-").toString
+    def ts(hour: Int) = new Timestamp(hour * 3600000L)
+    // bucket 0: only forbidden users (97, 194) — must be DELETED, not kept;
+    // bucket 1: mixed; bucket 2: untouched (no forbidden rows)
+    Seq(
+      (1L, ts(0), 97L, "view", 1.0, "{}"),
+      (2L, ts(0), 194L, "view", 1.0, "{}"),
+      (3L, ts(1), 97L, "view", 1.0, "{}"),
+      (4L, ts(1), 5L, "view", 1.0, "{}"),
+      (5L, ts(2), 3L, "view", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Maintenance.q100ForgetUsers(s, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))),
+      s"bucket 0 must disappear, survivors only elsewhere: $out")
+    // and the all-forbidden bucket's directory is physically gone
+    val lakeRoot = new java.io.File(
+      s"/root/repo/target/forget/${new java.io.File(dir).getName}/events_lake")
+    assert(!new java.io.File(lakeRoot, "hour_bucket=0").exists(),
+      "all-forbidden bucket directory should have been removed")
+  }
+}
