@@ -72,7 +72,7 @@ object Maintenance {
 
   // --------------------------------------------------------------- q100
   /** Targeted deletion with partition-pruned rewrite (the
-    * right-to-be-forgotten shape): events land in an hour-bucketed lake;
+    * right-to-be-forgotten shape): events land in a day-bucketed lake;
     * forgetting the `user_id % 97 = 0` users must rewrite ONLY the
     * buckets that actually contain those users' rows — never the whole
     * lake. The query performs the real file surgery under
@@ -87,7 +87,10 @@ object Maintenance {
     * Scale shape: the forget set's bucket list is an aggregation over
     * only the matching rows (collision-proportional); the rewrite reads
     * and writes only the affected directories (partition pruning on the
-    * read, dynamic overwrite on the write). At 100 TB with deletions
+    * read, dynamic overwrite on the write). Day granularity at fixture
+    * scale (hour buckets made the registered query directory-count-bound:
+    * thousands of near-empty dirs at sf0.1); a 100 TB lake with real
+    * file sizes per partition uses hours. At 100 TB with deletions
     * clustered in time, this touches a sliver of the lake — the reason
     * every lakehouse delete is built exactly this way. */
   def q100ForgetUsers(s: SparkSession, dir: String): DataFrame = {
@@ -95,53 +98,53 @@ object Maintenance {
     val root = s"/root/repo/target/forget/${new java.io.File(dir).getName}"
     val lake = s"$root/events_lake"
     val events = Tables(s, dir, "events")
-      .withColumn("hour_bucket", expr("unix_millis(ts) div 3600000"))
-    // (1) the standing lake — hour-bucketed directories
-    events.write.mode("overwrite").partitionBy("hour_bucket").parquet(lake)
+      .withColumn("day_bucket", expr("unix_millis(ts) div 86400000"))
+    // (1) the standing lake — day-bucketed directories
+    events.write.mode("overwrite").partitionBy("day_bucket").parquet(lake)
     // (2) buckets that actually hold forbidden rows — aggregate over the
     // forget set only
-    // hour_bucket comes back as an INFERRED partition column (int-typed
+    // day_bucket comes back as an INFERRED partition column (int-typed
     // when small) — cast before collecting
     val affected = s.read.parquet(lake)
       .filter($"user_id" % 97 === 0)
-      .select($"hour_bucket".cast("long")).distinct()
-      .collect().map(_.getLong(0)) // bucket ids: bounded (hours, not rows)
+      .select($"day_bucket".cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bucket ids: bounded (days, not rows)
     // (3) rewrite ONLY those buckets, dynamic overwrite keeps the rest.
     // Edge handled explicitly: dynamic overwrite only replaces partitions
     // PRESENT in the new data, so a bucket whose every row is forbidden
     // produces no output rows and would silently keep its old files — its
     // directory must be dropped outright.
     val survivors = s.read.parquet(lake)
-      .filter($"hour_bucket".isin(affected.toSeq: _*))
+      .filter($"day_bucket".isin(affected.toSeq: _*))
       .filter(pmod($"user_id", lit(97L)) =!= 0)
       .persist()
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("hour_bucket")
+      .partitionBy("day_bucket")
       .parquet(lake)
-    val survivorBuckets = survivors.select($"hour_bucket".cast("long"))
+    val survivorBuckets = survivors.select($"day_bucket".cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     survivors.unpersist()
     (affected.toSet -- survivorBuckets).foreach { b =>
       org.apache.commons.io.FileUtils.deleteQuietly(
-        new java.io.File(s"$lake/hour_bucket=$b"))
+        new java.io.File(s"$lake/day_bucket=$b"))
     }
     // (4) audit from the lake as rewritten
     s.read.parquet(lake)
-      .groupBy($"hour_bucket".cast("long").as("hour_bucket"))
+      .groupBy($"day_bucket".cast("long").as("day_bucket"))
       .agg(count(lit(1)).as("n_events"),
         sum(when(pmod($"user_id", lit(97L)) === 0, 1L).otherwise(0L))
           .as("n_forbidden"))
-      .orderBy($"hour_bucket")
+      .orderBy($"day_bucket")
   }
 
   val q100Oracle: String =
-    """SELECT epoch_ms(ts) // 3600000 AS hour_bucket,
+    """SELECT epoch_ms(ts) // 86400000 AS day_bucket,
       |  CAST(COUNT(*) AS BIGINT) AS n_events,
       |  CAST(0 AS BIGINT) AS n_forbidden
       |FROM events
       |WHERE user_id % 97 <> 0
-      |GROUP BY 1 ORDER BY hour_bucket""".stripMargin
+      |GROUP BY 1 ORDER BY day_bucket""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_merge_upsert" -> q99MergeUpsert _,

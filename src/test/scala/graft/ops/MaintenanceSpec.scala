@@ -35,7 +35,7 @@ class MaintenanceSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft-forget-").toString
-    def ts(hour: Int) = new Timestamp(hour * 3600000L)
+    def ts(day: Int) = new Timestamp(day * 86400000L)
     // bucket 0: only forbidden users (97, 194) — must be DELETED, not kept;
     // bucket 1: mixed; bucket 2: untouched (no forbidden rows)
     Seq(
@@ -53,7 +53,7 @@ class MaintenanceSpec extends SparkSpec {
     // and the all-forbidden bucket's directory is physically gone
     val lakeRoot = new java.io.File(
       s"/root/repo/target/forget/${new java.io.File(dir).getName}/events_lake")
-    assert(!new java.io.File(lakeRoot, "hour_bucket=0").exists(),
+    assert(!new java.io.File(lakeRoot, "day_bucket=0").exists(),
       "all-forbidden bucket directory should have been removed")
   }
 }
