@@ -685,6 +685,42 @@ object Relational {
       |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --------------------------------------------------------------- q101
+  /** Unpivot/melt — q48's inverse verb, completing the reshaping pair: a
+    * wide per-flag aggregate (cnt, sum_qty, sum_price) melts to one
+    * (group, metric, value) row per cell via `Dataset.unpivot` (Spark's
+    * native melt — an Expand node, map-side only; the UNION-ALL-of-
+    * projections a hand-rolled melt would run scans the input once per
+    * metric instead). The exact-decimal sums are surfaced as doubles
+    * AFTER melting so every `value` cell is one dtype, the melt
+    * contract. */
+  def q101Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val wide = Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+    wide.unpivot(Array($"l_returnflag"),
+        Array($"cnt", $"sum_qty", $"sum_price"), "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val q101Oracle: String =
+    s"""WITH wide AS (
+       |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS cnt,
+       |    ${Sql.dsum("l_quantity")} AS sum_qty,
+       |    ${Sql.dsum("l_extendedprice")} AS sum_price
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'cnt' AS metric, cnt AS value FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_price', sum_price FROM wide)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
   // ---------------------------------------------------------------- q89
   /** Salted fact-dim JOIN (the structural-skew companion to q37's salted
     * aggregation): the dimension is replicated across 16 salt values and
@@ -747,6 +783,7 @@ object Relational {
     "q46_median" -> q46Median _,
     "q47_moment_stats" -> q47MomentStats _,
     "q48_pivot" -> q48Pivot _,
+    "q101_unpivot" -> q101Unpivot _,
     "q89_salted_join" -> q89SaltedJoin _,
   )
 
@@ -776,6 +813,7 @@ object Relational {
     "q46_median" -> q46Oracle,
     "q47_moment_stats" -> q47Oracle,
     "q48_pivot" -> q48Oracle,
+    "q101_unpivot" -> q101Oracle,
     "q89_salted_join" -> q89Oracle,
   )
 }
