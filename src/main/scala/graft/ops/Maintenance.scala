@@ -19,7 +19,9 @@ object Maintenance {
   /** Batch MERGE delta — upsert a deterministic change batch into the
     * orders dimension: every `o_orderkey % 11 = 0` row is an UPDATE
     * (price bumped +1.00, status 'U'), every `% 101 = 0` key spawns an
-    * INSERT under key+10,000,000 (a key guaranteed absent). The query
+    * INSERT under the NEGATED key space (−k−1 — disjoint from the
+    * positive real keys at every scale factor, where a fixed offset
+    * would eventually collide). The query
     * returns the merge DELTA — one row per source row with its action and
     * before/after values — which is both the audit log a production MERGE
     * emits and a bounded result at any scale (the delta is source-sized,
@@ -39,15 +41,18 @@ object Maintenance {
       .select($"o_orderkey", ($"o_totalprice" + 1.0).as("new_price"),
         lit("U").as("new_status"))
     val inserts = target.filter($"o_orderkey" % 101 === 0)
-      .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+      .select((-$"o_orderkey" - 1L).as("o_orderkey"),
         ($"o_orderkey" % 1000).cast("double").as("new_price"),
         lit("N").as("new_status"))
     val source = updates.unionByName(inserts)
-    source.join(target.select($"o_orderkey",
+    // presence is tested on a non-null MARKER, not on a nullable measure:
+    // an existing row whose o_totalprice happens to be NULL must still
+    // classify as an update
+    source.join(target.select($"o_orderkey", lit(1L).as("matched"),
         $"o_totalprice".as("old_price"), $"o_orderstatus".as("old_status")),
       Seq("o_orderkey"), "left")
       .withColumn("action",
-        when($"old_price".isNull, "insert").otherwise("update"))
+        when($"matched".isNull, "insert").otherwise("update"))
       .select($"o_orderkey", $"action", $"old_price", $"old_status",
         $"new_price", $"new_status")
       .orderBy($"o_orderkey")
@@ -60,11 +65,11 @@ object Maintenance {
       |  SELECT o_orderkey, o_totalprice + 1.0 AS new_price, 'U' AS new_status
       |  FROM target WHERE o_orderkey % 11 = 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000 AS o_orderkey,
+      |  SELECT -o_orderkey - 1 AS o_orderkey,
       |    CAST(o_orderkey % 1000 AS DOUBLE) AS new_price, 'N' AS new_status
       |  FROM target WHERE o_orderkey % 101 = 0)
       |SELECT s.o_orderkey,
-      |  CASE WHEN t.o_totalprice IS NULL THEN 'insert' ELSE 'update' END AS action,
+      |  CASE WHEN t.o_orderkey IS NULL THEN 'insert' ELSE 'update' END AS action,
       |  t.o_totalprice AS old_price, t.o_orderstatus AS old_status,
       |  s.new_price, s.new_status
       |FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
@@ -118,12 +123,18 @@ object Maintenance {
       .filter($"day_bucket".isin(affected.toSeq: _*))
       .filter(pmod($"user_id", lit(97L)) =!= 0)
       .persist()
+    // survivor buckets are collected BEFORE the overwrite: the collect
+    // also materializes the cache, and the deletion decision must never
+    // depend on recomputing `survivors` against a lake whose files the
+    // overwrite commit has already replaced (cache loss there would
+    // read deleted files — or, with ignoreMissingFiles, silently decide
+    // every affected bucket is empty and drop legitimate data)
+    val survivorBuckets = survivors.select($"day_bucket".cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day_bucket")
       .parquet(lake)
-    val survivorBuckets = survivors.select($"day_bucket".cast("long"))
-      .distinct().collect().map(_.getLong(0)).toSet
     survivors.unpersist()
     (affected.toSet -- survivorBuckets).foreach { b =>
       org.apache.commons.io.FileUtils.deleteQuietly(

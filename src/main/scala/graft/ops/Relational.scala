@@ -696,12 +696,11 @@ object Relational {
     * contract. */
   def q101Unpivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
     val wide = Tables(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).cast("double").as("cnt"),
-        sum($"l_quantity".cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
-        sum($"l_extendedprice".cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"))
     wide.unpivot(Array($"l_returnflag"),
         Array($"cnt", $"sum_qty", $"sum_price"), "metric", "value")
       .orderBy($"l_returnflag", $"metric")

@@ -21,9 +21,9 @@ class MaintenanceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1))
     assert(rows.nonEmpty)
     rows.foreach { case (k, action) =>
-      if (k >= 10000000L) {
+      if (k < 0L) {
         assert(action === "insert", s"key $k")
-        assert((k - 10000000L) % 101 === 0, s"inserted key $k not from %101 rule")
+        assert((-k - 1L) % 101 === 0, s"inserted key $k not from %101 rule")
       } else {
         assert(action === "update", s"key $k")
         assert(k % 11 === 0, s"updated key $k not from %11 rule")
