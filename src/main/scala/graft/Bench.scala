@@ -38,7 +38,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     // A typo'd name must not silently vanish from the results list.
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet - "dedup_prep" - "streambench"
+      val unknown = names -- SparkEntry.queries.keySet -
+        "dedup_prep" - "forget_prep" - "streambench"
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
     }
@@ -60,13 +61,39 @@ object Bench {
         System.err.println(s"[bench] dedup_prep failed: ${e.getMessage}")
         Seq("dedup_prep" -> -1.0)
       }
-    val results = prepEntry ++ SparkEntry.queries.toSeq.sortBy(_._1)
+    // q100's standing lake is fixture, not operator: build it COLD as its
+    // own timed prep entry (the dedup_prep pattern — VERDICT r8 #2), so
+    // q100's timed iterations measure only find-affected + staged rewrite
+    // + audit.
+    val forgetPrep: Seq[(String, Double)] =
+      if (!only.forall(_.contains("forget_prep"))) Seq.empty
+      else try {
+        graft.ops.Maintenance.evictForgetLake(spark, sfDir)
+        val t0 = System.nanoTime()
+        graft.ops.Maintenance.ensureForgetLake(spark, sfDir)
+        Seq("forget_prep" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] forget_prep failed: ${e.getMessage}")
+        Seq("forget_prep" -> -1.0)
+      }
+    // Side-effecting queries (real file writes in the timed body) run LAST
+    // and behind an untimed settle, so their page-cache/GC churn cannot
+    // bleed into alphabetical neighbors (VERDICT r8 #1: the stamped r8 run
+    // had q100's file surgery land immediately before q09 in string order,
+    // and six unchanged queries moved >2×).
+    val sideEffecting = Set("q30_lake_roundtrip", "q87_format_roundtrip",
+      "q100_forget_users")
+    def settle(): Unit = { System.gc(); Thread.sleep(250) }
+    val (pure, dirty) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .partition { case (name, _) => !sideEffecting(name) }
+    val results = prepEntry ++ forgetPrep ++ (pure ++ dirty)
       .map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),
       // which is far beyond the 2× regression threshold the gate enforces.
       // The median is robust to one bad run in three; total = sum of medians.
+      if (sideEffecting(name)) settle() // untimed fence before dirty entries
       val times = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink evaluates every column of every row (count() would let

@@ -58,7 +58,7 @@ object StreamBench {
       timeoutMs: Long = 600000): SeamResult = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
-    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-dedup"
+    val root = s"${Scratch.forSf("streambench", sfDir)}-dedup"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     // standing corpus = the non-delta 90% (q72's split), materialized as a
     // corpus dir because the stream's standing index reads a directory
@@ -92,7 +92,7 @@ object StreamBench {
       timeoutMs: Long = 600000): SeamResult = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
-    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-decontam"
+    val root = s"${Scratch.forSf("streambench", sfDir)}-decontam"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val incoming = s"$root/incoming"
     Tables(spark, sfDir, "documents").select($"doc_id", $"text")
@@ -121,7 +121,7 @@ object StreamBench {
       timeoutMs: Long = 600000): SeamResult = {
     import spark.implicits._
     implicit val sp: SparkSession = spark
-    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}-annrefresh"
+    val root = s"${Scratch.forSf("streambench", sfDir)}-annrefresh"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val incoming = s"$root/incoming"
     Tables(spark, sfDir, "embeddings").select($"vec_id", $"embedding")
@@ -143,24 +143,54 @@ object StreamBench {
     }
   }
 
-  /** The full streambench object for the round artifact: the signing chain's
-    * fields at the top level (shape-compatible with every prior round's
-    * BENCH) plus one nested object per corpus-hygiene seam. Each seam is
-    * guarded — a seam failure degrades to a −1 marker object, never breaks
-    * the others or the JSON. */
-  def combinedJson(spark: SparkSession, sfDir: String): String = {
-    def guarded(tag: String)(body: => String): String =
-      try body catch { case e: Throwable =>
-        System.err.println(s"[streambench:$tag] failed: ${e.getMessage}")
-        """{"records_per_sec":-1}"""
-      }
-    val signing = guarded("signing")(measure(spark, sfDir).json)
-    val dedup = guarded("dedup")(measureDedup(spark, sfDir).json)
-    val decontam = guarded("decontam")(measureDecontam(spark, sfDir).json)
-    val annRefresh = guarded("annrefresh")(measureIndexRefresh(spark, sfDir).json)
-    signing.stripSuffix("}") +
-      s""","dedup":$dedup,"decontam":$decontam,"ann_refresh":$annRefresh}"""
+  /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
+    * structurally, never by regexing serialized JSON). A failed seam is
+    * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
+    * signing,dedup,decontam,annrefresh — the quick-run knob; unset = all)
+    * is also None and is skipped without paying its measurement. */
+  final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
+      decontam: Option[SeamResult], annRefresh: Option[SeamResult]) {
+    /** Headline records/sec — the signing chain's rate, −1 when the seam
+      * failed, was skipped, or timed out. */
+    def headlineRate: Double = signing match {
+      case Some(r) if r.seconds.isFinite && r.seconds > 0 &&
+        r.recordsPerSec.isFinite => r.recordsPerSec
+      case _ => -1.0
+    }
+    /** The signing chain's fields at the top level (shape-compatible with
+      * every prior round's BENCH) plus one nested object per seam. */
+    def json: String = {
+      val failed = """{"records_per_sec":-1}"""
+      val head = signing.map(_.json).getOrElse(failed)
+      val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
+        "ann_refresh" -> annRefresh).map { case (k, v) =>
+        s""""$k":${v.map(_.json).getOrElse(failed)}"""
+      }.mkString(",")
+      head.stripSuffix("}") + s",$tail}"
+    }
   }
+
+  /** Run every requested seam, each guarded — a seam failure degrades to
+    * None (a −1 marker in the JSON), never breaks the others. */
+  def measureAll(spark: SparkSession, sfDir: String): Combined = {
+    val seams = sys.env.get("SPARK_GRAFT_STREAM_SEAMS")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    def guarded[A](tag: String)(body: => A): Option[A] =
+      if (!seams.forall(_.contains(tag))) None
+      else try Some(body) catch { case e: Throwable =>
+        System.err.println(s"[streambench:$tag] failed: ${e.getMessage}")
+        None
+      }
+    Combined(
+      guarded("signing")(measure(spark, sfDir)),
+      guarded("dedup")(measureDedup(spark, sfDir)),
+      guarded("decontam")(measureDecontam(spark, sfDir)),
+      guarded("annrefresh")(measureIndexRefresh(spark, sfDir)))
+  }
+
+  /** The full streambench object for the round artifact. */
+  def combinedJson(spark: SparkSession, sfDir: String): String =
+    measureAll(spark, sfDir).json
 
   /** Run the EP1→EP2 chain once over `sfDir`'s events from a clean slate.
     * recordsPerSec is −1 on timeout (signed = −1), so a stream that stops
@@ -170,7 +200,7 @@ object StreamBench {
     import spark.implicits._
     implicit val sp: SparkSession = spark
 
-    val root = s"/root/repo/target/streambench/${new java.io.File(sfDir).getName}"
+    val root = Scratch.forSf("streambench", sfDir)
     // stale checkpoint + signatures would turn the timed run into an
     // anti-join-suppressed no-op — always measure from a clean slate
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -220,13 +250,12 @@ object StreamBench {
 
     // One source of truth for all seams (signing + dedup + decontam +
     // ann_refresh): the same combined object Bench embeds; the headline
-    // value is extracted from its leading signing fields rather than
-    // re-measured (a re-run would double the wall time and could diverge).
-    val combined = combinedJson(spark, sfDir)
-    val rate = """"records_per_sec":(-?[0-9.]+)""".r
-      .findFirstMatchIn(combined).map(_.group(1)).getOrElse("-1")
-    val line = s"""{"metric":"stream_records_per_sec","value":$rate,""" +
-      s""""unit":"rec/sec","streambench":$combined,"sf":"$sfDir"}"""
+    // value comes from the signing Result VALUE, not from re-parsing the
+    // serialized JSON (ADVICE r8), and is never re-measured (a re-run
+    // would double the wall time and could diverge).
+    val all = measureAll(spark, sfDir)
+    val line = f"""{"metric":"stream_records_per_sec","value":${all.headlineRate}%.1f,""" +
+      s""""unit":"rec/sec","streambench":${all.json},"sf":"$sfDir"}"""
     // Triple-redundant emission, same contract as Bench: raw stdout for
     // the parser, stderr + file as belt-and-braces.
     println(line)

@@ -27,6 +27,23 @@ object Tables {
   }
 }
 
+/** Scratch root for operators and harnesses that materialize real files
+  * (lake roundtrips, staged rewrites, streaming checkpoints). One place
+  * derives it — from the working directory (sbt launches every main and
+  * spec from the repo root) with an env override for concurrent runs or
+  * relocated checkouts — so no operator carries a hardcoded absolute path.
+  */
+object Scratch {
+  lazy val root: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+    new java.io.File("target").getAbsolutePath)
+
+  def dir(parts: String*): String = (root +: parts).mkString("/")
+
+  /** Conventional per-scale-factor scratch: `<root>/<family>/<sf name>`. */
+  def forSf(family: String, sfDir: String): String =
+    dir(family, new java.io.File(sfDir).getName)
+}
+
 /** Session settings shared by Verify / Bench / tests so that every entry
   * point reads the fixtures identically and plans with the same shuffle
   * parallelism.
@@ -43,6 +60,6 @@ object GraftSession {
       // barriers dominate (sub-GB inputs).
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      .config("spark.sql.warehouse.dir", "/root/repo/target/warehouse")
+      .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
       .config("spark.ui.enabled", "false")
 }

@@ -368,7 +368,7 @@ object Pipeline {
     * trip is lossless. */
   def q30LakeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/lake/${new java.io.File(dir).getName}"
+    val out = graft.Scratch.forSf("lake", dir)
     Tables(s, dir, "events")
       .withColumn("bucket_partition",
         concat(lit("partition_"), pmod(Djb2.djb2(recordKey($"props")), lit(5L)).cast("string")))
@@ -680,7 +680,7 @@ object Pipeline {
     * vectorized, CSV/JSON schema-projected). */
   def q87FormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/formats/${new java.io.File(dir).getName}"
+    val out = graft.Scratch.forSf("formats", dir)
     val agg = Tables(s, dir, "orders")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"))

@@ -31,16 +31,23 @@ object Versioning {
   def q96SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir, "documents")
+    // presence rides on a non-null MARKER, not on the hash (q99's marker
+    // discipline, ADVICE r8): a doc with NULL text hashes to NULL on both
+    // sides and must classify by which snapshot holds the row, never be
+    // mistaken for added/removed
     val v1 = docs.filter($"doc_id" % 7 =!= 0)
-      .select($"doc_id", sha2($"text", 256).as("old_hash"))
+      .select($"doc_id", lit(1L).as("in_v1"), sha2($"text", 256).as("old_hash"))
     val v2 = docs.filter($"doc_id" % 17 =!= 0)
-      .select($"doc_id",
+      .select($"doc_id", lit(1L).as("in_v2"),
         sha2(when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
           .otherwise($"text"), 256).as("new_hash"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when($"old_hash".isNull, "added")
-          .when($"new_hash".isNull, "removed")
+        when($"in_v1".isNull, "added")
+          .when($"in_v2".isNull, "removed")
+          // NULL-hash rows present in both versions fall through to
+          // "changed" — mirroring the oracle's CASE, where a NULL
+          // comparison is not TRUE
           .when($"old_hash" === $"new_hash", "unchanged")
           .otherwise("changed"))
       .select($"doc_id", $"status", $"old_hash", $"new_hash")

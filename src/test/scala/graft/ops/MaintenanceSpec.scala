@@ -31,7 +31,8 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("q100: a bucket holding ONLY forbidden users vanishes entirely") {
+  test("q100: a bucket holding ONLY forbidden users vanishes entirely, " +
+      "and the physical swap serves exactly the audited commit view") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft-forget-").toString
@@ -46,14 +47,27 @@ class MaintenanceSpec extends SparkSpec {
       (5L, ts(2), 3L, "view", 1.0, "{}"),
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$dir/events.parquet")
-    val out = Maintenance.q100ForgetUsers(s, dir)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def auditOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = auditOf(Maintenance.q100ForgetUsers(s, dir))
     assert(out === Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))),
       s"bucket 0 must disappear, survivors only elsewhere: $out")
-    // and the all-forbidden bucket's directory is physically gone
-    val lakeRoot = new java.io.File(
-      s"/root/repo/target/forget/${new java.io.File(dir).getName}/events_lake")
+    // the registered query never mutates the standing lake: the pristine
+    // buckets are all still present pre-swap
+    val lakeRoot = new java.io.File(graft.Scratch.forSf("forget", dir),
+      "events_lake")
+    assert(new java.io.File(lakeRoot, "day_bucket=0").exists(),
+      "staged commit must leave the standing lake pristine")
+    // physical swap: affected dirs replaced/removed, untouched dirs kept
+    Maintenance.commitSwap(s, dir)
     assert(!new java.io.File(lakeRoot, "day_bucket=0").exists(),
-      "all-forbidden bucket directory should have been removed")
+      "all-forbidden bucket directory should have been removed by the swap")
+    val swapped = s.read.parquet(lakeRoot.toString)
+      .groupBy($"day_bucket".cast("long").as("day_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(pmod($"user_id", lit(97L)) === 0, 1L).otherwise(0L))
+          .as("n_forbidden"))
+    assert(auditOf(swapped) === out,
+      "post-swap lake must serve exactly the audited commit view")
   }
 }
