@@ -183,25 +183,36 @@ object Similarity {
         .as("cell"))
   }
 
-  def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF probe-and-rank subplan generalized over candidate depth and
+    * probe width: q59 is (k=3, nprobe=2) plus its presentation sort, and
+    * the index-backed retrieval fusion (q102) consumes (k=20, nprobe=2)
+    * through the same code path — the serving index and the measured one
+    * can never drift apart. Columns (q_id, rank, vec_id, cell, cos), no
+    * presentation sort. */
+  private[graft] def ivfTopK(s: SparkSession, dir: String, k: Int,
+      nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables(s, dir, "embeddings")
     val (cells, mats) = ivfCentroidMeta(s, dir)
-    def nc(v: Column, k: Int): Column =
-      graft.functions.NearestCellsUtil.column(v, cells, mats, k)
+    def nc(v: Column, kk: Int): Column =
+      graft.functions.NearestCellsUtil.column(v, cells, mats, kk)
     val assigned = emb.select($"vec_id", $"embedding",
       element_at(nc($"embedding", 1), 1).as("cell"))
     val qprobe = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(nc($"embedding", 2)).as("cell"))
+        explode(nc($"embedding", nprobe)).as("cell"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     assigned.join(broadcast(qprobe), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= k)
       .select($"q_id", $"rank", $"vec_id", $"cell", $"cos")
-      .orderBy($"q_id", $"rank")
+  }
+
+  def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfTopK(s, dir, 3, 2).orderBy($"q_id", $"rank")
   }
 
   /** Oracle CTE chunk mirroring [[ivfCentroidMeta]] + [[ivfAssigned]]:
@@ -227,22 +238,26 @@ object Similarity {
        |  WHERE arn = 1)""".stripMargin
   }
 
-  val q59Oracle: String = {
+  /** [[ivfTopK]]'s oracle, parameterized the same way (no ORDER BY —
+    * embeddable as a derived table; q59 adds its presentation sort). */
+  private[ops] def ivfTopKOracle(k: Int, nprobe: Int): String = {
     val cos = Sql.cosine("q.q_emb", "a.embedding")
     s"""WITH $ivfAssignCte,
        |qprobe AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn
        |    FROM scored WHERE vec_id < 10)
-       |  WHERE crn <= 2),
+       |  WHERE crn <= $nprobe),
        |cand AS (
        |  SELECT q.q_id, a.vec_id, a.cell, $cos AS cos
        |  FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id)
        |SELECT q_id, rank, vec_id, cell, cos FROM (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
        |  FROM cand)
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
+
+  val q59Oracle: String = s"${ivfTopKOracle(3, 2)} ORDER BY q_id, rank"
 
   // ---------------------------------------------------------------- q73
   /** Product-quantization ANN (ADC + exact re-rank) — the memory-bound
