@@ -39,7 +39,7 @@ object Bench {
     // A typo'd name must not silently vanish from the results list.
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet -
-        "dedup_prep" - "forget_prep" - "streambench"
+        "dedup_prep" - "forget_prep" - "compact_prep" - "streambench"
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
     }
@@ -76,18 +76,30 @@ object Bench {
         System.err.println(s"[bench] forget_prep failed: ${e.getMessage}")
         Seq("forget_prep" -> -1.0)
       }
+    // q103's fragmented-lake fixture, same discipline.
+    val compactPrep: Seq[(String, Double)] =
+      if (!only.forall(_.contains("compact_prep"))) Seq.empty
+      else try {
+        graft.ops.Maintenance.evictFragmentedLake(spark, sfDir)
+        val t0 = System.nanoTime()
+        graft.ops.Maintenance.ensureFragmentedLake(spark, sfDir)
+        Seq("compact_prep" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] compact_prep failed: ${e.getMessage}")
+        Seq("compact_prep" -> -1.0)
+      }
     // Side-effecting queries (real file writes in the timed body) run LAST
     // and behind an untimed settle, so their page-cache/GC churn cannot
     // bleed into alphabetical neighbors (VERDICT r8 #1: the stamped r8 run
     // had q100's file surgery land immediately before q09 in string order,
     // and six unchanged queries moved >2×).
     val sideEffecting = Set("q30_lake_roundtrip", "q87_format_roundtrip",
-      "q100_forget_users")
+      "q100_forget_users", "q103_compact_files")
     def settle(): Unit = { System.gc(); Thread.sleep(250) }
     val (pure, dirty) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition { case (name, _) => !sideEffecting(name) }
-    val results = prepEntry ++ forgetPrep ++ (pure ++ dirty)
+    val results = prepEntry ++ forgetPrep ++ compactPrep ++ (pure ++ dirty)
       .map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),

@@ -232,13 +232,104 @@ object Maintenance {
       |WHERE user_id % 97 <> 0
       |GROUP BY 1 ORDER BY day_bucket""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** Target rows per compacted file. At fixture scale this is sized so
+    * most day buckets compact to ONE file while the biggest still split,
+    * exercising the rotation; production uses the ≤1M-rows/≈128MB-file
+    * discipline of q30/q87/writeSeedKeys (the same number Firehose's
+    * 128 MB buffer targets — app.ts:36,406). */
+  val CompactRowsPerFile = 256L
+
+  /** A deliberately fragmented day-bucketed events lake: `repartition(16)`
+    * before the partitioned write makes EVERY task write a file into
+    * EVERY bucket directory — the classic small-file lake mistake (q30
+    * repartitions by the partition columns precisely to avoid it), and
+    * exactly the debris Firehose-style buffered ingest leaves behind when
+    * the buffer interval, not size, flushes. Built once per (session, sf
+    * dir), immutable — the q100 lake discipline. */
+  private val fragCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def ensureFragmentedLake(s: SparkSession, dir: String): String =
+    fragCache.getOrElseUpdate((s, dir), {
+      val lake = s"${graft.Scratch.forSf("compact", dir)}/fragmented"
+      Tables(s, dir, "events")
+        .withColumn("day_bucket", expr("unix_millis(ts) div 86400000"))
+        .repartition(16)
+        .write.mode("overwrite").partitionBy("day_bucket").parquet(lake)
+      lake
+    })
+
+  private[graft] def evictFragmentedLake(s: SparkSession, dir: String): Unit =
+    fragCache.remove((s, dir))
+
+  /** The compaction kernel: bin-pack every bucket's rows into
+    * ceil(rows / rowsPerFile) files. One shuffle clusters each bucket
+    * into a single task (`repartition` on the partition column — the
+    * q30 write discipline); `maxRecordsPerFile` rotates the writer, so
+    * the per-bucket file count is row-count-derived with NO driver-side
+    * per-bucket planning — the operator never collects anything. */
+  private[graft] def compact(s: SparkSession, src: String, dst: String,
+      rowsPerFile: Long): Unit =
+    s.read.parquet(src)
+      .repartition(col("day_bucket"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy("day_bucket").parquet(dst)
+
+  /** Lake compaction (OPTIMIZE) — the third maintenance verb next to q99
+    * MERGE and q100 DELETE: rewrite a fragmented day-bucketed lake so
+    * each bucket holds ceil(rows / [[CompactRowsPerFile]]) files instead
+    * of one-file-per-ingest-task, byte-identical data. Compacted files
+    * land in a staging directory (the q100 staged-commit discipline —
+    * the fragmented source is never rewritten in place); the audit reads
+    * the compacted lake back and reports, per bucket, the row count, two
+    * content checksums (exact id sum + exact decimal value sum), and the
+    * OBSERVED file count via `input_file_name()` — which the oracle
+    * recomputes as ceil(n/rowsPerFile) from the raw events, so the
+    * bin-packing contract itself is hash-checked, not just the data.
+    *
+    * Scale shape: one shuffle keyed on the partition column, writer-side
+    * file rotation, zero driver state. At 100 TB this is the nightly
+    * OPTIMIZE pass that keeps scan task counts proportional to data, not
+    * to ingest cadence. */
+  def q103CompactFiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frag = ensureFragmentedLake(s, dir)
+    val compacted = s"${graft.Scratch.forSf("compact", dir)}/compacted"
+    compact(s, frag, compacted, CompactRowsPerFile)
+    s.read.parquet(compacted)
+      // projection first: input_file_name is non-deterministic and may
+      // not sit directly inside an aggregate
+      .select($"day_bucket".cast("long").as("day_bucket"), $"event_id",
+        $"value", input_file_name().as("fname"))
+      .groupBy($"day_bucket")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"event_id").as("sum_event_id"),
+        sum($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
+        countDistinct($"fname").as("n_files"))
+      .orderBy($"day_bucket")
+  }
+
+  val q103Oracle: String =
+    s"""SELECT epoch_ms(ts) // 86400000 AS day_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       |  ${Sql.dsum("value")} AS sum_value,
+       |  CAST((COUNT(*) + ${CompactRowsPerFile - 1}) // $CompactRowsPerFile AS BIGINT) AS n_files
+       |FROM events
+       |GROUP BY 1 ORDER BY day_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_merge_upsert" -> q99MergeUpsert _,
     "q100_forget_users" -> q100ForgetUsers _,
+    "q103_compact_files" -> q103CompactFiles _,
   )
 
   val oracles: Map[String, String] = Map(
     "q99_merge_upsert" -> q99Oracle,
     "q100_forget_users" -> q100Oracle,
+    "q103_compact_files" -> q103Oracle,
   )
 }

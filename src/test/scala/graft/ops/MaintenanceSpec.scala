@@ -70,4 +70,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(auditOf(swapped) === out,
       "post-swap lake must serve exactly the audited commit view")
   }
+
+  test("q103: compaction reduces file count, bin-packs to ceil(rows/target), " +
+      "and the data survives byte-identically") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-compact-").toString
+    def ts(day: Int) = new Timestamp(day * 86400000L)
+    // bucket 0: 7 rows, bucket 1: 3 rows — written maximally fragmented
+    val rows = (1 to 7).map(i => (i.toLong, ts(0), i.toLong, "view", i * 1.0, "{}")) ++
+      (8 to 10).map(i => (i.toLong, ts(1), i.toLong, "view", i * 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val frag = Maintenance.ensureFragmentedLake(s, dir)
+    def parquetFiles(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(root))
+    }
+    val nFrag = parquetFiles(frag).size
+    assert(nFrag > 4, s"fixture should be fragmented, got $nFrag files")
+    // rowsPerFile = 3: bucket 0 (7 rows) -> 3 files, bucket 1 (3 rows) -> 1
+    val compacted = s"${graft.Scratch.forSf("compact", dir)}/spec_compacted"
+    Maintenance.compact(s, frag, compacted, 3L)
+    val byBucket = parquetFiles(compacted)
+      .groupBy(_.getParentFile.getName).view.mapValues(_.size).toMap
+    assert(byBucket === Map("day_bucket=0" -> 3, "day_bucket=1" -> 1),
+      s"bin-packing contract violated: $byBucket")
+    // byte-identity: both difference directions empty over full rows
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value",
+      "props", "day_bucket")
+    val a = s.read.parquet(frag).select(cols.map(col): _*)
+    val b = s.read.parquet(compacted).select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted data must be byte-identical to the fragmented source")
+  }
 }
