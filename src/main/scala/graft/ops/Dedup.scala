@@ -603,7 +603,10 @@ object Dedup {
     * correctness-gate scale — identical to the all-pairs result), 13/14 at
     * sf0.001, 370/391 at sf0.1. Byte-identical embeddings always collide
     * (every band agrees), so exact duplicates are never missed. */
-  def q54CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** q54's candidate-then-verify body without the presentation sort —
+    * consumed by q54 itself and, as the third edge family, by the
+    * multi-signal clustering (q67). */
+  private[ops] def cosineNeardupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings")
     val banded = e.select($"vec_id", $"label",
@@ -622,10 +625,16 @@ object Dedup {
         VecFns.dot($"emb_a", $"emb_b"), $"nrm_a", $"nrm_b"))
       .filter($"cos" >= 0.35)
       .select($"vec_a", $"vec_b", $"label", $"cos")
-      .orderBy($"vec_a", $"vec_b")
   }
 
-  val q54Oracle: String = {
+  def q54CosineNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cosineNeardupPairs(s, dir).orderBy($"vec_a", $"vec_b")
+  }
+
+  /** q54's oracle without its presentation sort, embeddable as a derived
+    * table (q67's third edge family). */
+  private[ops] val q54OracleNoOrder: String = {
     val cos = Sql.cosine("fa.embedding", "fb.embedding")
     // Mirrors the banded candidate sketch: band b's key is b·4 + 2·bit(2b)
     // + bit(2b+1), bit(i) the sign of the plane-i projection (the same
@@ -643,9 +652,10 @@ object Dedup {
        |FROM cand c
        |JOIN embeddings fa ON fa.vec_id = c.vec_a
        |JOIN embeddings fb ON fb.vec_id = c.vec_b
-       |WHERE $cos >= 0.35
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |WHERE $cos >= 0.35""".stripMargin
   }
+
+  val q54Oracle: String = s"$q54OracleNoOrder\nORDER BY vec_a, vec_b"
 
   // ---------------------------------------------------------------- q60
   /** Connected components over an undirected pair graph via min-label
@@ -743,32 +753,45 @@ object Dedup {
 
   // ---------------------------------------------------------------- q67
   /** Multi-signal near-dup clustering — the production dedup shape: a
-    * document pair is an edge if EITHER signal fires (n-gram Jaccard ≥ 0.5
-    * via the q51 candidate-verify pipeline, OR SimHash Hamming distance
-    * ≤ 3 over the 64-bit sketch — [[simhash64BandPairs]]; rounds 1–7 ran
-    * radius 0 on the 32-bit sketch because radius 1 there already chained
-    * 68% of sf0.1 into one component, exactly the saturation the q65
-    * width caveat predicts; the 64-bit widening makes unrelated-doc
-    * collisions at r ≤ 3 ~2^-64-scale, so the radius is now a real
-    * near-dup net, not an exact-sketch-match), then connected components
-    * over the union graph assign one cluster id per duplicate family.
-    * Each signal catches pairs the other misses: shingle Jaccard sees
-    * edited copies with heavy token overlap, SimHash sees
-    * global-distribution twins whose edits dodge the shingle prefix
-    * filter. One more CC over a slightly denser graph — same
-    * O(log diameter) rounds, same scale story as q60.
+    * document pair is an edge if ANY of THREE signal families fires —
+    * n-gram Jaccard ≥ 0.5 via the q51 candidate-verify pipeline, OR
+    * SimHash Hamming distance ≤ 3 over the 64-bit sketch
+    * ([[simhash64BandPairs]]; rounds 1–7 ran radius 0 on the 32-bit
+    * sketch because radius 1 there already chained 68% of sf0.1 into one
+    * component, exactly the saturation the q65 width caveat predicts; the
+    * 64-bit widening makes unrelated-doc collisions at r ≤ 3
+    * ~2^-64-scale, so the radius is a real near-dup net, not an
+    * exact-sketch-match), OR embedding cosine ≥ 0.35 via q54's
+    * banded-hyperplane candidate sketch ([[cosineNeardupPairs]] — vec_id
+    * aligns with doc_id across the fixtures, the round-8 verdict's
+    * third-signal ask). Connected components over the union graph assign
+    * one cluster id per duplicate family. Each signal catches pairs the
+    * others miss: shingle Jaccard sees edited copies with heavy token
+    * overlap, SimHash sees global-distribution twins whose edits dodge
+    * the shingle prefix filter, and the embedding signal sees SEMANTIC
+    * twins that share almost no surface tokens at all (the SemDeDup
+    * observation, q77).
+    *
+    * Union edge cardinality: each family is collision-proportional
+    * (df-capped shingle buckets / 2^16-key sketch bands / bounded-
+    * occupancy hyperplane buckets), so the union is too — at most the sum
+    * of three bounded pair sets, deduplicated before the CC rounds. One
+    * more CC over a slightly denser graph — same O(log diameter) rounds,
+    * same scale story as q60.
     *
     * Bench note: at test scale the warm cost is almost entirely CC-round
     * scheduler overhead (a handful of Spark jobs per round over a ~4k-node
-    * graph), not data — the data-proportional stages are one map-side
-    * sketch scan and one 8-byte-key shuffle. At 100 TB the same round
+    * graph), not data — the data-proportional stages are map-side
+    * sketch scans and 8-byte-key shuffles. At 100 TB the same round
     * count processes billions of edges; the overhead amortizes to zero. */
   def q67MultiSignalClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val jac = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
     val sim = simhash64BandPairs(s, dir, radius = 3)
       .select($"doc_a", $"doc_b")
-    connectedComponents(jac.union(sim).distinct())
+    val cos = cosineNeardupPairs(s, dir)
+      .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
+    connectedComponents(jac.union(sim).union(cos).distinct())
       .orderBy($"doc_id")
   }
 
@@ -777,6 +800,8 @@ object Dedup {
        |  SELECT doc_a, doc_b FROM (${q51OracleNoOrder}) jp
        |  UNION
        |  SELECT doc_a, doc_b FROM (${simhash64PairsOracle(3)}) sp
+       |  UNION
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (${q54OracleNoOrder}) cp
        |), edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
