@@ -167,13 +167,48 @@ object StreamBench {
     }
   }
 
+  /** S11 throughput: the events table replayed as a CDC-ish change stream
+    * (key = user_id, payload = props, sequence = event_id) through
+    * [[MergeStream]]'s per-batch decide/apply MERGE into a bucket-
+    * partitioned latest-row-per-user table — records/sec through the full
+    * upsert path, from a clean slate. `clean` = rows in the merged table
+    * (distinct users). */
+  def measureMerge(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-merge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "events")
+      .select($"user_id".as("k"), $"props".as("v"), $"event_id".as("seq"))
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("k long, v string, seq long").parquet(incoming)
+    val q = streaming.MergeStream.run(stream, s"$root/table", root,
+      nBuckets = 64)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:merge] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val merged = spark.read.parquet(s"$root/table").count()
+      SeamResult(n / secs, n, merged, secs)
+    }
+  }
+
   /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
-    * signing,dedup,decontam,annrefresh — the quick-run knob; unset = all)
-    * is also None and is skipped without paying its measurement. */
+    * signing,dedup,decontam,annrefresh,merge — the quick-run knob; unset
+    * = all) is also None and is skipped without paying its measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
-      decontam: Option[SeamResult], annRefresh: Option[SeamResult]) {
+      decontam: Option[SeamResult], annRefresh: Option[SeamResult],
+      merge: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -187,7 +222,7 @@ object StreamBench {
       val failed = """{"records_per_sec":-1}"""
       val head = signing.map(_.json).getOrElse(failed)
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
-        "ann_refresh" -> annRefresh).map { case (k, v) =>
+        "ann_refresh" -> annRefresh, "merge" -> merge).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -209,7 +244,8 @@ object StreamBench {
       guarded("signing")(measure(spark, sfDir)),
       guarded("dedup")(measureDedup(spark, sfDir)),
       guarded("decontam")(measureDecontam(spark, sfDir)),
-      guarded("annrefresh")(measureIndexRefresh(spark, sfDir)))
+      guarded("annrefresh")(measureIndexRefresh(spark, sfDir)),
+      guarded("merge")(measureMerge(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

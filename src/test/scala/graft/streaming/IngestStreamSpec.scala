@@ -41,12 +41,15 @@ class IngestStreamSpec extends SparkSpec {
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
     val ts0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
     val records = input.toDF().toDF("recordId", "data", "ts")
-    val q = IngestStream.writeLake(
-      IngestStream.partitionRecords(records, 5),
-      dir, s"$dir/ckpt", Trigger.AvailableNow())
+    // data must be present BEFORE the query starts: AvailableNow snapshots
+    // the available offsets at start, so addData after start() races the
+    // snapshot and can leave the run with zero batches
     input.addData(
       ("r1", b64("""{"id": "tx-001"}"""), ts0),
       ("r2", b64("garbage"), ts0))
+    val q = IngestStream.writeLake(
+      IngestStream.partitionRecords(records, 5),
+      dir, s"$dir/ckpt", Trigger.AvailableNow())
     q.awaitTermination(60000)
 
     val raw = s.read.parquet(s"$dir/raw")
