@@ -86,4 +86,56 @@ class VectorIndexStreamSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       "probe must prune cell partitions at the scan")
   }
+
+  test("retrain: Lloyd-step rebuild commits atomically; probes see a " +
+      "consistent generation before, during, and after the swap") {
+    val s = spark
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val corpusDir = writeCorpus()
+    val root = Files.createTempDirectory("graft-vxr-").toString
+    val incoming = s"$root/in"
+    new java.io.File(incoming).mkdirs()
+    // index four vectors: two e1-ish, two e2-ish (one of each drifted)
+    Seq((1L, vec(0.95, 0.05, 0, 0)), (2L, vec(0.05, 0.95, 0, 0)),
+      (3L, vec(0.80, 0.20, 0, 0)), (4L, vec(0.20, 0.80, 0, 0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(incoming)
+    val q0 = VectorIndexStream.run(
+      s.readStream.schema("vec_id long, embedding array<float>").parquet(incoming),
+      corpusDir, root)
+    assert(q0.awaitTermination(120000))
+
+    def probeIds() = VectorIndexStream.probe(s, root, corpusDir,
+      vec(1, 0, 0, 0), k = 2, nprobe = 1).collect().map(_.getLong(0)).toSet
+    val before = probeIds()
+    assert(before === Set(1L, 3L), s"pre-retrain probe wrong: $before")
+
+    // stage the next generation WITHOUT committing: probes must still
+    // resolve the old generation — the mid-swap consistency window
+    val next = VectorIndexStream.buildNextGen(s, root, corpusDir)
+    assert(next === Some("index-g1"))
+    assert(VectorIndexStream.currentGen(root) === "index",
+      "uncommitted rebuild must not change the live generation")
+    assert(probeIds() === before,
+      "probe during the swap must still serve the old generation")
+
+    VectorIndexStream.commitGen(root, next.get)
+    assert(VectorIndexStream.currentGen(root) === "index-g1")
+    // same four vectors searchable, compacted into batch=-1, with the
+    // generation's own (retrained) centroids driving the probe
+    val gen1 = s.read.parquet(s"$root/index-g1")
+    assert(gen1.count() === 4L, "rebuild must carry every indexed vector")
+    assert(probeIds() === Set(1L, 3L), s"post-swap probe wrong")
+    assert(new java.io.File(s"$root/index-g1/_centroids").exists())
+
+    // a second full retrain cycle (the public wrapper): generation
+    // advances, the old directory is dropped, data survives
+    VectorIndexStream.retrain(s, root, corpusDir)
+    assert(VectorIndexStream.currentGen(root) === "index-g2")
+    assert(!new java.io.File(s"$root/index-g1").exists(),
+      "retrain must drop the superseded generation")
+    assert(s.read.parquet(s"$root/index-g2").count() === 4L)
+    assert(probeIds() === Set(1L, 3L))
+  }
 }
