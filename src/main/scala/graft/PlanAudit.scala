@@ -43,12 +43,19 @@ object PlanAudit {
     "q89_salted_join" -> "SortMergeJoin keyed on (custkey, salt) — the hint pins the shuffle path so the 16-way salt actually partitions; dim side is the exploded replicate, fact side computes its salt map-side",
     "q90_sliding_window" -> "window(ts, 5m, 1m) expands each event to its 5 covering windows MAP-SIDE, before the partial aggregate — the exchange moves one row per (window,type) per task, not 5× the events",
     "q91_simhash64" -> "64-bit SimHash sketch, map-only codegen'd projection over the scan; its banded consumer (q67's simhash signal) joins on 16-bit bands — band-key space 4·2^16 = 262,144 vs the 32-bit sketch's 4·2^8 = 1,024, so per-bucket occupancy (and candidate pair count) stays bounded ~256× longer as the corpus grows; pigeonhole recall stays exact at Hamming ≤ 3 (4 bands)",
-    "q67_multisignal_clusters" -> "union graph = q51 Jaccard pairs ∪ 64-bit SimHash banded pairs at Hamming ≤ 3; both edge sources are collision-proportional equi-joins (shingle hash / 16-bit band key); CC is pointer-doubling over 8-byte keys",
+    "q67_multisignal_clusters" -> "union graph = q51 Jaccard pairs ∪ 64-bit SimHash banded pairs at Hamming ≤ 3 ∪ q54 embedding-cosine banded pairs at ≥ 0.35; all three edge sources are collision-proportional equi-joins (shingle hash / 16-bit band key / hyperplane band key + label), so the union's edge cardinality is at most their bounded sum, deduplicated before CC; CC is pointer-doubling over 8-byte keys",
     "q94_hybrid_retrieval" -> "hybrid BM25+vector RRF: tf/df/dl are single-shuffle token aggregations; the lexical candidate join is (broadcast 10-query terms) × tf on the TOKEN key — collision-proportional; the vector side is the q55 broadcast-queries scan; fusion is a FULL OUTER join over ≤ 2·k·|queries| rows — metadata at any scale",
     "q96_snapshot_diff" -> "corpus versioning: each side is scan + map-side sha2; ONE full-outer equi-join on doc_id (both sides hash-partition the same key); status is a map-side CASE — the 64-byte hash shuffles, never the text",
     "q97_countmin_heavyhitters" -> "count-min sketch build is one partial-aggregated groupBy where at most 3·1024 groups survive per map task — the shuffle is sketch-sized, corpus-size-independent (partial aggregation IS the sketch merge); the probe joins 60 rows against the 3072-row sketch",
     "q98_zorder_layout" -> "Morton key = 20 statically-unrolled shift/mask terms in one codegen'd projection over the scan; the tiling audit is one partial-aggregated groupBy with ≤ 256 groups; no global window — the production write is repartitionByRange(zkey)",
     "q99_merge_upsert" -> "join-based MERGE: the change batch LEFT-joins the target on the key (the only wide exchange — both sides hash-partition the same key; a bucketed target makes it exchange-free); the action decision is a map-side CASE; output is the source-sized delta, never the target",
+    "q92_ann_recall_families" -> "recall gate over the whole index shelf: LSH/IVF/PQ subplans re-run VERBATIM (no drift from what the indexes serve); brute-force truth is localCheckpoint'd once and reused by all three comparisons; every recall join and the final per-family aggregate run over ≤ k·|queries|·|families| rows — metadata at any corpus scale",
+    "q93_sql_surface" -> "the SQL-registered function surface: djb2/rolling_hash/simhash32/simhash64/shingle_hashes invoked via spark.sql — by the time Catalyst sees them they are the SAME codegen'd expressions as the Column API (one Project over the scan, zero plan overhead); the only exchange is the presentation ORDER BY",
+    "q95_length_histogram" -> "per-doc token length + integer-exact log2 bucket (length(bin(n))−1 — no libm) in one map-side projection; ONE partial-aggregated shuffle on (lang, bucket) with ≤ |langs|·64 surviving groups; the per-lang share window runs over that metadata-sized grid",
+    "q100_forget_users" -> "right-to-be-forgotten pruned rewrite (steps 1–2 run EAGERLY before this audit plan: the affected-bucket collect pushes the forget predicate to the scan, and the staged rewrite reads ONLY affected directories): the audited commit view below unions the untouched lake scan — PartitionFilters NOT-IN on day_bucket, directory-level pruning — with the staged replacement scan; the forbidden-row recount is a map-side CASE in the partial agg",
+    "q101_unpivot" -> "wide→long melt via Dataset.unpivot: ONE map-side Expand (3 projections per row — no shuffle, no union of per-column scans) feeding the presentation sort; the inverse of q48's pivot",
+    "q102_hybrid_indexed" -> "index-backed hybrid retrieval: the vector side is q59's IVF subplan at k=20 — cell assignment is a map-side NearestCells projection over the embeddings scan (NO exchange before the cell equi-join; probes broadcast), so the corpus never exchanges before the per-query top-k; the lexical side and the ≤ 2·k·|queries|-row RRF fusion are q94's",
+    "q103_compact_files" -> "lake compaction (runs EAGERLY before this audit plan): ONE shuffle clustering each day bucket into a single task (repartition on the partition column) + writer-side maxRecordsPerFile rotation — per-bucket file count is row-count-derived with zero driver planning; the audit below is a partial-aggregated groupBy over the compacted scan with input_file_name() projected map-side",
   )
 
   def main(args: Array[String]): Unit = {
