@@ -591,6 +591,55 @@ object Similarity {
     case other => throw new IllegalArgumentException(s"unknown ANN family: $other")
   }
 
+  // ---------------------------------------------------------------- q104
+  /** Hard-negative mining for contrastive retrieval training — the
+    * training-data op a dual-encoder pipeline runs between corpus curation
+    * and fine-tuning: for every query, take the docs the INDEX retrieves
+    * high (IVF top-20 through [[ivfTopK]] — the exact subplan q59 serves
+    * and q92 recall-gates), remove the known positives (exact brute-force
+    * top-3, [[bruteTopK]] — the labeled-relevant stand-in), and keep the
+    * top-5 remaining by index rank. Those are the "hard" negatives: close
+    * enough in embedding space to be retrieved, yet not relevant — exactly
+    * the examples a contrastive loss learns the most from (in-batch random
+    * negatives are trivially separable by comparison).
+    *
+    * Plan shape: both inputs end in their own per-query top-k, so the
+    * corpus never exchanges beyond the registered subplans; the mining
+    * itself — a left-anti join on (q_id, vec_id) plus a re-rank window —
+    * runs over ≤ (20+3)·|queries| rows, metadata at any corpus scale. The
+    * neg_rank window orders by the IVF rank, which is unique per query —
+    * fully deterministic, no tie-break needed. */
+  def q104HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val positives = bruteTopK(s, dir, 3).select($"q_id", $"vec_id")
+    val cand = ivfTopK(s, dir, 20, 2)
+    val w = Window.partitionBy($"q_id").orderBy($"rank")
+    cand.join(positives, Seq("q_id", "vec_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter($"neg_rank" <= 5)
+      .select($"q_id", $"neg_rank", $"vec_id", $"cell", $"cos")
+      .orderBy($"q_id", $"neg_rank")
+  }
+
+  val q104Oracle: String =
+    s"""WITH pos AS (
+       |  SELECT q_id, vec_id FROM (${q55Oracle.replace("\n", "\n  ")}) p
+       |  WHERE rank <= 3),
+       |cand AS (
+       |  SELECT q_id, rank, vec_id, cell, cos
+       |  FROM (${ivfTopKOracle(20, 2).replace("\n", "\n  ")}) c),
+       |mined AS (
+       |  SELECT c.q_id, c.rank, c.vec_id, c.cell, c.cos
+       |  FROM cand c LEFT JOIN pos p
+       |    ON p.q_id = c.q_id AND p.vec_id = c.vec_id
+       |  WHERE p.vec_id IS NULL)
+       |SELECT q_id, neg_rank, vec_id, cell, cos FROM (
+       |  SELECT q_id, vec_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rank) AS BIGINT) AS neg_rank
+       |  FROM mined)
+       |WHERE neg_rank <= 5
+       |ORDER BY q_id, neg_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
@@ -599,6 +648,7 @@ object Similarity {
     "q86_random_projection" -> q86RandomProjection _,
     "q88_ann_recall" -> q88AnnRecall _,
     "q92_ann_recall_families" -> q92AnnRecallFamilies _,
+    "q104_hard_negatives" -> q104HardNegatives _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,5 +659,6 @@ object Similarity {
     "q86_random_projection" -> q86Oracle,
     "q88_ann_recall" -> q88Oracle,
     "q92_ann_recall_families" -> q92Oracle,
+    "q104_hard_negatives" -> q104Oracle,
   )
 }

@@ -96,6 +96,46 @@ class SimilaritySpec extends SparkSpec {
       s"norm ratio off JL expectation 1.0: $meanRatio")
   }
 
+  test("q104 hard negatives: disjoint from positives, dense rank, index order kept") {
+    val s = spark
+    import s.implicits._
+    val positives = Similarity.q55AnnBrute(s, sf).filter($"rank" <= 3)
+      .select($"q_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Similarity.q59AnnIvf(s, sf) // k=3 view of the same subplan
+    val ivf20 = Similarity.q104HardNegatives(s, sf).collect()
+    assert(ivf20.nonEmpty)
+    // (1) no mined negative is a labeled positive
+    ivf20.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(!positives.contains(key), s"positive leaked into negatives: $key")
+    }
+    // (2) neg_rank is dense 1..n (n ≤ 5) per query
+    ivf20.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Long]("neg_rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.size).toSeq, s"q$q ranks not dense: $ranks")
+      assert(ranks.size <= 5)
+    }
+    // (3) within a query, neg_rank order preserves descending index score
+    //     (cos ties broken by vec_id — inherited from the IVF rank)
+    ivf20.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("neg_rank"))
+        .map(r => (-r.getAs[Double]("cos"), r.getAs[Long]("vec_id"))).toSeq
+      assert(inOrder === inOrder.sorted, s"q$q negatives out of index order")
+    }
+    // (4) deterministic across runs
+    val again = Similarity.q104HardNegatives(s, sf).collect()
+    assert(ivf20.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // (5) the mined set respects the serving index: every negative that the
+    //     k=3 IVF view already returns must carry the same cos there
+    val ivf3 = cand.collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")), r.getAs[Double]("cos"))).toMap
+    ivf20.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      ivf3.get(key).foreach(c => assert(c === r.getAs[Double]("cos")))
+    }
+  }
+
   test("q88 recall equals a hand join of q55 truth and q56 results") {
     val s = spark
     import s.implicits._
