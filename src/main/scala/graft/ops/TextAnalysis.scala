@@ -461,6 +461,61 @@ object TextAnalysis {
        |ORDER BY p.exact_count DESC, p.tok""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q105
+  /** One BPE merge iteration — the pair-count step a tokenizer trainer
+    * repeats to grow its vocabulary: count adjacent character pairs inside
+    * words, weighted by word frequency, and surface the top candidates
+    * (the highest-count pair is the next merge). The at-scale trick is the
+    * same one distributed BPE/WordPiece trainers use: fold the corpus to
+    * its VOCABULARY first (one partial-aggregated shuffle on the word),
+    * then explode pairs over distinct words only — pair counting costs
+    * O(vocabulary · word length), corpus-size-independent, instead of
+    * re-walking every corpus token per iteration. A word containing the
+    * same pair twice ("aaa" → "aa"×2) counts it twice per occurrence of
+    * the word, the standard BPE count.
+    *
+    * Plan shape: shuffle 1 builds word frequencies (partial agg); the pair
+    * explode is map-side over the vocabulary (≤ len−1 rows per distinct
+    * word); shuffles 2–3 aggregate per (pair, word) then per pair —
+    * vocabulary-sized. Top-30 by (count desc, pair) is a
+    * TakeOrderedAndProject, fully tie-broken. Integer counts end to end. */
+  def q105BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wf"))
+    val pairs = wf
+      .select($"word", $"wf",
+        explode(sequence(lit(1), length($"word") - 1)).as("i"))
+      .select($"word", $"wf", $"word".substr($"i", lit(2)).as("pair"))
+    pairs.groupBy($"pair", $"word", $"wf").agg(count(lit(1)).as("occ"))
+      .groupBy($"pair")
+      .agg(sum($"occ" * $"wf").as("pair_count"), count(lit(1)).as("n_words"))
+      .orderBy($"pair_count".desc, $"pair")
+      .limit(30)
+      .select($"pair", $"pair_count", $"n_words")
+  }
+
+  val q105Oracle: String =
+    """WITH wf AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) >= 2
+      |  GROUP BY word),
+      |pairs AS (
+      |  SELECT word, wf, substr(word, CAST(i AS INTEGER), 2) AS pair
+      |  FROM (SELECT word, wf, unnest(range(1, len(word))) AS i FROM wf)),
+      |perword AS (
+      |  SELECT pair, word, wf, CAST(COUNT(*) AS BIGINT) AS occ
+      |  FROM pairs GROUP BY pair, word, wf),
+      |agg AS (
+      |  SELECT pair, CAST(SUM(occ * wf) AS BIGINT) AS pair_count,
+      |    CAST(COUNT(*) AS BIGINT) AS n_words
+      |  FROM perword GROUP BY pair)
+      |SELECT pair, pair_count, n_words FROM agg
+      |ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -474,6 +529,7 @@ object TextAnalysis {
     "q84_vocab_oov" -> q84VocabOov _,
     "q95_length_histogram" -> q95LengthHistogram _,
     "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
+    "q105_bpe_pairs" -> q105BpePairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -489,5 +545,6 @@ object TextAnalysis {
     "q84_vocab_oov" -> q84Oracle,
     "q95_length_histogram" -> q95Oracle,
     "q97_countmin_heavyhitters" -> q97Oracle,
+    "q105_bpe_pairs" -> q105Oracle,
   )
 }

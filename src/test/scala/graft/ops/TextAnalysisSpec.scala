@@ -117,6 +117,21 @@ class TextAnalysisSpec extends SparkSpec {
     ))
   }
 
+  test("q105 BPE pairs: frequency-weighted, in-word multiplicity, tie-broken") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq(
+      (1L, "aaa bb aaa"),   // aaa twice: "aa" counts 2 per occurrence → 4
+      (2L, "ab ab cd x"),   // "x" is sub-pair length — filtered out
+      (3L, "banana"),       // an/na twice within one word occurrence
+    ))
+    val out = TextAnalysis.q105BpePairs(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(
+      ("aa", 4L, 1L), ("ab", 2L, 1L), ("an", 2L, 1L), ("na", 2L, 1L),
+      ("ba", 1L, 1L), ("bb", 1L, 1L), ("cd", 1L, 1L)))
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
