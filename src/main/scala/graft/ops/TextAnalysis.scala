@@ -516,6 +516,63 @@ object TextAnalysis {
       |SELECT pair, pair_count, n_words FROM agg
       |ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Mergeable fixed-bin quantile estimation over document token length —
+    * the number a pipeline reads to set its length cutoffs ("truncate at
+    * p99", "drop below p1"). Spark's percentile_approx is a GK sketch whose
+    * result depends on merge order, so two runs of the same job can gate
+    * differently; this is the deterministic alternative: a 256-bin
+    * equi-width histogram (width 32, top bin open-ended) whose partial
+    * aggregation IS the sketch merge — at most 256 groups survive per map
+    * task, the shuffle is histogram-sized at any corpus scale (q97's
+    * count-min contract, applied to quantiles). The p-th percentile
+    * estimate is the first bin where the cumulative count reaches
+    * ceil(p·N/100) — compared as 100·cum ≥ p·N in pure int64, no division
+    * — reported with its open upper edge, the cumulative mass, and N. The
+    * price of mergeability is bin resolution (≤ 32 tokens here), which is
+    * exactly the published error contract of equi-width histogram
+    * quantiles; the quantile extraction runs over ≤ 256 rows of metadata. */
+  def q106LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables(s, dir, "documents")
+      .select(size(TextFns.tokens($"text")).cast("long").as("n"))
+      .groupBy(least(floor($"n" / lit(32)), lit(255)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum_count", sum($"c").over(w))
+    val tot = hist.agg(sum($"c").as("total"))
+    val pcts = Seq(50L, 90L, 99L).toDF("q_pct")
+    cum.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(pcts))
+      .filter($"cum_count" * 100 >= $"q_pct" * $"total")
+      .groupBy($"q_pct")
+      .agg(min(struct($"bucket", $"cum_count", $"total")).as("hit"))
+      .select($"q_pct", $"hit.bucket".as("bucket"),
+        (($"hit.bucket" + 1) * 32).as("upper_edge"),
+        $"hit.cum_count".as("cum_count"), $"hit.total".as("total"))
+      .orderBy($"q_pct")
+  }
+
+  val q106Oracle: String =
+    """WITH hist AS (
+      |  SELECT least(len(string_split(text, ' ')) // 32, 255) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1),
+      |cum AS (
+      |  SELECT bucket, CAST(SUM(c) OVER (ORDER BY bucket) AS BIGINT) AS cum_count
+      |  FROM hist),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM hist),
+      |pct AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS q_pct)
+      |SELECT q_pct, bucket, (bucket + 1) * 32 AS upper_edge, cum_count, total
+      |FROM (
+      |  SELECT p.q_pct, c.bucket, c.cum_count, t.total,
+      |    row_number() OVER (PARTITION BY p.q_pct ORDER BY c.bucket) AS rn
+      |  FROM pct p, cum c, tot t
+      |  WHERE c.cum_count * 100 >= p.q_pct * t.total)
+      |WHERE rn = 1
+      |ORDER BY q_pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -530,6 +587,7 @@ object TextAnalysis {
     "q95_length_histogram" -> q95LengthHistogram _,
     "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
     "q105_bpe_pairs" -> q105BpePairs _,
+    "q106_length_quantiles" -> q106LengthQuantiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +604,6 @@ object TextAnalysis {
     "q95_length_histogram" -> q95Oracle,
     "q97_countmin_heavyhitters" -> q97Oracle,
     "q105_bpe_pairs" -> q105Oracle,
+    "q106_length_quantiles" -> q106Oracle,
   )
 }

@@ -132,6 +132,19 @@ class TextAnalysisSpec extends SparkSpec {
       ("ba", 1L, 1L), ("bb", 1L, 1L), ("cd", 1L, 1L)))
   }
 
+  test("q106 quantiles: hand-computed bins on a 1..100-token staircase corpus") {
+    val s = spark
+    // doc i has exactly i tokens → N=100; bucket cum counts: b0(n≤31)=31,
+    // b1(≤63)=63, b2(≤95)=95, b3=100. p50→b1, p90→b2 (95≥90), p99→b3.
+    val dir = writeDocs((1L to 100L).map(i => (i, Seq.fill(i.toInt)("w").mkString(" "))))
+    val out = TextAnalysis.q106LengthQuantiles(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out === Seq(
+      (50L, 1L, 64L, 63L, 100L),
+      (90L, 2L, 96L, 95L, 100L),
+      (99L, 3L, 128L, 100L, 100L)))
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
