@@ -471,6 +471,108 @@ object Curation {
        |WHERE c.cluster IN (SELECT cluster FROM contam_clusters)
        |ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Bigram language-model training counts — the table a KenLM-style
+    * quality scorer is trained FROM (q69 consumes hashed bigram stats for
+    * rarity; this materializes the model itself): every adjacent token
+    * pair with its count, its context count (occurrences of w1 as a
+    * bigram start — the MLE denominator), and the conditional probability
+    * P(w2|w1) = pair/ctx. Top-30 by count for the gateable view; the
+    * unlimited table is the training artifact.
+    *
+    * Plan shape: the bigram explode is map-side (arrays_zip over two
+    * slices — each generated row carries one 2-token struct, never the
+    * doc); pair and context counts are partial-aggregated shuffles
+    * (vocabulary²- and vocabulary-sized); the final join co-partitions on
+    * w1. The MLE division is the single float op, one per surviving row —
+    * everything upstream is int64 counting, so partitioning cannot
+    * reorder anything observable. */
+  def q107LmBigrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFns.tokens($"text")
+    val bg = Tables(s, dir, "documents")
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("p"))
+      .select($"p.0".as("w1"), $"p.1".as("w2"))
+    val big = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("pair_count"))
+    val ctx = bg.groupBy($"w1").agg(count(lit(1)).as("ctx_count"))
+    big.join(ctx, "w1")
+      .withColumn("prob", $"pair_count".cast("double") / $"ctx_count".cast("double"))
+      .orderBy($"pair_count".desc, $"w1", $"w2")
+      .limit(30)
+      .select($"w1", $"w2", $"pair_count", $"ctx_count", $"prob")
+  }
+
+  val q107Oracle: String =
+    """WITH bg AS (
+      |  SELECT tokens[CAST(i AS INTEGER)] AS w1,
+      |    tokens[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM (SELECT tokens, unnest(range(1, len(tokens))) AS i
+      |        FROM (SELECT string_split(text, ' ') AS tokens FROM documents))),
+      |big AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+      |  FROM bg GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS ctx_count
+      |  FROM bg GROUP BY w1)
+      |SELECT w1, w2, pair_count, ctx_count,
+      |  CAST(pair_count AS DOUBLE) / CAST(ctx_count AS DOUBLE) AS prob
+      |FROM big JOIN ctx USING (w1)
+      |ORDER BY pair_count DESC, w1, w2 LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q108
+  /** Cross-source content-overlap matrix — the governance number a corpus
+    * owner reads before mixing sources ("how much of source B is already
+    * in source A?"): for every source pair, the count of distinct 3-token
+    * shingle hashes both contain, plus the shingle-set Jaccard. High
+    * overlap means double-counting under the training mix (q71) and
+    * understated dedup pressure across source boundaries.
+    *
+    * Plan shape: distinct (source, hash) is ONE partial-aggregated
+    * shuffle; because each hash then appears at most |sources| times, the
+    * hash self-join is output-bounded at C(|sources|, 2) rows per hash BY
+    * CONSTRUCTION — no df-cap needed, unlike the per-document joins
+    * (q51), because `source` is a bounded dimension, not a document key.
+    * The pair aggregate and the size join are |sources|²-row metadata. */
+  def q108SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables(s, dir, "documents")
+      .select($"source",
+        explode(HashFns.shingleHashes(TextFns.tokens($"text"), 3)).as("h"))
+      .distinct()
+    val shared = sh.select($"source".as("src_a"), $"h")
+      .join(sh.select($"source".as("src_b"), $"h"), Seq("h"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    shared
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("n_b"))), "src_b")
+      .withColumn("jaccard",
+        $"shared".cast("double") / ($"n_a" + $"n_b" - $"shared").cast("double"))
+      .select($"src_a", $"src_b", $"shared", $"n_a", $"n_b", $"jaccard")
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q108Oracle: String = {
+    val sh = s"unnest(list_transform(${Sql.shingles("tokens", 3)}, shing -> ${Sql.djb2("shing")}))"
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, h FROM (
+       |    SELECT source, $sh AS h
+       |    FROM (SELECT source, string_split(text, ' ') AS tokens FROM documents))),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source)
+       |SELECT src_a, src_b, shared, sa.n AS n_a, sb.n AS n_b,
+       |  CAST(shared AS DOUBLE) / CAST(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+       |FROM shared JOIN sizes sa ON sa.source = shared.src_a
+       |            JOIN sizes sb ON sb.source = shared.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -481,6 +583,8 @@ object Curation {
     "q79_quality_classifier" -> q79QualityClassifier _,
     "q80_cluster_split" -> q80ClusterSplit _,
     "q81_transitive_decontam" -> q81TransitiveDecontam _,
+    "q107_lm_bigrams" -> q107LmBigrams _,
+    "q108_source_overlap" -> q108SourceOverlap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +597,7 @@ object Curation {
     "q79_quality_classifier" -> q79Oracle,
     "q80_cluster_split" -> q80Oracle,
     "q81_transitive_decontam" -> q81Oracle,
+    "q107_lm_bigrams" -> q107Oracle,
+    "q108_source_overlap" -> q108Oracle,
   )
 }

@@ -224,6 +224,42 @@ class CurationSpec extends SparkSpec {
     assert(got === z, s"score $got != local fold $z")
   }
 
+  test("q107 bigram LM table: hand-counted pairs, contexts, MLE probabilities") {
+    val s = spark
+    import s.implicits._
+    // doc1 bigrams: (a,b),(b,a),(a,b),(b,c); doc2: (a,b),(b,x)
+    // → (a,b)=3 with ctx(a)=3; (b,·) three singletons with ctx(b)=3
+    val dir = writeDocs(Seq((1L, "a b a b c", "en"), (2L, "a b x", "en")))
+    val out = Curation.q107LmBigrams(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(out === Seq(
+      ("a", "b", 3L, 3L, 1.0),
+      ("b", "a", 1L, 3L, 1.0 / 3.0),
+      ("b", "c", 1L, 3L, 1.0 / 3.0),
+      ("b", "x", 1L, 3L, 1.0 / 3.0)))
+  }
+
+  test("q108 source overlap: distinct-shingle sharing, duplicate docs collapse") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-curation-").toString
+    // A and B share exactly the 3-gram "x y z"; C is disjoint. Source A
+    // contains the same doc twice — distinct (source, shingle) must
+    // collapse it, leaving |A| = 2.
+    Seq(
+      (1L, "x y z w", "A"), (2L, "x y z w", "A"),
+      (3L, "x y z q", "B"), (4L, "p q r s", "C"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q108SourceOverlap(s, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // zero-overlap pairs are absent by the join shape (absent row = 0)
+    assert(out === Seq(("A", "B", 1L, 2L, 2L, 1.0 / 3.0)))
+  }
+
   test("q80/q81: clusters move together; exclusion closes over near-dup families") {
     val s = spark
     import s.implicits._
