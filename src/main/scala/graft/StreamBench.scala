@@ -201,14 +201,45 @@ object StreamBench {
     }
   }
 
+  /** S12 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.HistogramStream]]'s per-batch partial-
+    * histogram write — docs/sec through the corpus-shape maintenance seam,
+    * from a clean slate. `clean` = total docs accounted in the merged
+    * histogram (Σc — proves the partials lost nothing). */
+  def measureHistogram(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-histogram"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.HistogramStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:histogram] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val counted = streaming.HistogramStream.mergedHistogram(spark, root)
+        .agg(sum($"c")).as[Long].collect().head
+      SeamResult(n / secs, n, counted, secs)
+    }
+  }
+
   /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
-    * signing,dedup,decontam,annrefresh,merge — the quick-run knob; unset
-    * = all) is also None and is skipped without paying its measurement. */
+    * signing,dedup,decontam,annrefresh,merge,histogram — the quick-run
+    * knob; unset = all) is also None and is skipped without paying its
+    * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
-      merge: Option[SeamResult]) {
+      merge: Option[SeamResult], histogram: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -222,7 +253,8 @@ object StreamBench {
       val failed = """{"records_per_sec":-1}"""
       val head = signing.map(_.json).getOrElse(failed)
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
-        "ann_refresh" -> annRefresh, "merge" -> merge).map { case (k, v) =>
+        "ann_refresh" -> annRefresh, "merge" -> merge,
+        "histogram" -> histogram).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -245,7 +277,8 @@ object StreamBench {
       guarded("dedup")(measureDedup(spark, sfDir)),
       guarded("decontam")(measureDecontam(spark, sfDir)),
       guarded("annrefresh")(measureIndexRefresh(spark, sfDir)),
-      guarded("merge")(measureMerge(spark, sfDir)))
+      guarded("merge")(measureMerge(spark, sfDir)),
+      guarded("histogram")(measureHistogram(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

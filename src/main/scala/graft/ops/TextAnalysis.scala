@@ -532,12 +532,24 @@ object TextAnalysis {
     * price of mergeability is bin resolution (≤ 32 tokens here), which is
     * exactly the published error contract of equi-width histogram
     * quantiles; the quantile extraction runs over ≤ 256 rows of metadata. */
-  def q106LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val hist = Tables(s, dir, "documents")
-      .select(size(TextFns.tokens($"text")).cast("long").as("n"))
+  /** The 256-bin histogram build (one partial-aggregated shuffle over a
+    * (text) column) — shared by q106 and the S12 streaming seam, whose
+    * per-batch partitions hold exactly this table. */
+  private[graft] def lengthHistogram(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(size(TextFns.tokens($"text")).cast("long").as("n"))
       .groupBy(least(floor($"n" / lit(32)), lit(255)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** The quantile extraction over a (bucket, c) histogram — ≤ 256 rows of
+    * metadata wherever the histogram came from (one partial agg, a union
+    * of per-batch partials, or a cross-day merge); shared by q106 and the
+    * S12 probe so the batch answer and the streaming answer can never use
+    * different interpolation rules. */
+  private[graft] def quantilesFromHistogram(hist: DataFrame): DataFrame = {
+    val s = hist.sparkSession
+    import s.implicits._
     val w = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_count", sum($"c").over(w))
@@ -553,6 +565,9 @@ object TextAnalysis {
         $"hit.cum_count".as("cum_count"), $"hit.total".as("total"))
       .orderBy($"q_pct")
   }
+
+  def q106LengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    quantilesFromHistogram(lengthHistogram(Tables(s, dir, "documents")))
 
   val q106Oracle: String =
     """WITH hist AS (
