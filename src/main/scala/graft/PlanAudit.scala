@@ -56,6 +56,11 @@ object PlanAudit {
     "q101_unpivot" -> "wide→long melt via Dataset.unpivot: ONE map-side Expand (3 projections per row — no shuffle, no union of per-column scans) feeding the presentation sort; the inverse of q48's pivot",
     "q102_hybrid_indexed" -> "index-backed hybrid retrieval: the vector side is q59's IVF subplan at k=20 — cell assignment is a map-side NearestCells projection over the embeddings scan (NO exchange before the cell equi-join; probes broadcast), so the corpus never exchanges before the per-query top-k; the lexical side and the ≤ 2·k·|queries|-row RRF fusion are q94's",
     "q103_compact_files" -> "lake compaction (runs EAGERLY before this audit plan): ONE shuffle clustering each day bucket into a single task (repartition on the partition column) + writer-side maxRecordsPerFile rotation — per-bucket file count is row-count-derived with zero driver planning; the audit below is a partial-aggregated groupBy over the compacted scan with input_file_name() projected map-side",
+    "q104_hard_negatives" -> "hard-negative mining: both inputs end in their own per-query top-k (the registered brute and IVF subplans — corpus never exchanges beyond them); the mining left-anti join on (q_id, vec_id) and the neg_rank re-rank window run over ≤ (20+3)·|queries| rows — metadata at any corpus scale; the window orders by the unique IVF rank, no tie-break needed",
+    "q105_bpe_pairs" -> "one BPE merge iteration: the corpus folds to its VOCABULARY first (one partial-aggregated shuffle on the word), then the pair explode is map-side over distinct words only — O(vocab · word length), corpus-size-independent; two vocabulary-sized aggs (per (pair,word), per pair); top-30 is TakeOrderedAndProject, tie-broken on (count desc, pair)",
+    "q106_length_quantiles" -> "mergeable quantiles: the 256-bin histogram build is ONE partial-aggregated shuffle where ≤ 256 groups survive per map task (partial aggregation IS the sketch merge — q97's contract applied to quantiles); the histogram is localCheckpoint'd once (two consumers — cumulative and total — would otherwise each re-run the corpus scan), and the cumulative window + percentile selection run over ≤ 256 rows of metadata, so the single-partition window is bounded by construction; thresholds compare as 100·cum ≥ p·N in pure int64",
+    "q107_lm_bigrams" -> "bigram LM training table: the bigram explode is map-side (arrays_zip of two slices — each generated row carries one 2-token struct, never the document); the pair-count table (the LM artifact, vocab²-bounded) is materialized once and context counts DERIVE from it (ctx = Σ_w2 pair_count) — the corpus is scanned exactly once; the final join co-partitions on w1; the MLE division is the single float op, one per surviving row; top-30 is TakeOrderedAndProject",
+    "q108_source_overlap" -> "cross-source overlap: distinct (source, shingle-hash) is ONE partial-aggregated shuffle, materialized once for its three consumers (both self-join sides + sizes — one corpus scan, not four); each hash then appears ≤ |sources| times, so the hash self-join is output-bounded at C(|sources|,2) rows per hash BY CONSTRUCTION (no df-cap needed — source is a bounded dimension, not a document key); the pair aggregate and broadcast size joins are |sources|²-row metadata",
   )
 
   def main(args: Array[String]): Unit = {

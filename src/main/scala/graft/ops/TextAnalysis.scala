@@ -547,9 +547,12 @@ object TextAnalysis {
     * of per-batch partials, or a cross-day merge); shared by q106 and the
     * S12 probe so the batch answer and the streaming answer can never use
     * different interpolation rules. */
-  private[graft] def quantilesFromHistogram(hist: DataFrame): DataFrame = {
-    val s = hist.sparkSession
+  private[graft] def quantilesFromHistogram(histogram: DataFrame): DataFrame = {
+    val s = histogram.sparkSession
     import s.implicits._
+    // ≤ 256 rows, two consumers (cumulative + total) — materialize so the
+    // upstream corpus scan behind the histogram runs exactly once.
+    val hist = histogram.localCheckpoint(true)
     val w = Window.orderBy($"bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_count", sum($"c").over(w))
