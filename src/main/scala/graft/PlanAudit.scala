@@ -61,6 +61,7 @@ object PlanAudit {
     "q106_length_quantiles" -> "mergeable quantiles: the 256-bin histogram build is ONE partial-aggregated shuffle where ≤ 256 groups survive per map task (partial aggregation IS the sketch merge — q97's contract applied to quantiles); the histogram is localCheckpoint'd once (two consumers — cumulative and total — would otherwise each re-run the corpus scan), and the cumulative window + percentile selection run over ≤ 256 rows of metadata, so the single-partition window is bounded by construction; thresholds compare as 100·cum ≥ p·N in pure int64",
     "q107_lm_bigrams" -> "bigram LM training table: the bigram explode is map-side (arrays_zip of two slices — each generated row carries one 2-token struct, never the document); the pair-count table (the LM artifact, vocab²-bounded) is materialized once and context counts DERIVE from it (ctx = Σ_w2 pair_count) — the corpus is scanned exactly once; the final join co-partitions on w1; the MLE division is the single float op, one per surviving row; top-30 is TakeOrderedAndProject",
     "q108_source_overlap" -> "cross-source overlap: distinct (source, shingle-hash) is ONE partial-aggregated shuffle, materialized once for its three consumers (both self-join sides + sizes — one corpus scan, not four); each hash then appears ≤ |sources| times, so the hash self-join is output-bounded at C(|sources|,2) rows per hash BY CONSTRUCTION (no df-cap needed — source is a bounded dimension, not a document key); the pair aggregate and broadcast size joins are |sources|²-row metadata",
+    "q109_chunk_docs" -> "RAG chunking: chunk starts generated map-side (explode of an int64-arithmetic sequence — no join, no window); each generated row carries one ≤ 64-token slice, amplification bounded at W/S = 4/3 by construction; sha2 runs in the same projection; the only exchange is the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

@@ -591,6 +591,61 @@ object TextAnalysis {
       |WHERE rn = 1
       |ORDER BY q_pct""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** Retrieval chunking — the RAG-ingest prep that turns documents into
+    * overlapping fixed-size token windows (chunk size 64, stride 48 →
+    * 16-token overlap, the context-preserving split an embedding pipeline
+    * feeds to its encoder): one row per (doc, chunk) with a stable chunk
+    * index, the chunk's token count, and its content hash. The hash — not
+    * the chunk text — is the registered output, keeping rows fixed-width;
+    * the text is `array_join(slice(...))` away wherever the pipeline
+    * embeds it.
+    *
+    * Plan shape: chunk starts are generated map-side
+    * (explode(sequence(0, n_chunks−1)) — n_chunks is pure int64 ceil
+    * arithmetic on the token count), and each generated row carries one
+    * ≤ 64-token slice; the data amplification is bounded at W/S = 4/3 by
+    * construction, and the only exchange is the presentation sort. Every
+    * doc yields ≥ 1 chunk (a short doc is its own chunk), so no document
+    * can silently vanish between corpus and index. */
+  def q109ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 64
+    val S = 48
+    val toks = TextFns.tokens($"text")
+    Tables(s, dir, "documents")
+      .select($"doc_id", toks.as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("n_chunks",
+        when($"n" <= W, lit(1L))
+          .otherwise(floor(($"n" - W + (S - 1)) / lit(S)).cast("long") + 1L))
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+      .withColumn("chunk_toks",
+        slice($"toks", ($"chunk_idx" * S + 1).cast("int"), lit(W)))
+      .select($"doc_id", $"chunk_idx",
+        size($"chunk_toks").cast("long").as("n_tokens"),
+        sha2(array_join($"chunk_toks", " "), 256).as("chunk_sha256"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val q109Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, toks, n, unnest(range(0,
+      |    CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+      |  FROM toks)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(least(chunk_idx * 48 + 64, n) - chunk_idx * 48 AS BIGINT) AS n_tokens,
+      |  sha256(array_to_string(
+      |    toks[CAST(chunk_idx * 48 + 1 AS INTEGER):CAST(least(chunk_idx * 48 + 64, n) AS INTEGER)],
+      |    ' ')) AS chunk_sha256
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -606,6 +661,7 @@ object TextAnalysis {
     "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
     "q105_bpe_pairs" -> q105BpePairs _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
+    "q109_chunk_docs" -> q109ChunkDocs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,5 +679,6 @@ object TextAnalysis {
     "q97_countmin_heavyhitters" -> q97Oracle,
     "q105_bpe_pairs" -> q105Oracle,
     "q106_length_quantiles" -> q106Oracle,
+    "q109_chunk_docs" -> q109Oracle,
   )
 }

@@ -145,6 +145,36 @@ class TextAnalysisSpec extends SparkSpec {
       (99L, 3L, 128L, 100L, 100L)))
   }
 
+  test("q109 chunking: window geometry, 16-token overlap, content hashes") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int): Seq[String] = (1 to n).map(i => s"w$i")
+    val dir = writeDocs(Seq(
+      (1L, words(10).mkString(" ")),   // short doc → its own single chunk
+      (2L, words(64).mkString(" ")),   // exactly one window
+      (3L, words(65).mkString(" ")),   // 2 chunks: 64 + (49..65 = 17)
+      (4L, words(200).mkString(" ")),  // 4 chunks: 64,64,64,56
+    ))
+    def sha(ts: Seq[String]): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(ts.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val out = TextAnalysis.q109ChunkDocs(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet === Set((1L, 0L), (2L, 0L), (3L, 0L), (3L, 1L),
+      (4L, 0L), (4L, 1L), (4L, 2L), (4L, 3L)))
+    assert(out((1L, 0L)) === ((10L, sha(words(10)))))
+    assert(out((2L, 0L)) === ((64L, sha(words(64)))))
+    assert(out((3L, 0L)) === ((64L, sha(words(65).take(64)))))
+    assert(out((3L, 1L)) === ((17L, sha(words(65).drop(48)))))
+    // stride-48 windows over 200 tokens: starts 1, 49, 97, 145
+    (0 to 2).foreach { i =>
+      assert(out((4L, i.toLong)) === ((64L, sha(words(200).slice(i * 48, i * 48 + 64)))))
+    }
+    assert(out((4L, 3L)) === ((56L, sha(words(200).drop(144)))))
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
