@@ -231,15 +231,47 @@ object StreamBench {
     }
   }
 
+  /** S13 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.ChunkStream]]'s map-only per-batch chunk
+    * write — docs/sec through the retrieval-ingest seam, from a clean
+    * slate. `clean` = distinct doc_ids present in the merged chunk index
+    * (proves no document vanished between corpus and index — q109's
+    * ≥ 1-chunk-per-doc contract, observed). */
+  def measureChunking(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-chunking"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.ChunkStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:chunking] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val docsIndexed = streaming.ChunkStream.mergedChunks(spark, root)
+        .select($"doc_id").distinct().count()
+      SeamResult(n / secs, n, docsIndexed, secs)
+    }
+  }
+
   /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
-    * signing,dedup,decontam,annrefresh,merge,histogram — the quick-run
-    * knob; unset = all) is also None and is skipped without paying its
-    * measurement. */
+    * signing,dedup,decontam,annrefresh,merge,histogram,chunking — the
+    * quick-run knob; unset = all) is also None and is skipped without
+    * paying its measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
-      merge: Option[SeamResult], histogram: Option[SeamResult]) {
+      merge: Option[SeamResult], histogram: Option[SeamResult],
+      chunking: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -254,7 +286,7 @@ object StreamBench {
       val head = signing.map(_.json).getOrElse(failed)
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
         "ann_refresh" -> annRefresh, "merge" -> merge,
-        "histogram" -> histogram).map { case (k, v) =>
+        "histogram" -> histogram, "chunking" -> chunking).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -278,7 +310,8 @@ object StreamBench {
       guarded("decontam")(measureDecontam(spark, sfDir)),
       guarded("annrefresh")(measureIndexRefresh(spark, sfDir)),
       guarded("merge")(measureMerge(spark, sfDir)),
-      guarded("histogram")(measureHistogram(spark, sfDir)))
+      guarded("histogram")(measureHistogram(spark, sfDir)),
+      guarded("chunking")(measureChunking(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

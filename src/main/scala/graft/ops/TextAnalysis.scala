@@ -610,23 +610,32 @@ object TextAnalysis {
     * can silently vanish between corpus and index. */
   def q109ChunkDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    chunkDocs(Tables(s, dir, "documents")).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** The chunker itself, over any (doc_id, text) frame — shared verbatim by
+    * the batch query (q109) and the streaming ingest seam (S13,
+    * [[graft.streaming.ChunkStream]]), so the two can never drift. Pure
+    * map-side: explode of an int64-arithmetic start sequence, one ≤ W-token
+    * slice per output row, sha2 in the same projection. Unsorted — callers
+    * order (or partition) as their sink requires. */
+  def chunkDocs(docs: DataFrame): DataFrame = {
     val W = 64
     val S = 48
-    val toks = TextFns.tokens($"text")
-    Tables(s, dir, "documents")
-      .select($"doc_id", toks.as("toks"))
-      .withColumn("n", size($"toks").cast("long"))
+    val toks = TextFns.tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
-        when($"n" <= W, lit(1L))
-          .otherwise(floor(($"n" - W + (S - 1)) / lit(S)).cast("long") + 1L))
-      .select($"doc_id", $"toks", $"n",
-        explode(sequence(lit(0L), $"n_chunks" - 1L)).as("chunk_idx"))
+        when(col("n") <= W, lit(1L))
+          .otherwise(floor((col("n") - W + (S - 1)) / lit(S)).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
       .withColumn("chunk_toks",
-        slice($"toks", ($"chunk_idx" * S + 1).cast("int"), lit(W)))
-      .select($"doc_id", $"chunk_idx",
-        size($"chunk_toks").cast("long").as("n_tokens"),
-        sha2(array_join($"chunk_toks", " "), 256).as("chunk_sha256"))
-      .orderBy($"doc_id", $"chunk_idx")
+        slice(col("toks"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        sha2(array_join(col("chunk_toks"), " "), 256).as("chunk_sha256"))
   }
 
   val q109Oracle: String =
