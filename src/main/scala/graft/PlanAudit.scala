@@ -62,6 +62,7 @@ object PlanAudit {
     "q107_lm_bigrams" -> "bigram LM training table: the bigram explode is map-side (arrays_zip of two slices — each generated row carries one 2-token struct, never the document); the pair-count table (the LM artifact, vocab²-bounded) is materialized once and context counts DERIVE from it (ctx = Σ_w2 pair_count) — the corpus is scanned exactly once; the final join co-partitions on w1; the MLE division is the single float op, one per surviving row; top-30 is TakeOrderedAndProject",
     "q108_source_overlap" -> "cross-source overlap: distinct (source, shingle-hash) is ONE partial-aggregated shuffle, materialized once for its three consumers (both self-join sides + sizes — one corpus scan, not four); each hash then appears ≤ |sources| times, so the hash self-join is output-bounded at C(|sources|,2) rows per hash BY CONSTRUCTION (no df-cap needed — source is a bounded dimension, not a document key); the pair aggregate and broadcast size joins are |sources|²-row metadata",
     "q109_chunk_docs" -> "RAG chunking: chunk starts generated map-side (explode of an int64-arithmetic sequence — no join, no window); each generated row carries one ≤ 64-token slice, amplification bounded at W/S = 4/3 by construction; sha2 runs in the same projection; the only exchange is the presentation sort",
+    "q110_dedup_recall" -> "dedup recall gate: truth (uncapped pair join + exact-Jaccard verify) is the deliberately-expensive side of an offline gate job — fixture/sample scale only, localCheckpoint'd once for its four consumers; each family's candidate pair set is the family's OWN production plan (prefix-filtered equi-join / banded sig equi-join / 16-bit-band sketch join), checkpointed once for its two consumers; the comparison joins are pair-set-sized semi-joins and the output is three rows",
   )
 
   def main(args: Array[String]): Unit = {

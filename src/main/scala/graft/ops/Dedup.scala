@@ -335,25 +335,33 @@ object Dedup {
     * [[verifiedJaccard]] as q51 — the signature's estimate rides along for
     * observability but the accept/reject decision is exact). Linear in
     * docs + collisions + candidate shingles — the 100 TB path. */
-  def q52MinhashLsh(s: SparkSession, dir: String,
-      maxDf: Long = HotShingleMaxDf): DataFrame = {
+  /** q52's candidate generator, factored for reuse by the q110 recall
+    * gate: k=16 MinHash signatures over the df-filtered shingle sets
+    * (collect_list order is irrelevant — minhash is a min over
+    * permutations; signatures keyed on doc_id straight off the filtered
+    * index), banded 4×4, candidates = distinct band-bucket collisions.
+    * Carries sig_a/sig_b so q52 can estimate without re-joining. */
+  private def minhashBandCandidates(s: SparkSession, docs: DataFrame,
+      maxDf: Long): DataFrame = {
     import s.implicits._
-    // Signatures over the df-FILTERED shingle sets (collect_list order is
-    // irrelevant — minhash is a min over permutations); the groupBy reuses
-    // coldShingles' post-window partitioning only if keyed the same, so key
-    // on doc_id straight off the filtered index.
-    val docs = sharedShingleDocs(s, dir)
     val sigs = coldFrom(s, docs, maxDf)
       .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
       .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
     val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
       .withColumn("band_key", concat_ws(":", $"b".cast("string"),
         concat_ws("-", transform(slice($"sig", $"b" * 4 + 1, lit(4)), x => x.cast("string")))))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
         $"x.sig".as("sig_a"), $"y.sig".as("sig_b"))
       .distinct()
+  }
+
+  def q52MinhashLsh(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
+    import s.implicits._
+    val docs = sharedShingleDocs(s, dir)
+    val cand = minhashBandCandidates(s, docs, maxDf)
     val est = cand.withColumn("est_jaccard",
         aggregate(zip_with($"sig_a", $"sig_b", (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(16.0))
@@ -1247,6 +1255,104 @@ object Dedup {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Dedup candidate-recall gate — q92's index-SLO idea applied to the
+    * near-dup stack: each candidate FAMILY the engine deduplicates with
+    * (AllPairs prefix index / MinHash-LSH banding / SimHash64 banded
+    * Hamming ≤ 3) is measured against EXACT ground truth, so the recall
+    * every family's scaladoc argues ("a true pair is missed only when…")
+    * becomes a gateable number per corpus, recomputable whenever the
+    * corpus distribution shifts.
+    *
+    * Truth = every pair at true Jaccard ≥ 0.5, generated UNCAPPED (all
+    * pairs sharing ≥ 1 shingle — exact, since a pair at j ≥ 0.5 shares at
+    * least one shingle) and verified with the same sorted-merge intersect
+    * as q51. The uncapped self-join is the deliberately-expensive truth
+    * side of a gate job: like q92's brute-force scan, it runs on a fixture
+    * or sampled slice, never the full corpus — the FAMILIES are the
+    * at-scale plans being graded. n_cand rides along, so the gate reads
+    * recall AND candidate efficiency (pairs generated per true pair
+    * caught) in one table. SimHash64's recall is expected to trail the
+    * Jaccard-targeted families — it grades the cheap radius-3 sketch
+    * filter q67 unions in, against a truth metric it only approximates. */
+  def q110DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = sharedShingleDocs(s, dir)
+    val full = docs.select($"doc_id", explode($"hs").as("h"))
+    val truthCand = full.as("a").join(full.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    // four consumers (count + three semi-joins) — cut the lineage once
+    val truth = verifiedJaccard(s, docs, truthCand)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b")
+      .localCheckpoint(true)
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    def gate(family: String, cand0: DataFrame): DataFrame = {
+      // collision-proportional pair set, two consumers — checkpoint once
+      val cand = cand0.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val nc = cand.agg(count(lit(1)).cast("long").as("n_cand"))
+      val hit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).cast("long").as("n_caught"))
+      nc.crossJoin(hit).select(lit(family).as("family"), $"n_cand", $"n_caught")
+    }
+    gate("allpairs_prefix",
+        candidatePairs(s, prefixCold(s, docs, HotShingleMaxDf)))
+      .unionByName(gate("minhash_lsh",
+        minhashBandCandidates(s, docs, HotShingleMaxDf)))
+      .unionByName(gate("simhash64_band", simhash64BandPairs(s, dir, 3)))
+      .crossJoin(nTruth)
+      .select($"family", $"n_truth", $"n_cand", $"n_caught",
+        ($"n_caught".cast("double") / $"n_truth".cast("double")).as("recall"))
+      .orderBy($"family")
+  }
+
+  val q110Oracle: String =
+    s"""$shCte,
+       |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truth AS (SELECT c.doc_a, c.doc_b
+       |          FROM tcand c JOIN shl fa ON fa.doc_id = c.doc_a
+       |          JOIN shl fb ON fb.doc_id = c.doc_b
+       |          WHERE CAST(len(list_intersect(fa.hs, fb.hs)) AS DOUBLE)
+       |            / CAST(len(fa.hs) + len(fb.hs)
+       |                   - len(list_intersect(fa.hs, fb.hs)) AS DOUBLE) >= 0.5),
+       |f_allpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |               FROM coldp a JOIN coldp b
+       |                 ON a.h = b.h AND a.doc_id < b.doc_id),
+       |sigs AS (SELECT doc_id, i, MIN(((2*i+1)*h + (7919*i+13)) % 2147483647) AS mh
+       |         FROM cold CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+       |bands AS (SELECT doc_id,
+       |          CAST(b AS VARCHAR) || ':' || array_to_string(
+       |            list_transform(sig[4*b+1:4*b+4], bk_x -> CAST(bk_x AS VARCHAR)), '-')
+       |            AS band_key
+       |          FROM sigarr CROSS JOIN range(4) bd(b)),
+       |f_minhash AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |              FROM bands x JOIN bands y
+       |                ON x.band_key = y.band_key AND x.doc_id < y.doc_id),
+       |fams AS (
+       |  SELECT 'allpairs_prefix' AS family, doc_a, doc_b FROM f_allpairs
+       |  UNION ALL SELECT 'minhash_lsh', doc_a, doc_b FROM f_minhash
+       |  UNION ALL SELECT 'simhash64_band', doc_a, doc_b
+       |    FROM (${simhash64PairsOracle(3)}) sim64),
+       |famdim AS (SELECT unnest(['allpairs_prefix', 'minhash_lsh',
+       |                          'simhash64_band']) AS family),
+       |stats AS (
+       |  SELECT f.family, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(COUNT(t.doc_a) AS BIGINT) AS n_caught
+       |  FROM fams f LEFT JOIN truth t
+       |    ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b
+       |  GROUP BY 1),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT d.family, nt.n_truth,
+       |  COALESCE(s.n_cand, 0) AS n_cand,
+       |  COALESCE(s.n_caught, 0) AS n_caught,
+       |  CAST(COALESCE(s.n_caught, 0) AS DOUBLE) / CAST(nt.n_truth AS DOUBLE)
+       |    AS recall
+       |FROM famdim d LEFT JOIN stats s USING (family) CROSS JOIN nt
+       |ORDER BY family""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
@@ -1263,6 +1369,7 @@ object Dedup {
     "q78_bloom_delta" -> q78BloomDelta _,
     "q82_segment_dedup" -> q82SegmentDedup _,
     "q91_simhash64" -> q91Simhash64 _,
+    "q110_dedup_recall" -> q110DedupRecall _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1281,5 +1388,6 @@ object Dedup {
     "q78_bloom_delta" -> q78Oracle,
     "q82_segment_dedup" -> q82Oracle,
     "q91_simhash64" -> q91Oracle,
+    "q110_dedup_recall" -> q110Oracle,
   )
 }

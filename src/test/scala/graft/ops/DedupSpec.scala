@@ -333,4 +333,33 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 0L, ""),
     ))
   }
+
+  test("q110 recall gate: exact truth thresholds, every family catches an exact dup") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-recall-").toString
+    val tail = "grumpy wizards make toxic brew for the evil queen and jack"
+    // docs 1/2 identical (the one truth pair — identical shingle sets, so
+    // every family MUST catch it: same minhash signature, Hamming 0,
+    // shared cold shingles); docs 3..8 pairwise share no shingle at all.
+    (Seq(
+      (1L, s"one two three $tail"),
+      (2L, s"one two three $tail"),
+    ) ++ (3L to 8L).map(i =>
+      (i, s"z${i}a z${i}b z${i}c z${i}d z${i}e z${i}f z${i}g z${i}h")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Dedup.q110DedupRecall(s, root)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) ===
+      Seq("allpairs_prefix", "minhash_lsh", "simhash64_band"))
+    out.foreach { case (fam, nTruth, nCand, nCaught, recall) =>
+      assert(nTruth === 1L, fam)          // only (1,2) reaches jaccard >= 0.5
+      assert(nCaught === 1L, fam)         // an identical pair evades nothing
+      assert(recall === 1.0, fam)
+      assert(nCand >= nCaught, fam)
+    }
+  }
 }
