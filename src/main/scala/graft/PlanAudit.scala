@@ -63,6 +63,7 @@ object PlanAudit {
     "q108_source_overlap" -> "cross-source overlap: distinct (source, shingle-hash) is ONE partial-aggregated shuffle, materialized once for its three consumers (both self-join sides + sizes — one corpus scan, not four); each hash then appears ≤ |sources| times, so the hash self-join is output-bounded at C(|sources|,2) rows per hash BY CONSTRUCTION (no df-cap needed — source is a bounded dimension, not a document key); the pair aggregate and broadcast size joins are |sources|²-row metadata",
     "q109_chunk_docs" -> "RAG chunking: chunk starts generated map-side (explode of an int64-arithmetic sequence — no join, no window); each generated row carries one ≤ 64-token slice, amplification bounded at W/S = 4/3 by construction; sha2 runs in the same projection; the only exchange is the presentation sort",
     "q110_dedup_recall" -> "dedup recall gate: truth (uncapped pair join + exact-Jaccard verify) is the deliberately-expensive side of an offline gate job — fixture/sample scale only, localCheckpoint'd once for its four consumers; each family's candidate pair set is the family's OWN production plan (prefix-filtered equi-join / banded sig equi-join / 16-bit-band sketch join), checkpointed once for its two consumers; the comparison joins are pair-set-sized semi-joins and the output is three rows",
+    "q111_data_card" -> "corpus data card: one shuffle on the 64-byte content hash (the corpus-wide dup window — the hash shuffles, never text), one partial-agg shuffle on source, and a |sources|x|langs|-bounded top-lang window; output is |sources| rows of governance metadata; every number an exact integer except the terminal dup_rate division",
   )
 
   def main(args: Array[String]): Unit = {

@@ -584,6 +584,84 @@ object Curation {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Per-source corpus data card — the "datasheet for a dataset"
+    * governance table a training run reads before mixing sources: volume
+    * (docs, tokens, chars), exact-duplicate exposure (docs whose content
+    * hash appears more than once ANYWHERE in the corpus — cross-source
+    * contamination counts, not just within-source), a short-doc count
+    * (the q42-family quality gate's cheapest proxy), and the dominant
+    * language with its share denominator. One row per source; every
+    * number an exact integer except the one terminal dup_rate division.
+    *
+    * Plan: one shuffle on the 64-byte content hash (the corpus-wide dup
+    * window — hash-partitioned, never text), one partial-agg shuffle on
+    * source, and a |sources|·|langs|-bounded top-lang window; the three
+    * legs reuse one scan via a shared projection. At 100 TB this is the
+    * shape of the nightly corpus-audit job: metadata-sized output,
+    * text never shuffles. */
+  def q111DataCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextFns.tokens($"text")
+    val base = Tables(s, dir, "documents")
+      .select($"source", $"doc_id", $"lang",
+        size(toks).cast("long").as("n_toks"),
+        $"n_chars", sha2($"text", 256).as("content_hash"))
+    val wHash = Window.partitionBy($"content_hash")
+    val enriched = base
+      .withColumn("hash_n", count(lit(1)).over(wHash))
+    val perSource = enriched.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_toks").as("n_tokens"),
+      sum($"n_chars").as("n_chars"),
+      sum(when($"hash_n" > 1, 1L).otherwise(0L)).as("dup_docs"),
+      sum(when($"n_toks" < 32, 1L).otherwise(0L)).as("short_docs"))
+    val wLang = Window.partitionBy($"source")
+      .orderBy($"lang_docs".desc, $"lang")
+    val topLang = base.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("lang_docs"))
+      .withColumn("rn", row_number().over(wLang))
+      .filter($"rn" === 1)
+      .select($"source", $"lang".as("top_lang"), $"lang_docs".as("top_lang_docs"))
+    perSource.join(topLang, "source")
+      .select($"source", $"n_docs", $"n_tokens", $"n_chars",
+        $"dup_docs", $"short_docs",
+        ($"dup_docs".cast("double") / $"n_docs".cast("double")).as("dup_rate"),
+        $"top_lang", $"top_lang_docs")
+      .orderBy($"source")
+  }
+
+  val q111Oracle: String =
+    """WITH base AS (
+      |  SELECT source, doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    n_chars, sha256(text) AS content_hash
+      |  FROM documents),
+      |enriched AS (
+      |  SELECT *, COUNT(*) OVER (PARTITION BY content_hash) AS hash_n
+      |  FROM base),
+      |per_source AS (
+      |  SELECT source,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(SUM(CASE WHEN hash_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |    CAST(SUM(CASE WHEN n_toks < 32 THEN 1 ELSE 0 END) AS BIGINT) AS short_docs
+      |  FROM enriched GROUP BY source),
+      |top_lang AS (
+      |  SELECT source, lang AS top_lang, lang_docs AS top_lang_docs FROM (
+      |    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS lang_docs,
+      |      row_number() OVER (PARTITION BY source
+      |        ORDER BY COUNT(*) DESC, lang) AS rn
+      |    FROM base GROUP BY source, lang) ranked
+      |  WHERE rn = 1)
+      |SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, p.dup_docs,
+      |  p.short_docs,
+      |  CAST(p.dup_docs AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS dup_rate,
+      |  t.top_lang, t.top_lang_docs
+      |FROM per_source p JOIN top_lang t USING (source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -596,6 +674,7 @@ object Curation {
     "q81_transitive_decontam" -> q81TransitiveDecontam _,
     "q107_lm_bigrams" -> q107LmBigrams _,
     "q108_source_overlap" -> q108SourceOverlap _,
+    "q111_data_card" -> q111DataCard _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,5 +689,6 @@ object Curation {
     "q81_transitive_decontam" -> q81Oracle,
     "q107_lm_bigrams" -> q107Oracle,
     "q108_source_overlap" -> q108Oracle,
+    "q111_data_card" -> q111Oracle,
   )
 }

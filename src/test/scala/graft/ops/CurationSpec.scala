@@ -302,4 +302,36 @@ class CurationSpec extends SparkSpec {
     val bySplit = split.groupBy(_._2).values
     assert(bySplit.forall(_.map(_._3).distinct.size == 1))
   }
+
+  test("q111 data card: corpus-wide dup exposure, short gate, top-lang tie-break") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-datacard-").toString
+    val x = (1 to 40).map(i => s"x$i").mkString(" ") // 40 tokens, not short
+    // srcA: a short en doc, two within-source copies of X (en), a short fr
+    // doc; srcB: a third copy of X (fr — CROSS-source dup exposure) and a
+    // short en doc. srcB's langs tie 1-1 → 'en' wins the asc tie-break.
+    val docs = Seq(
+      (1L, "a b c", "en", "srcA"),
+      (2L, x, "en", "srcA"),
+      (3L, x, "en", "srcA"),
+      (4L, "f1 f2 f3 f4 f5", "fr", "srcA"),
+      (5L, x, "fr", "srcB"),
+      (6L, "g1 g2", "en", "srcB"),
+    )
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q111DataCard(s, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getString(7),
+        r.getLong(8)))).toMap
+    val chars = docs.groupBy(_._4).view
+      .mapValues(_.map(_._2.length.toLong).sum).toMap
+    // srcA: 4 docs, 3+40+40+5 tokens; docs 2,3 dup (hash appears 3× in the
+    // CORPUS); docs 1,4 short; en 3-1 fr
+    assert(out("srcA") === ((4L, 88L, chars("srcA"), 2L, 2L, 0.5, "en", 3L)))
+    // srcB: doc 5 is a dup of srcA's content — cross-source exposure
+    assert(out("srcB") === ((2L, 42L, chars("srcB"), 1L, 1L, 0.5, "en", 1L)))
+  }
 }
