@@ -64,6 +64,7 @@ object PlanAudit {
     "q109_chunk_docs" -> "RAG chunking: chunk starts generated map-side (explode of an int64-arithmetic sequence — no join, no window); each generated row carries one ≤ 64-token slice, amplification bounded at W/S = 4/3 by construction; sha2 runs in the same projection; the only exchange is the presentation sort",
     "q110_dedup_recall" -> "dedup recall gate: truth (uncapped pair join + exact-Jaccard verify) is the deliberately-expensive side of an offline gate job — fixture/sample scale only, localCheckpoint'd once for its four consumers; each family's candidate pair set is the family's OWN production plan (prefix-filtered equi-join / banded sig equi-join / 16-bit-band sketch join), checkpointed once for its two consumers; the comparison joins are pair-set-sized semi-joins and the output is three rows",
     "q111_data_card" -> "corpus data card: one shuffle on the 64-byte content hash (the corpus-wide dup window — the hash shuffles, never text), one partial-agg shuffle on source, and a |sources|x|langs|-bounded top-lang window; output is |sources| rows of governance metadata; every number an exact integer except the terminal dup_rate division",
+    "q112_winnow_fingerprints" -> "winnowing: map-side positional shingle explode; ONE doc_id-partitioned window is the only shuffle (count and sliding min share the same sort); the rightmost-tie rule is fused into the int64 min encoding (hmod*2^21 + (2^21-1-pos)) so selection is a single codegen'd window agg, no self-join; decode + doc-local distinct are map-side after the window",
   )
 
   def main(args: Array[String]): Unit = {

@@ -655,6 +655,72 @@ object TextAnalysis {
       |FROM chunks
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q112
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the
+    * MOSS algorithm): over each document's POSITIONAL 3-token shingle hash
+    * sequence, slide a window of W = 4 hashes and keep the window minimum,
+    * rightmost on ties. The selected (position, hash) set is the
+    * document's fingerprint: any substring match of ≥ W + 2 tokens between
+    * two documents is GUARANTEED to share a fingerprint (the winnowing
+    * theorem), at an expected density of 2/(W+1) — a principled sparse
+    * fingerprint, vs q43's dense rolling hashes. Shared fingerprints then
+    * feed the same collision-proportional pair join as every other dedup
+    * family.
+    *
+    * The rightmost-on-ties rule runs inside one int64 `min`: the window
+    * minimum is taken over `hmod·2²¹ + (2²¹−1−pos)` — larger pos ⇒ smaller
+    * encoded value, so ties on hmod break rightward for free. hmod =
+    * pmod(h, 2³¹) keeps the product in 52 bits (contract: < 2²¹ ≈ 2M
+    * shingles per doc — a document page count, not a corpus bound). Plan:
+    * map-side positional explode, ONE doc_id-partitioned window (the only
+    * shuffle — count and min share the same sort), map-side decode +
+    * doc-local distinct. Docs with < W windows winnow their single short
+    * window, so no doc with ≥ 1 shingle vanishes. */
+  def q112WinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 4
+    val enc = 2097152L // 2^21
+    val sh = Tables(s, dir, "documents")
+      .select($"doc_id",
+        posexplode(HashFns.shingleHashes(TextFns.tokens($"text"), 3)))
+      .select($"doc_id", $"pos".cast("long").as("pos"),
+        pmod($"col", lit(2147483648L)).as("hmod"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val frame = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, W - 1)
+    sh.withColumn("nsh", count(lit(1)).over(wDoc))
+      .withColumn("cmb", min($"hmod" * enc + (lit(enc - 1) - $"pos")).over(frame))
+      .filter($"pos" <= greatest($"nsh" - W, lit(0L)))
+      .select($"doc_id",
+        (lit(enc - 1) - ($"cmb" % enc)).as("fp_pos"),
+        ($"cmb" / enc).cast("long").as("fp_hash"))
+      .distinct()
+      .orderBy($"doc_id", $"fp_pos")
+  }
+
+  val q112Oracle: String = {
+    val shingles3 = Sql.shingles("tokens", 3)
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |shl AS (SELECT doc_id, $shingles3 AS lst FROM tok
+       |        WHERE len($shingles3) > 0),
+       |idx AS (SELECT doc_id, unnest(range(1, len(lst) + 1)) AS i, lst FROM shl),
+       |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |       ${Sql.pmod(Sql.djb2("lst[i]"), 2147483648L)} AS hmod
+       |       FROM idx),
+       |win AS (SELECT doc_id, pos,
+       |        MIN(hmod * 2097152 + (2097151 - pos)) OVER (
+       |          PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cmb,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS nsh
+       |        FROM sh)
+       |SELECT DISTINCT doc_id,
+       |  CAST(2097151 - (cmb % 2097152) AS BIGINT) AS fp_pos,
+       |  CAST(cmb // 2097152 AS BIGINT) AS fp_hash
+       |FROM win
+       |WHERE pos <= greatest(nsh - 4, 0)
+       |ORDER BY doc_id, fp_pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -671,6 +737,7 @@ object TextAnalysis {
     "q105_bpe_pairs" -> q105BpePairs _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
+    "q112_winnow_fingerprints" -> q112WinnowFingerprints _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,5 +756,6 @@ object TextAnalysis {
     "q105_bpe_pairs" -> q105Oracle,
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
+    "q112_winnow_fingerprints" -> q112Oracle,
   )
 }

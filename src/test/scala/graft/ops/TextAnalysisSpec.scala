@@ -175,6 +175,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((4L, 3L)) === ((56L, sha(words(200).drop(144)))))
   }
 
+  test("q112 winnowing: rightmost ties, short-doc window, substring guarantee") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 9 identical tokens → 7 identical shingle hashes; window starts
+    // 0..3 each pick the RIGHTMOST position of their 4-hash window → fps at
+    // positions 3,4,5,6, one shared hash. doc 2: 5 tokens → 3 shingles < W,
+    // the single short window picks rightmost pos 2 (doc must not vanish).
+    // docs 3/4 share the 6-token run c1..c6 (= W + k - 1) → the winnowing
+    // theorem guarantees ≥ 1 shared fingerprint hash.
+    val dir = writeDocs(Seq(
+      (1L, Seq.fill(9)("w").mkString(" ")),
+      (2L, Seq.fill(5)("w").mkString(" ")),
+      (3L, "p1 p2 c1 c2 c3 c4 c5 c6 s1"),
+      (4L, "z1 c1 c2 c3 c4 c5 c6 z2 z3"),
+    ))
+    val fps = TextAnalysis.q112WinnowFingerprints(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1)
+    assert(byDoc(1L).map(_._2).sorted === Seq(3L, 4L, 5L, 6L))
+    assert(byDoc(1L).map(_._3).distinct.size === 1) // one repeated hash
+    assert(byDoc(2L).map(t => (t._2, t._3)).toSeq ===
+      Seq((2L, byDoc(1L).head._3)))               // same shingle, rightmost of 3
+    val shared = byDoc(3L).map(_._3).toSet intersect byDoc(4L).map(_._3).toSet
+    assert(shared.nonEmpty, "winnowing guarantee violated for a 6-token match")
+    // density: never more fingerprints than window starts
+    assert(byDoc(3L).size <= 4 && byDoc(4L).size <= 4)
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
