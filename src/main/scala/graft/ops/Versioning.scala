@@ -72,11 +72,97 @@ object Versioning {
       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Incremental data-card maintenance — the identity that lets q111's
+    * governance card survive 100 TB without nightly rescans:
+    * card(v2) = card(v1) + Σ delta(diff rows). The Spark side computes the
+    * v2 card INCREMENTALLY — the v1 card plus per-source deltas derived
+    * only from q96's non-unchanged diff rows (added: +m(new); removed:
+    * −m(old); changed: m(new) − m(old)) — while the ORACLE rescans v2
+    * directly, so the hash-match is a machine-checked proof that
+    * incremental maintenance equals rescan, bit for bit. Restricted to the
+    * card's SUM-decomposable metrics (docs, tokens, chars, short-docs);
+    * q111's dup_docs/top_lang columns are deliberately absent — a corpus-
+    * wide dup window is not delta-decomposable and stays a full-scan
+    * metric.
+    *
+    * Scale shape: the v1 card is the standing |sources|-row table (stored,
+    * not recomputed, in production — recomputed here from the carve so the
+    * query is self-contained); the delta aggregates DIFF-sized input
+    * (changed ∪ added ∪ removed — at steady state orders of magnitude
+    * smaller than the corpus); the merge is a |sources|-row full-outer.
+    * Sources whose last doc was removed drop out via the n_docs > 0
+    * filter, matching the direct rescan. Uses the same deterministic
+    * v1/v2 carve as q96. */
+  def q113IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def nToks(t: org.apache.spark.sql.Column) = size(split(t, " ")).cast("long")
+    def isShort(t: org.apache.spark.sql.Column) =
+      when(nToks(t) < 32, 1L).otherwise(0L)
+    val docs = Tables(s, dir, "documents")
+    val v1 = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"source", $"text")
+    val v2 = docs.filter($"doc_id" % 17 =!= 0)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+    val cardV1 = v1.groupBy($"source").agg(
+      count(lit(1)).as("n_docs"), sum(nToks($"text")).as("n_tokens"),
+      sum(length($"text").cast("long")).as("n_chars"),
+      sum(isShort($"text")).as("short_docs"))
+    // q96's diff shape, kept as (old text, new text) + presence markers;
+    // unchanged rows are filtered BEFORE any aggregation, so the delta agg
+    // reads diff-sized input only
+    val j = v1.select($"doc_id", $"source".as("s1"), $"text".as("t1"),
+        lit(1L).as("in1"))
+      .join(v2.select($"doc_id", $"source".as("s2"), $"text".as("t2"),
+        lit(1L).as("in2")), Seq("doc_id"), "full_outer")
+      .filter($"in1".isNull || $"in2".isNull || $"t1" =!= $"t2")
+    val delta = j.select(coalesce($"s2", $"s1").as("source"),
+        (when($"in2".isNotNull, 1L).otherwise(0L)
+          - when($"in1".isNotNull, 1L).otherwise(0L)).as("dd"),
+        (when($"in2".isNotNull, nToks($"t2")).otherwise(0L)
+          - when($"in1".isNotNull, nToks($"t1")).otherwise(0L)).as("dt"),
+        (when($"in2".isNotNull, length($"t2").cast("long")).otherwise(0L)
+          - when($"in1".isNotNull, length($"t1").cast("long")).otherwise(0L)).as("dc"),
+        (when($"in2".isNotNull, isShort($"t2")).otherwise(0L)
+          - when($"in1".isNotNull, isShort($"t1")).otherwise(0L)).as("ds"))
+      .groupBy($"source").agg(sum($"dd").as("dd"), sum($"dt").as("dt"),
+        sum($"dc").as("dc"), sum($"ds").as("ds"))
+    cardV1.join(delta, Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n_docs", lit(0L)) + coalesce($"dd", lit(0L))).as("n_docs"),
+        (coalesce($"n_tokens", lit(0L)) + coalesce($"dt", lit(0L))).as("n_tokens"),
+        (coalesce($"n_chars", lit(0L)) + coalesce($"dc", lit(0L))).as("n_chars"),
+        (coalesce($"short_docs", lit(0L)) + coalesce($"ds", lit(0L))).as("short_docs"))
+      .filter($"n_docs" > 0)
+      .orderBy($"source")
+  }
+
+  /** The oracle is the DIRECT v2 rescan — deliberately a different
+    * computation than the Spark side's incremental merge, so the
+    * hash-match proves the maintenance identity. */
+  val q113Oracle: String =
+    """WITH v2 AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 32 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS short_docs
+      |FROM v2 GROUP BY source
+      |HAVING COUNT(*) > 0
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_snapshot_diff" -> q96SnapshotDiff _,
+    "q113_incremental_card" -> q113IncrementalCard _,
   )
 
   val oracles: Map[String, String] = Map(
     "q96_snapshot_diff" -> q96Oracle,
+    "q113_incremental_card" -> q113Oracle,
   )
 }
