@@ -66,6 +66,7 @@ object PlanAudit {
     "q111_data_card" -> "corpus data card: one shuffle on the 64-byte content hash (the corpus-wide dup window — the hash shuffles, never text), one partial-agg shuffle on source, and a |sources|x|langs|-bounded top-lang window; output is |sources| rows of governance metadata; every number an exact integer except the terminal dup_rate division",
     "q112_winnow_fingerprints" -> "winnowing: map-side positional shingle explode; ONE doc_id-partitioned window is the only shuffle (count and sliding min share the same sort); the rightmost-tie rule is fused into the int64 min encoding (hmod*2^21 + (2^21-1-pos)) so selection is a single codegen'd window agg, no self-join; decode + doc-local distinct are map-side after the window",
     "q113_incremental_card" -> "incremental card: the delta aggregate reads DIFF-sized input only (unchanged rows filtered before any aggregation — at steady state orders of magnitude smaller than the corpus); the v1 card and the merge are |sources|-row metadata; the ORACLE is the direct v2 rescan, so the hash-match proves incremental == rescan rather than assuming it",
+    "q114_retrieval_quality" -> "retrieval quality gate: the three family subplans (lexical BM25, brute hybrid, IVF hybrid) re-run verbatim — the cost IS the measurement (q92's discipline); truth is the brute cosine top-10, localCheckpoint'd once for its three consumers; grading joins are <= 5*|queries| rows per family; metrics kept integer-exact (n_rel5, first_rel) so no float mean can diverge between engines",
   )
 
   def main(args: Array[String]): Unit = {

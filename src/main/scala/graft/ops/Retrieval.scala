@@ -207,13 +207,93 @@ object Retrieval {
        |  FROM (${Similarity.ivfTopKOracle(K, 2).replace("\n", "\n  ")}) iv)""".stripMargin)
 
 
+  // --------------------------------------------------------------- q114
+  /** Retrieval quality gate — the rank-quality SLO for the serving seam,
+    * completing the gate triad (q92 grades the ANN indexes, q110 the
+    * dedup candidate families, q114 the end-to-end RANKINGS): each
+    * registered retriever — lexical-only BM25, q94's brute-vector hybrid,
+    * q102's IVF-indexed hybrid — is graded per query against cosine
+    * ground truth (brute top-10, the declared relevance set). Reported
+    * per (family, query): `n_rel5` = relevant docs in the family's top-5,
+    * `first_rel` = rank of the first relevant result (0 = none in top-5)
+    * — the integer-exact ingredients of precision@5 and MRR, kept as
+    * integers so no float mean can diverge between engines. The number a
+    * production review asks — "does fusing BM25 with the vector index
+    * actually retrieve more relevant documents than lexical alone?" —
+    * becomes a gateable table, recomputable per corpus snapshot.
+    *
+    * Cost note (q92's discipline): the three family subplans re-run
+    * verbatim — the cost IS the measurement; at scale this is an offline
+    * gate job over a sampled query set, and the comparison joins are
+    * ≤ 5·|queries| rows per family. */
+  def q114RetrievalQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // three consumers of the truth set — cut the lineage once
+    val truth = vecTopK(s, dir, 10).select($"q_id", $"doc_id")
+      .withColumn("rel", lit(1L)).localCheckpoint(true)
+    def grade(family: String, ranked: DataFrame): DataFrame =
+      ranked.join(truth, Seq("q_id", "doc_id"), "left_outer")
+        .groupBy($"q_id").agg(
+          sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("n_rel5"),
+          coalesce(min(when($"rel".isNotNull, $"rank")), lit(0L)).as("first_rel"))
+        .select(lit(family).as("family"), $"q_id", $"n_rel5", $"first_rel")
+    val lex5 = lexTopK(s, dir).filter($"lex_rank" <= 5)
+      .select($"q_id", $"doc_id", $"lex_rank".as("rank"))
+    grade("hybrid_brute", q94HybridRetrieval(s, dir)
+        .select($"q_id", $"doc_id", $"rank"))
+      .unionByName(grade("hybrid_ivf", q102HybridIndexed(s, dir)
+        .select($"q_id", $"doc_id", $"rank")))
+      .unionByName(grade("lexical", lex5))
+      .orderBy($"family", $"q_id")
+  }
+
+  /** The oracle re-derives all three rankings and the truth set
+    * independently: the two hybrid oracles embed verbatim as derived
+    * tables; the lexical-only ranking is the hybrid oracle with an EMPTY
+    * vector side (RRF over one retriever preserves the lexical order, so
+    * the fused rank IS the lexical rank). */
+  val q114Oracle: String = {
+    val cos = Sql.cosine("q.embedding", "v.embedding")
+    val emptyVec =
+      """vec AS (SELECT CAST(NULL AS BIGINT) AS q_id,
+        |  CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS BIGINT) AS vec_rank WHERE false)""".stripMargin
+    s"""WITH truth AS (
+       |  SELECT q_id, doc_id FROM (
+       |    SELECT q.vec_id AS q_id, v.vec_id AS doc_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, v.vec_id) AS r
+       |    FROM embeddings q, embeddings v
+       |    WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id) t
+       |  WHERE r <= 10),
+       |fams AS (
+       |  SELECT 'hybrid_brute' AS family, q_id, doc_id, rank
+       |    FROM (${q94Oracle.replace("\n", "\n  ")}) f94
+       |  UNION ALL
+       |  SELECT 'hybrid_ivf', q_id, doc_id, rank
+       |    FROM (${q102Oracle.replace("\n", "\n  ")}) f102
+       |  UNION ALL
+       |  SELECT 'lexical', q_id, doc_id, rank
+       |    FROM (${hybridOracle(emptyVec).replace("\n", "\n  ")}) flex)
+       |SELECT f.family, f.q_id,
+       |  CAST(COUNT(t.doc_id) AS BIGINT) AS n_rel5,
+       |  CAST(COALESCE(MIN(CASE WHEN t.doc_id IS NOT NULL THEN f.rank END), 0)
+       |    AS BIGINT) AS first_rel
+       |FROM fams f LEFT JOIN truth t
+       |  ON f.q_id = t.q_id AND f.doc_id = t.doc_id
+       |GROUP BY f.family, f.q_id
+       |ORDER BY f.family, f.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_hybrid_retrieval" -> q94HybridRetrieval _,
     "q102_hybrid_indexed" -> q102HybridIndexed _,
+    "q114_retrieval_quality" -> q114RetrievalQuality _,
   )
 
   val oracles: Map[String, String] = Map(
     "q94_hybrid_retrieval" -> q94Oracle,
     "q102_hybrid_indexed" -> q102Oracle,
+    "q114_retrieval_quality" -> q114Oracle,
   )
 }

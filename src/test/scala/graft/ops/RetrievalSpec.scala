@@ -84,4 +84,27 @@ class RetrievalSpec extends SparkSpec {
       assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q114 quality gate: 3 families x 10 queries, metric invariants, fusion lifts relevance") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q114RetrievalQuality(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 30)
+    assert(rows.map(_._1).distinct.sorted ===
+      Seq("hybrid_brute", "hybrid_ivf", "lexical"))
+    rows.foreach { case (fam, q, nRel, firstRel) =>
+      assert(nRel >= 0L && nRel <= 5L, s"$fam q$q")
+      assert(firstRel >= 0L && firstRel <= 5L, s"$fam q$q")
+      // first_rel = 0 exactly when nothing in the top-5 was relevant
+      assert((firstRel == 0L) === (nRel == 0L), s"$fam q$q")
+    }
+    // the seam's point, measured: every query's brute-hybrid top-5 holds
+    // ≥ 1 cosine-relevant doc (the vector retriever IS a truth prefix),
+    // and fusion strictly lifts total relevance over lexical-only on the
+    // fixture corpus
+    val byFam = rows.groupBy(_._1)
+    assert(byFam("hybrid_brute").forall(_._3 >= 1L))
+    assert(byFam("hybrid_brute").map(_._3).sum > byFam("lexical").map(_._3).sum)
+  }
 }
