@@ -262,16 +262,46 @@ object StreamBench {
     }
   }
 
+  /** S14 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.CardStream]]'s per-batch additive-partial
+    * write — docs/sec through the governance-card maintenance seam, from a
+    * clean slate. `clean` = Σ n_docs in the standing card (proves the
+    * partials lost nothing). */
+  def measureCard(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-card"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"source", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("source string, text string").parquet(incoming)
+    val q = streaming.CardStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:card] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val counted = streaming.CardStream.standingCard(spark, root)
+        .agg(sum($"n_docs")).as[Long].collect().head
+      SeamResult(n / secs, n, counted, secs)
+    }
+  }
+
   /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
-    * signing,dedup,decontam,annrefresh,merge,histogram,chunking — the
-    * quick-run knob; unset = all) is also None and is skipped without
+    * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card —
+    * the quick-run knob; unset = all) is also None and is skipped without
     * paying its measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
       merge: Option[SeamResult], histogram: Option[SeamResult],
-      chunking: Option[SeamResult]) {
+      chunking: Option[SeamResult], card: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -286,7 +316,8 @@ object StreamBench {
       val head = signing.map(_.json).getOrElse(failed)
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
         "ann_refresh" -> annRefresh, "merge" -> merge,
-        "histogram" -> histogram, "chunking" -> chunking).map { case (k, v) =>
+        "histogram" -> histogram, "chunking" -> chunking,
+        "card" -> card).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -311,7 +342,8 @@ object StreamBench {
       guarded("annrefresh")(measureIndexRefresh(spark, sfDir)),
       guarded("merge")(measureMerge(spark, sfDir)),
       guarded("histogram")(measureHistogram(spark, sfDir)),
-      guarded("chunking")(measureChunking(spark, sfDir)))
+      guarded("chunking")(measureChunking(spark, sfDir)),
+      guarded("card")(measureCard(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

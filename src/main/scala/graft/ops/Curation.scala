@@ -584,6 +584,22 @@ object Curation {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** The data card's ADDITIVE metrics over any (source, text) frame —
+    * per-source docs/tokens/chars/short-doc counts. Shared verbatim by
+    * q113's standing v1 card and the S14 streaming card seam
+    * ([[graft.streaming.CardStream]]) so batch, incremental, and streaming
+    * maintenance of the governance card run one code path. Sum-
+    * decomposable by construction: partials from any row partition (a
+    * micro-batch, a snapshot delta, a task) merge by plain addition. */
+  def additiveCard(docs: DataFrame): DataFrame = {
+    val nToks = size(split(col("text"), " ")).cast("long")
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(nToks).as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      sum(when(nToks < 32, 1L).otherwise(0L)).as("short_docs"))
+  }
+
   // ---------------------------------------------------------------- q111
   /** Per-source corpus data card — the "datasheet for a dataset"
     * governance table a training run reads before mixing sources: volume

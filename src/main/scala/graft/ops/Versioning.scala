@@ -106,10 +106,9 @@ object Versioning {
       .select($"doc_id", $"source",
         when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
           .otherwise($"text").as("text"))
-    val cardV1 = v1.groupBy($"source").agg(
-      count(lit(1)).as("n_docs"), sum(nToks($"text")).as("n_tokens"),
-      sum(length($"text").cast("long")).as("n_chars"),
-      sum(isShort($"text")).as("short_docs"))
+    // the standing card — the same additive projection the S14 streaming
+    // seam maintains per micro-batch (shared code path)
+    val cardV1 = Curation.additiveCard(v1)
     // q96's diff shape, kept as (old text, new text) + presence markers;
     // unchanged rows are filtered BEFORE any aggregation, so the delta agg
     // reads diff-sized input only
