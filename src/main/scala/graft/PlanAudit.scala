@@ -67,6 +67,7 @@ object PlanAudit {
     "q112_winnow_fingerprints" -> "winnowing: map-side positional shingle explode; ONE doc_id-partitioned window is the only shuffle (count and sliding min share the same sort); the rightmost-tie rule is fused into the int64 min encoding (hmod*2^21 + (2^21-1-pos)) so selection is a single codegen'd window agg, no self-join; decode + doc-local distinct are map-side after the window",
     "q113_incremental_card" -> "incremental card: the delta aggregate reads DIFF-sized input only (unchanged rows filtered before any aggregation — at steady state orders of magnitude smaller than the corpus); the v1 card and the merge are |sources|-row metadata; the ORACLE is the direct v2 rescan, so the hash-match proves incremental == rescan rather than assuming it",
     "q114_retrieval_quality" -> "retrieval quality gate: the three family subplans (lexical BM25, brute hybrid, IVF hybrid) re-run verbatim — the cost IS the measurement (q92's discipline); truth is the brute cosine top-10, localCheckpoint'd once for its three consumers; grading joins are <= 5*|queries| rows per family; metrics kept integer-exact (n_rel5, first_rel) so no float mean can diverge between engines",
+    "q115_release_manifest" -> "release manifest: the capstone composition adds two keyed joins and one anti-join on doc_id over the registered q64/q80/q81 subplans (each already plan-audited); the packing window (q75's shape) runs per source over ONLY the released train docs; output is one row per released doc — the nightly release job's plan",
   )
 
   def main(args: Array[String]): Unit = {

@@ -678,6 +678,83 @@ object Curation {
       |FROM per_source p JOIN top_lang t USING (source)
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** The training-release manifest — the capstone composition, the table a
+    * release engineer actually ships: every released document with its
+    * split and (for train) its shard assignment, derived by running the
+    * verified pipeline stages IN SEQUENCE on one plan:
+    *   1. eligibility — q64's corpus gate (dedup representative ∩ quality
+    *      ∩ non-repetitive), minus the eval slice (doc_id % 97 = 0 never
+    *      ships) and minus q81's transitive-decontamination exclusions
+    *      (a benchmark hit contaminates its whole near-dup cluster);
+    *   2. split — q80's cluster-aware train/val/test (duplicate families
+    *      never straddle a split);
+    *   3. packing — q75's 2048-token contiguous shards, applied to the
+    *      RELEASED train docs only (you pack what you ship), per source
+    *      stream in md5 order; val/test carry shard = −1.
+    * Every stage is the registered component reused verbatim (Spark side
+    * AND oracle side), so the manifest cannot drift from the pieces it
+    * composes — the whole-pipeline integration test, oracle-checked.
+    *
+    * Scale shape: the composition adds two keyed joins and one anti-join
+    * on doc_id over the component plans (each already graded in
+    * SCALE.md); the packing window runs per source over the released
+    * train set. At 100 TB this is the nightly release job, and its
+    * output — the manifest — is one row per released doc, the smallest
+    * honest representation of a dataset release. */
+  def q115ReleaseManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eligible = TextAnalysis.q64CorpusGate(s, dir).select($"doc_id")
+      .filter($"doc_id" % 97 =!= 0)
+      .join(q81TransitiveDecontam(s, dir).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+    val splits = q80ClusterSplit(s, dir).select($"doc_id", $"split")
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFns.tokens($"text")).cast("long").as("n_tokens"))
+    val base = eligible.join(splits, "doc_id").join(docs, "doc_id")
+    val w = Window.partitionBy($"source").orderBy($"rand_key", $"doc_id")
+    val train = base.filter($"split" === "train")
+      .withColumn("rand_key", md5($"doc_id".cast("string")))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("shard", expr("(cum_tokens - n_tokens) div 2048"))
+      .select($"doc_id", $"shard", $"cum_tokens")
+    base.join(train, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"split", $"n_tokens",
+        coalesce($"shard", lit(-1L)).as("shard"),
+        coalesce($"cum_tokens", lit(-1L)).as("cum_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the component oracles embedded verbatim as derived tables,
+    * composed with the same joins — the manifest's arithmetic is
+    * bit-identical to the already-matching q64/q80/q81/q75 formulations. */
+  val q115Oracle: String =
+    s"""WITH eligible AS (
+       |  SELECT g.doc_id FROM (${TextAnalysis.q64Oracle.replace("\n", "\n  ")}) g
+       |  WHERE g.doc_id % 97 <> 0
+       |    AND g.doc_id NOT IN (
+       |      SELECT x.doc_id FROM (${q81Oracle.replace("\n", "\n      ")}) x)),
+       |base AS (
+       |  SELECT e.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, s.split
+       |  FROM eligible e
+       |  JOIN documents d USING (doc_id)
+       |  JOIN (${q80Oracle.replace("\n", "\n  ")}) s USING (doc_id)),
+       |train AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |    (CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) // 2048 AS shard
+       |  FROM base WHERE split = 'train'
+       |  WINDOW w AS (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT b.doc_id, b.source, b.split, b.n_tokens,
+       |  CAST(COALESCE(t.shard, -1) AS BIGINT) AS shard,
+       |  CAST(COALESCE(t.cum_tokens, -1) AS BIGINT) AS cum_tokens
+       |FROM base b LEFT JOIN train t USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -691,6 +768,7 @@ object Curation {
     "q107_lm_bigrams" -> q107LmBigrams _,
     "q108_source_overlap" -> q108SourceOverlap _,
     "q111_data_card" -> q111DataCard _,
+    "q115_release_manifest" -> q115ReleaseManifest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -706,5 +784,6 @@ object Curation {
     "q107_lm_bigrams" -> q107Oracle,
     "q108_source_overlap" -> q108Oracle,
     "q111_data_card" -> q111Oracle,
+    "q115_release_manifest" -> q115Oracle,
   )
 }

@@ -334,4 +334,41 @@ class CurationSpec extends SparkSpec {
     // srcB: doc 5 is a dup of srcA's content — cross-source exposure
     assert(out("srcB") === ((2L, 42L, chars("srcB"), 1L, 1L, 0.5, "en", 1L)))
   }
+
+  test("q115 manifest composes its verified stages: gate, decontam, split, packing") {
+    val s = spark
+    import s.implicits._
+    val manifest = Curation.q115ReleaseManifest(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(manifest.nonEmpty)
+    val ids = manifest.map(_._1).toSet
+    // eligibility: subset of the q64 keep-set, no eval-slice docs, no
+    // transitively-contaminated docs
+    val keep = TextAnalysis.q64CorpusGate(s, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val excluded = Curation.q81TransitiveDecontam(s, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keep))
+    assert(ids.forall(_ % 97 != 0))
+    assert(ids.intersect(excluded).isEmpty)
+    // splits agree with q80's assignment doc by doc
+    val splits = Curation.q80ClusterSplit(s, sf)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    manifest.foreach { m => assert(m._3 === splits(m._1), s"doc ${m._1}") }
+    // packing: only train is packed; within each source the running sum is
+    // gapless over released train docs and the shard is its derived value
+    manifest.filter(_._3 != "train").foreach { m =>
+      assert(m._5 === -1L && m._6 === -1L, s"doc ${m._1}")
+    }
+    manifest.filter(_._3 == "train").groupBy(_._2).foreach { case (src, ms) =>
+      val ordered = ms.sortBy(_._6)
+      var cum = 0L
+      ordered.foreach { m =>
+        cum += m._4
+        assert(m._6 === cum, s"$src doc ${m._1}: cum")
+        assert(m._5 === (m._6 - m._4) / 2048L, s"$src doc ${m._1}: shard")
+      }
+    }
+  }
 }
