@@ -68,6 +68,7 @@ object PlanAudit {
     "q113_incremental_card" -> "incremental card: the delta aggregate reads DIFF-sized input only (unchanged rows filtered before any aggregation — at steady state orders of magnitude smaller than the corpus); the v1 card and the merge are |sources|-row metadata; the ORACLE is the direct v2 rescan, so the hash-match proves incremental == rescan rather than assuming it",
     "q114_retrieval_quality" -> "retrieval quality gate: the three family subplans (lexical BM25, brute hybrid, IVF hybrid) re-run verbatim — the cost IS the measurement (q92's discipline); truth is the brute cosine top-10, localCheckpoint'd once for its three consumers; grading joins are <= 5*|queries| rows per family; metrics kept integer-exact (n_rel5, first_rel) so no float mean can diverge between engines",
     "q115_release_manifest" -> "release manifest: the capstone composition adds two keyed joins and one anti-join on doc_id over the registered q64/q80/q81 subplans (each already plan-audited); the packing window (q75's shape) runs per source over ONLY the released train docs; output is one row per released doc — the nightly release job's plan",
+    "q116_hybrid_lsh" -> "LSH hybrid: the vector side is the REGISTERED lshTopK bucket subplan (candidates = the query's own hyperplane bucket via one equi-join — the corpus never exchanges before the per-query top-k); lexical CTEs and RRF fusion shared verbatim with q94/q102 — the fusion matrix is complete, so swapping the ANN family is a one-subplan change",
   )
 
   def main(args: Array[String]): Unit = {

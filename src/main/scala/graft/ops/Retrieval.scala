@@ -128,6 +128,29 @@ object Retrieval {
     rrfFuse(lexTopK(s, dir), vec)
   }
 
+  // --------------------------------------------------------------- q116
+  /** Hybrid retrieval with the REGISTERED LSH index as the vector side —
+    * completing the fusion matrix: every registered ANN family now serves
+    * the same BM25 + RRF seam (q94 brute baseline, q102 IVF, q116 LSH),
+    * so the index choice is a swap of one subplan, not a rewrite. The LSH
+    * side is [[Similarity.lshTopK]] (k=20) — the exact bucket-equi-join
+    * subplan q56 serves and q92 recall-gates: candidates are only the
+    * query's own hyperplane bucket, so the corpus never exchanges before
+    * the per-query top-k. The oracle mirrors the bucket path exactly, so
+    * LSH recall < 1 vs brute cannot break the hash-match — q92/q114 are
+    * where recall and rank quality are gated. */
+  def q116HybridLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vec = Similarity.lshTopK(s, dir, K)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+    rrfFuse(lexTopK(s, dir), vec)
+  }
+
+  val q116Oracle: String = hybridOracle(
+    s"""vec AS (
+       |  SELECT q_id, vec_id AS doc_id, rank AS vec_rank
+       |  FROM (${Similarity.lshTopKOracle(K).replace("\n", "\n  ")}) ls)""".stripMargin)
+
   /** Brute-force cosine top-K per query doc (q55's exact subplan via
     * [[Similarity.bruteTopK]]), keyed as doc_id for the fusion join. */
   private def vecTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
@@ -289,11 +312,13 @@ object Retrieval {
     "q94_hybrid_retrieval" -> q94HybridRetrieval _,
     "q102_hybrid_indexed" -> q102HybridIndexed _,
     "q114_retrieval_quality" -> q114RetrievalQuality _,
+    "q116_hybrid_lsh" -> q116HybridLsh _,
   )
 
   val oracles: Map[String, String] = Map(
     "q94_hybrid_retrieval" -> q94Oracle,
     "q102_hybrid_indexed" -> q102Oracle,
     "q114_retrieval_quality" -> q114Oracle,
+    "q116_hybrid_lsh" -> q116Oracle,
   )
 }

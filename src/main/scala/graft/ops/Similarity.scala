@@ -100,6 +100,17 @@ object Similarity {
     * baseline at test scale). */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    lshTopK(s, dir, 3)
+      .select($"q_id", $"rank", $"vec_id", $"bucket", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q56's LSH probe-and-rank at a parameterized depth — the registered
+    * bucket-join subplan, reused by q116's hybrid fusion the way
+    * [[ivfTopK]] serves q102. Columns (q_id, vec_id, rank ≤ k, bucket,
+    * cos); unsorted. */
+  private[graft] def lshTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
     val e = Tables(s, dir, "embeddings").withColumn("bucket", bucket($"embedding"))
       .withColumn("nrm", VecFns.norm($"embedding"))
     val q = e.filter($"vec_id" < 10)
@@ -110,12 +121,14 @@ object Similarity {
       .withColumn("cos", VecFns.cosinePrenorm(
         VecFns.dot($"q_emb", $"embedding"), $"q_nrm", $"nrm"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
-      .select($"q_id", $"rank", $"vec_id", $"bucket", $"cos")
-      .orderBy($"q_id", $"rank")
+      .filter($"rank" <= k)
+      .select($"q_id", $"vec_id", $"rank", $"bucket", $"cos")
   }
 
-  val q56Oracle: String = {
+  /** [[lshTopK]]'s oracle body at depth k — complete WITH…SELECT (columns
+    * q_id, vec_id, rank, bucket, cos; no ORDER BY), embeddable as a
+    * parenthesized derived table, mirroring [[ivfTopKOracle]]. */
+  private[ops] def lshTopKOracle(k: Int): String = {
     val cos = Sql.cosine("q.embedding", "v.embedding")
     s"""WITH bucketed AS (
        |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
@@ -124,12 +137,17 @@ object Similarity {
        |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id, q.bucket AS bucket, $cos AS cos
        |  FROM bucketed q JOIN bucketed v ON q.bucket = v.bucket
        |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id)
-       |SELECT q_id, rank, vec_id, bucket, cos FROM (
+       |SELECT q_id, vec_id, rank, bucket, cos FROM (
        |  SELECT q_id, vec_id, bucket, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
        |  FROM sims)
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
+
+  val q56Oracle: String =
+    s"""SELECT q_id, rank, vec_id, bucket, cos
+       |FROM (${lshTopKOracle(3).replace("\n", "\n  ")}) l
+       |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- q59
   /** IVF-flat ANN: (1) deterministic coarse centroids — per-label, per-dim

@@ -107,4 +107,26 @@ class RetrievalSpec extends SparkSpec {
     assert(byFam("hybrid_brute").forall(_._3 >= 1L))
     assert(byFam("hybrid_brute").map(_._3).sum > byFam("lexical").map(_._3).sum)
   }
+
+  test("q116 LSH hybrid: seam invariants hold and the vector side is the LSH subplan") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q116HybridLsh(s, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length === 5)
+      assert(!rs.exists(_.getLong(2) == qid), s"query $qid retrieved itself")
+      val rrfs = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    }
+    // every fused row with a vector rank came from the registered LSH
+    // bucket subplan at depth K — the index is served, not re-derived
+    val lshSet = Similarity.lshTopK(s, sf, 20)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(lshSet.contains((r.getLong(0), r.getLong(2))),
+        s"fused vec candidate not from lshTopK: q${r.getLong(0)} doc${r.getLong(2)}")
+    }
+  }
 }
