@@ -203,6 +203,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byDoc(3L).size <= 4 && byDoc(4L).size <= 4)
   }
 
+  test("q112 winnowing property: matches an independent reimplementation on random docs") {
+    val s = spark
+    import s.implicits._
+    // independent formulation: explicit per-window argmin with a separate
+    // rightmost-tie pass — no shared arithmetic with the production
+    // int64-encoding trick, so an encoding bug cannot hide
+    def winnowRef(tokens: Seq[String]): Set[(Long, Long)] = {
+      if (tokens.length < 3) return Set.empty
+      val hmod = tokens.sliding(3).map { w =>
+        val h = graft.functions.Djb2.hash(w.mkString(" "))
+        ((h % 2147483648L) + 2147483648L) % 2147483648L
+      }.toIndexedSeq
+      val n = hmod.length
+      (0 to math.max(n - 4, 0)).map { p =>
+        val win = p until math.min(p + 4, n)
+        val minH = win.map(hmod).min
+        (win.filter(j => hmod(j) == minH).max.toLong, minH)
+      }.toSet
+    }
+    val rnd = new scala.util.Random(17)
+    // a 6-symbol alphabet forces repeated shingles and genuine ties; doc 0
+    // is empty-ish (2 tokens → no shingles, must be absent from output)
+    val docs = (0L until 40L).map { i =>
+      val len = if (i == 0) 2 else 1 + rnd.nextInt(60)
+      (i, (1 to len).map(_ => s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    val dir = writeDocs(docs)
+    val out = TextAnalysis.q112WinnowFingerprints(s, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    docs.foreach { case (id, text) =>
+      val expected = winnowRef(text.split(" ").toSeq)
+      assert(out.getOrElse(id, Set.empty) === expected, s"doc $id")
+    }
+    assert(!out.contains(0L)) // no shingles → no fingerprints, not a crash
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
