@@ -69,6 +69,8 @@ object PlanAudit {
     "q114_retrieval_quality" -> "retrieval quality gate: the three family subplans (lexical BM25, brute hybrid, IVF hybrid) re-run verbatim — the cost IS the measurement (q92's discipline); truth is the brute cosine top-10, localCheckpoint'd once for its three consumers; grading joins are <= 5*|queries| rows per family; metrics kept integer-exact (n_rel5, first_rel) so no float mean can diverge between engines",
     "q115_release_manifest" -> "release manifest: the capstone composition adds two keyed joins and one anti-join on doc_id over the registered q64/q80/q81 subplans (each already plan-audited); the packing window (q75's shape) runs per source over ONLY the released train docs; output is one row per released doc — the nightly release job's plan",
     "q116_hybrid_lsh" -> "LSH hybrid: the vector side is the REGISTERED lshTopK bucket subplan (candidates = the query's own hyperplane bucket via one equi-join — the corpus never exchanges before the per-query top-k); lexical CTEs and RRF fusion shared verbatim with q94/q102 — the fusion matrix is complete, so swapping the ANN family is a one-subplan change",
+    "q117_memorization_risk" -> "memorization risk: the 8-token window explode is corpus-token-sized map-side work; distinct-doc df is one partial-agg shuffle on the 8-byte hash; the score join is stream x df on the hash — each occurrence matches exactly ONE df row, so the join output is stream-sized and needs NO df-cap (not a pair join: a million-doc boilerplate hash emits one row per occurrence, never a cross product)",
+    "q118_dedup_savings" -> "dedup savings: q62's kept corpus is the registered subplan reused verbatim (the staged pipeline asset); the savings join is one left join on doc_id; the rollup is a |sources|-row partial agg — the governance report rides on assets the pipeline already computes",
   )
 
   def main(args: Array[String]): Unit = {

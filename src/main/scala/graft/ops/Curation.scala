@@ -755,6 +755,56 @@ object Curation {
        |FROM base b LEFT JOIN train t USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q118
+  /** Dedup savings report — the governance number that justifies the whole
+    * dedup stack's compute bill: per source, how many documents and
+    * tokens survive q62's kept corpus (one representative per exact +
+    * near-dup group) and what fraction dedup removes. Read next to q111's
+    * dup_docs (exact-hash exposure) this separates EXACT duplication from
+    * the near-dup tail, and a source whose removed_frac spikes on a new
+    * crawl is double-ingesting. The token accounting is what matters at
+    * training time: removed TOKENS, not removed docs, is the compute
+    * saved and the memorization risk avoided (q117's signal, aggregated
+    * to the source level the mixing decision is made at).
+    *
+    * Scale shape: q62's kept corpus is the registered subplan reused
+    * verbatim; the savings join is one left-semi on doc_id; the rollup is
+    * a |sources|-row partial agg — the report rides on assets the
+    * pipeline already stages. */
+  def q118DedupSavings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val kept = Dedup.q62DedupCorpus(s, dir).select($"doc_id")
+    val docs = Tables(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFns.tokens($"text")).cast("long").as("n_toks"))
+    val keptFlag = docs.join(kept.withColumn("kept", lit(1L)), Seq("doc_id"), "left")
+    keptFlag.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"kept".isNotNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum($"n_toks").as("n_tokens"),
+        sum(when($"kept".isNotNull, $"n_toks").otherwise(0L)).as("n_tokens_kept"))
+      .withColumn("removed_frac",
+        ($"n_tokens" - $"n_tokens_kept").cast("double") / $"n_tokens".cast("double"))
+      .select($"source", $"n_docs", $"n_docs_kept", $"n_tokens",
+        $"n_tokens_kept", $"removed_frac")
+      .orderBy($"source")
+  }
+
+  val q118Oracle: String =
+    s"""WITH kept AS (SELECT doc_id FROM (${Dedup.q62OracleNoOrder.replace("\n", "\n  ")}) k),
+       |flagged AS (
+       |  SELECT d.source, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       |    CASE WHEN kept.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+       |  FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       |  CAST(SUM(n_toks) - SUM(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(n_toks) AS DOUBLE) AS removed_frac
+       |FROM flagged GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -769,6 +819,7 @@ object Curation {
     "q108_source_overlap" -> q108SourceOverlap _,
     "q111_data_card" -> q111DataCard _,
     "q115_release_manifest" -> q115ReleaseManifest _,
+    "q118_dedup_savings" -> q118DedupSavings _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -785,5 +836,6 @@ object Curation {
     "q108_source_overlap" -> q108Oracle,
     "q111_data_card" -> q111Oracle,
     "q115_release_manifest" -> q115Oracle,
+    "q118_dedup_savings" -> q118Oracle,
   )
 }

@@ -721,6 +721,60 @@ object TextAnalysis {
        |ORDER BY doc_id, fp_pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Memorization-risk scoring — the per-document duplication tax: the
+    * fraction of a document's 8-token window OCCURRENCES whose hash
+    * appears in at least one OTHER document. This is the third member of
+    * the duplication-signal family and measures what the other two don't:
+    * q63 is within-doc repetition, q76 finds the pairwise shared runs,
+    * q117 scores each doc against the WHOLE corpus — the signal that
+    * predicts verbatim memorization of boilerplate/licenses/templates
+    * (duplicated text is learned disproportionately, the Lee et al.
+    * dedup motivation). `is_dup_heavy` (> 20%) is the release-gate flag.
+    *
+    * Scale shape: the window explode is corpus-token-sized (q76's index
+    * shape); the distinct-doc df is one partial-agg shuffle on the 8-byte
+    * hash; the score join is stream × df on the hash — each occurrence
+    * matches exactly ONE df row, so the join output is stream-sized and
+    * needs NO df-cap (this is not a pair join; a million-doc boilerplate
+    * hash still emits one row per occurrence, never a cross product).
+    * Docs with < 8 tokens have no windows and are absent, mirrored in the
+    * oracle. */
+  def q117MemorizationRisk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wins = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(HashFns.shingleHashes(TextFns.tokens($"text"), 8)).as("h"))
+    val df8 = wins.select($"doc_id", $"h").distinct()
+      .groupBy($"h").agg(count(lit(1)).as("ndocs"))
+    wins.join(df8, "h")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"ndocs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", $"n_dup".cast("double") / $"n_windows".cast("double"))
+      .withColumn("is_dup_heavy", $"dup_frac" > 0.2)
+      .select($"doc_id", $"n_windows", $"n_dup", $"dup_frac", $"is_dup_heavy")
+      .orderBy($"doc_id")
+  }
+
+  val q117Oracle: String =
+    s"""WITH wins AS (
+       |  SELECT doc_id, unnest(list_transform(${Sql.shingles("tokens", 8)},
+       |    shing -> ${Sql.djb2("shing")})) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+       |df8 AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS ndocs
+       |  FROM (SELECT DISTINCT doc_id, h FROM wins) dw GROUP BY h)
+       |SELECT doc_id, n_windows, n_dup,
+       |  CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE) AS dup_frac,
+       |  (CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE)) > 0.2 AS is_dup_heavy
+       |FROM (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN df8.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM wins JOIN df8 USING (h)
+       |  GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -738,6 +792,7 @@ object TextAnalysis {
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
     "q112_winnow_fingerprints" -> q112WinnowFingerprints _,
+    "q117_memorization_risk" -> q117MemorizationRisk _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,5 +812,6 @@ object TextAnalysis {
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
     "q112_winnow_fingerprints" -> q112Oracle,
+    "q117_memorization_risk" -> q117Oracle,
   )
 }

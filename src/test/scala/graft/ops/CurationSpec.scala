@@ -335,6 +335,30 @@ class CurationSpec extends SparkSpec {
     assert(out("srcB") === ((2L, 42L, chars("srcB"), 1L, 1L, 0.5, "en", 1L)))
   }
 
+  test("q118 dedup savings: removed tokens counted per source, cross-source keeper") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-savings-").toString
+    val x = (1 to 40).map(i => s"x$i").mkString(" ")
+    // d1/d2 (srcA) and d4 (srcB) are byte-identical → ONE representative
+    // survives q62 (the min doc_id, in srcA); srcB loses its whole copy
+    val docs = Seq(
+      (1L, x, "srcA"), (2L, x, "srcA"),
+      (3L, (1 to 10).map(i => s"a$i").mkString(" "), "srcA"),
+      (4L, x, "srcB"),
+      (5L, (1 to 20).map(i => s"b$i").mkString(" "), "srcB"),
+    )
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q118DedupSavings(s, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("srcA") === ((3L, 2L, 90L, 50L, 40.0 / 90.0)))
+    assert(out("srcB") === ((2L, 1L, 60L, 20L, 40.0 / 60.0)))
+  }
+
   test("q115 manifest composes its verified stages: gate, decontam, split, packing") {
     val s = spark
     import s.implicits._

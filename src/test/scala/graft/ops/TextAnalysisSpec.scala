@@ -240,6 +240,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(0L)) // no shingles → no fingerprints, not a crash
   }
 
+  test("q117 memorization risk: cross-doc window sharing, not within-doc repetition") {
+    val s = spark
+    import s.implicits._
+    val run8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"a1 a2 $run8"),        // 10 toks → 3 windows, 1 shared (c1..c8)
+      (2L, s"$run8 b1"),           // 9 toks → 2 windows, 1 shared
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // unique → 0 dup
+      (4L, "s1 s2 s3 s4 s5"),      // < 8 tokens → no windows → absent
+    ))
+    val out = TextAnalysis.q117MemorizationRisk(s, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3.0, true)))
+    assert(out(2L) === ((2L, 1L, 0.5, true)))
+    assert(out(3L) === ((5L, 0L, 0.0, false)))
+    assert(!out.contains(4L))
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
