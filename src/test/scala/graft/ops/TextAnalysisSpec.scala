@@ -259,6 +259,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("q109 chunk geometry property: random lengths, independent slice hashes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 30L).map(i => (i, 1 + rnd.nextInt(300)))
+    val dir = writeDocs(docs.map { case (i, n) =>
+      (i, (1 to n).map(j => s"d${i}t$j").mkString(" "))
+    })
+    def sha(ts: Seq[String]): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(ts.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val out = TextAnalysis.q109ChunkDocs(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .groupBy(_._1._1)
+    docs.foreach { case (i, n) =>
+      val toks = (1 to n).map(j => s"d${i}t$j")
+      val expChunks = if (n <= 64) 1 else (n - 64 + 47) / 48 + 1
+      val mine = out(i)
+      assert(mine.size === expChunks, s"doc $i len $n")
+      mine.foreach { case ((_, idx), (nTok, hash)) =>
+        val slice = toks.slice((idx * 48).toInt, (idx * 48 + 64).toInt)
+        assert(nTok === slice.length.toLong, s"doc $i chunk $idx")
+        assert(hash === sha(slice), s"doc $i chunk $idx")
+      }
+      // coverage: every token index lands in at least one chunk
+      val covered = mine.map(_._1._2).flatMap(idx =>
+        (idx * 48) until math.min(idx * 48 + 64, n.toLong)).toSet
+      assert(covered === (0L until n.toLong).toSet, s"doc $i coverage")
+    }
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._

@@ -54,4 +54,29 @@ class CardStreamSpec extends SparkSpec {
     CardStream.writeBatch(b0.toDF("source", "text"), root, 0L)
     assert(keyed(CardStream.standingCard(s, root).collect()) === standing)
   }
+
+  test("additive-card merge property: any random partitioning sums to the whole") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val docs = (1 to 120).map { i =>
+      (s"src${rnd.nextInt(5)}", (1 to (1 + rnd.nextInt(50))).map(j => s"w$j").mkString(" "))
+    }
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val whole = keyed(Curation.additiveCard(docs.toDF("source", "text")).collect())
+    // split into 7 arbitrary slices, compute partials independently, merge
+    // by plain addition — the property every maintenance mode relies on
+    val parts = docs.grouped(18).toSeq
+    val merged = parts.map(p => keyed(Curation.additiveCard(p.toDF("source", "text")).collect()))
+      .foldLeft(Map.empty[String, (Long, Long, Long, Long)]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map { k =>
+          val a = acc.getOrElse(k, (0L, 0L, 0L, 0L))
+          val b = m.getOrElse(k, (0L, 0L, 0L, 0L))
+          k -> ((a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+        }.toMap
+      }
+    assert(merged === whole)
+  }
 }
