@@ -71,6 +71,7 @@ object PlanAudit {
     "q116_hybrid_lsh" -> "LSH hybrid: the vector side is the REGISTERED lshTopK bucket subplan (candidates = the query's own hyperplane bucket via one equi-join — the corpus never exchanges before the per-query top-k); lexical CTEs and RRF fusion shared verbatim with q94/q102 — the fusion matrix is complete, so swapping the ANN family is a one-subplan change",
     "q117_memorization_risk" -> "memorization risk: the 8-token window explode is corpus-token-sized map-side work; distinct-doc df is one partial-agg shuffle on the 8-byte hash; the score join is stream x df on the hash — each occurrence matches exactly ONE df row, so the join output is stream-sized and needs NO df-cap (not a pair join: a million-doc boilerplate hash emits one row per occurrence, never a cross product)",
     "q118_dedup_savings" -> "dedup savings: q62's kept corpus is the registered subplan reused verbatim (the staged pipeline asset); the savings join is one left join on doc_id; the rollup is a |sources|-row partial agg — the governance report rides on assets the pipeline already computes",
+    "q119_embedding_sanity" -> "embedding sanity gate: norm-squared is a map-side codegen'd fold (no sqrt, libm-free); the exact-rank window is the only shuffle (fixture-scale exactness for the oracle — at 100 TB the bounds come from a sampled/sketched distribution and the gate is map-only); the output is flagged outliers only",
   )
 
   def main(args: Array[String]): Unit = {

@@ -658,6 +658,57 @@ object Similarity {
        |WHERE neg_rank <= 5
        |ORDER BY q_id, neg_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Embedding sanity gate — the data-quality check an embedding pipeline
+    * runs BEFORE vectors reach the index or the dedup stack: flags
+    * zero-norm vectors (cosine against them is undefined — q54/q55 would
+    * divide by zero) and norm outliers (a norm far outside the corpus
+    * distribution is the signature of an encoder bug, a truncated write,
+    * or an unnormalized mixed batch). Outlier bounds are the exact
+    * rank-arithmetic 1st/99th percentiles (q74's discipline: a vector is
+    * low iff rank·100 ≤ n, high iff rank·100 > 99·n over the total
+    * (norm², vec_id) order — pure integers, no float quantile
+    * interpolation). Norm² (the exact fold, no sqrt) keeps the whole gate
+    * libm-free.
+    *
+    * Scale shape: norm² is a map-side codegen'd fold; the rank is ONE
+    * total-order window (the only shuffle) — at 100 TB the percentile
+    * bounds come from a sampled or sketched distribution (q106's
+    * histogram) and the gate itself stays map-only; the fixture-scale
+    * exact rank keeps the oracle bit-exact. */
+  def q119EmbeddingSanity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"norm2", $"vec_id")
+    val wn = Window.partitionBy(lit(1))
+    Tables(s, dir, "embeddings")
+      .select($"vec_id", VecFns.dot($"embedding", $"embedding").as("norm2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("is_zero", $"norm2" === 0.0)
+      .withColumn("is_low", $"rk" * 100 <= $"n")
+      .withColumn("is_high", $"rk" * 100 > $"n" * 99)
+      .filter($"is_zero" || $"is_low" || $"is_high")
+      .select($"vec_id", $"norm2", $"rk", $"is_zero", $"is_low", $"is_high")
+      .orderBy($"vec_id")
+  }
+
+  val q119Oracle: String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, ${Sql.dot("embedding", "embedding")} AS norm2
+       |  FROM embeddings e),
+       |ranked AS (
+       |  SELECT vec_id, norm2,
+       |    CAST(row_number() OVER (ORDER BY norm2, vec_id) AS BIGINT) AS rk,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM norms)
+       |SELECT vec_id, norm2, rk,
+       |  norm2 = 0.0 AS is_zero,
+       |  rk * 100 <= n AS is_low,
+       |  rk * 100 > n * 99 AS is_high
+       |FROM ranked
+       |WHERE norm2 = 0.0 OR rk * 100 <= n OR rk * 100 > n * 99
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
@@ -667,6 +718,7 @@ object Similarity {
     "q88_ann_recall" -> q88AnnRecall _,
     "q92_ann_recall_families" -> q92AnnRecallFamilies _,
     "q104_hard_negatives" -> q104HardNegatives _,
+    "q119_embedding_sanity" -> q119EmbeddingSanity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -678,5 +730,6 @@ object Similarity {
     "q88_ann_recall" -> q88Oracle,
     "q92_ann_recall_families" -> q92Oracle,
     "q104_hard_negatives" -> q104Oracle,
+    "q119_embedding_sanity" -> q119Oracle,
   )
 }

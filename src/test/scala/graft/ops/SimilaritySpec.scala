@@ -156,4 +156,34 @@ class SimilaritySpec extends SparkSpec {
       assert(recall === nHit.toDouble / k)
     }
   }
+
+  test("q119 sanity gate: zero vector, exact-rank percentile bounds, clean middle") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-sanity-").toString
+    // 200 vectors: id 0 is all-zero (undefined cosine), ids 1..198 have
+    // norm² = id² · 64 (strictly increasing), id 199 is an outlier blob.
+    // With n = 200 the exact-rank bounds flag rank ≤ 2 (bottom 1%) and
+    // rank > 198 (top 1%).
+    val rows = (0L until 200L).map { i =>
+      val v = if (i == 0) Seq.fill(64)(0.0f)
+        else if (i == 199) Seq.fill(64)(1.0e6f)
+        else Seq.fill(64)(i.toFloat)
+      (i, v, 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    val out = Similarity.q119EmbeddingSanity(s, root).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    // flagged: ranks 1,2 (ids 0,1 — ascending norm² order), ranks 199,200
+    // (ids 198,199); nothing else survives the filter
+    assert(out.keySet === Set(0L, 1L, 198L, 199L))
+    assert(out(0L) === ((1L, true, true, false)))   // zero AND bottom-1%
+    assert(out(1L) === ((2L, false, true, false)))
+    assert(out(198L) === ((199L, false, false, true)))
+    assert(out(199L) === ((200L, false, false, true)))
+  }
 }
