@@ -235,8 +235,9 @@ object Retrieval {
     * completing the gate triad (q92 grades the ANN indexes, q110 the
     * dedup candidate families, q114 the end-to-end RANKINGS): each
     * registered retriever — lexical-only BM25, q94's brute-vector hybrid,
-    * q102's IVF-indexed hybrid — is graded per query against cosine
-    * ground truth (brute top-10, the declared relevance set). Reported
+    * q102's IVF-indexed hybrid, q116's LSH-indexed hybrid — is graded per
+    * query against cosine ground truth (brute top-10, the declared
+    * relevance set). Reported
     * per (family, query): `n_rel5` = relevant docs in the family's top-5,
     * `first_rel` = rank of the first relevant result (0 = none in top-5)
     * — the integer-exact ingredients of precision@5 and MRR, kept as
@@ -265,6 +266,8 @@ object Retrieval {
     grade("hybrid_brute", q94HybridRetrieval(s, dir)
         .select($"q_id", $"doc_id", $"rank"))
       .unionByName(grade("hybrid_ivf", q102HybridIndexed(s, dir)
+        .select($"q_id", $"doc_id", $"rank")))
+      .unionByName(grade("hybrid_lsh", q116HybridLsh(s, dir)
         .select($"q_id", $"doc_id", $"rank")))
       .unionByName(grade("lexical", lex5))
       .orderBy($"family", $"q_id")
@@ -295,6 +298,9 @@ object Retrieval {
        |  UNION ALL
        |  SELECT 'hybrid_ivf', q_id, doc_id, rank
        |    FROM (${q102Oracle.replace("\n", "\n  ")}) f102
+       |  UNION ALL
+       |  SELECT 'hybrid_lsh', q_id, doc_id, rank
+       |    FROM (${q116Oracle.replace("\n", "\n  ")}) f116
        |  UNION ALL
        |  SELECT 'lexical', q_id, doc_id, rank
        |    FROM (${hybridOracle(emptyVec).replace("\n", "\n  ")}) flex)

@@ -85,14 +85,14 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("q114 quality gate: 3 families x 10 queries, metric invariants, fusion lifts relevance") {
+  test("q114 quality gate: 4 families x 10 queries, metric invariants, fusion lifts relevance") {
     val s = spark
     import s.implicits._
     val rows = Retrieval.q114RetrievalQuality(s, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(rows.length === 30)
+    assert(rows.length === 40)
     assert(rows.map(_._1).distinct.sorted ===
-      Seq("hybrid_brute", "hybrid_ivf", "lexical"))
+      Seq("hybrid_brute", "hybrid_ivf", "hybrid_lsh", "lexical"))
     rows.foreach { case (fam, q, nRel, firstRel) =>
       assert(nRel >= 0L && nRel <= 5L, s"$fam q$q")
       assert(firstRel >= 0L && firstRel <= 5L, s"$fam q$q")
