@@ -539,7 +539,8 @@ object Similarity {
 
   // ---------------------------------------------------------------- q92
   /** Recall@3 per ANN index FAMILY — q88 widened across the whole index
-    * shelf (VERDICT r7 #4): the LSH (q56), IVF (q59), and PQ (q73) indexes
+    * shelf (VERDICT r7 #4): the LSH (q56), IVF (q59), PQ (q73), and SQ8
+    * (q120, r10) indexes
     * each re-run verbatim and compared to the same brute-force truth
     * (q55's top-3), so every family's recall contract is one gateable,
     * oracle-checked number. A release gate reads one row per family:
@@ -577,6 +578,7 @@ object Similarity {
     recallOf("ivf", q59AnnIvf(s, dir))
       .union(recallOf("lsh", q56AnnLsh(s, dir)))
       .union(recallOf("pq", q73AnnPq(s, dir)))
+      .union(recallOf("sq", q120AnnSq(s, dir)))
       .orderBy($"family")
   }
 
@@ -598,6 +600,8 @@ object Similarity {
        |${per("lsh")}
        |UNION ALL
        |${per("pq")}
+       |UNION ALL
+       |${per("sq")}
        |ORDER BY family""".stripMargin
   }
 
@@ -606,6 +610,7 @@ object Similarity {
     case "lsh" => q56Oracle
     case "ivf" => q59Oracle
     case "pq"  => q73Oracle
+    case "sq"  => q120Oracle
     case other => throw new IllegalArgumentException(s"unknown ANN family: $other")
   }
 
@@ -657,6 +662,148 @@ object Similarity {
        |  FROM mined)
        |WHERE neg_rank <= 5
        |ORDER BY q_id, neg_rank""".stripMargin
+
+  // ---------------------------------------------------------------- q120
+  /** SQ8 scalar-quantized ANN (ADC + exact re-rank) — the fourth index
+    * family, and the training-free compression point on the shelf: PQ
+    * (q73) buys 64× compression with a clustering pass; SQ8 buys 4× (one
+    * byte per dim) with TWO exact streaming aggregates — per-dim corpus
+    * min/max — which is why production vector stores (FAISS SQ8, Lucene
+    * int8) reach for it first at ingest time. Every vector is encoded
+    * map-side by the codegen'd [[graft.functions.SqEncode]]
+    * (`code_d = clamp(⌊(x_d − min_d)/range_d · 255⌋, 0, 255)`); queries
+    * score candidates with ADC against the bucket-midpoint reconstruction
+    * `recon(d,c) = min_d + (c + 0.5)·range_d/255` via a per-query LUT
+    * (64 dims × 256 codes of partial products — bounded broadcast
+    * metadata, same [[graft.functions.GatherSum]] inner loop as q73),
+    * then the top-64 ADC candidates are re-ranked by EXACT cosine for the
+    * final top-3.
+    *
+    * Scale shape: training is one partial-aggregated groupBy on the dim
+    * index (64 groups); bounds, the reconstruction-norm table, and the
+    * query LUTs are bounded collected metadata (2×64 + 64×256 +
+    * |queries|·64×256 doubles — the q59-centroid class); encode + ADC is
+    * a map-side projection + broadcast join over the scan — the corpus
+    * NEVER shuffles before the per-query top-64.
+    *
+    * Determinism discipline (hash-matched oracle through the float
+    * quantizer): the quantization transform divides before the ×255
+    * multiply in both engines; ⌊·⌋ on a non-negative double is exact;
+    * recon/LUT/ADC folds accumulate left-to-right from a 0.0 seed in dim
+    * order; rank ties to the lower vec_id. Constant dims (range 0) pin to
+    * code 0 and reconstruct to the bound itself. */
+  def q120AnnSq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val emb = Tables(s, dir, "embeddings")
+    // --- train: per-dim corpus min/max — 64-group partial agg ---------
+    val mmRows = emb
+      .select(posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy($"d")
+      .agg(min($"v".cast(DoubleType)).as("mn"), max($"v".cast(DoubleType)).as("mx"))
+      .orderBy($"d").collect()
+    val mins = mmRows.map(_.getDouble(1))
+    val ranges = mmRows.map(r => r.getDouble(2) - r.getDouble(1))
+    // bucket-midpoint reconstruction of code c in dim d
+    def recon(d: Int, c: Int): Double =
+      if (ranges(d) == 0.0) mins(d) else mins(d) + (c + 0.5) * (ranges(d) / 255.0)
+    val n2: Seq[Seq[Double]] =
+      (0 until 64).map(d => (0 until 256).map { c =>
+        val r = recon(d, c); r * r
+      }.toSeq).toSeq
+    // --- queries: bounded collect → driver-built ADC lookup tables ----
+    val qRows = emb.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding").orderBy($"vec_id").collect()
+    val qdf = qRows.toSeq.map { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Float](1)
+      var qq = 0.0; var i = 0
+      while (i < q.length) { qq += q(i).toDouble * q(i).toDouble; i += 1 }
+      val lut: Seq[Seq[Double]] = (0 until 64).map { d =>
+        (0 until 256).map(c => q(d).toDouble * recon(d, c)).toSeq
+      }.toSeq
+      (id, q, math.sqrt(qq), lut)
+    }.toDF("q_id", "q_emb", "q_nrm", "lut")
+    // --- encode + ADC: map-side over the scan, zero corpus shuffle ----
+    val enc = emb.select($"vec_id", $"embedding",
+        graft.functions.SqEncodeUtil.column($"embedding", mins, ranges).as("codes"))
+      .withColumn("rnorm2", graft.functions.GatherSum.column($"codes", typedLit(n2)))
+    val wCand = Window.partitionBy($"q_id").orderBy($"approx_cos".desc, $"vec_id")
+    val cand = enc.crossJoin(broadcast(qdf))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adc_dot", graft.functions.GatherSum.column($"codes", $"lut"))
+      .withColumn("approx_cos", $"adc_dot" / ($"q_nrm" * sqrt($"rnorm2")))
+      .withColumn("crn", row_number().over(wCand))
+      .filter($"crn" <= 64)
+      .select($"q_id", $"q_emb", $"vec_id", $"approx_cos")
+    // --- exact re-rank of the 64 ADC candidates -----------------------
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand.join(emb.select($"vec_id", $"embedding"), "vec_id")
+      .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"vec_id", $"approx_cos", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  // lazy: q92Oracle (declared earlier in init order) folds this into its
+  // per-family union at object init — a strict val here would still be
+  // null at that point
+  lazy val q120Oracle: String = {
+    // bucket-midpoint reconstruction of dim d's code on a vcode row v
+    def reconSql(v: String, d: String): String =
+      s"(CASE WHEN $v.rgs[$d + 1] = 0 THEN $v.mns[$d + 1] " +
+        s"ELSE $v.mns[$d + 1] + (CAST($v.codes[$d + 1] AS DOUBLE) + 0.5) * ($v.rgs[$d + 1] / 255.0) END)"
+    val cos = Sql.cosine("n.q_emb", "e.embedding")
+    s"""WITH mm AS (
+       |  SELECT i AS d,
+       |    MIN(CAST(embedding[i + 1] AS DOUBLE)) AS mn,
+       |    MAX(CAST(embedding[i + 1] AS DOUBLE)) AS mx
+       |  FROM embeddings CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY i),
+       |mml AS (
+       |  SELECT list(mn ORDER BY d) AS mns, list(mx - mn ORDER BY d) AS rgs FROM mm),
+       |vcode AS (
+       |  SELECT vec_id, embedding, mns, rgs,
+       |    list_transform(range(0, 64), cd ->
+       |      CASE WHEN rgs[cd + 1] = 0 THEN 0::BIGINT
+       |           ELSE LEAST(255::BIGINT, GREATEST(0::BIGINT,
+       |             CAST(floor((CAST(embedding[cd + 1] AS DOUBLE) - mns[cd + 1]) / rgs[cd + 1] * 255.0) AS BIGINT)))
+       |      END) AS codes
+       |  FROM embeddings CROSS JOIN mml),
+       |rn AS (
+       |  SELECT vec_id, codes,
+       |    list_reduce(list_prepend(0.0, list_transform(range(0, 64), rd ->
+       |      ${reconSql("vcode", "rd")} * ${reconSql("vcode", "rd")})), (ra, rb) -> ra + rb) AS rnorm2
+       |  FROM vcode),
+       |qn AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb,
+       |    sqrt(${Sql.dot("embedding", "embedding")}) AS q_nrm
+       |  FROM embeddings WHERE vec_id < 10),
+       |adc AS (
+       |  SELECT q.q_id, v.vec_id,
+       |    list_reduce(list_prepend(0.0, list_transform(range(0, 64), ad ->
+       |      CAST(q.q_emb[ad + 1] AS DOUBLE) * ${reconSql("v", "ad")})), (aa, ab) -> aa + ab) AS adc_dot
+       |  FROM vcode v CROSS JOIN qn q
+       |  WHERE v.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, approx_cos FROM (
+       |    SELECT a.q_id, a.vec_id,
+       |      a.adc_dot / (n.q_nrm * sqrt(r.rnorm2)) AS approx_cos,
+       |      row_number() OVER (PARTITION BY a.q_id
+       |        ORDER BY a.adc_dot / (n.q_nrm * sqrt(r.rnorm2)) DESC, a.vec_id) AS crn
+       |    FROM adc a
+       |    JOIN rn r ON r.vec_id = a.vec_id
+       |    JOIN qn n ON n.q_id = a.q_id)
+       |  WHERE crn <= 64)
+       |SELECT q_id, rank, vec_id, approx_cos, cos FROM (
+       |  SELECT c.q_id, c.vec_id, c.approx_cos, $cos AS cos,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id ORDER BY $cos DESC, c.vec_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN qn n ON n.q_id = c.q_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q119
   /** Embedding sanity gate — the data-quality check an embedding pipeline
@@ -719,6 +866,7 @@ object Similarity {
     "q92_ann_recall_families" -> q92AnnRecallFamilies _,
     "q104_hard_negatives" -> q104HardNegatives _,
     "q119_embedding_sanity" -> q119EmbeddingSanity _,
+    "q120_ann_sq" -> q120AnnSq _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,5 +879,6 @@ object Similarity {
     "q92_ann_recall_families" -> q92Oracle,
     "q104_hard_negatives" -> q104Oracle,
     "q119_embedding_sanity" -> q119Oracle,
+    "q120_ann_sq" -> q120Oracle,
   )
 }

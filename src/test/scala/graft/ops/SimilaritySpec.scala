@@ -186,4 +186,66 @@ class SimilaritySpec extends SparkSpec {
     assert(out(198L) === ((199L, false, false, true)))
     assert(out(199L) === ((200L, false, false, true)))
   }
+
+  test("SqEncode: bound edges, midpoints, clamp, and the constant-dim pin") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val mins = Array(0.0, 10.0, -1.0)
+    val ranges = Array(10.0, 0.0, 2.0) // dim 1 is constant
+    // x = min → 0; x = max → floor(255) = 255; midpoint → 127; constant → 0
+    val v = new GenericArrayData(Array(5.0f, 10.0f, 1.0f))
+    val codes = graft.functions.SqEncodeUtil
+      .encode(v, mins, ranges, isFloat = true).toLongArray().toSeq
+    assert(codes === Seq(127L, 0L, 255L))
+    val edges = new GenericArrayData(Array(0.0f, 999.0f, -1.0f))
+    assert(graft.functions.SqEncodeUtil
+      .encode(edges, mins, ranges, isFloat = true).toLongArray().toSeq
+      === Seq(0L, 0L, 0L))
+  }
+
+  test("q120 SQ8: quantization error bounded by half a bucket on real vectors") {
+    val s = spark
+    import s.implicits._
+    val rows = graft.Tables(s, sf, "embeddings").collect()
+    val dims = 64
+    val vecs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val mins = (0 until dims).map(d => vecs.map(_(d)).min).toArray
+    val ranges = (0 until dims).map(d => vecs.map(_(d)).max - mins(d)).toArray
+    vecs.take(50).foreach { v =>
+      val codes = graft.functions.SqEncodeUtil.encode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        mins, ranges, isFloat = false).toLongArray()
+      (0 until dims).foreach { d =>
+        if (ranges(d) > 0.0) {
+          val scale = ranges(d) / 255.0
+          val recon = mins(d) + (codes(d) + 0.5) * scale
+          assert(math.abs(recon - v(d)) <= scale * 0.5 + 1e-12,
+            s"dim $d: recon $recon vs ${v(d)} (scale $scale)")
+        }
+      }
+    }
+  }
+
+  test("q120 SQ8: exact cos column is exact, recall beats PQ's floor, deterministic") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.q55AnnBrute(s, sf).filter($"rank" <= 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val sq = Similarity.q120AnnSq(s, sf).collect()
+    val sqPairs = sq.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val bruteCos = Similarity.q55AnnBrute(s, sf).collect()
+      .map(r => ((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")), r.getAs[Double]("cos"))).toMap
+    sq.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      bruteCos.get(key).foreach { c =>
+        assert(c === r.getAs[Double]("cos"), s"exact cos mismatch at $key")
+      }
+    }
+    // 8 bits/dim reconstructs far more faithfully than PQ's 4 bits/subspace,
+    // so the ADC pool should essentially contain the truth; pin a floor
+    // strictly above PQ's 0.5 so a quantizer regression is loud.
+    val recall = (brute & sqPairs).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall@3 collapsed: $recall")
+    val again = Similarity.q120AnnSq(s, sf).collect()
+    assert(sq.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
