@@ -292,16 +292,48 @@ object StreamBench {
     }
   }
 
+  /** S15 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.SketchStream]]'s per-batch CM-sketch
+    * partial write — docs/sec through the heavy-hitter maintenance seam,
+    * from a clean slate. `clean` = Σc over the merged sketch / 3 depths
+    * (total token occurrences accounted — proves the partials lost
+    * nothing). */
+  def measureSketch(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-sketch"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.SketchStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:sketch] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val counted = streaming.SketchStream.mergedSketch(spark, root)
+        .agg(sum($"c")).as[Long].collect().head / 3
+      SeamResult(n / secs, n, counted, secs)
+    }
+  }
+
   /** Every seam's measurement as VALUES (ADVICE r8: compose and extract
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
-    * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card —
-    * the quick-run knob; unset = all) is also None and is skipped without
-    * paying its measurement. */
+    * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
+    * sketch — the quick-run knob; unset = all) is also None and is
+    * skipped without paying its measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
       merge: Option[SeamResult], histogram: Option[SeamResult],
-      chunking: Option[SeamResult], card: Option[SeamResult]) {
+      chunking: Option[SeamResult], card: Option[SeamResult],
+      sketch: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -317,7 +349,7 @@ object StreamBench {
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
         "ann_refresh" -> annRefresh, "merge" -> merge,
         "histogram" -> histogram, "chunking" -> chunking,
-        "card" -> card).map { case (k, v) =>
+        "card" -> card, "sketch" -> sketch).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -343,7 +375,8 @@ object StreamBench {
       guarded("merge")(measureMerge(spark, sfDir)),
       guarded("histogram")(measureHistogram(spark, sfDir)),
       guarded("chunking")(measureChunking(spark, sfDir)),
-      guarded("card")(measureCard(spark, sfDir)))
+      guarded("card")(measureCard(spark, sfDir)),
+      guarded("sketch")(measureSketch(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

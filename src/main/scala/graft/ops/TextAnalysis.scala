@@ -405,26 +405,57 @@ object TextAnalysis {
     * sketches are the 100 TB heavy-hitter tool: per-partition sketches
     * merge by addition (the partial agg IS the merge). The probe side is
     * 20 terms × 3 rows joined against the 3072-row sketch — metadata. */
-  def q97CountminHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = Tables(s, dir, "documents")
-      .select(explode(TextFns.tokens($"text")).as("tok"))
-    def bucket(t: Column, d: Int): Column =
+  /** One CM-sketch (row, bucket) probe pair per depth for a token column —
+    * the shared address computation of the sketch build and every probe
+    * (q97 batch, S15 streaming), so an estimate can never read a different
+    * cell than the build wrote. */
+  private[graft] def cmRows(t: Column): Column = {
+    def bucket(d: Int): Column =
       pmod(graft.functions.Djb2.djb2(concat(t, lit(s"#$d"))), lit(1024L))
-    // sketch: 3 rows × 1024 buckets, one partial-aggregated shuffle
-    val sketch = toks.select(explode(array((0 until 3).map(d =>
-        struct(lit(d.toLong).as("row"), bucket($"tok", d).as("bucket"))): _*)).as("rb"))
+    explode(array((0 until 3).map(d =>
+      struct(lit(d.toLong).as("row"), bucket(d).as("bucket"))): _*))
+  }
+
+  /** q97's 3×1024 count-min sketch over a (text) batch — (row, bucket, c),
+    * ≤ 3072 rows, one partial-aggregated shuffle. Pure function of the
+    * batch; CM cells merge by ADDITION, which is what makes the S15
+    * streaming twin a per-batch partial write + sum (the q106/S12 shape
+    * applied to a frequency sketch). */
+  private[graft] def cmSketch(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(TextFns.tokens($"text")).as("tok"))
+      .select(cmRows($"tok").as("rb"))
       .groupBy($"rb.row".as("row"), $"rb.bucket".as("bucket"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates for a `tok`-column probe set against a standing
+    * sketch: min over the 3 depth cells — the CM read path, shared by the
+    * q97 audit and the S15 streaming probe. Extra probe columns ride
+    * along; a token none of whose cells exist yields no row (absent = 0,
+    * the q108 contract). */
+  private[graft] def cmEstimate(probeSet: DataFrame, sketch: DataFrame): DataFrame = {
+    val s = probeSet.sparkSession
+    import s.implicits._
+    val carried = probeSet.columns.map(col).toSeq
+    probeSet.select((carried :+ cmRows($"tok").as("rb")): _*)
+      .select((carried :+ $"rb.row".as("row")) :+ $"rb.bucket".as("bucket"): _*)
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(carried: _*)
+      .agg(min($"c").as("cm_estimate"))
+  }
+
+  def q97CountminHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(explode(TextFns.tokens($"text")).as("tok"))
+    // sketch: 3 rows × 1024 buckets, one partial-aggregated shuffle
+    val sketch = cmSketch(docs)
     // exact top-20 (q44's deterministic tie-break) as the probe set
     val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
       .orderBy($"exact_count".desc, $"tok").limit(20)
-    val probes = top.select($"tok", $"exact_count", explode(array((0 until 3).map(d =>
-      struct(lit(d.toLong).as("row"), bucket($"tok", d).as("bucket"))): _*)).as("rb"))
-      .select($"tok", $"exact_count", $"rb.row".as("row"), $"rb.bucket".as("bucket"))
-    probes.join(broadcast(sketch), Seq("row", "bucket"))
-      .groupBy($"tok", $"exact_count")
-      .agg(min($"c").as("cm_estimate"))
+    cmEstimate(top, sketch)
       .withColumn("overestimate", $"cm_estimate" - $"exact_count")
       .select($"tok", $"exact_count", $"cm_estimate", $"overestimate")
       .orderBy($"exact_count".desc, $"tok")
