@@ -805,6 +805,59 @@ object Curation {
        |FROM flagged GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Semantic decontamination — q68's benchmark gate in EMBEDDING space:
+    * a lexical n-gram check misses the paraphrased or translated twin of
+    * an eval item, which is exactly the contamination a modern release
+    * audit (GPT-4/Llama-style) hunts with embeddings. The eval slice is
+    * the same deterministic carve as q68 (`vec_id % 97 == 0` here — in
+    * production, the benchmark suite's own embeddings); every corpus
+    * vector reports its max cosine against the eval set, how many eval
+    * items sit inside the q54 semantic-twin radius (cos ≥ 0.35), and the
+    * contamination flag. Unlike q68 this emits EVERY corpus vector, not
+    * just hits — max_cos is the audit curve a release engineer thresholds
+    * after the fact (the flag bakes in the default radius).
+    *
+    * Plan shape: the eval side is bounded by construction (a benchmark
+    * suite, not a corpus sample) and BROADCAST; scoring is a map-side
+    * cross join against that broadcast — the corpus never shuffles with
+    * itself, candidates are |corpus|·|eval| evaluated but never
+    * exchanged; the per-vector max/count aggregates collapse map-side
+    * (partial agg) to one row per vector before the only shuffle. At
+    * 100 TB this is a single pass over the embedding column. Both
+    * aggregates are order-free (MAX over identically-computed doubles,
+    * integer COUNT), so the oracle mirrors without fold discipline. */
+  def q121SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val ev = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("eval_id"), $"embedding".as("ev_emb"))
+    emb.filter($"vec_id" % 97 =!= 0)
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", graft.functions.VecFns.cosine($"embedding", $"ev_emb"))
+      .groupBy($"vec_id")
+      .agg(max($"cos").as("max_cos"),
+        sum(when($"cos" >= 0.35, 1L).otherwise(0L)).as("n_close"))
+      .withColumn("contaminated", $"max_cos" >= 0.35)
+      .select($"vec_id", $"max_cos", $"n_close", $"contaminated")
+      .orderBy($"vec_id")
+  }
+
+  val q121Oracle: String = {
+    val cos = Sql.cosine("c.embedding", "e.ev_emb")
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, embedding AS ev_emb
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |scored AS (
+       |  SELECT c.vec_id, $cos AS cos
+       |  FROM embeddings c CROSS JOIN ev e
+       |  WHERE c.vec_id % 97 <> 0)
+       |SELECT vec_id, MAX(cos) AS max_cos,
+       |  CAST(SUM(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+       |  MAX(cos) >= 0.35 AS contaminated
+       |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -820,6 +873,7 @@ object Curation {
     "q111_data_card" -> q111DataCard _,
     "q115_release_manifest" -> q115ReleaseManifest _,
     "q118_dedup_savings" -> q118DedupSavings _,
+    "q121_semantic_decontam" -> q121SemanticDecontam _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -837,5 +891,6 @@ object Curation {
     "q111_data_card" -> q111Oracle,
     "q115_release_manifest" -> q115Oracle,
     "q118_dedup_savings" -> q118Oracle,
+    "q121_semantic_decontam" -> q121Oracle,
   )
 }

@@ -395,4 +395,31 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("q121 semantic decontam: max-cos audit, twin-radius counts, clean negatives") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-semdecontam-").toString
+    def v(xs: Double*): Seq[Float] =
+      (xs.map(_.toFloat) ++ Seq.fill(64 - xs.length)(0.0f))
+    // eval carve (id % 97 == 0): ids 0 and 97 — unit x and unit y
+    val rows = Seq(
+      (0L, v(1, 0), 0), (97L, v(0, 1), 0),       // eval
+      (1L, v(1, 0), 0),                          // exact twin of eval 0
+      (2L, v(0, 2), 0),                          // scaled twin of eval 97
+      (3L, v(1, 1), 0),                          // 45° to both
+      (4L, v(-1, 0), 0),                         // anti-parallel → clean
+      (5L, v(3, -4), 0))                         // cos 0.6 to eval 0
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    val out = Curation.q121SemanticDecontam(s, root).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L)) // eval rows never audited
+    assert(out(1L) === ((1.0, 1L, true)))
+    assert(out(2L) === ((1.0, 1L, true)))
+    val c45 = 1.0 / math.sqrt(2.0)
+    assert(math.abs(out(3L)._1 - c45) < 1e-15 && out(3L)._2 === 2L && out(3L)._3)
+    assert(out(4L) === ((0.0, 0L, false)))      // best is the orthogonal eval, not −1
+    assert(out(5L) === ((0.6, 1L, true)))
+  }
 }
