@@ -566,10 +566,19 @@ object TextAnalysis {
   /** The 256-bin histogram build (one partial-aggregated shuffle over a
     * (text) column) — shared by q106 and the S12 streaming seam, whose
     * per-batch partitions hold exactly this table. */
-  private[graft] def lengthHistogram(docs: DataFrame): DataFrame = {
+  private[graft] def lengthHistogram(docs: DataFrame): DataFrame =
+    lengthHistogramBy(docs)
+
+  /** The same 256-bin histogram keyed by extra grouping columns (e.g. per
+    * source for the q122 drift audit) — one code path with the unkeyed
+    * q106/S12 histogram, so batch, streaming, and drift answers bucket
+    * identically. */
+  private[graft] def lengthHistogramBy(docs: DataFrame,
+      keys: String*): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select(size(TextFns.tokens($"text")).cast("long").as("n"))
-      .groupBy(least(floor($"n" / lit(32)), lit(255)).cast("long").as("bucket"))
+    docs.select((keys.map(col) :+ size(TextFns.tokens($"text")).cast("long").as("n")): _*)
+      .groupBy((keys.map(col) :+
+        least(floor($"n" / lit(32)), lit(255)).cast("long").as("bucket")): _*)
       .agg(count(lit(1)).as("c"))
   }
 

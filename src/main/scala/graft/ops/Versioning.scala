@@ -155,13 +155,101 @@ object Versioning {
       |HAVING COUNT(*) > 0
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Snapshot distribution drift — the monitoring number a corpus refresh
+    * is gated on BEFORE retraining: per source, the total-variation
+    * distance between the previous and current snapshots' token-length
+    * distributions (q106's 256-bin histogram, per source). A refresh that
+    * silently shifts a source's length profile (a scraper change, a new
+    * boilerplate stripper, an upstream site redesign) shows up here as
+    * TV > ε long before it shows up as a training regression. Uses the
+    * same deterministic v1/v2 carve as q96/q113 and the SAME
+    * `lengthHistogramBy` bucketing as q106/S12 — the drift metric cannot
+    * disagree with the histograms the pipeline already maintains.
+    *
+    * Integer discipline: TV = ½·Σ_b |c1_b/n1 − c2_b/n2| is computed as
+    * the INTEGER numerator Σ_b |c1_b·n2 − c2_b·n1| (exact cross
+    * multiplication — no per-bucket float division whose summation order
+    * could diverge) with ONE terminal division by 2·n1·n2. A source
+    * absent from one snapshot is total drift (tv = 1) by definition.
+    *
+    * Scale shape: each snapshot side is one scan + a ≤ 256·|sources|-group
+    * partial agg (the histogram IS the shuffle output); the joined
+    * histogram is metadata-sized and localCheckpoint'd once for its two
+    * consumers (per-source totals, per-bucket terms) so neither re-runs a
+    * corpus scan. At 100 TB the inputs are the S12-maintained standing
+    * histograms — this query is then pure metadata arithmetic. */
+  def q122SnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val v1 = docs.filter($"doc_id" % 7 =!= 0).select($"source", $"text")
+    val v2 = docs.filter($"doc_id" % 17 =!= 0)
+      .select($"source",
+        when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text").as("text"))
+    val h1 = TextAnalysis.lengthHistogramBy(v1, "source")
+      .withColumnRenamed("c", "c1")
+    val h2 = TextAnalysis.lengthHistogramBy(v2, "source")
+      .withColumnRenamed("c", "c2")
+    val j = h1.join(h2, Seq("source", "bucket"), "full_outer")
+      .select($"source", $"bucket",
+        coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
+      .localCheckpoint(true) // ≤ 256·|sources| rows, two consumers
+    val totals = j.groupBy($"source")
+      .agg(sum($"c1").as("n1_docs"), sum($"c2").as("n2_docs"))
+    j.join(totals, "source")
+      .groupBy($"source", $"n1_docs", $"n2_docs")
+      .agg(sum(abs($"c1" * $"n2_docs" - $"c2" * $"n1_docs")).as("tv_num"))
+      .withColumn("tv",
+        when($"n1_docs" === 0 || $"n2_docs" === 0, lit(1.0))
+          .otherwise($"tv_num".cast("double") /
+            (lit(2.0) * $"n1_docs" * $"n2_docs")))
+      .select($"source", $"n1_docs", $"n2_docs", $"tv_num", $"tv")
+      .orderBy($"source")
+  }
+
+  val q122Oracle: String =
+    """WITH v1 AS (
+      |  SELECT source, text FROM documents WHERE doc_id % 7 <> 0),
+      |v2 AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0),
+      |h1 AS (
+      |  SELECT source, least(len(string_split(text, ' ')) // 32, 255) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c1
+      |  FROM v1 GROUP BY 1, 2),
+      |h2 AS (
+      |  SELECT source, least(len(string_split(text, ' ')) // 32, 255) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS c2
+      |  FROM v2 GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(h1.source, h2.source) AS source,
+      |    COALESCE(h1.bucket, h2.bucket) AS bucket,
+      |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+      |  FROM h1 FULL OUTER JOIN h2 ON h1.source = h2.source AND h1.bucket = h2.bucket),
+      |totals AS (
+      |  SELECT source, CAST(SUM(c1) AS BIGINT) AS n1_docs,
+      |    CAST(SUM(c2) AS BIGINT) AS n2_docs
+      |  FROM j GROUP BY source)
+      |SELECT j.source, t.n1_docs, t.n2_docs,
+      |  CAST(SUM(abs(c1 * t.n2_docs - c2 * t.n1_docs)) AS BIGINT) AS tv_num,
+      |  CASE WHEN t.n1_docs = 0 OR t.n2_docs = 0 THEN 1.0::DOUBLE
+      |       ELSE CAST(CAST(SUM(abs(c1 * t.n2_docs - c2 * t.n1_docs)) AS BIGINT) AS DOUBLE)
+      |            / (2.0::DOUBLE * t.n1_docs * t.n2_docs) END AS tv
+      |FROM j JOIN totals t USING (source)
+      |GROUP BY j.source, t.n1_docs, t.n2_docs
+      |ORDER BY j.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_snapshot_diff" -> q96SnapshotDiff _,
     "q113_incremental_card" -> q113IncrementalCard _,
+    "q122_snapshot_drift" -> q122SnapshotDrift _,
   )
 
   val oracles: Map[String, String] = Map(
     "q96_snapshot_diff" -> q96Oracle,
     "q113_incremental_card" -> q113Oracle,
+    "q122_snapshot_drift" -> q122Oracle,
   )
 }

@@ -57,4 +57,33 @@ class VersioningSpec extends SparkSpec {
       .select($"status").distinct().as[String].collect().toSet
     assert(Set("added", "removed", "changed", "unchanged").subsetOf(statuses))
   }
+
+  test("q122 drift: hand-computed TV, bucket-boundary edit, absent-side total drift") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-drift-").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // A: ids 1,2 (10 tok → b0), 3 (40 → b1) in both; 7 (100 → b3) v2-only
+    // B: id 14 — v2-only source (14 % 7 = 0 drops it from v1)
+    // C: id 13 — edited (+1 token " rev2") crosses the 31→32 bucket edge
+    val rows = Seq(
+      (1L, doc(10), "A"), (2L, doc(10), "A"), (3L, doc(40), "A"),
+      (7L, doc(100), "A"),
+      (14L, doc(10), "B"),
+      (13L, doc(31), "C"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Versioning.q122SnapshotDrift(s, root).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A: h1 = {b0:2, b1:1} n1=3; h2 = {b0:2, b1:1, b3:1} n2=4
+    //    tv_num = |8−6| + |4−3| + |0−3| = 6 → tv = 6/24 = 0.25
+    assert(out("A") === ((3L, 4L, 6L, 0.25)))
+    // B: absent from v1 → total drift by definition
+    assert(out("B") === ((0L, 1L, 0L, 1.0)))
+    // C: one doc hops b0 → b1 → disjoint histograms → tv = 1
+    assert(out("C") === ((1L, 1L, 2L, 1.0)))
+  }
 }
