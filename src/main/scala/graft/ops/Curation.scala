@@ -805,6 +805,83 @@ object Curation {
        |FROM flagged GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Epoch-aware token-budget schedule — the data-constrained-scaling
+    * planner (the Muennighoff-et-al. regime): when the training budget
+    * exceeds the corpus, sources are REPEATED, but repetition past ~4
+    * epochs stops buying loss, so the plan caps every source at 4 epochs
+    * and reports what the cap leaves unspent. q71 answers "how do I
+    * sample a budget SMALLER than the corpus"; q123 answers the opposite
+    * regime — budget = 3× the corpus here (scale-invariant: derived from
+    * the corpus itself, not a constant that goes stale at 100 TB).
+    *
+    * Per source: token mass, √-weight (q71's up-sampling temperature),
+    * the largest-remainder proportional share of the budget (exact 64-bit
+    * integer apportionment — base + remainder-ranked bump, Σshare =
+    * budget by construction), the 4-epoch cap, the granted allocation,
+    * epochs×100 in integer arithmetic, and the shortfall the cap refuses
+    * to spend. Σshortfall > 0 is the headline: the budget is not fillable
+    * under the repetition constraint — buy data, not compute.
+    *
+    * Scale shape: one token-count aggregation (partial-agg shuffle on
+    * source), then ALL arithmetic over |sources| rows of metadata; the
+    * windows are single-partition but |sources|-sized. Pure integers end
+    * to end — no float division anywhere. */
+  def q123EpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1)).orderBy($"rem".desc, $"source")
+    Tables(s, dir, "documents")
+      .select($"source", size(TextFns.tokens($"text")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("n_tokens"))
+      .withColumn("weight", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
+      .withColumn("budget", sum($"n_tokens").over(all) * 3)
+      .withColumn("w_total", sum($"weight").over(all))
+      .withColumn("base", expr("(budget * weight) div w_total"))
+      .withColumn("rem", ($"budget" * $"weight") % $"w_total")
+      .withColumn("leftover", $"budget" - sum($"base").over(all))
+      .withColumn("bump",
+        when(row_number().over(byRem) <= $"leftover", 1L).otherwise(0L))
+      .withColumn("share", $"base" + $"bump")
+      .withColumn("cap", $"n_tokens" * 4)
+      .withColumn("alloc", least($"share", $"cap"))
+      .withColumn("capped", $"share" > $"cap")
+      .withColumn("epochs_pct", expr("(alloc * 100) div n_tokens"))
+      .withColumn("shortfall", $"share" - $"alloc")
+      .select($"source", $"n_tokens", $"weight", $"share", $"alloc",
+        $"capped", $"epochs_pct", $"shortfall")
+      .orderBy($"source")
+  }
+
+  val q123Oracle: String =
+    """WITH counts AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |weighted AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM counts),
+      |app AS (
+      |  SELECT source, n_tokens, weight,
+      |    CAST(SUM(n_tokens) OVER () * 3 AS BIGINT) AS budget,
+      |    CAST(SUM(weight) OVER () AS BIGINT) AS w_total
+      |  FROM weighted),
+      |based AS (
+      |  SELECT *, (budget * weight) // w_total AS base,
+      |    (budget * weight) % w_total AS rem
+      |  FROM app),
+      |shared AS (
+      |  SELECT source, n_tokens, weight,
+      |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |      <= budget - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS share
+      |  FROM based)
+      |SELECT source, n_tokens, weight, share,
+      |  LEAST(share, n_tokens * 4) AS alloc,
+      |  share > n_tokens * 4 AS capped,
+      |  (LEAST(share, n_tokens * 4) * 100) // n_tokens AS epochs_pct,
+      |  share - LEAST(share, n_tokens * 4) AS shortfall
+      |FROM shared ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q121
   /** Semantic decontamination — q68's benchmark gate in EMBEDDING space:
     * a lexical n-gram check misses the paraphrased or translated twin of
@@ -874,6 +951,7 @@ object Curation {
     "q115_release_manifest" -> q115ReleaseManifest _,
     "q118_dedup_savings" -> q118DedupSavings _,
     "q121_semantic_decontam" -> q121SemanticDecontam _,
+    "q123_epoch_schedule" -> q123EpochSchedule _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -892,5 +970,6 @@ object Curation {
     "q115_release_manifest" -> q115Oracle,
     "q118_dedup_savings" -> q118Oracle,
     "q121_semantic_decontam" -> q121Oracle,
+    "q123_epoch_schedule" -> q123Oracle,
   )
 }

@@ -422,4 +422,29 @@ class CurationSpec extends SparkSpec {
     assert(out(4L) === ((0.0, 0L, false)))      // best is the orthogonal eval, not −1
     assert(out(5L) === ((0.6, 1L, true)))
   }
+
+  test("q123 epoch schedule: hand-apportioned shares, 4-epoch cap, shortfall") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-epoch-").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // A: 900 tokens (weight 30), B: 100 tokens (weight 10)
+    // total = 1000, budget = 3000, w_total = 40 → shares 2250 / 750, no
+    // remainders. A: cap 3600 → uncapped, 2.50 epochs. B: cap 400 < 750
+    // → capped, 4.00 epochs, 350 unspendable.
+    Seq((1L, doc(400), "A"), (2L, doc(500), "A"), (3L, doc(100), "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q123EpochSchedule(s, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out("A") === ((900L, 30L, 2250L, 2250L, false, 250L, 0L)))
+    assert(out("B") === ((100L, 10L, 750L, 400L, true, 400L, 350L)))
+    // apportionment spends exactly the budget; the cap's refusals are the
+    // shortfall — the "buy data, not compute" number
+    assert(out.values.map(_._3).sum === 3000L)
+    assert(out.values.map(_._7).sum === 350L)
+  }
 }
