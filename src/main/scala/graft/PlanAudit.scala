@@ -49,7 +49,7 @@ object PlanAudit {
     "q97_countmin_heavyhitters" -> "count-min sketch build is one partial-aggregated groupBy where at most 3·1024 groups survive per map task — the shuffle is sketch-sized, corpus-size-independent (partial aggregation IS the sketch merge); the probe joins 60 rows against the 3072-row sketch",
     "q98_zorder_layout" -> "Morton key = 20 statically-unrolled shift/mask terms in one codegen'd projection over the scan; the tiling audit is one partial-aggregated groupBy with ≤ 256 groups; no global window — the production write is repartitionByRange(zkey)",
     "q99_merge_upsert" -> "join-based MERGE: the change batch LEFT-joins the target on the key (the only wide exchange — both sides hash-partition the same key; a bucketed target makes it exchange-free); the action decision is a map-side CASE; output is the source-sized delta, never the target",
-    "q92_ann_recall_families" -> "recall gate over the whole index shelf: LSH/IVF/PQ subplans re-run VERBATIM (no drift from what the indexes serve); brute-force truth is localCheckpoint'd once and reused by all three comparisons; every recall join and the final per-family aggregate run over ≤ k·|queries|·|families| rows — metadata at any corpus scale",
+    "q92_ann_recall_families" -> "recall gate over the whole index shelf: LSH/IVF/PQ/SQ8 subplans re-run VERBATIM (no drift from what the indexes serve); brute-force truth is localCheckpoint'd once and reused by all four comparisons; every recall join and the final per-family aggregate run over ≤ k·|queries|·|families| rows — metadata at any corpus scale",
     "q93_sql_surface" -> "the SQL-registered function surface: djb2/rolling_hash/simhash32/simhash64/shingle_hashes invoked via spark.sql — by the time Catalyst sees them they are the SAME codegen'd expressions as the Column API (one Project over the scan, zero plan overhead); the only exchange is the presentation ORDER BY",
     "q95_length_histogram" -> "per-doc token length + integer-exact log2 bucket (length(bin(n))−1 — no libm) in one map-side projection; ONE partial-aggregated shuffle on (lang, bucket) with ≤ |langs|·64 surviving groups; the per-lang share window runs over that metadata-sized grid",
     "q100_forget_users" -> "right-to-be-forgotten pruned rewrite (steps 1–2 run EAGERLY before this audit plan: the affected-bucket collect pushes the forget predicate to the scan, and the staged rewrite reads ONLY affected directories): the audited commit view below unions the untouched lake scan — PartitionFilters NOT-IN on day_bucket, directory-level pruning — with the staged replacement scan; the forbidden-row recount is a map-side CASE in the partial agg",
@@ -72,6 +72,10 @@ object PlanAudit {
     "q117_memorization_risk" -> "memorization risk: the 8-token window explode is corpus-token-sized map-side work; distinct-doc df is one partial-agg shuffle on the 8-byte hash; the score join is stream x df on the hash — each occurrence matches exactly ONE df row, so the join output is stream-sized and needs NO df-cap (not a pair join: a million-doc boilerplate hash emits one row per occurrence, never a cross product)",
     "q118_dedup_savings" -> "dedup savings: q62's kept corpus is the registered subplan reused verbatim (the staged pipeline asset); the savings join is one left join on doc_id; the rollup is a |sources|-row partial agg — the governance report rides on assets the pipeline already computes",
     "q119_embedding_sanity" -> "embedding sanity gate: norm-squared is a map-side codegen'd fold (no sqrt, libm-free); the exact-rank window is the only shuffle (fixture-scale exactness for the oracle — at 100 TB the bounds come from a sampled/sketched distribution and the gate is map-only); the output is flagged outliers only",
+    "q120_ann_sq" -> "SQ8 ANN: encode is a codegen'd map-side SqEncode projection (per-dim min/max bounds = bounded literal metadata, trained by ONE 64-group partial agg — no clustering pass); ADC scoring is a broadcast nested-loop against the 10-query 64×256 LUT table through the same GatherSum inner loop as PQ — the corpus never exchanges before the per-query top-64 window; exact re-rank joins back on vec_id",
+    "q121_semantic_decontam" -> "semantic decontam: the eval side is bounded by construction (a benchmark suite, not a corpus sample) and BROADCAST; scoring is a map-side broadcast nested-loop over the embedding scan; the per-vector max/count collapse in PARTIAL aggregation, so the only exchange carries one row per corpus vector — one pass over the embedding column at any scale",
+    "q122_snapshot_drift" -> "snapshot drift: each snapshot side is one scan + a ≤ 256·|sources|-group partial agg (the histogram IS the shuffle output — q106's bucketing shared verbatim); the joined histogram is metadata-sized and localCheckpoint'd once for its two consumers (totals, per-bucket terms); TV is exact integer cross-multiplication with ONE terminal division per source",
+    "q123_epoch_schedule" -> "epoch schedule: one token-count partial-agg shuffle on source; apportionment, the 4-epoch cap, and the shortfall are pure int64 arithmetic over |sources| rows of metadata (the windows are single-partition but |sources|-bounded by construction)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -151,6 +151,29 @@ object Retrieval {
        |  SELECT q_id, vec_id AS doc_id, rank AS vec_rank
        |  FROM (${Similarity.lshTopKOracle(K).replace("\n", "\n  ")}) ls)""".stripMargin)
 
+  // --------------------------------------------------------------- q124
+  /** Hybrid retrieval with the REGISTERED SQ8 index as the vector side —
+    * the fourth row of the fusion matrix (q94 brute, q102 IVF, q116 LSH,
+    * q124 SQ8): [[Similarity.sqTopK]] (k=20) is the exact encode + ADC +
+    * exact-re-rank subplan q120 serves and q92 recall-gates. SQ8 is the
+    * family a serving fleet actually deploys first (training-free, 4×
+    * compression, near-exact recall — q92 measures 1.0 here), so this is
+    * the hybrid configuration closest to a production RAG stack: BM25 +
+    * int8-quantized vectors under one RRF seam. The corpus never
+    * exchanges before the per-query top-64 ADC window (encode is a
+    * map-side codegen'd projection; the query LUTs broadcast). */
+  def q124HybridSq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vec = Similarity.sqTopK(s, dir, K)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+    rrfFuse(lexTopK(s, dir), vec)
+  }
+
+  val q124Oracle: String = hybridOracle(
+    s"""vec AS (
+       |  SELECT q_id, vec_id AS doc_id, rank AS vec_rank
+       |  FROM (${Similarity.sqTopKOracle(K).replace("\n", "\n  ")}) sq)""".stripMargin)
+
   /** Brute-force cosine top-K per query doc (q55's exact subplan via
     * [[Similarity.bruteTopK]]), keyed as doc_id for the fusion join. */
   private def vecTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
@@ -235,7 +258,8 @@ object Retrieval {
     * completing the gate triad (q92 grades the ANN indexes, q110 the
     * dedup candidate families, q114 the end-to-end RANKINGS): each
     * registered retriever — lexical-only BM25, q94's brute-vector hybrid,
-    * q102's IVF-indexed hybrid, q116's LSH-indexed hybrid — is graded per
+    * q102's IVF-indexed hybrid, q116's LSH-indexed hybrid, q124's
+    * SQ8-indexed hybrid — is graded per
     * query against cosine ground truth (brute top-10, the declared
     * relevance set). Reported
     * per (family, query): `n_rel5` = relevant docs in the family's top-5,
@@ -268,6 +292,8 @@ object Retrieval {
       .unionByName(grade("hybrid_ivf", q102HybridIndexed(s, dir)
         .select($"q_id", $"doc_id", $"rank")))
       .unionByName(grade("hybrid_lsh", q116HybridLsh(s, dir)
+        .select($"q_id", $"doc_id", $"rank")))
+      .unionByName(grade("hybrid_sq", q124HybridSq(s, dir)
         .select($"q_id", $"doc_id", $"rank")))
       .unionByName(grade("lexical", lex5))
       .orderBy($"family", $"q_id")
@@ -302,6 +328,9 @@ object Retrieval {
        |  SELECT 'hybrid_lsh', q_id, doc_id, rank
        |    FROM (${q116Oracle.replace("\n", "\n  ")}) f116
        |  UNION ALL
+       |  SELECT 'hybrid_sq', q_id, doc_id, rank
+       |    FROM (${q124Oracle.replace("\n", "\n  ")}) f124
+       |  UNION ALL
        |  SELECT 'lexical', q_id, doc_id, rank
        |    FROM (${hybridOracle(emptyVec).replace("\n", "\n  ")}) flex)
        |SELECT f.family, f.q_id,
@@ -319,6 +348,7 @@ object Retrieval {
     "q102_hybrid_indexed" -> q102HybridIndexed _,
     "q114_retrieval_quality" -> q114RetrievalQuality _,
     "q116_hybrid_lsh" -> q116HybridLsh _,
+    "q124_hybrid_sq" -> q124HybridSq _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,5 +356,6 @@ object Retrieval {
     "q102_hybrid_indexed" -> q102Oracle,
     "q114_retrieval_quality" -> q114Oracle,
     "q116_hybrid_lsh" -> q116Oracle,
+    "q124_hybrid_sq" -> q124Oracle,
   )
 }

@@ -694,6 +694,17 @@ object Similarity {
     * code 0 and reconstruct to the bound itself. */
   def q120AnnSq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    sqTopK(s, dir, 3)
+      .select($"q_id", $"rank", $"vec_id", $"approx_cos", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** q120's SQ8 probe-and-rank at a parameterized depth — the registered
+    * encode + ADC + exact-re-rank subplan, reused by the q124 hybrid
+    * fusion the way [[ivfTopK]]/[[lshTopK]] serve q102/q116. Columns
+    * (q_id, rank ≤ k, vec_id, approx_cos, cos); unsorted. */
+  private[graft] def sqTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.types.DoubleType
     val emb = Tables(s, dir, "embeddings")
     // --- train: per-dim corpus min/max — 64-group partial agg ---------
@@ -741,15 +752,20 @@ object Similarity {
     cand.join(emb.select($"vec_id", $"embedding"), "vec_id")
       .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= 3)
+      .filter($"rank" <= k)
       .select($"q_id", $"rank", $"vec_id", $"approx_cos", $"cos")
-      .orderBy($"q_id", $"rank")
   }
 
   // lazy: q92Oracle (declared earlier in init order) folds this into its
   // per-family union at object init — a strict val here would still be
   // null at that point
-  lazy val q120Oracle: String = {
+  lazy val q120Oracle: String =
+    s"${sqTopKOracle(3)} ORDER BY q_id, rank"
+
+  /** [[sqTopK]]'s oracle body at depth k — complete WITH…SELECT (columns
+    * q_id, rank, vec_id, approx_cos, cos; no ORDER BY), embeddable as a
+    * parenthesized derived table, mirroring [[ivfTopKOracle]]. */
+  private[ops] def sqTopKOracle(k: Int): String = {
     // bucket-midpoint reconstruction of dim d's code on a vcode row v
     def reconSql(v: String, d: String): String =
       s"(CASE WHEN $v.rgs[$d + 1] = 0 THEN $v.mns[$d + 1] " +
@@ -802,7 +818,7 @@ object Similarity {
        |  FROM cand c
        |  JOIN qn n ON n.q_id = c.q_id
        |  JOIN embeddings e ON e.vec_id = c.vec_id)
-       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
 
   // ---------------------------------------------------------------- q119

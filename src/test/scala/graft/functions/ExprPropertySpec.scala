@@ -132,6 +132,31 @@ class ExprPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SqEncodeUtil.encode: quantize-clamp against an independent reimplementation") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 50) {
+      val dims = 1 + rnd.nextInt(16)
+      val mins = Array.fill(dims)(rnd.nextDouble() * 4 - 2)
+      // mix real ranges with constant dims (range 0)
+      val ranges = Array.fill(dims)(
+        if (rnd.nextInt(4) == 0) 0.0 else rnd.nextDouble() * 3)
+      // values both inside and outside the trained bounds (clamp paths)
+      val v = Array.tabulate(dims)(d =>
+        (mins(d) + (rnd.nextDouble() * 2 - 0.5) * (ranges(d) max 0.1)).toFloat)
+      val got = SqEncodeUtil.encode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        mins, ranges, isFloat = true).toLongArray().toSeq
+      val want = (0 until dims).map { d =>
+        if (ranges(d) == 0.0) 0L
+        else {
+          val t = math.floor((v(d).toDouble - mins(d)) / ranges(d) * 255.0).toLong
+          math.max(0L, math.min(255L, t))
+        }
+      }
+      assert(got === want, s"mins=${mins.toSeq} ranges=${ranges.toSeq} v=${v.toSeq}")
+    }
+  }
+
   test("SimHash64: random token lists match an independent two-view recomputation") {
     val spark = graft.SparkSpec.spark
     import spark.implicits._

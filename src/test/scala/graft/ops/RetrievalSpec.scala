@@ -85,14 +85,14 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
-  test("q114 quality gate: 4 families x 10 queries, metric invariants, fusion lifts relevance") {
+  test("q114 quality gate: 5 families x 10 queries, metric invariants, fusion lifts relevance") {
     val s = spark
     import s.implicits._
     val rows = Retrieval.q114RetrievalQuality(s, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(rows.length === 40)
+    assert(rows.length === 50)
     assert(rows.map(_._1).distinct.sorted ===
-      Seq("hybrid_brute", "hybrid_ivf", "hybrid_lsh", "lexical"))
+      Seq("hybrid_brute", "hybrid_ivf", "hybrid_lsh", "hybrid_sq", "lexical"))
     rows.foreach { case (fam, q, nRel, firstRel) =>
       assert(nRel >= 0L && nRel <= 5L, s"$fam q$q")
       assert(firstRel >= 0L && firstRel <= 5L, s"$fam q$q")
@@ -106,6 +106,9 @@ class RetrievalSpec extends SparkSpec {
     val byFam = rows.groupBy(_._1)
     assert(byFam("hybrid_brute").forall(_._3 >= 1L))
     assert(byFam("hybrid_brute").map(_._3).sum > byFam("lexical").map(_._3).sum)
+    // SQ8's near-exact recall (q92: 1.0) must show up at the rank level
+    // too: its hybrid matches the brute hybrid's total relevance
+    assert(byFam("hybrid_sq").map(_._3).sum === byFam("hybrid_brute").map(_._3).sum)
   }
 
   test("q116 LSH hybrid: seam invariants hold and the vector side is the LSH subplan") {
@@ -127,6 +130,28 @@ class RetrievalSpec extends SparkSpec {
     rows.filter(!_.isNullAt(4)).foreach { r =>
       assert(lshSet.contains((r.getLong(0), r.getLong(2))),
         s"fused vec candidate not from lshTopK: q${r.getLong(0)} doc${r.getLong(2)}")
+    }
+  }
+
+  test("q124 SQ8 hybrid: seam invariants hold and the vector side is the SQ subplan") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q124HybridSq(s, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10)
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length === 5)
+      assert(!rs.exists(_.getLong(2) == qid), s"query $qid retrieved itself")
+      val rrfs = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    }
+    // every fused row with a vector rank came from the registered SQ8
+    // encode+ADC subplan at depth K — the index is served, not re-derived
+    val sqSet = Similarity.sqTopK(s, sf, 20)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect().toSet
+    rows.filter(!_.isNullAt(4)).foreach { r =>
+      assert(sqSet.contains((r.getLong(0), r.getLong(2))),
+        s"fused vec candidate not from sqTopK: q${r.getLong(0)} doc${r.getLong(2)}")
     }
   }
 }
