@@ -76,6 +76,9 @@ object PlanAudit {
     "q121_semantic_decontam" -> "semantic decontam: the eval side is bounded by construction (a benchmark suite, not a corpus sample) and BROADCAST; scoring is a map-side broadcast nested-loop over the embedding scan; the per-vector max/count collapse in PARTIAL aggregation, so the only exchange carries one row per corpus vector — one pass over the embedding column at any scale",
     "q122_snapshot_drift" -> "snapshot drift: each snapshot side is one scan + a ≤ 256·|sources|-group partial agg (the histogram IS the shuffle output — q106's bucketing shared verbatim); the joined histogram is metadata-sized and localCheckpoint'd once for its two consumers (totals, per-bucket terms); TV is exact integer cross-multiplication with ONE terminal division per source",
     "q123_epoch_schedule" -> "epoch schedule: one token-count partial-agg shuffle on source; apportionment, the 4-epoch cap, and the shortfall are pure int64 arithmetic over |sources| rows of metadata (the windows are single-partition but |sources|-bounded by construction)",
+    "q124_hybrid_sq" -> "SQ8 hybrid: the vector side is the REGISTERED sqTopK subplan (codegen'd SqEncode map-side over the scan, per-dim bounds as literal metadata; broadcast nested-loop ADC against the 10-query LUT table — the corpus never exchanges before the per-query top-64 window); lexical CTEs and RRF fusion shared verbatim with q94/q102/q116 — the fusion matrix now covers all four registered ANN families as one-subplan swaps",
+    "q125_cross_source_matrix" -> "cross-source dup matrix: the edge set is q67's multiSignalEdges reused verbatim (three collision-proportional equi-joins, never all-pairs); endpoint source-tagging is two 8-byte-key hash joins over the PAIR set (collision-bounded); the matrix is a partial-aggregated groupBy with ≤ |sources|² surviving groups, and the per-source doc counts join back as broadcast metadata — the only corpus-sized work is what q67 already pays",
+    "q126_containment" -> "containment classifier: spanRuns (q76's df-capped positional-index subplan) reused verbatim; two token-count joins on doc_id run over the collision-bounded pair set, never the corpus; the contained/container verdict is a map-side CASE with the q50/q62 min-id-keeper convention breaking token-identical ties",
   )
 
   def main(args: Array[String]): Unit = {

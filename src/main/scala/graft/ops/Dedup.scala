@@ -794,22 +794,34 @@ object Dedup {
     * count processes billions of edges; the overhead amortizes to zero. */
   def q67MultiSignalClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    connectedComponents(multiSignalEdges(s, dir)).orderBy($"doc_id")
+  }
+
+  /** The deduplicated three-family union edge set behind q67 (and q125's
+    * cross-source matrix): Jaccard ∪ SimHash64@r≤3 ∪ banded-cosine pairs,
+    * (doc_a, doc_b) with doc_a < doc_b. */
+  private[ops] def multiSignalEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val jac = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
     val sim = simhash64BandPairs(s, dir, radius = 3)
       .select($"doc_a", $"doc_b")
     val cos = cosineNeardupPairs(s, dir)
       .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"))
-    connectedComponents(jac.union(sim).union(cos).distinct())
-      .orderBy($"doc_id")
+    jac.union(sim).union(cos).distinct()
   }
 
-  val q67Oracle: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (${q51OracleNoOrder}) jp
+  /** The union-pairs oracle body shared by q67 and q125 — columns
+    * (doc_a, doc_b), UNION-deduplicated across the three families. */
+  private[ops] val multiSignalPairsOracle: String =
+    s"""SELECT doc_a, doc_b FROM (${q51OracleNoOrder}) jp
        |  UNION
        |  SELECT doc_a, doc_b FROM (${simhash64PairsOracle(3)}) sp
        |  UNION
-       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (${q54OracleNoOrder}) cp
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM (${q54OracleNoOrder}) cp""".stripMargin
+
+  val q67Oracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  $multiSignalPairsOracle
        |), edges AS (
        |  SELECT doc_a AS u, doc_b AS v FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -820,6 +832,67 @@ object Dedup {
        |)
        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q125
+  /** Cross-source duplication matrix — the governance view OVER q67's
+    * union edge set: for every unordered source pair, how many near-dup
+    * edges (any of the three signal families) connect a document of one to
+    * a document of the other, next to both sources' corpus sizes. The
+    * diagonal (source_a = source_b) is within-source redundancy; the
+    * off-diagonal is CROSS-source leakage — the number a mixing decision
+    * reads before double-counting two crawls of the same site, and the
+    * per-source-pair drill-down of q108's corpus-overlap scalar. Counts
+    * stay integers (no float ratios) so the matrix is hash-exact; the
+    * consumer divides n_dup_pairs by the doc counts it cares about.
+    *
+    * Plan shape: the edge set is [[multiSignalEdges]] (collision-
+    * proportional, the q67 contract); tagging each endpoint with its
+    * source is two 8-byte-key hash joins against a map-side projection of
+    * the documents scan; the matrix itself is a partial-aggregated groupBy
+    * with ≤ |sources|² surviving groups, and the per-source doc counts
+    * join is |sources|-row metadata (broadcast). At 100 TB the only
+    * corpus-sized work is what q67 already pays — the matrix rides on the
+    * edge set for the cost of two joins over pairs. */
+  def q125CrossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    val tagged = multiSignalEdges(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val nd = src.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    tagged
+      .join(broadcast(nd.select($"source".as("source_a"),
+        $"n_docs".as("n_docs_a"))), "source_a")
+      .join(broadcast(nd.select($"source".as("source_b"),
+        $"n_docs".as("n_docs_b"))), "source_b")
+      .select($"source_a", $"source_b", $"n_dup_pairs",
+        $"n_docs_a", $"n_docs_b")
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val q125Oracle: String =
+    s"""WITH pairs AS (
+       |  ${multiSignalPairsOracle.replace("\n", "\n  ")}
+       |), tagged AS (
+       |  SELECT LEAST(da.source, db.source) AS source_a,
+       |         GREATEST(da.source, db.source) AS source_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |), nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |          FROM documents GROUP BY source)
+       |SELECT t.source_a, t.source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+       |  na.n_docs AS n_docs_a, nb.n_docs AS n_docs_b
+       |FROM tagged t
+       |JOIN nd na ON na.source = t.source_a
+       |JOIN nd nb ON nb.source = t.source_b
+       |GROUP BY t.source_a, t.source_b, na.n_docs, nb.n_docs
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** q60 without its final ORDER BY, for composition (q62, q80, q81). */
   private[ops] def q60OracleNoOrder: String =
@@ -1016,6 +1089,15 @@ object Dedup {
   def q76SpanDedup(s: SparkSession, dir: String,
       maxDf: Long = HotShingleMaxDf): DataFrame = {
     import s.implicits._
+    spanRuns(s, dir, maxDf).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q76's body without the presentation sort — consumed by q76 itself and
+    * by the containment classifier (q126). Columns (doc_a, doc_b,
+    * n_matches, max_run_tokens); unsorted. */
+  private[ops] def spanRuns(s: SparkSession, dir: String,
+      maxDf: Long = HotShingleMaxDf): DataFrame = {
+    import s.implicits._
     val spans = Tables(s, dir, "documents")
       .select($"doc_id",
         posexplode(HashFns.shingleHashes(TextFns.tokens($"text"), SpanTokens))
@@ -1034,10 +1116,11 @@ object Dedup {
     runs.groupBy($"doc_a", $"doc_b")
       .agg(sum($"n_win").as("n_matches"),
         (max($"n_win") + (SpanTokens - 1)).as("max_run_tokens"))
-      .orderBy($"doc_a", $"doc_b")
   }
 
-  val q76Oracle: String =
+  /** q76's oracle without its presentation sort, embeddable as a derived
+    * table (q126). */
+  private[ops] val q76OracleNoOrder: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
        |hs AS (SELECT doc_id, list_transform(${Sql.shingles("tokens", SpanTokens)},
        |       shing -> ${Sql.djb2("shing")}) AS hl FROM tok),
@@ -1057,8 +1140,74 @@ object Dedup {
        |  GROUP BY doc_a, doc_b, diag, grp)
        |SELECT doc_a, doc_b, CAST(SUM(n_win) AS BIGINT) AS n_matches,
        |  CAST(MAX(n_win) + ${SpanTokens - 1} AS BIGINT) AS max_run_tokens
-       |FROM runs GROUP BY doc_a, doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |FROM runs GROUP BY doc_a, doc_b""".stripMargin
+
+  val q76Oracle: String = s"$q76OracleNoOrder\nORDER BY doc_a, doc_b"
+
+  // --------------------------------------------------------------- q126
+  /** Exact-substring CONTAINMENT classification — the stronger verdict
+    * hiding inside q76's run lengths: if the longest shared token run of a
+    * pair equals the shorter document's whole token count, that document's
+    * entire token sequence appears verbatim inside the other (quote
+    * inflation, mirrored pages, prepended boilerplate around a full copy).
+    * Production curation treats containment differently from overlap — the
+    * contained doc contributes zero novel tokens and is dropped outright
+    * (the RefinedWeb / Lee-et-al. exact-substring rule at the whole-doc
+    * limit), while a partial overlap merely trims a span. Output: one row
+    * per contained pair — the contained doc, its container, and both token
+    * counts; token-identical twins (equal counts, full-length run) resolve
+    * by the min-doc_id-keeper convention (the larger doc_id is the
+    * contained one), so the verdict is deterministic and agrees with
+    * q50/q62's keeper rule.
+    *
+    * Plan shape: [[spanRuns]] (the q76 subplan reused verbatim — collision-
+    * proportional candidate join, never all-pairs) joined twice against
+    * the per-doc token counts (a map-side projection of the scan) on
+    * doc_id — two 8-byte-key hash shuffles over the PAIR set, which is
+    * collision-bounded; the classifier itself is a map-side CASE.
+    *
+    * Detection contract: run length is measured over df-capped window
+    * hashes (q76's [[HotShingleMaxDf]] discipline), so a hot-window gap
+    * can UNDERCOUNT a run — containment detection is conservative (no
+    * false positives from capping, possible false negatives on docs built
+    * entirely of boilerplate windows); docs shorter than [[SpanTokens]]
+    * have no windows and are out of scope, exactly as in q76. */
+  def q126Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ntok = Tables(s, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("n_tok"))
+    spanRuns(s, dir)
+      .join(ntok.select($"doc_id".as("doc_a"), $"n_tok".as("ta")), "doc_a")
+      .join(ntok.select($"doc_id".as("doc_b"), $"n_tok".as("tb")), "doc_b")
+      .filter($"max_run_tokens" === least($"ta", $"tb"))
+      .select(
+        when($"ta" < $"tb", $"doc_a").when($"tb" < $"ta", $"doc_b")
+          .otherwise(greatest($"doc_a", $"doc_b")).as("doc_contained"),
+        when($"ta" < $"tb", $"doc_b").when($"tb" < $"ta", $"doc_a")
+          .otherwise(least($"doc_a", $"doc_b")).as("doc_container"),
+        least($"ta", $"tb").as("n_tok_contained"),
+        greatest($"ta", $"tb").as("n_tok_container"))
+      .orderBy($"doc_contained", $"doc_container")
+  }
+
+  val q126Oracle: String =
+    s"""WITH runs AS (${q76OracleNoOrder.replace("\n", "\n  ")}),
+       |ntok AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |         FROM documents)
+       |SELECT
+       |  CASE WHEN ta.n_tok < tb.n_tok THEN r.doc_a
+       |       WHEN tb.n_tok < ta.n_tok THEN r.doc_b
+       |       ELSE GREATEST(r.doc_a, r.doc_b) END AS doc_contained,
+       |  CASE WHEN ta.n_tok < tb.n_tok THEN r.doc_b
+       |       WHEN tb.n_tok < ta.n_tok THEN r.doc_a
+       |       ELSE LEAST(r.doc_a, r.doc_b) END AS doc_container,
+       |  LEAST(ta.n_tok, tb.n_tok) AS n_tok_contained,
+       |  GREATEST(ta.n_tok, tb.n_tok) AS n_tok_container
+       |FROM runs r
+       |JOIN ntok ta ON ta.doc_id = r.doc_a
+       |JOIN ntok tb ON tb.doc_id = r.doc_b
+       |WHERE r.max_run_tokens = LEAST(ta.n_tok, tb.n_tok)
+       |ORDER BY doc_contained, doc_container""".stripMargin
 
   // ---------------------------------------------------------------- q77
   /** Cosine threshold for the SemDeDup pass. The paper prunes at very high
@@ -1370,6 +1519,8 @@ object Dedup {
     "q82_segment_dedup" -> q82SegmentDedup _,
     "q91_simhash64" -> q91Simhash64 _,
     "q110_dedup_recall" -> q110DedupRecall _,
+    "q125_cross_source_matrix" -> q125CrossSourceMatrix _,
+    "q126_containment" -> q126Containment _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1389,5 +1540,7 @@ object Dedup {
     "q82_segment_dedup" -> q82Oracle,
     "q91_simhash64" -> q91Oracle,
     "q110_dedup_recall" -> q110Oracle,
+    "q125_cross_source_matrix" -> q125Oracle,
+    "q126_containment" -> q126Oracle,
   )
 }

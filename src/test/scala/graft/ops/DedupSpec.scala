@@ -362,4 +362,47 @@ class DedupSpec extends SparkSpec {
       assert(nCand >= nCaught, fam)
     }
   }
+
+  test("q126 containment: every verdict re-verified as a contiguous token run") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.q126Containment(s, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty) // the fixture corpus embeds full-copy docs
+    val toks = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    rows.foreach { case (contained, container, nIn, nOut) =>
+      assert(nIn <= nOut, s"$contained in $container")
+      if (nIn == nOut) // token-identical twins: min-id keeper is container
+        assert(contained > container, s"$contained in $container")
+      assert(toks(contained).length === nIn.toInt)
+      assert(toks(container).length === nOut.toInt)
+      // the contained doc's ENTIRE token sequence occurs verbatim inside
+      // the container — the claim the classifier makes, re-checked against
+      // raw text (no hashes, no windows)
+      assert(toks(container).sliding(nIn.toInt).contains(toks(contained)),
+        s"doc $contained not a contiguous token run of doc $container")
+    }
+  }
+
+  test("q125 cross-source matrix: edge totals and doc counts reconcile") {
+    val s = spark
+    import s.implicits._
+    val m = Dedup.q125CrossSourceMatrix(s, sf)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(m.nonEmpty)
+    // unordered-pair canonical form, no duplicate cells
+    m.foreach { case (a, b, _, _, _) => assert(a <= b) }
+    assert(m.map(r => (r._1, r._2)).distinct.size === m.size)
+    // the matrix partitions the q67 edge set: cell counts sum to |edges|
+    val nEdges = Dedup.multiSignalEdges(s, sf).count()
+    assert(m.map(_._3).sum === nEdges)
+    // per-source doc counts match the corpus
+    val nd = graft.Tables(s, sf, "documents").groupBy($"source")
+      .agg(count(lit(1))).as[(String, Long)].collect().toMap
+    m.foreach { case (a, b, _, na, nb) =>
+      assert(na === nd(a)); assert(nb === nd(b))
+    }
+  }
 }
