@@ -174,6 +174,123 @@ object Retrieval {
        |  SELECT q_id, vec_id AS doc_id, rank AS vec_rank
        |  FROM (${Similarity.sqTopKOracle(K).replace("\n", "\n  ")}) sq)""".stripMargin)
 
+  // --------------------------------------------------------------- q127
+  /** MMR-diversified re-ranking (maximal marginal relevance, Carbonell &
+    * Goldstein SIGIR'98) — the context-selection op a RAG pipeline runs
+    * AFTER retrieval: from the top-[[K]] cosine candidates, greedily pick
+    * results that are relevant to the query but NOT redundant with what
+    * was already picked, so three near-identical passages don't fill the
+    * whole context window. Three selection steps are unrolled
+    * plan-level: step 1 takes the cosine top-1; steps 2–3 take the
+    * argmax of `relevance − max_sim_to_selected` (MMR at λ = 1/2, scaled
+    * by 2 — a strictly monotone transform, so the SELECTION is exactly
+    * standard MMR; the reported `mmr` column is that scaled score).
+    * Ties break by doc_id, so the greedy chain is deterministic.
+    *
+    * Scale shape: MMR is a RE-RANK of an already-bounded candidate set —
+    * the corpus-scale work is the candidate generator ([[Similarity
+    * .bruteTopK]], the declared exact baseline; any registered ANN family
+    * slots into the same seam, as in the q94/q102/q116/q124 fusion
+    * matrix). Everything after the per-query top-K is metadata-sized:
+    * candidate embeddings join back on vec_id (≤ K·|queries| rows,
+    * lineage cut once for the three selection steps), and each step is a
+    * per-query window over ≤ K rows. The candidate-to-selected cosines
+    * are ≤ 2·K·|queries| dot products total.
+    *
+    * Float discipline: every cosine is the shared prenorm fold (q55's
+    * parity); the MMR score is ONE double subtraction of two such
+    * cosines, and `greatest` of two doubles is order-free — no float
+    * sums to reorder anywhere. */
+  def q127MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"embedding", VecFns.norm($"embedding").as("nrm"))
+    val cand = Similarity.bruteTopK(s, dir, K)
+      .join(e, "vec_id")
+      .select($"q_id", $"vec_id", $"rank", $"cos", $"embedding", $"nrm")
+      .localCheckpoint(true)
+    val s1 = cand.filter($"rank" === 1L)
+      .select($"q_id", $"vec_id".as("v1"), $"cos".as("cos1"),
+        $"embedding".as("e1"), $"nrm".as("n1"))
+    val m2 = cand.join(s1, "q_id").filter($"vec_id" =!= $"v1")
+      .withColumn("sim1",
+        VecFns.cosinePrenorm(VecFns.dot($"embedding", $"e1"), $"nrm", $"n1"))
+    def pick(df: DataFrame, score: Column): DataFrame =
+      df.withColumn("rr", row_number().over(
+          Window.partitionBy($"q_id").orderBy(score.desc, $"vec_id")))
+        .filter($"rr" === 1)
+    val s2 = pick(m2, $"cos" - $"sim1")
+      .select($"q_id", $"vec_id".as("v2"), $"cos".as("cos2"),
+        $"sim1".as("sim21"), $"embedding".as("e2"), $"nrm".as("n2"))
+    val m3 = cand.join(s1, "q_id").join(s2, "q_id")
+      .filter($"vec_id" =!= $"v1" && $"vec_id" =!= $"v2")
+      .withColumn("sim1",
+        VecFns.cosinePrenorm(VecFns.dot($"embedding", $"e1"), $"nrm", $"n1"))
+      .withColumn("sim2",
+        VecFns.cosinePrenorm(VecFns.dot($"embedding", $"e2"), $"nrm", $"n2"))
+      .withColumn("max_sim", greatest($"sim1", $"sim2"))
+    val s3 = pick(m3, $"cos" - $"max_sim")
+    s1.select($"q_id", lit(1L).as("sel_rank"), $"v1".as("doc_id"),
+        $"cos1".as("relevance"), lit(0.0).as("max_sim"),
+        ($"cos1" - lit(0.0)).as("mmr"))
+      .unionByName(s2.select($"q_id", lit(2L).as("sel_rank"),
+        $"v2".as("doc_id"), $"cos2".as("relevance"), $"sim21".as("max_sim"),
+        ($"cos2" - $"sim21").as("mmr")))
+      .unionByName(s3.select($"q_id", lit(3L).as("sel_rank"),
+        $"vec_id".as("doc_id"), $"cos".as("relevance"), $"max_sim",
+        ($"cos" - $"max_sim").as("mmr")))
+      .orderBy($"q_id", $"sel_rank")
+  }
+
+  /** The oracle unrolls the same three greedy steps: each selection is a
+    * per-query row_number over (score DESC, vec_id), each cosine the
+    * shared fold — the greedy chain is bit-deterministic in both engines. */
+  val q127Oracle: String = {
+    val cosQ = Sql.cosine("q.embedding", "v.embedding")
+    s"""WITH sims AS (
+       |  SELECT q.vec_id AS q_id, v.vec_id AS vec_id, $cosQ AS cos
+       |  FROM embeddings q, embeddings v
+       |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id),
+       |cand0 AS (
+       |  SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS r
+       |  FROM sims QUALIFY r <= $K),
+       |cand AS (
+       |  SELECT c.q_id, c.vec_id, c.cos, c.r, e.embedding
+       |  FROM cand0 c JOIN embeddings e ON e.vec_id = c.vec_id),
+       |s1 AS (SELECT * FROM cand WHERE r = 1),
+       |m2 AS (
+       |  SELECT c.q_id, c.vec_id, c.cos, c.embedding,
+       |    ${Sql.cosine("c.embedding", "s.embedding")} AS sim1
+       |  FROM cand c JOIN s1 s ON s.q_id = c.q_id AND c.vec_id <> s.vec_id),
+       |s2 AS (
+       |  SELECT * FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (cos - sim1) DESC, vec_id) AS rr FROM m2 m)
+       |  WHERE rr = 1),
+       |m3 AS (
+       |  SELECT c.q_id, c.vec_id, c.cos,
+       |    GREATEST(${Sql.cosine("c.embedding", "a.embedding")},
+       |             ${Sql.cosine("c.embedding", "b.embedding")}) AS max_sim
+       |  FROM cand c
+       |  JOIN s1 a ON a.q_id = c.q_id
+       |  JOIN s2 b ON b.q_id = c.q_id
+       |  WHERE c.vec_id <> a.vec_id AND c.vec_id <> b.vec_id),
+       |s3 AS (
+       |  SELECT * FROM (
+       |    SELECT m.*, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY (cos - max_sim) DESC, vec_id) AS rr FROM m3 m)
+       |  WHERE rr = 1)
+       |SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, vec_id AS doc_id,
+       |  cos AS relevance, CAST(0 AS DOUBLE) AS max_sim,
+       |  cos - CAST(0 AS DOUBLE) AS mmr FROM s1
+       |UNION ALL SELECT q_id, CAST(2 AS BIGINT), vec_id, cos, sim1,
+       |  cos - sim1 FROM s2
+       |UNION ALL SELECT q_id, CAST(3 AS BIGINT), vec_id, cos, max_sim,
+       |  cos - max_sim FROM s3
+       |ORDER BY q_id, sel_rank""".stripMargin
+  }
+
   /** Brute-force cosine top-K per query doc (q55's exact subplan via
     * [[Similarity.bruteTopK]]), keyed as doc_id for the fusion join. */
   private def vecTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
@@ -349,6 +466,7 @@ object Retrieval {
     "q114_retrieval_quality" -> q114RetrievalQuality _,
     "q116_hybrid_lsh" -> q116HybridLsh _,
     "q124_hybrid_sq" -> q124HybridSq _,
+    "q127_mmr_rerank" -> q127MmrRerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,5 +475,6 @@ object Retrieval {
     "q114_retrieval_quality" -> q114Oracle,
     "q116_hybrid_lsh" -> q116Oracle,
     "q124_hybrid_sq" -> q124Oracle,
+    "q127_mmr_rerank" -> q127Oracle,
   )
 }

@@ -154,4 +154,65 @@ class RetrievalSpec extends SparkSpec {
         s"fused vec candidate not from sqTopK: q${r.getLong(0)} doc${r.getLong(2)}")
     }
   }
+
+  test("q127 MMR: greedy chain matches an independent Scala recompute") {
+    val s = spark
+    import s.implicits._
+    val got = Retrieval.q127MmrRerank(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // independent recompute with the same fold discipline (left fold,
+    // 0.0 seed — VecFns.dot's contract), plain Scala collections
+    val embs = graft.Tables(s, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toMap
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    for (q <- 0L until 10L) {
+      val cand = embs.keys.filter(_ != q).toSeq
+        .map(v => v -> cos(embs(q), embs(v)))
+        .sortBy { case (v, c) => (-c, v) }.take(20)
+      var selected = List.empty[Long]
+      for (step <- 1 to 3) {
+        val pick = cand.filter { case (v, _) => !selected.contains(v) }
+          .map { case (v, rel) =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.map(sv => cos(embs(v), embs(sv))).max
+            (v, rel - maxSim)
+          }
+          .minBy { case (v, sc) => (-sc, v) }._1
+        assert(got((q, step.toLong)) === pick, s"q$q step $step")
+        selected ::= pick
+      }
+    }
+  }
+
+  test("q127 MMR: a near-duplicate of the top pick is passed over for diversity") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-mmr-").toString
+    Seq((0L, "q"), (10L, "a"), (11L, "a dup"), (12L, "b"), (13L, "c"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, vec(1, 0, 0, 0), 0), // the query
+      (10L, vec(0.99, 0.01, 0, 0), 0), // most relevant
+      (11L, vec(0.99, 0.011, 0, 0), 0), // its near-twin: 2nd by relevance
+      (12L, vec(0.6, -0.8, 0, 0), 0), // diverse, still relevant
+      (13L, vec(0, 0, 1, 0), 0), // irrelevant, orthogonal to everything
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$root/embeddings.parquet")
+    val sel = Retrieval.q127MmrRerank(s, root)
+      .filter($"q_id" === 0L).orderBy($"sel_rank")
+      .select($"doc_id").as[Long].collect().toSeq
+    // relevance order is 10, 11, 12, 13 — but the twin (11) scores
+    // rel − maxsim ≈ 0 − 1 at every step after 10 is taken, so MMR
+    // passes over it for the diverse doc 12, then the novel doc 13:
+    // the twin never enters the selected context at all
+    assert(sel === Seq(10L, 12L, 13L), s"got $sel")
+  }
 }
