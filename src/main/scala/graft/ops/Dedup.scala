@@ -1502,7 +1502,58 @@ object Dedup {
        |FROM famdim d LEFT JOIN stats s USING (family) CROSS JOIN nt
        |ORDER BY family""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** Shingle document-frequency audit — the df-cap discipline made an
+    * auditable artifact: the top-32 shingle hashes by document frequency,
+    * each flagged `dropped` iff its df exceeds [[HotShingleMaxDf]] (the
+    * exact rule [[dfCapped]] applies inside every candidate generator:
+    * q51/q52/q72/q76/q110 and the S8 stream), next to corpus-wide totals
+    * (distinct shingles, total occurrences, hot count, occurrences the
+    * cap removes). This is the boilerplate list a corpus review reads:
+    * what the near-dup stack refuses to join on, and how close the
+    * next-hottest shingles are to the cap — the recall-vs-cost knob's
+    * operating point as a gateable table.
+    *
+    * Scale shape: the df pass is ONE partial-aggregated groupBy on the
+    * 8-byte hash (the same map-side-combined COUNT [[dfCapped]] runs —
+    * never a posting list); top-32 by (df DESC, h) plans
+    * TakeOrderedAndProject, so map tasks forward 32 rows; the totals are
+    * a 1-row aggregate broadcast back. Nothing here adds to what the
+    * dedup stack already pays — the audit IS its df pass, kept. */
+  def q129ShingleDfAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dfs = sharedShingleDocs(s, dir)
+      .select($"doc_id", explode($"hs").as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+    val tot = dfs.agg(count(lit(1)).as("n_shingles"),
+      sum($"df").as("n_occurrences"),
+      sum(when($"df" > HotShingleMaxDf, 1L).otherwise(0L)).as("n_hot"),
+      sum(when($"df" > HotShingleMaxDf, $"df").otherwise(0L))
+        .as("hot_occurrences"))
+    dfs.orderBy($"df".desc, $"h").limit(32)
+      .crossJoin(broadcast(tot))
+      .select($"h", $"df", ($"df" > HotShingleMaxDf).as("dropped"),
+        $"n_shingles", $"n_occurrences", $"n_hot", $"hot_occurrences")
+      .orderBy($"df".desc, $"h")
+  }
+
+  val q129Oracle: String =
+    s"""$shCte,
+       |dfs AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh0 GROUP BY h),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |        CAST(SUM(df) AS BIGINT) AS n_occurrences,
+       |        CAST(COUNT(*) FILTER (WHERE df > $HotShingleMaxDf) AS BIGINT) AS n_hot,
+       |        CAST(COALESCE(SUM(df) FILTER (WHERE df > $HotShingleMaxDf), 0) AS BIGINT)
+       |          AS hot_occurrences
+       |        FROM dfs),
+       |top AS (SELECT h, df FROM dfs ORDER BY df DESC, h LIMIT 32)
+       |SELECT h, df, df > $HotShingleMaxDf AS dropped,
+       |  n_shingles, n_occurrences, n_hot, hot_occurrences
+       |FROM top CROSS JOIN tot
+       |ORDER BY df DESC, h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_shingle_df_audit" -> q129ShingleDfAudit _,
     "q50_dedup_exact" -> q50DedupExact _,
     "q51_ngram_jaccard" -> ((s: SparkSession, d: String) => q51NgramJaccard(s, d)),
     "q52_minhash_lsh" -> ((s: SparkSession, d: String) => q52MinhashLsh(s, d)),
@@ -1524,6 +1575,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q129_shingle_df_audit" -> q129Oracle,
     "q50_dedup_exact" -> q50Oracle,
     "q51_ngram_jaccard" -> q51Oracle,
     "q52_minhash_lsh" -> q52Oracle,

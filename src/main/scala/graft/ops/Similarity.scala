@@ -872,7 +872,49 @@ object Similarity {
        |WHERE norm2 = 0.0 OR rk * 100 <= n OR rk * 100 > n * 99
        |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** IVF cell-balance audit — the index-GOVERNANCE view next to q92's
+    * recall gate: per-cell vector counts for the registered assignment
+    * ([[ivfAssigned]], the exact subplan q59/q102/q104 probe), with the
+    * corpus-wide totals and a `hot` flag for cells holding more than 2×
+    * their fair share. A skewed cell is the IVF failure mode q92 cannot
+    * see: recall stays fine while every probe that lands in the hot cell
+    * pays its occupancy in exact-cosine work — the p99-latency number a
+    * serving review reads before choosing nlist. Flag arithmetic is pure
+    * int64 (`n_vecs·n_cells > 2·n_total`); the one double is the terminal
+    * `share` division.
+    *
+    * Scale shape: the count is a partial-aggregated groupBy(cell) — at
+    * most nlist groups survive per map task, so the shuffle is
+    * index-metadata-sized at any corpus scale; the totals row is
+    * broadcast back onto the ≤ nlist-row count table. */
+  def q128IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = ivfAssigned(s, dir)
+      .groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(count(lit(1)).as("n_cells"),
+      sum($"n_vecs").as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .select($"cell", $"n_vecs", $"n_cells", $"n_total",
+        ($"n_vecs" * $"n_cells" > lit(2L) * $"n_total").as("hot"),
+        ($"n_vecs".cast("double") / $"n_total".cast("double")).as("share"))
+      .orderBy($"cell")
+  }
+
+  val q128Oracle: String =
+    s"""WITH $ivfAssignCte,
+       |counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+       |           FROM assigned GROUP BY cell),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |        CAST(SUM(n_vecs) AS BIGINT) AS n_total FROM counts)
+       |SELECT cell, n_vecs, n_cells, n_total,
+       |  (n_vecs * n_cells > 2 * n_total) AS hot,
+       |  CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+       |FROM counts CROSS JOIN tot
+       |ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_ivf_balance" -> q128IvfBalance _,
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
     "q59_ann_ivf" -> q59AnnIvf _,
@@ -886,6 +928,7 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_ivf_balance" -> q128Oracle,
     "q55_ann_brute" -> q55Oracle,
     "q56_ann_lsh" -> q56Oracle,
     "q59_ann_ivf" -> q59Oracle,

@@ -386,6 +386,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q129 shingle df audit: top list and totals match an independent recompute") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.q129ShingleDfAudit(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length === 32)
+    // independent recompute of every df from raw text (same shingling rule)
+    val dfs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("toks"))
+      .select($"doc_id",
+        explode(array_distinct(graft.functions.HashFns.shingleHashes($"toks", 3))).as("h"))
+      .groupBy($"h").agg(count(lit(1)).as("df"))
+      .as[(Long, Long)].collect()
+    val byH = dfs.toMap
+    val expTop = dfs.sortBy { case (h, d) => (-d, h) }.take(32).toSeq
+    assert(rows.map(r => (r._1, r._2)).toSeq === expTop)
+    val expHot = dfs.filter(_._2 > Dedup.HotShingleMaxDf)
+    rows.foreach { case (h, df, dropped, nSh, nOcc, nHot, hotOcc) =>
+      assert(df === byH(h))
+      assert(dropped === (df > Dedup.HotShingleMaxDf))
+      assert(nSh === dfs.length.toLong)
+      assert(nOcc === dfs.map(_._2).sum)
+      assert(nHot === expHot.length.toLong)
+      assert(hotOcc === expHot.map(_._2).sum)
+    }
+  }
+
   test("q125 cross-source matrix: edge totals and doc counts reconcile") {
     val s = spark
     import s.implicits._

@@ -248,4 +248,29 @@ class SimilaritySpec extends SparkSpec {
     val again = Similarity.q120AnnSq(s, sf).collect()
     assert(sq.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q128 cell balance: reconciles with the registered assignment, flag is exact") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.q128IvfBalance(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val nCorpus = graft.Tables(s, sf, "embeddings").count()
+    // the audit partitions the corpus: per-cell counts sum to |embeddings|
+    assert(rows.map(_._2).sum === nCorpus)
+    val nCells = rows.length.toLong
+    rows.foreach { case (cell, nVecs, nc, nTot, hot, share) =>
+      assert(nc === nCells)
+      assert(nTot === nCorpus)
+      // the hot flag is exactly the int64 rule, and share the one division
+      assert(hot === (nVecs * nc > 2 * nTot), s"cell $cell")
+      assert(share === nVecs.toDouble / nTot.toDouble, s"cell $cell")
+    }
+    // per-cell counts match an independent groupBy over ivfAssigned
+    val counts = rows.map(r => r._1 -> r._2).toMap
+    val recount = Similarity.ivfAssigned(s, sf)
+      .groupBy($"cell").count().as[(Long, Long)].collect().toMap
+    assert(counts === recount)
+  }
 }
