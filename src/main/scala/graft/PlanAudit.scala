@@ -79,6 +79,11 @@ object PlanAudit {
     "q124_hybrid_sq" -> "SQ8 hybrid: the vector side is the REGISTERED sqTopK subplan (codegen'd SqEncode map-side over the scan, per-dim bounds as literal metadata; broadcast nested-loop ADC against the 10-query LUT table — the corpus never exchanges before the per-query top-64 window); lexical CTEs and RRF fusion shared verbatim with q94/q102/q116 — the fusion matrix now covers all four registered ANN families as one-subplan swaps",
     "q125_cross_source_matrix" -> "cross-source dup matrix: the edge set is q67's multiSignalEdges reused verbatim (three collision-proportional equi-joins, never all-pairs); endpoint source-tagging is two 8-byte-key hash joins over the PAIR set (collision-bounded); the matrix is a partial-aggregated groupBy with ≤ |sources|² surviving groups, and the per-source doc counts join back as broadcast metadata — the only corpus-sized work is what q67 already pays",
     "q126_containment" -> "containment classifier: spanRuns (q76's df-capped positional-index subplan) reused verbatim; two token-count joins on doc_id run over the collision-bounded pair set, never the corpus; the contained/container verdict is a map-side CASE with the q50/q62 min-id-keeper convention breaking token-identical ties",
+    "q127_mmr_rerank" -> "MMR re-rank: the corpus-scale work is the registered brute top-K candidate subplan; candidate embeddings join back on vec_id and the ≤ K·|queries|-row set is localCheckpoint'd once for the three greedy steps — each step a per-query window over ≤ K rows; every MMR score is ONE double subtraction of two shared-fold cosines (no float sums to reorder)",
+    "q128_ivf_balance" -> "IVF cell balance: per-cell counts are a partial-aggregated groupBy(cell) over the map-side NearestCells assignment — at most nlist groups survive per map task, so the shuffle is index-metadata-sized; the totals row broadcasts back onto the nlist-row count table; the hot flag is pure int64 cross-multiplication",
+    "q129_shingle_df_audit" -> "shingle df audit: ONE partial-aggregated groupBy on the 8-byte shingle hash (the same map-side-combined df pass dfCapped runs — never a posting list); top-32 by (df DESC, h) plans TakeOrderedAndProject so map tasks forward 32 rows; totals are a 1-row broadcast",
+    "q130_suffix_rank" -> "prefix-doubling suffix ranks: the ENTIRE log2(maxlen)-round loop is ONE hash exchange on doc_id followed by in-partition sorts (measured: 2 Exchanges total incl. the presentation ORDER BY); lead(r, 2^k) reads the partner rank from the same sorted run, so no self-join ever materializes; the doubling depth is one collected int of metadata",
+    "q131_suffix_stats" -> "suffix LCP stats: the rank table is localCheckpoint'd once for the rank-adjacency self-join; LCP is a map-side zip_with first-mismatch expression over the adjacent-pair rows (O(lcp) per pair, doc length bounded by the chunking discipline); per-doc stats collapse in one groupBy(doc_id); every output is integer-exact — shiftright halving, no float division anywhere",
   )
 
   def main(args: Array[String]): Unit = {

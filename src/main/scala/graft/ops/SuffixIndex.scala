@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+
+/** Distributed suffix indexing — the machinery behind exact-substring
+  * dedup at corpus scale (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better", builds a suffix array over the whole
+  * training corpus to find long verbatim repeats). q76/q126 approximate
+  * that analysis with hashed fixed-width windows; this family computes the
+  * real thing: the token-level suffix RANK of every position (q130), and
+  * the LCP-derived per-document repetition statistics a suffix array
+  * exists to answer (q131) — longest repeated substring and the distinct
+  * substring count.
+  *
+  * Algorithm: prefix doubling (Manber–Myers 1990), re-expressed in
+  * windowed Spark SQL. Round 0 ranks each position by its own token
+  * (`dense_rank` over the doc partition); round k re-ranks by the pair
+  * (rank[pos], rank[pos + 2^k]), with the out-of-range partner ranked 0 so
+  * shorter suffixes sort first — after ceil(log2 maxlen) rounds the ranks
+  * are the suffix array order. Every comparison is over two ints, never
+  * over suffix strings: the O(n² · len) naive sort becomes O(n log n) per
+  * round with O(log maxlen) rounds, which is what makes a corpus-global
+  * suffix array tractable at all.
+  *
+  * Scale shape: every window partitions by doc_id, so the whole doubling
+  * loop is ONE exchange on doc_id followed by log(maxlen) in-partition
+  * sorts — a document's token stream is always co-located (documents are
+  * bounded by the ingest/chunking discipline, q109). `lead(r, 2^k)` reads
+  * the partner rank from the SAME sorted run — no self-join materializes.
+  * The CORPUS-GLOBAL variant (cross-document repeats, the full Lee et al.
+  * shape) is the identical loop with the doc partition dropped: each round
+  * becomes a range-partitioned global sort (the terasort shape), still
+  * log(maxlen) rounds — the per-doc form here demonstrates the algorithm
+  * with the cheaper partitioning, and q76/q126 cover the cross-document
+  * question with hashed windows.
+  *
+  * The doubling depth comes from one `max(n_tokens)` aggregate collected
+  * as bounded metadata (a single int — at production scale this is a
+  * catalog statistic, like the centroid/codebook collects the ANN family
+  * justifies in-source).
+  */
+object SuffixIndex {
+
+  /** (doc_id, toks) for every document — the shared scan projection. */
+  private def tokDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", TextFns.tokens($"text").as("toks"))
+  }
+
+  /** The prefix-doubling core: (doc_id, pos, srank) for every 1-based
+    * token position, where srank is the rank of suffix toks[pos..] in the
+    * doc's suffix order (1 = lexicographically smallest). */
+  private def suffixRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = tokDocs(s, dir)
+    // the doubling depth: one int of metadata (see object scaladoc)
+    val maxLen = docs.agg(max(size($"toks"))).head.getInt(0).max(1)
+    val wPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    var cur = docs
+      .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).as("pos"), $"tok")
+      .withColumn("r",
+        dense_rank().over(Window.partitionBy($"doc_id").orderBy($"tok")))
+      .select($"doc_id", $"pos", $"r")
+    var span = 1
+    while (span < maxLen) {
+      cur = cur
+        .withColumn("r2", coalesce(lead($"r", span).over(wPos), lit(0)))
+        .withColumn("r", dense_rank().over(
+          Window.partitionBy($"doc_id").orderBy($"r", $"r2")))
+        .select($"doc_id", $"pos", $"r")
+      span *= 2
+    }
+    cur.select($"doc_id", $"pos".cast("long").as("pos"),
+      $"r".cast("long").as("srank"))
+  }
+
+  // --------------------------------------------------------------- q130
+  /** The per-document suffix rank table itself — the index artifact. The
+    * oracle sorts the materialized suffix STRINGS (tokens joined by a
+    * separator that collates below every token character), so the
+    * hash-match proves the integer doubling loop reproduces true
+    * lexicographic suffix order position by position. */
+  def q130SuffixRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    suffixRanks(s, dir).orderBy($"doc_id", $"pos")
+  }
+
+  val q130Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS pos
+      |  FROM tok)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY array_to_string(tokens[pos:], ' '), pos) AS BIGINT) AS srank
+      |FROM pos
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // --------------------------------------------------------------- q131
+  /** LCP-derived repetition statistics — what a suffix array is FOR: per
+    * document, the longest repeated token substring (`lrs_tokens` = max
+    * LCP of rank-adjacent suffixes) and the exact distinct-substring count
+    * (`n_distinct_substrings` = n(n+1)/2 − Σ LCP) — the precise form of
+    * the repetitiveness signal q63 measures as a fixed-width 3-gram ratio.
+    * A doc whose lrs approaches its length is template spam; the distinct
+    * count over n(n+1)/2 is exact intra-doc novelty. All integer-exact —
+    * no floats anywhere.
+    *
+    * LCP of rank-adjacent suffixes is computed by direct token comparison
+    * (`zip_with` + first mismatch) — O(lcp) per adjacent pair rather than
+    * Kasai's sequential O(n) total, in exchange for staying a declarative
+    * map-side expression over the pair rows; documents are bounded by the
+    * ingest/chunking discipline, so the per-doc worst case is bounded.
+    * The self-join on (doc_id, srank → srank+1) runs over the
+    * localCheckpoint'd rank table (token-stream-sized, two consumers). */
+  def q131SuffixStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranks = suffixRanks(s, dir).localCheckpoint(true)
+    val docs = tokDocs(s, dir)
+    val adj = ranks.as("a").join(ranks.as("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.srank" + 1L === $"b.srank")
+      .select($"a.doc_id".as("doc_id"), $"a.pos".as("pa"), $"b.pos".as("pb"))
+    val n = size($"toks")
+    val eqRun = zip_with(
+      slice($"toks", $"pa".cast("int"), n),
+      slice($"toks", $"pb".cast("int"), n),
+      (x, y) => coalesce(x === y, lit(false)))
+    // two different suffixes always mismatch within the zipped span (the
+    // shorter one's padding compares false), so the position is never 0
+    val lcps = adj.join(docs, "doc_id")
+      .select($"doc_id", (array_position(eqRun, false) - 1L).as("lcp"))
+      .groupBy($"doc_id")
+      .agg(max($"lcp").as("max_lcp"), sum($"lcp").as("sum_lcp"))
+    docs.select($"doc_id", n.cast("long").as("n_tokens"))
+      .join(lcps, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"max_lcp", lit(0L)).as("lrs_tokens"),
+        // n(n+1) is even, so the shift IS n(n+1)/2 exactly — Spark's `/`
+        // on longs is true division (double), which would break the
+        // integer-exact contract
+        (shiftright($"n_tokens" * ($"n_tokens" + 1L), 1) -
+          coalesce($"sum_lcp", lit(0L))).as("n_distinct_substrings"))
+      .orderBy($"doc_id")
+  }
+
+  val q131Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS pos
+      |  FROM tok),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY array_to_string(tokens[pos:], ' '), pos) AS srank
+      |  FROM pos),
+      |adj AS (
+      |  SELECT a.doc_id, a.pos AS pa, b.pos AS pb
+      |  FROM ranked a JOIN ranked b
+      |    ON b.doc_id = a.doc_id AND b.srank = a.srank + 1),
+      |lcps AS (
+      |  SELECT adj.doc_id,
+      |    COALESCE(
+      |      NULLIF(list_position(list_transform(
+      |        range(1, least(len(t.tokens) - pa, len(t.tokens) - pb) + 2),
+      |        lx -> t.tokens[pa + lx - 1] = t.tokens[pb + lx - 1]), false), 0) - 1,
+      |      least(len(t.tokens) - pa, len(t.tokens) - pb) + 1) AS lcp
+      |  FROM adj JOIN tok t ON t.doc_id = adj.doc_id),
+      |agg AS (
+      |  SELECT doc_id, MAX(lcp) AS max_lcp, SUM(lcp) AS sum_lcp
+      |  FROM lcps GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COALESCE(a.max_lcp, 0) AS BIGINT) AS lrs_tokens,
+      |  CAST(len(t.tokens) * (len(t.tokens) + 1) // 2
+      |    - COALESCE(a.sum_lcp, 0) AS BIGINT) AS n_distinct_substrings
+      |FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_suffix_rank" -> q130SuffixRank _,
+    "q131_suffix_stats" -> q131SuffixStats _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q130_suffix_rank" -> q130Oracle,
+    "q131_suffix_stats" -> q131Oracle,
+  )
+}

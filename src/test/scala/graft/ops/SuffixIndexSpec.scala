@@ -1,0 +1,95 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Suffix-index semantics: the prefix-doubling rank table must reproduce
+  * true lexicographic suffix order, and the LCP-derived stats must equal a
+  * brute-force enumeration of every substring — checked on hand-worked and
+  * randomized corpora, plus shape invariants on the driver fixture.
+  */
+class SuffixIndexSpec extends SparkSpec {
+
+  private def writeDocs(docs: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-sfx-").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("spec"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    root
+  }
+
+  test("q130: ranks are the true suffix order (hand fixture + permutation invariant)") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq(1L -> "a b a b a", 2L -> "x", 3L -> "b b b"))
+    val got = SuffixIndex.q130SuffixRank(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 1 suffixes sorted: a(5) < a b a(3) < a b a b a(1) < b a(4) < b a b a(2)
+    assert(got((1L, 5L)) === 1L)
+    assert(got((1L, 3L)) === 2L)
+    assert(got((1L, 1L)) === 3L)
+    assert(got((1L, 4L)) === 4L)
+    assert(got((1L, 2L)) === 5L)
+    assert(got((2L, 1L)) === 1L)
+    // doc 3 (all tokens equal): shortest suffix sorts first
+    assert(got((3L, 3L)) === 1L && got((3L, 2L)) === 2L && got((3L, 1L)) === 3L)
+    // driver fixture: per doc, sranks are a permutation of 1..n_tokens
+    val byDoc = SuffixIndex.q130SuffixRank(s, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (d, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted.toSeq
+      assert(ranks === (1L to rows.length.toLong), s"doc $d")
+    }
+  }
+
+  test("q131: stats equal brute-force substring enumeration on random docs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "b", "c")
+    val docs = (1L to 25L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+    }
+    val dir = writeDocs(docs)
+    val got = SuffixIndex.q131SuffixStats(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1).toSeq
+      val subs = (for {
+        i <- toks.indices; j <- i + 1 to toks.length
+      } yield toks.slice(i, j)).toSet
+      // brute LRS: longest substring occurring at two distinct positions
+      val lrs = (for {
+        len <- 1 until toks.length
+        starts = toks.sliding(len).toSeq
+        if starts.distinct.size < starts.size
+      } yield len).maxOption.getOrElse(0)
+      val (n, gotLrs, gotDistinct) = got(id)
+      assert(n === toks.length.toLong, s"doc $id")
+      assert(gotLrs === lrs.toLong, s"doc $id lrs")
+      assert(gotDistinct === subs.size.toLong, s"doc $id distinct")
+    }
+  }
+
+  test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
+    val s = spark
+    import s.implicits._
+    val rows = SuffixIndex.q131SuffixStats(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, n, lrs, distinct) =>
+      assert(lrs >= 0 && lrs < n, s"doc $d")
+      assert(distinct >= n && distinct <= n * (n + 1) / 2, s"doc $d")
+      // a doc with no repeated token has maximal distinct count and lrs 0
+      assert((distinct == n * (n + 1) / 2) === (lrs == 0L), s"doc $d")
+    }
+  }
+}
