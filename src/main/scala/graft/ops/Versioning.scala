@@ -187,11 +187,21 @@ object Versioning {
       .select($"source",
         when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
           .otherwise($"text").as("text"))
-    val h1 = TextAnalysis.lengthHistogramBy(v1, "source")
-      .withColumnRenamed("c", "c1")
-    val h2 = TextAnalysis.lengthHistogramBy(v2, "source")
-      .withColumnRenamed("c", "c2")
-    val j = h1.join(h2, Seq("source", "bucket"), "full_outer")
+    tvBySource(TextAnalysis.lengthHistogramBy(v1, "source"),
+      TextAnalysis.lengthHistogramBy(v2, "source"))
+  }
+
+  /** The TV computation itself, over two per-source histograms (columns:
+    * source, bucket, c) — q122's integer-exact rule factored out so the
+    * S16 streaming drift probe and the batch snapshot drift share ONE
+    * code path (the S12/q106 discipline): the gate a stream maintains
+    * cannot disagree with the gate a snapshot job computes. */
+  private[graft] def tvBySource(h1: DataFrame, h2: DataFrame): DataFrame = {
+    val s = h1.sparkSession
+    import s.implicits._
+    val j = h1.withColumnRenamed("c", "c1")
+      .join(h2.withColumnRenamed("c", "c2"),
+        Seq("source", "bucket"), "full_outer")
       .select($"source", $"bucket",
         coalesce($"c1", lit(0L)).as("c1"), coalesce($"c2", lit(0L)).as("c2"))
       .localCheckpoint(true) // ≤ 256·|sources| rows, two consumers
