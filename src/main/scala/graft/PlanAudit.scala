@@ -84,6 +84,8 @@ object PlanAudit {
     "q129_shingle_df_audit" -> "shingle df audit: ONE partial-aggregated groupBy on the 8-byte shingle hash (the same map-side-combined df pass dfCapped runs — never a posting list); top-32 by (df DESC, h) plans TakeOrderedAndProject so map tasks forward 32 rows; totals are a 1-row broadcast",
     "q130_suffix_rank" -> "prefix-doubling suffix ranks: the ENTIRE log2(maxlen)-round loop is ONE hash exchange on doc_id followed by in-partition sorts (measured: 2 Exchanges total incl. the presentation ORDER BY); lead(r, 2^k) reads the partner rank from the same sorted run, so no self-join ever materializes; the doubling depth is one collected int of metadata",
     "q131_suffix_stats" -> "suffix LCP stats: the rank table is localCheckpoint'd once for the rank-adjacency self-join; LCP is a map-side zip_with first-mismatch expression over the adjacent-pair rows (O(lcp) per pair, doc length bounded by the chunking discipline); per-doc stats collapse in one groupBy(doc_id); every output is integer-exact — shiftright halving, no float division anywhere",
+    "q132_global_suffix_rank" -> "corpus-global suffix ranks: each doubling round re-ranks by a range-partitioned global sort of the DISTINCT (r, r') key table + zipWithIndex (Spark's own per-partition-counts-and-offsets pattern — one tiny count job, NEVER a single-partition window) + a hash join back; rounds are localCheckpoint'd so round k never recomputes rounds 1..k-1 — log2(maxlen) terasort-shaped rounds, the honest distributed global-rank shape",
+    "q133_corpus_repeats" -> "corpus repeats: the rank table is the q132 subplan checkpointed once; the group table is ONE partial agg on grank (witnesses as int64-encoded min/max — no struct aggregation semantics to cross-check); adjacency is an equi-join on grank+1; the LCP compare is map-side over group rows; top-20 plans TakeOrderedAndProject",
   )
 
   def main(args: Array[String]): Unit = {

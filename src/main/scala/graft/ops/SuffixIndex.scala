@@ -184,13 +184,212 @@ object SuffixIndex {
       |FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q132
+  /** Global dense rank of the distinct `keys` of `df`, joined back as
+    * column `out` — the distributed total-rank primitive the corpus-global
+    * doubling loop needs. Built two-phase: range-sort the DISTINCT key
+    * table, then `zipWithIndex` (Spark's own per-partition-counts +
+    * offsets pattern — one tiny count job, never a single-partition
+    * window), then a hash join back on the keys. Equal keys share a rank
+    * because the rank table is distinct-keyed. */
+  private def withGlobalDenseRank(df: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val s = df.sparkSession
+    val sorted = df.select(keys.map(col): _*).distinct()
+      .orderBy(keys.map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val ranked = s.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    df.join(ranked, keys)
+  }
+
+  /** Corpus-GLOBAL prefix doubling: (doc_id, pos, grank) where grank is
+    * the dense rank of suffix (doc_id, pos) in the suffix order of the
+    * WHOLE corpus — identical suffixes (duplicated documents) share a
+    * rank. Each round re-keys every position by the int pair (r[pos],
+    * r[pos + 2^k]) exactly as [[suffixRanks]], but the re-rank is
+    * [[withGlobalDenseRank]] — a range-partitioned global sort of the
+    * distinct key table (the terasort shape) instead of a per-doc window.
+    * Rounds are localCheckpoint'd: each round's zipWithIndex is a
+    * barrier, and the checkpoint keeps round k from recomputing rounds
+    * 1..k−1 (the iterate-and-checkpoint discipline the CC pointer-
+    * doubling rounds already use). */
+  private def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = tokDocs(s, dir)
+    val maxLen = docs.agg(max(size($"toks"))).head.getInt(0).max(1)
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    var cur = withGlobalDenseRank(
+      docs.select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
+        .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"tok"),
+      Seq("tok"), "r")
+      .select($"doc_id", $"pos", $"r").localCheckpoint(true)
+    var span = 1
+    while (span < maxLen) {
+      cur = withGlobalDenseRank(
+        cur.withColumn("r2", coalesce(lead($"r", span).over(wDoc), lit(0L))),
+        Seq("r", "r2"), "rn")
+        .select($"doc_id", $"pos", $"rn".as("r")).localCheckpoint(true)
+      span *= 2
+    }
+    cur.select($"doc_id", $"pos", $"r".as("grank"))
+  }
+
+  /** The corpus-global suffix rank table — q130's per-doc loop promoted to
+    * the full Lee-et-al. shape: one suffix order across every document, so
+    * cross-document verbatim repeats become rank-adjacency. The oracle is
+    * a global dense_rank over materialized suffix strings; the hash-match
+    * proves the distributed two-phase rank (range sort + offset join, no
+    * single-partition anything) reproduces it exactly, duplicate suffixes
+    * and all. */
+  def q132GlobalSuffixRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    globalSuffixRanks(s, dir).orderBy($"doc_id", $"pos")
+  }
+
+  val q132Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS pos
+      |  FROM tok)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  CAST(dense_rank() OVER (
+      |    ORDER BY array_to_string(tokens[pos:], ' ')) AS BIGINT) AS grank
+      |FROM pos
+      |ORDER BY doc_id, pos""".stripMargin
+
+  // --------------------------------------------------------------- q133
+  /** Corpus-wide repeated substrings with witnesses — what the global
+    * suffix order is FOR (the Lee et al. memorized-span finder, exact):
+    * the top-20 repeat evidences by shared-prefix length. Two candidate
+    * families cover every maximal repeat: a rank GROUP with ≥ 2 members
+    * is an identical suffix duplicated across positions (lcp = the whole
+    * suffix), and ADJACENT rank representatives bound every other pair's
+    * LCP (the min-over-interval property of suffix arrays — the max
+    * pairwise LCP is always achieved within a group or between adjacent
+    * groups). Row 1 IS the corpus's longest repeated token substring;
+    * `same_suffix` distinguishes whole-suffix duplication from proper
+    * prefix overlap.
+    *
+    * Witnesses are the min/max (doc_id, pos) of each group, encoded as
+    * `doc_id·2²⁰ + pos` so min/max are plain int64 aggregates identical
+    * in both engines (positions are bounded by the ingest/chunking
+    * discipline far below 2²⁰).
+    *
+    * Scale shape: the group table is ONE partial agg on grank; adjacency
+    * is an equi-join on grank+1 (8-byte key); witness decoding and the
+    * LCP compare are map-side over the group rows; top-20 plans
+    * TakeOrderedAndProject. The rank table is the q132 subplan,
+    * localCheckpoint'd once for its two consumers. */
+  def q133CorpusRepeats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = lit(1048576L)
+    val ranks = globalSuffixRanks(s, dir).localCheckpoint(true)
+    val docs = tokDocs(s, dir)
+    val g = ranks.join(docs, "doc_id")
+      .select($"grank", ($"doc_id" * enc + $"pos").as("w"),
+        (size($"toks") - $"pos" + 1L).cast("long").as("slen"))
+    val grp = g.groupBy($"grank")
+      .agg(count(lit(1)).as("cnt"), min($"w").as("wmin"),
+        max($"w").as("wmax"), min($"slen").as("slen"))
+      .localCheckpoint(true)
+    val dup = grp.filter($"cnt" >= 2L)
+      .select($"slen".as("lcp"), lit(true).as("same_suffix"),
+        shiftright($"wmin", 20).as("doc_a"), ($"wmin" % enc).as("pos_a"),
+        shiftright($"wmax", 20).as("doc_b"), ($"wmax" % enc).as("pos_b"))
+    val adj = grp.as("a").join(grp.as("b"), $"b.grank" === $"a.grank" + 1L)
+      .select(shiftright($"a.wmin", 20).as("doc_a"),
+        ($"a.wmin" % enc).as("pos_a"), $"a.slen".as("sa"),
+        shiftright($"b.wmin", 20).as("doc_b"),
+        ($"b.wmin" % enc).as("pos_b"), $"b.slen".as("sb"))
+      .join(docs.select($"doc_id".as("doc_a"), $"toks".as("ta")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"toks".as("tb")), "doc_b")
+    val eqRun = zip_with(
+      slice($"ta", $"pos_a".cast("int"), least($"sa", $"sb").cast("int")),
+      slice($"tb", $"pos_b".cast("int"), least($"sa", $"sb").cast("int")),
+      (x, y) => coalesce(x === y, lit(false)))
+    // adjacent suffixes are DISTINCT: either they mismatch within the
+    // compared span (first false) or the shorter is a proper prefix of
+    // the longer (no false → lcp = min length); equal-length slices of
+    // distinct adjacent suffixes always contain a mismatch
+    val adjLcp = adj.select(
+      coalesce(nullif(array_position(eqRun, false), lit(0L)) - 1L,
+        least($"sa", $"sb")).as("lcp"),
+      lit(false).as("same_suffix"),
+      $"doc_a", $"pos_a", $"doc_b", $"pos_b")
+    dup.unionByName(adjLcp)
+      .filter($"lcp" > 0L)
+      .orderBy($"lcp".desc, $"doc_a", $"pos_a", $"doc_b", $"pos_b")
+      .limit(20)
+  }
+
+  val q133Oracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+      |pos AS (
+      |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS pos
+      |  FROM tok),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    dense_rank() OVER (ORDER BY array_to_string(tokens[pos:], ' '))
+      |      AS grank,
+      |    len(tokens) - pos + 1 AS slen
+      |  FROM pos),
+      |grp AS (
+      |  SELECT grank, COUNT(*) AS cnt,
+      |    MIN(doc_id * 1048576 + pos) AS wmin,
+      |    MAX(doc_id * 1048576 + pos) AS wmax,
+      |    MIN(slen) AS slen
+      |  FROM ranked GROUP BY grank),
+      |dup AS (
+      |  SELECT slen AS lcp, true AS same_suffix,
+      |    wmin // 1048576 AS doc_a, wmin % 1048576 AS pos_a,
+      |    wmax // 1048576 AS doc_b, wmax % 1048576 AS pos_b
+      |  FROM grp WHERE cnt >= 2),
+      |adj AS (
+      |  SELECT a.wmin // 1048576 AS doc_a, a.wmin % 1048576 AS pos_a,
+      |    a.slen AS sa,
+      |    b.wmin // 1048576 AS doc_b, b.wmin % 1048576 AS pos_b,
+      |    b.slen AS sb
+      |  FROM grp a JOIN grp b ON b.grank = a.grank + 1),
+      |alcp AS (
+      |  SELECT COALESCE(
+      |      NULLIF(list_position(list_transform(
+      |        range(1, least(sa, sb) + 1),
+      |        lx -> ta.tokens[pos_a + lx - 1] = tb.tokens[pos_b + lx - 1]),
+      |        false), 0) - 1,
+      |      least(sa, sb)) AS lcp,
+      |    false AS same_suffix, doc_a, pos_a, doc_b, pos_b
+      |  FROM adj
+      |  JOIN tok ta ON ta.doc_id = adj.doc_a
+      |  JOIN tok tb ON tb.doc_id = adj.doc_b),
+      |un AS (
+      |  SELECT * FROM dup UNION ALL SELECT * FROM alcp)
+      |SELECT CAST(lcp AS BIGINT) AS lcp, same_suffix,
+      |  CAST(doc_a AS BIGINT) AS doc_a, CAST(pos_a AS BIGINT) AS pos_a,
+      |  CAST(doc_b AS BIGINT) AS doc_b, CAST(pos_b AS BIGINT) AS pos_b
+      |FROM un
+      |WHERE lcp > 0
+      |ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_suffix_rank" -> q130SuffixRank _,
     "q131_suffix_stats" -> q131SuffixStats _,
+    "q132_global_suffix_rank" -> q132GlobalSuffixRank _,
+    "q133_corpus_repeats" -> q133CorpusRepeats _,
   )
 
   val oracles: Map[String, String] = Map(
     "q130_suffix_rank" -> q130Oracle,
     "q131_suffix_stats" -> q131Oracle,
+    "q132_global_suffix_rank" -> q132Oracle,
+    "q133_corpus_repeats" -> q133Oracle,
   )
 }

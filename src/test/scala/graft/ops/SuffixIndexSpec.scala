@@ -79,6 +79,69 @@ class SuffixIndexSpec extends SparkSpec {
     }
   }
 
+  test("q132: global ranks share across identical suffixes; per-doc order agrees with q130") {
+    val s = spark
+    import s.implicits._
+    // docs 1 and 2 identical → their suffixes must share global ranks
+    val dir = writeDocs(Seq(1L -> "a b", 2L -> "a b", 3L -> "b a"))
+    val got = SuffixIndex.q132GlobalSuffixRank(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // global order: a(3,2)=1 < a b(1,1)=(2,1)=2 < b(1,2)=(2,2)=3 < b a(3,1)=4
+    assert(got((3L, 2L)) === 1L)
+    assert(got((1L, 1L)) === 2L && got((2L, 1L)) === 2L)
+    assert(got((1L, 2L)) === 3L && got((2L, 2L)) === 3L)
+    assert(got((3L, 1L)) === 4L)
+    // driver fixture: restricting the global order to one doc must give
+    // exactly the per-doc suffix order q130 computes
+    val gl = SuffixIndex.q132GlobalSuffixRank(s, sf).collect()
+      .groupBy(_.getLong(0))
+    val perDoc = SuffixIndex.q130SuffixRank(s, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(gl.keySet === perDoc.keySet)
+    gl.foreach { case (d, rows) =>
+      val byGlobal = rows.sortBy(r => (r.getLong(2), r.getLong(1))).map(_.getLong(1)).toSeq
+      val byLocal = perDoc(d).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+      assert(byGlobal === byLocal, s"doc $d")
+    }
+  }
+
+  test("q133: hand fixture enumerates exactly; fixture rows re-verified against raw text") {
+    val s = spark
+    import s.implicits._
+    val dir = writeDocs(Seq(1L -> "a b", 2L -> "a b", 3L -> "b a"))
+    val got = SuffixIndex.q133CorpusRepeats(s, dir).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (2L, true, 1L, 1L, 2L, 1L), // "a b" duplicated whole-suffix
+      (1L, true, 1L, 2L, 2L, 2L), // "b" duplicated whole-suffix
+      (1L, false, 1L, 2L, 3L, 1L), // "b" vs "b a": prefix overlap 1
+      (1L, false, 3L, 2L, 1L, 1L), // "a" vs "a b": prefix overlap 1
+    ))
+    // driver fixture: every emitted repeat is true of the raw text
+    val toks = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val rows = SuffixIndex.q133CorpusRepeats(s, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === 20)
+    val lcps = rows.map(_._1).toSeq
+    assert(lcps.zip(lcps.tail).forall { case (a, b) => a >= b })
+    rows.foreach { case (lcp, same, da, pa, db, pb) =>
+      assert((da, pa) !== ((db, pb)))
+      val sa = toks(da).drop(pa.toInt - 1)
+      val sb = toks(db).drop(pb.toInt - 1)
+      // the claimed shared prefix really is shared
+      assert(sa.take(lcp.toInt) === sb.take(lcp.toInt), s"($da,$pa)-($db,$pb)")
+      if (same) assert(sa === sb, s"($da,$pa)-($db,$pb) whole-suffix claim")
+      else // proper: they diverge right after the shared prefix (or one ends)
+        assert((sa.lift(lcp.toInt) != sb.lift(lcp.toInt)) ||
+          (sa.length == lcp && sb.length == lcp),
+          s"($da,$pa)-($db,$pb) lcp maximality")
+    }
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._
