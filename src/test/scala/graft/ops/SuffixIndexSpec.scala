@@ -142,6 +142,42 @@ class SuffixIndexSpec extends SparkSpec {
     }
   }
 
+  test("q130/q132: random corpora match naive suffix sorts (per-doc and global)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(424242L)
+    val alphabet = Vector("a", "b")
+    // tiny alphabet → dense rank collisions, duplicate suffixes across
+    // docs, and long shared prefixes: the doubling loop's hard cases
+    val docs = (1L to 15L).map { id =>
+      val n = 1 + rnd.nextInt(24)
+      id -> Seq.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" ")
+    }
+    val dir = writeDocs(docs)
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+
+    val perDoc = SuffixIndex.q130SuffixRank(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    toks.foreach { case (id, ts) =>
+      val naive = ts.indices.map(i => (i + 1) -> ts.drop(i))
+        .sortBy(_._2)(math.Ordering.Implicits.seqOrdering)
+        .zipWithIndex.map { case ((pos, _), r) => (id, pos.toLong) -> (r + 1L) }
+      naive.foreach { case (k, v) => assert(perDoc(k) === v, s"doc $id $k") }
+    }
+
+    val global = SuffixIndex.q132GlobalSuffixRank(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allSuffixes = toks.toSeq.flatMap { case (id, ts) =>
+      ts.indices.map(i => (id, (i + 1).toLong) -> ts.drop(i))
+    }
+    val denseOf = allSuffixes.map(_._2).distinct
+      .sorted(math.Ordering.Implicits.seqOrdering[Seq, String])
+      .zipWithIndex.map { case (sfx, i) => sfx -> (i + 1L) }.toMap
+    allSuffixes.foreach { case (k, sfx) =>
+      assert(global(k) === denseOf(sfx), s"global $k")
+    }
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._
