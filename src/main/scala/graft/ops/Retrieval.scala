@@ -387,7 +387,7 @@ object Retrieval {
     * actually retrieve more relevant documents than lexical alone?" —
     * becomes a gateable table, recomputable per corpus snapshot.
     *
-    * Cost note (q92's discipline): the three family subplans re-run
+    * Cost note (q92's discipline): the five family subplans re-run
     * verbatim — the cost IS the measurement; at scale this is an offline
     * gate job over a sampled query set, and the comparison joins are
     * ≤ 5·|queries| rows per family. */
