@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,7 +411,159 @@ object SuffixIndex {
       |ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
       |LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q134
+  /** Exact-substring eval decontamination — the suffix-index answer to
+    * the question q68 (4-gram collision), q81 (transitive closure), and
+    * q121 (embedding cosine) each approximate: for every corpus document,
+    * the EXACT length of its longest token substring that also appears
+    * anywhere in the eval slice (the q68 `doc_id % 97 = 0` carve), and a
+    * contamination flag at ≥ [[Dedup.SpanTokens]] (8 — q76's span width).
+    * A 7-token quote under every gate's radar, a 40-token verbatim leak,
+    * and an exact eval twin all read as their true lengths here — the
+    * n-gram rule quantizes to its fixed width, this does not.
+    *
+    * Algorithm: in global suffix order, the max LCP of a suffix against a
+    * SET of suffixes is achieved at the set's nearest member above or
+    * below (LCP over an interval is the min of adjacent LCPs), so each
+    * corpus suffix needs only its predecessor and successor EVAL suffix.
+    * That nearest-eval scan is computed as a TWO-LEVEL distributed prefix
+    * scan — the at-scale shape for a global running-last: a per-bucket
+    * running `last(eval, ignoreNulls)` window over ⌈maxrank/4096⌉-wide
+    * rank buckets (partitioned, parallel), then a carry-in from the ≤
+    * 4096-row bucket summary (a metadata-sized single-partition window,
+    * the quantilesFromHistogram precedent), `coalesce`d together. No
+    * corpus-sized single-partition anything.
+    *
+    * The LCP compare is the q131/q133 map-side zip_with first-mismatch
+    * over the (suffix, nearest-eval-suffix) pair — O(lcp) per position,
+    * doc length bounded by the chunking discipline. Everything downstream
+    * of the scan is one groupBy(doc_id) max. */
+  def q134EvalLcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = 1048576L
+    val base = sharedGlobalRanks(s, dir).select($"doc_id", $"pos", $"grank",
+      ($"doc_id" * enc + $"pos").as("tie"),
+      ($"doc_id" % 97 === 0).as("is_eval"))
+    // bucket width: one collected long of metadata (the maxLen precedent)
+    val maxG = base.agg(max($"grank")).head.getLong(0).max(1L)
+    val bw = ((maxG + 4095L) / 4096L).max(1L)
+    val b = base.withColumn("bkt",
+      floor(($"grank" - 1L).cast("double") / lit(bw.toDouble)).cast("long"))
+    val evalKey = when($"is_eval", struct($"grank", $"tie"))
+    val wPrev = Window.partitionBy($"bkt").orderBy($"grank", $"tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"bkt").orderBy($"grank".desc, $"tie".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = b
+      .withColumn("pin", last(evalKey, ignoreNulls = true).over(wPrev))
+      .withColumn("nin", last(evalKey, ignoreNulls = true).over(wNext))
+    val bsum = b.groupBy($"bkt")
+      .agg(max(evalKey).as("lastE"), min(evalKey).as("firstE"))
+    // ≤ 4096 bucket rows — a metadata-sized single-partition scan
+    val wbPrev = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wbNext = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bsum
+      .withColumn("carry_prev", last($"lastE", ignoreNulls = true).over(wbPrev))
+      .withColumn("carry_next", last($"firstE", ignoreNulls = true).over(wbNext))
+      .select($"bkt", $"carry_prev", $"carry_next")
+    val docs = tokDocs(s, dir)
+    val withNeighbors = scanned.join(broadcast(carry), "bkt")
+      .withColumn("prev_tie", coalesce($"pin", $"carry_prev").getField("tie"))
+      .withColumn("next_tie", coalesce($"nin", $"carry_next").getField("tie"))
+      .filter(!$"is_eval")
+      .select($"doc_id", $"pos",
+        shiftright($"prev_tie", 20).as("pdoc"), ($"prev_tie" % enc).as("ppos"),
+        shiftright($"next_tie", 20).as("ndoc"), ($"next_tie" % enc).as("npos"))
+    val j = withNeighbors
+      .join(docs.select($"doc_id", $"toks".as("ta")), "doc_id")
+      .join(docs.select($"doc_id".as("pdoc"), $"toks".as("tp")),
+        Seq("pdoc"), "left_outer")
+      .join(docs.select($"doc_id".as("ndoc"), $"toks".as("tn")),
+        Seq("ndoc"), "left_outer")
+    def lcpOf(tb: Column, pb: Column): Column = {
+      val m = least(size($"ta") - $"pos" + 1L, size(tb) - pb + 1L)
+      val eq = zip_with(
+        slice($"ta", $"pos".cast("int"), m.cast("int")),
+        slice(tb, pb.cast("int"), m.cast("int")),
+        (x, y) => coalesce(x === y, lit(false)))
+      coalesce(nullif(array_position(eq, false), lit(0L)) - 1L, m.cast("long"))
+    }
+    val perDoc = j.select($"doc_id", greatest(
+        coalesce(when($"pdoc".isNotNull, lcpOf($"tp", $"ppos")), lit(0L)),
+        coalesce(when($"ndoc".isNotNull, lcpOf($"tn", $"npos")), lit(0L)))
+        .as("lcp"))
+      .groupBy($"doc_id").agg(max($"lcp").as("lcs"))
+    docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"lcs", lit(0L)).as("eval_lcs_tokens"),
+        (coalesce($"lcs", lit(0L)) >= Dedup.SpanTokens.toLong)
+          .as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val q134Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+       |pos AS (
+       |  SELECT doc_id, tokens, unnest(range(1, len(tokens) + 1)) AS pos
+       |  FROM tok),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    dense_rank() OVER (ORDER BY array_to_string(tokens[pos:], ' '))
+       |      AS grank,
+       |    doc_id * 1048576 + pos AS tie,
+       |    (doc_id % 97 = 0) AS is_eval
+       |  FROM pos),
+       |scanned AS (
+       |  SELECT doc_id, pos,
+       |    last_value(CASE WHEN is_eval THEN tie END IGNORE NULLS)
+       |      OVER (ORDER BY grank, tie
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ptie,
+       |    first_value(CASE WHEN is_eval THEN tie END IGNORE NULLS)
+       |      OVER (ORDER BY grank, tie
+       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ntie
+       |  FROM ranked),
+       |corp AS (
+       |  SELECT s.doc_id, s.pos, s.ptie, s.ntie, t.tokens AS ta
+       |  FROM scanned s JOIN tok t USING (doc_id)
+       |  WHERE s.doc_id % 97 <> 0),
+       |lc AS (
+       |  SELECT c.doc_id, GREATEST(
+       |    COALESCE(CASE WHEN c.ptie IS NOT NULL THEN
+       |      COALESCE(NULLIF(list_position(list_transform(
+       |        range(1, least(len(c.ta) - c.pos,
+       |                      len(tp.tokens) - (c.ptie % 1048576)) + 2),
+       |        lx -> c.ta[c.pos + lx - 1]
+       |              = tp.tokens[(c.ptie % 1048576) + lx - 1]), false), 0) - 1,
+       |        least(len(c.ta) - c.pos,
+       |              len(tp.tokens) - (c.ptie % 1048576)) + 1)
+       |      END, 0),
+       |    COALESCE(CASE WHEN c.ntie IS NOT NULL THEN
+       |      COALESCE(NULLIF(list_position(list_transform(
+       |        range(1, least(len(c.ta) - c.pos,
+       |                      len(tn.tokens) - (c.ntie % 1048576)) + 2),
+       |        lx -> c.ta[c.pos + lx - 1]
+       |              = tn.tokens[(c.ntie % 1048576) + lx - 1]), false), 0) - 1,
+       |        least(len(c.ta) - c.pos,
+       |              len(tn.tokens) - (c.ntie % 1048576)) + 1)
+       |      END, 0)) AS lcp
+       |  FROM corp c
+       |  LEFT JOIN tok tp ON tp.doc_id = c.ptie // 1048576
+       |  LEFT JOIN tok tn ON tn.doc_id = c.ntie // 1048576),
+       |agg AS (SELECT doc_id, MAX(lcp) AS lcs FROM lc GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.lcs, 0) AS BIGINT) AS eval_lcs_tokens,
+       |  COALESCE(a.lcs, 0) >= ${Dedup.SpanTokens} AS contaminated
+       |FROM tok t LEFT JOIN agg a USING (doc_id)
+       |WHERE t.doc_id % 97 <> 0
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_eval_lcs" -> q134EvalLcs _,
     "q130_suffix_rank" -> q130SuffixRank _,
     "q131_suffix_stats" -> q131SuffixStats _,
     "q132_global_suffix_rank" -> q132GlobalSuffixRank _,
@@ -419,6 +571,7 @@ object SuffixIndex {
   )
 
   val oracles: Map[String, String] = Map(
+    "q134_eval_lcs" -> q134Oracle,
     "q130_suffix_rank" -> q130Oracle,
     "q131_suffix_stats" -> q131Oracle,
     "q132_global_suffix_rank" -> q132Oracle,

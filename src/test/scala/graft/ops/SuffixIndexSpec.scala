@@ -178,6 +178,44 @@ class SuffixIndexSpec extends SparkSpec {
     }
   }
 
+  test("q134: planted contamination reads exact lengths; brute-force cross-check") {
+    val s = spark
+    import s.implicits._
+    // doc 97 is the eval slice (97 % 97 = 0); the corpus plants a 9-token
+    // verbatim leak (over the 8-token threshold), a 6-token quote (under),
+    // a disjoint-alphabet clean doc, and an exact eval twin
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      97L -> evalText,
+      1L -> "x1 x2 gamma delta epsilon zeta eta theta iota kappa lambda x3",
+      2L -> "y1 delta epsilon zeta eta theta iota y2",
+      3L -> "p q r s t",
+      4L -> evalText,
+    )
+    val dir = writeDocs(docs)
+    val got = SuffixIndex.q134EvalLcs(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(!got.contains(97L)) // eval docs are not scored
+    assert(got(1L) === ((12L, 9L, true)))
+    assert(got(2L) === ((8L, 6L, false)))
+    assert(got(3L) === ((5L, 0L, false)))
+    assert(got(4L) === ((12L, 12L, true)))
+    // brute force: every corpus substring vs every eval substring
+    val evalToks = evalText.split(" ").toSeq
+    val evalSubs = (for {
+      i <- evalToks.indices; j <- i + 1 to evalToks.length
+    } yield evalToks.slice(i, j)).toSet
+    docs.filter(_._1 % 97 != 0).foreach { case (id, text) =>
+      val ts = text.split(" ").toSeq
+      val brute = (for {
+        i <- ts.indices; j <- i + 1 to ts.length
+        if evalSubs.contains(ts.slice(i, j))
+      } yield j - i).maxOption.getOrElse(0)
+      assert(got(id)._2 === brute.toLong, s"doc $id")
+    }
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._
