@@ -438,12 +438,17 @@ object SuffixIndex {
     * over the (suffix, nearest-eval-suffix) pair — O(lcp) per position,
     * doc length bounded by the chunking discipline. Everything downstream
     * of the scan is one groupBy(doc_id) max. */
-  def q134EvalLcs(s: SparkSession, dir: String): DataFrame = {
+  /** The generalized nearest-set LCS scan behind q134/q135: per scored
+    * doc (those where `setSide` is false), the max token-LCP of any of
+    * its suffixes against the suffixes of docs where `setSide` is true.
+    * `setSide` is a predicate on doc_id. */
+  private def lcsScan(s: SparkSession, dir: String,
+      setSide: Column => Column): DataFrame = {
     import s.implicits._
     val enc = 1048576L
     val base = sharedGlobalRanks(s, dir).select($"doc_id", $"pos", $"grank",
       ($"doc_id" * enc + $"pos").as("tie"),
-      ($"doc_id" % 97 === 0).as("is_eval"))
+      setSide($"doc_id").as("is_eval"))
     // bucket width: one collected long of metadata (the maxLen precedent)
     val maxG = base.agg(max($"grank")).head.getLong(0).max(1L)
     val bw = ((maxG + 4095L) / 4096L).max(1L)
@@ -495,14 +500,39 @@ object SuffixIndex {
         coalesce(when($"ndoc".isNotNull, lcpOf($"tn", $"npos")), lit(0L)))
         .as("lcp"))
       .groupBy($"doc_id").agg(max($"lcp").as("lcs"))
-    docs.filter($"doc_id" % 97 =!= 0)
+    docs.filter(!setSide($"doc_id"))
       .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select($"doc_id", $"n_tokens",
-        coalesce($"lcs", lit(0L)).as("eval_lcs_tokens"),
+        coalesce($"lcs", lit(0L)).as("lcs_tokens"),
         (coalesce($"lcs", lit(0L)) >= Dedup.SpanTokens.toLong)
-          .as("contaminated"))
+          .as("flagged"))
       .orderBy($"doc_id")
+  }
+
+  def q134EvalLcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lcsScan(s, dir, d => d % 97 === 0)
+      .withColumnRenamed("lcs_tokens", "eval_lcs_tokens")
+      .withColumnRenamed("flagged", "contaminated")
+  }
+
+  // --------------------------------------------------------------- q135
+  /** Benchmark-exposure report — q134 with the roles swapped: for every
+    * EVAL document, the exact length of its longest token substring that
+    * appears anywhere in the training corpus, flagged at the same 8-token
+    * width. This is the view the BENCHMARK owner reads: q134 tells the
+    * corpus curator which training docs to drop; q135 tells the eval
+    * owner which test items are already burned (memorizable from
+    * training data) regardless of what the curator does next — the two
+    * directions of one integrity question, on one scan machinery
+    * ([[lcsScan]] with the set side inverted, so the implementations
+    * cannot drift). */
+  def q135EvalExposure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lcsScan(s, dir, d => d % 97 =!= 0)
+      .withColumnRenamed("lcs_tokens", "corpus_lcs_tokens")
+      .withColumnRenamed("flagged", "burned")
   }
 
   val q134Oracle: String =
@@ -562,8 +592,18 @@ object SuffixIndex {
        |WHERE t.doc_id % 97 <> 0
        |ORDER BY t.doc_id""".stripMargin
 
+  /** q135's oracle is q134's with the set and scored sides swapped and
+    * the output columns renamed. */
+  val q135Oracle: String = q134Oracle
+    .replace("(doc_id % 97 = 0) AS is_eval", "(doc_id % 97 <> 0) AS is_eval")
+    .replace("WHERE s.doc_id % 97 <> 0", "WHERE s.doc_id % 97 = 0")
+    .replace("WHERE t.doc_id % 97 <> 0", "WHERE t.doc_id % 97 = 0")
+    .replace("AS eval_lcs_tokens", "AS corpus_lcs_tokens")
+    .replace("AS contaminated", "AS burned")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_eval_lcs" -> q134EvalLcs _,
+    "q135_eval_exposure" -> q135EvalExposure _,
     "q130_suffix_rank" -> q130SuffixRank _,
     "q131_suffix_stats" -> q131SuffixStats _,
     "q132_global_suffix_rank" -> q132GlobalSuffixRank _,
@@ -572,6 +612,7 @@ object SuffixIndex {
 
   val oracles: Map[String, String] = Map(
     "q134_eval_lcs" -> q134Oracle,
+    "q135_eval_exposure" -> q135Oracle,
     "q130_suffix_rank" -> q130Oracle,
     "q131_suffix_stats" -> q131Oracle,
     "q132_global_suffix_rank" -> q132Oracle,

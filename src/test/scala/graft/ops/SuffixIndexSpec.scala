@@ -216,6 +216,31 @@ class SuffixIndexSpec extends SparkSpec {
     }
   }
 
+  test("q135: the transpose gate scores eval docs against the corpus") {
+    val s = spark
+    import s.implicits._
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // two eval docs: 97 is leaked into corpus doc 1 (9-token run), 194
+    // shares nothing with the corpus
+    val dir = writeDocs(Seq(
+      97L -> evalText,
+      194L -> "u1 u2 u3 u4 u5 u6",
+      1L -> "x1 x2 gamma delta epsilon zeta eta theta iota kappa lambda x3",
+      2L -> "p q r s t",
+    ))
+    val got = SuffixIndex.q135EvalExposure(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.keySet === Set(97L, 194L)) // only eval docs are scored
+    assert(got(97L) === ((12L, 9L, true))) // burned via the doc-1 leak
+    assert(got(194L) === ((6L, 0L, false))) // untouched benchmark item
+    // symmetry with q134 on the same fixture: the leak reads the same
+    // 9-token length from both directions
+    val q134 = SuffixIndex.q134EvalLcs(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q134(1L) === 9L)
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._
