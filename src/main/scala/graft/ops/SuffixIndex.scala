@@ -252,6 +252,10 @@ object SuffixIndex {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def sharedGlobalRanks(s: SparkSession, dir: String): DataFrame = {
+    // prune entries pinned by stopped sessions (their checkpoint blocks
+    // are gone; holding the DataFrame would leak for the process lifetime)
+    rankCache.keys.filter(_._1.sparkContext.isStopped)
+      .foreach(rankCache.remove)
     val key = (s, new java.io.File(dir).getCanonicalPath)
     rankCache.get(key) match {
       case Some(df) if scala.util.Try(df.take(1)).isSuccess => df
