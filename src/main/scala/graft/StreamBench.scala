@@ -231,6 +231,45 @@ object StreamBench {
     }
   }
 
+  /** S16 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.DriftStream]]'s per-batch per-source
+    * histogram write, then the TV probe against a reference built from the
+    * same corpus — docs/sec through the drift-gate seam, from a clean
+    * slate. `clean` = total docs accounted in the merged per-source
+    * histogram (Σc — the partials lost nothing); the probe must read
+    * tv = 0 against the identical-corpus reference, asserted here so the
+    * measured path is also a correctness check. */
+  def measureDrift(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-drift"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"source", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("source string, text string")
+      .parquet(incoming)
+    val q = streaming.DriftStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:drift] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val reference = graft.ops.TextAnalysis.lengthHistogramBy(
+        Tables(spark, sfDir, "documents").select($"source", $"text"), "source")
+      val drift = streaming.DriftStream.drift(spark, root, reference)
+        .agg(sum($"tv_num")).as[Long].collect().head
+      val counted = streaming.DriftStream.mergedHistogram(spark, root)
+        .agg(sum($"c")).as[Long].collect().head
+      // identical reference must read zero drift, or the seam is broken
+      SeamResult(n / secs, n, if (drift == 0L) counted else -1L, secs)
+    }
+  }
+
   /** S13 throughput: the documents table replayed as a file-source stream
     * through [[graft.streaming.ChunkStream]]'s map-only per-batch chunk
     * write — docs/sec through the retrieval-ingest seam, from a clean
@@ -327,13 +366,13 @@ object StreamBench {
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
-    * sketch — the quick-run knob; unset = all) is also None and is
+    * sketch,drift — the quick-run knob; unset = all) is also None and is
     * skipped without paying its measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
       merge: Option[SeamResult], histogram: Option[SeamResult],
       chunking: Option[SeamResult], card: Option[SeamResult],
-      sketch: Option[SeamResult]) {
+      sketch: Option[SeamResult], drift: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -349,7 +388,8 @@ object StreamBench {
       val tail = Seq("dedup" -> dedup, "decontam" -> decontam,
         "ann_refresh" -> annRefresh, "merge" -> merge,
         "histogram" -> histogram, "chunking" -> chunking,
-        "card" -> card, "sketch" -> sketch).map { case (k, v) =>
+        "card" -> card, "sketch" -> sketch,
+        "drift" -> drift).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -376,7 +416,8 @@ object StreamBench {
       guarded("histogram")(measureHistogram(spark, sfDir)),
       guarded("chunking")(measureChunking(spark, sfDir)),
       guarded("card")(measureCard(spark, sfDir)),
-      guarded("sketch")(measureSketch(spark, sfDir)))
+      guarded("sketch")(measureSketch(spark, sfDir)),
+      guarded("drift")(measureDrift(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

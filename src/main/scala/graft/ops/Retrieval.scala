@@ -222,10 +222,10 @@ object Retrieval {
     val s2 = pick(m2, $"cos" - $"sim1")
       .select($"q_id", $"vec_id".as("v2"), $"cos".as("cos2"),
         $"sim1".as("sim21"), $"embedding".as("e2"), $"nrm".as("n2"))
-    val m3 = cand.join(s1, "q_id").join(s2, "q_id")
-      .filter($"vec_id" =!= $"v1" && $"vec_id" =!= $"v2")
-      .withColumn("sim1",
-        VecFns.cosinePrenorm(VecFns.dot($"embedding", $"e1"), $"nrm", $"n1"))
+    // m2 already carries sim1 for every surviving candidate — step 3 only
+    // adds the sim-to-s2 leg (one join, one dot product per row)
+    val m3 = m2.join(s2, "q_id")
+      .filter($"vec_id" =!= $"v2")
       .withColumn("sim2",
         VecFns.cosinePrenorm(VecFns.dot($"embedding", $"e2"), $"nrm", $"n2"))
       .withColumn("max_sim", greatest($"sim1", $"sim2"))

@@ -43,6 +43,14 @@ import graft.functions.TextFns
   * as bounded metadata (a single int — at production scale this is a
   * catalog statistic, like the centroid/codebook collects the ANN family
   * justifies in-source).
+  *
+  * Oracle-parity contract: the oracles compare space-joined suffix
+  * STRINGS, which equals the engine's token-wise order iff no token
+  * contains a character collating below 0x20 (space) — i.e. the corpus
+  * text is single-space-tokenized with no embedded control characters,
+  * the same contract `shCte`/q82 already assume of the fixtures. The
+  * ENGINE's integer ranks are correct token-wise regardless; only the
+  * SQL mirror depends on the separator argument.
   */
 object SuffixIndex {
 
@@ -60,7 +68,9 @@ object SuffixIndex {
     import s.implicits._
     val docs = tokDocs(s, dir)
     // the doubling depth: one int of metadata (see object scaladoc)
-    val maxLen = docs.agg(max(size($"toks"))).head.getInt(0).max(1)
+    // coalesce guards the empty-table case (max over zero rows is null)
+    val maxLen = docs.agg(coalesce(max(size($"toks")), lit(1)))
+      .head.getInt(0).max(1)
     val wPos = Window.partitionBy($"doc_id").orderBy($"pos")
     var cur = docs
       .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
@@ -222,7 +232,8 @@ object SuffixIndex {
   private def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = tokDocs(s, dir)
-    val maxLen = docs.agg(max(size($"toks"))).head.getInt(0).max(1)
+    val maxLen = docs.agg(coalesce(max(size($"toks")), lit(1)))
+      .head.getInt(0).max(1)
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     var cur = withGlobalDenseRank(
       docs.select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
@@ -251,11 +262,23 @@ object SuffixIndex {
   private val rankCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // evict on application end (the Dedup.cachedDf discipline): a stopped
+  // session's DataFrames and pinned checkpoint blocks must not leak for
+  // the process lifetime, even if SuffixIndex is never called again
+  private val evictionHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+  private def hookEviction(s: SparkSession): Unit =
+    evictionHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = { evictSession(s); evictionHooked.remove(s); () }
+        })
+    })
+
   private def sharedGlobalRanks(s: SparkSession, dir: String): DataFrame = {
-    // prune entries pinned by stopped sessions (their checkpoint blocks
-    // are gone; holding the DataFrame would leak for the process lifetime)
-    rankCache.keys.filter(_._1.sparkContext.isStopped)
-      .foreach(rankCache.remove)
+    hookEviction(s)
     val key = (s, new java.io.File(dir).getCanonicalPath)
     rankCache.get(key) match {
       case Some(df) if scala.util.Try(df.take(1)).isSuccess => df
@@ -454,7 +477,8 @@ object SuffixIndex {
       ($"doc_id" * enc + $"pos").as("tie"),
       setSide($"doc_id").as("is_eval"))
     // bucket width: one collected long of metadata (the maxLen precedent)
-    val maxG = base.agg(max($"grank")).head.getLong(0).max(1L)
+    val maxG = base.agg(coalesce(max($"grank"), lit(1L)))
+      .head.getLong(0).max(1L)
     val bw = ((maxG + 4095L) / 4096L).max(1L)
     val b = base.withColumn("bkt",
       floor(($"grank" - 1L).cast("double") / lit(bw.toDouble)).cast("long"))
@@ -597,13 +621,21 @@ object SuffixIndex {
        |ORDER BY t.doc_id""".stripMargin
 
   /** q135's oracle is q134's with the set and scored sides swapped and
-    * the output columns renamed. */
-  val q135Oracle: String = q134Oracle
-    .replace("(doc_id % 97 = 0) AS is_eval", "(doc_id % 97 <> 0) AS is_eval")
-    .replace("WHERE s.doc_id % 97 <> 0", "WHERE s.doc_id % 97 = 0")
-    .replace("WHERE t.doc_id % 97 <> 0", "WHERE t.doc_id % 97 = 0")
-    .replace("AS eval_lcs_tokens", "AS corpus_lcs_tokens")
-    .replace("AS contaminated", "AS burned")
+    * the output columns renamed. Every replacement REQUIREs a change so a
+    * future edit to q134's SQL cannot silently no-op a swap and hand q135
+    * the wrong semantics (the failure would otherwise surface only as an
+    * opaque hash mismatch). */
+  val q135Oracle: String = Seq(
+    ("(doc_id % 97 = 0) AS is_eval", "(doc_id % 97 <> 0) AS is_eval"),
+    ("WHERE s.doc_id % 97 <> 0", "WHERE s.doc_id % 97 = 0"),
+    ("WHERE t.doc_id % 97 <> 0", "WHERE t.doc_id % 97 = 0"),
+    ("AS eval_lcs_tokens", "AS corpus_lcs_tokens"),
+    ("AS contaminated", "AS burned"),
+  ).foldLeft(q134Oracle) { case (acc, (from, to)) =>
+    val r = acc.replace(from, to)
+    require(r != acc, s"q135 oracle surgery no-op: '$from' not in q134Oracle")
+    r
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_eval_lcs" -> q134EvalLcs _,
