@@ -88,6 +88,7 @@ object PlanAudit {
     "q133_corpus_repeats" -> "corpus repeats: the rank table is the q132 subplan checkpointed once; the group table is ONE partial agg on grank (witnesses as int64-encoded min/max — no struct aggregation semantics to cross-check); adjacency is an equi-join on grank+1; the LCP compare is map-side over group rows; top-20 plans TakeOrderedAndProject",
     "q134_eval_lcs" -> "exact-substring decontam: the nearest-eval scan is a TWO-LEVEL distributed prefix scan — per-bucket running last(eval, ignoreNulls) windows over 4096 rank buckets (partitioned, parallel) + a carry-in from the <=4096-row bucket summary (metadata-sized single-partition window, the quantilesFromHistogram precedent) — NO corpus-sized single-partition step; LCP compares are map-side zip_with over (suffix, nearest-eval) pairs; the finish is one groupBy(doc_id) max",
     "q135_eval_exposure" -> "benchmark exposure: q134's lcsScan with the set side inverted (one code path, the implementations cannot drift) — same two-level prefix scan, same map-side LCP; the output is one row per EVAL doc, the benchmark owner's view of the same integrity question",
+    "q136_chunk_dedup" -> "chunk dedup: chunkDocs (q109's map-side explode, shared verbatim with the S13 index) + ONE shuffle on the 64-byte chunk hash for the first-occurrence window (every occurrence keeps its rank — the report counts kept AND dropped); the rollup is a partial-aggregated groupBy(doc_id); text never shuffles",
   )
 
   def main(args: Array[String]): Unit = {

@@ -695,6 +695,54 @@ object TextAnalysis {
       |FROM chunks
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------------------------------------------- q136
+  /** Chunk-level exact dedup — the decision a retrieval ingest makes
+    * BEFORE paying for embeddings: a chunk whose exact content hash
+    * already occurred earlier in the corpus (first occurrence in
+    * (doc_id, chunk_idx) order wins, the q50/q62/q82 keeper convention)
+    * is not embedded or indexed again. Distinct from q50 (whole-doc) and
+    * q82 (8-token tile rewriting): this dedups at the q109 chunk
+    * granularity the S13 index actually stores — [[chunkDocs]] reused
+    * verbatim, so the dedup decision and the index rows can never use
+    * different chunk geometry — and its output is the per-document
+    * embedding-compute savings (`dup_chunks` × one embedding call each).
+    *
+    * Plan shape: chunking is the q109 map-side explode; ONE shuffle on
+    * the 64-byte chunk hash for the first-occurrence window (every
+    * occurrence keeps its rank — the per-doc report counts kept AND
+    * dropped, q82's discipline); the rollup is a partial-aggregated
+    * groupBy(doc_id). Text never shuffles — only (doc_id, chunk_idx,
+    * hash) rows. */
+  def q136ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = chunkDocs(Tables(s, dir, "documents")
+      .select($"doc_id", $"text"))
+    val w = Window.partitionBy($"chunk_sha256")
+      .orderBy($"doc_id", $"chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_chunks", $"n_unique",
+        ($"n_chunks" - $"n_unique").as("dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  val q136Oracle: String =
+    s"""WITH c AS (
+       |  ${q109Oracle.replace("\n", "\n  ")}
+       |), ranked AS (
+       |  SELECT doc_id, chunk_idx,
+       |    row_number() OVER (PARTITION BY chunk_sha256
+       |      ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM c)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_unique,
+       |  CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS dup_chunks
+       |FROM ranked
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q112
   /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the
     * MOSS algorithm): over each document's POSITIONAL 3-token shingle hash
@@ -831,6 +879,7 @@ object TextAnalysis {
     "q105_bpe_pairs" -> q105BpePairs _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
+    "q136_chunk_dedup" -> q136ChunkDedup _,
     "q112_winnow_fingerprints" -> q112WinnowFingerprints _,
     "q117_memorization_risk" -> q117MemorizationRisk _,
   )
@@ -851,6 +900,7 @@ object TextAnalysis {
     "q105_bpe_pairs" -> q105Oracle,
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
+    "q136_chunk_dedup" -> q136Oracle,
     "q112_winnow_fingerprints" -> q112Oracle,
     "q117_memorization_risk" -> q117Oracle,
   )

@@ -291,6 +291,38 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q136 chunk dedup: first occurrence wins, savings hand-check, totals reconcile") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int): Seq[String] = (1 to n).map(i => s"w$i")
+    // doc 1: two chunks (65 tokens); doc 2 repeats doc 1 verbatim — every
+    // chunk a dup; doc 3 shares no chunk (distinct vocabulary)
+    val d1 = words(65).mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, d1), (2L, d1),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" ")),
+    ))
+    val got = TextAnalysis.q136ChunkDedup(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, 0L))) // first occurrences
+    assert(got(2L) === ((2L, 0L, 2L))) // exact twin: zero new chunks
+    assert(got(3L) === ((1L, 1L, 0L)))
+    // fixture invariants: per-doc chunk counts match q109, and the unique
+    // total equals the distinct hash count (the embedding bill after dedup)
+    val rows = TextAnalysis.q136ChunkDedup(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q109 = TextAnalysis.q109ChunkDocs(s, sf).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.length.toLong }
+    val nDistinct = TextAnalysis.q109ChunkDocs(s, sf)
+      .select($"chunk_sha256").distinct().count()
+    rows.foreach { case (d, nc, nu, dup) =>
+      assert(nc === q109(d), s"doc $d")
+      assert(nu + dup === nc, s"doc $d")
+    }
+    assert(rows.map(_._3).sum === nDistinct)
+  }
+
   test("q97 count-min: estimates never undercount, and equal exact absent collisions") {
     val s = spark
     import s.implicits._
