@@ -53,10 +53,15 @@ object Bench {
       if (!only.forall(_.contains("dedup_prep"))) Seq.empty
       else try {
         graft.ops.Dedup.evictSession(spark)
+        graft.ops.Curation.evictSession(spark)
         val t0 = System.nanoTime()
         graft.ops.Dedup.prepShingles(spark, sfDir)
         val dt = (System.nanoTime() - t0) / 1e9
         graft.ops.Dedup.warmComposedCaches(spark, sfDir)
+        // q68's hit-table checkpoint (VERDICT r9 #6): warmed here so
+        // q81/q115's timed iterations are uniformly warm; q68's own build
+        // cost stays measured as q68's timed body
+        graft.ops.Curation.warmEvalHits(spark, sfDir)
         Seq("dedup_prep" -> dt)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dedup_prep failed: ${e.getMessage}")
@@ -91,9 +96,24 @@ object Bench {
       }
     // The global suffix index (q132/q133's shared prep), same discipline:
     // built COLD once on the books; the queries then probe it warm, the
-    // way a staged production index is consumed.
+    // way a staged production index is consumed. ADVICE r9: when
+    // BENCH_ONLY selects a suffix-backed query (q132–q135) WITHOUT
+    // suffix_prep, run the prep untimed anyway — otherwise the first
+    // timed iteration pays the cold global-rank build and the reported
+    // median mixes cold and warm regimes (the dedup_prep discipline).
+    val suffixQueries = Set("q132_global_suffix_rank", "q133_corpus_repeats",
+      "q134_decontam_exact_train", "q135_decontam_exact_eval")
     val suffixPrep: Seq[(String, Double)] =
-      if (!only.forall(_.contains("suffix_prep"))) Seq.empty
+      if (!only.forall(_.contains("suffix_prep"))) {
+        if (only.exists(names => (names & suffixQueries).nonEmpty)) try {
+          System.err.println(
+            "[bench] suffix-backed query selected without suffix_prep: running prepGlobalRanks untimed")
+          graft.ops.SuffixIndex.prepGlobalRanks(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] untimed suffix prep failed: ${e.getMessage}")
+        }
+        Seq.empty
+      }
       else try {
         graft.ops.SuffixIndex.evictSession(spark)
         val t0 = System.nanoTime()
@@ -139,11 +159,16 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of output; with 67 full
     // query names and 9-decimal doubles the line reached ~2900 chars and
     // its head was clipped — BENCH_r0{1,3,4,5} all recorded parsed:null.
-    // Two durable fixes: (a) millisecond precision (3 decimals is below
-    // run-to-run noise), (b) the driver-contract short key form ("q1" for
-    // "q1_agg" — the contract's own example) for query entries. 68 entries
-    // ≈ 1000 chars, with room for every future round's additions.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Round-5 fixes: (a) millisecond precision, (b) the driver-contract
+    // short key form ("q1" for "q1_agg"). Round 9 showed those stop
+    // scaling at ~110 entries once the ~700-char streambench object rides
+    // along (2,645 chars, parsed:null again — VERDICT r9 #1). Round-10
+    // fixes, permanent this time: (c) streambench is emitted as its OWN
+    // labeled JSON line (and file) BEFORE the query line, so the LAST
+    // stdout line is totals + per-query times only; (d) the query line's
+    // length is checked at emit time — over the tail budget, per-query
+    // precision degrades 3 → 2 → 1 decimals (run-to-run noise is well
+    // above 10 ms at this scale) with a stderr warning.
     def shortKey(name: String): String = {
       val p = name.takeWhile(_ != '_')
       if (p.matches("q\\d+")) p else name
@@ -156,18 +181,24 @@ object Bench {
     val keyCounts = results.groupBy { case (k, _) => shortKey(k) }.map {
       case (sk, vs) => sk -> vs.size
     }
-    val qs = results.map { case (k, v) =>
-      val sk = shortKey(k)
-      val key = if (keyCounts(sk) == 1) sk else {
-        System.err.println(s"[bench] WARNING: short key '$sk' is ambiguous; emitting full name '$k'")
-        k
-      }
-      s"\"" + key + "\":" + fmt(v)
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Streaming throughput rides along in the round artifact (VERDICT r4
-    // item 5: the number must live in a persisted artifact, not verdict
-    // prose). Guarded — a streaming failure degrades to an error marker,
+    def queryLine(decimals: Int): String = {
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
+      val qs = results.map { case (k, v) =>
+        val sk = shortKey(k)
+        val key = if (keyCounts(sk) == 1) sk else {
+          System.err.println(s"[bench] WARNING: short key '$sk' is ambiguous; emitting full name '$k'")
+          k
+        }
+        s"\"" + key + "\":" + fmt(v)
+      }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Streaming throughput lives in a persisted artifact (VERDICT r4 item
+    // 5) but NOT on the driver-parsed query line (VERDICT r9 item 1) — it
+    // gets its own labeled line, printed BEFORE the query line, plus its
+    // own file. Guarded — a streaming failure degrades to an error marker,
     // never breaks the batch bench line. Skipped under BENCH_ONLY unless
     // requested, so dev subset runs stay fast.
     val streamJson =
@@ -177,20 +208,45 @@ object Bench {
         System.err.println(s"[bench] streambench failed: ${e.getMessage}")
         Some("""{"records_per_sec":-1}""")
       }
-    val streamField = streamJson.map(j => s""","streambench":$j""").getOrElse("")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$streamField,"sf":"$sfDir"}"""
+    val streamLine = streamJson.map(j =>
+      s"""{"metric":"streambench","seams":$j,"sf":"$sfDir"}""")
+    // Tail budget kept below the driver's ~2,000-char window with margin.
+    val tailBudget = 1900
+    val line = (3 to 1 by -1).iterator.map(queryLine)
+      .zip((3 to 1 by -1).iterator)
+      .collectFirst { case (l, d) if l.length <= tailBudget || d == 1 =>
+        if (d < 3) System.err.println(
+          s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at $d decimals (${l.length} chars)")
+        l
+      }.get
+    if (line.length > tailBudget) System.err.println(
+      s"[bench] WARNING: query line ${line.length} chars exceeds $tailBudget even at 1 decimal — driver tail may clip; split the line next round")
+    def writeFile(name: String, content: String): Unit = try {
+      val out = java.nio.file.Paths.get("target", name)
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (content + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($name): ${e.getMessage}") }
     // Triple-redundant emission: the driver parses the last JSON line of the
     // captured output, and sbt's logger must not be allowed to decorate it
     // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets
     // run/outputStrategy := StdoutOutput so stdout passes through raw; the
     // file and stderr copies are belt-and-braces for any other launcher.
+    // Order matters: streambench FIRST so the query line stays LAST.
+    streamLine.foreach { sl =>
+      println(sl)
+      System.err.println(sl)
+      writeFile("streambench.json", sl)
+    }
     println(line)
     System.err.println(line)
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // target/bench.json stays self-sufficient for the judge: the full
+    // 3-decimal query line, with streambench inlined when it was measured.
+    writeFile("bench.json", streamJson match {
+      case Some(sj) =>
+        queryLine(3).stripSuffix(s""","sf":"$sfDir"}""") +
+          s""","streambench":$sj,"sf":"$sfDir"}"""
+      case None => queryLine(3)
+    })
     spark.stop()
   }
 }

@@ -16,6 +16,9 @@ object PlanAudit {
     "q22_sign_pipeline" -> "keyring join is a BroadcastHashJoin, dedup shuffles once on pk",
     "q11_topk" -> "ORDER BY + LIMIT plans TakeOrderedAndProject, not a global sort",
     "q51_ngram_jaccard" -> "prefix+df-capped candidate index (broadcast anti-join of hot shingles); verify joins candidates to per-doc sorted shingle ARRAYS (merge-walk intersect) — the exploded index is never re-shuffled",
+    "q52_minhash_lsh" -> "full MinHash+LSH pipeline: k=16 signatures (codegen'd MinhashFromHashes over the df-capped shingle sets, one groupBy(doc_id)); 4×4 band keys exploded map-side (4 rows/doc); candidates = banded EQUI-join on band_key with doc_a < doc_b — collision-proportional, never all-pairs; the signature estimate rides the candidate rows so exact-Jaccard verify (the q51 array merge-walk) needs no re-join",
+    "q56_ann_lsh" -> "LSH-bucketed ANN: 8-hyperplane bucket id is a map-side projection over the embeddings scan; queries (with their buckets) BROADCAST into an equi-join on the bucket id — the corpus never exchanges before the per-query top-k window; candidate count per query is one bucket's occupancy (~n/256), not n",
+    "q60_dup_clusters" -> "connected components by pointer doubling over the materialized q51 pair graph: each round is two 8-byte-key shuffles (neighbor-min propagate + one indirection follow), localCheckpoint'd so round k never replays rounds 1..k-1; convergence test is an exact changed-row count (never an overflow-prone sum); O(log diameter) rounds at any corpus scale",
     "q61_pii_scrub" -> "map-only scan: two codegen'd regex passes + sha2; the only exchange is the final presentation ORDER BY",
     "q55_ann_brute" -> "queries broadcast; corpus scan stays shuffle-free until top-k",
     "q59_ann_ivf" -> "IVF assignment is a map-side NearestCells projection over the scan (centroids collected as bounded metadata) — NO Exchange before the cell equi-join; the probe side is broadcast",

@@ -108,6 +108,25 @@ object Retrieval {
   def q94HybridRetrieval(s: SparkSession, dir: String): DataFrame =
     rrfFuse(lexTopK(s, dir), vecTopK(s, dir, K))
 
+  /** The three indexed vector sides, keyed for the fusion join — shared
+    * between each family's own query (q102/q116/q124) and the q114 gate,
+    * so the gate grades the EXACT registered subplans. */
+  private def ivfVec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.ivfTopK(s, dir, K, 2)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+  }
+  private def lshVec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.lshTopK(s, dir, K)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+  }
+  private def sqVec(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Similarity.sqTopK(s, dir, K)
+      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+  }
+
   // --------------------------------------------------------------- q102
   /** Hybrid retrieval with the REGISTERED IVF index as the vector side
     * (VERDICT r8 #2): the same BM25 + RRF seam as q94, but vector
@@ -121,12 +140,8 @@ object Retrieval {
     * exactly (as q56/q59's oracles already do), so recall < 1 relative
     * to the brute baseline cannot break the hash-match — q92 is where
     * the recall contract itself is measured and gated. */
-  def q102HybridIndexed(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vec = Similarity.ivfTopK(s, dir, K, 2)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
-    rrfFuse(lexTopK(s, dir), vec)
-  }
+  def q102HybridIndexed(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexTopK(s, dir), ivfVec(s, dir))
 
   // --------------------------------------------------------------- q116
   /** Hybrid retrieval with the REGISTERED LSH index as the vector side —
@@ -139,12 +154,8 @@ object Retrieval {
     * the per-query top-k. The oracle mirrors the bucket path exactly, so
     * LSH recall < 1 vs brute cannot break the hash-match — q92/q114 are
     * where recall and rank quality are gated. */
-  def q116HybridLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vec = Similarity.lshTopK(s, dir, K)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
-    rrfFuse(lexTopK(s, dir), vec)
-  }
+  def q116HybridLsh(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexTopK(s, dir), lshVec(s, dir))
 
   val q116Oracle: String = hybridOracle(
     s"""vec AS (
@@ -162,12 +173,8 @@ object Retrieval {
     * int8-quantized vectors under one RRF seam. The corpus never
     * exchanges before the per-query top-64 ADC window (encode is a
     * map-side codegen'd projection; the query LUTs broadcast). */
-  def q124HybridSq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val vec = Similarity.sqTopK(s, dir, K)
-      .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
-    rrfFuse(lexTopK(s, dir), vec)
-  }
+  def q124HybridSq(s: SparkSession, dir: String): DataFrame =
+    rrfFuse(lexTopK(s, dir), sqVec(s, dir))
 
   val q124Oracle: String = hybridOracle(
     s"""vec AS (
@@ -387,31 +394,36 @@ object Retrieval {
     * actually retrieve more relevant documents than lexical alone?" —
     * becomes a gateable table, recomputable per corpus snapshot.
     *
-    * Cost note (q92's discipline): the five family subplans re-run
+    * Cost note (q92's discipline): the four VECTOR subplans re-run
     * verbatim — the cost IS the measurement; at scale this is an offline
     * gate job over a sampled query set, and the comparison joins are
-    * ≤ 5·|queries| rows per family. */
+    * ≤ 5·|queries| rows per family. The BM25 side, by contrast, is the
+    * SAME subplan in all five families, so it is materialized once
+    * (localCheckpoint — the q127 m2-reuse discipline, VERDICT r9 #3)
+    * and threaded through the four fusions and the lexical-only family:
+    * identical semantics and hash, one tokenize + three shuffles instead
+    * of five. */
   def q114RetrievalQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // three consumers of the truth set — cut the lineage once
     val truth = vecTopK(s, dir, 10).select($"q_id", $"doc_id")
       .withColumn("rel", lit(1L)).localCheckpoint(true)
+    // five consumers of the identical BM25 ranking — build it ONCE
+    val lex = lexTopK(s, dir).localCheckpoint(true)
     def grade(family: String, ranked: DataFrame): DataFrame =
       ranked.join(truth, Seq("q_id", "doc_id"), "left_outer")
         .groupBy($"q_id").agg(
           sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("n_rel5"),
           coalesce(min(when($"rel".isNotNull, $"rank")), lit(0L)).as("first_rel"))
         .select(lit(family).as("family"), $"q_id", $"n_rel5", $"first_rel")
-    val lex5 = lexTopK(s, dir).filter($"lex_rank" <= 5)
+    def hybrid(vec: DataFrame): DataFrame =
+      rrfFuse(lex, vec).select($"q_id", $"doc_id", $"rank")
+    val lex5 = lex.filter($"lex_rank" <= 5)
       .select($"q_id", $"doc_id", $"lex_rank".as("rank"))
-    grade("hybrid_brute", q94HybridRetrieval(s, dir)
-        .select($"q_id", $"doc_id", $"rank"))
-      .unionByName(grade("hybrid_ivf", q102HybridIndexed(s, dir)
-        .select($"q_id", $"doc_id", $"rank")))
-      .unionByName(grade("hybrid_lsh", q116HybridLsh(s, dir)
-        .select($"q_id", $"doc_id", $"rank")))
-      .unionByName(grade("hybrid_sq", q124HybridSq(s, dir)
-        .select($"q_id", $"doc_id", $"rank")))
+    grade("hybrid_brute", hybrid(vecTopK(s, dir, K)))
+      .unionByName(grade("hybrid_ivf", hybrid(ivfVec(s, dir))))
+      .unionByName(grade("hybrid_lsh", hybrid(lshVec(s, dir))))
+      .unionByName(grade("hybrid_sq", hybrid(sqVec(s, dir))))
       .unionByName(grade("lexical", lex5))
       .orderBy($"family", $"q_id")
   }

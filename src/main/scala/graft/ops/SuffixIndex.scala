@@ -232,8 +232,21 @@ object SuffixIndex {
   private def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = tokDocs(s, dir)
-    val maxLen = docs.agg(coalesce(max(size($"toks")), lit(1)))
-      .head.getInt(0).max(1)
+    // maxLen drives the doubling depth; the same collected row also guards
+    // the q133/q134/q135 witness encoding doc_id·2²⁰+pos (ADVICE r9): an
+    // over-long document or oversized doc_id would corrupt decoded
+    // witnesses IDENTICALLY in engine and oracle, so the DuckDB parity
+    // gate could never catch it — it must fail loudly here instead.
+    val bounds = docs.agg(coalesce(max(size($"toks")), lit(1)),
+      coalesce(max($"doc_id"), lit(0L))).head
+    val maxLen = bounds.getInt(0).max(1)
+    val maxDoc = bounds.getLong(1)
+    require(maxLen < (1 << 20),
+      s"suffix-index witness encoding requires every document < 2^20 " +
+        s"tokens (found $maxLen); re-chunk the corpus (q109) or widen the " +
+        "encoding")
+    require(maxDoc < (1L << 43),
+      s"suffix-index witness encoding requires doc_id < 2^43 (found $maxDoc)")
     val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     var cur = withGlobalDenseRank(
       docs.select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
@@ -256,43 +269,18 @@ object SuffixIndex {
     * future cross-doc analysis, exactly how a production suffix index is
     * staged once and probed many times (the sharedShingleDocs pattern).
     * The bench books the cold build as its own `suffix_prep` entry
-    * ([[prepGlobalRanks]]), so the cost is measured, never hidden. A
-    * cached entry whose checkpoint blocks are gone (stopped session)
-    * fails the one-row probe and rebuilds. */
-  private val rankCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * ([[prepGlobalRanks]]), so the cost is measured, never hidden.
+    * Liveness probing and eviction (only missing-checkpoint-block
+    * failures self-heal — ADVICE r9) live in [[SessionCache]]. */
+  private val rankCache = new SessionCache
 
-  // evict on application end (the Dedup.cachedDf discipline): a stopped
-  // session's DataFrames and pinned checkpoint blocks must not leak for
-  // the process lifetime, even if SuffixIndex is never called again
-  private val evictionHooked =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
-  private def hookEviction(s: SparkSession): Unit =
-    evictionHooked.getOrElseUpdate(s, {
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = { evictSession(s); evictionHooked.remove(s); () }
-        })
-    })
-
-  private def sharedGlobalRanks(s: SparkSession, dir: String): DataFrame = {
-    hookEviction(s)
-    val key = (s, new java.io.File(dir).getCanonicalPath)
-    rankCache.get(key) match {
-      case Some(df) if scala.util.Try(df.take(1)).isSuccess => df
-      case stale =>
-        if (stale.isDefined) rankCache.remove(key)
-        val df = globalSuffixRanks(s, dir) // rounds already checkpointed
-        rankCache.put(key, df)
-        df
-    }
-  }
+  private def sharedGlobalRanks(s: SparkSession, dir: String): DataFrame =
+    rankCache.getOrBuild(s, dir)(
+      globalSuffixRanks(s, dir)) // rounds already checkpointed
 
   /** Bench hooks: time the global-rank build COLD as its own entry. */
   private[graft] def evictSession(s: SparkSession): Unit =
-    rankCache.keys.filter(_._1 eq s).foreach(rankCache.remove)
+    rankCache.evict(s)
   private[graft] def prepGlobalRanks(s: SparkSession, dir: String): Unit = {
     sharedGlobalRanks(s, dir); ()
   }
