@@ -137,6 +137,41 @@ object StreamBench {
     }
   }
 
+  /** S17 throughput: the NON-eval documents replayed as a file-source
+    * stream through [[graft.streaming.ExactDecontamStream]]'s
+    * exact-substring admission gate — docs/sec through the per-batch
+    * suffix-sort + nearest-eval scan, with the eval suffix-key table
+    * staged OUTSIDE the timed window (it is the fixed production
+    * artifact, built once per session — the S8 standing-index
+    * discipline). `clean` = clean-sink row count. */
+  def measureExactDecontam(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-exactdecontam"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    // stage the eval suffix keys untimed (the persistent artifact)
+    streaming.ExactDecontamStream.evalSuffixKeys(spark, sfDir).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.ExactDecontamStream.run(stream, sfDir, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:exactdecontam] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val clean = spark.read.parquet(s"$root/out/clean").count()
+      SeamResult(n / secs, n, clean, secs)
+    }
+  }
+
   /** S10 throughput: the embeddings table replayed as a file-source stream
     * through [[VectorIndexStream]]'s cell-assignment + partitioned index
     * append — vectors/sec into a searchable IVF index, from a clean
@@ -258,13 +293,19 @@ object StreamBench {
       q.stop()
       System.err.println(s"[streambench:drift] timed out after $secs s")
       SeamResult(-1.0, n, -1L, secs)
+    } else if (!new java.io.File(s"$root/hist").exists()) {
+      // ADVICE r9: a corpus yielding zero micro-batches leaves no hist
+      // directory; that is a measured-empty seam, not a failure — return
+      // it explicitly instead of letting the parquet read throw.
+      System.err.println(s"[streambench:drift] no micro-batches landed ($n input docs) — zero-row seam")
+      SeamResult(if (secs > 0) n / secs else 0.0, n, 0L, secs)
     } else {
       val reference = graft.ops.TextAnalysis.lengthHistogramBy(
         Tables(spark, sfDir, "documents").select($"source", $"text"), "source")
       val drift = streaming.DriftStream.drift(spark, root, reference)
-        .agg(sum($"tv_num")).as[Long].collect().head
+        .agg(coalesce(sum($"tv_num"), lit(0L))).as[Long].collect().head
       val counted = streaming.DriftStream.mergedHistogram(spark, root)
-        .agg(sum($"c")).as[Long].collect().head
+        .agg(coalesce(sum($"c"), lit(0L))).as[Long].collect().head
       // identical reference must read zero drift, or the seam is broken
       SeamResult(n / secs, n, if (drift == 0L) counted else -1L, secs)
     }
@@ -372,7 +413,8 @@ object StreamBench {
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
       merge: Option[SeamResult], histogram: Option[SeamResult],
       chunking: Option[SeamResult], card: Option[SeamResult],
-      sketch: Option[SeamResult], drift: Option[SeamResult]) {
+      sketch: Option[SeamResult], drift: Option[SeamResult],
+      exactDecontam: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -389,7 +431,7 @@ object StreamBench {
         "ann_refresh" -> annRefresh, "merge" -> merge,
         "histogram" -> histogram, "chunking" -> chunking,
         "card" -> card, "sketch" -> sketch,
-        "drift" -> drift).map { case (k, v) =>
+        "drift" -> drift, "exact_decontam" -> exactDecontam).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -417,7 +459,8 @@ object StreamBench {
       guarded("chunking")(measureChunking(spark, sfDir)),
       guarded("card")(measureCard(spark, sfDir)),
       guarded("sketch")(measureSketch(spark, sfDir)),
-      guarded("drift")(measureDrift(spark, sfDir)))
+      guarded("drift")(measureDrift(spark, sfDir)),
+      guarded("exactdecontam")(measureExactDecontam(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

@@ -547,6 +547,160 @@ object TextAnalysis {
       |SELECT pair, pair_count, n_words FROM agg
       |ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** The FULL iterative BPE trainer (VERDICT r9 #4) — q105's pair-count
+    * step looped to a fixpoint-per-round merge schedule, emitting the
+    * ordered merge list a tokenizer actually ships (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"; the
+    * reference has no tokenizer surface — this is the beyond-reference
+    * LLM-pipeline family). Each round: count adjacent symbol pairs over
+    * the VOCABULARY (weighted by word frequency, overlaps counted — the
+    * standard `get_stats`), pick the argmax pair (total order: count
+    * desc, then (lsym, rsym) — engine and oracle tie-break identically),
+    * APPLY it greedily left-to-right non-overlapping to every word's
+    * symbol array, and checkpoint the vocabulary (the CC /
+    * prefix-doubling iterate-and-checkpoint discipline) so round k never
+    * replays rounds 1..k−1.
+    *
+    * The greedy apply is ONE declarative map-side fold (`aggregate` over
+    * the symbol array): append each symbol unless the accumulator's tail
+    * is `lsym` and the symbol is `rsym`, in which case replace the tail
+    * with the merged symbol. The merged symbol `lsym+rsym` can never
+    * equal `lsym` (rsym is nonempty), so a freshly-merged tail never
+    * re-merges — exactly the non-overlapping scan reference BPE does.
+    * The oracle expresses the same greedy pass positionally (pair-start
+    * runs + odd-rank selection — runs longer than 1 only occur when
+    * lsym = rsym, where greedy takes every other start); the two
+    * formulations are equivalent, so the hash-match cross-checks the
+    * semantics, not a shared implementation.
+    *
+    * Scale shape per round (corpus-size-INDEPENDENT, like q105): the
+    * corpus folds to word frequencies once, before the loop (one partial-
+    * aggregated shuffle); each round's pair count is a map-side explode
+    * over distinct words + one vocabulary-sized agg; the argmax is a
+    * 1-row TakeOrderedAndProject collect (bounded metadata — the
+    * centroid-collect discipline); the apply is map-only. [[BpeRounds]]
+    * rounds at 100 TB = BpeRounds vocabulary-sized jobs after a single
+    * corpus pass. */
+  private[graft] val BpeRounds = 6
+
+  /** Greedy left-to-right non-overlapping application of merge
+    * (lsym, rsym) as a declarative fold. `lit()` carries the symbols, so
+    * arbitrary token characters are safe (no SQL-string splicing). */
+  private def applyMerge(syms: Column, lsym: String, rsym: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(lsym) &&
+            x === lit(rsym),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(lsym + rsym))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `rounds` merges over a (word, wf) table; returns the ordered
+    * merge list (rank, lsym, rsym, pair_count). Stops early if the
+    * vocabulary runs out of adjacent pairs. */
+  private[graft] def bpeTrain(wf: DataFrame, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val s = wf.sparkSession
+    import s.implicits._
+    var vocab = wf
+      .select($"word", $"wf",
+        transform(sequence(lit(1), length($"word")),
+          i => $"word".substr(i, lit(1))).as("syms"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = vocab.filter(size($"syms") >= 2)
+        .select($"wf", explode(zip_with(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1),
+          (a, b) => struct(a.as("lsym"), b.as("rsym")))).as("p"))
+        .groupBy($"p.lsym".as("lsym"), $"p.rsym".as("rsym"))
+        .agg(sum($"wf").as("cnt"))
+        .orderBy($"cnt".desc, $"lsym", $"rsym")
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best(0)
+        val (l, rt, c) = (row.getString(0), row.getString(1), row.getLong(2))
+        out += ((r.toLong, l, rt, c))
+        vocab = vocab.withColumn("syms", applyMerge($"syms", l, rt))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  def q137BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wf = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wf"))
+    bpeTrain(wf, BpeRounds)
+      .toDF("merge_rank", "lsym", "rsym", "pair_count")
+      .withColumn("merged", concat($"lsym", $"rsym"))
+      .select($"merge_rank", $"lsym", $"rsym", $"merged", $"pair_count")
+      .orderBy($"merge_rank")
+  }
+
+  /** The oracle unrolls the same [[BpeRounds]] rounds as CTE blocks
+    * (VERDICT r9 #4's "unrolled rounds at small N"): each round counts
+    * pairs, takes the same totally-ordered argmax, and applies the merge
+    * POSITIONALLY — pair-start positions, runs of consecutive starts
+    * (only possible when lsym = rsym), odd ranks within each run merge,
+    * the position after a merged start drops. */
+  val q137Oracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val v = s"v${r - 1}"
+      s"""e$r AS (
+         |  SELECT word, wf, CAST(i AS BIGINT) AS i, syms[i] AS sym,
+         |    syms[i + 1] AS nxt
+         |  FROM (SELECT word, wf, syms, unnest(range(1, len(syms) + 1)) AS i
+         |        FROM $v)),
+         |b$r AS (
+         |  SELECT sym AS lsym, nxt AS rsym, CAST(SUM(wf) AS BIGINT) AS cnt
+         |  FROM e$r WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt
+         |  ORDER BY cnt DESC, sym, nxt LIMIT 1),
+         |s$r AS (
+         |  SELECT e.word, e.i FROM e$r e, b$r b
+         |  WHERE e.sym = b.lsym AND e.nxt = b.rsym),
+         |k$r AS (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+         |    FROM (SELECT word, i,
+         |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+         |          FROM s$r))
+         |  WHERE rn % 2 = 1),
+         |v$r AS (
+         |  SELECT e.word, e.wf,
+         |    list(CASE WHEN k.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
+         |         ORDER BY e.i) AS syms
+         |  FROM e$r e
+         |  LEFT JOIN k$r k ON k.word = e.word AND k.i = e.i
+         |  LEFT JOIN k$r k2 ON k2.word = e.word AND k2.i = e.i - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY e.word, e.wf)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lsym, rsym,
+         |  lsym || rsym AS merged, cnt AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT word, wf,
+       |    list_transform(range(1, len(word) + 1),
+       |      ch_i -> substr(word, CAST(ch_i AS INTEGER), 1)) AS syms
+       |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
+       |          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |        WHERE len(word) >= 2 GROUP BY word)),
+       |$rounds
+       |$unioned
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q106
   /** Mergeable fixed-bin quantile estimation over document token length —
     * the number a pipeline reads to set its length cutoffs ("truncate at
@@ -877,6 +1031,7 @@ object TextAnalysis {
     "q95_length_histogram" -> q95LengthHistogram _,
     "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
     "q105_bpe_pairs" -> q105BpePairs _,
+    "q137_bpe_train" -> q137BpeTrain _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
     "q136_chunk_dedup" -> q136ChunkDedup _,
@@ -898,6 +1053,7 @@ object TextAnalysis {
     "q95_length_histogram" -> q95Oracle,
     "q97_countmin_heavyhitters" -> q97Oracle,
     "q105_bpe_pairs" -> q105Oracle,
+    "q137_bpe_train" -> q137Oracle,
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
     "q136_chunk_dedup" -> q136Oracle,

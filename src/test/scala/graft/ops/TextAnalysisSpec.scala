@@ -339,4 +339,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.count { case (_, e, c, _) => e == c } >= 15,
       s"suspiciously many collisions for 3x1024 at fixture scale: $rows")
   }
+
+  test("q137 bpe trainer replays a hand-worked merge sequence") {
+    val s = spark
+    import s.implicits._
+    // vocab: aaab ×3, ab ×2 — worked by hand:
+    //   round 1: (a,a) = 2 occ × wf3 = 6  beats (a,b) = 3 + 2 = 5
+    //            apply → aaab = [aa,a,b], ab = [a,b]
+    //   round 2: (a,b) = 3 + 2 = 5 beats (aa,a) = 3
+    //            apply → aaab = [aa,ab], ab = [ab]
+    //   round 3: (aa,ab) = 3 is the only pair left
+    val wf = Seq(("aaab", 3L), ("ab", 2L)).toDF("word", "wf")
+    val merges = TextAnalysis.bpeTrain(wf, 3)
+    assert(merges === Seq((1L, "a", "a", 6L), (2L, "a", "b", 5L),
+      (3L, "aa", "ab", 3L)))
+    // greedy non-overlap on odd runs: aaaaa (5 a's) merges to [aa,aa,a] —
+    // pair count 4 (overlaps counted), two merges applied, one 'a' left.
+    // Round 2 is a TIE at count 1 between (aa,aa) and (aa,a); the total
+    // order breaks it on (lsym, rsym) ascending → ("aa","a") wins
+    val wf2 = Seq(("aaaaa", 1L)).toDF("word", "wf")
+    val m2 = TextAnalysis.bpeTrain(wf2, 2)
+    assert(m2 === Seq((1L, "a", "a", 4L), (2L, "aa", "a", 1L)))
+    // exhaustion: single-symbol vocabulary stops early
+    val m3 = TextAnalysis.bpeTrain(Seq(("ab", 1L)).toDF("word", "wf"), 5)
+    assert(m3 === Seq((1L, "a", "b", 1L)))
+  }
 }
