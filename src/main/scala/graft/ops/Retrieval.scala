@@ -52,16 +52,30 @@ object Retrieval {
   /** BM25 top-K per query doc — the shared lexical retriever. Columns
     * (q_id, doc_id, lex_rank). */
   private def lexTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables(s, dir, "documents")
-    val toks = docs.select($"doc_id", explode(TextFns.tokens($"text")).as("t"))
+    lexTopKOn(docs, docs)
+  }
+
+  /** [[lexTopK]] with the CORPUS and the PROBE SET decoupled: `corpus`
+    * supplies the tf/df/dl statistics and the candidates; `queryDocs`
+    * supplies the 10 probe docs' terms. Identical to the classic form
+    * when both are the same table (the (q_id, t) pairs are the same
+    * distinct set either way); q138's trend gate passes a snapshot CARVE
+    * as the corpus while keeping the probes fixed, so gate numbers
+    * compare like for like across snapshots. */
+  private def lexTopKOn(corpus: DataFrame, queryDocs: DataFrame): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val toks = corpus.select($"doc_id", explode(TextFns.tokens($"text")).as("t"))
     val tf = toks.groupBy($"doc_id", $"t").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val dfT = toks.groupBy($"t").agg(countDistinct($"doc_id").as("df"))
     val totals = toks.agg(count(lit(1)).as("s_total"),
       countDistinct($"doc_id").as("n_docs"))
     // 10 query docs' distinct terms — bounded broadcast side
-    val qterms = tf.filter($"doc_id" < 10).select($"doc_id".as("q_id"), $"t")
+    val qterms = queryDocs.filter($"doc_id" < 10)
+      .select($"doc_id".as("q_id"),
+        explode(TextFns.tokens($"text")).as("t")).distinct()
     val termScore =
       ($"idf_num" * lit(22L) * $"tf" * $"s_total").cast(DoubleType) /
         ($"idf_den" * (lit(10L) * $"tf" * $"s_total" + lit(3L) * $"s_total" +
@@ -472,6 +486,185 @@ object Retrieval {
        |ORDER BY f.family, f.q_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q138
+  /** Retrieval-gate TREND — the versioned roll-up that makes an index
+    * regression visible across corpus snapshots (VERDICT r9 #8, the q113
+    * incremental-card pattern applied to q114's gate): the same two
+    * baseline families q114 grades — lexical BM25 and the brute-vector
+    * hybrid — are re-gated against the deterministic v1/v2 snapshot
+    * carves q96/q113/q122 already share (v1: doc_id % 7 ≠ 0; v2:
+    * doc_id % 17 ≠ 0 with the % 13 'rev2' text edits), with the PROBE
+    * SET held fixed (the external vec_id < 10 queries), and rolled up
+    * per (snapshot, family) into integer-exact gate ingredients:
+    * Σ n_rel5, queries whose first hit is rank 1, queries with no
+    * relevant result in the top-5, and the graded query count — plus a
+    * `delta` row per family (v2 − v1). The number a release review
+    * reads: "did the corpus refresh move retrieval quality, per family,
+    * and in which direction".
+    *
+    * Truth per snapshot is the brute cosine top-10 WITHIN that
+    * snapshot's corpus (relevance is relative to what the snapshot can
+    * serve). The carve models add/remove for the vector side and
+    * add/remove + edit for the lexical side; the fixture has no
+    * re-embedding of edited text (embedding refresh is S10's seam), so
+    * the v2 text edits move only the BM25 statistics — which is exactly
+    * why the lexical family's trend row is the interesting one.
+    *
+    * Cost note (the q114/q92 gate-job discipline): two snapshots × (one
+    * BM25 stack + two brute scans + one fusion) — an offline gate job;
+    * every comparison join downstream of the per-query top-k runs over
+    * ≤ 5·|queries|·|families| metadata rows. */
+  def q138RetrievalTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val probes = docs.select($"doc_id", $"text") // fixed probe set, both snapshots
+    def snapshotRollup(label: String, carve: Column => Column,
+        text: Column): DataFrame = {
+      val corpus = docs.filter(carve($"doc_id"))
+        .select($"doc_id", text.as("text"))
+      val lex = lexTopKOn(corpus, probes).localCheckpoint(true)
+      val vec = Similarity.bruteTopK(s, dir, K, carve)
+        .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
+      val truth = Similarity.bruteTopK(s, dir, 10, carve)
+        .select($"q_id", $"vec_id".as("doc_id"))
+        .withColumn("rel", lit(1L)).localCheckpoint(true)
+      def grade(family: String, ranked: DataFrame): DataFrame =
+        ranked.join(truth, Seq("q_id", "doc_id"), "left_outer")
+          .groupBy($"q_id").agg(
+            sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("n_rel5"),
+            coalesce(min(when($"rel".isNotNull, $"rank")), lit(0L)).as("first_rel"))
+          .select(lit(family).as("family"), $"q_id", $"n_rel5", $"first_rel")
+      val lex5 = lex.filter($"lex_rank" <= 5)
+        .select($"q_id", $"doc_id", $"lex_rank".as("rank"))
+      grade("hybrid_brute",
+          rrfFuse(lex, vec).select($"q_id", $"doc_id", $"rank"))
+        .unionByName(grade("lexical", lex5))
+        .groupBy($"family").agg(
+          sum($"n_rel5").as("sum_rel5"),
+          sum(when($"first_rel" === 1L, 1L).otherwise(0L)).as("n_first_hit"),
+          sum(when($"first_rel" === 0L, 1L).otherwise(0L)).as("n_miss"),
+          count(lit(1)).as("n_queries"))
+        .withColumn("snapshot", lit(label))
+    }
+    val v1 = snapshotRollup("v1", d => d % 7 =!= 0, $"text")
+      .localCheckpoint(true)
+    val v2 = snapshotRollup("v2", d => d % 17 =!= 0,
+      when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+        .otherwise($"text"))
+      .localCheckpoint(true)
+    val delta = v2.as("b").join(v1.as("a"), "family")
+      .select(lit("delta").as("snapshot"), $"family",
+        ($"b.sum_rel5" - $"a.sum_rel5").as("sum_rel5"),
+        ($"b.n_first_hit" - $"a.n_first_hit").as("n_first_hit"),
+        ($"b.n_miss" - $"a.n_miss").as("n_miss"),
+        ($"b.n_queries" - $"a.n_queries").as("n_queries"))
+    v1.select($"snapshot", $"family", $"sum_rel5", $"n_first_hit",
+        $"n_miss", $"n_queries")
+      .unionByName(v2.select($"snapshot", $"family", $"sum_rel5",
+        $"n_first_hit", $"n_miss", $"n_queries"))
+      .unionByName(delta)
+      .orderBy($"snapshot", $"family")
+  }
+
+  /** The oracle re-derives both snapshot gates and the delta directly —
+    * per snapshot: carved BM25 statistics with fixed probe terms, carved
+    * brute vector candidates and truth, RRF fusion, per-query grading,
+    * per-family roll-up. Generated from one parameterized template so v1
+    * and v2 cannot drift. */
+  val q138Oracle: String = {
+    val cos = Sql.cosine("q.embedding", "v.embedding")
+    def snap(x: Int, carve: String, textExpr: String): String =
+      s"""docs$x AS (
+         |  SELECT doc_id, $textExpr AS text FROM documents WHERE $carve),
+         |toks$x AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs$x),
+         |tf$x AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks$x GROUP BY 1, 2),
+         |dl$x AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks$x GROUP BY 1),
+         |dft$x AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks$x GROUP BY 1),
+         |totals$x AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_total,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks$x),
+         |lexscore$x AS (
+         |  SELECT q.q_id, c.doc_id,
+         |    SUM(CAST(
+         |      CAST((2 * n.n_docs - 2 * f.df + 1) * 22 * c.tf * n.s_total AS DOUBLE) /
+         |      CAST((2 * f.df + 1) *
+         |        (10 * c.tf * n.s_total + 3 * n.s_total + 9 * d.dl * n.n_docs) AS DOUBLE)
+         |      AS DECIMAL(28,12))) AS lex_dec
+         |  FROM qterms q
+         |  JOIN tf$x c ON c.t = q.t AND c.doc_id <> q.q_id
+         |  JOIN dft$x f ON f.t = q.t
+         |  CROSS JOIN totals$x n
+         |  JOIN dl$x d ON d.doc_id = c.doc_id
+         |  GROUP BY 1, 2),
+         |lex$x AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY lex_dec DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lexscore$x
+         |  QUALIFY lex_rank <= $K),
+         |vsims$x AS (
+         |  SELECT q.vec_id AS q_id, v.vec_id AS doc_id, $cos AS cos
+         |  FROM embeddings q, embeddings v
+         |  WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id
+         |    AND ${carve.replace("doc_id", "v.vec_id")}),
+         |vec$x AS (
+         |  SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+         |  FROM vsims$x QUALIFY vec_rank <= $K),
+         |truth$x AS (
+         |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS r
+         |    FROM vsims$x) t WHERE r <= 10),
+         |fused$x AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / ($RrfK + l.lex_rank), CAST(0 AS DOUBLE))
+         |      + COALESCE(CAST(1 AS DOUBLE) / ($RrfK + v.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex$x l FULL OUTER JOIN vec$x v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+         |hyb$x AS (
+         |  SELECT q_id, doc_id, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+         |    FROM fused$x) WHERE rank <= 5),
+         |fams$x AS (
+         |  SELECT 'hybrid_brute' AS family, q_id, doc_id, rank FROM hyb$x
+         |  UNION ALL
+         |  SELECT 'lexical', q_id, doc_id, lex_rank FROM lex$x WHERE lex_rank <= 5),
+         |grade$x AS (
+         |  SELECT f.family, f.q_id,
+         |    CAST(COUNT(t.doc_id) AS BIGINT) AS n_rel5,
+         |    CAST(COALESCE(MIN(CASE WHEN t.doc_id IS NOT NULL THEN f.rank END), 0)
+         |      AS BIGINT) AS first_rel
+         |  FROM fams$x f LEFT JOIN truth$x t
+         |    ON f.q_id = t.q_id AND f.doc_id = t.doc_id
+         |  GROUP BY f.family, f.q_id),
+         |roll$x AS (
+         |  SELECT family, CAST(SUM(n_rel5) AS BIGINT) AS sum_rel5,
+         |    CAST(SUM(CASE WHEN first_rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_hit,
+         |    CAST(SUM(CASE WHEN first_rel = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+         |    CAST(COUNT(*) AS BIGINT) AS n_queries
+         |  FROM grade$x GROUP BY family)""".stripMargin
+    s"""WITH qterms AS (
+       |  SELECT DISTINCT doc_id AS q_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |    FROM documents WHERE doc_id < 10) qsrc),
+       |${snap(1, "doc_id % 7 <> 0", "text")},
+       |${snap(2, "doc_id % 17 <> 0",
+            "CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END")}
+       |SELECT 'v1' AS snapshot, family, sum_rel5, n_first_hit, n_miss, n_queries FROM roll1
+       |UNION ALL
+       |SELECT 'v2', family, sum_rel5, n_first_hit, n_miss, n_queries FROM roll2
+       |UNION ALL
+       |SELECT 'delta', b.family, b.sum_rel5 - a.sum_rel5,
+       |  b.n_first_hit - a.n_first_hit, b.n_miss - a.n_miss,
+       |  b.n_queries - a.n_queries
+       |FROM roll2 b JOIN roll1 a USING (family)
+       |ORDER BY snapshot, family""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_hybrid_retrieval" -> q94HybridRetrieval _,
     "q102_hybrid_indexed" -> q102HybridIndexed _,
@@ -479,6 +672,7 @@ object Retrieval {
     "q116_hybrid_lsh" -> q116HybridLsh _,
     "q124_hybrid_sq" -> q124HybridSq _,
     "q127_mmr_rerank" -> q127MmrRerank _,
+    "q138_retrieval_trend" -> q138RetrievalTrend _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -488,5 +682,6 @@ object Retrieval {
     "q116_hybrid_lsh" -> q116Oracle,
     "q124_hybrid_sq" -> q124Oracle,
     "q127_mmr_rerank" -> q127Oracle,
+    "q138_retrieval_trend" -> q138Oracle,
   )
 }

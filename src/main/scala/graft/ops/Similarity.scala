@@ -59,10 +59,16 @@ object Similarity {
     * window). Columns (q_id, rank, vec_id, cos), no presentation sort —
     * q55 and the q94 retrieval fusion both consume this, so the candidate
     * generation (self-hit filter, prenorm cosine, tie-break) lives once. */
-  private[graft] def bruteTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+  /** `corpusPred` optionally restricts the CANDIDATE corpus (a snapshot
+    * carve — q138's trend gate); the probe set stays the fixed vec_id<10
+    * queries either way, so gates across carves compare like for like. */
+  private[graft] def bruteTopK(s: SparkSession, dir: String, k: Int,
+      corpusPred: Column => Column = _ => lit(true)): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
-    val q = e.filter($"vec_id" < 10)
+      .filter(corpusPred($"vec_id"))
+    val q = Tables(s, dir, "embeddings").withColumn("nrm", VecFns.norm($"embedding"))
+      .filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
     val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     e.crossJoin(broadcast(q))

@@ -188,6 +188,35 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("q138 trend: roll-up invariants, delta rows equal v2 minus v1, deterministic") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q138RetrievalTrend(s, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // 3 snapshot labels × 2 families
+    assert(rows.map(r => (r._1, r._2)).toSet ===
+      (for (sn <- Set("v1", "v2", "delta"); f <- Set("hybrid_brute", "lexical"))
+        yield (sn, f)))
+    val byKey = rows.map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    Seq("hybrid_brute", "lexical").foreach { f =>
+      val (s1, h1, m1, q1) = byKey(("v1", f))
+      val (s2, h2, m2, q2) = byKey(("v2", f))
+      assert(byKey(("delta", f)) === ((s2 - s1, h2 - h1, m2 - m1, q2 - q1)),
+        s"delta row is not v2 - v1 for $f")
+      // gate ingredient invariants per snapshot: ≤ 10 probes graded, at
+      // most 5 relevant per query, first-hit + miss partition ≤ n_queries
+      Seq((s1, h1, m1, q1), (s2, h2, m2, q2)).foreach { case (sr, hh, mm, qq) =>
+        assert(qq >= 1L && qq <= 10L)
+        assert(sr >= 0L && sr <= 5L * qq)
+        assert(hh >= 0L && mm >= 0L && hh + mm <= qq)
+      }
+    }
+    // pure-function determinism: a second full build lands identical rows
+    val again = Retrieval.q138RetrievalTrend(s, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(again === rows)
+  }
+
   test("q127 MMR: a near-duplicate of the top pick is passed over for diversity") {
     val s = spark
     import s.implicits._
