@@ -92,6 +92,14 @@ object PlanAudit {
     "q134_eval_lcs" -> "exact-substring decontam: the nearest-eval scan is a TWO-LEVEL distributed prefix scan — per-bucket running last(eval, ignoreNulls) windows over 4096 rank buckets (partitioned, parallel) + a carry-in from the <=4096-row bucket summary (metadata-sized single-partition window, the quantilesFromHistogram precedent) — NO corpus-sized single-partition step; LCP compares are map-side zip_with over (suffix, nearest-eval) pairs; the finish is one groupBy(doc_id) max",
     "q135_eval_exposure" -> "benchmark exposure: q134's lcsScan with the set side inverted (one code path, the implementations cannot drift) — same two-level prefix scan, same map-side LCP; the output is one row per EVAL doc, the benchmark owner's view of the same integrity question",
     "q136_chunk_dedup" -> "chunk dedup: chunkDocs (q109's map-side explode, shared verbatim with the S13 index) + ONE shuffle on the 64-byte chunk hash for the first-occurrence window (every occurrence keeps its rank — the report counts kept AND dropped); the rollup is a partial-aggregated groupBy(doc_id); text never shuffles",
+    "q137_bpe_train" -> "iterative BPE trainer: the corpus folds to its VOCABULARY once (one partial-agg shuffle on the word — q105's fold), then every merge round runs over the vocab-sized symbol table only (corpus-size-independent); each round = one pair partial agg + one TakeOrdered(1) winner + a map-side merge apply, localCheckpoint'd so round k never replays rounds 1..k-1 (the CC/prefix-doubling loop discipline); the audited plan is the final-round probe over the standing merge list",
+    "q138_retrieval_trend" -> "retrieval-gate trend: the per-snapshot gate tables are the REGISTERED q114 family subplans run against two snapshot carves with the probe set held fixed (lexTopKOn decouples corpus from probes — gate numbers compare like for like); each roll-up is a |families|-row partial agg and the delta is a |families|-row join — the corpus-scale cost is the gate subplans themselves, the trend arithmetic is metadata",
+    "q139_scd2_history" -> "SCD-2 version history: N snapshot scans with map-side sha2 (the 64-byte hash shuffles, never the text — q96's rule) union into ONE exchange on doc_id for the lag window (≤N rows per doc); the run aggregation groups on (doc_id, run_id) — clustering keys a superset of the window's hash partitioning, so EnsureRequirements inserts NO second exchange; islands detection is pure integer/string comparison",
+    "q140_language_budget" -> "temperature sampling schedule: one token-count partial-agg shuffle on lang; the α=1/4 weight is floor(1000·sqrt(sqrt(n))) — sqrt is IEEE-correctly-rounded (pow/exp/ln are libm-dependent and banned), so the quantized weight is bit-identical in any engine; apportionment is exact int64 largest-remainder over |languages| rows of metadata (single-partition windows over a bounded dimension)",
+    "q141_bigram_surprisal" -> "bigram surprisal filter: q107's map-side arrays_zip explode; the pair table (the LM artifact) is materialized ONCE and ctx counts derive from it — one corpus scan to train, one to score; scoring joins on (w1,w2) against the vocab-bounded model; surprisal is QUANTIZED to len(bin(ctx div pair)) = ⌊log₂⌋+1 bits — pure int64 end to end, no libm; the per-doc rollup is one integer partial-agg shuffle on doc_id",
+    "q142_training_shards" -> "deterministic training shuffle: md5 permutation key + djb2 shard routing are map-side codegen'd projections over the scan; ONE exchange (hash on shard) feeds 64 independent per-shard row_number sorts, each bounded by |corpus|/shards — the terasort-per-shard shape, NO global single-partition window anywhere (position is only ever assigned WITHIN a shard; raise the shard count with the corpus)",
+    "q143_context_assembly" -> "RAG context packing: the corpus-scale work is the registered lexTopK subplan (≤ K·|queries| candidate rows BY CONSTRUCTION); the length join keys on doc_id against a map-side token-count projection; the greedy budget line is a per-query running-sum window over ≤ K rows — integer end to end, window-expressible, never iterative; everything after the retriever is metadata-sized at any corpus scale",
+    "q144_prefix_cache" -> "prefix-cache audit: the 8-token prefix key is a map-side slice+join projection (the document never shuffles, the ≤8-token key does); ONE partial-aggregated shuffle on the prefix string; top-20 by (n_docs DESC, prefix) plans TakeOrderedAndProject over the distinct-prefix-sized aggregate — the q44 heavy-hitters shape on a prefix key",
   )
 
   def main(args: Array[String]): Unit = {

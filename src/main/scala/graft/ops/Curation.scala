@@ -955,6 +955,187 @@ object Curation {
        |FROM scored GROUP BY vec_id ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q140
+  /** Per-language temperature-sampled budget — the multilingual rebalance
+    * step (the mT5/XLM-R α-sampling regime): sampling languages
+    * proportionally to their raw token mass starves tail languages, so
+    * the mix is drawn with p_l ∝ n_l^α, α = 1/4 here (a stronger
+    * flattening than q123's per-SOURCE √-weight — the two schedules
+    * compose: sources within a language, languages within the release).
+    * The budget is the corpus's own token total (a same-size resample),
+    * apportioned exactly (largest-remainder over integer weights —
+    * Σshare = budget by construction); ratio_pct = share·100 div n_l is
+    * the per-language repetition factor the sampler enforces, and
+    * `upsampled` flags the tail languages that train past one epoch.
+    *
+    * Float discipline: n^(1/4) = sqrt(sqrt(n)) — IEEE-754 requires sqrt
+    * correctly rounded (unlike pow/exp/ln, which are libm-dependent and
+    * banned here — q45's precedent), so floor(1000·sqrt(sqrt(n))) is
+    * bit-identical in any engine; everything after the floor is exact
+    * int64 apportionment (q123's discipline).
+    *
+    * Scale shape: one token-count partial-agg shuffle on lang; all
+    * arithmetic after runs over |languages| rows of metadata
+    * (single-partition windows over a bounded dimension). */
+  def q140LanguageBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1)).orderBy($"rem".desc, $"lang")
+    Tables(s, dir, "documents")
+      .select($"lang", size(TextFns.tokens($"text")).cast("long").as("n"))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"), sum($"n").as("n_tokens"))
+      .withColumn("weight",
+        floor(lit(1000.0) * sqrt(sqrt($"n_tokens".cast("double")))).cast("long"))
+      .withColumn("budget", sum($"n_tokens").over(all))
+      .withColumn("w_total", sum($"weight").over(all))
+      .withColumn("base", expr("(budget * weight) div w_total"))
+      .withColumn("rem", ($"budget" * $"weight") % $"w_total")
+      .withColumn("leftover", $"budget" - sum($"base").over(all))
+      .withColumn("bump",
+        when(row_number().over(byRem) <= $"leftover", 1L).otherwise(0L))
+      .withColumn("share", $"base" + $"bump")
+      .withColumn("ratio_pct", expr("(share * 100) div n_tokens"))
+      .withColumn("upsampled", $"share" > $"n_tokens")
+      .select($"lang", $"n_docs", $"n_tokens", $"weight", $"share",
+        $"ratio_pct", $"upsampled")
+      .orderBy($"lang")
+  }
+
+  val q140Oracle: String =
+    """WITH counts AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |weighted AS (
+      |  SELECT lang, n_docs, n_tokens,
+      |    CAST(FLOOR(1000.0 * SQRT(SQRT(CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS weight
+      |  FROM counts),
+      |app AS (
+      |  SELECT *, CAST(SUM(n_tokens) OVER () AS BIGINT) AS budget,
+      |    CAST(SUM(weight) OVER () AS BIGINT) AS w_total
+      |  FROM weighted),
+      |based AS (
+      |  SELECT *, (budget * weight) // w_total AS base,
+      |    (budget * weight) % w_total AS rem
+      |  FROM app),
+      |shared AS (
+      |  SELECT lang, n_docs, n_tokens, weight,
+      |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+      |      <= budget - SUM(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS share
+      |  FROM based)
+      |SELECT lang, n_docs, n_tokens, weight, share,
+      |  (share * 100) // n_tokens AS ratio_pct,
+      |  share > n_tokens AS upsampled
+      |FROM shared ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q141
+  /** Per-document bigram surprisal — the KenLM-style fluency filter over
+    * q107's LM artifact: score every document by its mean conditional
+    * surprisal under the corpus bigram model (the CCNet/Gopher "LM
+    * perplexity" gate). The exact −log₂P(w2|w1) is a libm call (banned —
+    * q45's precedent), so surprisal is QUANTIZED to the integer bit-length
+    * of the inverse probability: len(bin(ctx div pair)) =
+    * ⌊log₂(ctx/pair)⌋ + 1 bits — a whole-bit-resolution cross-entropy
+    * that is pure int64 end to end and therefore bit-identical in any
+    * engine, at the cost of ≤1 bit of per-bigram resolution (a gate
+    * threshold is calibrated on the same quantized scale, so no decision
+    * changes). No smoothing is needed in-corpus: every document bigram
+    * exists in the model by construction (eval-side scoring would add it
+    * at the join's null branch).
+    *
+    * Plan shape: the bigram explode is q107's map-side arrays_zip; the
+    * pair table is MATERIALIZED once (the model artifact — q69/q107's
+    * localCheckpoint discipline) and ctx counts derive from it, so the
+    * corpus is scanned once for training and once for scoring; the
+    * scoring join keys on (w1, w2) — vocabulary-bounded build side — and
+    * the per-doc rollup is one integer partial-agg shuffle on doc_id.
+    * Docs with fewer than two tokens have no bigrams and are absent by
+    * construction (inner join), as in q69. */
+  def q141BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = TextFns.tokens($"text")
+    val bg = Tables(s, dir, "documents")
+      .select($"doc_id", explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("p"))
+      .select($"doc_id", $"p.0".as("w1"), $"p.1".as("w2"))
+    val pairs = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("pc"))
+      .localCheckpoint(true)
+    val ctx = pairs.groupBy($"w1").agg(sum($"pc").as("cc"))
+    bg.join(pairs, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .withColumn("bits", length(bin(expr("cc div pc"))).cast("long"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"bits").as("surprisal_bits"))
+      .withColumn("milli_bits_per_bigram",
+        expr("(surprisal_bits * 1000) div n_bigrams"))
+      .withColumn("is_fluent", $"milli_bits_per_bigram" < 2500L)
+      .select($"doc_id", $"n_bigrams", $"surprisal_bits",
+        $"milli_bits_per_bigram", $"is_fluent")
+      .orderBy($"doc_id")
+  }
+
+  val q141Oracle: String =
+    """WITH bg AS (
+      |  SELECT doc_id, tokens[CAST(i AS INTEGER)] AS w1,
+      |    tokens[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents))),
+      |pairs AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pc FROM bg GROUP BY w1, w2),
+      |ctx AS (
+      |  SELECT w1, CAST(SUM(pc) AS BIGINT) AS cc FROM pairs GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id, CAST(length(bin(cc // pc)) AS BIGINT) AS bits
+      |  FROM bg JOIN pairs USING (w1, w2) JOIN ctx USING (w1)),
+      |rolled AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, surprisal_bits,
+      |  (surprisal_bits * 1000) // n_bigrams AS milli_bits_per_bigram,
+      |  (surprisal_bits * 1000) // n_bigrams < 2500 AS is_fluent
+      |FROM rolled ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q142
+  /** Deterministic training-shard shuffle — the global permutation every
+    * training run needs between curation and the data loader: documents
+    * are dealt into 64 shards and ordered within each shard by an
+    * engine-independent pseudo-random key, so the SAME corpus always
+    * yields the SAME byte-identical shards (reproducible training, the
+    * q70 md5-permutation discipline) with no cross-shard order coupling.
+    * The key is md5(doc_id) (the fixed permutation); the shard is
+    * djb2(key) mod 64 — a second independent hash so shard membership and
+    * within-shard order do not correlate.
+    *
+    * Scale shape: ONE exchange (hash on shard) feeds per-shard
+    * row_number windows — 64 independent sorts, each bounded by
+    * |corpus|/64 (the terasort-per-shard shape; at 100 TB raise the
+    * shard count with the corpus, keeping per-shard sorts in memory).
+    * No global single-partition window anywhere: position is only ever
+    * assigned WITHIN a shard. */
+  def q142TrainingShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nShards = 64L
+    val w = Window.partitionBy($"shard").orderBy($"rand_key", $"doc_id")
+    Tables(s, dir, "documents")
+      .withColumn("rand_key", md5($"doc_id".cast("string")))
+      .withColumn("shard", pmod(graft.functions.Djb2.djb2($"rand_key"), lit(nShards)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"shard", $"pos", $"doc_id", $"rand_key")
+      .orderBy($"shard", $"pos")
+  }
+
+  val q142Oracle: String = {
+    val shard = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 64)
+    s"""SELECT shard, pos, doc_id, rand_key FROM (
+       |  SELECT $shard AS shard,
+       |    md5(CAST(doc_id AS VARCHAR)) AS rand_key, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY $shard
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+       |  FROM documents)
+       |ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -972,6 +1153,9 @@ object Curation {
     "q118_dedup_savings" -> q118DedupSavings _,
     "q121_semantic_decontam" -> q121SemanticDecontam _,
     "q123_epoch_schedule" -> q123EpochSchedule _,
+    "q140_language_budget" -> q140LanguageBudget _,
+    "q141_bigram_surprisal" -> q141BigramSurprisal _,
+    "q142_training_shards" -> q142TrainingShards _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -991,5 +1175,8 @@ object Curation {
     "q118_dedup_savings" -> q118Oracle,
     "q121_semantic_decontam" -> q121Oracle,
     "q123_epoch_schedule" -> q123Oracle,
+    "q140_language_budget" -> q140Oracle,
+    "q141_bigram_surprisal" -> q141Oracle,
+    "q142_training_shards" -> q142Oracle,
   )
 }

@@ -320,12 +320,12 @@ object Retrieval {
       .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
   }
 
-  /** The hybrid-retrieval oracle with a pluggable vector retriever:
-    * `vecCtes` must define a CTE `vec` with columns (q_id, doc_id,
-    * vec_rank ≤ K). The lexical CTEs and the RRF fusion are shared
-    * between q94 (brute vector side) and q102 (IVF vector side). */
-  private def hybridOracle(vecCtes: String): String =
-    s"""WITH toks AS (
+  /** The shared lexical-retriever CTE block (toks…lex): defines a CTE
+    * `lex` with columns (q_id, doc_id, lex_rank ≤ K) — the SQL twin of
+    * [[lexTopK]], reused by every hybrid oracle and by q143's context
+    * assembler. */
+  private def lexOracleCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
@@ -351,7 +351,14 @@ object Retrieval {
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY lex_dec DESC, doc_id) AS BIGINT) AS lex_rank
        |  FROM lexscore
-       |  QUALIFY lex_rank <= $K),
+       |  QUALIFY lex_rank <= $K)""".stripMargin
+
+  /** The hybrid-retrieval oracle with a pluggable vector retriever:
+    * `vecCtes` must define a CTE `vec` with columns (q_id, doc_id,
+    * vec_rank ≤ K). The lexical CTEs and the RRF fusion are shared
+    * between q94 (brute vector side) and q102 (IVF vector side). */
+  private def hybridOracle(vecCtes: String): String =
+    s"""WITH $lexOracleCtes,
        |$vecCtes,
        |fused AS (
        |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
@@ -665,6 +672,65 @@ object Retrieval {
        |ORDER BY snapshot, family""".stripMargin
   }
 
+  // --------------------------------------------------------------- q143
+  /** RAG context assembly — the step between retrieval and the prompt:
+    * the top-K BM25 candidates per query are packed greedily, in rank
+    * order, into a fixed context-token budget (512 here — the serving
+    * contract's context window minus prompt/answer reserve). Every
+    * candidate row reports its running token total, whether it fits
+    * entirely, and `fit_tokens` — the tokens it actually contributes
+    * (full length while under budget, the remaining headroom for the
+    * first overflowing doc — head-truncation, the common RAG fallback —
+    * and 0 past it). Emitting ALL candidates with the packing verdict
+    * (not just the survivors) keeps the table auditable: the gap between
+    * rank depth and packed depth is the signal for budget tuning.
+    *
+    * Packing is greedy-prefix-in-rank-order — deliberately NOT a
+    * knapsack: assembly must preserve the ranker's order (relevance
+    * decays with rank), so the only decision is where the budget line
+    * falls, which is a running sum — window-expressible, never
+    * iterative.
+    *
+    * Scale shape: the candidate set is ≤ K·|queries| rows BY
+    * CONSTRUCTION (the fusion-seam bound); the length join keys on
+    * doc_id against a map-side token-count projection, and the running
+    * sum is a per-query window over ≤ K rows. Everything after lexTopK
+    * is metadata-sized at any corpus scale. INTEGER end to end: token
+    * counts and budgets are int64, so the packing line cannot move
+    * between engines. */
+  def q143ContextAssembly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512L
+    val lens = Tables(s, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("dl"))
+    val w = Window.partitionBy($"q_id").orderBy($"lex_rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lexTopK(s, dir)
+      .join(lens, Seq("doc_id"))
+      .withColumn("cum_tokens", sum($"dl").over(w))
+      .withColumn("included", $"cum_tokens" <= budget)
+      .withColumn("fit_tokens",
+        when($"cum_tokens" <= budget, $"dl")
+          .otherwise(greatest(lit(0L), lit(budget) - ($"cum_tokens" - $"dl"))))
+      .select($"q_id", $"lex_rank", $"doc_id", $"dl", $"cum_tokens",
+        $"included", $"fit_tokens")
+      .orderBy($"q_id", $"lex_rank")
+  }
+
+  val q143Oracle: String =
+    s"""WITH $lexOracleCtes,
+       |cand AS (
+       |  SELECT l.q_id, l.lex_rank, l.doc_id, d.dl,
+       |    CAST(SUM(d.dl) OVER (PARTITION BY l.q_id ORDER BY l.lex_rank
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM lex l JOIN dl d USING (doc_id))
+       |SELECT q_id, lex_rank, doc_id, dl, cum_tokens,
+       |  cum_tokens <= 512 AS included,
+       |  CASE WHEN cum_tokens <= 512 THEN dl
+       |       ELSE GREATEST(0, 512 - (cum_tokens - dl)) END AS fit_tokens
+       |FROM cand
+       |ORDER BY q_id, lex_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q94_hybrid_retrieval" -> q94HybridRetrieval _,
     "q102_hybrid_indexed" -> q102HybridIndexed _,
@@ -673,6 +739,7 @@ object Retrieval {
     "q124_hybrid_sq" -> q124HybridSq _,
     "q127_mmr_rerank" -> q127MmrRerank _,
     "q138_retrieval_trend" -> q138RetrievalTrend _,
+    "q143_context_assembly" -> q143ContextAssembly _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -683,5 +750,6 @@ object Retrieval {
     "q124_hybrid_sq" -> q124Oracle,
     "q127_mmr_rerank" -> q127Oracle,
     "q138_retrieval_trend" -> q138Oracle,
+    "q143_context_assembly" -> q143Oracle,
   )
 }

@@ -1017,6 +1017,52 @@ object TextAnalysis {
        |  GROUP BY doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q144
+  /** Shared-prefix audit — the KV-prefix-cache sizing number an inference
+    * (or training-packing) stack asks of a corpus: how many documents
+    * open with the SAME first-P tokens (templated boilerplate, scraped
+    * mirrors, form letters), and how many prefix tokens a prefix cache
+    * would therefore not re-compute. Reports the top-20 shared 8-token
+    * prefixes with their document count, the per-group token savings
+    * ((n−1)·P — every copy after the first hits the cache), and the
+    * smallest member doc_id as the audit sample. Groups of one save
+    * nothing and are filtered before the top-k.
+    *
+    * Scale shape: the prefix key is a map-side projection (slice + join
+    * of the first P tokens — the document never shuffles, the ≤P-token
+    * key does); the group count is one partial-agg shuffle on the prefix
+    * string; the top-20 is TakeOrderedAndProject over the
+    * (distinct-prefix)-sized aggregate. At 100 TB this is the q44
+    * heavy-hitters shape on a prefix key. */
+  def q144PrefixCache(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = 8
+    val toks = TextFns.tokens($"text")
+    Tables(s, dir, "documents")
+      .filter(size(toks) >= p)
+      .select($"doc_id",
+        array_join(slice(toks, 1, p), " ").as("prefix"))
+      .groupBy($"prefix")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("sample_doc"))
+      .filter($"n_docs" >= 2)
+      .withColumn("saved_tokens", ($"n_docs" - 1L) * p)
+      .select($"prefix", $"n_docs", $"saved_tokens", $"sample_doc")
+      .orderBy($"n_docs".desc, $"prefix")
+      .limit(20)
+  }
+
+  val q144Oracle: String =
+    """SELECT prefix, n_docs, (n_docs - 1) * 8 AS saved_tokens, sample_doc
+      |FROM (
+      |  SELECT array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    MIN(doc_id) AS sample_doc
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8
+      |  GROUP BY 1)
+      |WHERE n_docs >= 2
+      |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -1037,6 +1083,7 @@ object TextAnalysis {
     "q136_chunk_dedup" -> q136ChunkDedup _,
     "q112_winnow_fingerprints" -> q112WinnowFingerprints _,
     "q117_memorization_risk" -> q117MemorizationRisk _,
+    "q144_prefix_cache" -> q144PrefixCache _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1059,5 +1106,6 @@ object TextAnalysis {
     "q136_chunk_dedup" -> q136Oracle,
     "q112_winnow_fingerprints" -> q112Oracle,
     "q117_memorization_risk" -> q117Oracle,
+    "q144_prefix_cache" -> q144Oracle,
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -251,15 +252,108 @@ object Versioning {
       |GROUP BY j.source, t.n1_docs, t.n2_docs
       |ORDER BY j.source""".stripMargin
 
+  // ---------------------------------------------------------------- q139
+  /** SCD-2 corpus version history — the temporal registry behind every
+    * "which snapshot trained this model" audit: q96 answers what changed
+    * between TWO snapshots; q139 folds a whole snapshot SERIES into the
+    * type-2 dimension table a lakehouse keeps per document — one row per
+    * contiguous content VERSION RUN with [valid_from, valid_to] snapshot
+    * bounds and an is_current flag. A doc that is deleted and later
+    * re-added (even with identical text) opens a NEW run — presence gaps
+    * terminate validity, which is what provenance law (right-to-be-
+    * forgotten windows, license revocations) actually asks of the
+    * registry.
+    *
+    * Snapshots are the q96/q113 deterministic carve extended to three:
+    * v1 = id%7≠0; v2 = id%17≠0 with the %13 " rev2" edit; v3 = id%19≠0
+    * with the %13 edit kept and a further %11 " rev3" edit. Production
+    * points the union at N lake snapshot paths.
+    *
+    * Scale shape: the union is N snapshot scans with a map-side sha2
+    * projection (the 64-byte hash shuffles, never the text — q96's rule);
+    * ONE exchange on doc_id feeds the lag window (≤N rows per doc), and
+    * the run aggregation groups on (doc_id, run_id) — clustering keys a
+    * superset of the window's hash partitioning, so EnsureRequirements
+    * inserts no second exchange. Run detection is the gaps-and-islands
+    * rule in pure integer/string comparison: new_run ⇔ first row ∨ hash
+    * change ∨ snapshot gap. */
+  def q139Scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    def snap(n: Int, pred: org.apache.spark.sql.Column,
+             text: org.apache.spark.sql.Column) =
+      docs.filter(pred).select($"doc_id", lit(n.toLong).as("snap"),
+        sha2(text, 256).as("version_hash"))
+    val v1 = snap(1, $"doc_id" % 7 =!= 0, $"text")
+    val v2 = snap(2, $"doc_id" % 17 =!= 0,
+      when($"doc_id" % 13 === 0, concat($"text", lit(" rev2"))).otherwise($"text"))
+    val v3 = snap(3, $"doc_id" % 19 =!= 0,
+      when($"doc_id" % 11 === 0,
+        concat(when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text"), lit(" rev3")))
+        .otherwise(when($"doc_id" % 13 === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text")))
+    val w = Window.partitionBy($"doc_id").orderBy($"snap")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v1.unionByName(v2).unionByName(v3)
+      .withColumn("new_run",
+        when(lag($"snap", 1).over(w).isNull, 1L)
+          .when($"version_hash" =!= lag($"version_hash", 1).over(w), 1L)
+          .when($"snap" =!= lag($"snap", 1).over(w) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum($"new_run").over(wRun))
+      .groupBy($"doc_id", $"run_id")
+      .agg(min($"snap").as("valid_from"), max($"snap").as("valid_to"),
+        min($"version_hash").as("version_hash"))
+      .withColumn("is_current", $"valid_to" === 3L)
+      .select($"doc_id", $"run_id", $"valid_from", $"valid_to",
+        $"is_current", $"version_hash")
+      .orderBy($"doc_id", $"valid_from")
+  }
+
+  val q139Oracle: String =
+    """WITH snaps AS (
+      |  SELECT doc_id, 1::BIGINT AS snap, sha256(text) AS version_hash
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 2::BIGINT,
+      |    sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END)
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 3::BIGINT,
+      |    sha256(CASE WHEN doc_id % 11 = 0
+      |      THEN (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) || ' rev3'
+      |      ELSE (CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END) END)
+      |  FROM documents WHERE doc_id % 19 <> 0),
+      |flagged AS (
+      |  SELECT doc_id, snap, version_hash,
+      |    CASE WHEN lag(snap) OVER w IS NULL THEN 1
+      |         WHEN version_hash <> lag(version_hash) OVER w THEN 1
+      |         WHEN snap <> lag(snap) OVER w + 1 THEN 1
+      |         ELSE 0 END::BIGINT AS new_run
+      |  FROM snaps
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY snap)),
+      |runs AS (
+      |  SELECT doc_id, snap, version_hash,
+      |    CAST(SUM(new_run) OVER (PARTITION BY doc_id ORDER BY snap
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      |  FROM flagged)
+      |SELECT doc_id, run_id, MIN(snap) AS valid_from, MAX(snap) AS valid_to,
+      |  MAX(snap) = 3 AS is_current, MIN(version_hash) AS version_hash
+      |FROM runs GROUP BY doc_id, run_id
+      |ORDER BY doc_id, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_snapshot_diff" -> q96SnapshotDiff _,
     "q113_incremental_card" -> q113IncrementalCard _,
     "q122_snapshot_drift" -> q122SnapshotDrift _,
+    "q139_scd2_history" -> q139Scd2History _,
   )
 
   val oracles: Map[String, String] = Map(
     "q96_snapshot_diff" -> q96Oracle,
     "q113_incremental_card" -> q113Oracle,
     "q122_snapshot_drift" -> q122Oracle,
+    "q139_scd2_history" -> q139Oracle,
   )
 }

@@ -447,4 +447,80 @@ class CurationSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 3000L)
     assert(out.values.map(_._7).sum === 350L)
   }
+
+  test("q140 temperature budget: exact apportionment, α=1/4 flattening direction") {
+    val s = spark
+    import s.implicits._
+    val rows = Curation.q140LanguageBudget(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // the budget is spent EXACTLY: Σshare = Σn_tokens by construction
+    assert(rows.map(_._5).sum === rows.map(_._3).sum)
+    // weight matches the declared quantization
+    rows.foreach { case (lang, _, nTok, w, _, _, _) =>
+      assert(w === math.floor(1000.0 * math.sqrt(math.sqrt(nTok.toDouble))).toLong,
+        s"weight($lang)")
+    }
+    // largest-remainder: every share is base or base+1
+    val wTotal = rows.map(_._4).sum
+    val budget = rows.map(_._3).sum
+    rows.foreach { case (lang, _, _, w, share, _, _) =>
+      val base = budget * w / wTotal
+      assert(share == base || share == base + 1, s"share($lang) not base/base+1")
+    }
+    // α < 1 flattens: the SMALLEST language is upsampled (ratio > 100%),
+    // the largest is downsampled — the whole point of temperature sampling
+    val smallest = rows.minBy(_._3); val largest = rows.maxBy(_._3)
+    assert(smallest._6 > 100L && smallest._7, "tail language not upsampled")
+    assert(largest._6 < 100L && !largest._7, "head language not downsampled")
+  }
+
+  test("q141 surprisal replays a hand-worked bigram model") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-sup-").toString
+    // doc 1 "a b a b": bigrams (a,b),(b,a),(a,b) → pc(a,b)=2, pc(b,a)=1
+    // doc 2 "a c":     bigram  (a,c)             → pc(a,c)=1
+    // ctx(a)=3, ctx(b)=1
+    // doc 1 bits: (a,b): 3 div 2 = 1 → len(bin 1)=1 ; (b,a): 1 div 1 = 1 → 1;
+    //             (a,b) again → 1 ⇒ total 3 over 3 bigrams → 1000 milli-bits
+    // doc 2 bits: (a,c): 3 div 1 = 3 → len(bin 11)=2 ⇒ 2000 milli-bits
+    Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("S"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val out = Curation.q141BigramSurprisal(s, root).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))).toMap
+    assert(out(1L) === ((3L, 3L, 1000L, true)))
+    assert(out(2L) === ((1L, 2L, 2000L, true)))
+  }
+
+  test("q142 shards: complete permutation, contiguous positions, recomputable key") {
+    val s = spark
+    import s.implicits._
+    val rows = Curation.q142TrainingShards(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nDocs = graft.Tables(s, sf, "documents").count()
+    // every doc appears exactly once — a shuffle is a permutation
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._3).distinct.length.toLong === nDocs)
+    // within each shard, positions are contiguous 1..n in rand_key order
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rs.length.toLong).toSeq,
+        s"shard $shard positions not contiguous")
+      assert(sorted.map(r => (r._4, r._3)).toSeq ===
+        rs.map(r => (r._4, r._3)).sortBy(identity).toSeq,
+        s"shard $shard not in rand_key order")
+    }
+    // the routing is recomputable from public parts: shard = djb2(md5) mod 64
+    rows.take(50).foreach { case (shard, _, id, key) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(key === md)
+      assert(shard === graft.functions.Djb2.hash(md) % 64)
+    }
+  }
 }

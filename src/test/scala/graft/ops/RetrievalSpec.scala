@@ -244,4 +244,31 @@ class RetrievalSpec extends SparkSpec {
     // the twin never enters the selected context at all
     assert(sel === Seq(10L, 12L, 13L), s"got $sel")
   }
+
+  test("q143 packing invariants: running sum, budget line, single partial fit") {
+    val s = spark
+    import s.implicits._
+    val rows = Retrieval.q143ContextAssembly(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // cum_tokens is the exact prefix sum of dl in rank order
+      assert(sorted.map(_._4).scanLeft(0L)(_ + _).tail.toSeq ===
+        sorted.map(_._5).toSeq, s"q$q prefix sum")
+      // included ⇔ under budget; fit = dl while included
+      sorted.foreach { case (_, rank, _, dl, cum, inc, fit) =>
+        assert(inc === (cum <= 512L), s"q$q rank$rank included flag")
+        if (inc) assert(fit === dl, s"q$q rank$rank fit≠dl")
+      }
+      // the packed context never exceeds the budget, and at most ONE row
+      // is partially fit (the head-truncated overflow doc)
+      assert(sorted.map(_._7).sum <= 512L, s"q$q over budget")
+      assert(sorted.count(r => r._7 > 0 && r._7 < r._4) <= 1, s"q$q partial fits")
+      // packing is prefix-shaped: once fit hits 0 it stays 0
+      val fits = sorted.map(_._7)
+      assert(fits.dropWhile(_ > 0).forall(_ == 0L), s"q$q not prefix-shaped")
+    }
+  }
 }

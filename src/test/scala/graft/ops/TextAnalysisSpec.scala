@@ -364,4 +364,27 @@ class TextAnalysisSpec extends SparkSpec {
     val m3 = TextAnalysis.bpeTrain(Seq(("ab", 1L)).toDF("word", "wf"), 5)
     assert(m3 === Seq((1L, "a", "b", 1L)))
   }
+
+  test("q144 prefix groups equal an independent local fold") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs
+      .filter(_._2.split(" ", -1).length >= 8)
+      .map { case (id, t) => (t.split(" ", -1).take(8).mkString(" "), id) }
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).min))
+      .toSeq.collect { case (p, (n, sample)) if n >= 2 =>
+        (p, n, (n - 1) * 8, sample) }
+      .sortBy { case (p, n, _, _) => (-n, p) }
+      .take(20)
+    val got = TextAnalysis.q144PrefixCache(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // the fixture actually contains shared prefixes — the audit is not
+    // vacuously empty
+    assert(got.nonEmpty && got.head._2 >= 2)
+  }
 }

@@ -86,4 +86,48 @@ class VersioningSpec extends SparkSpec {
     // C: one doc hops b0 → b1 → disjoint histograms → tv = 1
     assert(out("C") === ((1L, 1L, 2L, 1.0)))
   }
+
+  test("q139 SCD2 runs equal an independent per-doc fold of the carve") {
+    val s = spark
+    import s.implicits._
+    // Independent ground truth: fold each doc's snapshot series in plain
+    // Scala (presence carve + edit rules + sha256), derive version runs
+    // with the same islands rule, and demand exact equality.
+    def sha(t: String): String = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      d.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val t2 = if (id % 13 == 0) text + " rev2" else text
+      val t3 = if (id % 11 == 0) t2 + " rev3" else t2
+      val present = Seq(
+        (1L, text, id % 7 != 0), (2L, t2, id % 17 != 0), (3L, t3, id % 19 != 0))
+        .collect { case (snapN, t, true) => (snapN, sha(t)) }
+      // islands: new run on first row, hash change, or snapshot gap
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+      present.foreach { case (snapN, h) =>
+        runs.lastOption match {
+          case Some((from, to, ph)) if ph == h && to == snapN - 1 =>
+            runs(runs.length - 1) = (from, snapN, h)
+          case _ => runs += ((snapN, snapN, h))
+        }
+      }
+      runs.zipWithIndex.map { case ((from, to, h), i) =>
+        (id, (i + 1).toLong, from, to, to == 3L, h)
+      }
+    }.sortBy(r => (r._1, r._3))
+    val got = Versioning.q139Scd2History(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getString(5)))
+    assert(got.toSeq === expected.toSeq)
+    // the carve exercises every interesting shape on the fixture id space:
+    // a presence gap (two runs, same or different hash) and an edit split
+    val byDoc = expected.groupBy(_._1)
+    assert(byDoc.values.exists(_.length >= 2), "no multi-run doc in fixture")
+    assert(expected.exists { case (id, _, from, to, _, _) =>
+      id % 17 == 0 && to < 3 && from == 1 }, "no gap-terminated run")
+  }
 }
