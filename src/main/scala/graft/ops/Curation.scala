@@ -1113,13 +1113,20 @@ object Curation {
     * shard count with the corpus, keeping per-shard sorts in memory).
     * No global single-partition window anywhere: position is only ever
     * assigned WITHIN a shard. */
+  /** q142's routing expressions — factored out and shared with the S18
+    * streaming shard router, so batch and streaming shard MEMBERSHIP are
+    * the same codegen'd expressions and cannot drift. */
+  private[graft] def shardKey(docId: Column): Column = md5(docId.cast("string"))
+  private[graft] def shardOf(key: Column, nShards: Long): Column =
+    pmod(graft.functions.Djb2.djb2(key), lit(nShards))
+  private[graft] val NShards = 64L
+
   def q142TrainingShards(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nShards = 64L
     val w = Window.partitionBy($"shard").orderBy($"rand_key", $"doc_id")
     Tables(s, dir, "documents")
-      .withColumn("rand_key", md5($"doc_id".cast("string")))
-      .withColumn("shard", pmod(graft.functions.Djb2.djb2($"rand_key"), lit(nShards)))
+      .withColumn("rand_key", shardKey($"doc_id"))
+      .withColumn("shard", shardOf($"rand_key", NShards))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select($"shard", $"pos", $"doc_id", $"rand_key")
       .orderBy($"shard", $"pos")
