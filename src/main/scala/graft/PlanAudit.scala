@@ -100,6 +100,8 @@ object PlanAudit {
     "q142_training_shards" -> "deterministic training shuffle: md5 permutation key + djb2 shard routing are map-side codegen'd projections over the scan; ONE exchange (hash on shard) feeds 64 independent per-shard row_number sorts, each bounded by |corpus|/shards — the terasort-per-shard shape, NO global single-partition window anywhere (position is only ever assigned WITHIN a shard; raise the shard count with the corpus)",
     "q143_context_assembly" -> "RAG context packing: the corpus-scale work is the registered lexTopK subplan (≤ K·|queries| candidate rows BY CONSTRUCTION); the length join keys on doc_id against a map-side token-count projection; the greedy budget line is a per-query running-sum window over ≤ K rows — integer end to end, window-expressible, never iterative; everything after the retriever is metadata-sized at any corpus scale",
     "q144_prefix_cache" -> "prefix-cache audit: the 8-token prefix key is a map-side slice+join projection (the document never shuffles, the ≤8-token key does); ONE partial-aggregated shuffle on the prefix string; top-20 by (n_docs DESC, prefix) plans TakeOrderedAndProject over the distinct-prefix-sized aggregate — the q44 heavy-hitters shape on a prefix key",
+    "q145_soft_filter" -> "quality-weighted soft filter: q42's map-side scoring projection + the md5/djb2 uniform draw in the SAME projection; the keep decision u < floor(score·1000) is a map-side integer comparison — the whole filter is scan + project, and the only exchange is the presentation ORDER BY",
+    "q146_quality_map" -> "quality×surprisal data map: the two scoring subplans are each one corpus pass (q42 map-side; q141's registered train+score); the doc-level joins key on doc_id; the census is ONE partial-aggregated shuffle with ≤ |sources|·100 surviving groups — the histogram IS the output (q95/q106's contract), so the shuffle is census-sized at any corpus scale",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1074,8 +1074,10 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  val q141Oracle: String =
-    """WITH bg AS (
+  /** q141's CTE chain up to the per-doc integer rollup (`rolled` with
+    * doc_id, n_bigrams, surprisal_bits) — shared with q146's data map. */
+  private val q141Ctes: String =
+    """bg AS (
       |  SELECT doc_id, tokens[CAST(i AS INTEGER)] AS w1,
       |    tokens[CAST(i AS INTEGER) + 1] AS w2
       |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
@@ -1090,11 +1092,14 @@ object Curation {
       |rolled AS (
       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
       |    CAST(SUM(bits) AS BIGINT) AS surprisal_bits
-      |  FROM scored GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, surprisal_bits,
-      |  (surprisal_bits * 1000) // n_bigrams AS milli_bits_per_bigram,
-      |  (surprisal_bits * 1000) // n_bigrams < 2500 AS is_fluent
-      |FROM rolled ORDER BY doc_id""".stripMargin
+      |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  val q141Oracle: String =
+    s"""WITH $q141Ctes
+       |SELECT doc_id, n_bigrams, surprisal_bits,
+       |  (surprisal_bits * 1000) // n_bigrams AS milli_bits_per_bigram,
+       |  (surprisal_bits * 1000) // n_bigrams < 2500 AS is_fluent
+       |FROM rolled ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q142
   /** Deterministic training-shard shuffle — the global permutation every
@@ -1143,6 +1148,99 @@ object Curation {
        |ORDER BY shard, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Quality-weighted soft filter — the DCLM/FineWeb-style middle ground
+    * between a hard quality gate (q64 keeps or drops at a threshold —
+    * every borderline doc is an all-or-nothing call) and no filtering:
+    * each document is kept with probability EQUAL to its q42 quality
+    * score, decided by comparing the score against a deterministic
+    * per-doc uniform draw. The "draw" is q142's engine-independent
+    * hash chain — u = djb2(md5(doc_id)) mod 1000 — so the SAME corpus
+    * always yields the SAME sample (reproducible-training discipline),
+    * yet across documents the acceptance rate converges to the mean
+    * quality score: low-quality text is down-weighted smoothly instead
+    * of cliff-edged. The comparison is u < floor(score·1000) — one
+    * float multiply+floor on an already-deterministic double, then pure
+    * integer comparison: no boundary can move between engines.
+    *
+    * Scale shape: q42's map-side scoring projection + the hash draw in
+    * the same projection; the filter decision is map-side; the only
+    * exchange is the presentation ORDER BY. The score's threshold
+    * resolution (1/1000) is the knob production tunes. */
+  def q145SoftFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.q42Quality(s, dir)
+      .select($"doc_id", $"quality_score")
+      .withColumn("u", pmod(graft.functions.Djb2.djb2(shardKey($"doc_id")), lit(1000L)))
+      .withColumn("accept_milli", floor($"quality_score" * 1000.0).cast("long"))
+      .withColumn("kept", $"u" < $"accept_milli")
+      .select($"doc_id", $"quality_score", $"u", $"accept_milli", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val q145Oracle: String = {
+    val u = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 1000)
+    s"""SELECT doc_id, quality_score, $u AS u,
+       |  CAST(FLOOR(quality_score * 1000.0) AS BIGINT) AS accept_milli,
+       |  $u < CAST(FLOOR(quality_score * 1000.0) AS BIGINT) AS kept
+       |FROM (${TextAnalysis.q42OracleNoOrder.replace("\n", "\n  ")}) q
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q146
+  /** Corpus data map — the 2-D (quality × surprisal) census a release
+    * review reads per source (the "data map" of dataset-cartography
+    * practice, on corpus-level axes): quality decile from q42's score,
+    * half-bit surprisal band from q141's quantized bigram
+    * cross-entropy, doc and token counts per (source, band, band) cell.
+    * The corners are the actionable quadrants — high-quality+fluent is
+    * the keep set, low-quality+high-surprisal is noise, and
+    * high-quality+HIGH-surprisal is where novel (or leaked) content
+    * concentrates — and tracking cell mass across snapshots is the
+    * doc-level drilldown q122's drift scalar cannot give.
+    *
+    * Band arithmetic: quality_band = min(⌊score·10⌋, 9) — one
+    * float multiply+floor on the deterministic score; surprisal_band =
+    * min(milli_bits div 500, 9) — pure integer. Both engines agree
+    * bit for bit.
+    *
+    * Scale shape: the two scoring subplans are each one corpus pass
+    * (q42 map-side; q141 train+score as registered); the doc-level join
+    * keys on doc_id; the census is ONE partial-agg shuffle with
+    * ≤ |sources|·100 surviving groups — the histogram IS the output
+    * (q95/q106's contract). Docs without bigrams (< 2 tokens) are
+    * absent by q141's construction — noted, not hidden. */
+  def q146QualityMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quality = TextAnalysis.q42Quality(s, dir)
+      .select($"doc_id", $"quality_score", $"n_tokens")
+    val surprisal = q141BigramSurprisal(s, dir)
+      .select($"doc_id", $"milli_bits_per_bigram")
+    val src = Tables(s, dir, "documents").select($"doc_id", $"source")
+    quality.join(surprisal, "doc_id").join(src, "doc_id")
+      .withColumn("q_band",
+        least(floor($"quality_score" * 10.0).cast("long"), lit(9L)))
+      .withColumn("s_band",
+        least(expr("milli_bits_per_bigram div 500"), lit(9L)))
+      .groupBy($"source", $"q_band", $"s_band")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .orderBy($"source", $"q_band", $"s_band")
+  }
+
+  val q146Oracle: String =
+    s"""WITH $q141Ctes,
+       |q AS (${TextAnalysis.q42OracleNoOrder.replace("\n", "\n  ")}),
+       |cells AS (
+       |  SELECT d.source,
+       |    LEAST(CAST(FLOOR(q.quality_score * 10.0) AS BIGINT), 9) AS q_band,
+       |    LEAST((r.surprisal_bits * 1000) // r.n_bigrams // 500, 9) AS s_band,
+       |    q.n_tokens
+       |  FROM q JOIN rolled r USING (doc_id) JOIN documents d USING (doc_id))
+       |SELECT source, q_band, s_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |FROM cells GROUP BY source, q_band, s_band
+       |ORDER BY source, q_band, s_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1163,6 +1261,8 @@ object Curation {
     "q140_language_budget" -> q140LanguageBudget _,
     "q141_bigram_surprisal" -> q141BigramSurprisal _,
     "q142_training_shards" -> q142TrainingShards _,
+    "q145_soft_filter" -> q145SoftFilter _,
+    "q146_quality_map" -> q146QualityMap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1185,5 +1285,7 @@ object Curation {
     "q140_language_budget" -> q140Oracle,
     "q141_bigram_surprisal" -> q141Oracle,
     "q142_training_shards" -> q142Oracle,
+    "q145_soft_filter" -> q145Oracle,
+    "q146_quality_map" -> q146Oracle,
   )
 }

@@ -107,8 +107,8 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** q42 without its final ORDER BY, for composition (q64). */
-  private val q42OracleNoOrder: String = {
+  /** q42 without its final ORDER BY, for composition (q64, q145, q146). */
+  private[ops] val q42OracleNoOrder: String = {
     val en = TextFns.langWords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
     """SELECT doc_id, n_tokens, distinct_ratio, mean_token_len, stop_ratio,
       |  quality_score, quality_score > 0.5 AS is_quality

@@ -497,6 +497,64 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) === ((1L, 2L, 2000L, true)))
   }
 
+  test("q145 soft filter: decision law recomputable, rate tracks mean quality") {
+    val s = spark
+    import s.implicits._
+    val rows = Curation.q145SoftFilter(s, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, score, u, acceptMilli, kept) =>
+      // the uniform draw is the recomputable q142 hash chain
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(u === graft.functions.Djb2.hash(md) % 1000, s"u($id)")
+      assert(acceptMilli === math.floor(score * 1000.0).toLong, s"accept($id)")
+      assert(kept === (u < acceptMilli), s"kept($id)")
+    }
+    // the whole point of SOFT filtering: the keep rate converges to the
+    // mean quality score instead of a cliff at a threshold
+    val rate = rows.count(_._5).toDouble / rows.length
+    val meanAccept = rows.map(_._4).sum.toDouble / rows.length / 1000.0
+    assert(math.abs(rate - meanAccept) < 0.06,
+      s"keep rate $rate vs mean acceptance $meanAccept")
+    // and it is not a hard gate: some below-median-quality docs survive
+    val median = rows.map(_._2).sorted.apply(rows.length / 2)
+    assert(rows.exists(r => r._2 < median && r._5), "no below-median survivor")
+    assert(rows.exists(r => r._2 >= median && !r._5), "no above-median drop")
+  }
+
+  test("q146 data map: cells reconcile with an independent doc-level fold") {
+    val s = spark
+    import s.implicits._
+    // doc-level inputs, taken from the (oracle-verified) registered queries
+    val q = graft.ops.TextAnalysis.q42Quality(s, sf)
+      .select($"doc_id", $"quality_score", $"n_tokens").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val sup = Curation.q141BigramSurprisal(s, sf)
+      .select($"doc_id", $"milli_bits_per_bigram").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val src = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = sup.toSeq.map { case (id, milli) =>
+      val (score, nTok) = q(id)
+      ((src(id), math.min(math.floor(score * 10.0).toLong, 9L),
+        math.min(milli / 500L, 9L)), (1L, nTok))
+    }.groupBy(_._1).view.mapValues(g =>
+      (g.map(_._2._1).sum, g.map(_._2._2).sum)).toMap
+    val got = Curation.q146QualityMap(s, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected)
+    // census covers exactly the docs that HAVE a surprisal (≥ 2 tokens)
+    assert(got.values.map(_._1).sum === sup.size.toLong)
+    // bands stay in range
+    got.keys.foreach { case (_, qb, sb) =>
+      assert(qb >= 0 && qb <= 9 && sb >= 0 && sb <= 9)
+    }
+  }
+
   test("q142 shards: complete permutation, contiguous positions, recomputable key") {
     val s = spark
     import s.implicits._
