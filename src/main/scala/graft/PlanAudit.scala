@@ -102,6 +102,7 @@ object PlanAudit {
     "q144_prefix_cache" -> "prefix-cache audit: the 8-token prefix key is a map-side slice+join projection (the document never shuffles, the ≤8-token key does); ONE partial-aggregated shuffle on the prefix string; top-20 by (n_docs DESC, prefix) plans TakeOrderedAndProject over the distinct-prefix-sized aggregate — the q44 heavy-hitters shape on a prefix key",
     "q145_soft_filter" -> "quality-weighted soft filter: q42's map-side scoring projection + the md5/djb2 uniform draw in the SAME projection; the keep decision u < floor(score·1000) is a map-side integer comparison — the whole filter is scan + project, and the only exchange is the presentation ORDER BY",
     "q146_quality_map" -> "quality×surprisal data map: the two scoring subplans are each one corpus pass (q42 map-side; q141's registered train+score); the doc-level joins key on doc_id; the census is ONE partial-aggregated shuffle with ≤ |sources|·100 surviving groups — the histogram IS the output (q95/q106's contract), so the shuffle is census-sized at any corpus scale",
+    "q147_packed_sequences" -> "packed sequences: ONE exchange (hash on shard — q142's) feeds the per-shard int64 prefix-sum window; the span explode is MAP-SIDE integer interval arithmetic (sequence(cs div S, (ce−1) div S)) with amplification bounded at 1 + dl/S rows per doc; everything after the window is a projection — no global window, position only ever assigned within a shard",
   )
 
   def main(args: Array[String]): Unit = {

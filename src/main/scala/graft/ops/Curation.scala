@@ -1241,6 +1241,75 @@ object Curation {
        |FROM cells GROUP BY source, q_band, s_band
        |ORDER BY source, q_band, s_band""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Packed training sequences — the concat-and-cut step between the
+    * shard shuffle and the trainer: within each q142 shard, documents
+    * are concatenated in their deterministic (rand_key) order and cut
+    * into fixed 256-token sequences (2048+ in production — the fixture
+    * size keeps multi-doc sequences AND straddling docs on the oracle's
+    * books). One row per (sequence, contributing doc span): its offset
+    * inside the sequence, its token count there, and whether the doc
+    * BEGINS/ENDS in this sequence — exactly the metadata an
+    * attention-masking loader needs to reset attention at document
+    * boundaries inside a packed sequence (the GPT-style packing
+    * contract). q75 packs WHOLE docs greedily into elastic bins; q147
+    * is the complementary regime — fixed-width sequences, docs split
+    * across boundaries, zero padding waste by construction except the
+    * final partial sequence per shard.
+    *
+    * Scale shape: ONE exchange (hash on shard — q142's) feeds the
+    * per-shard running-sum window (cum_start/cum_end are int64 prefix
+    * sums); the span explode is MAP-SIDE integer interval arithmetic
+    * (sequence(cs div S, (ce−1) div S) — each doc emits ≤ 1 + dl/S
+    * rows, amplification bounded by construction); everything after the
+    * window is a projection. Position is only ever assigned WITHIN a
+    * shard — no global window (q142's rule). */
+  def q147PackedSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqLen = 256L
+    val w = Window.partitionBy($"shard").orderBy($"rand_key", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("dl"))
+      .withColumn("rand_key", shardKey($"doc_id"))
+      .withColumn("shard", shardOf($"rand_key", NShards))
+      .withColumn("ce", sum($"dl").over(w))
+      .withColumn("cs", $"ce" - $"dl")
+      .withColumn("seq_idx",
+        explode(expr(s"sequence(cs div $seqLen, (ce - 1) div $seqLen)")))
+      .withColumn("tok_start", greatest($"cs", $"seq_idx" * seqLen))
+      .withColumn("tok_end", least($"ce", ($"seq_idx" + 1L) * seqLen))
+      .select($"shard", $"seq_idx",
+        ($"tok_start" - $"seq_idx" * seqLen).as("offset_in_seq"),
+        $"doc_id", ($"tok_end" - $"tok_start").as("n_toks"),
+        ($"tok_start" === $"cs").as("begins"),
+        ($"tok_end" === $"ce").as("ends"))
+      .orderBy($"shard", $"seq_idx", $"offset_in_seq")
+  }
+
+  val q147Oracle: String = {
+    val shard = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 64)
+    s"""WITH cum AS (
+       |  SELECT doc_id, $shard AS shard,
+       |    CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY $shard
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents),
+       |spans AS (
+       |  SELECT shard, doc_id, ce - dl AS cs, ce,
+       |    unnest(range((ce - dl) // 256, (ce - 1) // 256 + 1)) AS seq_idx
+       |  FROM cum)
+       |SELECT shard, seq_idx,
+       |  GREATEST(cs, seq_idx * 256) - seq_idx * 256 AS offset_in_seq,
+       |  doc_id,
+       |  LEAST(ce, (seq_idx + 1) * 256) - GREATEST(cs, seq_idx * 256) AS n_toks,
+       |  GREATEST(cs, seq_idx * 256) = cs AS begins,
+       |  LEAST(ce, (seq_idx + 1) * 256) = ce AS ends
+       |FROM spans
+       |ORDER BY shard, seq_idx, offset_in_seq""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1263,6 +1332,7 @@ object Curation {
     "q142_training_shards" -> q142TrainingShards _,
     "q145_soft_filter" -> q145SoftFilter _,
     "q146_quality_map" -> q146QualityMap _,
+    "q147_packed_sequences" -> q147PackedSequences _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1287,5 +1357,6 @@ object Curation {
     "q142_training_shards" -> q142Oracle,
     "q145_soft_filter" -> q145Oracle,
     "q146_quality_map" -> q146Oracle,
+    "q147_packed_sequences" -> q147Oracle,
   )
 }

@@ -555,6 +555,60 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q147 packing replays an independent per-shard fold; spans tile sequences") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{size, split}
+    // independent ground truth: replay the concat-and-cut in plain Scala
+    // over (shard, rand_key)-ordered doc lengths
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs
+      .map { case (id, dl) => (graft.functions.Djb2.hash(md5(id)) % 64, md5(id), id, dl) }
+      .groupBy(_._1).toSeq.flatMap { case (shard, ds) =>
+        var off = 0L
+        ds.sortBy(d => (d._2, d._3)).flatMap { case (_, _, id, dl) =>
+          val (cs, ce) = (off, off + dl); off = ce
+          (cs / 256 to (ce - 1) / 256).map { seq =>
+            val (ts, te) = (math.max(cs, seq * 256), math.min(ce, (seq + 1) * 256))
+            (shard, seq, ts - seq * 256, id, te - ts, ts == cs, te == ce)
+          }
+        }
+      }.sortBy(r => (r._1, r._2, r._3))
+    val got = Curation.q147PackedSequences(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(got.toSeq === expected)
+    // spans TILE each sequence: contiguous offsets, full sequences sum to
+    // exactly 256 tokens (zero padding waste), only the shard's final
+    // sequence may fall short
+    val byShard = got.groupBy(_._1)
+    byShard.foreach { case (shard, rows) =>
+      val lastSeq = rows.map(_._2).max
+      rows.groupBy(_._2).foreach { case (seq, spans) =>
+        val sorted = spans.sortBy(_._3)
+        sorted.foldLeft(0L) { case (expectOff, sp) =>
+          assert(sp._3 === expectOff, s"gap in shard $shard seq $seq")
+          expectOff + sp._5
+        }
+        val total = spans.map(_._5).sum
+        if (seq < lastSeq) assert(total === 256L, s"short seq $seq shard $shard")
+        else assert(total <= 256L)
+      }
+    }
+    // every doc's spans reassemble it: Σ n_toks = dl, begins/ends framing
+    val dlMap = docs.toMap
+    got.groupBy(_._4).foreach { case (id, spans) =>
+      assert(spans.map(_._5).sum === dlMap(id), s"doc $id mass")
+      assert(spans.count(_._6) === 1 && spans.count(_._7) === 1, s"doc $id framing")
+    }
+    // the fixture exercises straddling: some doc crosses a boundary
+    assert(got.exists(r => !r._6 || !r._7), "no straddling doc in fixture")
+  }
+
   test("q142 shards: complete permutation, contiguous positions, recomputable key") {
     val s = spark
     import s.implicits._
