@@ -58,6 +58,8 @@ object GraftFunctions {
       { case Seq(c, n) => ShingleHashes(c, intArg("shingle_hashes", n)) }),
     ("minhash_sig_h", "minhash_sig_h(array<long>, k) — k-permutation MinHash signature",
       { case Seq(c, k) => MinHashSigH(c, intArg("minhash_sig_h", k)) }),
+    ("prefix_tokens", "prefix_tokens(str, n) — first n whitespace tokens joined, NULL if fewer",
+      { case Seq(c, n) => PrefixTokens(c, intArg("prefix_tokens", n)) }),
     ("sorted_intersect_count", "sorted_intersect_count(a, b) — merge-walk |a ∩ b| over sorted arrays",
       { case Seq(a, b) => SortedIntersectCount(a, b) }),
     ("dot_prod", "dot_prod(a, b) — left-fold double dot product",

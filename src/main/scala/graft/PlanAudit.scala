@@ -99,7 +99,7 @@ object PlanAudit {
     "q141_bigram_surprisal" -> "bigram surprisal filter: q107's map-side arrays_zip explode; the pair table (the LM artifact) is materialized ONCE and ctx counts derive from it — one corpus scan to train, one to score; scoring joins on (w1,w2) against the vocab-bounded model; surprisal is QUANTIZED to len(bin(ctx div pair)) = ⌊log₂⌋+1 bits — pure int64 end to end, no libm; the per-doc rollup is one integer partial-agg shuffle on doc_id",
     "q142_training_shards" -> "deterministic training shuffle: md5 permutation key + djb2 shard routing are map-side codegen'd projections over the scan; ONE exchange (hash on shard) feeds 64 independent per-shard row_number sorts, each bounded by |corpus|/shards — the terasort-per-shard shape, NO global single-partition window anywhere (position is only ever assigned WITHIN a shard; raise the shard count with the corpus)",
     "q143_context_assembly" -> "RAG context packing: the corpus-scale work is the registered lexTopK subplan (≤ K·|queries| candidate rows BY CONSTRUCTION); the length join keys on doc_id against a map-side token-count projection; the greedy budget line is a per-query running-sum window over ≤ K rows — integer end to end, window-expressible, never iterative; everything after the retriever is metadata-sized at any corpus scale",
-    "q144_prefix_cache" -> "prefix-cache audit: the 8-token prefix key is a map-side slice+join projection (the document never shuffles, the ≤8-token key does); ONE partial-aggregated shuffle on the prefix string; top-20 by (n_docs DESC, prefix) plans TakeOrderedAndProject over the distinct-prefix-sized aggregate — the q44 heavy-hitters shape on a prefix key",
+    "q144_prefix_cache" -> "prefix-cache audit: the 8-token prefix key is the codegen'd PrefixTokens expression — one O(prefix) byte scan per doc, no token array materialized, never reads past the 8th space; its NULL result IS the <8-token filter (no second pass); ONE partial-aggregated shuffle on the prefix string; top-20 by (n_docs DESC, prefix) plans TakeOrderedAndProject — the q44 heavy-hitters shape on a prefix key",
     "q145_soft_filter" -> "quality-weighted soft filter: q42's map-side scoring projection + the md5/djb2 uniform draw in the SAME projection; the keep decision u < floor(score·1000) is a map-side integer comparison — the whole filter is scan + project, and the only exchange is the presentation ORDER BY",
     "q146_quality_map" -> "quality×surprisal data map: the two scoring subplans are each one corpus pass (q42 map-side; q141's registered train+score); the doc-level joins key on doc_id; the census is ONE partial-aggregated shuffle with ≤ |sources|·100 surviving groups — the histogram IS the output (q95/q106's contract), so the shuffle is census-sized at any corpus scale",
     "q147_packed_sequences" -> "packed sequences: ONE exchange (hash on shard — q142's) feeds the per-shard int64 prefix-sum window; the span explode is MAP-SIDE integer interval arithmetic (sequence(cs div S, (ce−1) div S)) with amplification bounded at 1 + dl/S rows per doc; everything after the window is a projection — no global window, position only ever assigned within a shard",

@@ -1028,20 +1028,23 @@ object TextAnalysis {
     * smallest member doc_id as the audit sample. Groups of one save
     * nothing and are filtered before the top-k.
     *
-    * Scale shape: the prefix key is a map-side projection (slice + join
-    * of the first P tokens — the document never shuffles, the ≤P-token
-    * key does); the group count is one partial-agg shuffle on the prefix
-    * string; the top-20 is TakeOrderedAndProject over the
-    * (distinct-prefix)-sized aggregate. At 100 TB this is the q44
-    * heavy-hitters shape on a prefix key. */
+    * Scale shape: the prefix key is a map-side projection through the
+    * codegen'd [[graft.functions.PrefixTokens]] expression — a single
+    * O(prefix) character scan that never materializes the token array
+    * and never reads past the 8th space (a split-based formulation
+    * tokenizes the WHOLE document to read 8 tokens; its NULL result is
+    * the <P-token filter, so the guard costs no second pass); the group
+    * count is one partial-agg shuffle on the prefix string; the top-20
+    * is TakeOrderedAndProject over the (distinct-prefix)-sized
+    * aggregate. At 100 TB this is the q44 heavy-hitters shape on a
+    * prefix key. */
   def q144PrefixCache(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = 8
-    val toks = TextFns.tokens($"text")
     Tables(s, dir, "documents")
-      .filter(size(toks) >= p)
       .select($"doc_id",
-        array_join(slice(toks, 1, p), " ").as("prefix"))
+        graft.functions.PrefixTokensFn.prefixTokens($"text", p).as("prefix"))
+      .filter($"prefix".isNotNull)
       .groupBy($"prefix")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("sample_doc"))
       .filter($"n_docs" >= 2)

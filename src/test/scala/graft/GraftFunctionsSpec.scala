@@ -53,6 +53,53 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
   }
 
+  test("prefix_tokens via spark.sql equals the Column API and the split twin") {
+    val s = spark
+    registered
+    import s.implicits._
+    Tables(s, sf, "documents").createOrReplaceTempView("docs_sqlfn3")
+    val viaSql = s.sql(
+      "SELECT doc_id, prefix_tokens(text, 8) AS p FROM docs_sqlfn3 ORDER BY doc_id")
+      .collect()
+    val viaCol = Tables(s, sf, "documents")
+      .select($"doc_id",
+        graft.functions.PrefixTokensFn.prefixTokens($"text", 8).as("p"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.map(_.toString).toSeq === viaCol.map(_.toString).toSeq)
+    // the O(prefix) scan must equal the split-based formulation exactly,
+    // including NULL for <n-token docs
+    val twin = Tables(s, sf, "documents")
+      .select($"doc_id",
+        when(size(TextFns.tokens($"text")) >= 8,
+          array_join(slice(TextFns.tokens($"text"), 1, 8), " ")).as("p"))
+      .orderBy($"doc_id").collect()
+    assert(viaCol.map(_.toString).toSeq === twin.map(_.toString).toSeq)
+  }
+
+  test("prefix_tokens edge cases: boundary counts, repeated spaces, empty string") {
+    val s = spark
+    registered
+    import s.implicits._
+    // (text, n) against the split-slice-join twin on hand-picked shapes:
+    // exact-n docs (whole text), n-1 docs (NULL), consecutive spaces
+    // (empty tokens count and the joined prefix preserves them), empty
+    // string (one empty token), trailing space (trailing empty token)
+    val cases = Seq(
+      "a b c d", "a b c", "a  b  c", "", " ", "a ", " a", "a", "word",
+      "a b c d e f g h i", "x  ", "  x")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val df = cases.toDF("t")
+      val got = df.select(
+        graft.functions.PrefixTokensFn.prefixTokens($"t", n)).collect()
+        .map(r => Option(r.getString(0)))
+      val want = df.select(
+        when(size(split($"t", " ")) >= n,
+          array_join(slice(split($"t", " "), 1, n), " "))).collect()
+        .map(r => Option(r.getString(0)))
+      assert(got.toSeq === want.toSeq, s"n=$n over $cases")
+    }
+  }
+
   test("non-literal hyperparameters fail loudly, not silently") {
     val s = spark
     registered
