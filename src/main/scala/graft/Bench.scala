@@ -40,7 +40,7 @@ object Bench {
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet -
         "dedup_prep" - "forget_prep" - "compact_prep" - "suffix_prep" -
-        "streambench"
+        "ann_prep" - "streambench"
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
     }
@@ -123,6 +123,41 @@ object Bench {
         System.err.println(s"[bench] suffix_prep failed: ${e.getMessage}")
         Seq("suffix_prep" -> -1.0)
       }
+    // The ANN shelf's trained artifacts — IVF coarse centroids, SQ8
+    // per-dim bounds, PQ subspace codebooks — are STANDING assets (what
+    // FAISS serializes WITH an index; what S10's retrain job maintains
+    // behind a generation pointer), so they are staged once per session
+    // (Similarity.stageAnnArtifacts) and their build cost goes on the
+    // books as one COLD prep entry, the dedup_prep/suffix_prep
+    // discipline; the ANN-backed queries then probe them warm, the way
+    // production consumes a staged index. Same BENCH_ONLY guard as
+    // suffix_prep: selecting an ANN-backed query without ann_prep runs
+    // the prep untimed so the first timed iteration does not mix cold
+    // and warm regimes.
+    val annQueries = Set("q59_ann_ivf", "q73_ann_pq", "q77_semdedup",
+      "q92_ann_recall_families", "q102_hybrid_indexed", "q104_hard_negatives",
+      "q114_retrieval_quality", "q120_ann_sq", "q124_hybrid_sq",
+      "q128_ivf_balance", "q149_embedding_drift")
+    val annPrep: Seq[(String, Double)] =
+      if (!only.forall(_.contains("ann_prep"))) {
+        if (only.exists(names => (names & annQueries).nonEmpty)) try {
+          System.err.println(
+            "[bench] ANN-backed query selected without ann_prep: training the index artifacts untimed")
+          graft.ops.Similarity.stageAnnArtifacts(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] untimed ann prep failed: ${e.getMessage}")
+        }
+        Seq.empty
+      }
+      else try {
+        graft.ops.Similarity.evictCentroids(spark)
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.stageAnnArtifacts(spark, sfDir)
+        Seq("ann_prep" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann_prep failed: ${e.getMessage}")
+        Seq("ann_prep" -> -1.0)
+      }
     // Side-effecting queries (real file writes in the timed body) run LAST
     // and behind an untimed settle, so their page-cache/GC churn cannot
     // bleed into alphabetical neighbors (VERDICT r8 #1: the stamped r8 run
@@ -135,7 +170,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition { case (name, _) => !sideEffecting(name) }
     val results = prepEntry ++ forgetPrep ++ compactPrep ++ suffixPrep ++
-      (pure ++ dirty)
+      annPrep ++ (pure ++ dirty)
       .map { case (name, fn) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),

@@ -103,6 +103,9 @@ object PlanAudit {
     "q145_soft_filter" -> "quality-weighted soft filter: q42's map-side scoring projection + the md5/djb2 uniform draw in the SAME projection; the keep decision u < floor(score·1000) is a map-side integer comparison — the whole filter is scan + project, and the only exchange is the presentation ORDER BY",
     "q146_quality_map" -> "quality×surprisal data map: the two scoring subplans are each one corpus pass (q42 map-side; q141's registered train+score); the doc-level joins key on doc_id; the census is ONE partial-aggregated shuffle with ≤ |sources|·100 surviving groups — the histogram IS the output (q95/q106's contract), so the shuffle is census-sized at any corpus scale",
     "q147_packed_sequences" -> "packed sequences: ONE exchange (hash on shard — q142's) feeds the per-shard int64 prefix-sum window; the span explode is MAP-SIDE integer interval arithmetic (sequence(cs div S, (ce−1) div S)) with amplification bounded at 1 + dl/S rows per doc; everything after the window is a projection — no global window, position only ever assigned within a shard",
+    "q148_cluster_census" -> "cluster census: the labels are the STANDING q60 CC asset (session-cached, shared with q62/q64/q80 — no new corpus-scale work); token counts join on doc_id; cluster sizes are one partial agg on the cluster id; the census re-aggregates the |clusters|-row table by size (metadata) and the singleton row is one anti-join + a single-row aggregate",
+    "q149_embedding_drift" -> "embedding drift: assignment is the map-side codegen'd NearestCells projection against the CACHED quantizer metadata (zero exchange — q59's discipline, artifact staged once per session via ann_prep); each snapshot side folds to a ≤ |labels|·nlist-row histogram in ONE partial agg (the histogram IS the shuffle output); TV is tvBySource's integer cross-multiplication — the q122/S16 code path shared verbatim",
+    "q150_curriculum" -> "curriculum schedule: the span table is q147's subplan (one shard exchange); the surprisal join keys on doc_id against q141's rollup; the (shard, seq_idx) aggregation's clustering keys superset the shard hash — no new exchange (the q139 rule); the curriculum row_number window is per-shard — no global window anywhere",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1287,9 +1287,12 @@ object Curation {
       .orderBy($"shard", $"seq_idx", $"offset_in_seq")
   }
 
-  val q147Oracle: String = {
+  /** q147's CTE chain (cum + spans — one row per (doc, covered
+    * sequence) with cs/ce interval bounds) — shared with q150's
+    * curriculum roll-up. */
+  private val q147Ctes: String = {
     val shard = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 64)
-    s"""WITH cum AS (
+    s"""cum AS (
        |  SELECT doc_id, $shard AS shard,
        |    CAST(SUM(len(string_split(text, ' '))) OVER (PARTITION BY $shard
        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -1299,7 +1302,11 @@ object Curation {
        |spans AS (
        |  SELECT shard, doc_id, ce - dl AS cs, ce,
        |    unnest(range((ce - dl) // 256, (ce - 1) // 256 + 1)) AS seq_idx
-       |  FROM cum)
+       |  FROM cum)""".stripMargin
+  }
+
+  val q147Oracle: String =
+    s"""WITH $q147Ctes
        |SELECT shard, seq_idx,
        |  GREATEST(cs, seq_idx * 256) - seq_idx * 256 AS offset_in_seq,
        |  doc_id,
@@ -1308,7 +1315,67 @@ object Curation {
        |  LEAST(ce, (seq_idx + 1) * 256) = ce AS ends
        |FROM spans
        |ORDER BY shard, seq_idx, offset_in_seq""".stripMargin
+
+  // ---------------------------------------------------------------- q150
+  /** Sequence-curriculum schedule — the easy-to-hard ordering a
+    * curriculum-learning run feeds its loader: every q147 packed
+    * sequence scored by the token-weighted mean of its member docs' q141
+    * bigram surprisal (a sequence inherits difficulty from what is
+    * packed into it), then ranked easy→hard WITHIN each shard, so every
+    * loader worker walks its own shard in difficulty order without any
+    * cross-shard coordination. All integer arithmetic: the weight is
+    * Σ span_tokens·doc_milli_bits, the mean is one int64 division, ties
+    * break on seq_idx. Docs with no bigram score (single-token — absent
+    * from q141 by construction) contribute weight 0, an explicit
+    * trivially-fluent default.
+    *
+    * Scale shape: the span table is q147's (ONE shard exchange, bounded
+    * map-side explode); the surprisal join keys on doc_id against the
+    * q141 rollup; the per-sequence aggregation groups on
+    * (shard, seq_idx) — clustering keys a superset of the shard hash, no
+    * new exchange (the q139 rule); the curriculum window is per-shard.
+    * No global window anywhere. */
+  def q150Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = q141BigramSurprisal(s, dir)
+      .select($"doc_id", $"milli_bits_per_bigram")
+    val wC = Window.partitionBy($"shard").orderBy($"mean_milli", $"seq_idx")
+    q147PackedSequences(s, dir)
+      .select($"shard", $"seq_idx", $"doc_id", $"n_toks")
+      .join(sup, Seq("doc_id"), "left")
+      .withColumn("m", coalesce($"milli_bits_per_bigram", lit(0L)))
+      .groupBy($"shard", $"seq_idx")
+      .agg(sum($"n_toks").as("seq_tokens"),
+        sum($"n_toks" * $"m").as("surprisal_weight"))
+      .withColumn("mean_milli", expr("surprisal_weight div seq_tokens"))
+      .withColumn("curriculum_rank", row_number().over(wC).cast("long"))
+      .select($"shard", $"curriculum_rank", $"seq_idx", $"seq_tokens",
+        $"surprisal_weight", $"mean_milli")
+      .orderBy($"shard", $"curriculum_rank")
   }
+
+  val q150Oracle: String =
+    s"""WITH $q141Ctes,
+       |$q147Ctes,
+       |sp AS (
+       |  SELECT shard, seq_idx, doc_id,
+       |    LEAST(ce, (seq_idx + 1) * 256) - GREATEST(cs, seq_idx * 256) AS n_toks
+       |  FROM spans),
+       |sc AS (
+       |  SELECT sp.shard, sp.seq_idx, sp.n_toks,
+       |    COALESCE((r.surprisal_bits * 1000) // r.n_bigrams, 0) AS m
+       |  FROM sp LEFT JOIN rolled r USING (doc_id)),
+       |agg AS (
+       |  SELECT shard, seq_idx, CAST(SUM(n_toks) AS BIGINT) AS seq_tokens,
+       |    CAST(SUM(n_toks * m) AS BIGINT) AS surprisal_weight
+       |  FROM sc GROUP BY shard, seq_idx)
+       |SELECT shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY surprisal_weight // seq_tokens, seq_idx) AS BIGINT)
+       |    AS curriculum_rank,
+       |  seq_idx, seq_tokens, surprisal_weight,
+       |  surprisal_weight // seq_tokens AS mean_milli
+       |FROM agg ORDER BY shard, curriculum_rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
@@ -1333,6 +1400,7 @@ object Curation {
     "q145_soft_filter" -> q145SoftFilter _,
     "q146_quality_map" -> q146QualityMap _,
     "q147_packed_sequences" -> q147PackedSequences _,
+    "q150_curriculum" -> q150Curriculum _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1358,5 +1426,6 @@ object Curation {
     "q145_soft_filter" -> q145Oracle,
     "q146_quality_map" -> q146Oracle,
     "q147_packed_sequences" -> q147Oracle,
+    "q150_curriculum" -> q150Oracle,
   )
 }

@@ -1552,6 +1552,68 @@ object Dedup {
        |FROM top CROSS JOIN tot
        |ORDER BY df DESC, h""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Duplicate-cluster census — the governance view OVER the clustering:
+    * how duplicate mass is distributed by family size. One row per
+    * observed cluster size: how many families, how many documents, how
+    * much token mass they hold — plus the size-1 row (documents in no
+    * near-dup family), so the census partitions the corpus exactly.
+    * A heavy tail here (a few giant families holding a large token
+    * share) is the signature of boilerplate/mirror explosions and the
+    * number that decides between per-family keeper selection (q62) and
+    * dropping whole families; tracking it across snapshots catches a
+    * scraper regression the dup RATE alone (q111's dup_docs) hides.
+    *
+    * Scale shape: the labels are the STANDING q60 CC asset (cached per
+    * session — built once, reused by q62/q64/q80); token counts join on
+    * doc_id; cluster sizes are one partial agg on the cluster id; the
+    * census re-aggregates the |clusters|-row table by size (metadata);
+    * the singleton row is one anti-join + a single-row aggregate. No
+    * corpus-sized work beyond what the dedup stack already pays. */
+  def q148ClusterCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = graft.Tables(s, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("nt"))
+    val labels = cachedDupLabels(s, dir)
+    val cs = labels.join(tok, "doc_id")
+      .groupBy($"cluster")
+      .agg(count(lit(1)).as("csize"), sum($"nt").as("ctoks"))
+    val clustered = cs.groupBy($"csize".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        ($"cluster_size" * count(lit(1))).as("n_docs"),
+        sum($"ctoks").as("n_tokens"))
+    val single = tok.join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n"), sum($"nt").as("t"))
+      .select(lit(1L).as("cluster_size"), $"n".as("n_clusters"),
+        $"n".as("n_docs"), $"t".as("n_tokens"))
+    clustered.unionByName(single)
+      .select($"cluster_size", $"n_clusters", $"n_docs", $"n_tokens")
+      .orderBy($"cluster_size")
+  }
+
+  val q148Oracle: String =
+    s"""WITH cc AS (${q60OracleNoOrder.replace("\n", "\n  ")}),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents),
+       |cs AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize,
+       |    CAST(SUM(nt) AS BIGINT) AS ctoks
+       |  FROM cc JOIN tok USING (doc_id) GROUP BY cluster),
+       |clustered AS (
+       |  SELECT csize AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(csize * COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ctoks) AS BIGINT) AS n_tokens
+       |  FROM cs GROUP BY csize),
+       |single AS (
+       |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cc))
+       |SELECT * FROM clustered UNION ALL SELECT * FROM single
+       |ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_shingle_df_audit" -> q129ShingleDfAudit _,
     "q50_dedup_exact" -> q50DedupExact _,
@@ -1572,6 +1634,7 @@ object Dedup {
     "q110_dedup_recall" -> q110DedupRecall _,
     "q125_cross_source_matrix" -> q125CrossSourceMatrix _,
     "q126_containment" -> q126Containment _,
+    "q148_cluster_census" -> q148ClusterCensus _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1594,5 +1657,6 @@ object Dedup {
     "q110_dedup_recall" -> q110Oracle,
     "q125_cross_source_matrix" -> q125Oracle,
     "q126_containment" -> q126Oracle,
+    "q148_cluster_census" -> q148Oracle,
   )
 }

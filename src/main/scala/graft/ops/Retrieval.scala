@@ -423,12 +423,18 @@ object Retrieval {
     * (localCheckpoint — the q127 m2-reuse discipline, VERDICT r9 #3)
     * and threaded through the four fusions and the lexical-only family:
     * identical semantics and hash, one tokenize + three shuffles instead
-    * of five. */
+    * of five. The brute-force corpus scan is likewise paid ONCE: the
+    * truth set (top-10) is a rank-prefix of the same top-20 ranking
+    * hybrid_brute fuses — same ordering, same tie-break — so it is
+    * derived from the one checkpointed scan instead of re-scanning the
+    * corpus (r11; the r9-shape query scanned twice). */
   def q114RetrievalQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // three consumers of the truth set — cut the lineage once
-    val truth = vecTopK(s, dir, 10).select($"q_id", $"doc_id")
-      .withColumn("rel", lit(1L)).localCheckpoint(true)
+    // ONE brute corpus scan serves both the hybrid_brute vector side
+    // (top-20) and the truth set (its top-10 prefix)
+    val brute = vecTopK(s, dir, K).localCheckpoint(true)
+    val truth = brute.filter($"vec_rank" <= 10).select($"q_id", $"doc_id")
+      .withColumn("rel", lit(1L))
     // five consumers of the identical BM25 ranking — build it ONCE
     val lex = lexTopK(s, dir).localCheckpoint(true)
     def grade(family: String, ranked: DataFrame): DataFrame =
@@ -441,7 +447,7 @@ object Retrieval {
       rrfFuse(lex, vec).select($"q_id", $"doc_id", $"rank")
     val lex5 = lex.filter($"lex_rank" <= 5)
       .select($"q_id", $"doc_id", $"lex_rank".as("rank"))
-    grade("hybrid_brute", hybrid(vecTopK(s, dir, K)))
+    grade("hybrid_brute", hybrid(brute))
       .unionByName(grade("hybrid_ivf", hybrid(ivfVec(s, dir))))
       .unionByName(grade("hybrid_lsh", hybrid(lshVec(s, dir))))
       .unionByName(grade("hybrid_sq", hybrid(sqVec(s, dir))))

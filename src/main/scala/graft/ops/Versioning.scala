@@ -343,11 +343,100 @@ object Versioning {
       |FROM runs GROUP BY doc_id, run_id
       |ORDER BY doc_id, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Embedding-space drift gate — q122's refresh monitor moved to the
+    * VECTOR side of the corpus: per label group, the total-variation
+    * distance between two embedding snapshots' IVF-CELL occupancy
+    * histograms, with every vector assigned against the SAME standing
+    * quantizer (the S10 generation — deliberately held fixed, so the
+    * gate isolates data drift from quantizer drift; retraining is S10's
+    * separate, pointer-swapped job). This is the check a release runs
+    * after an embedding-model upgrade or a re-embed backfill: a shifted
+    * cell histogram means the ANN index's balance assumptions (q128) and
+    * the SemDeDup radii (q77) were tuned on a distribution that no
+    * longer exists. The fixture carves snapshots deterministically
+    * (v1: vec_id % 5 ≠ 0; v2: vec_id % 9 ≠ 0) and models the
+    * re-embed by REVERSING the % 7 ≡ 0 vectors in v2 — a rotation-like
+    * perturbation that moves vectors across cells without changing
+    * norms.
+    *
+    * Scale shape: assignment is the map-side codegen'd NearestCells
+    * projection against the CACHED quantizer metadata (zero exchange —
+    * q59's discipline); each side folds to a ≤ |labels|·nlist-row
+    * histogram in ONE partial agg (the histogram IS the shuffle output —
+    * q122's contract); the TV arithmetic is [[tvBySource]] — the exact
+    * integer cross-multiplication code q122 and S16 run, one code path
+    * for all three drift gates. */
+  def q149EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val (cells, mats) = Similarity.cachedCentroidMeta(s, dir)
+    def hist(df: DataFrame): DataFrame =
+      df.select($"label".cast("long").as("source"),
+          element_at(graft.functions.NearestCellsUtil
+            .column($"emb2", cells, mats, 1), 1).as("bucket"))
+        .groupBy($"source", $"bucket").agg(count(lit(1)).as("c"))
+    val v1 = emb.filter($"vec_id" % 5 =!= 0)
+      .select($"label", $"embedding".as("emb2"))
+    val v2 = emb.filter($"vec_id" % 9 =!= 0)
+      .select($"label",
+        when($"vec_id" % 7 === 0, reverse($"embedding"))
+          .otherwise($"embedding").as("emb2"))
+    tvBySource(hist(v1), hist(v2))
+      .select($"source".as("label"), $"n1_docs".as("n1_vecs"),
+        $"n2_docs".as("n2_vecs"), $"tv_num", $"tv")
+  }
+
+  val q149Oracle: String = {
+    def side(pred: String, vexpr: String): String = {
+      val ccos = Similarity.ivfAssignCos("v.emb2")
+      s"""SELECT label, cell FROM (
+         |    SELECT v.label, c.cell,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $ccos DESC, c.cell) AS arn
+         |    FROM (SELECT vec_id, label, $vexpr AS emb2 FROM embeddings WHERE $pred) v
+         |    CROSS JOIN cent c)
+         |  WHERE arn = 1""".stripMargin
+    }
+    s"""WITH ${Similarity.ivfCentCte},
+       |a1 AS (
+       |  ${side("vec_id % 5 <> 0", "embedding")}),
+       |a2 AS (
+       |  ${side("vec_id % 9 <> 0",
+            "CASE WHEN vec_id % 7 = 0 THEN list_reverse(embedding) ELSE embedding END")}),
+       |h1 AS (
+       |  SELECT CAST(label AS BIGINT) AS source, cell AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM a1 GROUP BY 1, 2),
+       |h2 AS (
+       |  SELECT CAST(label AS BIGINT) AS source, cell AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c2
+       |  FROM a2 GROUP BY 1, 2),
+       |j AS (
+       |  SELECT COALESCE(h1.source, h2.source) AS source,
+       |    COALESCE(h1.bucket, h2.bucket) AS bucket,
+       |    COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+       |  FROM h1 FULL OUTER JOIN h2
+       |    ON h1.source = h2.source AND h1.bucket = h2.bucket),
+       |totals AS (
+       |  SELECT source, CAST(SUM(c1) AS BIGINT) AS n1_docs,
+       |    CAST(SUM(c2) AS BIGINT) AS n2_docs
+       |  FROM j GROUP BY source)
+       |SELECT j.source AS label, t.n1_docs AS n1_vecs, t.n2_docs AS n2_vecs,
+       |  CAST(SUM(abs(c1 * t.n2_docs - c2 * t.n1_docs)) AS BIGINT) AS tv_num,
+       |  CASE WHEN t.n1_docs = 0 OR t.n2_docs = 0 THEN 1.0::DOUBLE
+       |       ELSE CAST(CAST(SUM(abs(c1 * t.n2_docs - c2 * t.n1_docs)) AS BIGINT) AS DOUBLE)
+       |            / (2.0::DOUBLE * t.n1_docs * t.n2_docs) END AS tv
+       |FROM j JOIN totals t USING (source)
+       |GROUP BY j.source, t.n1_docs, t.n2_docs
+       |ORDER BY label""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_snapshot_diff" -> q96SnapshotDiff _,
     "q113_incremental_card" -> q113IncrementalCard _,
     "q122_snapshot_drift" -> q122SnapshotDrift _,
     "q139_scd2_history" -> q139Scd2History _,
+    "q149_embedding_drift" -> q149EmbeddingDrift _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,5 +444,6 @@ object Versioning {
     "q113_incremental_card" -> q113Oracle,
     "q122_snapshot_drift" -> q122Oracle,
     "q139_scd2_history" -> q139Oracle,
+    "q149_embedding_drift" -> q149Oracle,
   )
 }

@@ -609,6 +609,45 @@ class CurationSpec extends SparkSpec {
     assert(got.exists(r => !r._6 || !r._7), "no straddling doc in fixture")
   }
 
+  test("q150 curriculum: ranks monotone in difficulty, masses reconcile, independent refold") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{size, split}
+    val rows = Curation.q150Curriculum(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every token of the corpus is scheduled exactly once
+    val totalToks = graft.Tables(s, sf, "documents")
+      .select(size(split($"text", " ")).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_._4).sum === totalToks)
+    rows.foreach { case (_, _, _, toks, w, milli) =>
+      assert(milli === w / toks)
+    }
+    // per shard: contiguous ranks, difficulty non-decreasing along them
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      val byRank = rs.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to rs.length.toLong).toSeq,
+        s"shard $shard ranks")
+      assert(byRank.map(_._6).toSeq === byRank.map(_._6).sortBy(identity).toSeq,
+        s"shard $shard not easy-to-hard")
+    }
+    // independent refold of the per-sequence weights from the two
+    // (oracle-verified) component queries
+    val sup = Curation.q141BigramSurprisal(s, sf)
+      .select($"doc_id", $"milli_bits_per_bigram").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Curation.q147PackedSequences(s, sf)
+      .select($"shard", $"seq_idx", $"doc_id", $"n_toks").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(3) * sup.getOrElse(r.getLong(2), 0L))))
+      .groupBy(_._1).view
+      .mapValues(g => (g.map(_._2._1).sum, g.map(_._2._2).sum)).toMap
+    rows.foreach { case (shard, _, seq, toks, w, _) =>
+      assert(expected((shard, seq)) === ((toks, w)), s"seq ($shard, $seq)")
+    }
+  }
+
   test("q142 shards: complete permutation, contiguous positions, recomputable key") {
     val s = spark
     import s.implicits._

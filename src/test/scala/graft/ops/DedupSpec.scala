@@ -433,4 +433,33 @@ class DedupSpec extends SparkSpec {
       assert(na === nd(a)); assert(nb === nd(b))
     }
   }
+
+  test("q148 census partitions the corpus exactly and matches the labels") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{size, split}
+    val census = Dedup.q148ClusterCensus(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the census is a PARTITION of the corpus: doc and token masses total
+    assert(census.map(_._3).sum === docs.length.toLong)
+    assert(census.map(_._4).sum === docs.map(_._2).sum)
+    // size arithmetic: n_docs = cluster_size * n_clusters on every row
+    census.foreach { case (sz, nc, nd2, _) => assert(nd2 === sz * nc) }
+    // clustered rows agree with an independent fold of the q60 labels
+    val labels = Dedup.q60DupClusters(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.length).toMap
+    val sizeHist = byCluster.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    census.filter(_._1 >= 2).foreach { case (sz, nc, _, _) =>
+      assert(nc === sizeHist(sz.toInt), s"size-$sz cluster count")
+    }
+    // every multi-doc family is on the books, and singletons exist
+    assert(census.filter(_._1 >= 2).map(_._2).sum === sizeHist.values.sum)
+    assert(census.exists(_._1 == 1L), "no singleton row")
+    assert(census.exists(_._1 >= 2L), "no clustered row in fixture")
+  }
 }

@@ -130,4 +130,35 @@ class VersioningSpec extends SparkSpec {
     assert(expected.exists { case (id, _, from, to, _, _) =>
       id % 17 == 0 && to < 3 && from == 1 }, "no gap-terminated run")
   }
+
+  test("q149 embedding drift: carve masses, TV bounds, the re-embed moves cells") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Versioning.q149EmbeddingDrift(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // per-label snapshot masses equal the carve counts, independently
+    val emb = graft.Tables(s, sf, "embeddings")
+    val n1 = emb.filter($"vec_id" % 5 =!= 0).groupBy($"label".cast("long"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n2 = emb.filter($"vec_id" % 9 =!= 0).groupBy($"label".cast("long"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (label, v1, v2, _, tv) =>
+      assert(v1 === n1(label) && v2 === n2(label), s"label $label masses")
+      assert(tv >= 0.0 && tv <= 1.0, s"label $label tv out of bounds")
+    }
+    // the modeled re-embed (reversal of % 7 vectors) must actually move
+    // SOME vectors across cells — otherwise the fixture tests nothing
+    val (cells, mats) = Similarity.cachedCentroidMeta(s, sf)
+    def cellOf(c: org.apache.spark.sql.Column) =
+      element_at(graft.functions.NearestCellsUtil.column(c, cells, mats, 1), 1)
+    val moved = emb.filter($"vec_id" % 7 === 0)
+      .select(cellOf($"embedding").as("a"), cellOf(reverse($"embedding")).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(moved > 0, "reversal moved no vector across cells")
+    // and the gate sees it: at least one label reads tv > 0
+    assert(rows.exists(_._5 > 0.0), "no label shows drift")
+  }
 }
