@@ -137,7 +137,7 @@ object Bench {
     val annQueries = Set("q59_ann_ivf", "q73_ann_pq", "q77_semdedup",
       "q92_ann_recall_families", "q102_hybrid_indexed", "q104_hard_negatives",
       "q114_retrieval_quality", "q120_ann_sq", "q124_hybrid_sq",
-      "q128_ivf_balance", "q149_embedding_drift")
+      "q128_ivf_balance", "q149_embedding_drift", "q151_ivf_sweep")
     val annPrep: Seq[(String, Double)] =
       if (!only.forall(_.contains("ann_prep"))) {
         if (only.exists(names => (names & annQueries).nonEmpty)) try {

@@ -106,6 +106,7 @@ object PlanAudit {
     "q148_cluster_census" -> "cluster census: the labels are the STANDING q60 CC asset (session-cached, shared with q62/q64/q80 — no new corpus-scale work); token counts join on doc_id; cluster sizes are one partial agg on the cluster id; the census re-aggregates the |clusters|-row table by size (metadata) and the singleton row is one anti-join + a single-row aggregate",
     "q149_embedding_drift" -> "embedding drift: assignment is the map-side codegen'd NearestCells projection against the CACHED quantizer metadata (zero exchange — q59's discipline, artifact staged once per session via ann_prep); each snapshot side folds to a ≤ |labels|·nlist-row histogram in ONE partial agg (the histogram IS the shuffle output); TV is tvBySource's integer cross-multiplication — the q122/S16 code path shared verbatim",
     "q150_curriculum" -> "curriculum schedule: the span table is q147's subplan (one shard exchange); the surprisal join keys on doc_id against q141's rollup; the (shard, seq_idx) aggregation's clustering keys superset the shard hash — no new exchange (the q139 rule); the curriculum row_number window is per-shard — no global window anywhere",
+    "q151_ivf_sweep" -> "IVF nprobe sweep: truth is ONE checkpointed brute pass (the gate-job cost, q92's discipline); each configuration's approx side is the registered probe subplan against the session-staged quantizer; the scan-cost estimate joins the ≤ nprobe·|queries|-row probe table against the nlist-row occupancy table — pure metadata, the candidate set itself is never materialized for counting",
   )
 
   def main(args: Array[String]): Unit = {

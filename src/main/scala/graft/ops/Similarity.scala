@@ -707,6 +707,121 @@ object Similarity {
   }
 
   /** The per-family approximate-answer oracle behind [[q92Oracle]]. */
+  // ---------------------------------------------------------------- q151
+  /** IVF nprobe tuning sweep — the recall-vs-cost curve an index owner
+    * tables before fixing the serving configuration: the REGISTERED
+    * [[ivfTopK]] subplan run at nprobe ∈ {1, 2, 4} against the brute
+    * top-3 truth, with each configuration's integer SCAN COST alongside
+    * its recall. `scanned` counts the candidate vectors the probe
+    * actually scores (Σ probed-cell occupancy minus the self-hits the
+    * candidate join excludes) — the exact quantity nprobe trades recall
+    * against, computed from cell-occupancy metadata, never by counting a
+    * materialized candidate set. The gate q92 answers ("is the shelf
+    * healthy at its fixed config") becomes "WHERE on the curve should
+    * the config sit" — the production tuning artifact.
+    *
+    * Scale shape: truth is one checkpointed brute pass (the q92
+    * discipline — a gate job's deliberate cost); per configuration the
+    * approx side is the registered probe subplan (map-side assignment
+    * against the staged quantizer, broadcast probes); the cost estimate
+    * joins the ≤ nprobe·|queries|-row probe table against the
+    * nlist-row occupancy table — pure metadata; recall aggregates are
+    * integer sums (q92's Σhit/Σk rule). */
+  /** The queries' probed cells at a given width — (q_id, cell), the
+    * probe table [[ivfTopK]] broadcasts; exposed for q151's cost terms
+    * and its spec's independent refold. */
+  private[graft] def ivfTopKProbeCells(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val (cells, mats) = cachedCentroidMeta(s, dir)
+    Tables(s, dir, "embeddings").filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"),
+        explode(graft.functions.NearestCellsUtil
+          .column($"embedding", cells, mats, nprobe)).as("cell"))
+  }
+
+  def q151IvfSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = q55AnnBrute(s, dir).filter($"rank" <= 3)
+      .select($"q_id", $"vec_id").localCheckpoint(true)
+    val emb = Tables(s, dir, "embeddings")
+    val (cells, mats) = cachedCentroidMeta(s, dir)
+    def nc(v: Column, kk: Int): Column =
+      graft.functions.NearestCellsUtil.column(v, cells, mats, kk)
+    // nlist-row occupancy + the queries' own cells — bounded metadata
+    val occ = ivfAssigned(s, dir).groupBy($"cell")
+      .agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val qOwn = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), element_at(nc($"embedding", 1), 1).as("own"))
+    def config(nprobe: Int): DataFrame = {
+      val qprobe = ivfTopKProbeCells(s, dir, nprobe)
+      val cost = qprobe.join(broadcast(occ), "cell")
+        .join(broadcast(qOwn), "q_id")
+        .agg(sum($"n").as("gross"),
+          sum(when($"cell" === $"own", 1L).otherwise(0L)).as("self_hits"))
+        .select(($"gross" - $"self_hits").as("scanned"))
+      val recall = truth
+        .join(ivfTopK(s, dir, 3, nprobe)
+          .select($"q_id", $"vec_id", lit(1).as("hit")),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("k"),
+          sum(when($"hit".isNull, 0L).otherwise(1L)).as("n_hit"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum($"n_hit").as("total_hit"), sum($"k").as("total_k"),
+          min($"n_hit".cast("double") / $"k".cast("double")).as("worst_recall"))
+      recall.crossJoin(cost)
+        .select(lit(nprobe.toLong).as("nprobe"), $"n_queries", $"scanned",
+          ($"total_hit".cast("double") / $"total_k".cast("double")).as("mean_recall"),
+          $"worst_recall")
+    }
+    config(1).unionByName(config(2)).unionByName(config(4))
+      .orderBy($"nprobe")
+  }
+
+  val q151Oracle: String = {
+    def per(np: Int): String =
+      s"""SELECT $np::BIGINT AS nprobe,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  (SELECT CAST(SUM(o.n) AS BIGINT)
+         |   FROM (${probeCte(np)}) qp
+         |   JOIN (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+         |         FROM (${assignedSub}) av GROUP BY cell) o USING (cell))
+         |  - (SELECT CAST(COUNT(*) AS BIGINT)
+         |     FROM (${probeCte(np)}) qp
+         |     JOIN (${assignedSub}) av
+         |       ON av.vec_id = qp.q_id AND av.cell = qp.cell) AS scanned,
+         |  CAST(SUM(n_hit) AS DOUBLE) / CAST(SUM(k) AS DOUBLE) AS mean_recall,
+         |  MIN(CAST(n_hit AS DOUBLE) / CAST(k AS DOUBLE)) AS worst_recall FROM (
+         |  SELECT t.q_id, COUNT(*) AS k,
+         |    SUM(CASE WHEN a.hit IS NULL THEN 0 ELSE 1 END) AS n_hit
+         |  FROM (SELECT q_id, vec_id FROM (${q55Oracle.replace("\n", "\n  ")}) tr
+         |        WHERE rank <= 3) t
+         |  LEFT JOIN (SELECT q_id, vec_id, 1 AS hit
+         |             FROM (${ivfTopKOracle(3, np).replace("\n", "\n  ")}) ap) a
+         |    USING (q_id, vec_id)
+         |  GROUP BY t.q_id) perq_$np""".stripMargin
+    s"""${per(1)}
+       |UNION ALL
+       |${per(2)}
+       |UNION ALL
+       |${per(4)}
+       |ORDER BY nprobe""".stripMargin
+  }
+
+  /** The probe-cell set at a given nprobe (q_id, cell) and the nearest-
+    * cell assignment, as standalone subqueries for q151's cost terms. */
+  private def probeCte(np: Int): String =
+    s"""WITH ${ivfAssignCte.replace("\n", "\n  ")}
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crn
+       |    FROM scored WHERE vec_id < 10)
+       |  WHERE crn <= $np""".stripMargin
+  private def assignedSub: String =
+    s"""WITH ${ivfAssignCte.replace("\n", "\n  ")}
+       |  SELECT vec_id, cell FROM assigned""".stripMargin
+
   private def oracle2(family: String): String = family match {
     case "lsh" => q56Oracle
     case "ivf" => q59Oracle
@@ -1033,6 +1148,7 @@ object Similarity {
     "q104_hard_negatives" -> q104HardNegatives _,
     "q119_embedding_sanity" -> q119EmbeddingSanity _,
     "q120_ann_sq" -> q120AnnSq _,
+    "q151_ivf_sweep" -> q151IvfSweep _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1047,5 +1163,6 @@ object Similarity {
     "q104_hard_negatives" -> q104Oracle,
     "q119_embedding_sanity" -> q119Oracle,
     "q120_ann_sq" -> q120Oracle,
+    "q151_ivf_sweep" -> q151Oracle,
   )
 }

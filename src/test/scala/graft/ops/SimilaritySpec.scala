@@ -273,4 +273,35 @@ class SimilaritySpec extends SparkSpec {
       .groupBy($"cell").count().as[(Long, Long)].collect().toMap
     assert(counts === recount)
   }
+
+  test("q151 sweep: monotone recall/cost, scanned refolds, nprobe=2 matches q92") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.q151IvfSweep(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // widening the probe can only add candidates: recall and cost are
+    // both non-decreasing in nprobe
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq, "recall not monotone")
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.toSeq, "cost not monotone")
+    // the scanned count refolds from assignments + probe cells
+    val occ = Similarity.ivfAssigned(s, sf).groupBy($"cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val own = Similarity.ivfAssigned(s, sf).filter($"vec_id" < 10)
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((np, _, scanned, _, _) <- rows) {
+      val probed = Similarity.ivfTopKProbeCells(s, sf, np.toInt).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expect = probed.map { case (q, c) =>
+        occ(c) - (if (own(q) == c) 1L else 0L) }.sum
+      assert(scanned === expect, s"nprobe=$np scanned")
+    }
+    // the nprobe=2 point IS q92's registered ivf configuration
+    val q92ivf = Similarity.q92AnnRecallFamilies(s, sf)
+      .filter($"family" === "ivf").collect().head
+    assert(rows.find(_._1 == 2L).get._4 === q92ivf.getAs[Double]("mean_recall"))
+    assert(rows.find(_._1 == 2L).get._5 === q92ivf.getAs[Double]("worst_recall"))
+  }
 }
