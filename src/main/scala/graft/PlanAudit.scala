@@ -107,6 +107,7 @@ object PlanAudit {
     "q149_embedding_drift" -> "embedding drift: assignment is the map-side codegen'd NearestCells projection against the CACHED quantizer metadata (zero exchange — q59's discipline, artifact staged once per session via ann_prep); each snapshot side folds to a ≤ |labels|·nlist-row histogram in ONE partial agg (the histogram IS the shuffle output); TV is tvBySource's integer cross-multiplication — the q122/S16 code path shared verbatim",
     "q150_curriculum" -> "curriculum schedule: the span table is q147's subplan (one shard exchange); the surprisal join keys on doc_id against q141's rollup; the (shard, seq_idx) aggregation's clustering keys superset the shard hash — no new exchange (the q139 rule); the curriculum row_number window is per-shard — no global window anywhere",
     "q151_ivf_sweep" -> "IVF nprobe sweep: truth is ONE checkpointed brute pass (the gate-job cost, q92's discipline); each configuration's approx side is the registered probe subplan against the session-staged quantizer; the scan-cost estimate joins the ≤ nprobe·|queries|-row probe table against the nlist-row occupancy table — pure metadata, the candidate set itself is never materialized for counting",
+    "q152_lsh_sweep" -> "LSH banding sweep: truth is q110's uncapped gate side (deliberate, fixture/sample scale); the k=16 signature table is computed ONCE and checkpointed — each config adds only a map-side re-banding projection, a collision-proportional band-key self-join, and a one-row aggregate over its pair set",
   )
 
   def main(args: Array[String]): Unit = {

@@ -341,15 +341,32 @@ object Dedup {
     * permutations; signatures keyed on doc_id straight off the filtered
     * index), banded 4×4, candidates = distinct band-bucket collisions.
     * Carries sig_a/sig_b so q52 can estimate without re-joining. */
+  /** The k=16 MinHash signature table over the df-filtered shingle sets —
+    * shared by the 4×4 production candidates and q152's banding sweep. */
+  private def minhashSigs(s: SparkSession, docs: DataFrame,
+      maxDf: Long): DataFrame = {
+    import s.implicits._
+    coldFrom(s, docs, maxDf)
+      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
+      .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
+  }
+
+  /** The banded signature with its bucket key at a given geometry —
+    * nBands bands of rpb rows over the 16-permutation signature. */
+  private def bandedSigs(sigs: DataFrame, nBands: Int, rpb: Int): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.select($"doc_id", $"sig",
+        explode(sequence(lit(0), lit(nBands - 1))).as("b"))
+      .withColumn("band_key", concat_ws(":", $"b".cast("string"),
+        concat_ws("-", transform(slice($"sig", $"b" * rpb + 1, lit(rpb)),
+          x => x.cast("string")))))
+  }
+
   private def minhashBandCandidates(s: SparkSession, docs: DataFrame,
       maxDf: Long): DataFrame = {
     import s.implicits._
-    val sigs = coldFrom(s, docs, maxDf)
-      .groupBy($"doc_id").agg(collect_list($"h").as("hs"))
-      .select($"doc_id", HashFns.minhashFromHashes($"hs", 16).as("sig"))
-    val bands = sigs.select($"doc_id", $"sig", explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("band_key", concat_ws(":", $"b".cast("string"),
-        concat_ws("-", transform(slice($"sig", $"b" * 4 + 1, lit(4)), x => x.cast("string")))))
+    val bands = bandedSigs(minhashSigs(s, docs, maxDf), 4, 4)
     bands.as("x").join(bands.as("y"),
         $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
@@ -1614,6 +1631,101 @@ object Dedup {
        |SELECT * FROM clustered UNION ALL SELECT * FROM single
        |ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+  /** MinHash-LSH banding sweep — q151's tuning-curve idea for the DEDUP
+    * index: the same k=16 signature banded at (2×8), (4×4 — the
+    * registered production geometry), and (8×2), each graded against the
+    * uncapped exact-Jaccard truth (q110's deliberately-expensive gate
+    * side) with its candidate-pair count alongside. More bands of fewer
+    * rows collide easier — recall rises AND candidate cost rises — and
+    * the banding theorem's S-curve threshold (≈ (1/b)^(1/r)) moves from
+    * ~0.92 through ~0.71 to ~0.35 across the three rows: the table shows
+    * WHERE the production 4×4 sits on the recall-vs-candidate curve and
+    * what moving it would buy or cost, before anyone re-shards a 100 TB
+    * dedup run. Signatures are computed ONCE and re-banded per config —
+    * banding is a projection, not a re-hash.
+    *
+    * Scale shape: truth is the q110 gate cost (fixture/sample scale by
+    * declaration); the signature table is the registered subplan,
+    * checkpointed once; each config adds only a band-key self-join
+    * (collision-proportional by the banding geometry) and a one-row
+    * aggregate over its pair set; integer counts, one terminal division
+    * per config. */
+  def q152LshSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = sharedShingleDocs(s, dir)
+    val full = docs.select($"doc_id", explode($"hs").as("h"))
+    val truthCand = full.as("a").join(full.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    val truth = verifiedJaccard(s, docs, truthCand)
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", lit(1L).as("t"))
+      .localCheckpoint(true)
+    val sigs = minhashSigs(s, docs, HotShingleMaxDf).localCheckpoint(true)
+    def config(nBands: Int, rpb: Int): DataFrame = {
+      val bands = bandedSigs(sigs, nBands, rpb)
+      bands.as("x").join(bands.as("y"),
+          $"x.band_key" === $"y.band_key" && $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(when($"t".isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_caught"))
+        .select(lit(nBands.toLong).as("n_bands"),
+          lit(rpb.toLong).as("rows_per_band"), $"n_cand", $"n_caught")
+    }
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    config(2, 8).unionByName(config(4, 4)).unionByName(config(8, 2))
+      .crossJoin(broadcast(nt))
+      .withColumn("recall",
+        $"n_caught".cast("double") / $"n_truth".cast("double"))
+      .select($"n_bands", $"rows_per_band", $"n_truth", $"n_cand",
+        $"n_caught", $"recall")
+      .orderBy($"n_bands")
+  }
+
+  val q152Oracle: String = {
+    def bandsAt(nb: Int, rpb: Int): String =
+      s"""SELECT doc_id,
+         |  CAST(b AS VARCHAR) || ':' || array_to_string(
+         |    list_transform(sig[$rpb*b+1:$rpb*b+$rpb],
+         |      bk_x -> CAST(bk_x AS VARCHAR)), '-') AS band_key
+         |FROM sigarr CROSS JOIN range($nb) bd(b)""".stripMargin
+    def cfg(nb: Int, rpb: Int): String =
+      s"""SELECT $nb::BIGINT AS n_bands, $rpb::BIGINT AS rows_per_band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |  CAST(COUNT(t.doc_a) AS BIGINT) AS n_caught
+         |FROM (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM (${bandsAt(nb, rpb).replace("\n", "\n      ")}) x
+         |      JOIN (${bandsAt(nb, rpb).replace("\n", "\n      ")}) y
+         |        ON x.band_key = y.band_key AND x.doc_id < y.doc_id) f
+         |LEFT JOIN truth t ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b""".stripMargin
+    s"""$shCte,
+       |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sh0 a JOIN sh0 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |truth AS (SELECT c.doc_a, c.doc_b
+       |          FROM tcand c JOIN shl fa ON fa.doc_id = c.doc_a
+       |          JOIN shl fb ON fb.doc_id = c.doc_b
+       |          WHERE CAST(len(list_intersect(fa.hs, fb.hs)) AS DOUBLE)
+       |            / CAST(len(fa.hs) + len(fb.hs)
+       |                   - len(list_intersect(fa.hs, fb.hs)) AS DOUBLE) >= 0.5),
+       |sigs AS (SELECT doc_id, i, MIN(((2*i+1)*h + (7919*i+13)) % 2147483647) AS mh
+       |         FROM cold CROSS JOIN range(16) perm(i) GROUP BY 1, 2),
+       |sigarr AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+       |cfgs AS (
+       |  ${cfg(2, 8).replace("\n", "\n  ")}
+       |  UNION ALL
+       |  ${cfg(4, 4).replace("\n", "\n  ")}
+       |  UNION ALL
+       |  ${cfg(8, 2).replace("\n", "\n  ")}),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT n_bands, rows_per_band, nt.n_truth, n_cand, n_caught,
+       |  CAST(n_caught AS DOUBLE) / CAST(nt.n_truth AS DOUBLE) AS recall
+       |FROM cfgs CROSS JOIN nt
+       |ORDER BY n_bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_shingle_df_audit" -> q129ShingleDfAudit _,
     "q50_dedup_exact" -> q50DedupExact _,
@@ -1635,6 +1747,7 @@ object Dedup {
     "q125_cross_source_matrix" -> q125CrossSourceMatrix _,
     "q126_containment" -> q126Containment _,
     "q148_cluster_census" -> q148ClusterCensus _,
+    "q152_lsh_sweep" -> q152LshSweep _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1658,5 +1771,6 @@ object Dedup {
     "q125_cross_source_matrix" -> q125Oracle,
     "q126_containment" -> q126Oracle,
     "q148_cluster_census" -> q148Oracle,
+    "q152_lsh_sweep" -> q152Oracle,
   )
 }

@@ -462,4 +462,28 @@ class DedupSpec extends SparkSpec {
     assert(census.exists(_._1 == 1L), "no singleton row")
     assert(census.exists(_._1 >= 2L), "no clustered row in fixture")
   }
+
+  test("q152 banding sweep: nested geometries monotone, 4x4 row equals q110's") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.q152LshSweep(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(r => (r._1, r._2)).toSeq === Seq((2L, 8L), (4L, 4L), (8L, 2L)))
+    // one truth set across the whole table
+    assert(rows.map(_._3).distinct.length === 1)
+    // aligned-band nesting: an 8-row collision implies its two 4-row
+    // halves collide, which imply their 2-row halves — candidates and
+    // catches are supersets down the table
+    assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq, "n_cand not monotone")
+    assert(rows.map(_._5).toSeq === rows.map(_._5).sorted.toSeq, "n_caught not monotone")
+    // the (4,4) row IS the registered production geometry: it must agree
+    // with q110's minhash_lsh row exactly
+    val q110 = Dedup.q110DedupRecall(s, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val (nt, nc, nh, rec) = q110("minhash_lsh")
+    val mid = rows.find(r => r._1 == 4L).get
+    assert((mid._3, mid._4, mid._5, mid._6) === ((nt, nc, nh, rec)))
+  }
 }
