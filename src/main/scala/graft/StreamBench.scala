@@ -202,6 +202,35 @@ object StreamBench {
     }
   }
 
+  /** S19 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.QualityGateStream]]'s soft-quality
+    * admission gate — docs/sec through the map-side score+decide split.
+    * `clean` = kept-sink row count (the admitted corpus). */
+  def measureQualityGate(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-qualitygate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.QualityGateStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:qualitygate] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val keptN = spark.read.parquet(s"$root/out/kept").count()
+      SeamResult(n / secs, n, keptN, secs)
+    }
+  }
+
   /** S10 throughput: the embeddings table replayed as a file-source stream
     * through [[VectorIndexStream]]'s cell-assignment + partitioned index
     * append — vectors/sec into a searchable IVF index, from a clean
@@ -437,15 +466,17 @@ object StreamBench {
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
-    * sketch,drift,exactdecontam,shards — the quick-run knob; unset = all)
-    * is also None and is skipped without paying its measurement. */
+    * sketch,drift,exactdecontam,shards,qualitygate — the quick-run knob;
+    * unset = all) is also None and is skipped without paying its
+    * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
       decontam: Option[SeamResult], annRefresh: Option[SeamResult],
       merge: Option[SeamResult], histogram: Option[SeamResult],
       chunking: Option[SeamResult], card: Option[SeamResult],
       sketch: Option[SeamResult], drift: Option[SeamResult],
       exactDecontam: Option[SeamResult],
-      shards: Option[SeamResult]) {
+      shards: Option[SeamResult],
+      qualityGate: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -463,7 +494,7 @@ object StreamBench {
         "histogram" -> histogram, "chunking" -> chunking,
         "card" -> card, "sketch" -> sketch,
         "drift" -> drift, "exact_decontam" -> exactDecontam,
-        "shards" -> shards).map { case (k, v) =>
+        "shards" -> shards, "quality_gate" -> qualityGate).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -493,7 +524,8 @@ object StreamBench {
       guarded("sketch")(measureSketch(spark, sfDir)),
       guarded("drift")(measureDrift(spark, sfDir)),
       guarded("exactdecontam")(measureExactDecontam(spark, sfDir)),
-      guarded("shards")(measureShards(spark, sfDir)))
+      guarded("shards")(measureShards(spark, sfDir)),
+      guarded("qualitygate")(measureQualityGate(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

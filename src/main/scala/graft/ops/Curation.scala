@@ -1167,13 +1167,23 @@ object Curation {
     * the same projection; the filter decision is map-side; the only
     * exchange is the presentation ORDER BY. The score's threshold
     * resolution (1/1000) is the knob production tunes. */
-  def q145SoftFilter(s: SparkSession, dir: String): DataFrame = {
+  /** The q145 decision columns (u, accept_milli, kept) over any frame
+    * carrying (doc_id, quality_score) — factored so the batch query and
+    * the S19 streaming admission gate decide with the LITERAL same
+    * expressions. */
+  private[graft] def softFilterDecision(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    TextAnalysis.q42Quality(s, dir)
-      .select($"doc_id", $"quality_score")
-      .withColumn("u", pmod(graft.functions.Djb2.djb2(shardKey($"doc_id")), lit(1000L)))
+    df.withColumn("u",
+        pmod(graft.functions.Djb2.djb2(shardKey($"doc_id")), lit(1000L)))
       .withColumn("accept_milli", floor($"quality_score" * 1000.0).cast("long"))
       .withColumn("kept", $"u" < $"accept_milli")
+  }
+
+  def q145SoftFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    softFilterDecision(TextAnalysis.q42Quality(s, dir)
+      .select($"doc_id", $"quality_score"))
       .select($"doc_id", $"quality_score", $"u", $"accept_milli", $"kept")
       .orderBy($"doc_id")
   }

@@ -84,11 +84,13 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- q42
-  /** Quality scoring: distinct-token ratio, mean token length, stopword
-    * ratio → deterministic linear score + keep/drop flag. */
-  def q42Quality(s: SparkSession, dir: String): DataFrame = {
+  /** The q42 scoring projection over ANY (doc_id, text) frame — factored
+    * so the batch query and the S19 streaming admission gate score with
+    * the LITERAL same expressions (the shared-code-path discipline). */
+  private[graft] def qualityScored(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, dir, "documents")
+    docs
       .withColumn("toks", TextFns.tokens($"text"))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("distinct_ratio",
@@ -102,6 +104,13 @@ object TextAnalysis {
           + lit(0.3) * least($"mean_token_len" / lit(10.0), lit(1.0))
           + lit(0.3) * least($"n_tokens".cast("double") / lit(100.0), lit(1.0)))
       .withColumn("is_quality", $"quality_score" > 0.5)
+  }
+
+  /** Quality scoring: distinct-token ratio, mean token length, stopword
+    * ratio → deterministic linear score + keep/drop flag. */
+  def q42Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    qualityScored(Tables(s, dir, "documents"))
       .select($"doc_id", $"n_tokens", $"distinct_ratio", $"mean_token_len",
         $"stop_ratio", $"quality_score", $"is_quality")
       .orderBy($"doc_id")

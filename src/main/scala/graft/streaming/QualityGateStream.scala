@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{Curation, TextAnalysis}
+
+/** S19 — streaming soft-quality admission gate: q145's probabilistic
+  * filter applied where curation actually wants it — at the ingest
+  * boundary, before a document costs anything downstream (dedup state,
+  * embeddings, index space). Each micro-batch is scored with the LITERAL
+  * q42 expressions ([[TextAnalysis.qualityScored]]) and decided with the
+  * LITERAL q145 rule ([[Curation.softFilterDecision]]) — shared code
+  * paths, so the stream's admission decisions and the batch audit's
+  * can never disagree on a document. Kept docs land in `kept/`, dropped
+  * docs in `dropped/` WITH their scores (the drop log is the tuning
+  * evidence, not discarded information) — the A3 error-isolation shape
+  * applied to quality.
+  *
+  * Like S9/S18 the gate is STATELESS: the decision is a pure function of
+  * the document alone (its own text → score; its own doc_id → the
+  * deterministic uniform draw), so a replayed at-least-once batch
+  * overwrites its `batch=<id>` partition with an identical split —
+  * effectively-exactly-once sinks with no state store.
+  *
+  * Scale shape per batch: scoring + the hash draw + the comparison are
+  * ONE map-side projection over the batch (q145's plan minus its
+  * presentation sort); the writes are batch-sized. The stream never
+  * shuffles at all in the trigger path.
+  */
+object QualityGateStream {
+
+  /** Pure batch-side split: (kept, dropped) — both carrying
+    * (doc_id, text, quality_score, u, accept_milli). `batch` must carry
+    * (doc_id long, text string). */
+  private[streaming] def splitBatch(batch: DataFrame): (DataFrame, DataFrame) = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val decided = Curation.softFilterDecision(
+      TextAnalysis.qualityScored(batch))
+      .select($"doc_id", $"text", $"quality_score", $"u", $"accept_milli",
+        $"kept")
+    (decided.filter($"kept").drop("kept"),
+      decided.filter(!$"kept").drop("kept"))
+  }
+
+  /** Streaming driver. `docs` must carry (doc_id long, text string). */
+  def run(docs: DataFrame, root: String,
+      trigger: Trigger = Trigger.AvailableNow())(
+      implicit s: SparkSession): StreamingQuery = {
+    docs.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (kept, dropped) = splitBatch(batch)
+        // overwrite-by-batch: a replay re-derives the identical split
+        // (pure function of the batch — no cross-batch state anywhere)
+        kept.write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/kept/batch=$batchId")
+        dropped.write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/dropped/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+}
