@@ -1387,6 +1387,180 @@ object Curation {
        |  surprisal_weight // seq_tokens AS mean_milli
        |FROM agg ORDER BY shard, curriculum_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Length-bucketed batch PADDING audit — the other packing regime next
+    * to q147: inference and SFT serving pad each fixed-size batch to its
+    * longest member instead of splitting documents across sequence
+    * boundaries, and padding waste is the number that grades the
+    * bucketing policy. Documents are dealt to [[NWorkers]] loader workers
+    * by q142's hash chain (deterministic, content-uncorrelated), bucketed
+    * by token length (width 16), batched 8 at a time in the worker's
+    * shuffled (rand_key) order — the standard bucketed-shuffle sampler —
+    * and each batch pads to its max member length. One row per
+    * (worker, bucket, batch): doc count, max/sum length, padded tokens,
+    * integer-milli waste.
+    *
+    * Scale shape: ONE exchange — the batching window partitions on
+    * (worker, bucket) and the roll-up groups on (worker, bucket,
+    * batch_idx), whose clustering the window's hash partitioning already
+    * satisfies, so Catalyst reuses the exchange (the q139 rule). Window
+    * state is bounded by |corpus|/(workers·buckets); at 100 TB the worker
+    * count is the loader's own parallelism knob — raise it with the
+    * cluster and every per-window sort stays in memory (q142's rule:
+    * position is only ever assigned within a worker's bucket, never
+    * globally). */
+  private[graft] val NWorkers = 4L
+
+  def q154PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"worker", $"bucket")
+      .orderBy($"rand_key", $"doc_id")
+    Tables(s, dir, "documents")
+      .select($"doc_id", size(TextFns.tokens($"text")).cast("long").as("dl"))
+      .withColumn("rand_key", shardKey($"doc_id"))
+      .withColumn("worker", shardOf($"rand_key", NWorkers))
+      .withColumn("bucket", expr("dl div 16"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_idx", expr("(rn - 1) div 8").cast("long"))
+      .groupBy($"worker", $"bucket", $"batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max($"dl").as("max_dl"),
+        sum($"dl").as("sum_toks"))
+      .withColumn("padded_toks", $"n_docs" * $"max_dl")
+      .withColumn("waste_milli",
+        expr("((padded_toks - sum_toks) * 1000) div padded_toks"))
+      .select($"worker", $"bucket", $"batch_idx", $"n_docs", $"max_dl",
+        $"sum_toks", $"padded_toks", $"waste_milli")
+      .orderBy($"worker", $"bucket", $"batch_idx")
+  }
+
+  val q154Oracle: String = {
+    val worker = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 4)
+    s"""WITH dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    md5(CAST(doc_id AS VARCHAR)) AS rand_key, $worker AS worker
+       |  FROM documents),
+       |b AS (
+       |  SELECT worker, dl // 16 AS bucket, dl,
+       |    (row_number() OVER (PARTITION BY worker, dl // 16
+       |       ORDER BY rand_key, doc_id) - 1) // 8 AS batch_idx
+       |  FROM dl)
+       |SELECT worker, bucket, batch_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, MAX(dl) AS max_dl,
+       |  CAST(SUM(dl) AS BIGINT) AS sum_toks,
+       |  CAST(COUNT(*) AS BIGINT) * MAX(dl) AS padded_toks,
+       |  ((CAST(COUNT(*) AS BIGINT) * MAX(dl) - CAST(SUM(dl) AS BIGINT))
+       |    * 1000) // (CAST(COUNT(*) AS BIGINT) * MAX(dl)) AS waste_milli
+       |FROM b GROUP BY worker, bucket, batch_idx
+       |ORDER BY worker, bucket, batch_idx""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q156
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-unigram distribution looks
+    * like a TARGET domain (here lang = 'en', the pipeline's
+    * high-resource carve) versus the raw corpus — the importance weight
+    * data-selection resamples by. Tokens hash into 1024 buckets
+    * (djb2 — the engine's oracle-parity hash); the per-bucket weight is
+    * the log-likelihood ratio log₂(p_target/p_raw), computed with
+    * [[qlogMilli]] — a piecewise-linear integer log₂ in MILLI-bits
+    * (q141's bit-length quantization refined with the linear remainder
+    * term: (b−1)·1000 + (x−2^(b−1))·1000 div 2^(b−1), error ≤ 0.086
+    * bits): log₂ ratios become qlog differences, add-one smoothed, pure
+    * int64, no libm (q45's precedent), bit-identical in any engine. The
+    * whole-bit form was measurably TOO coarse here — adjacent-language
+    * bucket masses differ by well under 2×, and ±1-bit resolution rounds
+    * every bucket's evidence to zero (found by this query's own spec).
+    * Also — no products of large counts: the qlog-difference form never
+    * multiplies totals, so nothing overflows at any corpus scale.
+    *
+    * Scale shape: the bucket hash is computed once per DISTINCT word
+    * (vocab-sized map-side projection) and joins back to the token
+    * stream; the raw and target censuses are partial-agg shuffles that
+    * collapse to ≤ 1024 groups map-side; the 1024-row score table
+    * broadcasts to the per-doc rollup (one integer shuffle on doc_id).
+    * The two totals ride the same 1024-row table as unpartitioned window
+    * sums — a single-partition window over METADATA, never the corpus. */
+  /** Piecewise-linear integer log₂ in milli-bits of a non-negative int64
+    * SQL expression `e` ≥ 1: (b−1)·1000 + (e − 2^(b−1))·1000 ÷ 2^(b−1)
+    * with b = bit-length. Division is of non-negative operands, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree — the
+    * dialect only differs in the shift spelling. */
+  private def qlogMilliSpark(e: String): String = {
+    val p = s"shiftleft(CAST(1 AS BIGINT), length(bin($e)) - 1)"
+    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + (($e) - $p) * 1000 div $p)"
+  }
+  private def qlogMilliDuck(e: String): String = {
+    val p = s"(CAST(1 AS BIGINT) << (length(bin($e)) - 1))"
+    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + ((($e) - $p) * 1000) // $p)"
+  }
+
+  def q156DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(TextFns.tokens($"text")).as("word"))
+    val vocab = toks.select($"word").distinct()
+      .withColumn("bucket",
+        pmod(graft.functions.Djb2.djb2($"word"), lit(1024L)))
+    val tw = toks.join(vocab, "word")
+    val raw = tw.groupBy($"bucket").agg(count(lit(1)).as("rc"))
+    val tgt = tw.filter($"lang" === "en")
+      .groupBy($"bucket").agg(count(lit(1)).as("tc"))
+    val wAll = Window.partitionBy()
+    val stats = raw.join(tgt, Seq("bucket"), "left")
+      .withColumn("tc", coalesce($"tc", lit(0L)))
+      .withColumn("r_tot", sum($"rc").over(wAll))
+      .withColumn("t_tot", sum($"tc").over(wAll))
+      .withColumn("score_milli",
+        expr(s"${qlogMilliSpark("tc + 1")} - ${qlogMilliSpark("rc + 1")}" +
+          s" + ${qlogMilliSpark("r_tot")} - ${qlogMilliSpark("t_tot")}"))
+      .select($"bucket", $"score_milli")
+    tw.join(broadcast(stats), "bucket")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum($"score_milli").as("dsir_milli_bits"))
+      // dsir_milli_bits is SIGNED: make the rounding explicit (truncate
+      // toward zero on the absolute value) — Spark's `div` truncates while
+      // DuckDB's `//` floors, and they disagree exactly on negatives
+      .withColumn("milli_bits_per_token",
+        expr("""CASE WHEN dsir_milli_bits >= 0
+                THEN dsir_milli_bits div n_tokens
+                ELSE -((-dsir_milli_bits) div n_tokens) END"""))
+      .withColumn("selected", $"dsir_milli_bits" > 0L)
+      .select($"doc_id", $"n_tokens", $"dsir_milli_bits",
+        $"milli_bits_per_token", $"selected")
+      .orderBy($"doc_id")
+  }
+
+  val q156Oracle: String = {
+    val bucket = Sql.pmod(Sql.djb2("word"), 1024)
+    val score = s"${qlogMilliDuck("COALESCE(tc, 0) + 1")}" +
+      s" - ${qlogMilliDuck("rc + 1")}" +
+      s" + ${qlogMilliDuck("SUM(rc) OVER ()")}" +
+      s" - ${qlogMilliDuck("SUM(COALESCE(tc, 0)) OVER ()")}"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT word, $bucket AS bucket FROM (SELECT DISTINCT word FROM toks)),
+       |tw AS (SELECT t.doc_id, t.lang, v.bucket FROM toks t JOIN vocab v USING (word)),
+       |raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rc FROM tw GROUP BY bucket),
+       |tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS tc FROM tw
+       |        WHERE lang = 'en' GROUP BY bucket),
+       |stats AS (
+       |  SELECT bucket, CAST($score AS BIGINT) AS score_milli
+       |  FROM raw LEFT JOIN tgt USING (bucket))
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(score_milli) AS BIGINT) AS dsir_milli_bits,
+       |  CASE WHEN SUM(score_milli) >= 0
+       |    THEN CAST(SUM(score_milli) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+       |    ELSE -(CAST(-SUM(score_milli) AS BIGINT)
+       |      // CAST(COUNT(*) AS BIGINT)) END AS milli_bits_per_token,
+       |  CAST(SUM(score_milli) AS BIGINT) > 0 AS selected
+       |FROM tw JOIN stats USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1411,6 +1585,8 @@ object Curation {
     "q146_quality_map" -> q146QualityMap _,
     "q147_packed_sequences" -> q147PackedSequences _,
     "q150_curriculum" -> q150Curriculum _,
+    "q154_padding_waste" -> q154PaddingWaste _,
+    "q156_dsir_weights" -> q156DsirWeights _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1437,5 +1613,7 @@ object Curation {
     "q146_quality_map" -> q146Oracle,
     "q147_packed_sequences" -> q147Oracle,
     "q150_curriculum" -> q150Oracle,
+    "q154_padding_waste" -> q154Oracle,
+    "q156_dsir_weights" -> q156Oracle,
   )
 }

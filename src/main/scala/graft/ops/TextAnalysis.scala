@@ -642,13 +642,20 @@ object TextAnalysis {
     out.toSeq
   }
 
-  def q137BpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The trainer's input: corpus word frequencies over mergeable words
+    * (≥ 2 chars — a single-char word contributes no adjacent pairs, so
+    * excluding it changes nothing about the merges; see [[cachedMerges]]). */
+  private def trainerWordFreq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wf = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .select(explode(TextFns.tokens($"text")).as("word"))
       .filter(length($"word") >= 2)
       .groupBy($"word").agg(count(lit(1)).as("wf"))
-    bpeTrain(wf, BpeRounds)
+  }
+
+  def q137BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(trainerWordFreq(s, dir), BpeRounds)
       .toDF("merge_rank", "lsym", "rsym", "pair_count")
       .withColumn("merged", concat($"lsym", $"rsym"))
       .select($"merge_rank", $"lsym", $"rsym", $"merged", $"pair_count")
@@ -661,30 +668,41 @@ object TextAnalysis {
     * POSITIONALLY — pair-start positions, runs of consecutive starts
     * (only possible when lsym = rsym), odd ranks within each run merge,
     * the position after a merged start drops. */
-  val q137Oracle: String = {
-    val rounds = (1 to BpeRounds).map { r =>
+  /** The unrolled per-round CTE blocks (e/b/s/k/v chains for rounds
+    * 1..[[BpeRounds]]) — independent of how `v0` is built, so q137 (trainer
+    * over mergeable words) and q153 (encoder over the FULL vocabulary —
+    * same merges, see its scaladoc) share one oracle formulation.
+    *
+    * Every block is `AS MATERIALIZED`: DuckDB inlines CTEs by default, and
+    * each `v_r` references its round's `e_r` three times (the base scan
+    * plus two `k_r` anti-position joins), so an inlined 6-round chain
+    * re-evaluates the whole prefix ~3^6 times — minutes at sf0.01 instead
+    * of under a second. Materialization pins each round to one evaluation,
+    * which is also exactly the engine-side checkpoint discipline. */
+  private val bpeRoundCtes: String =
+    (1 to BpeRounds).map { r =>
       val v = s"v${r - 1}"
-      s"""e$r AS (
+      s"""e$r AS MATERIALIZED (
          |  SELECT word, wf, CAST(i AS BIGINT) AS i, syms[i] AS sym,
          |    syms[i + 1] AS nxt
          |  FROM (SELECT word, wf, syms, unnest(range(1, len(syms) + 1)) AS i
          |        FROM $v)),
-         |b$r AS (
+         |b$r AS MATERIALIZED (
          |  SELECT sym AS lsym, nxt AS rsym, CAST(SUM(wf) AS BIGINT) AS cnt
          |  FROM e$r WHERE nxt IS NOT NULL
          |  GROUP BY sym, nxt
          |  ORDER BY cnt DESC, sym, nxt LIMIT 1),
-         |s$r AS (
+         |s$r AS MATERIALIZED (
          |  SELECT e.word, e.i FROM e$r e, b$r b
          |  WHERE e.sym = b.lsym AND e.nxt = b.rsym),
-         |k$r AS (
+         |k$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
          |    FROM (SELECT word, i,
          |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
          |          FROM s$r))
          |  WHERE rn % 2 = 1),
-         |v$r AS (
+         |v$r AS MATERIALIZED (
          |  SELECT e.word, e.wf,
          |    list(CASE WHEN k.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
          |         ORDER BY e.i) AS syms
@@ -694,20 +712,193 @@ object TextAnalysis {
          |  WHERE k2.i IS NULL
          |  GROUP BY e.word, e.wf)""".stripMargin
     }.mkString(",\n")
-    val unioned = (1 to BpeRounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lsym, rsym,
-         |  lsym || rsym AS merged, cnt AS pair_count FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH v0 AS (
+
+  /** `v0` — per-word frequency + initial char-symbol arrays; the optional
+    * length filter is the trainer-vs-encoder difference (see q153). */
+  private def bpeV0Cte(minLen: Int): String = {
+    val filter = if (minLen > 1) s"WHERE len(word) >= $minLen " else ""
+    s"""v0 AS MATERIALIZED (
        |  SELECT word, wf,
        |    list_transform(range(1, len(word) + 1),
        |      ch_i -> substr(word, CAST(ch_i AS INTEGER), 1)) AS syms
        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
        |          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |        WHERE len(word) >= 2 GROUP BY word)),
-       |$rounds
+       |        ${filter}GROUP BY word))""".stripMargin
+  }
+
+  val q137Oracle: String = {
+    val unioned = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, lsym, rsym,
+         |  lsym || rsym AS merged, cnt AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeV0Cte(2)},
+       |$bpeRoundCtes
        |$unioned
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q153
+  /** q137's trained merge list, staged once per (session, corpus) — the
+    * tokenizer ARTIFACT its consumers (q153's encoder) probe, with the
+    * same standing-asset argument as the IVF centroids / SQ8 bounds:
+    * trained once per corpus snapshot, never once per query. Training cost
+    * stays on q137's books (its timed body runs the trainer every
+    * iteration); the bench warms this cache untimed alongside the other
+    * composed-query caches so q153's timed iterations are uniformly warm
+    * (the suffix_prep / warmEvalHits discipline). Bounded metadata: the
+    * list is [[BpeRounds]] 4-tuples. */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, String, Long)]]
+  private val mergeHooked =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+  private def hookMergeEviction(s: SparkSession): Unit =
+    mergeHooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = evictMerges(s)
+        })
+    })
+  private[graft] def evictMerges(s: SparkSession): Unit = {
+    mergeCache.keys.filter(_._1 eq s).foreach(mergeCache.remove)
+    mergeHooked.remove(s)
+    ()
+  }
+  private[graft] def cachedMerges(s: SparkSession, dir: String)
+      : Seq[(Long, String, String, Long)] = {
+    hookMergeEviction(s)
+    mergeCache.getOrElseUpdate((s, new java.io.File(dir).getCanonicalPath),
+      bpeTrain(trainerWordFreq(s, dir), BpeRounds))
+  }
+  /** Bench hook: build the merge artifact untimed (no-op when cached). */
+  private[graft] def warmMerges(s: SparkSession, dir: String): Unit = {
+    cachedMerges(s, dir); ()
+  }
+
+  /** BPE ENCODE — the deployment half of q137's trainer: apply the staged
+    * merge list to the corpus and report, per document, the encoded symbol
+    * count next to its whitespace-token and character baselines (the
+    * compression audit — "chars per symbol", "symbols per token" — every
+    * tokenizer change ships with; Sennrich et al. 2016 §3's apply step).
+    *
+    * The apply is VOCABULARY-sized, not corpus-sized: the merge list folds
+    * over the distinct-word table with the same greedy [[applyMerge]] scan
+    * the trainer uses (shared code — train-time and serve-time encoding
+    * cannot drift), and the corpus only pays a hash join from its
+    * (doc, word, count) table to the ≤|vocab| encoded lengths — a
+    * broadcastable build side at any corpus scale, since vocabulary grows
+    * sublinearly in corpus bytes (Heaps' law). Words the trainer never saw
+    * (single-char — they contribute no adjacent pairs) encode through the
+    * same fold as a no-op: applying any merge to a one-symbol array leaves
+    * it unchanged, so the oracle can train on the FULL vocabulary and get
+    * the IDENTICAL merge list — zero-pair words shift no round's argmax —
+    * which is exactly how its single CTE chain covers both halves. Output
+    * arithmetic is pure int64 (milli ratios via integer division): bit-
+    * identical in any engine.
+    *
+    * Scale shape: one corpus-token explode → (doc, word) partial-agg
+    * shuffle; the distinct-word apply is map-side over |vocab| rows; the
+    * decode join keys on word (vocab build side); the per-doc rollup
+    * reuses the (doc_id)-clustered exchange. Empty-string tokens (possible
+    * under split-on-space) are excluded on BOTH sides — `sequence(1, 0)`
+    * would fabricate symbols for them. */
+  def q153BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = cachedMerges(s, dir)
+    val dw = Tables(s, dir, "documents")
+      .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") >= 1)
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+    val enc0 = dw.select($"word").distinct()
+      .withColumn("syms", transform(sequence(lit(1), length($"word")),
+        i => $"word".substr(i, lit(1))))
+    val encoded = merges.foldLeft(enc0) { case (v, (_, l, r, _)) =>
+      v.withColumn("syms", applyMerge($"syms", l, r))
+    }.select($"word", size($"syms").cast("long").as("enc_len"))
+    dw.join(encoded, "word")
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"cnt" * length($"word").cast("long")).as("n_word_chars"),
+        sum($"cnt" * $"enc_len").as("n_symbols"))
+      .withColumn("milli_chars_per_symbol",
+        expr("(n_word_chars * 1000) div n_symbols"))
+      .withColumn("milli_symbols_per_token",
+        expr("(n_symbols * 1000) div n_tokens"))
+      .select($"doc_id", $"n_tokens", $"n_word_chars", $"n_symbols",
+        $"milli_chars_per_symbol", $"milli_symbols_per_token")
+      .orderBy($"doc_id")
+  }
+
+  val q153Oracle: String =
+    s"""WITH ${bpeV0Cte(1)},
+       |$bpeRoundCtes,
+       |enc AS (
+       |  SELECT word, CAST(len(syms) AS BIGINT) AS enc_len FROM v$BpeRounds),
+       |dw AS (
+       |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) >= 1 GROUP BY doc_id, word)
+       |SELECT doc_id,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(cnt * len(word)) AS BIGINT) AS n_word_chars,
+       |  CAST(SUM(cnt * enc_len) AS BIGINT) AS n_symbols,
+       |  (CAST(SUM(cnt * len(word)) AS BIGINT) * 1000)
+       |    // CAST(SUM(cnt * enc_len) AS BIGINT) AS milli_chars_per_symbol,
+       |  (CAST(SUM(cnt * enc_len) AS BIGINT) * 1000)
+       |    // CAST(SUM(cnt) AS BIGINT) AS milli_symbols_per_token
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q155
+  /** Per-document n-gram NOVELTY — the "how much of this document exists
+    * nowhere else" curation signal (the complement of q117's memorization
+    * risk: there the corpus grades duplication, here it grades unique
+    * contribution — the score data-selection heuristics up-weight to
+    * protect rare content from aggressive filtering). Each document's
+    * DISTINCT 5-gram shingles are scored by corpus document frequency;
+    * novelty is the integer-milli fraction with df = 1 (no other document
+    * shares them). Documents under 5 tokens have no 5-grams and are absent
+    * by construction — stated, not hidden (the q141 contract).
+    *
+    * Scale shape: doc-distinct shingles explode map-side (array_distinct
+    * before the explode keeps within-doc repeats off the wire); the df
+    * count is ONE partial-agg shuffle keyed on the gram; the score join
+    * keys on the same gram and the per-doc rollup is one integer
+    * partial-agg shuffle on doc_id. At 100 TB the gram column would be
+    * hashed to int64 before the shuffle (the q43 fingerprint; collisions
+    * only ever UNDER-count novelty, a conservative audit) — the fixture
+    * keeps raw strings so the oracle compares exact semantics. */
+  def q155NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(TextFns.shingles($"text", 5))).as("gram"))
+    val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
+    grams.join(df, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_milli", expr("(n_novel * 1000) div n_grams"))
+      .select($"doc_id", $"n_grams", $"n_novel", $"novelty_milli")
+      .orderBy($"doc_id")
+  }
+
+  val q155Oracle: String = {
+    val sh = Sql.shingles("toks", 5)
+    s"""WITH gr AS (
+       |  SELECT doc_id, unnest(list_distinct($sh)) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       |d AS (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM gr GROUP BY gram)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  (CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    // CAST(COUNT(*) AS BIGINT) AS novelty_milli
+       |FROM gr JOIN d USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q106
@@ -1090,6 +1281,8 @@ object TextAnalysis {
     "q97_countmin_heavyhitters" -> q97CountminHeavyHitters _,
     "q105_bpe_pairs" -> q105BpePairs _,
     "q137_bpe_train" -> q137BpeTrain _,
+    "q153_bpe_encode" -> q153BpeEncode _,
+    "q155_ngram_novelty" -> q155NgramNovelty _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
     "q136_chunk_dedup" -> q136ChunkDedup _,
@@ -1113,6 +1306,8 @@ object TextAnalysis {
     "q97_countmin_heavyhitters" -> q97Oracle,
     "q105_bpe_pairs" -> q105Oracle,
     "q137_bpe_train" -> q137Oracle,
+    "q153_bpe_encode" -> q153Oracle,
+    "q155_ngram_novelty" -> q155Oracle,
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
     "q136_chunk_dedup" -> q136Oracle,

@@ -674,4 +674,79 @@ class CurationSpec extends SparkSpec {
       assert(shard === graft.functions.Djb2.hash(md) % 64)
     }
   }
+
+  test("q154 padding waste replays the bucketed batcher locally") {
+    val s = spark
+    import s.implicits._
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dealt = docs.map { case (id, t) =>
+      val dl = t.split(" ", -1).length.toLong
+      val key = md5hex(id)
+      (id, dl, key, graft.functions.Djb2.hash(key) % 4)
+    }
+    val expected = dealt.groupBy(r => (r._4, r._2 / 16)).toSeq
+      .flatMap { case ((w, b), g) =>
+        g.sortBy(r => (r._3, r._1)).grouped(8).zipWithIndex.map {
+          case (batch, i) =>
+            val dls = batch.map(_._2)
+            val padded = dls.length * dls.max
+            (w, b, i.toLong, dls.length.toLong, dls.max, dls.sum, padded,
+              (padded - dls.sum) * 1000 / padded)
+        }
+      }.sortBy(r => (r._1, r._2, r._3))
+    val got = Curation.q154PaddingWaste(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+    // the audit is not vacuous: full batches exist and SOME padding is
+    // wasted (bucket width 16 guarantees it stays under ~16/min_dl too)
+    assert(got.exists(_._4 === 8L) && got.exists(_._8 > 0L))
+  }
+
+  test("q156 dsir weights recompute locally and separate the target carve") {
+    val s = spark
+    import s.implicits._
+    // independent piecewise-linear integer log2 (milli-bits)
+    def qlog(x: Long): Long = {
+      val b = java.lang.Long.toBinaryString(x).length
+      val p = 1L << (b - 1)
+      (b - 1).toLong * 1000 + (x - p) * 1000 / p
+    }
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(w: String): Long = graft.functions.Djb2.hash(w) % 1024
+    val toks = docs.flatMap { case (id, lang, t) =>
+      t.split(" ", -1).map(w => (id, lang, bucket(w)))
+    }
+    val rc = toks.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val tc = toks.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap.withDefaultValue(0L)
+    val (rTot, tTot) = (rc.values.sum, tc.values.sum)
+    val score = rc.keys.map(b =>
+      b -> (qlog(tc(b) + 1) - qlog(rc(b) + 1) + qlog(rTot) - qlog(tTot))).toMap
+    val expected = toks.groupBy(_._1).toSeq.map { case (id, g) =>
+      val n = g.length.toLong
+      val sb = g.map(r => score(r._3)).sum
+      val milli = if (sb >= 0) sb / n else -(-sb / n)
+      (id, n, sb, milli, sb > 0)
+    }.sortBy(_._1)
+    val got = Curation.q156DsirWeights(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === expected)
+    // the importance signal points at the target: mean milli-bits/token of
+    // 'en' docs strictly exceeds the non-target mean
+    val byLang = docs.map(d => d._1 -> d._2).toMap
+    val (en, rest) = got.partition(r => byLang(r._1) == "en")
+    assert(en.nonEmpty && rest.nonEmpty)
+    val mean = (xs: Seq[Long]) => xs.sum.toDouble / xs.length
+    assert(mean(en.map(_._4)) > mean(rest.map(_._4)),
+      "target carve not up-weighted")
+  }
 }

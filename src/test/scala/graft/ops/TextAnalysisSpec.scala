@@ -387,4 +387,73 @@ class TextAnalysisSpec extends SparkSpec {
     // vacuously empty
     assert(got.nonEmpty && got.head._2 >= 2)
   }
+
+  test("q153 bpe encode matches an independent local greedy apply") {
+    val s = spark
+    import s.implicits._
+    val merges = TextAnalysis.cachedMerges(s, sf)
+      .map { case (_, l, r, _) => (l, r) }
+    assert(merges.nonEmpty)
+    // independent greedy left-to-right non-overlapping apply, per merge in
+    // trained order — deliberately NOT the engine's fold formulation
+    def encLen(word: String): Long = {
+      var syms: Vector[String] = word.map(_.toString).toVector
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (x <- syms) {
+          if (out.nonEmpty && out.last == l && x == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += x
+        }
+        syms = out.toVector
+      }
+      syms.length.toLong
+    }
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) =>
+      val words = t.split(" ", -1).filter(_.nonEmpty)
+      val chars = words.map(_.length.toLong).sum
+      val symsN = words.map(encLen).sum
+      (id, words.length.toLong, chars, symsN,
+        chars * 1000 / symsN, symsN * 1000 / words.length)
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.q153BpeEncode(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // the trained merges actually compress: fewer symbols than characters
+    assert(got.forall(r => r._4 < r._3))
+  }
+
+  test("q155 ngram novelty equals a local document-frequency fold") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 5) Seq.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSeq.distinct
+    }
+    val df = docs.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = docs.flatMap { case (id, t) =>
+      val g = grams(t)
+      if (g.isEmpty) None
+      else {
+        val novel = g.count(df(_) == 1L).toLong
+        Some((id, g.length.toLong, novel, novel * 1000 / g.length))
+      }
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis.q155NgramNovelty(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // the signal discriminates at fixture scale: both shared and unique
+    // grams exist
+    assert(got.exists(_._4 < 1000) && got.exists(_._4 > 0))
+  }
 }
