@@ -261,6 +261,44 @@ object StreamBench {
     }
   }
 
+  /** S20 throughput: every embedding replayed as an online QUERY against
+    * the staged IVF index through [[graft.streaming.ServeStream]] —
+    * queries/sec through the serving seam. The index (assignment
+    * projection + localCheckpoint + quantizer) is staged OUTSIDE the
+    * timed window: serving consumes a standing index (the S8
+    * standing-corpus discipline), and its build cost is already on the
+    * books as ann_prep/q59's timed bodies. `clean` = result rows
+    * (≤ k per query by construction). */
+  def measureServe(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-serve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "embeddings")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    // stage the standing serving assets untimed
+    ops.Similarity.stagedAssigned(spark, sfDir)
+    ops.Similarity.cachedCentroidMeta(spark, sfDir)
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("q_id long, q_emb array<float>").parquet(incoming)
+    val q = streaming.ServeStream.run(stream, sfDir, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:serve] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val served = spark.read.parquet(s"$root/results").count()
+      SeamResult(n / secs, n, served, secs)
+    }
+  }
+
   /** S11 throughput: the events table replayed as a CDC-ish change stream
     * (key = user_id, payload = props, sequence = event_id) through
     * [[MergeStream]]'s per-batch decide/apply MERGE into a bucket-
@@ -476,7 +514,8 @@ object StreamBench {
       sketch: Option[SeamResult], drift: Option[SeamResult],
       exactDecontam: Option[SeamResult],
       shards: Option[SeamResult],
-      qualityGate: Option[SeamResult]) {
+      qualityGate: Option[SeamResult],
+      serve: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -494,7 +533,8 @@ object StreamBench {
         "histogram" -> histogram, "chunking" -> chunking,
         "card" -> card, "sketch" -> sketch,
         "drift" -> drift, "exact_decontam" -> exactDecontam,
-        "shards" -> shards, "quality_gate" -> qualityGate).map { case (k, v) =>
+        "shards" -> shards, "quality_gate" -> qualityGate,
+        "serve" -> serve).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -525,7 +565,8 @@ object StreamBench {
       guarded("drift")(measureDrift(spark, sfDir)),
       guarded("exactdecontam")(measureExactDecontam(spark, sfDir)),
       guarded("shards")(measureShards(spark, sfDir)),
-      guarded("qualitygate")(measureQualityGate(spark, sfDir)))
+      guarded("qualitygate")(measureQualityGate(spark, sfDir)),
+      guarded("serve")(measureServe(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

@@ -266,6 +266,7 @@ object Similarity {
     centroidCache.keys.filter(_._1 eq s).foreach(centroidCache.remove)
     sqBoundsCache.keys.filter(_._1 eq s).foreach(sqBoundsCache.remove)
     pqCodebookCache.keys.filter(_._1 eq s).foreach(pqCodebookCache.remove)
+    assignedCache.evict(s)
     annHooked.remove(s)
     ()
   }
@@ -288,18 +289,22 @@ object Similarity {
     * through the same code path — the serving index and the measured one
     * can never drift apart. Columns (q_id, rank, vec_id, cell, cos), no
     * presentation sort. */
-  private[graft] def ivfTopK(s: SparkSession, dir: String, k: Int,
+  /** The probe-and-rank core over an ARBITRARY query frame (q_id long,
+    * q_emb array<float>) — factored out of [[ivfTopK]] so the batch
+    * queries (q59/q102/q104/…) and the S20 online-serving stream rank
+    * with the LITERAL same expressions: map-side nprobe cell assignment
+    * on the query side (broadcast — queries are always the small side),
+    * a cell-keyed join against the assigned corpus, exact cosine re-rank,
+    * per-query top-k. The corpus never exchanges: only matching cells'
+    * rows meet the broadcast probe rows. */
+  private[graft] def ivfProbeRank(queries: DataFrame, assigned: DataFrame,
+      cells: Array[Long], mats: Array[Array[Double]], k: Int,
       nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
     import s.implicits._
-    val emb = Tables(s, dir, "embeddings")
-    val (cells, mats) = cachedCentroidMeta(s, dir)
-    def nc(v: Column, kk: Int): Column =
-      graft.functions.NearestCellsUtil.column(v, cells, mats, kk)
-    val assigned = emb.select($"vec_id", $"embedding",
-      element_at(nc($"embedding", 1), 1).as("cell"))
-    val qprobe = emb.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"),
-        explode(nc($"embedding", nprobe)).as("cell"))
+    val qprobe = queries.select($"q_id", $"q_emb",
+      explode(graft.functions.NearestCellsUtil.column($"q_emb", cells, mats,
+        nprobe)).as("cell"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     assigned.join(broadcast(qprobe), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
@@ -308,6 +313,29 @@ object Similarity {
       .filter($"rank" <= k)
       .select($"q_id", $"rank", $"vec_id", $"cell", $"cos")
   }
+
+  private[graft] def ivfTopK(s: SparkSession, dir: String, k: Int,
+      nprobe: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, dir, "embeddings")
+    val (cells, mats) = cachedCentroidMeta(s, dir)
+    val assigned = emb.select($"vec_id", $"embedding",
+      element_at(
+        graft.functions.NearestCellsUtil.column($"embedding", cells, mats, 1),
+        1).as("cell"))
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    ivfProbeRank(queries, assigned, cells, mats, k, nprobe)
+  }
+
+  /** The assigned corpus as a session-staged serving asset (vec_id,
+    * embedding, cell — [[ivfAssigned]] materialized once): what S20's
+    * online probe joins against per micro-batch, so serving never re-runs
+    * the assignment projection per batch. The localCheckpoint pins it for
+    * the session, the SessionCache liveness/eviction contract applies. */
+  private val assignedCache = new SessionCache
+  private[graft] def stagedAssigned(s: SparkSession, dir: String): DataFrame =
+    assignedCache.getOrBuild(s, dir)(ivfAssigned(s, dir).localCheckpoint(true))
 
   def q59AnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
