@@ -108,6 +108,10 @@ object PlanAudit {
     "q150_curriculum" -> "curriculum schedule: the span table is q147's subplan (one shard exchange); the surprisal join keys on doc_id against q141's rollup; the (shard, seq_idx) aggregation's clustering keys superset the shard hash — no new exchange (the q139 rule); the curriculum row_number window is per-shard — no global window anywhere",
     "q151_ivf_sweep" -> "IVF nprobe sweep: truth is ONE checkpointed brute pass (the gate-job cost, q92's discipline); each configuration's approx side is the registered probe subplan against the session-staged quantizer; the scan-cost estimate joins the ≤ nprobe·|queries|-row probe table against the nlist-row occupancy table — pure metadata, the candidate set itself is never materialized for counting",
     "q152_lsh_sweep" -> "LSH banding sweep: truth is q110's uncapped gate side (deliberate, fixture/sample scale); the k=16 signature table is computed ONCE and checkpointed — each config adds only a map-side re-banding projection, a collision-proportional band-key self-join, and a one-row aggregate over its pair set",
+    "q153_bpe_encode" -> "BPE encode over the staged merge artifact: the merge fold runs over the DISTINCT-word table only (vocabulary-sized, map-side aggregate expressions); the corpus pays one (doc, word) partial-agg shuffle plus a hash join to the ≤|vocab| encoded lengths (broadcastable build side — Heaps' law); the per-doc rollup reuses the doc_id clustering",
+    "q154_padding_waste" -> "bucketed-batch padding audit: worker + bucket are map-side hash/div projections; ONE exchange on (worker, bucket) feeds the batching window, and the (worker, bucket, batch_idx) roll-up's clustering is satisfied by the same hash partitioning — no second exchange (the q139 rule); no global window",
+    "q155_ngram_novelty" -> "per-doc novelty: doc-distinct 5-gram shingles explode map-side (array_distinct BEFORE the explode keeps within-doc repeats off the wire); df is one partial-agg shuffle on the gram; the score join reuses the gram key; per-doc rollup is one integer shuffle on doc_id",
+    "q156_dsir_weights" -> "DSIR importance weights: bucket hash computed once per DISTINCT word (vocab-sized) and joined back; raw/target censuses are partial-agg shuffles collapsing to ≤1024 groups map-side; the 1024-row score table (window totals over metadata) BROADCASTS into the per-doc rollup — one corpus-sized exchange on doc_id, everything else bounded",
   )
 
   def main(args: Array[String]): Unit = {

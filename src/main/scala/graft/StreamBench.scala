@@ -299,6 +299,38 @@ object StreamBench {
     }
   }
 
+  /** S21 throughput: the documents table replayed as micro-batches
+    * through [[graft.streaming.EncodeStream]]'s staged-merge online
+    * tokenizer — docs/sec through the encode seam. The merge artifact is
+    * staged untimed (its training cost is q137's timed body); `clean` =
+    * per-doc stat rows written (= input docs, the encode is total). */
+  def measureEncode(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-encode"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    ops.TextAnalysis.warmMerges(spark, sfDir) // staged artifact, untimed
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.EncodeStream.run(stream, sfDir, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:encode] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val encoded = spark.read.parquet(s"$root/stats").count()
+      SeamResult(n / secs, n, encoded, secs)
+    }
+  }
+
   /** S11 throughput: the events table replayed as a CDC-ish change stream
     * (key = user_id, payload = props, sequence = event_id) through
     * [[MergeStream]]'s per-batch decide/apply MERGE into a bucket-
@@ -515,7 +547,8 @@ object StreamBench {
       exactDecontam: Option[SeamResult],
       shards: Option[SeamResult],
       qualityGate: Option[SeamResult],
-      serve: Option[SeamResult]) {
+      serve: Option[SeamResult],
+      encode: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -534,7 +567,7 @@ object StreamBench {
         "card" -> card, "sketch" -> sketch,
         "drift" -> drift, "exact_decontam" -> exactDecontam,
         "shards" -> shards, "quality_gate" -> qualityGate,
-        "serve" -> serve).map { case (k, v) =>
+        "serve" -> serve, "encode" -> encode).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -566,7 +599,8 @@ object StreamBench {
       guarded("exactdecontam")(measureExactDecontam(spark, sfDir)),
       guarded("shards")(measureShards(spark, sfDir)),
       guarded("qualitygate")(measureQualityGate(spark, sfDir)),
-      guarded("serve")(measureServe(spark, sfDir)))
+      guarded("serve")(measureServe(spark, sfDir)),
+      guarded("encode")(measureEncode(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

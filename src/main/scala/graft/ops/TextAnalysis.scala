@@ -803,10 +803,17 @@ object TextAnalysis {
     * reuses the (doc_id)-clustered exchange. Empty-string tokens (possible
     * under split-on-space) are excluded on BOTH sides — `sequence(1, 0)`
     * would fabricate symbols for them. */
-  def q153BpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The encode body over ANY (doc_id, text) frame with a given merge
+    * list — factored so the batch query and the S21 streaming tokenizer
+    * encode with the LITERAL same expressions (the shardOf /
+    * softFilterDecision discipline): per-word symbol counts are a pure
+    * function of (word, merges), so a batch-local distinct-word table
+    * yields byte-identical counts to the corpus-wide one. */
+  private[graft] def encodeDocs(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val merges = cachedMerges(s, dir)
-    val dw = Tables(s, dir, "documents")
+    val dw = docs
       .select($"doc_id", explode(TextFns.tokens($"text")).as("word"))
       .filter(length($"word") >= 1)
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
@@ -827,6 +834,11 @@ object TextAnalysis {
         expr("(n_symbols * 1000) div n_tokens"))
       .select($"doc_id", $"n_tokens", $"n_word_chars", $"n_symbols",
         $"milli_chars_per_symbol", $"milli_symbols_per_token")
+  }
+
+  def q153BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodeDocs(Tables(s, dir, "documents"), cachedMerges(s, dir))
       .orderBy($"doc_id")
   }
 
