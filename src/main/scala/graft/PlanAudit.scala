@@ -110,7 +110,7 @@ object PlanAudit {
     "q152_lsh_sweep" -> "LSH banding sweep: truth is q110's uncapped gate side (deliberate, fixture/sample scale); the k=16 signature table is computed ONCE and checkpointed — each config adds only a map-side re-banding projection, a collision-proportional band-key self-join, and a one-row aggregate over its pair set",
     "q153_bpe_encode" -> "BPE encode over the staged merge artifact: the merge fold runs over the DISTINCT-word table only (vocabulary-sized, map-side aggregate expressions); the corpus pays one (doc, word) partial-agg shuffle plus a hash join to the ≤|vocab| encoded lengths (broadcastable build side — Heaps' law); the per-doc rollup reuses the doc_id clustering",
     "q154_padding_waste" -> "bucketed-batch padding audit: worker + bucket are map-side hash/div projections; ONE exchange on (worker, bucket) feeds the batching window, and the (worker, bucket, batch_idx) roll-up's clustering is satisfied by the same hash partitioning — no second exchange (the q139 rule); no global window",
-    "q155_ngram_novelty" -> "per-doc novelty: doc-distinct 5-gram shingles explode map-side (array_distinct BEFORE the explode keeps within-doc repeats off the wire); df is one partial-agg shuffle on the gram; the score join reuses the gram key; per-doc rollup is one integer shuffle on doc_id",
+    "q155_ngram_novelty" -> "per-doc novelty: 5-gram shingles go through the codegen'd djb2 shingle hash BEFORE any exchange (8-byte shuffle keys, the q51 discipline) and array_distinct BEFORE the explode keeps within-doc repeats off the wire; df is one partial-agg shuffle on the hash; the score join reuses the hash key; per-doc rollup is one integer shuffle on doc_id",
     "q156_dsir_weights" -> "DSIR importance weights: bucket hash computed once per DISTINCT word (vocab-sized) and joined back; raw/target censuses are partial-agg shuffles collapsing to ≤1024 groups map-side; the 1024-row score table (window totals over metadata) BROADCASTS into the per-doc rollup — one corpus-sized exchange on doc_id, everything else bounded",
   )
 

@@ -113,13 +113,83 @@ object Behavior {
       |GROUP BY cohort_day, date_diff('day', cohort_day, day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Gap-based sessionization — the missing primitive under q83/q85:
+    * a user's event stream splits into sessions at every inactivity gap
+    * over 30 minutes (the classic analytics rule), and the output is one
+    * row per session with its event count, span, and exact value total.
+    * The boundary rule is the gaps-and-islands lag test (q76's run-pass
+    * shape applied to time): new_session = no predecessor OR gap >
+    * 30 min; the session index is the running sum of boundary flags.
+    *
+    * Determinism: timestamps are integer microseconds (unix_micros /
+    * epoch_us — the q83 contract); within-user order totals on
+    * (us, event_id); the value total is the exact decimal sum surfaced
+    * as double (the q20 dsum discipline).
+    *
+    * Plan shape: ONE exchange on user_id feeds both windows (lag and the
+    * running boundary sum share the same partitioning and ordering —
+    * Catalyst plans a single Window node), and the (user_id, session_idx)
+    * roll-up's clustering is satisfied by the same hash partitioning, so
+    * no second exchange (the q139 rule). Window state is one row of
+    * lookback per user; at 100 TB the per-user event count bounds each
+    * in-partition sort — the terasort-per-key shape, never global. */
+  private val SessionGapUs = 30L * 60L * 1000000L
+
+  def q157Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"value", unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"us" - $"prev_us" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_sess").over(wRun))
+      .groupBy($"user_id", $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"), max($"us").as("end_us"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .withColumn("duration_us", $"end_us" - $"start_us")
+      .select($"user_id", $"session_idx", $"n_events", $"start_us",
+        $"end_us", $"duration_us", $"total_value")
+      .orderBy($"user_id", $"session_idx")
+  }
+
+  val q157Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events),
+       |l AS (
+       |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |    AS prev_us FROM e),
+       |m AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+       |    THEN 1 ELSE 0 END AS new_sess FROM l),
+       |x AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM m)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(us) AS start_us, MAX(us) AS end_us,
+       |  MAX(us) - MIN(us) AS duration_us,
+       |  ${Sql.dsum("value")} AS total_value
+       |FROM x GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
+    "q157_sessionize" -> q157Sessionize _,
   )
 
   val oracles: Map[String, String] = Map(
     "q83_funnel" -> q83Oracle,
     "q85_cohort_retention" -> q85Oracle,
+    "q157_sessionize" -> q157Oracle,
   )
 }

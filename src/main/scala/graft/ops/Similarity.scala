@@ -688,8 +688,14 @@ object Similarity {
     // pattern; values unchanged, bounded metadata size)
     val truth = q55AnnBrute(s, dir).filter($"rank" <= 3)
       .select($"q_id", $"vec_id").localCheckpoint(true)
+    // each family's answer set is k·|queries| rows (metadata) — materialize
+    // it BEFORE the union so Catalyst optimizes four small family plans
+    // instead of one mega-plan (the union of four window-heavy subplans
+    // tripped the plan-string truncation warning and spent ~5s/iteration
+    // in plan work alone at sf0.1; rows unchanged, same hash)
     def recallOf(family: String, approx: DataFrame): DataFrame =
-      truth.join(approx.select($"q_id", $"vec_id", lit(1).as("hit")),
+      truth.join(approx.select($"q_id", $"vec_id", lit(1).as("hit"))
+          .localCheckpoint(true),
           Seq("q_id", "vec_id"), "left")
         .groupBy($"q_id")
         .agg(count(lit(1)).as("k"),

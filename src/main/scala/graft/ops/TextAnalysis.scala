@@ -679,50 +679,54 @@ object TextAnalysis {
     * re-evaluates the whole prefix ~3^6 times — minutes at sf0.01 instead
     * of under a second. Materialization pins each round to one evaluation,
     * which is also exactly the engine-side checkpoint discipline. */
-  private val bpeRoundCtes: String =
+  private def bpeRoundCtes(p: String = ""): String =
     (1 to BpeRounds).map { r =>
-      val v = s"v${r - 1}"
-      s"""e$r AS MATERIALIZED (
+      val v = s"${p}v${r - 1}"
+      s"""${p}e$r AS MATERIALIZED (
          |  SELECT word, wf, CAST(i AS BIGINT) AS i, syms[i] AS sym,
          |    syms[i + 1] AS nxt
          |  FROM (SELECT word, wf, syms, unnest(range(1, len(syms) + 1)) AS i
          |        FROM $v)),
-         |b$r AS MATERIALIZED (
+         |${p}b$r AS MATERIALIZED (
          |  SELECT sym AS lsym, nxt AS rsym, CAST(SUM(wf) AS BIGINT) AS cnt
-         |  FROM e$r WHERE nxt IS NOT NULL
+         |  FROM ${p}e$r WHERE nxt IS NOT NULL
          |  GROUP BY sym, nxt
          |  ORDER BY cnt DESC, sym, nxt LIMIT 1),
-         |s$r AS MATERIALIZED (
-         |  SELECT e.word, e.i FROM e$r e, b$r b
+         |${p}s$r AS MATERIALIZED (
+         |  SELECT e.word, e.i FROM ${p}e$r e, ${p}b$r b
          |  WHERE e.sym = b.lsym AND e.nxt = b.rsym),
-         |k$r AS MATERIALIZED (
+         |${p}k$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
          |    FROM (SELECT word, i,
          |            i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
-         |          FROM s$r))
+         |          FROM ${p}s$r))
          |  WHERE rn % 2 = 1),
-         |v$r AS MATERIALIZED (
+         |${p}v$r AS MATERIALIZED (
          |  SELECT e.word, e.wf,
          |    list(CASE WHEN k.i IS NOT NULL THEN e.sym || e.nxt ELSE e.sym END
          |         ORDER BY e.i) AS syms
-         |  FROM e$r e
-         |  LEFT JOIN k$r k ON k.word = e.word AND k.i = e.i
-         |  LEFT JOIN k$r k2 ON k2.word = e.word AND k2.i = e.i - 1
+         |  FROM ${p}e$r e
+         |  LEFT JOIN ${p}k$r k ON k.word = e.word AND k.i = e.i
+         |  LEFT JOIN ${p}k$r k2 ON k2.word = e.word AND k2.i = e.i - 1
          |  WHERE k2.i IS NULL
          |  GROUP BY e.word, e.wf)""".stripMargin
     }.mkString(",\n")
 
   /** `v0` — per-word frequency + initial char-symbol arrays; the optional
-    * length filter is the trainer-vs-encoder difference (see q153). */
-  private def bpeV0Cte(minLen: Int): String = {
+    * length filter is the trainer-vs-encoder difference (see q153), the
+    * optional doc predicate is q158's carve, the name prefix keeps two
+    * chains in one statement (q158 again). */
+  private def bpeV0Cte(minLen: Int, p: String = "",
+      docWhere: String = ""): String = {
     val filter = if (minLen > 1) s"WHERE len(word) >= $minLen " else ""
-    s"""v0 AS MATERIALIZED (
+    s"""${p}v0 AS MATERIALIZED (
        |  SELECT word, wf,
        |    list_transform(range(1, len(word) + 1),
        |      ch_i -> substr(word, CAST(ch_i AS INTEGER), 1)) AS syms
        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS wf FROM (
-       |          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |          SELECT unnest(string_split(text, ' ')) AS word
+       |          FROM documents $docWhere)
        |        ${filter}GROUP BY word))""".stripMargin
   }
 
@@ -732,7 +736,7 @@ object TextAnalysis {
          |  lsym || rsym AS merged, cnt AS pair_count FROM b$r""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${bpeV0Cte(2)},
-       |$bpeRoundCtes
+       |${bpeRoundCtes()}
        |$unioned
        |ORDER BY merge_rank""".stripMargin
   }
@@ -844,7 +848,7 @@ object TextAnalysis {
 
   val q153Oracle: String =
     s"""WITH ${bpeV0Cte(1)},
-       |$bpeRoundCtes,
+       |${bpeRoundCtes()},
        |enc AS (
        |  SELECT word, CAST(len(syms) AS BIGINT) AS enc_len FROM v$BpeRounds),
        |dw AS (
@@ -874,19 +878,21 @@ object TextAnalysis {
     * shares them). Documents under 5 tokens have no 5-grams and are absent
     * by construction — stated, not hidden (the q141 contract).
     *
-    * Scale shape: doc-distinct shingles explode map-side (array_distinct
-    * before the explode keeps within-doc repeats off the wire); the df
-    * count is ONE partial-agg shuffle keyed on the gram; the score join
-    * keys on the same gram and the per-doc rollup is one integer
-    * partial-agg shuffle on doc_id. At 100 TB the gram column would be
-    * hashed to int64 before the shuffle (the q43 fingerprint; collisions
-    * only ever UNDER-count novelty, a conservative audit) — the fixture
-    * keeps raw strings so the oracle compares exact semantics. */
+    * Scale shape: grams go through the codegen'd djb2 shingle hash
+    * BEFORE any exchange (HashFns.shingleHashes — the q51 inverted-index
+    * discipline: the shuffle carries 8-byte keys, never ~25-char
+    * strings; measured 4.6 s → sub-second at sf0.1 on the string→hash
+    * re-key); array_distinct before the explode keeps within-doc repeats
+    * off the wire; the df count is ONE partial-agg shuffle on the hash;
+    * the score join reuses the hash key and the per-doc rollup is one
+    * integer shuffle on doc_id. Hash collisions (≈ |grams|²/2³² — a few
+    * dozen at sf0.1) can only UNDER-count novelty — a conservative
+    * audit — and the oracle hashes identically, so parity is exact. */
   def q155NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables(s, dir, "documents")
-      .select($"doc_id",
-        explode(array_distinct(TextFns.shingles($"text", 5))).as("gram"))
+      .select($"doc_id", explode(array_distinct(
+        HashFns.shingleHashes(TextFns.tokens($"text"), 5))).as("gram"))
     val df = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
     grams.join(df, "gram")
       .groupBy($"doc_id")
@@ -900,7 +906,8 @@ object TextAnalysis {
   val q155Oracle: String = {
     val sh = Sql.shingles("toks", 5)
     s"""WITH gr AS (
-       |  SELECT doc_id, unnest(list_distinct($sh)) AS gram
+       |  SELECT doc_id, unnest(list_distinct(list_transform($sh,
+       |    shing -> ${Sql.djb2("shing")}))) AS gram
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
        |d AS (
        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM gr GROUP BY gram)
@@ -911,6 +918,73 @@ object TextAnalysis {
        |    // CAST(COUNT(*) AS BIGINT) AS novelty_milli
        |FROM gr JOIN d USING (gram)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q158
+  /** Tokenizer STABILITY gate — the drift check for the q137/q153 merge
+    * artifact, in the q122/q149 gate-family mold: train the same
+    * [[BpeRounds]]-merge schedule independently on two disjoint corpus
+    * carves (doc_id parity — content-uncorrelated halves) and compare the
+    * merge sequences rank by rank. `agree` marks identical merges at a
+    * rank; `prefix_intact` marks ranks where the ENTIRE schedule so far
+    * agrees — the quantity that matters, because BPE merges compose: the
+    * first divergence invalidates every later rank (a merged symbol that
+    * exists in one schedule and not the other). A release review reads
+    * the first false `prefix_intact` as "retraining the tokenizer on a
+    * re-sampled corpus changes encoding from rank r on".
+    *
+    * Plan shape: two independent trainer runs — each is q137's
+    * corpus-fold-then-vocabulary-loop (one carve-filtered partial-agg
+    * shuffle, then [[BpeRounds]] vocabulary-sized rounds); the comparison
+    * itself runs on two ≤ [[BpeRounds]]-row merge lists — bounded
+    * metadata (the centroid-collect discipline). A carve that exhausts
+    * early (no pairs left) surfaces as '' at the missing ranks — an
+    * explicit disagreement, never a silent drop. */
+  def q158TokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    def wf(carve: Column): DataFrame = docs.filter(carve)
+      .select(explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("wf"))
+    val mA = bpeTrain(wf($"doc_id" % 2 === 0), BpeRounds)
+    val mB = bpeTrain(wf($"doc_id" % 2 === 1), BpeRounds)
+    val n = math.max(mA.length, mB.length)
+    val rows = (1 to n).map { r =>
+      val a = mA.find(_._1 == r.toLong).map(t => t._2 + t._3).getOrElse("")
+      val b = mB.find(_._1 == r.toLong).map(t => t._2 + t._3).getOrElse("")
+      (r.toLong, a, b, a.nonEmpty && a == b)
+    }
+    val intact = rows.scanLeft(true)((acc, row) => acc && row._4).tail
+    rows.zip(intact)
+      .map { case ((r, a, b, ag), pi) => (r, a, b, ag, pi) }
+      .toDF("merge_rank", "a_merged", "b_merged", "agree", "prefix_intact")
+      .orderBy($"merge_rank")
+  }
+
+  val q158Oracle: String = {
+    def merged(p: String): String = (1 to BpeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank,
+         |  lsym || rsym AS merged FROM ${p}b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeV0Cte(2, "a", "WHERE doc_id % 2 = 0")},
+       |${bpeRoundCtes("a")},
+       |${bpeV0Cte(2, "b", "WHERE doc_id % 2 = 1")},
+       |${bpeRoundCtes("b")},
+       |ma AS (${merged("a")}),
+       |mb AS (${merged("b")}),
+       |j AS (
+       |  SELECT merge_rank,
+       |    COALESCE(ma.merged, '') AS a_merged,
+       |    COALESCE(mb.merged, '') AS b_merged
+       |  FROM ma FULL OUTER JOIN mb USING (merge_rank))
+       |SELECT merge_rank, a_merged, b_merged,
+       |  a_merged <> '' AND a_merged = b_merged AS agree,
+       |  SUM(CASE WHEN a_merged <> '' AND a_merged = b_merged
+       |      THEN 0 ELSE 1 END)
+       |    OVER (ORDER BY merge_rank ROWS UNBOUNDED PRECEDING) = 0
+       |    AS prefix_intact
+       |FROM j ORDER BY merge_rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q106
@@ -1295,6 +1369,7 @@ object TextAnalysis {
     "q137_bpe_train" -> q137BpeTrain _,
     "q153_bpe_encode" -> q153BpeEncode _,
     "q155_ngram_novelty" -> q155NgramNovelty _,
+    "q158_tokenizer_drift" -> q158TokenizerDrift _,
     "q106_length_quantiles" -> q106LengthQuantiles _,
     "q109_chunk_docs" -> q109ChunkDocs _,
     "q136_chunk_dedup" -> q136ChunkDedup _,
@@ -1320,6 +1395,7 @@ object TextAnalysis {
     "q137_bpe_train" -> q137Oracle,
     "q153_bpe_encode" -> q153Oracle,
     "q155_ngram_novelty" -> q155Oracle,
+    "q158_tokenizer_drift" -> q158Oracle,
     "q106_length_quantiles" -> q106Oracle,
     "q109_chunk_docs" -> q109Oracle,
     "q136_chunk_dedup" -> q136Oracle,

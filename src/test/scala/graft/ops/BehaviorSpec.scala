@@ -71,4 +71,39 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-03", 0L, 1L), ("2024-01-03", 1L, 1L),
     ))
   }
+
+  test("q157 sessionize replays a local gaps-and-islands fold") {
+    val s = spark
+    import s.implicits._
+    val gap = 30L * 60L * 1000000L
+    val ev = graft.Tables(s, sf, "events")
+      .select($"user_id", $"event_id", $"value",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def d2(v: Double): BigDecimal =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+      val ordered = g.sortBy(r => (r._4, r._2))
+      // split into sessions at >30min gaps
+      val sessions = ordered.foldLeft(List.empty[List[(Long, Long, Double, Long)]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if (e._4 - cur.head._4 > gap) List(e) :: (cur :: done)
+          else (e :: cur) :: done
+      }.map(_.reverse).reverse
+      sessions.zipWithIndex.map { case (es, i) =>
+        val uss = es.map(_._4)
+        (uid, (i + 1).toLong, es.length.toLong, uss.min, uss.max,
+          uss.max - uss.min, es.map(e => d2(e._3)).sum.toDouble)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Behavior.q157Sessionize(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got === expected)
+    // the fixture actually splits: some user has more than one session,
+    // and some session has more than one event
+    assert(got.exists(_._2 > 1L) && got.exists(_._3 > 1L))
+  }
 }

@@ -433,10 +433,12 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = graft.Tables(s, sf, "documents")
       .select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
-    def grams(t: String): Seq[String] = {
+    def grams(t: String): Seq[Long] = {
       val toks = t.split(" ", -1)
       if (toks.length < 5) Seq.empty
-      else toks.sliding(5).map(_.mkString(" ")).toSeq.distinct
+      else toks.sliding(5)
+        .map(g => graft.functions.Djb2.hash(g.mkString(" ")))
+        .toSeq.distinct
     }
     val df = docs.flatMap { case (_, t) => grams(t) }
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
@@ -455,5 +457,55 @@ class TextAnalysisSpec extends SparkSpec {
     // the signal discriminates at fixture scale: both shared and unique
     // grams exist
     assert(got.exists(_._4 < 1000) && got.exists(_._4 > 0))
+  }
+
+  test("q158 tokenizer drift: carve A replays a local trainer; prefix_intact monotone") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis.q158TokenizerDrift(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4))).toSeq
+    assert(got.nonEmpty)
+    assert(got.map(_._1) === (1L to got.length.toLong))
+    // prefix_intact is the running AND of agree
+    var run = true
+    got.foreach { case (r, _, _, agree, pi) =>
+      run = run && agree
+      assert(pi === run, s"prefix_intact at rank $r")
+    }
+    // carve A's merge sequence equals an INDEPENDENT local BPE trainer
+    // over the same parity carve (overlaps counted, greedy non-overlap
+    // apply, count-desc/(lsym,rsym)-asc argmax — the q137 contract)
+    val wf = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables(s, sf, "documents").filter($"doc_id" % 2 === 0)
+      .select($"text").collect().foreach { r =>
+        r.getString(0).split(" ", -1).filter(_.length >= 2)
+          .foreach(w => wf(w) = wf.getOrElse(w, 0L) + 1L)
+      }
+    var vocab: Map[Vector[String], Long] =
+      wf.toMap.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val local = scala.collection.mutable.ArrayBuffer.empty[String]
+    var exhausted = false
+    while (local.length < 6 && !exhausted) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + f)
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val (l, r) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        local += (l + r)
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (out.nonEmpty && out.last == l && x == r) {
+              out.remove(out.length - 1); out += (l + r)
+            } else out += x
+          }
+          out.toVector -> f
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      }
+    }
+    assert(got.map(_._2).filter(_.nonEmpty) === local.toSeq)
   }
 }
