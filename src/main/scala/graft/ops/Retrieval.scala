@@ -536,11 +536,17 @@ object Retrieval {
       val corpus = docs.filter(carve($"doc_id"))
         .select($"doc_id", text.as("text"))
       val lex = lexTopKOn(corpus, probes).localCheckpoint(true)
-      val vec = Similarity.bruteTopK(s, dir, K, carve)
+      // ONE brute pass per snapshot: truth (top-10) is a rank-prefix of
+      // the fusion candidates (top-K, K = 20 ≥ 10) under the identical
+      // total order, so both derive from the same checkpointed scan —
+      // this was two full corpus scans per snapshot before
+      val brute = Similarity.bruteTopK(s, dir, K, carve)
+        .localCheckpoint(true)
+      val vec = brute
         .select($"q_id", $"vec_id".as("doc_id"), $"rank".as("vec_rank"))
-      val truth = Similarity.bruteTopK(s, dir, 10, carve)
+      val truth = brute.filter($"rank" <= 10)
         .select($"q_id", $"vec_id".as("doc_id"))
-        .withColumn("rel", lit(1L)).localCheckpoint(true)
+        .withColumn("rel", lit(1L))
       def grade(family: String, ranked: DataFrame): DataFrame =
         ranked.join(truth, Seq("q_id", "doc_id"), "left_outer")
           .groupBy($"q_id").agg(
