@@ -112,6 +112,9 @@ object PlanAudit {
     "q154_padding_waste" -> "bucketed-batch padding audit: worker + bucket are map-side hash/div projections; ONE exchange on (worker, bucket) feeds the batching window, and the (worker, bucket, batch_idx) roll-up's clustering is satisfied by the same hash partitioning — no second exchange (the q139 rule); no global window",
     "q155_ngram_novelty" -> "per-doc novelty: 5-gram shingles go through the codegen'd djb2 shingle hash BEFORE any exchange (8-byte shuffle keys, the q51 discipline) and array_distinct BEFORE the explode keeps within-doc repeats off the wire; df is one partial-agg shuffle on the hash; the score join reuses the hash key; per-doc rollup is one integer shuffle on doc_id",
     "q156_dsir_weights" -> "DSIR importance weights: bucket hash computed once per DISTINCT word (vocab-sized) and joined back; raw/target censuses are partial-agg shuffles collapsing to ≤1024 groups map-side; the 1024-row score table (window totals over metadata) BROADCASTS into the per-doc rollup — one corpus-sized exchange on doc_id, everything else bounded",
+    "q157_sessionize" -> "gap-based sessionization: lag + the running boundary sum share ONE Window node on one user_id exchange; the (user, session) roll-up's clustering is satisfied by the same hash partitioning — no second exchange; per-user event counts bound each in-partition sort, never a global window",
+    "q158_tokenizer_drift" -> "tokenizer stability gate: two independent q137 trainer runs (each a carve-filtered partial-agg fold + 6 vocabulary-sized rounds); the rank-by-rank comparison runs on two ≤6-row merge lists — bounded driver metadata, the centroid-collect discipline",
+    "q159_media_entropy" -> "byte-level media gate: hex()→substr→conv byte extraction is codegen'd builtins over the binary scan (no UDF); the byte explode collapses to ≤256 surviving groups per doc per task in the partial agg (the q95/q97 histogram contract); the qlog entropy fold runs over ≤256 rows per doc on the same clustering",
   )
 
   def main(args: Array[String]): Unit = {

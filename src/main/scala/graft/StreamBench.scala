@@ -331,6 +331,47 @@ object StreamBench {
     }
   }
 
+  /** S22 throughput: events replayed through the STATEFUL sessionizer
+    * (cross-batch GroupState + event-time timeouts) — rec/s through the
+    * one seam that keeps per-key state across batches. The measured
+    * window includes the sentinel flush run (a production sessionizer
+    * pays timeout processing continuously; here it lands in one final
+    * trigger). `clean` = closed-session rows. */
+  def measureSessions(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-sessions"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val events = Tables(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"value", $"ts")
+    events.write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val maxTs = events.agg(max($"ts")).collect()(0).getTimestamp(0)
+    val schema = "user_id long, event_id long, value double, ts timestamp"
+    val t0 = System.nanoTime()
+    val q0 = streaming.SessionStream.run(
+      spark.readStream.schema(schema).parquet(incoming), root)
+    val fin0 = q0.awaitTermination(timeoutMs)
+    if (fin0) {
+      Seq((-1L, -1L, 0.0, new java.sql.Timestamp(maxTs.getTime + 7200000L)))
+        .toDF("user_id", "event_id", "value", "ts")
+        .write.mode("append").parquet(incoming)
+    }
+    val fin1 = fin0 && streaming.SessionStream.run(
+      spark.readStream.schema(schema).parquet(incoming), root)
+      .awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!fin1) {
+      System.err.println(s"[streambench:sessions] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val sessions = spark.read.parquet(s"$root/sessions").count()
+      SeamResult(n / secs, n, sessions, secs)
+    }
+  }
+
   /** S11 throughput: the events table replayed as a CDC-ish change stream
     * (key = user_id, payload = props, sequence = event_id) through
     * [[MergeStream]]'s per-batch decide/apply MERGE into a bucket-
@@ -548,7 +589,8 @@ object StreamBench {
       shards: Option[SeamResult],
       qualityGate: Option[SeamResult],
       serve: Option[SeamResult],
-      encode: Option[SeamResult]) {
+      encode: Option[SeamResult],
+      sessions: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -567,7 +609,8 @@ object StreamBench {
         "card" -> card, "sketch" -> sketch,
         "drift" -> drift, "exact_decontam" -> exactDecontam,
         "shards" -> shards, "quality_gate" -> qualityGate,
-        "serve" -> serve, "encode" -> encode).map { case (k, v) =>
+        "serve" -> serve, "encode" -> encode,
+        "sessions" -> sessions).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -600,7 +643,8 @@ object StreamBench {
       guarded("shards")(measureShards(spark, sfDir)),
       guarded("qualitygate")(measureQualityGate(spark, sfDir)),
       guarded("serve")(measureServe(spark, sfDir)),
-      guarded("encode")(measureEncode(spark, sfDir)))
+      guarded("encode")(measureEncode(spark, sfDir)),
+      guarded("sessions")(measureSessions(spark, sfDir)))
   }
 
   /** The full streambench object for the round artifact. */

@@ -109,13 +109,91 @@ object Multimodal {
       |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents)
       |ORDER BY doc_id, frame_id""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Byte-level media QUALITY gate — real binary introspection with no
+    * codec dependency: per media row, the byte-value distribution of the
+    * raw payload yields (a) its integer-milli Shannon entropy — the
+    * corrupt/blank-asset filter every multimodal ingest runs (near-zero =
+    * constant/blank payload; near 8000 = compressed/encrypted bytes
+    * posing as raw) — and (b) the printable-byte fraction (the "is this
+    * text posing as media" sniff; on the fixture's text-surrogate
+    * payloads it correctly reads ~1000‰). Byte extraction is codegen'd
+    * builtins over the BINARY column — hex() → fixed-width substr →
+    * conv(_, 16, 10) — no UDF anywhere; the oracle parses the same hex
+    * pairs positionally via strpos arithmetic. Entropy is libm-free via
+    * [[Sql.qlogMilliSpark]]: n·H = Σ c_v·(qlog(n) − qlog(c_v)) in pure
+    * int64 milli-bits, ÷ n once at the end (error ≤ 0.086 bits — the
+    * q156 quantization, with the gate threshold calibrated on the same
+    * quantized scale).
+    *
+    * Scale shape: the byte explode amplifies ×n_bytes but the partial
+    * agg collapses it to ≤ 256 surviving groups per doc per task (the
+    * q95/q97 histogram contract — the shuffle is histogram-sized); the
+    * entropy fold then runs over ≤ 256 rows per doc on the same
+    * clustering; flags are map-side CASEs. */
+  def q159MediaEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bytes = mediaTable(s, dir)
+      .select($"doc_id", $"kind",
+        length($"payload").cast("long").as("n_bytes"),
+        explode(expr("transform(sequence(1, length(payload)), " +
+          "bi -> cast(conv(substr(hex(payload), bi * 2 - 1, 2), 16, 10) " +
+          "as bigint))")).as("v"))
+    bytes.groupBy($"doc_id", $"kind", $"n_bytes", $"v")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"kind", $"n_bytes")
+      .agg(sum(expr(s"c * (${Sql.qlogMilliSpark("n_bytes")}" +
+          s" - ${Sql.qlogMilliSpark("c")})")).as("ent_num"),
+        sum(when($"v" >= 32L && $"v" <= 126L, $"c").otherwise(0L))
+          .as("printable"))
+      .withColumn("milli_entropy", expr("ent_num div n_bytes"))
+      .withColumn("printable_milli", expr("(printable * 1000) div n_bytes"))
+      .withColumn("is_texty", $"printable_milli" >= 950L)
+      .withColumn("entropy_ok", $"milli_entropy" >= 4000L)
+      .select($"doc_id", $"kind", $"n_bytes", $"milli_entropy",
+        $"printable_milli", $"is_texty", $"entropy_ok")
+      .orderBy($"doc_id")
+  }
+
+  val q159Oracle: String = {
+    val kind = s"['image', 'audio', 'video'][${Sql.pmod("doc_id", 3)} + 1]"
+    def hx(i: String): String =
+      s"(strpos('0123456789ABCDEF', upper(substr(h, CAST($i AS INTEGER), 1))) - 1)"
+    s"""WITH base AS (
+       |  SELECT doc_id, $kind AS kind,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       |    hex(CAST(text AS BLOB)) AS h
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, kind, n_bytes,
+       |    CAST(${hx("bi * 2 - 1")} * 16 + ${hx("bi * 2")} AS BIGINT) AS v
+       |  FROM (SELECT *, unnest(range(1, n_bytes + 1)) AS bi FROM base)),
+       |hist AS (
+       |  SELECT doc_id, kind, n_bytes, v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM b GROUP BY doc_id, kind, n_bytes, v)
+       |SELECT doc_id, kind, n_bytes,
+       |  CAST(SUM(c * (${Sql.qlogMilliDuck("n_bytes")}
+       |    - ${Sql.qlogMilliDuck("c")})) AS BIGINT) // n_bytes AS milli_entropy,
+       |  (CAST(SUM(CASE WHEN v BETWEEN 32 AND 126 THEN c ELSE 0 END)
+       |    AS BIGINT) * 1000) // n_bytes AS printable_milli,
+       |  (CAST(SUM(CASE WHEN v BETWEEN 32 AND 126 THEN c ELSE 0 END)
+       |    AS BIGINT) * 1000) // n_bytes >= 950 AS is_texty,
+       |  CAST(SUM(c * (${Sql.qlogMilliDuck("n_bytes")}
+       |    - ${Sql.qlogMilliDuck("c")})) AS BIGINT) // n_bytes >= 4000
+       |    AS entropy_ok
+       |FROM hist GROUP BY doc_id, kind, n_bytes
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_media_meta" -> q57MediaMeta _,
     "q58_frame_sample" -> q58FrameSample _,
+    "q159_media_entropy" -> q159MediaEntropy _,
   )
 
   val oracles: Map[String, String] = Map(
     "q57_media_meta" -> q57Oracle,
     "q58_frame_sample" -> q58Oracle,
+    "q159_media_entropy" -> q159Oracle,
   )
 }

@@ -134,7 +134,9 @@ object Behavior {
     * no second exchange (the q139 rule). Window state is one row of
     * lookback per user; at 100 TB the per-user event count bounds each
     * in-partition sort — the terasort-per-key shape, never global. */
-  private val SessionGapUs = 30L * 60L * 1000000L
+  /** Shared with the S22 stateful streaming sessionizer — one constant,
+    * batch and stream boundaries cannot drift. */
+  private[graft] val SessionGapUs = 30L * 60L * 1000000L
 
   def q157Sessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1481,19 +1481,11 @@ object Curation {
     * broadcasts to the per-doc rollup (one integer shuffle on doc_id).
     * The two totals ride the same 1024-row table as unpartitioned window
     * sums — a single-partition window over METADATA, never the corpus. */
-  /** Piecewise-linear integer log₂ in milli-bits of a non-negative int64
-    * SQL expression `e` ≥ 1: (b−1)·1000 + (e − 2^(b−1))·1000 ÷ 2^(b−1)
-    * with b = bit-length. Division is of non-negative operands, so
-    * Spark's truncating `div` and DuckDB's flooring `//` agree — the
-    * dialect only differs in the shift spelling. */
-  private def qlogMilliSpark(e: String): String = {
-    val p = s"shiftleft(CAST(1 AS BIGINT), length(bin($e)) - 1)"
-    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + (($e) - $p) * 1000 div $p)"
-  }
-  private def qlogMilliDuck(e: String): String = {
-    val p = s"(CAST(1 AS BIGINT) << (length(bin($e)) - 1))"
-    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + ((($e) - $p) * 1000) // $p)"
-  }
+  /** Piecewise-linear integer log₂ in milli-bits — promoted to
+    * [[Sql.qlogMilliSpark]]/[[Sql.qlogMilliDuck]] for reuse (q159's
+    * byte-entropy gate); aliased here for the q156 call sites. */
+  private def qlogMilliSpark(e: String): String = Sql.qlogMilliSpark(e)
+  private def qlogMilliDuck(e: String): String = Sql.qlogMilliDuck(e)
 
   def q156DsirWeights(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

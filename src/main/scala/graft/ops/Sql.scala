@@ -80,4 +80,21 @@ object Sql {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
       s"list_filter(string_split_regex($col, ''), rh_c -> len(rh_c) > 0), " +
       s"rh_c -> unicode(rh_c)::BIGINT)), (rh_h, rh_c) -> (rh_h * 31 + rh_c) % 1000000007)"
+
+  /** Piecewise-linear integer log₂ in milli-bits of a non-negative int64
+    * expression `e` ≥ 1: (b−1)·1000 + (e − 2^(b−1))·1000 ÷ 2^(b−1) with
+    * b = bit-length — the libm-free log the engine quantizes likelihoods
+    * and entropies with (error ≤ 0.086 bits). Operands are non-negative,
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree; only
+    * the shift spelling differs per dialect. */
+  def qlogMilliDuck(e: String): String = {
+    val p = s"(CAST(1 AS BIGINT) << (length(bin($e)) - 1))"
+    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + ((($e) - $p) * 1000) // $p)"
+  }
+
+  /** The Spark-SQL spelling of [[qlogMilliDuck]] (for `expr(...)`). */
+  def qlogMilliSpark(e: String): String = {
+    val p = s"shiftleft(CAST(1 AS BIGINT), length(bin($e)) - 1)"
+    s"(CAST(length(bin($e)) - 1 AS BIGINT) * 1000 + (($e) - $p) * 1000 div $p)"
+  }
 }

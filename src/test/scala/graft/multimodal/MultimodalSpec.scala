@@ -32,4 +32,35 @@ class MultimodalSpec extends SparkSpec {
       if (f.n_bytes > 0) assert(math.abs(f.histogram.sum - 1f) < 1e-3)
     }
   }
+
+  test("q159 byte entropy matches a local integer fold; flags discriminate") {
+    val s = spark
+    import s.implicits._
+    def qlog(x: Long): Long = {
+      val b = java.lang.Long.toBinaryString(x).length
+      val p = 1L << (b - 1)
+      (b - 1).toLong * 1000 + (x - p) * 1000 / p
+    }
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.map { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length.toLong
+      val counts = bytes.groupBy(b => b & 0xff).view.mapValues(_.length.toLong)
+      val entNum = counts.values.map(c => c * (qlog(n) - qlog(c))).sum
+      val printable = bytes.count(b => (b & 0xff) >= 32 && (b & 0xff) <= 126).toLong
+      val pm = printable * 1000 / n
+      val me = entNum / n
+      (id, n, me, pm, pm >= 950, me >= 4000)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.q159MediaEntropy(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6))).toSeq
+    assert(got === expected.map(e => (e._1, e._2, e._3, e._4, e._5, e._6)))
+    // text-surrogate payloads read as text, and the entropy band actually
+    // splits the corpus — neither flag is vacuous
+    assert(got.forall(_._5))
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
 }
