@@ -183,15 +183,92 @@ object Behavior {
        |FROM x GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q160
+  /** Session ENTRY-TYPE attribution — the question q157's sessions exist
+    * to answer: which entry action (the session's FIRST event type)
+    * drives engagement and value. Every event inherits its session's
+    * entry type via a first_value window over the q157 session
+    * assignment (same boundary expressions — the shared-rule
+    * discipline), then one roll-up per entry type: sessions, events,
+    * exact decimal value total. First-touch attribution at session
+    * granularity, the standard product-analytics read.
+    *
+    * Plan shape: q157's single user_id exchange feeds lag + running
+    * boundary sum + the (user, session)-partitioned first_value window —
+    * all three windows' partitioning is satisfied by the same user hash,
+    * so still ONE data exchange; the entry-type roll-up is a ≤ |event
+    * types|-group partial agg (metadata-sized — the histogram-is-the-
+    * output contract), and the two-phase distinct session count keys on
+    * (user, session) — clustered by the same hash. */
+  def q160SessionAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assigned = Tables(s, dir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+      .withColumn("prev_us", lag($"us", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || $"us" - $"prev_us" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum($"new_sess").over(wRun))
+    val wSess = Window.partitionBy($"user_id", $"session_idx")
+      .orderBy($"us", $"event_id")
+    assigned
+      .withColumn("entry_type", first($"event_type").over(wSess))
+      .groupBy($"entry_type")
+      .agg(countDistinct($"user_id", $"session_idx").as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .withColumn("events_per_session_milli",
+        expr("(n_events * 1000) div n_sessions"))
+      .select($"entry_type", $"n_sessions", $"n_events",
+        $"events_per_session_milli", $"total_value")
+      .orderBy($"entry_type")
+  }
+
+  val q160Oracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+       |  FROM events),
+       |l AS (
+       |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |    AS prev_us FROM e),
+       |m AS (
+       |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs
+       |    THEN 1 ELSE 0 END AS new_sess FROM l),
+       |x AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM m),
+       |f AS (
+       |  SELECT *, first_value(event_type) OVER (
+       |    PARTITION BY user_id, session_idx ORDER BY us, event_id)
+       |    AS entry_type FROM x)
+       |SELECT entry_type,
+       |  CAST(COUNT(DISTINCT (user_id, session_idx)) AS BIGINT) AS n_sessions,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  (CAST(COUNT(*) AS BIGINT) * 1000)
+       |    // CAST(COUNT(DISTINCT (user_id, session_idx)) AS BIGINT)
+       |    AS events_per_session_milli,
+       |  ${Sql.dsum("value")} AS total_value
+       |FROM f GROUP BY entry_type
+       |ORDER BY entry_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
     "q157_sessionize" -> q157Sessionize _,
+    "q160_session_attribution" -> q160SessionAttribution _,
   )
 
   val oracles: Map[String, String] = Map(
     "q83_funnel" -> q83Oracle,
     "q85_cohort_retention" -> q85Oracle,
     "q157_sessionize" -> q157Oracle,
+    "q160_session_attribution" -> q160Oracle,
   )
 }

@@ -106,4 +106,40 @@ class BehaviorSpec extends SparkSpec {
     // and some session has more than one event
     assert(got.exists(_._2 > 1L) && got.exists(_._3 > 1L))
   }
+
+  test("q160 attribution replays a local first-touch fold over q157 sessions") {
+    val s = spark
+    import s.implicits._
+    val gap = 30L * 60L * 1000000L
+    val ev = graft.Tables(s, sf, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4)))
+    def d2(v: Double): BigDecimal =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // sessions per user, each a list of events in (us, event_id) order
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.sortBy(r => (r._5, r._2))
+        .foldLeft(List.empty[List[(Long, Long, String, Double, Long)]]) {
+          case (Nil, e) => List(List(e))
+          case (cur :: done, e) =>
+            if (e._5 - cur.head._5 > gap) List(e) :: (cur :: done)
+            else (e :: cur) :: done
+        }.map(_.reverse)
+    }
+    val expected = sessions.groupBy(_.head._3).toSeq.map { case (entry, ss) =>
+      val events = ss.flatten
+      val n = events.length.toLong
+      (entry, ss.length.toLong, n, n * 1000 / ss.length,
+        events.map(e => d2(e._4)).sum.toDouble)
+    }.sortBy(_._1)
+    val got = Behavior.q160SessionAttribution(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    // attribution actually discriminates: several entry types appear
+    assert(got.length >= 3)
+  }
 }
