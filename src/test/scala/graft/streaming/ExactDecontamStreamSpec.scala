@@ -55,7 +55,7 @@ class ExactDecontamStreamSpec extends SparkSpec {
     val q0 = ExactDecontamStream.run(
       s.readStream.schema("doc_id long, text string").parquet(incoming),
       corpusDir, root)
-    assert(q0.awaitTermination(120000))
+    assert(q0.awaitTermination(300000))
 
     // restarted stream, batch 1: the whole benchmark verbatim (lcs 10)
     Seq(
@@ -64,7 +64,7 @@ class ExactDecontamStreamSpec extends SparkSpec {
     val q1 = ExactDecontamStream.run(
       s.readStream.schema("doc_id long, text string").parquet(incoming),
       corpusDir, root)
-    assert(q1.awaitTermination(120000))
+    assert(q1.awaitTermination(300000))
 
     val contam = s.read.parquet(s"$root/contam")
     assert(contam.select($"doc_id").as[Long].collect().toSet === Set(2L, 4L))
