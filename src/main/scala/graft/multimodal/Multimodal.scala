@@ -133,12 +133,24 @@ object Multimodal {
     * clustering; flags are map-side CASEs. */
   def q159MediaEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Two measured pitfalls shaped this plan (both kept out of the hot
+    // path): hex() INSIDE the per-byte lambda is re-evaluated per element
+    // (O(n²) bytes/doc — 6.1 s at sf0.1), and ANY higher-order transform
+    // lambda is an interpreted CodegenFallback per element (~4 s for
+    // 1.65M evals). So the hex string is computed once per row and split
+    // into 2-char pairs by ONE codegen'd regex split (\G anchored); the
+    // pair→value parse then runs in the codegen'd post-explode projection.
     val bytes = mediaTable(s, dir)
       .select($"doc_id", $"kind",
         length($"payload").cast("long").as("n_bytes"),
-        explode(expr("transform(sequence(1, length(payload)), " +
-          "bi -> cast(conv(substr(hex(payload), bi * 2 - 1, 2), 16, 10) " +
-          "as bigint))")).as("v"))
+        hex($"payload").as("h"))
+      .select($"doc_id", $"kind", $"n_bytes",
+        explode(split($"h", "(?<=\\G..)")).as("hb"))
+      .filter($"hb" =!= "")
+      .select($"doc_id", $"kind", $"n_bytes",
+        expr("cast((instr('0123456789ABCDEF', substr(hb, 1, 1)) - 1) * 16 " +
+          "+ instr('0123456789ABCDEF', substr(hb, 2, 1)) - 1 as bigint)")
+          .as("v"))
     bytes.groupBy($"doc_id", $"kind", $"n_bytes", $"v")
       .agg(count(lit(1)).as("c"))
       .groupBy($"doc_id", $"kind", $"n_bytes")
