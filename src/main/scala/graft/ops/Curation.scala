@@ -1553,6 +1553,60 @@ object Curation {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q161
+  /** Duplicate-aware LOSS WEIGHTS — the soft alternative to q62's hard
+    * dedup: keep every document but down-weight each near-dup family so
+    * its total training influence equals one copy (weight = 1/family
+    * size, in integer milli — the "count duplicates once" regime a
+    * pipeline reaches for when dropping is too aggressive, e.g. when
+    * near-dups carry distinct metadata or the dedup threshold is
+    * uncertain). Families are q60's standing CC labels (the staged
+    * labels asset — built once per session, the cachedDupLabels
+    * discipline); documents outside the pair graph are their own
+    * singleton family at weight 1000. `weighted_tokens_milli` is the
+    * doc's token mass under the weight — Σ over a family ≈ one copy's
+    * mass (integer truncation documented: a family of 3 carries 999).
+    *
+    * Plan shape: one left join of the corpus against the labels asset on
+    * doc_id, a cluster-keyed partial-agg size count, and a join back on
+    * cluster — every exchange keyed on an 8-byte id; the weight
+    * arithmetic is map-side int64. */
+  def q161DupWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = Dedup.cachedDupLabels(s, dir)
+    val fam = Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(TextFns.tokens($"text")).cast("long").as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      // a singleton's own id can never equal another component's label:
+      // labels are component-minimum ids, and the doc is not a member
+      .withColumn("cluster", coalesce($"cluster", $"doc_id"))
+    val sizes = fam.groupBy($"cluster").agg(count(lit(1)).as("family_size"))
+    fam.join(sizes, "cluster")
+      .withColumn("weight_milli",
+        expr("cast(1000 as bigint) div family_size"))
+      .withColumn("weighted_tokens_milli", $"n_toks" * $"weight_milli")
+      .select($"doc_id", $"cluster", $"family_size", $"n_toks",
+        $"weight_milli", $"weighted_tokens_milli")
+      .orderBy($"doc_id")
+  }
+
+  val q161Oracle: String =
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder.replace("\n", "\n  ")}),
+       |fam AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       |    COALESCE(cc.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |sizes AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS family_size
+       |  FROM fam GROUP BY cluster)
+       |SELECT doc_id, cluster, family_size, n_toks,
+       |  1000 // family_size AS weight_milli,
+       |  n_toks * (1000 // family_size) AS weighted_tokens_milli
+       |FROM fam JOIN sizes USING (cluster)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1579,6 +1633,7 @@ object Curation {
     "q150_curriculum" -> q150Curriculum _,
     "q154_padding_waste" -> q154PaddingWaste _,
     "q156_dsir_weights" -> q156DsirWeights _,
+    "q161_dup_weights" -> q161DupWeights _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1607,5 +1662,6 @@ object Curation {
     "q150_curriculum" -> q150Oracle,
     "q154_padding_waste" -> q154Oracle,
     "q156_dsir_weights" -> q156Oracle,
+    "q161_dup_weights" -> q161Oracle,
   )
 }

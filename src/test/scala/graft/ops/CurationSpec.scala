@@ -749,4 +749,38 @@ class CurationSpec extends SparkSpec {
     assert(mean(en.map(_._4)) > mean(rest.map(_._4)),
       "target carve not up-weighted")
   }
+
+  test("q161 dup weights: families carry one copy's influence, corpus partitioned") {
+    val s = spark
+    import s.implicits._
+    val rows = Curation.q161DupWeights(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val nDocs = graft.Tables(s, sf, "documents").count()
+    // every doc exactly once — weighting partitions the corpus
+    assert(rows.length.toLong === nDocs)
+    assert(rows.map(_._1).distinct.length.toLong === nDocs)
+    rows.foreach { case (id, _, size, toks, w, wt) =>
+      assert(w === 1000L / size, s"weight($id)")
+      assert(wt === toks * w, s"weighted tokens($id)")
+    }
+    // family sizes are consistent with membership counts
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.forall(_._3 === members.length.toLong), s"size of $c")
+    }
+    // per family, total weight is one copy's (minus integer truncation)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      val tot = members.map(_._5).sum
+      val n = members.length
+      assert(tot <= 1000L && tot > 1000L - n, s"family $c weight sum $tot")
+    }
+    // the fixture has real dup families AND singletons
+    assert(rows.exists(_._3 > 1L) && rows.exists(_._3 === 1L))
+    // members of q60 clusters carry the cluster label
+    val labels = graft.ops.Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(r => labels.contains(r._1)).foreach { case (id, c, _, _, _, _) =>
+      assert(c === labels(id), s"label of $id")
+    }
+  }
 }
