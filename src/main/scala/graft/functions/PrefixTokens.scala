@@ -52,8 +52,17 @@ object PrefixTokensFn {
       }
       i += 1
     }
-    // no n-th space: the text has spaces+1 tokens — exactly n keeps all
-    if (spaces + 1 >= n) s else null
+    // no n-th space: the text has spaces+1 tokens — exactly n keeps all.
+    // Copy here too: the other branch copies because the source may live
+    // in a reused unsafe-row buffer, and that hazard is identical for a
+    // whole-string result (review r11 — the two branches must agree)
+    if (spaces + 1 >= n) {
+      val out = new Array[Byte](nBytes)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off, out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        nBytes)
+      UTF8String.fromBytes(out)
+    } else null
   }
 
   /** Column API: `prefixTokens($"text", 8)` → StringType (nullable). */

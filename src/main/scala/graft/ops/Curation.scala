@@ -857,8 +857,12 @@ object Curation {
       .withColumn("weight", floor(sqrt($"n_tokens".cast("double"))).cast("long"))
       .withColumn("budget", sum($"n_tokens").over(all) * 3)
       .withColumn("w_total", sum($"weight").over(all))
-      .withColumn("base", expr("(budget * weight) div w_total"))
-      .withColumn("rem", ($"budget" * $"weight") % $"w_total")
+      // same q·w_total + r decomposition as q140 (review r11): the naive
+      // budget·weight product leaves int64 near 10¹³ corpus tokens
+      .withColumn("base",
+        expr("(budget div w_total) * weight" +
+          " + ((budget % w_total) * weight) div w_total"))
+      .withColumn("rem", expr("((budget % w_total) * weight) % w_total"))
       .withColumn("leftover", $"budget" - sum($"base").over(all))
       .withColumn("bump",
         when(row_number().over(byRem) <= $"leftover", 1L).otherwise(0L))
@@ -887,8 +891,10 @@ object Curation {
       |    CAST(SUM(weight) OVER () AS BIGINT) AS w_total
       |  FROM weighted),
       |based AS (
-      |  SELECT *, (budget * weight) // w_total AS base,
-      |    (budget * weight) % w_total AS rem
+      |  SELECT *,
+      |    (budget // w_total) * weight
+      |      + ((budget % w_total) * weight) // w_total AS base,
+      |    ((budget % w_total) * weight) % w_total AS rem
       |  FROM app),
       |shared AS (
       |  SELECT source, n_tokens, weight,
@@ -988,8 +994,14 @@ object Curation {
         floor(lit(1000.0) * sqrt(sqrt($"n_tokens".cast("double")))).cast("long"))
       .withColumn("budget", sum($"n_tokens").over(all))
       .withColumn("w_total", sum($"weight").over(all))
-      .withColumn("base", expr("(budget * weight) div w_total"))
-      .withColumn("rem", ($"budget" * $"weight") % $"w_total")
+      // budget·weight overflows int64 near 10¹³ tokens (review r11) —
+      // decompose budget = q·w_total + r exactly: (b·w) div s =
+      // q·w + (r·w) div s and (b·w) mod s = (r·w) mod s, with every
+      // intermediate ≤ max(q·w, s·w) ≪ 2⁶³ at any corpus scale
+      .withColumn("base",
+        expr("(budget div w_total) * weight" +
+          " + ((budget % w_total) * weight) div w_total"))
+      .withColumn("rem", expr("((budget % w_total) * weight) % w_total"))
       .withColumn("leftover", $"budget" - sum($"base").over(all))
       .withColumn("bump",
         when(row_number().over(byRem) <= $"leftover", 1L).otherwise(0L))
@@ -1015,8 +1027,10 @@ object Curation {
       |    CAST(SUM(weight) OVER () AS BIGINT) AS w_total
       |  FROM weighted),
       |based AS (
-      |  SELECT *, (budget * weight) // w_total AS base,
-      |    (budget * weight) % w_total AS rem
+      |  SELECT *,
+      |    (budget // w_total) * weight
+      |      + ((budget % w_total) * weight) // w_total AS base,
+      |    ((budget % w_total) * weight) % w_total AS rem
       |  FROM app),
       |shared AS (
       |  SELECT lang, n_docs, n_tokens, weight,

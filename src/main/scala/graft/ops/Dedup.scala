@@ -79,19 +79,26 @@ object Dedup {
   private val evictionHooked =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
+  /** The hooked marker survives an explicit evict — the SessionCache
+    * listener-leak rule (review r11): listeners cannot be unregistered,
+    * so clearing the marker here would register one more permanent
+    * listener per evict-and-rebuild cycle (the bench's cold prep). Only
+    * the app-end callback clears it. */
   private[graft] def evictSession(s: SparkSession): Unit = {
     Seq(shingleCache, pairsCache, labelsCache).foreach { c =>
       c.keys.filter(_._1 eq s).foreach(c.remove)
     }
-    evictionHooked.remove(s)
   }
 
   private def hookEviction(s: SparkSession): Unit =
     evictionHooked.getOrElseUpdate(s, {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           evictSession(s)
+          evictionHooked.remove(s)
+          ()
+        }
       })
     })
 
@@ -1601,6 +1608,10 @@ object Dedup {
         sum($"ctoks").as("n_tokens"))
     val single = tok.join(labels.select($"doc_id"), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n"), sum($"nt").as("t"))
+      // a corpus with NO singletons must not emit a phantom
+      // (size=1, n=0, tokens=NULL) row (review r11) — the census must
+      // partition the corpus exactly
+      .filter($"n" > 0L)
       .select(lit(1L).as("cluster_size"), $"n".as("n_clusters"),
         $"n".as("n_docs"), $"t".as("n_tokens"))
     clustered.unionByName(single)
@@ -1627,7 +1638,8 @@ object Dedup {
        |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(nt) AS BIGINT) AS n_tokens
-       |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cc))
+       |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+       |  HAVING COUNT(*) > 0)
        |SELECT * FROM clustered UNION ALL SELECT * FROM single
        |ORDER BY cluster_size""".stripMargin
 

@@ -39,13 +39,19 @@ private[graft] final class SessionCache {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = evict(s)
+              : Unit = { evict(s); hooked.remove(s); () }
         })
     })
 
+  /** Drop the session's cached entries. The `hooked` marker deliberately
+    * SURVIVES an explicit evict: listeners cannot be unregistered, so
+    * clearing the marker would make the next getOrBuild register a second
+    * permanent listener — an evict-and-rebuild cycle (the bench's cold
+    * preps, the specs) would accumulate one leaked listener per cycle
+    * (review r11). The marker itself is cleared only in the app-end
+    * callback, when the session is gone for good. */
   def evict(s: SparkSession): Unit = {
     map.keys.filter(_._1 eq s).foreach(map.remove)
-    hooked.remove(s)
     ()
   }
 

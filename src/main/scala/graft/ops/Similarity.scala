@@ -219,7 +219,7 @@ object Similarity {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = evictCentroids(s)
+              : Unit = { evictCentroids(s); annHooked.remove(s); () }
         })
     })
 
@@ -262,12 +262,14 @@ object Similarity {
     ()
   }
 
+  /** The annHooked marker survives an explicit evict (the SessionCache
+    * listener-leak rule, review r11); only the app-end callback clears
+    * it. */
   private[graft] def evictCentroids(s: SparkSession): Unit = {
     centroidCache.keys.filter(_._1 eq s).foreach(centroidCache.remove)
     sqBoundsCache.keys.filter(_._1 eq s).foreach(sqBoundsCache.remove)
     pqCodebookCache.keys.filter(_._1 eq s).foreach(pqCodebookCache.remove)
     assignedCache.evict(s)
-    annHooked.remove(s)
     ()
   }
 

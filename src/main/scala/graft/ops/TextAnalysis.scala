@@ -761,12 +761,14 @@ object TextAnalysis {
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-              : Unit = evictMerges(s)
+              : Unit = { evictMerges(s); mergeHooked.remove(s); () }
         })
     })
+  /** The hooked marker survives an explicit evict — the SessionCache
+    * listener-leak rule (review r11): listeners cannot be unregistered,
+    * so only the app-end callback clears it. */
   private[graft] def evictMerges(s: SparkSession): Unit = {
     mergeCache.keys.filter(_._1 eq s).foreach(mergeCache.remove)
-    mergeHooked.remove(s)
     ()
   }
   private[graft] def cachedMerges(s: SparkSession, dir: String)

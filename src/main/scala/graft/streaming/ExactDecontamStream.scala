@@ -160,7 +160,10 @@ object ExactDecontamStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val graded = gradeBatch(spark, batch, ev)
+        // the verdict plan (suffix explode + range sort + carry windows)
+        // feeds BOTH sink writes — materialize it once per batch, or each
+        // write re-runs the whole scan (review r11: the seam paid 2×)
+        val graded = gradeBatch(spark, batch, ev).localCheckpoint(true)
         val contam = batch.join(
           graded.filter(col("contaminated"))
             .select(col("doc_id"), col("n_tokens"), col("lcs_tokens")),

@@ -37,10 +37,13 @@ object QualityGateStream {
   private[streaming] def splitBatch(batch: DataFrame): (DataFrame, DataFrame) = {
     val s = batch.sparkSession
     import s.implicits._
+    // both sinks consume the same scored frame — materialize it once per
+    // batch, or each write re-runs the scoring projection (review r11)
     val decided = Curation.softFilterDecision(
       TextAnalysis.qualityScored(batch))
       .select($"doc_id", $"text", $"quality_score", $"u", $"accept_milli",
         $"kept")
+      .localCheckpoint(true)
     (decided.filter($"kept").drop("kept"),
       decided.filter(!$"kept").drop("kept"))
   }

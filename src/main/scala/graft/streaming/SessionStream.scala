@@ -33,10 +33,13 @@ import graft.ops.Behavior
   * so the final cents/100.0 double equals the batch decimal sum's
   * double surfacing).
   *
-  * At 100 TB/day: state is ONE open session per active user (five
-  * longs), partitioned by user hash across the state store — bounded by
-  * concurrently-active users, not corpus; timeouts expire state, so idle
-  * users cost nothing. The per-batch sort is per (user, batch) — tiny. */
+  * At 100 TB/day: state is ONE row per user (five longs) — an open
+  * session while active, a counter-only stub after timeout (the ordinal
+  * must survive expiry or a returning user's sessions would collide
+  * with already-emitted ones) — partitioned by user hash across the
+  * state store. At production scale the stub population is the knob: a
+  * state-store TTL, or session identity by start_us instead of an
+  * ordinal. The per-batch sort is per (user, batch) — tiny. */
 object SessionStream {
 
   case class Ev(user_id: Long, event_id: Long, value: Double, us: Long,
@@ -55,12 +58,23 @@ object SessionStream {
       st.lastUs - st.startUs, st.cents / 100.0)
 
   /** The per-group state transition — factored for direct spec replay. */
+  /** The per-group state transition. A COUNTER-ONLY state (n == 0) is
+    * what a timeout leaves behind: the open session is emitted, but the
+    * per-user session ORDINAL must survive — removing it entirely would
+    * restart a returning user at idx = 1 and collide with an
+    * already-emitted (user, 1) row. Counter-only state registers no
+    * timeout (nothing is open), so it never re-fires; its cost is one
+    * tiny row per user ever seen, the price of stable ordinals (at
+    * production scale the knob is a state-store TTL, or keying sessions
+    * by start_us instead of an ordinal). */
   private[streaming] def updateGroup(uid: Long, evs: Iterator[Ev],
       state: GroupState[Sess]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
       // watermark passed lastUs + gap: the open session is proven silent
-      val out = state.getOption.map(emit(uid, _)).iterator
-      state.remove()
+      val out = state.getOption.filter(_.n > 0L).map(emit(uid, _)).iterator
+      // keep the ordinal; drop the session payload
+      state.getOption.foreach(st =>
+        state.update(Sess(0L, 0L, 0L, 0L, st.idx)))
       out
     } else {
       val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
@@ -68,6 +82,8 @@ object SessionStream {
       var cur = state.getOption
       for (e <- sorted) {
         cur match {
+          case Some(st) if st.n == 0L => // counter-only: continue numbering
+            cur = Some(Sess(e.us, e.us, 1L, cents(e.value), st.idx + 1L))
           case Some(st) if e.us - st.lastUs <= Behavior.SessionGapUs =>
             cur = Some(st.copy(lastUs = e.us, n = st.n + 1,
               cents = st.cents + cents(e.value)))
@@ -80,7 +96,7 @@ object SessionStream {
       }
       cur.foreach { st =>
         state.update(st)
-        state.setTimeoutTimestamp(
+        if (st.n > 0L) state.setTimeoutTimestamp(
           st.lastUs / 1000L + Behavior.SessionGapUs / 1000L)
       }
       closed.iterator

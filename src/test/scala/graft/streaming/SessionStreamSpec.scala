@@ -51,4 +51,37 @@ class SessionStreamSpec extends SparkSpec {
     val want = rows(Behavior.q157Sessionize(s, sf))
     assert(all === want)
   }
+
+  test("ordinals survive a timeout: a returning user gets idx 2, not a colliding 1") {
+    val s = spark
+    import s.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    val root = Files.createTempDirectory("graft-sess2-").toString
+    val incoming = s"$root/in"
+    new java.io.File(incoming).mkdirs()
+    val schema = "user_id long, event_id long, value double, ts timestamp"
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    def feed(rows: Seq[(Long, Long, Double, java.sql.Timestamp)]): Unit = {
+      rows.toDF("user_id", "event_id", "value", "ts")
+        .write.mode("append").parquet(incoming)
+      val q = SessionStream.run(
+        s.readStream.schema(schema).parquet(incoming), root)
+      assert(q.awaitTermination(120000))
+    }
+    // batch 0: user 7's first session (2 events)
+    feed(Seq((7L, 1L, 1.0, ts(0)), (7L, 2L, 2.0, ts(60000))))
+    // batch 1: another user far in the future — the watermark passes
+    // user 7's timeout and CLOSES session 1 via EventTimeTimeout
+    feed(Seq((8L, 3L, 0.0, ts(7200000))))
+    // batch 2: user 7 RETURNS after the timeout-close
+    feed(Seq((7L, 4L, 4.0, ts(10800000))))
+    // batch 3: sentinel to flush user 7's second session
+    feed(Seq((9L, 5L, 0.0, ts(999999999))))
+    val u7 = s.read.parquet(s"$root/sessions")
+      .filter($"user_id" === 7L)
+      .select($"session_idx", $"n_events", $"total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(u7 === Seq((1L, 2L, 3.0), (2L, 1L, 4.0)),
+      s"returning user's ordinal collided or payload wrong: $u7")
+  }
 }
