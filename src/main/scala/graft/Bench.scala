@@ -118,7 +118,7 @@ object Bench {
     // timed iteration pays the cold global-rank build and the reported
     // median mixes cold and warm regimes (the dedup_prep discipline).
     val suffixQueries = Set("q132_global_suffix_rank", "q133_corpus_repeats",
-      "q134_decontam_exact_train", "q135_decontam_exact_eval")
+      "q134_eval_lcs", "q135_eval_exposure")
     val suffixPrep: Seq[(String, Double)] =
       if (!only.forall(_.contains("suffix_prep"))) {
         if (only.exists(names => (names & suffixQueries).nonEmpty)) try {
