@@ -116,6 +116,7 @@ object PlanAudit {
     "q158_tokenizer_drift" -> "tokenizer stability gate: two independent q137 trainer runs (each a carve-filtered partial-agg fold + 6 vocabulary-sized rounds); the rank-by-rank comparison runs on two ≤6-row merge lists — bounded driver metadata, the centroid-collect discipline",
     "q159_media_entropy" -> "byte-level media gate: hex() once per row, ONE codegen'd \\G-anchored regex split into byte pairs, pair→value parse in the codegen'd post-explode projection (a higher-order transform lambda here is an interpreted CodegenFallback per element — measured 4.4× slower); the explode collapses to ≤256 surviving groups per doc per task in the partial agg (the q95/q97 histogram contract); the qlog entropy fold runs over ≤256 rows per doc on the same clustering",
     "q161_dup_weights" -> "duplicate-aware loss weights: one left join of the corpus against the standing CC labels asset on doc_id, a cluster-keyed partial-agg size count, a join back on cluster — every exchange an 8-byte key; weight arithmetic map-side int64",
+    "q162_family_shards" -> "family-aware shard routing: one left join against the standing CC labels on doc_id; both shard assignments are map-side hash projections; each census is a (shard, family) partial agg then a ≤NShards-row rollup; the final shard join is metadata-sized",
     "q160_session_attribution" -> "first-touch attribution: lag, the running boundary sum, and the per-session first_value window all partition on (or under) user_id — ONE data exchange serves all three; the entry-type roll-up is an |event-types|-group partial agg and the distinct-session count clusters on the same user hash",
   )
 

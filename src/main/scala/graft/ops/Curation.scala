@@ -1621,6 +1621,74 @@ object Curation {
        |FROM fam JOIN sizes USING (cluster)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q162
+  /** Duplicate-family-aware SHARD routing — q80's leakage-safe-split
+    * discipline applied to the training loader: route every near-dup
+    * family to ONE shard by hashing its q60 cluster label through the
+    * q142 hash chain (md5 permutation + djb2 router — the literal shared
+    * routing expressions), so shard-local work stays globally valid: a
+    * per-worker dedup pass still sees every twin, a shard-local eval
+    * carve cannot leak a near-copy into another worker's training
+    * stream, and packing/curriculum never interleave a family across
+    * loaders. The audit emits, per shard, the family-routed census
+    * (docs, families) NEXT TO the q142 doc-routed one (docs, distinct
+    * families touching the shard): under family routing
+    * Σ fr_families = |families| exactly — no family spans two shards by
+    * construction — while doc routing's Σ dr_fragments exceeds it by
+    * every split family, which is the number this table exists to show.
+    *
+    * Plan shape: one left join against the standing CC labels on doc_id;
+    * both shard assignments are map-side hash projections; each census
+    * is a (shard, family) partial agg then a ≤ NShards-row rollup; the
+    * final shard join is metadata-sized. */
+  def q162FamilyShards(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fam = Tables(s, dir, "documents").select($"doc_id")
+      .join(Dedup.cachedDupLabels(s, dir), Seq("doc_id"), "left")
+      .withColumn("family", coalesce($"cluster", $"doc_id"))
+      .withColumn("fshard", shardOf(shardKey($"family"), NShards))
+      .withColumn("dshard", shardOf(shardKey($"doc_id"), NShards))
+    val byFam = fam.groupBy($"fshard".as("shard"))
+      .agg(count(lit(1)).as("fr_docs"),
+        countDistinct($"family").as("fr_families"))
+    val byDoc = fam.groupBy($"dshard".as("shard"))
+      .agg(count(lit(1)).as("dr_docs"),
+        countDistinct($"family").as("dr_fragments"))
+    byFam.join(byDoc, Seq("shard"), "full_outer")
+      .select($"shard",
+        coalesce($"fr_docs", lit(0L)).as("fr_docs"),
+        coalesce($"fr_families", lit(0L)).as("fr_families"),
+        coalesce($"dr_docs", lit(0L)).as("dr_docs"),
+        coalesce($"dr_fragments", lit(0L)).as("dr_fragments"))
+      .orderBy($"shard")
+  }
+
+  val q162Oracle: String = {
+    val fsh = Sql.pmod(Sql.djb2("md5(CAST(family AS VARCHAR))"), 64)
+    val dsh = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 64)
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder.replace("\n", "\n  ")}),
+       |fam AS (
+       |  SELECT d.doc_id, COALESCE(cc.cluster, d.doc_id) AS family
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |sh AS (
+       |  SELECT doc_id, family, $fsh AS fshard, $dsh AS dshard FROM fam),
+       |byfam AS (
+       |  SELECT fshard AS shard, CAST(COUNT(*) AS BIGINT) AS fr_docs,
+       |    CAST(COUNT(DISTINCT family) AS BIGINT) AS fr_families
+       |  FROM sh GROUP BY fshard),
+       |bydoc AS (
+       |  SELECT dshard AS shard, CAST(COUNT(*) AS BIGINT) AS dr_docs,
+       |    CAST(COUNT(DISTINCT family) AS BIGINT) AS dr_fragments
+       |  FROM sh GROUP BY dshard)
+       |SELECT shard,
+       |  COALESCE(fr_docs, 0) AS fr_docs,
+       |  COALESCE(fr_families, 0) AS fr_families,
+       |  COALESCE(dr_docs, 0) AS dr_docs,
+       |  COALESCE(dr_fragments, 0) AS dr_fragments
+       |FROM byfam FULL OUTER JOIN bydoc USING (shard)
+       |ORDER BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1648,6 +1716,7 @@ object Curation {
     "q154_padding_waste" -> q154PaddingWaste _,
     "q156_dsir_weights" -> q156DsirWeights _,
     "q161_dup_weights" -> q161DupWeights _,
+    "q162_family_shards" -> q162FamilyShards _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1677,5 +1746,6 @@ object Curation {
     "q154_padding_waste" -> q154Oracle,
     "q156_dsir_weights" -> q156Oracle,
     "q161_dup_weights" -> q161Oracle,
+    "q162_family_shards" -> q162Oracle,
   )
 }

@@ -783,4 +783,36 @@ class CurationSpec extends SparkSpec {
       assert(c === labels(id), s"label of $id")
     }
   }
+
+  test("q162 family shards: no family spans two shards; doc routing splits some") {
+    val s = spark
+    import s.implicits._
+    val rows = Curation.q162FamilyShards(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val nDocs = graft.Tables(s, sf, "documents").count()
+    val labels = graft.ops.Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docIds = graft.Tables(s, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    val families = docIds.map(id => labels.getOrElse(id, id))
+      .distinct.length.toLong
+    // both routings place every doc exactly once
+    assert(rows.map(_._2).sum === nDocs)
+    assert(rows.map(_._4).sum === nDocs)
+    // family routing: Σ per-shard distinct families = |families| — no
+    // family touches two shards
+    assert(rows.map(_._3).sum === families)
+    // doc routing fragments: strictly more shard-family incidences —
+    // the leakage family routing exists to prevent
+    assert(rows.map(_._5).sum > families)
+    // the family-shard assignment is recomputable from public parts
+    val someId = docIds.head
+    val fam0 = labels.getOrElse(someId, someId)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(fam0.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectShard = graft.functions.Djb2.hash(md) % 64
+    // that family must be counted in its shard's family-routed census
+    assert(rows.find(_._1 == expectShard).exists(_._2 > 0L))
+  }
 }
