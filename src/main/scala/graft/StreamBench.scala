@@ -463,7 +463,15 @@ object StreamBench {
       q.stop()
       System.err.println(s"[streambench:drift] timed out after $secs s")
       SeamResult(-1.0, n, -1L, secs)
-    } else if (!new java.io.File(s"$root/hist").exists()) {
+    } else driftAccount(spark, root, sfDir, n, secs)
+  }
+
+  /** The post-termination drift accounting, factored for direct spec
+    * replay of the zero-batch path (VERDICT r10 #5). */
+  private[graft] def driftAccount(spark: SparkSession, root: String,
+      sfDir: String, n: Long, secs: Double): SeamResult = {
+    import spark.implicits._
+    if (!new java.io.File(s"$root/hist").exists()) {
       // ADVICE r9: a corpus yielding zero micro-batches leaves no hist
       // directory; that is a measured-empty seam, not a failure — return
       // it explicitly instead of letting the parquet read throw.

@@ -301,15 +301,20 @@ object Similarity {
     * rows meet the broadcast probe rows. */
   private[graft] def ivfProbeRank(queries: DataFrame, assigned: DataFrame,
       cells: Array[Long], mats: Array[Array[Double]], k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
     val s = queries.sparkSession
     import s.implicits._
     val qprobe = queries.select($"q_id", $"q_emb",
       explode(graft.functions.NearestCellsUtil.column($"q_emb", cells, mats,
         nprobe)).as("cell"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    assigned.join(broadcast(qprobe), Seq("cell"))
-      .filter($"vec_id" =!= $"q_id")
+    val met = assigned.join(broadcast(qprobe), Seq("cell"))
+    // excludeSelf assumes q_id and vec_id share ONE id namespace (corpus
+    // members querying the corpus — q59/q92's frame). External query
+    // frames (S20 serving) pass false: a serving q_id that happens to
+    // collide with a corpus vec_id must NOT lose that corpus vector
+    // (ADVICE r10).
+    (if (excludeSelf) met.filter($"vec_id" =!= $"q_id") else met)
       .withColumn("cos", VecFns.cosine($"q_emb", $"embedding"))
       .withColumn("rank", row_number().over(wTop).cast("long"))
       .filter($"rank" <= k)

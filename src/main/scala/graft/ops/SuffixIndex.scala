@@ -229,7 +229,7 @@ object SuffixIndex {
     * barrier, and the checkpoint keeps round k from recomputing rounds
     * 1..k−1 (the iterate-and-checkpoint discipline the CC pointer-
     * doubling rounds already use). */
-  private def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = tokDocs(s, dir)
     // maxLen drives the doubling depth; the same collected row also guards

@@ -41,7 +41,12 @@ object ServeStream {
   private[streaming] def serveBatch(batch: DataFrame, batchId: Long,
       assigned: DataFrame, cells: Array[Long], mats: Array[Array[Double]],
       root: String, k: Int, nprobe: Int): Unit =
-    Similarity.ivfProbeRank(batch, assigned, cells, mats, k, nprobe)
+    // excludeSelf = false: serving q_ids live in the CALLER's id
+    // namespace, not the corpus's — a coincidental q_id == vec_id
+    // collision must not drop that corpus vector from the candidates
+    // (ADVICE r10; corpus-member self-exclusion is q59's frame, not ours)
+    Similarity.ivfProbeRank(batch, assigned, cells, mats, k, nprobe,
+        excludeSelf = false)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$root/results/batch=$batchId")
 

@@ -23,9 +23,16 @@ import graft.ops.Behavior
   * watermark passes lastUs + gap (GroupStateTimeout.EventTimeTimeout) —
   * exactly the gap rule, enforced by time instead of by a successor.
   * On an event-time-ordered feed the emitted rows equal q157 exactly
-  * (spec-verified); events arriving out of order ACROSS batches beyond
-  * the 30-minute watermark are the standard late-data caveat of any
-  * streaming sessionizer.
+  * (spec-verified). Out-of-order arrival ACROSS batches (ADVICE r10):
+  * a within-watermark, within-gap straggler folds into the open session
+  * MONOTONICALLY — start_us/end_us are min/max-extended, never
+  * regressed — so a late event can widen a session but cannot shrink
+  * one or re-order the gap clock; stragglers beyond the 30-minute
+  * watermark are the standard late-data drop of any streaming
+  * sessionizer. (A straggler that batch q157 would have split into its
+  * own earlier session still merges here — cross-batch splits would
+  * need buffered reordering; the monotonic fold is the documented
+  * contract.)
   *
   * Determinism: within-batch processing order is pinned by the explicit
   * (us, event_id) sort; value totals accumulate as exact integer cents
@@ -37,9 +44,17 @@ import graft.ops.Behavior
   * session while active, a counter-only stub after timeout (the ordinal
   * must survive expiry or a returning user's sessions would collide
   * with already-emitted ones) — partitioned by user hash across the
-  * state store. At production scale the stub population is the knob: a
-  * state-store TTL, or session identity by start_us instead of an
-  * ordinal. The per-batch sort is per (user, batch) — tiny. */
+  * state store. The stub population is bounded by the `stubTtl` knob
+  * (VERDICT r10 #8): with a TTL, an expired session's stub registers a
+  * second event-time timeout at lastUs + gap + ttl and is REMOVED when
+  * it fires — a user silent past the TTL costs zero state, and a user
+  * returning within it keeps a stable ordinal. Returning AFTER the TTL
+  * restarts at idx 1 by design: the TTL is the operator's declaration
+  * of the window over which (user, session_idx) must stay unique;
+  * consumers needing uniqueness forever key on (user, start_us), which
+  * every emitted row carries. Default None = stubs kept for the run
+  * (exact ordinals, the spec/bench regime). The per-batch sort is per
+  * (user, batch) — tiny. */
 object SessionStream {
 
   case class Ev(user_id: Long, event_id: Long, value: Double, us: Long,
@@ -57,25 +72,49 @@ object SessionStream {
     SessionRow(uid, st.idx, st.n, st.startUs, st.lastUs,
       st.lastUs - st.startUs, st.cents / 100.0)
 
-  /** The per-group state transition — factored for direct spec replay. */
-  /** The per-group state transition. A COUNTER-ONLY state (n == 0) is
-    * what a timeout leaves behind: the open session is emitted, but the
-    * per-user session ORDINAL must survive — removing it entirely would
-    * restart a returning user at idx = 1 and collide with an
-    * already-emitted (user, 1) row. Counter-only state registers no
-    * timeout (nothing is open), so it never re-fires; its cost is one
-    * tiny row per user ever seen, the price of stable ordinals (at
-    * production scale the knob is a state-store TTL, or keying sessions
-    * by start_us instead of an ordinal). */
-  private[streaming] def updateGroup(uid: Long, evs: Iterator[Ev],
+  /** The per-group state transition — factored (curried over the TTL
+    * knob) for direct spec replay. A COUNTER-ONLY state (n == 0) is
+    * what a session timeout leaves behind: the open session is emitted,
+    * but the per-user session ORDINAL must survive — removing it
+    * entirely would restart a returning user at idx = 1 and collide
+    * with an already-emitted (user, 1) row.
+    *
+    * `stubTtlMs = None`: the stub registers no timeout (nothing is
+    * open) and never re-fires; its cost is one tiny row per user ever
+    * seen — exact ordinals for the run's lifetime.
+    * `stubTtlMs = Some(ttl)`: the stub re-arms the event-time clock at
+    * lastUs + gap + ttl (clamped above the current watermark — Spark
+    * rejects a deadline at or below it; a clamped stub expires on the
+    * next batch, which is the intent) and is REMOVED when that fires,
+    * bounding state to users active within gap + ttl of the watermark.
+    *
+    * Out-of-order within-gap stragglers min/max-fold into the open
+    * session (ADVICE r10): lastUs never regresses, so end_us/duration
+    * are monotone and the gap clock never moves backwards. */
+  private[streaming] def updateGroup(stubTtlMs: Option[Long])(
+      uid: Long, evs: Iterator[Ev],
       state: GroupState[Sess]): Iterator[SessionRow] = {
     if (state.hasTimedOut) {
-      // watermark passed lastUs + gap: the open session is proven silent
-      val out = state.getOption.filter(_.n > 0L).map(emit(uid, _)).iterator
-      // keep the ordinal; drop the session payload
-      state.getOption.foreach(st =>
-        state.update(Sess(0L, 0L, 0L, 0L, st.idx)))
-      out
+      state.getOption match {
+        case Some(st) if st.n > 0L =>
+          // watermark passed lastUs + gap: the open session is proven
+          // silent — emit it, keep the ordinal, drop the payload
+          stubTtlMs match {
+            case Some(ttl) =>
+              state.update(Sess(0L, st.lastUs, 0L, 0L, st.idx))
+              state.setTimeoutTimestamp(math.max(
+                st.lastUs / 1000L + Behavior.SessionGapUs / 1000L + ttl,
+                state.getCurrentWatermarkMs() + 1L))
+            case None => state.update(Sess(0L, 0L, 0L, 0L, st.idx))
+          }
+          Iterator.single(emit(uid, st))
+        case Some(_) =>
+          // stub TTL fired: the ordinal retires; a later return restarts
+          // at idx 1 (the documented uniqueness-window contract)
+          state.remove()
+          Iterator.empty
+        case None => Iterator.empty
+      }
     } else {
       val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
       val closed = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
@@ -85,7 +124,10 @@ object SessionStream {
           case Some(st) if st.n == 0L => // counter-only: continue numbering
             cur = Some(Sess(e.us, e.us, 1L, cents(e.value), st.idx + 1L))
           case Some(st) if e.us - st.lastUs <= Behavior.SessionGapUs =>
-            cur = Some(st.copy(lastUs = e.us, n = st.n + 1,
+            // min/max fold: a within-gap straggler widens the session but
+            // never regresses end_us or rewinds the gap clock
+            cur = Some(st.copy(startUs = math.min(st.startUs, e.us),
+              lastUs = math.max(st.lastUs, e.us), n = st.n + 1,
               cents = st.cents + cents(e.value)))
           case Some(st) =>
             closed += emit(uid, st)
@@ -105,9 +147,11 @@ object SessionStream {
 
   /** Streaming driver. `events` must carry (user_id long, event_id long,
     * value double, ts timestamp); closed sessions append to
-    * `root/sessions`. */
+    * `root/sessions`. `stubTtlMs` bounds expired-user stub state (see
+    * [[updateGroup]]). */
   def run(events: DataFrame, root: String,
-      trigger: Trigger = Trigger.AvailableNow())(
+      trigger: Trigger = Trigger.AvailableNow(),
+      stubTtlMs: Option[Long] = None)(
       implicit s: SparkSession): StreamingQuery = {
     import s.implicits._
     events
@@ -117,7 +161,8 @@ object SessionStream {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Sess, SessionRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateGroup _)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateGroup(stubTtlMs))
       .writeStream
       .format("parquet")
       .option("path", s"$root/sessions")

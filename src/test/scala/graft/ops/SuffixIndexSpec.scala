@@ -241,6 +241,28 @@ class SuffixIndexSpec extends SparkSpec {
     assert(q134(1L) === 9L)
   }
 
+  test("witness-encoding guard: a >= 2^20-token doc fails loudly at build time") {
+    val s = spark
+    // VERDICT r10 #3: `doc_id·2^20 + pos` would corrupt witnesses for
+    // pos >= 2^20 IDENTICALLY in engine and oracle — the hash gate can't
+    // catch it, so the build must refuse before the doubling loop runs.
+    val dir = writeDocs(Seq(1L -> ("t " * (1 << 20)).trim, 2L -> "a b"))
+    val e = intercept[IllegalArgumentException] {
+      SuffixIndex.globalSuffixRanks(s, dir)
+    }
+    assert(e.getMessage.contains("2^20"), e.getMessage)
+    assert(e.getMessage.contains("re-chunk"), e.getMessage)
+    // the doc_id bound guards the other half of the encoding
+    val dir2 = writeDocs(Seq((1L << 43) -> "a b c"))
+    val e2 = intercept[IllegalArgumentException] {
+      SuffixIndex.globalSuffixRanks(s, dir2)
+    }
+    assert(e2.getMessage.contains("2^43"), e2.getMessage)
+    // positive control: a corpus inside both bounds builds fine
+    val ok = writeDocs(Seq(1L -> "a b a", 2L -> "b"))
+    assert(SuffixIndex.globalSuffixRanks(s, ok).count() === 4L)
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._

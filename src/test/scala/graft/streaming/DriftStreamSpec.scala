@@ -67,4 +67,20 @@ class DriftStreamSpec extends SparkSpec {
     assert(replay === stored)
     assert(stored === Map(("a", 0L) -> 1L))
   }
+
+  test("zero-batch seam accounting: a missing hist/ dir is measured empty, not thrown") {
+    val s = spark
+    // VERDICT r10 #5: an empty stream leaves no hist/ directory; the
+    // accounting must return an explicit zero-row seam result instead of
+    // letting the parquet read throw and losing the measurement.
+    val root = java.nio.file.Files.createTempDirectory("graft-drift0-").toString
+    val r = graft.StreamBench.driftAccount(s, root, sf, 0L, 1.5)
+    assert(r.recordsPerSec === 0.0)
+    assert(r.records === 0L)
+    assert(r.clean === 0L)
+    assert(r.seconds === 1.5)
+    // secs = 0 (a degenerate clock) must not divide by zero either
+    val r0 = graft.StreamBench.driftAccount(s, root, sf, 7L, 0.0)
+    assert(r0.recordsPerSec === 0.0 && r0.clean === 0L)
+  }
 }

@@ -32,9 +32,28 @@ class ServeStreamSpec extends SparkSpec {
     val got = rows(s.read.parquet(s"$root/results/batch=0")
       .select($"q_id", $"rank", $"vec_id", $"cell", $"cos"))
     assert(got.nonEmpty)
-    // congruence: the online path IS the oracle-checked batch subplan
-    val want = rows(Similarity.ivfTopK(s, sf, 3, 2))
+    // congruence: the online path IS the batch probe core — with the
+    // serving frame's excludeSelf = false (ADVICE r10: serving q_ids are
+    // an external namespace; a coincidental q_id == vec_id collision
+    // must not drop that corpus vector from the candidates)
+    val (cells0, mats0) = Similarity.cachedCentroidMeta(s, sf)
+    val want = rows(Similarity.ivfProbeRank(
+      graft.Tables(s, sf, "embeddings").filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_emb")),
+      Similarity.stagedAssigned(s, sf), cells0, mats0, 3, 2,
+      excludeSelf = false))
     assert(got === want)
+    // these queries ARE corpus members, so each must see its colliding
+    // corpus vector (cos ~ 1) in its served candidates — the exact row
+    // the old self-exclusion silently dropped
+    (0L until 10L).foreach { qid =>
+      val self = got.find(r => r._1 == qid && r._3 == qid)
+      assert(self.nonEmpty, s"query $qid lost its colliding corpus vector")
+      assert(self.get._5 > 0.999999, s"query $qid self-cos ${self.get._5}")
+    }
+    // and the corpus-member batch path (q59's frame) still self-excludes
+    assert(!rows(Similarity.ivfTopK(s, sf, 3, 2))
+      .exists(r => r._1 == r._3))
     // replay: re-serving the identical batch against the same staged
     // index overwrites identical rows (pure function of batch × index)
     val (cells, mats) = Similarity.cachedCentroidMeta(s, sf)
