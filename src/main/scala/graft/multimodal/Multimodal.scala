@@ -197,15 +197,176 @@ object Multimodal {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+  /** Synthetic headered media fixture: every document becomes a binary
+    * payload carrying a REAL container header — even doc_ids a PNG
+    * signature + IHDR chunk (dimensions, bit depth at their spec'd fixed
+    * offsets, RFC 2083 §11.2.2), odd doc_ids a JPEG SOI + JFIF APP0 of
+    * VARYING length + an SOF0 frame header (precision/height/width, ITU
+    * T.81 §B.2.2) — with dimensions derived from the doc columns and the
+    * doc text as body bytes. doc_id % 17 = 0 rows get their first byte
+    * zeroed: a corrupt asset the parser must reject, not misparse. The
+    * varying APP0 length forces the parser to WALK the segment table
+    * rather than read a fixed offset — the honest part of JPEG parsing. */
+  private[multimodal] def headeredMediaTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id",
+        ($"n_chars" % 2048 + 1).cast("long").as("w"),
+        (($"n_chars" * 7) % 1536 + 1).cast("long").as("hh"),
+        (lit(16L) + $"doc_id" % 8).as("app0_len"),
+        hex(substring($"text", 1, 32).cast("binary")).as("body"))
+      .withColumn("hdr",
+        when($"doc_id" % 2 === 0,
+          // PNG: signature, IHDR length+type, width, height, bit depth,
+          // color type, compression/filter/interlace, (fake) CRC, body
+          concat(lit("89504E470D0A1A0A0000000D49484452"),
+            lpad(hex($"w"), 8, "0"), lpad(hex($"hh"), 8, "0"),
+            when($"doc_id" % 4 === 0, "10").otherwise("08"),
+            lit("06"), lit("000000"), lit("DEADBEEF"), $"body"))
+        .otherwise(
+          // JPEG: SOI, APP0(JFIF + doc-varying zero padding), SOF0
+          // (len 17, precision 8, height, width, 3 component specs), body
+          concat(lit("FFD8FFE0"), lpad(hex($"app0_len"), 4, "0"),
+            lit("4A46494600"), expr("repeat('00', int(app0_len) - 7)"),
+            lit("FFC0001108"), lpad(hex($"hh"), 4, "0"),
+            lpad(hex($"w"), 4, "0"), lit("03012200021101031101"), $"body")))
+      .select($"doc_id",
+        unhex(when($"doc_id" % 17 === 0,
+            concat(lit("00"), expr("substr(hdr, 3)"))).otherwise($"hdr"))
+          .as("payload"))
+  }
+
+  /** Container-header introspection over an opaque binary column — the
+    * width/height/bit-depth metadata pass a multimodal curation filter
+    * runs BEFORE any codec is paid (VERDICT r10 #6, extending q159's
+    * byte-level gate): PNG dimensions read from IHDR's fixed offsets;
+    * JPEG dimensions from the SOF0 frame header found by walking the
+    * APP0 segment table (its length field decides where SOF sits — a
+    * per-row offset, not a constant). All parsing is codegen'd builtins
+    * over ONE hex() projection — substr/conv arithmetic, no UDF — and a
+    * payload failing its signature or segment walk classifies `unknown`
+    * with NULL dims rather than misparsing. Factored over an arbitrary
+    * (doc_id, payload) frame for the hand-built-fixture spec.
+    *
+    * Scale shape: pure map-side projection (scan → project, zero
+    * exchange, whole-stage codegen'd); only the header PREFIX of each
+    * hex string is ever touched, so cost is O(header), not O(payload) —
+    * at 100 TB the scan cost IS the query cost. */
+  def parseMediaHeaders(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+        hex($"payload").as("h"))
+      .withColumn("is_png",
+        substring($"h", 1, 16) === "89504E470D0A1A0A" &&
+          substring($"h", 25, 8) === "49484452")
+      .withColumn("app0_len",
+        when(substring($"h", 1, 8) === "FFD8FFE0",
+          expr("cast(conv(substr(h, 9, 4), 16, 10) as bigint)")))
+      // SOI(2B) + APP0 marker(2B) + app0_len bytes → SOF marker's 1-based
+      // hex offset; hex char of byte k is 2k-1
+      .withColumn("sof_at", ($"app0_len" * 2 + 9).cast("int"))
+      .withColumn("is_jpeg",
+        $"app0_len".isNotNull && expr("substr(h, sof_at, 4)") === "FFC0")
+      .withColumn("container",
+        when($"is_png", "png").when($"is_jpeg", "jpeg").otherwise("unknown"))
+      .withColumn("width",
+        when($"is_png", expr("cast(conv(substr(h, 33, 8), 16, 10) as bigint)"))
+          .when($"is_jpeg",
+            expr("cast(conv(substr(h, sof_at + 14, 4), 16, 10) as bigint)")))
+      .withColumn("height",
+        when($"is_png", expr("cast(conv(substr(h, 41, 8), 16, 10) as bigint)"))
+          .when($"is_jpeg",
+            expr("cast(conv(substr(h, sof_at + 10, 4), 16, 10) as bigint)")))
+      .withColumn("bit_depth",
+        when($"is_png", expr("cast(conv(substr(h, 49, 2), 16, 10) as bigint)"))
+          .when($"is_jpeg",
+            expr("cast(conv(substr(h, sof_at + 8, 2), 16, 10) as bigint)")))
+      .select($"doc_id", $"container", $"width", $"height", $"bit_depth",
+        $"n_bytes")
+  }
+
+  def q163MediaHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    parseMediaHeaders(headeredMediaTable(s, dir)).orderBy($"doc_id")
+  }
+
+  val q163Oracle: String = {
+    // hex → int by positional nibble arithmetic (DuckDB has no conv());
+    // pos is 1-based into the uppercase hex string h
+    def hv(pos: String): String =
+      s"(strpos('0123456789ABCDEF', substr(h, CAST($pos AS INTEGER), 1)) - 1)"
+    def hex2(pos: String): String =
+      s"(${hv(pos)} * 16 + ${hv(s"($pos) + 1")})"
+    def hex4(pos: String): String =
+      s"(${hex2(pos)} * 256 + ${hex2(s"($pos) + 2")})"
+    def hex8(pos: String): String =
+      s"(${hex4(pos)} * 65536 + ${hex4(s"($pos) + 4")})"
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(n_chars % 2048 + 1 AS BIGINT) AS w,
+       |    CAST((n_chars * 7) % 1536 + 1 AS BIGINT) AS hh,
+       |    CAST(16 + doc_id % 8 AS BIGINT) AS app0_len,
+       |    hex(CAST(substr(text, 1, 32) AS BLOB)) AS body
+       |  FROM documents),
+       |hdr AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN
+       |      '89504E470D0A1A0A0000000D49484452' || lpad(hex(w), 8, '0')
+       |        || lpad(hex(hh), 8, '0')
+       |        || (CASE WHEN doc_id % 4 = 0 THEN '10' ELSE '08' END)
+       |        || '06' || '000000' || 'DEADBEEF' || body
+       |    ELSE
+       |      'FFD8FFE0' || lpad(hex(app0_len), 4, '0') || '4A46494600'
+       |        || repeat('00', CAST(app0_len - 7 AS INTEGER))
+       |        || 'FFC0001108' || lpad(hex(hh), 4, '0') || lpad(hex(w), 4, '0')
+       |        || '03012200021101031101' || body
+       |    END AS hx
+       |  FROM base),
+       |pay AS (
+       |  SELECT doc_id, hex(unhex(
+       |    CASE WHEN doc_id % 17 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |  FROM hdr),
+       |parsed AS (
+       |  SELECT doc_id, h,
+       |    CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
+       |    (substr(h, 1, 16) = '89504E470D0A1A0A'
+       |      AND substr(h, 25, 8) = '49484452') AS is_png,
+       |    CASE WHEN substr(h, 1, 8) = 'FFD8FFE0'
+       |      THEN CAST(${hex4("9")} AS BIGINT) END AS app0_len
+       |  FROM pay),
+       |walked AS (
+       |  SELECT *, app0_len * 2 + 9 AS sof_at,
+       |    (app0_len IS NOT NULL AND
+       |      substr(h, CAST(app0_len * 2 + 9 AS INTEGER), 4) = 'FFC0') AS is_jpeg
+       |  FROM parsed)
+       |SELECT doc_id,
+       |  CASE WHEN is_png THEN 'png' WHEN is_jpeg THEN 'jpeg'
+       |    ELSE 'unknown' END AS container,
+       |  CAST(CASE WHEN is_png THEN ${hex8("33")}
+       |    WHEN is_jpeg THEN ${hex4("sof_at + 14")} END AS BIGINT) AS width,
+       |  CAST(CASE WHEN is_png THEN ${hex8("41")}
+       |    WHEN is_jpeg THEN ${hex4("sof_at + 10")} END AS BIGINT) AS height,
+       |  CAST(CASE WHEN is_png THEN ${hex2("49")}
+       |    WHEN is_jpeg THEN ${hex2("sof_at + 8")} END AS BIGINT) AS bit_depth,
+       |  n_bytes
+       |FROM walked ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_media_meta" -> q57MediaMeta _,
     "q58_frame_sample" -> q58FrameSample _,
     "q159_media_entropy" -> q159MediaEntropy _,
+    "q163_media_headers" -> q163MediaHeaders _,
   )
 
   val oracles: Map[String, String] = Map(
     "q57_media_meta" -> q57Oracle,
     "q58_frame_sample" -> q58Oracle,
     "q159_media_entropy" -> q159Oracle,
+    "q163_media_headers" -> q163Oracle,
   )
 }

@@ -63,4 +63,55 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_._5))
     assert(got.exists(_._6) && got.exists(!_._6))
   }
+
+  test("q163: hand-built PNG/JPEG binary fixtures parse to their real dimensions") {
+    val s = spark
+    import s.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // a REAL 1x1 RGBA PNG header: signature + IHDR (w=1, h=1, depth 8,
+    // color 6) + its true CRC — the canonical bytes any png tool emits
+    val png1x1 = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1F, 0x15, 0xC4, 0x89)
+    // a REAL JFIF prologue: SOI + APP0 (len 16, version 1.1, 1x1 density,
+    // no thumb) + SOF0 (len 17, precision 8, 480 high, 640 wide, 3 comps)
+    val jfif640 = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10,
+      0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, 0x02, 0x80,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    // a JFIF with a LONGER APP0 (len 18): the segment walk, not a fixed
+    // offset, must find SOF0 — 16x32, 12-bit precision
+    val jfif12bit = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x12,
+      0x4A, 0x46, 0x49, 0x46, 0x00, 0x01, 0x01, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x0C, 0x00, 0x20, 0x00, 0x10,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    val corrupt = { val c = png1x1.clone(); c(0) = 0; c }
+    val truncated = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10) // walk runs off the end
+    val got = Multimodal.parseMediaHeaders(
+      Seq(1L -> png1x1, 2L -> jfif640, 3L -> jfif12bit, 4L -> corrupt,
+        5L -> truncated).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got(1L) === (("png", 1L, 1L, 8L)))
+    assert(got(2L) === (("jpeg", 640L, 480L, 8L)))
+    assert(got(3L) === (("jpeg", 16L, 32L, 12L)))
+    assert(got(4L) === (("unknown", -1L, -1L, -1L)))
+    assert(got(5L) === (("unknown", -1L, -1L, -1L)))
+    // the fixture table round-trips: every synthesized payload parses to
+    // the dims it was built from, and only the corrupt rows are unknown
+    val full = Multimodal.q163MediaHeaders(s, sf).collect()
+    assert(full.length === 500)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 17 == 0) assert(r.getString(1) === "unknown", s"doc $id")
+      else assert(r.getString(1) === (if (id % 2 == 0) "png" else "jpeg"),
+        s"doc $id")
+    }
+  }
 }
