@@ -431,12 +431,161 @@ object Versioning {
        |ORDER BY label""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q164
+  /** The release manifest maintained INCREMENTALLY (VERDICT r10 #7 —
+    * q113's incremental-vs-rescan identity applied to the capstone):
+    * manifest(v2) is derived from manifest(v1) plus the q96-shaped diff,
+    * while the ORACLE rescans v2 directly, so the hash-match is a
+    * machine-checked proof that incremental maintenance equals rescan at
+    * MANIFEST granularity.
+    *
+    * The decomposition unit is the SOURCE: every manifest column (per-doc
+    * eligibility, hash split, per-source md5-ordered shard packing) is a
+    * function of one source's docs alone, so a source with zero diff rows
+    * carries its manifest(v1) rows forward VERBATIM, and only touched
+    * sources recompute — the real nightly-release economics, where a
+    * steady-state diff touches a handful of sources and the rebuild cost
+    * is ∝ touched data, not corpus size. (Corpus-GLOBAL stages — dedup
+    * clusters, transitive decontamination — are deliberately outside this
+    * manifest: they are standing assets maintained by their own
+    * incremental jobs (q72/S8/q110), consumed upstream of the release
+    * carve; folding them in would make source-local carry-forward
+    * unsound, which is exactly why q115's full composition stays a
+    * rescan job.)
+    *
+    * The carve routes edits by source (ascii of the source's last char
+    * mod 3): group 0 sources GAIN their doc_id % 11 = 0 docs (absent
+    * from v1), group 1 sources lose doc_id % 7 = 0 docs and edit
+    * doc_id % 3 = 0 docs, group 2 sources are untouched — all four diff
+    * statuses occur, and the carry-forward path is non-vacuous. (The
+    * fixture assigns source = src(doc_id % 20), so the per-class
+    * moduli must be coprime with 20 or a class silently empties —
+    * doc_id % 5 selected ZERO docs of any single source.)
+    *
+    * Scale shape: the diff is q96's ONE full-outer hash-join (64-byte
+    * hashes shuffle, never text); `touched` is a ≤|sources|-row distinct
+    * (broadcast to both manifest joins); the recompute scans only
+    * touched sources' v2 rows; manifest(v1) is recomputed here for
+    * self-containment (q113's discipline) but is the standing manifest
+    * table in production — making the steady-state cost diff + touched,
+    * not a corpus rescan. */
+  private[graft] def manifestOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = docs.select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        (expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1))")
+          - 1).as("b"),
+        md5($"doc_id".cast("string")).as("rand_key"))
+      .filter($"n_tokens" >= 32)
+      .withColumn("split",
+        when($"b" <= 12, "train").when($"b" <= 14, "val").otherwise("test"))
+    val w = Window.partitionBy($"source").orderBy($"rand_key", $"doc_id")
+    val train = m.filter($"split" === "train")
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("shard", expr("(cum_tokens - n_tokens) div 2048"))
+      .select($"doc_id", $"shard", $"cum_tokens")
+    m.join(train, Seq("doc_id"), "left")
+      .select($"doc_id", $"source", $"split", $"n_tokens",
+        coalesce($"shard", lit(-1L)).as("shard"),
+        coalesce($"cum_tokens", lit(-1L)).as("cum_tokens"))
+  }
+
+  /** Sources holding at least one non-unchanged q96 diff row — the
+    * pruning set the incremental job recomputes. NULL-text docs present
+    * in both snapshots compare null-safe EQUAL: such a doc is ineligible
+    * in every manifest, so either classification yields the same rows,
+    * and unchanged skips a pointless source recompute. */
+  private[graft] def diffTouchedSources(v1: DataFrame, v2: DataFrame)
+      : DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
+    v1.select($"doc_id", $"source".as("s1"), lit(1L).as("in1"),
+        sha2($"text", 256).as("h1"))
+      .join(v2.select($"doc_id", $"source".as("s2"), lit(1L).as("in2"),
+        sha2($"text", 256).as("h2")), Seq("doc_id"), "full_outer")
+      .filter($"in1".isNull || $"in2".isNull || !($"h1" <=> $"h2"))
+      .select(coalesce($"s2", $"s1").as("source")).distinct()
+  }
+
+  /** manifest(v1) carried forward for untouched sources ∪ recomputed
+    * rows for touched ones — the incremental identity under test. */
+  private[graft] def incrementalManifest(v1: DataFrame, v2: DataFrame)
+      : DataFrame = {
+    val s = v1.sparkSession
+    import s.implicits._
+    val touched = diffTouchedSources(v1, v2)
+    manifestOf(v1).join(broadcast(touched), Seq("source"), "left_anti")
+      .unionByName(manifestOf(
+        v2.join(broadcast(touched), Seq("source"), "left_semi")))
+      // the USING-join moved the key first; restore the manifest shape
+      .select($"doc_id", $"source", $"split", $"n_tokens", $"shard",
+        $"cum_tokens")
+  }
+
+  private[graft] def carveV164(docs: DataFrame): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val srcmod = ascii(expr("right(source, 1)")) % 3
+    val v1 = docs.filter(!(srcmod === 0 && $"doc_id" % 11 === 0))
+      .select($"doc_id", $"source", $"text")
+    val v2 = docs.filter(!(srcmod === 1 && $"doc_id" % 7 === 0))
+      .select($"doc_id", $"source",
+        when(srcmod === 1 && $"doc_id" % 3 === 0,
+          concat($"text", lit(" rev2"))).otherwise($"text").as("text"))
+    (v1, v2)
+  }
+
+  def q164IncrementalManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (v1, v2) = carveV164(
+      Tables(s, dir, "documents").select($"doc_id", $"source", $"text"))
+    incrementalManifest(v1, v2).orderBy($"doc_id")
+  }
+
+  /** The oracle is the DIRECT v2 manifest rescan — a different
+    * computation than the incremental merge, so the hash-match proves
+    * incremental == rescan (the q113 discipline, at manifest
+    * granularity). */
+  val q164Oracle: String =
+    """WITH v2 AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN (ascii(right(source, 1)) % 3) = 1 AND doc_id % 3 = 0
+      |      THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents
+      |  WHERE NOT ((ascii(right(source, 1)) % 3) = 1 AND doc_id % 7 = 0)),
+      |m AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    strpos('0123456789abcdef',
+      |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS b
+      |  FROM v2),
+      |elig AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CASE WHEN b <= 12 THEN 'train' WHEN b <= 14 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM m WHERE n_tokens >= 32),
+      |train AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |    (CAST(SUM(n_tokens) OVER w AS BIGINT) - n_tokens) // 2048 AS shard
+      |  FROM elig WHERE split = 'train'
+      |  WINDOW w AS (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT e.doc_id, e.source, e.split, e.n_tokens,
+      |  CAST(COALESCE(t.shard, -1) AS BIGINT) AS shard,
+      |  CAST(COALESCE(t.cum_tokens, -1) AS BIGINT) AS cum_tokens
+      |FROM elig e LEFT JOIN train t USING (doc_id)
+      |ORDER BY e.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_snapshot_diff" -> q96SnapshotDiff _,
     "q113_incremental_card" -> q113IncrementalCard _,
     "q122_snapshot_drift" -> q122SnapshotDrift _,
     "q139_scd2_history" -> q139Scd2History _,
     "q149_embedding_drift" -> q149EmbeddingDrift _,
+    "q164_incremental_manifest" -> q164IncrementalManifest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -445,5 +594,6 @@ object Versioning {
     "q122_snapshot_drift" -> q122Oracle,
     "q139_scd2_history" -> q139Oracle,
     "q149_embedding_drift" -> q149Oracle,
+    "q164_incremental_manifest" -> q164Oracle,
   )
 }

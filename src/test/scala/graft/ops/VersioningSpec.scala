@@ -131,6 +131,50 @@ class VersioningSpec extends SparkSpec {
       id % 17 == 0 && to < 3 && from == 1 }, "no gap-terminated run")
   }
 
+  test("q164 incremental manifest == direct rescan across all four diff statuses") {
+    val s = spark
+    import s.implicits._
+    // sources chosen by last-char class: s0 → group 0 (gains), s1 →
+    // group 1 (loses/edits), s2 → group 2 (untouched carry-forward).
+    // 40 tokens clears the eligibility gate; 7 does not.
+    def toks(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (11L, "s0", toks(40, "a")),   // group 0, %11: ADDED in v2
+      (3L,  "s0", toks(40, "b")),   // group 0: unchanged
+      (7L,  "s1", toks(40, "c")),   // group 1, %7: REMOVED in v2
+      (6L,  "s1", toks(40, "d")),   // group 1, %3: CHANGED in v2
+      (8L,  "s1", toks(40, "e")),   // group 1: unchanged
+      (2L,  "s2", toks(40, "f")),   // group 2: carried forward verbatim
+      (22L, "s2", toks(7, "g")),    // group 2: ineligible everywhere
+      (4L,  "s2", null)             // NULL text: ineligible, unchanged
+    ).toDF("doc_id", "source", "text")
+    val (v1, v2) = Versioning.carveV164(docs)
+    // the carve really produces all four statuses
+    val ids1 = v1.select($"doc_id").as[Long].collect().toSet
+    val ids2 = v2.select($"doc_id").as[Long].collect().toSet
+    assert(!ids1.contains(11L) && ids2.contains(11L), "added")
+    assert(ids1.contains(7L) && !ids2.contains(7L), "removed")
+    assert(v2.filter($"doc_id" === 6L).select($"text").as[String].head()
+      .endsWith(" rev2"), "changed")
+    assert(ids1.contains(3L) && ids2.contains(3L), "unchanged present")
+    // the pruning set is derived from the diff, not the carve: only the
+    // sources holding a non-unchanged row recompute
+    val touched = Versioning.diffTouchedSources(v1, v2)
+      .as[String].collect().toSet
+    assert(touched === Set("s0", "s1"), s"touched = $touched")
+    // the identity: carry-forward ∪ recompute equals the direct rescan
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val inc = key(Versioning.incrementalManifest(v1, v2))
+    val direct = key(Versioning.manifestOf(v2))
+    assert(inc === direct)
+    // the untouched source's rows came through (and the short/null docs
+    // of every group stayed out)
+    assert(inc.exists(_._2 == "s2"))
+    assert(!inc.exists(r => r._1 == 22L || r._1 == 4L || r._1 == 7L))
+  }
+
   test("q149 embedding drift: carve masses, TV bounds, the re-embed moves cells") {
     val s = spark
     import s.implicits._
