@@ -1354,6 +1354,184 @@ object TextAnalysis {
       |WHERE n_docs >= 2
       |ORDER BY n_docs DESC, prefix LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q165
+  /** Vocabulary-growth curve (Heaps' law) — the measurement that sizes a
+    * tokenizer's vocabulary and projects OOV rates before training: for
+    * 16 cumulative corpus prefixes (by doc_id), the running token count N
+    * and distinct-vocabulary size V, plus the local Heaps exponent
+    * β ≈ Δlog V / Δlog N between consecutive checkpoints (V ≈ K·N^β;
+    * Heaps 1978; β ~ 0.4–0.6 for natural text — a β drifting toward 1
+    * means the corpus keeps importing novel vocabulary, e.g. unfiltered
+    * code or boilerplate IDs, and the planned vocab will under-cover).
+    * Logs are [[Sql.qlogMilliSpark]] integer milli-bits — libm-free,
+    * bit-identical in any engine (the q141/q159 discipline).
+    *
+    * The curve needs NO per-prefix rescan: each word's contribution to
+    * every prefix is determined by its FIRST occurrence — one
+    * `min(doc_id)` per word — and each doc's token mass by its own
+    * bucket, so the whole curve is two partial-agg shuffles (word-keyed,
+    * then 16-group) + a 16-row cumulative window. That is the
+    * incremental identity vocabulary growth obeys (V at prefix k counts
+    * words whose first doc lands in buckets ≤ k), the same trick q113
+    * uses for cards.
+    *
+    * Scale shape: the explode amplifies ×tokens but collapses in a
+    * map-side-combined min-agg on the word key (the q44/q84 shape); the
+    * bucket roll-ups are ≤16 groups; everything after is a 16-row window.
+    * At 100 TB the word table is the standing vocabulary asset (Heaps:
+    * sublinear in corpus bytes). */
+  def q165VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents")
+    val mx = docs.agg(coalesce(max($"doc_id"), lit(0L)).as("maxd"))
+    // bucket k (1..16) = docs with doc_id in [0, (maxd+1)·k/16): a doc's
+    // bucket and a word's first-occurrence bucket use the SAME rule, so
+    // prefix-k masses and vocabularies are self-consistent by construction
+    val d = docs.crossJoin(broadcast(mx))
+      .select($"doc_id", $"source", $"text", $"maxd",
+        (($"doc_id" * 16).cast("long") / ($"maxd" + 1)).cast("long")
+          .as("bdiv"))
+      .select($"doc_id", $"text", ($"bdiv" + 1).as("bucket"), $"maxd")
+    val massB = d.select($"bucket",
+        size(filter(split($"text", " "), w => length(w) >= 1)).cast("long")
+          .as("n_toks"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("docs_in"), sum($"n_toks").as("occ_in"))
+    val vocabB = d.select($"doc_id", $"maxd",
+        explode(TextFns.tokens($"text")).as("word"))
+      .filter(length($"word") >= 1)
+      .groupBy($"word").agg(min($"doc_id").as("fd"), min($"maxd").as("maxd"))
+      .select(((($"fd" * 16).cast("long") / ($"maxd" + 1)).cast("long") + 1)
+        .as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("vocab_in"))
+    val w = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy($"bucket")
+    massB.join(vocabB, Seq("bucket"), "full_outer")
+      .select($"bucket", coalesce($"docs_in", lit(0L)).as("docs_in"),
+        coalesce($"occ_in", lit(0L)).as("occ_in"),
+        coalesce($"vocab_in", lit(0L)).as("vocab_in"))
+      .withColumn("n_docs", sum($"docs_in").over(w))
+      .withColumn("n_occ", sum($"occ_in").over(w))
+      .withColumn("vocab", sum($"vocab_in").over(w))
+      .withColumn("qv", expr(Sql.qlogMilliSpark("vocab")))
+      .withColumn("qn", expr(Sql.qlogMilliSpark("n_occ")))
+      .withColumn("beta_milli",
+        expr("((qv - lag(qv, 1) over (order by bucket)) * 1000) div " +
+          "nullif(qn - lag(qn, 1) over (order by bucket), 0)"))
+      .select($"bucket", $"n_docs", $"n_occ", $"vocab", $"beta_milli")
+      .orderBy($"bucket")
+  }
+
+  val q165Oracle: String =
+    s"""WITH mx AS (SELECT COALESCE(MAX(doc_id), 0) AS maxd FROM documents),
+       |d AS (
+       |  SELECT doc_id, text, (doc_id * 16) // (maxd + 1) + 1 AS bucket, maxd
+       |  FROM documents, mx),
+       |mass AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS docs_in,
+       |    CAST(COALESCE(SUM(len(list_filter(string_split(text, ' '),
+       |      w -> len(w) >= 1))), 0) AS BIGINT) AS occ_in
+       |  FROM d GROUP BY bucket),
+       |voc AS (
+       |  SELECT (MIN(doc_id) * 16) // (MIN(maxd) + 1) + 1 AS bucket
+       |  FROM (SELECT doc_id, maxd, unnest(string_split(text, ' ')) AS word
+       |        FROM d)
+       |  WHERE len(word) >= 1 GROUP BY word),
+       |vb AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS vocab_in
+       |  FROM voc GROUP BY bucket),
+       |cum AS (
+       |  SELECT COALESCE(mass.bucket, vb.bucket) AS bucket,
+       |    CAST(SUM(COALESCE(docs_in, 0)) OVER w AS BIGINT) AS n_docs,
+       |    CAST(SUM(COALESCE(occ_in, 0)) OVER w AS BIGINT) AS n_occ,
+       |    CAST(SUM(COALESCE(vocab_in, 0)) OVER w AS BIGINT) AS vocab
+       |  FROM mass FULL OUTER JOIN vb ON mass.bucket = vb.bucket
+       |  WINDOW w AS (ORDER BY COALESCE(mass.bucket, vb.bucket)
+       |    ROWS UNBOUNDED PRECEDING)),
+       |ql AS (
+       |  SELECT bucket, n_docs, n_occ, vocab,
+       |    ${Sql.qlogMilliDuck("vocab")} AS qv,
+       |    ${Sql.qlogMilliDuck("n_occ")} AS qn
+       |  FROM cum)
+       |SELECT bucket, n_docs, n_occ, vocab,
+       |  ((qv - lag(qv) OVER (ORDER BY bucket)) * 1000)
+       |    // NULLIF(qn - lag(qn) OVER (ORDER BY bucket), 0) AS beta_milli
+       |FROM ql ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q166
+  /** Per-source length-profile KL divergence — the metadata-leakage audit
+    * a curation pipeline runs before trusting a "quality" classifier or a
+    * balanced sampler: KL(p(bucket|source) ‖ p(bucket)) in milli-bits,
+    * over the SAME 32-token length buckets the pipeline's histograms
+    * already maintain (q95/q106/q122 — the gate cannot disagree with the
+    * histograms). A source with KL ≈ 0 is length-indistinguishable from
+    * the corpus; a high-KL source is exactly the one a length-correlated
+    * filter silently over- or under-samples (and the source-weighted mean
+    * of this column IS the mutual information I(source; length)).
+    * Integer discipline: each term is c_sb·(qlog c_sb + qlog N − qlog c_s
+    * − qlog c_b) in milli-bits (counts are int64; [[Sql.qlogMilliSpark]]);
+    * the terminal ÷ c_s truncates TOWARD ZERO spelled explicitly on both
+    * sides, because quantized KL can go slightly negative and Spark `div`
+    * (truncate) disagrees with DuckDB `//` (floor) there.
+    *
+    * Scale shape: ONE corpus scan folds to the ≤ 256·|sources|-row
+    * histogram (map-side combine — the q95 contract); the three marginals
+    * are window sums OVER that histogram (no second scan); the KL fold is
+    * a |sources|-group agg of histogram rows. At 100 TB the input is the
+    * S12-maintained standing histogram — pure metadata arithmetic. */
+  def q166LengthKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables(s, dir, "documents")
+      .select($"source",
+        least(size(split($"text", " ")).cast("long") / 32, lit(255L))
+          .cast("long").as("bucket"))
+      .filter($"bucket".isNotNull)
+      .groupBy($"source", $"bucket").agg(count(lit(1)).as("c"))
+    val wS = Window.partitionBy($"source")
+    val wB = Window.partitionBy($"bucket")
+    val wAll = Window.partitionBy()
+    hist
+      .withColumn("c_s", sum($"c").over(wS))
+      .withColumn("c_b", sum($"c").over(wB))
+      .withColumn("n", sum($"c").over(wAll))
+      .withColumn("term",
+        $"c" * (expr(Sql.qlogMilliSpark("c")) + expr(Sql.qlogMilliSpark("n"))
+          - expr(Sql.qlogMilliSpark("c_s")) - expr(Sql.qlogMilliSpark("c_b"))))
+      .groupBy($"source", $"c_s")
+      .agg(sum($"term").as("kl_num"))
+      .select($"source", $"c_s".as("n_docs"), $"kl_num",
+        // truncation toward zero, spelled identically in both engines
+        when($"kl_num" >= 0, expr("kl_num div c_s"))
+          .otherwise(-expr("(-kl_num) div c_s")).as("kl_milli"))
+      .orderBy($"source")
+  }
+
+  val q166Oracle: String =
+    s"""WITH hist AS (
+       |  SELECT source,
+       |    LEAST(len(string_split(text, ' ')) // 32, 255) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) IS NOT NULL
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT source, bucket, c,
+       |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS c_s,
+       |    CAST(SUM(c) OVER (PARTITION BY bucket) AS BIGINT) AS c_b,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS n
+       |  FROM hist),
+       |terms AS (
+       |  SELECT source, c_s,
+       |    CAST(SUM(c * (${Sql.qlogMilliDuck("c")} + ${Sql.qlogMilliDuck("n")}
+       |      - ${Sql.qlogMilliDuck("c_s")} - ${Sql.qlogMilliDuck("c_b")}))
+       |      AS BIGINT) AS kl_num
+       |  FROM m GROUP BY source, c_s)
+       |SELECT source, c_s AS n_docs, kl_num,
+       |  CASE WHEN kl_num >= 0 THEN kl_num // c_s
+       |       ELSE -((-kl_num) // c_s) END AS kl_milli
+       |FROM terms ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -1378,6 +1556,8 @@ object TextAnalysis {
     "q112_winnow_fingerprints" -> q112WinnowFingerprints _,
     "q117_memorization_risk" -> q117MemorizationRisk _,
     "q144_prefix_cache" -> q144PrefixCache _,
+    "q165_vocab_growth" -> q165VocabGrowth _,
+    "q166_length_kl" -> q166LengthKl _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1404,5 +1584,7 @@ object TextAnalysis {
     "q112_winnow_fingerprints" -> q112Oracle,
     "q117_memorization_risk" -> q117Oracle,
     "q144_prefix_cache" -> q144Oracle,
+    "q165_vocab_growth" -> q165Oracle,
+    "q166_length_kl" -> q166Oracle,
   )
 }

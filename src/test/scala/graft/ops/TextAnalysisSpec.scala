@@ -508,4 +508,89 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(got.map(_._2).filter(_.nonEmpty) === local.toSeq)
   }
+
+  // the engine's piecewise-linear integer log2 in milli-bits, local copy
+  private def qlogM(x: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (bits - 1)
+    (bits - 1) * 1000L + (x - p) * 1000L / p
+  }
+
+  test("q165 vocab growth: Heaps curve equals a local fold on a growing corpus") {
+    val s = spark
+    import s.implicits._
+    // doc i has i+1 tokens and introduces exactly one new word — vocab
+    // grows linearly while occurrences grow quadratically, so beta is
+    // strictly between 0 and 1000 and the curve is non-degenerate
+    // (unlike the 31-word driver fixture, where beta reads 0)
+    val docs = (0L until 32L).map(i =>
+      (i, (Seq.fill(i.toInt)("w") :+ s"new$i").mkString(" ")))
+    val dir = writeDocs(docs)
+    val got = TextAnalysis.q165VocabGrowth(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4))).toSeq
+    // local fold of the same definitions
+    val maxd = 31L
+    def bucket(id: Long) = id * 16 / (maxd + 1) + 1
+    val byB = docs.groupBy { case (id, _) => bucket(id) }
+    val firstB = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(_ -> id) }
+      .groupBy(_._1).map { case (_, v) => bucket(v.map(_._2).min) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var (nd, no, nv) = (0L, 0L, 0L)
+    var prev: Option[(Long, Long)] = None
+    val local = (1L to 16L).map { b =>
+      nd += byB.get(b).map(_.size.toLong).getOrElse(0L)
+      no += byB.get(b).map(_.map(_._2.split(" ").count(_.nonEmpty).toLong).sum)
+        .getOrElse(0L)
+      nv += firstB.getOrElse(b, 0L)
+      val beta = prev match {
+        case Some((pv, pn)) if qlogM(no) - pn != 0 =>
+          (qlogM(nv) - pv) * 1000 / (qlogM(no) - pn)
+        case _ => Long.MinValue
+      }
+      prev = Some((qlogM(nv), qlogM(no)))
+      (b, nd, no, nv, beta)
+    }
+    assert(got === local)
+    // the curve is real: vocabulary strictly grows and beta lands in a
+    // plausible Heaps band on this corpus
+    assert(got.map(_._4).distinct.size === 16)
+    assert(got.drop(1).forall(r => r._5 > 0 && r._5 < 1000), got.toString)
+  }
+
+  test("q166 length KL equals a local integer fold; distinct profiles read higher") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-kl-").toString
+    def mk(n: Int, tag: String) = Seq.fill(n)(tag).mkString(" ")
+    // src short: all docs in bucket 0; src long: all in bucket 3;
+    // src mix: spread across both — closest to the corpus marginal
+    val rows = (0L until 10L).map(i => (i, "short", mk(8, "s"))) ++
+      (10L until 20L).map(i => (i, "long", mk(100, "l"))) ++
+      (20L until 30L).map(i =>
+        (i, "mix", if (i % 2 == 0) mk(8, "m") else mk(100, "m")))
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    val got = TextAnalysis.q166LengthKl(s, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // local fold with the same quantized logs
+    val hist = rows.groupBy(r => (r._2, math.min(r._3.split(" ").length / 32, 255)))
+      .view.mapValues(_.size.toLong).toMap
+    val cs = hist.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cb = hist.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = hist.values.sum
+    val local = cs.keys.map { src =>
+      val num = hist.collect { case ((s0, b), c) if s0 == src =>
+        c * (qlogM(c) + qlogM(n) - qlogM(cs(src)) - qlogM(cb(b))) }.sum
+      val milli = if (num >= 0) num / cs(src) else -((-num) / cs(src))
+      src -> ((cs(src), num, milli))
+    }.toMap
+    assert(got === local)
+    // the mixed source tracks the corpus marginal; the skewed ones leak
+    assert(got("mix")._3 < got("short")._3 && got("mix")._3 < got("long")._3)
+  }
 }
