@@ -598,7 +598,8 @@ object StreamBench {
       qualityGate: Option[SeamResult],
       serve: Option[SeamResult],
       encode: Option[SeamResult],
-      sessions: Option[SeamResult]) {
+      sessions: Option[SeamResult],
+      windowDedup: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -618,7 +619,8 @@ object StreamBench {
         "drift" -> drift, "exact_decontam" -> exactDecontam,
         "shards" -> shards, "quality_gate" -> qualityGate,
         "serve" -> serve, "encode" -> encode,
-        "sessions" -> sessions).map { case (k, v) =>
+        "sessions" -> sessions,
+        "window_dedup" -> windowDedup).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -652,7 +654,43 @@ object StreamBench {
       guarded("qualitygate")(measureQualityGate(spark, sfDir)),
       guarded("serve")(measureServe(spark, sfDir)),
       guarded("encode")(measureEncode(spark, sfDir)),
-      guarded("sessions")(measureSessions(spark, sfDir)))
+      guarded("sessions")(measureSessions(spark, sfDir)),
+      guarded("windowdedup")(measureWindowDedup(spark, sfDir)))
+  }
+
+  /** S23 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.DedupWindowStream]]'s watermark-bounded
+    * exact dedup — docs/sec through the state-store suppression seam.
+    * Event times are synthesized inside one watermark window (base +
+    * doc_id ms), so every exact-duplicate text in the fixture is
+    * suppressed by STATE, not by luck of batching. `clean` = kept
+    * uniques (= distinct texts when the run is single-window). */
+  def measureWindowDedup(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-windowdedup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text",
+        expr("timestamp_millis(1700000000000 + doc_id)").as("ts"))
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("doc_id long, text string, ts timestamp").parquet(incoming)
+    val q = streaming.DedupWindowStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:windowdedup] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val kept = spark.read.parquet(s"$root/unique").count()
+      SeamResult(n / secs, n, kept, secs)
+    }
   }
 
   /** The full streambench object for the round artifact. */
