@@ -457,7 +457,10 @@ object SuffixIndex {
     * doc (those where `setSide` is false), the max token-LCP of any of
     * its suffixes against the suffixes of docs where `setSide` is true.
     * `setSide` is a predicate on doc_id. */
-  private def lcsScan(s: SparkSession, dir: String,
+  /** Per-POSITION nearest-set LCP — the scan core of q134/q135 factored
+    * so q167's surgical span excision can consume position-level leak
+    * lengths (doc_id, pos, lcp) before the per-doc max collapses them. */
+  private[graft] def positionLcs(s: SparkSession, dir: String,
       setSide: Column => Column): DataFrame = {
     import s.implicits._
     val enc = 1048576L
@@ -511,12 +514,18 @@ object SuffixIndex {
         (x, y) => coalesce(x === y, lit(false)))
       coalesce(nullif(array_position(eq, false), lit(0L)) - 1L, m.cast("long"))
     }
-    val perDoc = j.select($"doc_id", greatest(
+    j.select($"doc_id", $"pos", greatest(
         coalesce(when($"pdoc".isNotNull, lcpOf($"tp", $"ppos")), lit(0L)),
         coalesce(when($"ndoc".isNotNull, lcpOf($"tn", $"npos")), lit(0L)))
         .as("lcp"))
+  }
+
+  private def lcsScan(s: SparkSession, dir: String,
+      setSide: Column => Column): DataFrame = {
+    import s.implicits._
+    val perDoc = positionLcs(s, dir, setSide)
       .groupBy($"doc_id").agg(max($"lcp").as("lcs"))
-    docs.filter(!setSide($"doc_id"))
+    tokDocs(s, dir).filter(!setSide($"doc_id"))
       .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left_outer")
       .select($"doc_id", $"n_tokens",
@@ -625,8 +634,93 @@ object SuffixIndex {
     r
   }
 
+  // --------------------------------------------------------------- q167
+  /** Surgical span excision — what a curator DOES with q134's finding
+    * (Lee et al. 2022 §4 drop whole duplicated spans, not documents):
+    * instead of discarding every contaminated document, cut out exactly
+    * the leaked token ranges and keep the rest. Position p with
+    * nearest-eval LCP ≥ 8 leaks tokens [p, p + lcp); a token t is cut
+    * iff ANY earlier-or-equal position reaches past it — computed as ONE
+    * running max of reach = p + lcp per doc (never a per-span explode,
+    * whose union is O(L²) on a fully-leaked doc), then merged-span
+    * counting via a lag on the cut flag. Output per corpus doc: token
+    * accounting plus sha256 of the scrubbed text (the full rewrite is
+    * the production artifact; the hash is the oracle-comparable
+    * witness).
+    *
+    * Scale shape: the corpus-scale work is the registered q134 scan
+    * ([[positionLcs]] — shared code, the two-level distributed prefix
+    * scan); everything after is doc-partitioned windows + one
+    * groupBy(doc_id) rebuild, i.e. O(tokens) with no new exchange
+    * beyond the doc key. */
+  def q167SpanScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val span = Dedup.SpanTokens.toLong
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val wCum = wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flags = positionLcs(s, dir, d => d % 97 === 0)
+      .withColumn("reach",
+        when($"lcp" >= span, $"pos" + $"lcp").otherwise(lit(0L)))
+      .withColumn("cut", max($"reach").over(wCum) > $"pos")
+      .withColumn("span_start",
+        when($"cut" && !coalesce(lag($"cut", 1).over(wDoc), lit(false)), 1L)
+          .otherwise(0L))
+    val toks = tokDocs(s, dir).filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", posexplode($"toks").as(Seq("p0", "tok")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"tok")
+    toks
+      .join(flags.select($"doc_id", $"pos", $"cut", $"span_start"),
+        Seq("doc_id", "pos"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"cut", 1L).otherwise(0L)).as("removed_tokens"),
+        sum($"span_start").as("n_spans"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!$"cut", struct($"pos", $"tok")))),
+          x => x.getField("tok"))).as("scrubbed"))
+      .select($"doc_id", $"n_tokens", $"removed_tokens", $"n_spans",
+        sha2($"scrubbed", 256).as("scrubbed_sha"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle surgery on q134's SQL (the q135 discipline — REQUIREd so an
+    * upstream edit cannot silently no-op it): expose the per-position
+    * LCP, then replace the per-doc max with the cut/rebuild pipeline. */
+  val q167Oracle: String = {
+    val cutAt = q134Oracle.indexOf("agg AS (")
+    require(cutAt > 0, "q167 oracle surgery: agg CTE not found in q134Oracle")
+    val head0 = q134Oracle.substring(0, cutAt)
+    val head = head0.replace("SELECT c.doc_id, GREATEST(",
+      "SELECT c.doc_id, c.pos, GREATEST(")
+    require(head != head0, "q167 oracle surgery: pos projection no-op")
+    head + s"""flags AS (
+       |  SELECT doc_id, pos,
+       |    MAX(CASE WHEN lcp >= ${Dedup.SpanTokens} THEN pos + lcp ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |      > pos AS cut
+       |  FROM lc),
+       |marked AS (
+       |  SELECT doc_id, pos, cut,
+       |    CASE WHEN cut AND NOT lag(cut, 1, false)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) THEN 1 ELSE 0 END
+       |      AS span_start
+       |  FROM flags)
+       |SELECT m.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN m.cut THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS removed_tokens,
+       |  CAST(SUM(m.span_start) AS BIGINT) AS n_spans,
+       |  sha256(COALESCE(string_agg(
+       |    CASE WHEN NOT m.cut THEN t.tokens[m.pos] END, ' ' ORDER BY m.pos),
+       |    '')) AS scrubbed_sha
+       |FROM marked m JOIN tok t USING (doc_id)
+       |GROUP BY m.doc_id
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_eval_lcs" -> q134EvalLcs _,
+    "q167_span_scrub" -> q167SpanScrub _,
     "q135_eval_exposure" -> q135EvalExposure _,
     "q130_suffix_rank" -> q130SuffixRank _,
     "q131_suffix_stats" -> q131SuffixStats _,
@@ -636,6 +730,7 @@ object SuffixIndex {
 
   val oracles: Map[String, String] = Map(
     "q134_eval_lcs" -> q134Oracle,
+    "q167_span_scrub" -> q167Oracle,
     "q135_eval_exposure" -> q135Oracle,
     "q130_suffix_rank" -> q130Oracle,
     "q131_suffix_stats" -> q131Oracle,

@@ -263,6 +263,41 @@ class SuffixIndexSpec extends SparkSpec {
     assert(SuffixIndex.globalSuffixRanks(s, ok).count() === 4L)
   }
 
+  test("q167 span scrub: planted leaks cut exactly, overlaps merge, full wipe hashes empty") {
+    val s = spark
+    import s.implicits._
+    def sha(t: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val E = (1 to 10).map(i => s"E$i").mkString(" ") // the eval document
+    val dir = writeDocs(Seq(
+      97L -> E,                                  // eval slice (97 % 97 = 0)
+      1L -> s"a b ${(1 to 8).map(i => s"E$i").mkString(" ")} c d", // 8-leak mid-doc
+      2L -> s"x ${(3 to 10).map(i => s"E$i").mkString(" ")} y",    // 8-leak suffix carve
+      3L -> "m n o",                             // clean
+      4L -> s"$E z",                             // overlapping leaks merge to one span
+      5L -> E,                                   // exact eval twin: full wipe
+      6L -> s"p ${(1 to 7).map(i => s"E$i").mkString(" ")} q"      // 7 < threshold
+    ))
+    val got = SuffixIndex.q167SpanScrub(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L)) // eval doc not scored
+    assert(got(1L) === ((12L, 8L, 1L, sha("a b c d"))))
+    assert(got(2L) === ((10L, 8L, 1L, sha("x y"))))
+    assert(got(3L) === ((3L, 0L, 0L, sha("m n o"))))
+    assert(got(4L) === ((11L, 10L, 1L, sha("z"))))
+    assert(got(5L) === ((10L, 10L, 1L, sha(""))))
+    assert(got(6L) === ((9L, 0L, 0L,
+      sha(s"p ${(1 to 7).map(i => s"E$i").mkString(" ")} q"))))
+    // consistency with q134 on the same fixture: a doc is cut iff flagged
+    val flagged = SuffixIndex.q134EvalLcs(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    got.foreach { case (id, (_, rem, _, _)) =>
+      assert(flagged(id) === (rem > 0L), s"doc $id cut/flag disagree")
+    }
+  }
+
   test("q131: driver-fixture invariants (bounds, repeat iff lrs > 0)") {
     val s = spark
     import s.implicits._
