@@ -118,6 +118,11 @@ object PlanAudit {
     "q161_dup_weights" -> "duplicate-aware loss weights: one left join of the corpus against the standing CC labels asset on doc_id, a cluster-keyed partial-agg size count, a join back on cluster — every exchange an 8-byte key; weight arithmetic map-side int64",
     "q162_family_shards" -> "family-aware shard routing: one left join against the standing CC labels on doc_id; both shard assignments are map-side hash projections; each census is a (shard, family) partial agg then a ≤NShards-row rollup; the final shard join is metadata-sized",
     "q160_session_attribution" -> "first-touch attribution: lag, the running boundary sum, and the per-session first_value window all partition on (or under) user_id — ONE data exchange serves all three; the entry-type roll-up is an |event-types|-group partial agg and the distinct-session count clusters on the same user hash",
+    "q163_media_headers" -> "container-header introspection: pure map-side projection (scan → project, zero exchange, whole-stage codegen'd); only the header PREFIX of each hex string is touched — substr/conv at PNG's fixed IHDR offsets, JPEG's SOF found by the APP0 segment-length walk (a per-row offset, not a constant) — so cost is O(header), not O(payload)",
+    "q164_incremental_manifest" -> "incremental release manifest: the diff is ONE full-outer hash-join on doc_id (64-byte hashes shuffle, never text); `touched` is a ≤|sources|-row distinct BROADCAST to both manifest joins (anti for carry-forward, semi for recompute), so the steady-state cost is diff + touched-source data, never a corpus rescan; the packing window runs per touched source only",
+    "q165_vocab_growth" -> "Heaps curve: the explode collapses in a map-side-combined min-agg on the word key (the q44/q84 shape — a word's curve contribution IS its first occurrence, so no per-prefix rescan exists anywhere); both roll-ups are ≤16 groups; the beta arithmetic is a 16-row window in integer milli-bits",
+    "q166_length_kl" -> "length-profile KL: ONE corpus scan folds to the ≤256·|sources|-row histogram (map-side combine, the q95 contract); all three marginals are window sums OVER the histogram — no second scan; the KL fold is a |sources|-group agg with integer qlog terms and a toward-zero terminal division spelled identically in both engines",
+    "q167_span_scrub" -> "surgical span excision: corpus-scale work is the registered q134 scan (positionLcs, shared verbatim); the cut decision is ONE running max of reach = pos + lcp per doc (never a per-span explode — a fully-leaked doc would make the span union O(L²)); merged-span counting is a lag on the cut flag; the rebuild is one groupBy(doc_id) on the same clustering",
   )
 
   def main(args: Array[String]): Unit = {
