@@ -103,10 +103,18 @@ object ExactDecontamStream {
   private[streaming] def gradeBatch(s: SparkSession, batch: DataFrame,
       evalKeys: DataFrame): DataFrame = {
     import s.implicits._
+    // localCheckpoint pins ONE execution of the range exchange: `b` feeds
+    // both the scan and the per-partition summary, and spark_partition_id
+    // is only meaningful if every consumer sees the SAME partition
+    // assignment — two independent executions of a sampled range
+    // partitioner may draw different boundaries, making the carry
+    // inconsistent with the scan (observed under full-suite load as an
+    // off-by-one LCS). Bounded by the micro-batch + eval keys.
     val b = suffixKeys(batch).withColumn("is_eval", lit(false))
       .unionByName(evalKeys.withColumn("is_eval", lit(true)))
       .repartitionByRange(RangeParts, $"key", $"tie")
       .withColumn("pid", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
     val evalKey = when($"is_eval", struct($"key"))
     val wPrev = Window.partitionBy($"pid").orderBy($"key", $"tie")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
