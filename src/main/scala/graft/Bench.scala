@@ -292,7 +292,12 @@ object Bench {
     // 0-decimal floor (run-to-run noise at this scale is well above 1s
     // for every query that would round to 0 anyway). Each rung preserves
     // the driver-parsed schema: {"metric","value","unit","queries","sf"}.
-    val tailBudget = 1900
+    // SPARK_GRAFT_BENCH_TAIL_BUDGET exists to exercise the lower rungs in
+    // a cheap subset run (the driver never sets it); guarded like the
+    // other env knobs — a bad value degrades to the default.
+    val tailBudget = math.max(50, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900").toInt)
+      .getOrElse(1900))
     val ladder = Seq((3, false), (2, false), (1, false), (1, true), (0, true))
     val (line, rung) = ladder.iterator
       .map { case (d, sq) => (queryLine(d, sq), (d, sq)) }
