@@ -123,6 +123,8 @@ object PlanAudit {
     "q165_vocab_growth" -> "Heaps curve: the explode collapses in a map-side-combined min-agg on the word key (the q44/q84 shape — a word's curve contribution IS its first occurrence, so no per-prefix rescan exists anywhere); both roll-ups are ≤16 groups; the beta arithmetic is a 16-row window in integer milli-bits",
     "q166_length_kl" -> "length-profile KL: ONE corpus scan folds to the ≤256·|sources|-row histogram (map-side combine, the q95 contract); all three marginals are window sums OVER the histogram — no second scan; the KL fold is a |sources|-group agg with integer qlog terms and a toward-zero terminal division spelled identically in both engines",
     "q167_span_scrub" -> "surgical span excision: corpus-scale work is the registered q134 scan (positionLcs, shared verbatim); the cut decision is ONE running max of reach = pos + lcp per doc (never a per-span explode — a fully-leaked doc would make the span union O(L²)); merged-span counting is a lag on the cut flag; the rebuild is one groupBy(doc_id) on the same clustering",
+    "q168_pack_leakage" -> "pack-leakage audit: the pair sets are cluster-keyed self-joins (Σk²-bounded, collision-proportional — the q51 contract); pack membership is the q147 cum-sum window per routing (partitioned by the audited shard); everything aggregates to TWO rows — the audit is metadata-sized at any corpus scale once the pair graph exists",
+    "q169_best_rep" -> "quality-aware representative election: one join of the standing CC labels against the q42 score projection on doc_id; each election is one window / one min-agg over family-sized groups; output is |families| rows — the re-election costs one labels-sized pass, never a corpus rescan",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1689,6 +1689,187 @@ object Curation {
        |ORDER BY shard""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q168
+  /** Pack-adjacency leakage audit — the tension between q162 and q147
+    * made measurable: family-aware shard routing (q162) deliberately
+    * CONCENTRATES near-dup twins into one shard so shard-local dedup and
+    * eval carves stay globally valid, but the packer (q147) then draws
+    * from that same shard stream, so twins have a materially higher
+    * chance of landing in the SAME packed context window — where a
+    * causal LM sees a near-copy of its context as its continuation (a
+    * memorization amplifier) and in-batch contrastive negatives silently
+    * become positives. The audit counts, under BOTH routings, the
+    * family pairs that share a shard and the pairs that share a packed
+    * sequence: under family routing same_shard == family_pairs by
+    * construction (the q162 invariant, re-observed here), and the
+    * same_seq column is the price paid for it — the number a pipeline
+    * weighs against the dedup-visibility benefit before choosing its
+    * routing (or adds a family-aware packer to fix).
+    *
+    * Plan shape: the pair sets are cluster-keyed self-joins
+    * (Σ k²-bounded — collision-proportional, the q51 contract); pack
+    * membership is the q147 cum-sum machinery (one window per routing,
+    * partitioned by the shard being audited); everything aggregates to
+    * TWO rows. */
+  def q168PackLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seqLen = 256L
+    val labels = Dedup.cachedDupLabels(s, dir)
+    val base = Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFns.tokens($"text")).cast("long").as("dl"),
+        shardKey($"doc_id").as("rand_key"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("family", coalesce($"cluster", $"doc_id"))
+    val famPairs = labels.groupBy($"cluster").agg(count(lit(1)).as("k"))
+      .agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L))
+        .as("family_pairs"))
+    def audit(routed: DataFrame, routing: String): DataFrame = {
+      val w = Window.partitionBy($"shard").orderBy($"rand_key", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mem = routed
+        .withColumn("ce", sum($"dl").over(w))
+        .withColumn("cs", $"ce" - $"dl")
+        .withColumn("seq_idx",
+          explode(expr(s"sequence(cs div $seqLen, (ce - 1) div $seqLen)")))
+        .filter($"cluster".isNotNull)
+        .select($"shard", $"seq_idx", $"cluster", $"doc_id")
+      val seqPairs = mem.as("a").join(mem.as("b"),
+          $"a.shard" === $"b.shard" && $"a.seq_idx" === $"b.seq_idx" &&
+            $"a.cluster" === $"b.cluster" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .distinct().agg(count(lit(1)).as("same_seq_pairs"))
+      val sh = routed.filter($"cluster".isNotNull)
+        .select($"shard", $"cluster", $"doc_id")
+      val shardPairs = sh.as("a").join(sh.as("b"),
+          $"a.shard" === $"b.shard" && $"a.cluster" === $"b.cluster" &&
+            $"a.doc_id" < $"b.doc_id")
+        .agg(count(lit(1)).as("same_shard_pairs"))
+      famPairs.crossJoin(shardPairs).crossJoin(seqPairs)
+        .select(lit(routing).as("routing"), $"family_pairs",
+          $"same_shard_pairs", $"same_seq_pairs")
+    }
+    audit(base.withColumn("shard", shardOf($"rand_key", NShards)), "doc")
+      .unionByName(audit(
+        base.withColumn("shard", shardOf(shardKey($"family"), NShards)),
+        "family"))
+      .orderBy($"routing")
+  }
+
+  val q168Oracle: String = {
+    val dshard = Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 64)
+    val fshard = Sql.pmod(Sql.djb2("md5(CAST(family AS VARCHAR))"), 64)
+    def side(shardExpr: String, routing: String): String =
+      s"""SELECT '$routing' AS routing,
+         |  (SELECT fp FROM fampairs) AS family_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT)
+         |   FROM (SELECT $shardExpr AS shard, cluster, doc_id FROM fam
+         |         WHERE cluster IS NOT NULL) a
+         |   JOIN (SELECT $shardExpr AS shard, cluster, doc_id FROM fam
+         |         WHERE cluster IS NOT NULL) b
+         |     ON a.shard = b.shard AND a.cluster = b.cluster
+         |        AND a.doc_id < b.doc_id) AS same_shard_pairs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+         |     SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |     FROM (SELECT * FROM mem_$routing WHERE cluster IS NOT NULL) a
+         |     JOIN (SELECT * FROM mem_$routing WHERE cluster IS NOT NULL) b
+         |       ON a.shard = b.shard AND a.seq_idx = b.seq_idx
+         |          AND a.cluster = b.cluster AND a.doc_id < b.doc_id))
+         |    AS same_seq_pairs""".stripMargin
+    def mem(shardExpr: String, routing: String): String =
+      s"""mem_$routing AS (
+         |  SELECT shard, cluster, doc_id, ce - dl AS cs, ce,
+         |    unnest(range((ce - dl) // 256, (ce - 1) // 256 + 1)) AS seq_idx
+         |  FROM (
+         |    SELECT $shardExpr AS shard, cluster, doc_id, dl,
+         |      CAST(SUM(dl) OVER (PARTITION BY $shardExpr
+         |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce
+         |    FROM fam))""".stripMargin
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder.replace("\n", "\n  ")}),
+       |fam AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS dl,
+       |    cc.cluster, COALESCE(cc.cluster, d.doc_id) AS family
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |fampairs AS (
+       |  SELECT CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT) AS fp
+       |  FROM (SELECT COUNT(*) AS k FROM fam
+       |        WHERE cluster IS NOT NULL GROUP BY cluster)),
+       |${mem(dshard, "doc")},
+       |${mem(fshard, "family")}
+       |${side(dshard, "doc")}
+       |UNION ALL
+       |${side(fshard, "family")}
+       |ORDER BY routing""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q169
+  /** Quality-aware representative election — the upgrade production
+    * dedup applies to q62's min-doc_id rule: within each near-dup
+    * family, KEEP THE BEST COPY (argmax q42 quality score, doc_id
+    * tie-break), because near-dup families routinely mix a clean
+    * original with truncated/boilerplate-wrapped variants, and electing
+    * by id keeps whichever crawled first. One row per multi-member
+    * family: both elections side by side, whether they differ, and the
+    * score gained — the corpus-quality delta that justifies (or not)
+    * re-running dedup with the smarter rule.
+    *
+    * Plan shape: one join of the standing CC labels against the q42
+    * score projection on doc_id; both elections are ONE window
+    * (row_number per family under each order) over family-sized groups;
+    * output is |families| rows. Scores are the q42 doubles — computed
+    * by the identical expression in both engines (the q42 hash-match),
+    * so the argmax and the emitted deltas are bit-stable. */
+  def q169BestRep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextAnalysis.qualityScored(Tables(s, dir, "documents"))
+      .select($"doc_id", $"quality_score")
+    val m = Dedup.cachedDupLabels(s, dir).join(scored, "doc_id")
+    val wBest = Window.partitionBy($"cluster")
+      .orderBy($"quality_score".desc, $"doc_id")
+    val best = m.withColumn("rn", row_number().over(wBest))
+      .filter($"rn" === 1)
+      .select($"cluster", $"doc_id".as("rep_best"),
+        $"quality_score".as("best_score"))
+    val byMin = m.groupBy($"cluster")
+      .agg(count(lit(1)).as("family_size"), min($"doc_id").as("rep_min"))
+    byMin.join(best, "cluster")
+      .join(scored.select($"doc_id".as("rep_min"),
+        $"quality_score".as("min_rep_score")), "rep_min")
+      .filter($"family_size" >= 2)
+      .select($"cluster", $"family_size", $"rep_min", $"rep_best",
+        ($"rep_best" =!= $"rep_min").as("changed"),
+        $"min_rep_score", $"best_score",
+        ($"best_score" - $"min_rep_score").as("gain"))
+      .orderBy($"cluster")
+  }
+
+  val q169Oracle: String =
+    s"""WITH cc AS (${Dedup.q60OracleNoOrder.replace("\n", "\n  ")}),
+       |q AS (SELECT doc_id, quality_score
+       |  FROM (${TextAnalysis.q42OracleNoOrder.replace("\n", "\n  ")})),
+       |m AS (SELECT cc.cluster, cc.doc_id, q.quality_score
+       |  FROM cc JOIN q USING (doc_id)),
+       |best AS (
+       |  SELECT cluster, doc_id AS rep_best, quality_score AS best_score
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+       |          ORDER BY quality_score DESC, doc_id) AS rn FROM m)
+       |  WHERE rn = 1),
+       |bymin AS (
+       |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS family_size,
+       |    MIN(doc_id) AS rep_min
+       |  FROM m GROUP BY cluster)
+       |SELECT b.cluster, b.family_size, b.rep_min, t.rep_best,
+       |  t.rep_best <> b.rep_min AS changed,
+       |  mq.quality_score AS min_rep_score, t.best_score,
+       |  t.best_score - mq.quality_score AS gain
+       |FROM bymin b
+       |JOIN best t USING (cluster)
+       |JOIN q mq ON mq.doc_id = b.rep_min
+       |WHERE b.family_size >= 2
+       |ORDER BY b.cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1717,6 +1898,8 @@ object Curation {
     "q156_dsir_weights" -> q156DsirWeights _,
     "q161_dup_weights" -> q161DupWeights _,
     "q162_family_shards" -> q162FamilyShards _,
+    "q168_pack_leakage" -> q168PackLeakage _,
+    "q169_best_rep" -> q169BestRep _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1747,5 +1930,7 @@ object Curation {
     "q156_dsir_weights" -> q156Oracle,
     "q161_dup_weights" -> q161Oracle,
     "q162_family_shards" -> q162Oracle,
+    "q168_pack_leakage" -> q168Oracle,
+    "q169_best_rep" -> q169Oracle,
   )
 }

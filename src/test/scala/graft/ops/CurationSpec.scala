@@ -815,4 +815,84 @@ class CurationSpec extends SparkSpec {
     // that family must be counted in its shard's family-routed census
     assert(rows.find(_._1 == expectShard).exists(_._2 > 0L))
   }
+
+  test("q168 pack leakage: both routings recompute locally; family routing pays in shared windows") {
+    val s = spark
+    import s.implicits._
+    val got = Curation.q168PackLeakage(s, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val labels = graft.ops.Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("dl"))
+      .as[(Long, Long)].collect().toSeq
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shardOf(key: Long) = graft.functions.Djb2.hash(md5(key.toString)) % 64
+    val famPairs = labels.values.groupBy(identity)
+      .map { case (_, v) => v.size.toLong }.map(k => k * (k - 1) / 2).sum
+    // full local recompute of both audits: route, order by (md5(id), id),
+    // cumulative-sum into 256-token sequences, count family co-residence
+    def localAudit(route: Long => Long): (Long, Long) = {
+      val members = docs.filter { case (id, _) => labels.contains(id) }
+      val sameShard = members.flatMap { case (a, _) =>
+        members.collect { case (b, _) if a < b && labels(a) == labels(b) &&
+          route(a) == route(b) => 1L } }.sum
+      val seqOf = docs.groupBy { case (id, _) => route(id) }.flatMap {
+        case (_, ds) =>
+          var cum = 0L
+          ds.sortBy { case (id, _) => (md5(id.toString), id) }.map {
+            case (id, dl) =>
+              val cs = cum; cum += dl
+              id -> (cs / 256 to (cum - 1) / 256)
+          }
+      }
+      val sameSeq = members.flatMap { case (a, _) =>
+        members.collect { case (b, _) if a < b && labels(a) == labels(b) &&
+          route(a) == route(b) &&
+          seqOf(a).intersect(seqOf(b)).nonEmpty => 1L } }.sum
+      (sameShard, sameSeq)
+    }
+    val (dShard, dSeq) = localAudit(id => shardOf(id))
+    val (fShard, fSeq) = localAudit(id => shardOf(labels.getOrElse(id, id)))
+    assert(got("doc") === ((famPairs, dShard, dSeq)))
+    assert(got("family") === ((famPairs, fShard, fSeq)))
+    // the q162 invariant re-observed: family routing co-locates EVERY pair
+    assert(fShard === famPairs)
+    // and the audit's reason to exist: co-location costs shared context
+    // windows relative to doc routing on this corpus
+    assert(fSeq > dSeq, s"family $fSeq vs doc $dSeq shared windows")
+    assert(dSeq <= dShard && fSeq <= fShard)
+  }
+
+  test("q169 best-rep election recomputes locally; the fixture has real flips") {
+    val s = spark
+    import s.implicits._
+    val got = Curation.q169BestRep(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    val labels = graft.ops.Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val score = graft.ops.TextAnalysis.q42Quality(s, sf)
+      .select($"doc_id", $"quality_score").as[(Long, Double)]
+      .collect().toMap
+    val families = labels.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).filter(_._2.size >= 2)
+    assert(got.keySet === families.keySet.toSet)
+    families.foreach { case (c, members) =>
+      val (sz, repMin, repBest, changed, minS, bestS, gain) = got(c)
+      assert(sz === members.size.toLong, s"family $c size")
+      assert(repMin === members.min, s"family $c min election")
+      val localBest = members.minBy(id => (-score(id), id))
+      assert(repBest === localBest, s"family $c best election")
+      assert(minS === score(repMin) && bestS === score(localBest))
+      assert(gain === bestS - minS && gain >= 0.0, s"family $c gain")
+      assert(changed === (repBest != repMin))
+    }
+    // non-vacuous on the fixture: quality election flips some families
+    // and confirms others
+    assert(got.values.exists(_._4) && got.values.exists(!_._4))
+  }
 }
