@@ -125,6 +125,8 @@ object PlanAudit {
     "q167_span_scrub" -> "surgical span excision: corpus-scale work is the registered q134 scan (positionLcs, shared verbatim); the cut decision is ONE running max of reach = pos + lcp per doc (never a per-span explode — a fully-leaked doc would make the span union O(L²)); merged-span counting is a lag on the cut flag; the rebuild is one groupBy(doc_id) on the same clustering",
     "q168_pack_leakage" -> "pack-leakage audit: the pair sets are cluster-keyed self-joins (Σk²-bounded, collision-proportional — the q51 contract); pack membership is the q147 cum-sum window per routing (partitioned by the audited shard); everything aggregates to TWO rows — the audit is metadata-sized at any corpus scale once the pair graph exists",
     "q169_best_rep" -> "quality-aware representative election: one join of the standing CC labels against the q42 score projection on doc_id; each election is one window / one min-agg over family-sized groups; output is |families| rows — the re-election costs one labels-sized pass, never a corpus rescan",
+    "q170_weighted_sample" -> "Efraimidis–Spirakis weighted sample: draw + integer-log key are map-side projections over the scan; top-64 by (key, doc_id) plans TakeOrderedAndProject (map tasks forward 64 rows); the rank window runs over the 64 collected rows — never a global sort",
+    "q171_budget_mix" -> "budgeted mixture cut: one |sources|-group partial agg over the shared q42 projection; rank/cumulative/take are windows over |sources| rows — the knapsack is metadata-sized at any corpus scale",
   )
 
   def main(args: Array[String]): Unit = {

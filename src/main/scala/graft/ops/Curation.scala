@@ -1870,6 +1870,127 @@ object Curation {
        |WHERE b.family_size >= 2
        |ORDER BY b.cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** Weighted sampling WITHOUT replacement, distributed — the
+    * Efraimidis–Spirakis A-Res scheme (Inf. Proc. Letters 2006): each
+    * item draws key u^(1/w) and the sample is the top-k keys, which is
+    * provably a weighted sample without replacement. Ranking by
+    * u^(1/w) ⟺ ranking by log(u)/w, so the key is computed ENTIRELY in
+    * the engine's integer milli-bit logs: u is the recomputable q145
+    * draw (djb2 of md5(doc_id), 20-bit), log u = qlog(u) − 20000 ≤ 0,
+    * and key_micro = −(((20000 − qlog u)·10⁶) div w) — numerator kept
+    * non-negative so Spark's truncating div and DuckDB's flooring //
+    * agree, then negated (the q166 sign discipline). Weights are token
+    * counts: the token-budget subsample every mixture job draws, biased
+    * toward long documents exactly in proportion to their mass. The
+    * quantized log keeps the scheme deterministic and engine-exact; the
+    * quantization perturbs selection only where two keys land within
+    * 0.086 bits/w of each other (the q156 bound, documented).
+    *
+    * Scale shape: draw + key are map-side projections over the scan;
+    * top-64 by (key, doc_id) plans TakeOrderedAndProject (map tasks
+    * forward 64 rows); the rank window runs over the 64 collected
+    * rows. */
+  def q170WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = Tables(s, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFns.tokens($"text")).cast("long").as("w"))
+      .filter($"w" >= 1)
+      .withColumn("u",
+        pmod(graft.functions.Djb2.djb2(shardKey($"doc_id")), lit(1048576L))
+          + 1L)
+      .withColumn("key_micro",
+        -expr(s"((20000 - ${Sql.qlogMilliSpark("u")}) * 1000000) div w"))
+      .orderBy($"key_micro".desc, $"doc_id")
+      .limit(64)
+    top.withColumn("rank", row_number()
+        .over(Window.orderBy($"key_micro".desc, $"doc_id")).cast("long"))
+      .select($"rank", $"doc_id", $"w".as("n_tokens"), $"u", $"key_micro")
+  }
+
+  val q170Oracle: String = {
+    val u = s"(${Sql.pmod(Sql.djb2("md5(CAST(doc_id AS VARCHAR))"), 1048576)} + 1)"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+       |    CAST($u AS BIGINT) AS u
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 1),
+       |scored AS (
+       |  SELECT doc_id, w AS n_tokens, u,
+       |    -(((20000 - ${Sql.qlogMilliDuck("u")}) * 1000000) // w) AS key_micro
+       |  FROM keyed),
+       |top AS (
+       |  SELECT * FROM scored ORDER BY key_micro DESC, doc_id LIMIT 64)
+       |SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id)
+       |    AS BIGINT) AS rank,
+       |  doc_id, n_tokens, u, key_micro
+       |FROM top ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q171
+  /** Budgeted mixture cut — the greedy knapsack a token-budget release
+    * actually runs: rank sources by mean quality (q42's score, floored
+    * per doc to milli and averaged in exact int64 — no float mean to
+    * reorder), then take whole sources in rank order until the budget
+    * (40% of corpus tokens) is spent, the boundary source partially (the
+    * fractional take in milli), everything after at zero. The output is
+    * the per-source sampling directive a mixture config ships: who is
+    * in, who is cut, and the one source that is throttled.
+    *
+    * Scale shape: one |sources|-group partial agg over the scan (doc
+    * quality is the shared q42 projection), then every decision is a
+    * window over |sources| rows — metadata at any corpus scale. */
+  def q171BudgetMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perSrc = TextAnalysis.qualityScored(Tables(s, dir, "documents"))
+      .select($"source", $"n_tokens",
+        floor($"quality_score" * 1000.0).cast("long").as("q_milli"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"q_milli").as("qsum"))
+      .withColumn("mean_q_milli", expr("qsum div n_docs"))
+    val wRank = Window.orderBy($"mean_q_milli".desc, $"source")
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, -1)
+    val total = perSrc.agg(sum($"n_tokens")).head.getLong(0)
+    val budget = total * 2 / 5
+    perSrc
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(wCum), lit(0L)))
+      .withColumn("take_tokens",
+        greatest(lit(0L), least($"n_tokens", lit(budget) - $"cum_before")))
+      .withColumn("take_frac_milli", expr("(take_tokens * 1000) div n_tokens"))
+      .select($"rank", $"source", $"n_docs", $"mean_q_milli", $"n_tokens",
+        $"cum_before", $"take_tokens", $"take_frac_milli")
+      .orderBy($"rank")
+  }
+
+  val q171Oracle: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(FLOOR(quality_score * 1000.0) AS BIGINT)) AS BIGINT)
+       |      // CAST(COUNT(*) AS BIGINT) AS mean_q_milli
+       |  FROM (
+       |    SELECT d.source, q.n_tokens, q.quality_score
+       |    FROM (${TextAnalysis.q42OracleNoOrder.replace("\n", "\n    ")}) q
+       |    JOIN documents d USING (doc_id))
+       |  GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_tokens) * 2 // 5 AS BIGINT) AS budget
+       |  FROM per),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER w AS BIGINT) AS rank,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM per
+       |  WINDOW w AS (ORDER BY mean_q_milli DESC, source))
+       |SELECT rank, source, n_docs, mean_q_milli, n_tokens, cum_before,
+       |  GREATEST(0, LEAST(n_tokens, (SELECT budget FROM tot) - cum_before))
+       |    AS take_tokens,
+       |  (GREATEST(0, LEAST(n_tokens, (SELECT budget FROM tot) - cum_before))
+       |    * 1000) // n_tokens AS take_frac_milli
+       |FROM ranked ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -1900,6 +2021,8 @@ object Curation {
     "q162_family_shards" -> q162FamilyShards _,
     "q168_pack_leakage" -> q168PackLeakage _,
     "q169_best_rep" -> q169BestRep _,
+    "q170_weighted_sample" -> q170WeightedSample _,
+    "q171_budget_mix" -> q171BudgetMix _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1932,5 +2055,7 @@ object Curation {
     "q162_family_shards" -> q162Oracle,
     "q168_pack_leakage" -> q168Oracle,
     "q169_best_rep" -> q169Oracle,
+    "q170_weighted_sample" -> q170Oracle,
+    "q171_budget_mix" -> q171Oracle,
   )
 }

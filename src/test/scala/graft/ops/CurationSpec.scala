@@ -895,4 +895,75 @@ class CurationSpec extends SparkSpec {
     // and confirms others
     assert(got.values.exists(_._4) && got.values.exists(!_._4))
   }
+
+  private def qlogM(x: Long): Long = {
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val p = 1L << (bits - 1)
+    (bits - 1) * 1000L + (x - p) * 1000L / p
+  }
+
+  test("q170 A-Res weighted sample equals a local fold; keys order by log(u)/w") {
+    val s = spark
+    import s.implicits._
+    def md5(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(s, sf, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().filter(_._2 >= 1)
+    val keyed = docs.map { case (id, w) =>
+      val u = graft.functions.Djb2.hash(md5(id.toString)) % 1048576 + 1
+      val key = -((20000L - qlogM(u)) * 1000000L / w)
+      (id, w, u, key)
+    }
+    val local = keyed.sortBy { case (id, _, _, k) => (-k, id) }.take(64)
+      .zipWithIndex.map { case ((id, w, u, k), i) => (i + 1L, id, w, u, k) }
+      .toSeq
+    val got = Curation.q170WeightedSample(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === local)
+    // the sample is genuinely weight-biased: the sampled docs' mean token
+    // mass exceeds the corpus mean (heavier docs get closer-to-zero keys)
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._3).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean vs corpus $corpusMean")
+    assert(got.forall(_._5 <= 0L))
+  }
+
+  test("q171 budget mix: local greedy knapsack, one throttled boundary source") {
+    val s = spark
+    import s.implicits._
+    val perDoc = graft.ops.TextAnalysis.q42Quality(s, sf)
+      .select($"doc_id", $"n_tokens", $"quality_score")
+      .join(graft.Tables(s, sf, "documents").select($"doc_id", $"source"),
+        "doc_id")
+      .select($"source", $"n_tokens", $"quality_score")
+      .as[(String, Long, Double)].collect()
+    val per = perDoc.groupBy(_._1).map { case (src, ds) =>
+      val toks = ds.map(_._2).sum
+      val qsum = ds.map(d => math.floor(d._3 * 1000.0).toLong).sum
+      (src, ds.length.toLong, toks, qsum / ds.length)
+    }.toSeq.sortBy { case (src, _, _, mq) => (-mq, src) }
+    val budget = per.map(_._3).sum * 2 / 5
+    var cum = 0L
+    val local = per.zipWithIndex.map { case ((src, nd, toks, mq), i) =>
+      val take = math.max(0L, math.min(toks, budget - cum))
+      val row = (i + 1L, src, nd, mq, toks, cum, take, take * 1000 / toks)
+      cum += toks
+      row
+    }
+    val got = Curation.q171BudgetMix(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === local)
+    // the cut has the knapsack shape: full takes, at most one partial,
+    // zeros after; total spend never exceeds the budget
+    val fracs = got.map(_._8)
+    val partials = fracs.count(f => f > 0 && f < 1000)
+    assert(partials <= 1, s"more than one throttled source: $fracs")
+    assert(fracs.reverse.dropWhile(_ == 0L).headOption.forall(_ > 0L))
+    assert(got.map(_._7).sum <= budget)
+    assert(got.exists(_._8 === 1000L) && got.exists(_._8 === 0L))
+  }
 }
