@@ -127,6 +127,7 @@ object PlanAudit {
     "q169_best_rep" -> "quality-aware representative election: one join of the standing CC labels against the q42 score projection on doc_id; each election is one window / one min-agg over family-sized groups; output is |families| rows — the re-election costs one labels-sized pass, never a corpus rescan",
     "q170_weighted_sample" -> "Efraimidis–Spirakis weighted sample: draw + integer-log key are map-side projections over the scan; top-64 by (key, doc_id) plans TakeOrderedAndProject (map tasks forward 64 rows); the rank window runs over the 64 collected rows — never a global sort",
     "q171_budget_mix" -> "budgeted mixture cut: one |sources|-group partial agg over the shared q42 projection; rank/cumulative/take are windows over |sources| rows — the knapsack is metadata-sized at any corpus scale",
+    "q172_surprisal_spans" -> "windowed-surprisal localization: the model is q141's vocabulary-bounded pair/context fold; position scoring joins on (w1, w2); sliding window + per-doc totals + the struct-max argmax ALL cluster on doc_id — one data exchange after scoring, no second window pass for the argmax",
   )
 
   def main(args: Array[String]): Unit = {

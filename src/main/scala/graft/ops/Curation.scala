@@ -1991,6 +1991,92 @@ object Curation {
        |    * 1000) // n_tokens AS take_frac_milli
        |FROM ranked ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** Windowed-surprisal spike localization — q141's document-level
+    * fluency gate sharpened to the SPAN level (the CCNet/Gopher practice
+    * of trimming garbled stretches instead of dropping documents, and
+    * the quality complement of q167's contamination surgery): per
+    * document, the worst 16-bigram sliding window under the corpus
+    * bigram model — its position, its integer milli-bits-per-bigram,
+    * and the spike over the document's own mean. A document whose
+    * worst window sits far above its mean has a LOCALIZED defect (an
+    * encoding glitch, a pasted hash blob, a language switch) that span
+    * trimming fixes; a uniformly high document is q141's drop. All
+    * arithmetic is the q141 integer-bits discipline — bit-identical in
+    * any engine. Documents with fewer than 16 bigrams have no full
+    * window and are absent by construction (q141's absence rule).
+    *
+    * Scale shape: the model is q141's vocabulary-bounded pair/context
+    * fold; scoring joins on (w1, w2); the sliding window, the per-doc
+    * totals, and the argmax all cluster on doc_id — ONE data exchange
+    * after scoring; the argmax is a struct max (no second window
+    * pass). */
+  def q172SurprisalSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = graft.functions.TextFns.tokens($"text")
+    val bg = Tables(s, dir, "documents")
+      .select($"doc_id", posexplode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as(Seq("p0", "p")))
+      .select($"doc_id", ($"p0" + 1).cast("long").as("pos"),
+        $"p.0".as("w1"), $"p.1".as("w2"))
+    val pairs = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("pc"))
+      .localCheckpoint(true)
+    val ctx = pairs.groupBy($"w1").agg(sum($"pc").as("cc"))
+    val scored = bg.join(pairs, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .select($"doc_id", $"pos",
+        length(bin(expr("cc div pc"))).cast("long").as("bits"))
+    val wDoc = Window.partitionBy($"doc_id")
+    val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, 15)
+    scored
+      .withColumn("n_bigrams", count(lit(1)).over(wDoc))
+      .withColumn("doc_bits", sum($"bits").over(wDoc))
+      .withColumn("win_bits", sum($"bits").over(wWin))
+      .filter($"pos" <= $"n_bigrams" - 15)
+      .groupBy($"doc_id", $"n_bigrams", $"doc_bits")
+      .agg(max(struct($"win_bits".as("wb"), (-$"pos").as("np"))).as("m"))
+      .select($"doc_id", $"n_bigrams",
+        (-$"m.np").as("worst_pos"), $"m.wb".as("worst_bits"),
+        expr("(m.wb * 1000) div 16").as("worst_milli"),
+        expr("(doc_bits * 1000) div n_bigrams").as("doc_milli"),
+        (expr("(m.wb * 1000) div 16")
+          - expr("(doc_bits * 1000) div n_bigrams")).as("spike_milli"))
+      .orderBy($"doc_id")
+  }
+
+  val q172Oracle: String =
+    s"""WITH $q141Ctes,
+       |bgp AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    tokens[CAST(i AS INTEGER)] AS w1,
+       |    tokens[CAST(i AS INTEGER) + 1] AS w2
+       |  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+       |              FROM documents))),
+       |pscored AS (
+       |  SELECT doc_id, pos, CAST(length(bin(cc // pc)) AS BIGINT) AS bits
+       |  FROM bgp JOIN pairs USING (w1, w2) JOIN ctx USING (w1)),
+       |wins AS (
+       |  SELECT doc_id, pos,
+       |    CAST(SUM(bits) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS BIGINT) AS win_bits,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(bits) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_bits
+       |  FROM pscored),
+       |best AS (
+       |  SELECT doc_id, n_bigrams, doc_bits, pos AS worst_pos,
+       |    win_bits AS worst_bits,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY win_bits DESC, pos) AS rn
+       |  FROM wins WHERE pos <= n_bigrams - 15)
+       |SELECT doc_id, n_bigrams, worst_pos, worst_bits,
+       |  (worst_bits * 1000) // 16 AS worst_milli,
+       |  (doc_bits * 1000) // n_bigrams AS doc_milli,
+       |  (worst_bits * 1000) // 16 - (doc_bits * 1000) // n_bigrams
+       |    AS spike_milli
+       |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -2023,6 +2109,7 @@ object Curation {
     "q169_best_rep" -> q169BestRep _,
     "q170_weighted_sample" -> q170WeightedSample _,
     "q171_budget_mix" -> q171BudgetMix _,
+    "q172_surprisal_spans" -> q172SurprisalSpans _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2057,5 +2144,6 @@ object Curation {
     "q169_best_rep" -> q169Oracle,
     "q170_weighted_sample" -> q170Oracle,
     "q171_budget_mix" -> q171Oracle,
+    "q172_surprisal_spans" -> q172Oracle,
   )
 }

@@ -966,4 +966,54 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_._7).sum <= budget)
     assert(got.exists(_._8 === 1000L) && got.exists(_._8 === 0L))
   }
+
+  test("q172 surprisal spans: a planted garbled stretch is localized; local recompute") {
+    val s = spark
+    import s.implicits._
+    // 9 fluent docs repeat the same bigrams; doc 9 starts fluent then
+    // switches to a garbled stretch of RARE CONTINUATIONS OF THE COMMON
+    // CONTEXT 'a' (the q141 metric scores cc/pc — "a z7" is surprising
+    // because 'a' is common and z7 never follows it elsewhere; a stretch
+    // of wholly-unique tokens would be trivially self-predictable). The
+    // worst window must land on the garble with a positive spike.
+    val fluent = Seq.fill(20)("a b").mkString(" ") // 40 tokens: a b a b ...
+    val garbled = (Seq.fill(6)("a b").mkString(" ")) + " " +
+      (1 to 9).map(i => s"a z$i").mkString(" ")
+    val docs = (0L until 9L).map(i => (i, fluent, "en")) :+
+      ((9L, garbled, "en"))
+    val dir = writeDocs(docs)
+    val got = Curation.q172SurprisalSpans(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // local recompute of the whole pipeline
+    val toks = docs.map { case (id, t, _) => id -> t.split(" ").toSeq }.toMap
+    val bigrams = toks.toSeq.flatMap { case (id, ts) =>
+      ts.zip(ts.tail).zipWithIndex.map { case (bg, i) => (id, i + 1L, bg) } }
+    val pc = bigrams.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cc = bigrams.groupBy(_._3._1).view.mapValues(_.size.toLong).toMap
+    def bits(bg: (String, String)): Long =
+      java.lang.Long.toBinaryString(cc(bg._1) / pc(bg)).length.toLong
+    val local = bigrams.groupBy(_._1).collect {
+      case (id, bs) if bs.size >= 16 =>
+        val seq = bs.sortBy(_._2).map(b => bits(b._3))
+        val n = seq.size.toLong
+        val docBits = seq.sum
+        val wins = seq.sliding(16).map(_.sum).toSeq
+        val worst = wins.max
+        val pos = wins.indexOf(worst) + 1L
+        val wm = worst * 1000 / 16
+        val dm = docBits * 1000 / n
+        id -> ((n, pos, worst, wm, dm, wm - dm))
+    }
+    assert(got === local)
+    // the garble is localized: doc 9's worst window must cover the
+    // densest run of high-surprisal (a, z_i) bigrams — which starts well
+    // past the fluent prefix — with a positive spike; fluent docs read
+    // zero spike
+    val (_, wpos9, _, _, _, spike9) = got(9L)
+    assert(wpos9 >= 9L && spike9 > 0L, s"garble not localized: $wpos9 $spike9")
+    (0L until 9L).foreach { id =>
+      assert(got(id)._6 === 0L, s"fluent doc $id shows a spike")
+    }
+  }
 }
