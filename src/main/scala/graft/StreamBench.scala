@@ -599,7 +599,8 @@ object StreamBench {
       serve: Option[SeamResult],
       encode: Option[SeamResult],
       sessions: Option[SeamResult],
-      windowDedup: Option[SeamResult]) {
+      windowDedup: Option[SeamResult],
+      sample: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -620,7 +621,8 @@ object StreamBench {
         "shards" -> shards, "quality_gate" -> qualityGate,
         "serve" -> serve, "encode" -> encode,
         "sessions" -> sessions,
-        "window_dedup" -> windowDedup).map { case (k, v) =>
+        "window_dedup" -> windowDedup,
+        "sample" -> sample).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -655,7 +657,39 @@ object StreamBench {
       guarded("serve")(measureServe(spark, sfDir)),
       guarded("encode")(measureEncode(spark, sfDir)),
       guarded("sessions")(measureSessions(spark, sfDir)),
-      guarded("windowdedup")(measureWindowDedup(spark, sfDir)))
+      guarded("windowdedup")(measureWindowDedup(spark, sfDir)),
+      guarded("sample")(measureSample(spark, sfDir)))
+  }
+
+  /** S24 throughput: the documents table replayed as a file-source stream
+    * through [[graft.streaming.SampleStream]]'s stateful weighted
+    * reservoir — docs/sec through the mergeable top-k state seam.
+    * `clean` = merged global sample size (= 64 once the corpus exceeds
+    * the reservoir). */
+  def measureSample(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-sample"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    Tables(spark, sfDir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("doc_id long, text string").parquet(incoming)
+    val q = streaming.SampleStream.run(stream, root)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:sample] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val k = streaming.SampleStream.sample(root).count()
+      SeamResult(n / secs, n, k, secs)
+    }
   }
 
   /** S23 throughput: the documents table replayed as a file-source stream

@@ -1891,9 +1891,15 @@ object Curation {
     * top-64 by (key, doc_id) plans TakeOrderedAndProject (map tasks
     * forward 64 rows); the rank window runs over the 64 collected
     * rows. */
-  def q170WeightedSample(s: SparkSession, dir: String): DataFrame = {
+  /** The A-Res key projection over any (doc_id, text) frame — factored
+    * so the batch sampler and the S24 streaming reservoir key with the
+    * LITERAL same expressions (the shardOf/softFilterDecision
+    * discipline): columns (doc_id, w, u, key_micro), zero-token docs
+    * dropped. */
+  private[graft] def aresKeyed(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val top = Tables(s, dir, "documents")
+    docs
       .select($"doc_id",
         size(graft.functions.TextFns.tokens($"text")).cast("long").as("w"))
       .filter($"w" >= 1)
@@ -1902,6 +1908,11 @@ object Curation {
           + 1L)
       .withColumn("key_micro",
         -expr(s"((20000 - ${Sql.qlogMilliSpark("u")}) * 1000000) div w"))
+  }
+
+  def q170WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top = aresKeyed(Tables(s, dir, "documents"))
       .orderBy($"key_micro".desc, $"doc_id")
       .limit(64)
     top.withColumn("rank", row_number()
