@@ -2088,6 +2088,136 @@ object Curation {
        |    AS spike_milli
        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q173
+  /** Cross-source overlap by KMV distinct sketch, audited against exact
+    * truth — the 100 TB replacement for q108's exact-Jaccard matrix.
+    *
+    * q108's exact matrix self-joins the corpus-wide DISTINCT shingle table:
+    * one corpus-sized distinct exchange plus a shared-key join — fine
+    * nightly, unpayable per-delta. The sketch leg here never shuffles the
+    * corpus at all: [[graft.functions.KmvAgg]] consumes the raw exploded
+    * shingle stream, dedups inside the buffer, and map-side combine caps
+    * each task's exchange contribution at K longs per source. Pairwise
+    * |A∪B| comes from MERGING the two k-arrays (KMV sketches compose under
+    * union), |A∩B| by inclusion–exclusion, clamped at 0 — all array
+    * arithmetic over a |sources|-row broadcast, no data join.
+    *
+    * The exact leg (q108's shape over the same hash universe) rides along
+    * at fixture scale as ground truth, so the output IS the sketch's error
+    * audit: est vs exact Jaccard in milli per pair.
+    *
+    * The estimator N̂ = (k−1)·M / h_(k) requires UNIFORM hashes, and raw
+    * djb2 is not (fixed-length strings cluster in a narrow band around the
+    * deterministic 5381·33ⁿ term — measured: est off by 4× on the fixture).
+    * So the mod-2³²-reduced value goes through two LCG-multiply + xorshift
+    * avalanche rounds first. Each round is a BIJECTION on [0, 2³²) (odd
+    * multiplier mod 2³², then xor with a right shift), so distinct counts
+    * and set overlaps are untouched and the exact leg shares the mixed
+    * column. All-integer, positive operands throughout — Spark `div`/`%`
+    * == DuckDB `//`/`%`, products < 2⁶³. */
+  def q173KmvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 128
+    val kM = (K - 1).toLong * 4294967296L // (k−1)·M, M = 2³² mixed space
+    val kmv = udaf(new graft.functions.KmvAgg(K),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val raw = Tables(s, dir, "documents")
+      .select($"source",
+        explode(HashFns.shingleHashes(TextFns.tokens($"text"), 3)).as("h0"))
+      .withColumn("u", $"h0" % 4294967296L) // djb2 here is abs(), ≥ 0
+      .withColumn("m1", ($"u" * 1103515245L + 12345L) % 4294967296L)
+      .withColumn("m2", expr("m1 ^ (m1 div 65536)"))
+      .withColumn("m3", ($"m2" * 1103515245L + 54321L) % 4294967296L)
+      .select($"source", expr("m3 ^ (m3 div 65536)").as("h"))
+    // Sketch leg: no distinct(), no corpus exchange — ≤ K longs per
+    // (task, source) reach the 20-group aggregation.
+    val sk = raw.groupBy($"source").agg(kmv($"h").as("arr"))
+      .localCheckpoint(true)
+    // Exact-truth leg (fixture-scale audit; at 100 TB only the sketch runs).
+    val sh = raw.distinct().localCheckpoint(true)
+    val shared = sh.select($"source".as("src_a"), $"h")
+      .join(sh.select($"source".as("src_b"), $"h"), Seq("h"))
+      .filter($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("shared"))
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val exact = shared
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("n_a"))), "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("n_b"))), "src_b")
+      .select($"src_a", $"src_b",
+        expr("shared * 1000 div (n_a + n_b - shared)").as("jacc_exact_milli"))
+    def est(arr: String): String =
+      s"CASE WHEN size($arr) < $K THEN CAST(size($arr) AS BIGINT) " +
+        s"ELSE ${kM}L div element_at($arr, $K) END"
+    sk.select($"source".as("src_a"), $"arr".as("arr_a"))
+      .crossJoin(broadcast(sk.select($"source".as("src_b"), $"arr".as("arr_b"))))
+      .filter($"src_a" < $"src_b")
+      .withColumn("mu", slice(array_sort(array_union($"arr_a", $"arr_b")), 1, K))
+      .withColumn("est_a", expr(est("arr_a")))
+      .withColumn("est_b", expr(est("arr_b")))
+      .withColumn("est_union", expr(est("mu")))
+      .withColumn("est_inter", greatest(lit(0L), $"est_a" + $"est_b" - $"est_union"))
+      .withColumn("jacc_est_milli", expr("est_inter * 1000 div est_union"))
+      .join(exact, Seq("src_a", "src_b"), "left")
+      .withColumn("jacc_exact_milli", coalesce($"jacc_exact_milli", lit(0L)))
+      .withColumn("err_milli", $"jacc_est_milli" - $"jacc_exact_milli")
+      .select($"src_a", $"src_b", $"est_a", $"est_b", $"est_union",
+        $"est_inter", $"jacc_est_milli", $"jacc_exact_milli", $"err_milli")
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val q173Oracle: String = {
+    val K = 128
+    val kM = (K - 1).toLong * 4294967296L
+    val shingled = s"unnest(list_transform(${Sql.shingles("tokens", 3)}, " +
+      s"shing -> ${Sql.djb2("shing")}))"
+    def est(arr: String): String =
+      s"CASE WHEN len($arr) < $K THEN CAST(len($arr) AS BIGINT) " +
+        s"ELSE $kM // ($arr)[$K] END"
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT source, xor(m3, m3 // 65536) AS h FROM (
+       |    SELECT source, (m2 * 1103515245 + 54321) % 4294967296 AS m3 FROM (
+       |      SELECT source, xor(m1, m1 // 65536) AS m2 FROM (
+       |        SELECT source, (u * 1103515245 + 12345) % 4294967296 AS m1 FROM (
+       |          SELECT source, h0 % 4294967296 AS u FROM (
+       |            SELECT source, $shingled AS h0
+       |            FROM (SELECT source, string_split(text, ' ') AS tokens
+       |                  FROM documents))))))),
+       |sh AS MATERIALIZED (SELECT DISTINCT source, h FROM raw),
+       |ranked AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+       |sk AS (SELECT source, list_sort(list(h)) AS arr
+       |       FROM ranked WHERE rn <= $K GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, a.arr AS arr_a, b.arr AS arr_b
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |m AS (SELECT src_a, src_b, arr_a, arr_b,
+       |        (list_sort(list_distinct(list_concat(arr_a, arr_b))))[1:$K] AS mu
+       |      FROM pairs),
+       |est AS (SELECT src_a, src_b,
+       |  ${est("arr_a")} AS est_a, ${est("arr_b")} AS est_b,
+       |  ${est("mu")} AS est_union FROM m),
+       |est2 AS (SELECT *,
+       |  GREATEST(CAST(0 AS BIGINT), est_a + est_b - est_union) AS est_inter
+       |  FROM est),
+       |est3 AS (SELECT *, (est_inter * 1000) // est_union AS jacc_est_milli
+       |  FROM est2),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+       |exact AS (
+       |  SELECT shared.src_a, shared.src_b,
+       |    (shared * 1000) // (sa.n + sb.n - shared) AS jacc_exact_milli
+       |  FROM shared JOIN sizes sa ON sa.source = shared.src_a
+       |              JOIN sizes sb ON sb.source = shared.src_b)
+       |SELECT e.src_a, e.src_b, est_a, est_b, est_union, est_inter,
+       |  jacc_est_milli, COALESCE(x.jacc_exact_milli, CAST(0 AS BIGINT)) AS jacc_exact_milli,
+       |  jacc_est_milli - COALESCE(x.jacc_exact_milli, CAST(0 AS BIGINT)) AS err_milli
+       |FROM est3 e LEFT JOIN exact x ON x.src_a = e.src_a AND x.src_b = e.src_b
+       |ORDER BY e.src_a, e.src_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -2121,6 +2251,7 @@ object Curation {
     "q170_weighted_sample" -> q170WeightedSample _,
     "q171_budget_mix" -> q171BudgetMix _,
     "q172_surprisal_spans" -> q172SurprisalSpans _,
+    "q173_kmv_sketch" -> q173KmvSketch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2156,5 +2287,6 @@ object Curation {
     "q170_weighted_sample" -> q170Oracle,
     "q171_budget_mix" -> q171Oracle,
     "q172_surprisal_spans" -> q172Oracle,
+    "q173_kmv_sketch" -> q173Oracle,
   )
 }

@@ -1016,4 +1016,59 @@ class CurationSpec extends SparkSpec {
       assert(got(id)._6 === 0L, s"fluent doc $id shows a spike")
     }
   }
+
+  private def writeSourcedDocs(docs: Seq[(Long, String, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-curation-").toString
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.parquet(s"$root/documents.parquet")
+    root
+  }
+
+  test("q173 KMV sketch is EXACT below k and its union algebra matches set arithmetic") {
+    val s = spark
+    // One doc = one 3-token shingle; source a holds shingles 1–10, source b
+    // 6–15: |A|=|B|=10, |A∩B|=5, |A∪B|=15 — all far below k=128, so the
+    // sketches are exhaustive and every estimate must be EXACT.
+    def doc(i: Int): String = s"a$i b$i c$i"
+    val docs = (1 to 10).map(i => (i.toLong, doc(i), "src_a")) ++
+      (6 to 15).map(i => (100L + i, doc(i), "src_b"))
+    val row = Curation.q173KmvSketch(s, writeSourcedDocs(docs)).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[Long]("est_a") === 10L)
+    assert(r.getAs[Long]("est_b") === 10L)
+    assert(r.getAs[Long]("est_union") === 15L)
+    assert(r.getAs[Long]("est_inter") === 5L)
+    assert(r.getAs[Long]("jacc_est_milli") === 333L)
+    assert(r.getAs[Long]("jacc_exact_milli") === 333L)
+    assert(r.getAs[Long]("err_milli") === 0L)
+  }
+
+  test("q173 estimator regime: identical sources read jaccard 1000, disjoint near 0") {
+    val s = spark
+    // 1000 distinct shingles per source — well past k=128, so the (k−1)·M /
+    // h_(k) estimator is live. Identical sketches force est_union == est_a
+    // == est_b, hence jacc_est exactly 1000; a disjoint pair's clamped
+    // intersection stays near zero; and the cardinality estimate itself
+    // lands within the ~9%·3σ KMV band of the 1000 truth.
+    def doc(tag: String, i: Int): String = s"${tag}x$i ${tag}y$i ${tag}z$i"
+    val docs = (1 to 1000).map(i => (i.toLong, doc("p", i), "src_c")) ++
+      (1 to 1000).map(i => (2000L + i, doc("p", i), "src_d")) ++
+      (1 to 1000).map(i => (4000L + i, doc("q", i), "src_e"))
+    val rows = Curation.q173KmvSketch(s, writeSourcedDocs(docs)).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) -> r).toMap
+    val cd = rows(("src_c", "src_d"))
+    assert(cd.getAs[Long]("jacc_est_milli") === 1000L)
+    assert(cd.getAs[Long]("jacc_exact_milli") === 1000L)
+    assert(cd.getAs[Long]("est_a") >= 700L && cd.getAs[Long]("est_a") <= 1400L,
+      s"cardinality estimate off: ${cd.getAs[Long]("est_a")}")
+    val ce = rows(("src_c", "src_e"))
+    assert(ce.getAs[Long]("jacc_exact_milli") === 0L)
+    assert(ce.getAs[Long]("jacc_est_milli") <= 200L,
+      s"disjoint pair estimated too similar: ${ce.getAs[Long]("jacc_est_milli")}")
+  }
 }
