@@ -2218,6 +2218,65 @@ object Curation {
        |ORDER BY e.src_a, e.src_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q174
+  /** Pareto frontier of the curation trade-off (the skyline operator,
+    * Börzsönyi et al. ICDE 2001): which (quality, token-cost) points are
+    * undominated — no other document has ≥ quality AND ≤ tokens with one
+    * strict? The frontier is what a budgeted curation pass actually
+    * chooses from; everything below it is strictly worse per token spent.
+    *
+    * 2-D skyline needs no O(n²) dominance join: quantize quality to milli
+    * (floor of the q42 score ×1000 — same double both engines, q42's
+    * hash-match), take the min token count per quality level, then one
+    * running-min sweep from the high-quality end — a level survives iff
+    * its min is strictly below every higher level's. Dominance within a
+    * level is the min itself; dominance across levels is the sweep.
+    *
+    * Scale shape: one map-side projection (the shared q42 expressions),
+    * one ≤1001-key partial agg, then windows over ≤1001 METADATA rows
+    * (the quantization is what bounds the global window — the reason
+    * q_milli exists instead of raw doubles). Corpus size only enters the
+    * first agg, which combines map-side. */
+  def q174ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = TextAnalysis.qualityScored(Tables(s, dir, "documents"))
+      .filter($"n_tokens" > 0)
+      .select(floor($"quality_score" * 1000).cast("long").as("q_milli"),
+        $"n_tokens")
+      .groupBy($"q_milli", $"n_tokens").agg(count(lit(1)).as("n_at_point"))
+    val minPerQ = pts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"q_milli").orderBy($"n_tokens")))
+      .filter($"rn" === 1).drop("rn")
+    val sweep = Window.orderBy($"q_milli".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    minPerQ.withColumn("rm", min($"n_tokens").over(sweep))
+      .filter($"rm".isNull || $"n_tokens" < $"rm")
+      .select($"q_milli", $"n_tokens".as("min_tokens"), $"n_at_point")
+      .orderBy($"q_milli".desc)
+  }
+
+  val q174Oracle: String =
+    s"""WITH scored AS (
+       |  SELECT quality_score, CAST(n_tokens AS BIGINT) AS n_tokens
+       |  FROM (${TextAnalysis.q42OracleNoOrder}) WHERE n_tokens > 0),
+       |pts AS (
+       |  SELECT CAST(floor(quality_score * 1000) AS BIGINT) AS q_milli,
+       |    n_tokens, CAST(COUNT(*) AS BIGINT) AS n_at_point
+       |  FROM scored GROUP BY 1, 2),
+       |minq AS (
+       |  SELECT q_milli, n_tokens, n_at_point FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_milli ORDER BY n_tokens) AS rn
+       |    FROM pts) WHERE rn = 1),
+       |fr AS (
+       |  SELECT q_milli, n_tokens, n_at_point,
+       |    MIN(n_tokens) OVER (ORDER BY q_milli DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+       |  FROM minq)
+       |SELECT q_milli, n_tokens AS min_tokens, n_at_point
+       |FROM fr WHERE rm IS NULL OR n_tokens < rm
+       |ORDER BY q_milli DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -2252,6 +2311,7 @@ object Curation {
     "q171_budget_mix" -> q171BudgetMix _,
     "q172_surprisal_spans" -> q172SurprisalSpans _,
     "q173_kmv_sketch" -> q173KmvSketch _,
+    "q174_pareto_frontier" -> q174ParetoFrontier _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2288,5 +2348,6 @@ object Curation {
     "q171_budget_mix" -> q171Oracle,
     "q172_surprisal_spans" -> q172Oracle,
     "q173_kmv_sketch" -> q173Oracle,
+    "q174_pareto_frontier" -> q174Oracle,
   )
 }

@@ -1028,6 +1028,38 @@ class CurationSpec extends SparkSpec {
     root
   }
 
+  test("q174 frontier equals brute-force dominance over the scored points") {
+    val s = spark
+    import s.implicits._
+    // Docs with deliberately varied (distinct-ratio, length) so the scored
+    // points spread over many (q_milli, n_tokens) cells; correctness is
+    // checked against an O(n²) dominance scan over the SAME scored points.
+    val docs = (1 to 40).map { i =>
+      val distinctWords = (1 to (i % 7) + 1).map(j => s"w${i}_$j")
+      val toks = Seq.tabulate(3 + (i * 13) % 37)(t => distinctWords(t % distinctWords.size))
+      (i.toLong, toks.mkString(" "), "en")
+    }
+    val dir = writeDocs(docs)
+    val got = Curation.q174ParetoFrontier(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pts = graft.ops.TextAnalysis.qualityScored(
+        graft.Tables(s, dir, "documents"))
+      .filter($"n_tokens" > 0)
+      .select(floor($"quality_score" * 1000).cast("long"), $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cells = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val frontier = cells.keys.toSeq.filter { case (q, t) =>
+      !cells.keys.exists { case (q2, t2) =>
+        q2 >= q && t2 <= t && (q2 > q || t2 < t) }
+    }.sortBy { case (q, _) => -q }
+    assert(got.toSeq === frontier.map { case (q, t) => (q, t, cells((q, t))) })
+    assert(got.length >= 3, s"fixture too degenerate: ${got.length} frontier points")
+    // frontier invariant: strictly decreasing in BOTH coordinates
+    got.sliding(2).foreach { case Array((q1, t1, _), (q2, t2, _)) =>
+      assert(q1 > q2 && t1 > t2, s"not a staircase: ($q1,$t1) vs ($q2,$t2)")
+    }
+  }
+
   test("q173 KMV sketch is EXACT below k and its union algebra matches set arithmetic") {
     val s = spark
     // One doc = one 3-token shingle; source a holds shingles 1–10, source b
