@@ -365,10 +365,15 @@ object Curation {
     * token order (hs preserves position); weights derive from integer-exact
     * LCG arithmetic; the head sum is an explicit left-associated chain
     * mirrored verbatim in the oracle. */
-  def q79QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+  /** The q79 inference projection over ANY frame with a `text` column —
+    * factored (the qualityScored discipline) so q175's calibration audit
+    * scores with the LITERAL registered expressions. Adds `n_tokens`,
+    * `score`, `is_quality`; drops empty docs and the intermediate cols. */
+  private[ops] def classifierScored(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val base = Tables(s, dir, "documents")
-      .select($"doc_id", HashFns.shingleHashes(TextFns.tokens($"text"), 1).as("hs"))
+    val base = docs
+      .withColumn("hs", HashFns.shingleHashes(TextFns.tokens($"text"), 1))
       .filter(size($"hs") > 0)
       .withColumn("n_tokens", size($"hs").cast("long"))
     val withHidden = (0 until ClsHidden).foldLeft(base) { (df, j) =>
@@ -382,6 +387,12 @@ object Curation {
     }
     withHidden.withColumn("score", z)
       .withColumn("is_quality", $"score" > 0.0)
+      .drop("hs" +: (0 until ClsHidden).map(j => s"hid_$j"): _*)
+  }
+
+  def q79QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifierScored(Tables(s, dir, "documents").select($"doc_id", $"text"))
       .select($"doc_id", $"n_tokens", $"score", $"is_quality")
       .orderBy($"doc_id")
   }
@@ -2277,6 +2288,63 @@ object Curation {
        |FROM fr WHERE rm IS NULL OR n_tokens < rm
        |ORDER BY q_milli DESC""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Reliability audit of the learned quality classifier (q79) against the
+    * rule-based gate (q42) — the calibration table a filtering pipeline
+    * reads before trusting a model score as a keep/drop probability
+    * (Guo et al. ICML 2017's reliability-diagram shape, with the rule gate
+    * standing in for labels): per fixed-width score band, how many docs,
+    * the band's exact mean score, and the observed rule-pass rate. A
+    * well-behaved classifier shows rule_pass_milli monotone in band; flat
+    * or inverted bands are where the learned filter disagrees with the
+    * rules and a threshold would mis-gate.
+    *
+    * Fixed-width bands (floor(score·20), clamped) — NOT ntile — on
+    * purpose: ntile is a corpus-wide single-partition sort at 100 TB,
+    * while fixed bands are a map-side projection feeding an ≤80-key
+    * partial agg. One scan: the q42 rule expressions and the q79
+    * inference run as two composed map-side projections (the registered
+    * code paths, via [[TextAnalysis.qualityScored]] /
+    * [[classifierScored]]) — no self-join on doc_id. Mean score goes
+    * through the exact-decimal-sum discipline. */
+  def q175Calibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rule = TextAnalysis.qualityScored(Tables(s, dir, "documents"))
+      .select($"doc_id", $"text", $"is_quality".as("rule_pass"))
+    classifierScored(rule)
+      .select($"score", $"rule_pass")
+      .withColumn("band",
+        greatest(lit(-40L), least(lit(39L), floor($"score" * 20).cast("long"))))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"score".cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mean_score"),
+        sum(when($"rule_pass", 1L).otherwise(0L)).as("passes"))
+      .withColumn("rule_pass_milli", expr("passes * 1000 div n_docs"))
+      .select($"band", $"n_docs", $"mean_score", $"rule_pass_milli")
+      .orderBy($"band")
+  }
+
+  val q175Oracle: String =
+    s"""WITH rule AS (
+       |  SELECT doc_id, is_quality AS rule_pass
+       |  FROM (${TextAnalysis.q42OracleNoOrder})),
+       |cls AS (SELECT doc_id, score FROM ($q79Oracle)),
+       |j AS (
+       |  SELECT c.score, r.rule_pass
+       |  FROM cls c JOIN rule r ON r.doc_id = c.doc_id),
+       |b AS (
+       |  SELECT CAST(GREATEST(-40, LEAST(39, CAST(floor(score * 20) AS BIGINT)))
+       |      AS BIGINT) AS band,
+       |    score, rule_pass FROM j),
+       |a AS (
+       |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score,
+       |    CAST(SUM(CASE WHEN rule_pass THEN 1 ELSE 0 END) AS BIGINT) AS passes
+       |  FROM b GROUP BY band)
+       |SELECT band, n_docs, mean_score, (passes * 1000) // n_docs AS rule_pass_milli
+       |FROM a ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_lm_rarity" -> q69LmRarity _,
@@ -2312,6 +2380,7 @@ object Curation {
     "q172_surprisal_spans" -> q172SurprisalSpans _,
     "q173_kmv_sketch" -> q173KmvSketch _,
     "q174_pareto_frontier" -> q174ParetoFrontier _,
+    "q175_calibration" -> q175Calibration _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2349,5 +2418,6 @@ object Curation {
     "q172_surprisal_spans" -> q172Oracle,
     "q173_kmv_sketch" -> q173Oracle,
     "q174_pareto_frontier" -> q174Oracle,
+    "q175_calibration" -> q175Oracle,
   )
 }

@@ -1060,6 +1060,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q175 calibration bands match a local recompute and band-range invariants") {
+    val s = spark
+    import s.implicits._
+    val got = Curation.q175Calibration(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // local recompute from the two registered projections
+    val scores = Curation.q79QualityClassifier(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rule = graft.ops.TextAnalysis.q42Quality(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val local = scores.toSeq.map { case (id, sc) =>
+      (math.max(-40L, math.min(39L, math.floor(sc * 20).toLong)), sc, rule(id))
+    }.groupBy(_._1).toSeq.map { case (band, xs) =>
+      val n = xs.size.toLong
+      val mean = xs.map(x => BigDecimal(x._2).setScale(6, BigDecimal.RoundingMode.HALF_EVEN))
+        .sum.toDouble / n
+      (band, n, mean, xs.count(_._3) * 1000L / n)
+    }.sortBy(_._1)
+    assert(got.toSeq === local)
+    assert(got.map(_._2).sum === scores.size.toLong)
+    got.foreach { case (band, _, mean, milli) =>
+      assert(milli >= 0L && milli <= 1000L)
+      // unclamped bands: the mean sits inside the band's score interval
+      if (band > -40 && band < 39)
+        assert(mean >= band / 20.0 && mean < (band + 1) / 20.0,
+          s"band $band mean $mean outside its interval")
+    }
+  }
+
   test("q173 KMV sketch is EXACT below k and its union algebra matches set arithmetic") {
     val s = spark
     // One doc = one 3-token shingle; source a holds shingles 1–10, source b
