@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -356,11 +356,212 @@ object Multimodal {
        |FROM walked ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q176
+  /** Synthetic RIFF/WAVE fixture — the little-endian counterpart of q163's
+    * PNG/JPEG table (RIFF multi-byte fields are LE, so the parser's hex
+    * arithmetic must byte-swap): RIFF size + WAVE form, a spec'd 16-byte
+    * fmt chunk (PCM tag, channels, sample rate, byte rate, block align,
+    * bit depth), for doc_id % 3 = 0 rows an INFO LIST chunk of VARYING
+    * even length between fmt and data (forcing a real chunk walk), then
+    * the data chunk with a declared byte size. doc_id % 19 = 0 rows get
+    * their first byte zeroed — corrupt assets the parser must classify
+    * `unknown`, not misparse. */
+  private def le4hex(c: Column): Column = {
+    val x = lpad(hex(c), 8, "0")
+    concat(substring(x, 7, 2), substring(x, 5, 2), substring(x, 3, 2),
+      substring(x, 1, 2))
+  }
+  private def le2hex(c: Column): Column = {
+    val x = lpad(hex(c), 4, "0")
+    concat(substring(x, 3, 2), substring(x, 1, 2))
+  }
+
+  private[multimodal] def wavMediaTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        (lit(1L) + $"doc_id" % 2).as("ch"),
+        (lit(8000L) * (lit(1L) + $"doc_id" % 3)).as("sr"),
+        (lit(8L) * (lit(1L) + expr("doc_id div 2 % 2"))).as("bits"),
+        hex(substring($"text", 1, 8).cast("binary")).as("body"))
+      .withColumn("ba", expr("ch * bits div 8"))
+      .withColumn("br", $"sr" * $"ba")
+      .withColumn("ds", ($"n_chars" * 13) % 100000 + $"ba")
+      .withColumn("lp", // even by construction — RIFF pads odd chunks
+        when($"doc_id" % 3 === 0, lit(4L) + ($"doc_id" % 6) * 2))
+      .withColumn("rs",
+        lit(36L) + $"ds" + coalesce($"lp" + 8L, lit(0L)))
+      .withColumn("hdr", concat(
+        lit("52494646"), le4hex($"rs"),
+        lit("57415645666D7420100000000100"),
+        le2hex($"ch"), le4hex($"sr"), le4hex($"br"), le2hex($"ba"),
+        le2hex($"bits"),
+        when($"lp".isNotNull,
+          concat(lit("4C495354"), le4hex($"lp"), lit("494E464F"),
+            expr("repeat('00', int(lp) - 4)"))).otherwise(lit("")),
+        lit("64617461"), le4hex($"ds"), $"body"))
+      .select($"doc_id",
+        unhex(when($"doc_id" % 19 === 0,
+            concat(lit("00"), expr("substr(hdr, 3)"))).otherwise($"hdr"))
+          .as("payload"))
+  }
+
+  /** RIFF/WAVE header introspection over an opaque binary column — the
+    * channels / sample-rate / bit-depth / declared-duration metadata an
+    * audio curation pass filters on before any codec is paid. Extends
+    * q163's codegen'd substr/conv discipline to LITTLE-ENDIAN fields
+    * (every multi-byte read byte-swaps before conv) and to a real chunk
+    * WALK: the fmt chunk's own size field positions the next chunk, one
+    * non-data chunk (of any id) is skipped via its generic size field
+    * with RIFF word-alignment padding, and only a payload that lands on a
+    * 'data' id classifies as wav. Corrupt or foreign payloads classify
+    * `unknown` with NULL fields.
+    *
+    * Scale shape: identical to q163 — pure map-side projection, O(header)
+    * per row regardless of payload size, zero exchange. */
+  def parseWavHeaders(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    def le2(pos: String): String =
+      s"cast(conv(concat(substr(h,($pos)+2,2),substr(h,$pos,2)),16,10) as bigint)"
+    def le4(pos: String): String =
+      s"cast(conv(concat(substr(h,($pos)+6,2),substr(h,($pos)+4,2)," +
+        s"substr(h,($pos)+2,2),substr(h,$pos,2)),16,10) as bigint)"
+    media
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+        hex($"payload").as("h"))
+      .withColumn("is_riff",
+        substring($"h", 1, 8) === "52494646" &&
+          substring($"h", 17, 8) === "57415645" &&
+          substring($"h", 25, 8) === "666D7420")
+      .withColumn("fmt_size", when($"is_riff", expr(le4("33"))))
+      // next chunk id position (hex chars, 1-based): fmt data starts at
+      // char 41; chunks are word-aligned, so odd sizes skip one pad byte
+      .withColumn("p1", ($"fmt_size" + ($"fmt_size" % 2)) * 2 + lit(41L))
+      .withColumn("nid", when($"is_riff", expr("substr(h, cast(p1 as int), 8)")))
+      .withColumn("skip_size",
+        when($"nid".isNotNull && length($"nid") === 8 && $"nid" =!= "64617461",
+          expr(le4("p1 + 8"))))
+      .withColumn("p2", when($"skip_size".isNotNull,
+          $"p1" + 16L + ($"skip_size" + ($"skip_size" % 2)) * 2)
+        .otherwise($"p1"))
+      .withColumn("is_wav",
+        $"is_riff" && expr("substr(h, cast(p2 as int), 8)") === "64617461")
+      .withColumn("container", when($"is_wav", "wav").otherwise("unknown"))
+      .withColumn("channels", when($"is_wav", expr(le2("45"))))
+      .withColumn("sample_rate", when($"is_wav", expr(le4("49"))))
+      .withColumn("byte_rate", when($"is_wav", expr(le4("57"))))
+      .withColumn("bit_depth", when($"is_wav", expr(le2("69"))))
+      .withColumn("data_size", when($"is_wav", expr(le4("p2 + 8"))))
+      .withColumn("duration_ms",
+        when($"is_wav" && $"byte_rate" > 0,
+          expr("data_size * 1000 div byte_rate")))
+      .select($"doc_id", $"container", $"channels", $"sample_rate",
+        $"bit_depth", $"data_size", $"duration_ms", $"n_bytes")
+  }
+
+  def q176WavHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    parseWavHeaders(wavMediaTable(s, dir)).orderBy($"doc_id")
+  }
+
+  val q176Oracle: String = {
+    def hv(pos: String): String =
+      s"(strpos('0123456789ABCDEF', substr(h, CAST($pos AS INTEGER), 1)) - 1)"
+    def hex2(pos: String): String =
+      s"(${hv(pos)} * 16 + ${hv(s"($pos) + 1")})"
+    def le2(pos: String): String =
+      s"(${hex2(pos)} + 256 * ${hex2(s"($pos) + 2")})"
+    def le4(pos: String): String =
+      s"(${hex2(pos)} + 256 * ${hex2(s"($pos) + 2")} + " +
+        s"65536 * ${hex2(s"($pos) + 4")} + 16777216 * ${hex2(s"($pos) + 6")})"
+    def le4h(v: String): String = {
+      val x = s"lpad(hex($v), 8, '0')"
+      s"(substr($x, 7, 2) || substr($x, 5, 2) || substr($x, 3, 2) || substr($x, 1, 2))"
+    }
+    def le2h(v: String): String = {
+      val x = s"lpad(hex($v), 4, '0')"
+      s"(substr($x, 3, 2) || substr($x, 1, 2))"
+    }
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+       |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sr,
+       |    CAST(8 * (1 + (doc_id // 2) % 2) AS BIGINT) AS bits,
+       |    hex(CAST(substr(text, 1, 8) AS BLOB)) AS body
+       |  FROM documents),
+       |derived AS (
+       |  SELECT *, (ch * bits) // 8 AS ba, sr * ((ch * bits) // 8) AS br,
+       |    (n_chars * 13) % 100000 + (ch * bits) // 8 AS ds,
+       |    CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id % 6) * 2 END AS lp
+       |  FROM base),
+       |sized AS (
+       |  SELECT *, 36 + ds + COALESCE(lp + 8, 0) AS rs FROM derived),
+       |hdr AS (
+       |  SELECT doc_id,
+       |    '52494646' || ${le4h("rs")} || '57415645666D7420100000000100'
+       |      || ${le2h("ch")} || ${le4h("sr")} || ${le4h("br")}
+       |      || ${le2h("ba")} || ${le2h("bits")}
+       |      || (CASE WHEN lp IS NOT NULL THEN
+       |            '4C495354' || ${le4h("lp")} || '494E464F'
+       |              || repeat('00', CAST(lp - 4 AS INTEGER))
+       |          ELSE '' END)
+       |      || '64617461' || ${le4h("ds")} || body AS hx
+       |  FROM sized),
+       |pay AS (
+       |  SELECT doc_id, hex(unhex(
+       |    CASE WHEN doc_id % 19 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |  FROM hdr),
+       |parsed AS (
+       |  SELECT doc_id, h,
+       |    CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
+       |    (substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+       |      AND substr(h, 25, 8) = '666D7420') AS is_riff
+       |  FROM pay),
+       |w1 AS (
+       |  SELECT *, CASE WHEN is_riff THEN CAST(${le4("33")} AS BIGINT) END AS fmt_size
+       |  FROM parsed),
+       |w2 AS (
+       |  SELECT *, (fmt_size + fmt_size % 2) * 2 + 41 AS p1 FROM w1),
+       |w3 AS (
+       |  SELECT *, CASE WHEN is_riff THEN substr(h, CAST(p1 AS INTEGER), 8) END AS nid
+       |  FROM w2),
+       |w4 AS (
+       |  SELECT *, CASE WHEN nid IS NOT NULL AND len(nid) = 8
+       |      AND nid <> '64617461' THEN CAST(${le4("p1 + 8")} AS BIGINT) END
+       |    AS skip_size
+       |  FROM w3),
+       |w5 AS (
+       |  SELECT *, CASE WHEN skip_size IS NOT NULL
+       |      THEN p1 + 16 + (skip_size + skip_size % 2) * 2 ELSE p1 END AS p2
+       |  FROM w4),
+       |w6 AS (
+       |  SELECT *, (is_riff AND substr(h, CAST(p2 AS INTEGER), 8) = '64617461')
+       |    AS is_wav
+       |  FROM w5),
+       |fields AS (
+       |  SELECT doc_id, n_bytes, is_wav,
+       |    CASE WHEN is_wav THEN 'wav' ELSE 'unknown' END AS container,
+       |    CASE WHEN is_wav THEN CAST(${le2("45")} AS BIGINT) END AS channels,
+       |    CASE WHEN is_wav THEN CAST(${le4("49")} AS BIGINT) END AS sample_rate,
+       |    CASE WHEN is_wav THEN CAST(${le4("57")} AS BIGINT) END AS byte_rate,
+       |    CASE WHEN is_wav THEN CAST(${le2("69")} AS BIGINT) END AS bit_depth,
+       |    CASE WHEN is_wav THEN CAST(${le4("p2 + 8")} AS BIGINT) END AS data_size
+       |  FROM w6)
+       |SELECT doc_id, container, channels, sample_rate, bit_depth, data_size,
+       |  CASE WHEN is_wav AND byte_rate > 0
+       |    THEN (data_size * 1000) // byte_rate END AS duration_ms,
+       |  n_bytes
+       |FROM fields ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_media_meta" -> q57MediaMeta _,
     "q58_frame_sample" -> q58FrameSample _,
     "q159_media_entropy" -> q159MediaEntropy _,
     "q163_media_headers" -> q163MediaHeaders _,
+    "q176_wav_headers" -> q176WavHeaders _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +569,6 @@ object Multimodal {
     "q58_frame_sample" -> q58Oracle,
     "q159_media_entropy" -> q159Oracle,
     "q163_media_headers" -> q163Oracle,
+    "q176_wav_headers" -> q176Oracle,
   )
 }

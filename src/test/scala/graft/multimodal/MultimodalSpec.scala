@@ -114,4 +114,55 @@ class MultimodalSpec extends SparkSpec {
         s"doc $id")
     }
   }
+
+  test("q176: hand-built WAV binaries parse, including the odd-size chunk walk") {
+    val s = spark
+    import s.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le4(v: Long): Array[Byte] = bytes((v & 255).toInt, ((v >> 8) & 255).toInt,
+      ((v >> 16) & 255).toInt, ((v >> 24) & 255).toInt)
+    def le2(v: Long): Array[Byte] = bytes((v & 255).toInt, ((v >> 8) & 255).toInt)
+    def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    def fmt(ch: Long, sr: Long, bits: Long): Array[Byte] = {
+      val ba = ch * bits / 8
+      ascii("fmt ") ++ le4(16) ++ le2(1) ++ le2(ch) ++ le4(sr) ++
+        le4(sr * ba) ++ le2(ba) ++ le2(bits)
+    }
+    // canonical mono 8 kHz 8-bit file; declared data 16000 B = 2000 ms
+    val wavMono = ascii("RIFF") ++ le4(36 + 16000) ++ ascii("WAVE") ++
+      fmt(1, 8000, 8) ++ ascii("data") ++ le4(16000) ++ bytes(0, 0, 0, 0)
+    // stereo 44.1 kHz 16-bit with an ODD-size LIST chunk (9 B + pad byte)
+    // between fmt and data — the walk must apply RIFF word alignment
+    val wavList = ascii("RIFF") ++ le4(36 + 8 + 9 + 1 + 88200) ++ ascii("WAVE") ++
+      fmt(2, 44100, 16) ++ ascii("LIST") ++ le4(9) ++ ascii("INFOxxxxx") ++
+      bytes(0) ++ ascii("data") ++ le4(88200) ++ bytes(0, 0)
+    val corrupt = { val c = wavMono.clone(); c(0) = 0; c }
+    val truncated = ascii("RIFF") ++ le4(4) ++ ascii("WAVE")
+    val avi = ascii("RIFF") ++ le4(4) ++ ascii("AVI ") ++ fmt(1, 8000, 8)
+    val got = Multimodal.parseWavHeaders(
+      Seq(1L -> wavMono, 2L -> wavList, 3L -> corrupt, 4L -> truncated,
+        5L -> avi).toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          (2 to 6).map(i => if (r.isNullAt(i)) -1L else r.getLong(i))))).toMap
+    assert(got(1L) === (("wav", Seq(1L, 8000L, 8L, 16000L, 2000L))))
+    assert(got(2L) === (("wav", Seq(2L, 44100L, 16L, 88200L, 500L))))
+    assert(got(3L)._1 === "unknown")
+    assert(got(4L)._1 === "unknown")
+    assert(got(5L)._1 === "unknown")
+    // fixture round-trip: synthesized payloads parse back to the formulas
+    // they were built from; only doc_id % 19 rows are unknown
+    val full = Multimodal.q176WavHeaders(s, sf).collect()
+    assert(full.length === 500)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 19 == 0) assert(r.getString(1) === "unknown", s"doc $id")
+      else {
+        assert(r.getString(1) === "wav", s"doc $id")
+        assert(r.getLong(2) === 1 + id % 2, s"doc $id channels")
+        assert(r.getLong(3) === 8000 * (1 + id % 3), s"doc $id rate")
+        assert(r.getLong(4) === 8 * (1 + (id / 2) % 2), s"doc $id bits")
+      }
+    }
+  }
 }
