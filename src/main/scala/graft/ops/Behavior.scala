@@ -258,11 +258,61 @@ object Behavior {
        |FROM f GROUP BY entry_type
        |ORDER BY entry_type""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** Robust per-type anomaly detection over the event stream — the
+    * median/MAD outlier rule (Hampel identifier, the standard robust
+    * replacement for mean±kσ: one 490-unit spike cannot drag its own
+    * threshold the way it drags a mean): an event is anomalous iff
+    * |value − median(type)| > 3.5 · MAD(type). Output is the flagged
+    * events with the per-type statistics that flagged them — the triage
+    * table an on-call reads, and the cleaning pass a metrics pipeline
+    * runs before aggregating value fields.
+    *
+    * Plan: two keyed aggregations over events (median, then MAD of the
+    * residuals vs the broadcast 5-row median table), one more broadcast
+    * join, map-side filter. Exact `percentile` sorts per type — at
+    * fixture scale that is the point (ground truth); at 100 TB the same
+    * rule runs over the q95/q97-style fixed-bin histogram (median and MAD
+    * read off cumulative bin counts, error ≤ half a bin) with this exact
+    * form kept as the audit gate. Doubles compare bit-identically: both
+    * engines interpolate even-count medians as the midpoint of the same
+    * two doubles (the q46 precedent). */
+  def q177EventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val withMed = ev.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(abs($"value" - $"med") > lit(3.5) * $"mad")
+      .select($"event_id", $"event_type", $"value", $"med", $"mad",
+        abs($"value" - $"med").as("dev"))
+      .orderBy($"event_id")
+  }
+
+  val q177Oracle: String =
+    """WITH med AS (SELECT event_type, median(value) AS med
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT e.event_id, e.event_type, e.value, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, median(abs(value - med)) AS mad
+      |  FROM j GROUP BY 1)
+      |SELECT j.event_id, j.event_type, j.value, j.med, mad.mad AS mad,
+      |  abs(j.value - j.med) AS dev
+      |FROM j JOIN mad USING (event_type)
+      |WHERE abs(j.value - j.med) > 3.5 * mad.mad
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
     "q157_sessionize" -> q157Sessionize _,
     "q160_session_attribution" -> q160SessionAttribution _,
+    "q177_event_anomalies" -> q177EventAnomalies _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -270,5 +320,6 @@ object Behavior {
     "q85_cohort_retention" -> q85Oracle,
     "q157_sessionize" -> q157Oracle,
     "q160_session_attribution" -> q160Oracle,
+    "q177_event_anomalies" -> q177Oracle,
   )
 }

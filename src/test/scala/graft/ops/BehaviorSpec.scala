@@ -142,4 +142,24 @@ class BehaviorSpec extends SparkSpec {
     // attribution actually discriminates: several entry types appear
     assert(got.length >= 3)
   }
+
+  test("q177 Hampel rule: hand-computed median/MAD thresholds, including the MAD=0 edge") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-behavior-").toString
+    // type "m": 1..9 plus a 100 spike → med 5.5, MAD 2.5, threshold 8.75 —
+    // only the spike's dev (94.5) crosses; the 9 (dev 4.5) must NOT flag.
+    // type "z": nine 10s and one 1000 → MAD is 0, threshold 0 — the robust
+    // rule still flags the 1000 (dev > 0) and nothing else.
+    val rows =
+      (1 to 9).map(i => (i.toLong, "m", i.toDouble)) ++ Seq((10L, "m", 100.0)) ++
+      (11 to 19).map(i => (i.toLong, "z", 10.0)) ++ Seq((20L, "z", 1000.0))
+    rows.map { case (id, t, v) =>
+        (id, t, v, 7L, Timestamp.valueOf("2024-01-01 00:00:00"), "{}")
+      }.toDF("event_id", "event_type", "value", "user_id", "ts", "props")
+      .write.parquet(s"$root/events.parquet")
+    val got = Behavior.q177EventAnomalies(s, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((10L, "m", 5.5, 2.5), (20L, "z", 10.0, 0.0)))
+  }
 }
