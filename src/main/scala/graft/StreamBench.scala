@@ -585,7 +585,7 @@ object StreamBench {
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
-    * sketch,drift,exactdecontam,shards,qualitygate — the quick-run knob;
+    * sketch,drift,exactdecontam,shards,qualitygate,anomalygate,… — the quick-run knob;
     * unset = all) is also None and is skipped without paying its
     * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
@@ -600,7 +600,8 @@ object StreamBench {
       encode: Option[SeamResult],
       sessions: Option[SeamResult],
       windowDedup: Option[SeamResult],
-      sample: Option[SeamResult]) {
+      sample: Option[SeamResult],
+      anomalyGate: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -622,7 +623,8 @@ object StreamBench {
         "serve" -> serve, "encode" -> encode,
         "sessions" -> sessions,
         "window_dedup" -> windowDedup,
-        "sample" -> sample).map { case (k, v) =>
+        "sample" -> sample,
+        "anomaly_gate" -> anomalyGate).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -658,7 +660,44 @@ object StreamBench {
       guarded("encode")(measureEncode(spark, sfDir)),
       guarded("sessions")(measureSessions(spark, sfDir)),
       guarded("windowdedup")(measureWindowDedup(spark, sfDir)),
-      guarded("sample")(measureSample(spark, sfDir)))
+      guarded("sample")(measureSample(spark, sfDir)),
+      guarded("anomalygate")(measureAnomalyGate(spark, sfDir)))
+  }
+
+  /** S25 throughput: the events table replayed as a file-source stream
+    * through [[graft.streaming.AnomalyGateStream]]'s Hampel gate against
+    * the staged q177 statistics — events/sec through the broadcast
+    * join + split. `clean` = clean-sink row count (admitted events). */
+  def measureAnomalyGate(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-anomalygate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.write.mode("overwrite").parquet(incoming)
+    // stage the stats artifact the way the nightly batch job would —
+    // untimed, like S20's index build
+    ops.Behavior.robustStats(ev)
+      .write.mode("overwrite").parquet(s"$root/stats")
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("event_id long, event_type string, value double")
+      .parquet(incoming)
+    val q = streaming.AnomalyGateStream.run(stream, s"$root/stats", s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:anomalygate] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val cleanN = spark.read.parquet(s"$root/out/clean").count()
+      SeamResult(n / secs, n, cleanN, secs)
+    }
   }
 
   /** S24 throughput: the documents table replayed as a file-source stream

@@ -277,19 +277,41 @@ object Behavior {
     * form kept as the audit gate. Doubles compare bit-identically: both
     * engines interpolate even-count medians as the midpoint of the same
     * two doubles (the q46 precedent). */
+  /** The per-type robust statistics table — |event_types| rows of
+    * (event_type, med, mad). Factored so the S25 streaming gate stages and
+    * serves the LITERAL batch statistics (the shared-code-path
+    * discipline). */
+  private[graft] def robustStats(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy($"event_type")
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    med.join(mad, "event_type")
+  }
+
+  /** The Hampel decision over ANY (event_id, event_type, value) frame
+    * against a staged stats table: adds med/mad/dev and the flag — one
+    * broadcast join + a map-side projection, shared verbatim by q177 and
+    * the S25 stream. */
+  private[graft] def anomalyDecided(ev: DataFrame, stats: DataFrame)
+      : DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+      .withColumn("is_anomaly", $"dev" > lit(3.5) * $"mad")
+  }
+
   def q177EventAnomalies(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events")
       .select($"event_id", $"event_type", $"value")
-    val med = ev.groupBy($"event_type")
-      .agg(expr("percentile(value, 0.5D)").as("med"))
-    val withMed = ev.join(broadcast(med), "event_type")
-    val mad = withMed.groupBy($"event_type")
-      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
-    withMed.join(broadcast(mad), "event_type")
-      .filter(abs($"value" - $"med") > lit(3.5) * $"mad")
-      .select($"event_id", $"event_type", $"value", $"med", $"mad",
-        abs($"value" - $"med").as("dev"))
+    anomalyDecided(ev, robustStats(ev))
+      .filter($"is_anomaly")
+      .select($"event_id", $"event_type", $"value", $"med", $"mad", $"dev")
       .orderBy($"event_id")
   }
 
