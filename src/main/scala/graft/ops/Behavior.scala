@@ -329,12 +329,118 @@ object Behavior {
       |WHERE abs(j.value - j.med) > 3.5 * mad.mad
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** The 100 TB quantile path q177's scaladoc names, delivered and
+    * audited: per-type median and MAD read off a FIXED-BIN histogram
+    * (width 1.0) instead of an exact per-type sort, with the exact values
+    * riding along so the output IS the approximation's error audit in
+    * milli. Median = midpoint of the first bin whose cumulative count
+    * reaches ⌈n/2⌉; MAD = the same rule over the residual histogram —
+    * which is derived by FOLDING the value histogram around the median
+    * bin (abs(bin − med_bin)), so the second quantile costs no second
+    * pass over events.
+    *
+    * Scale shape: events are touched once, collapsing map-side into a
+    * ≤(bins × types) histogram (the q95/q97 contract); every window after
+    * that runs over histogram-sized metadata. Binning error is ≤ half a
+    * bin for the median and ≤ 1.5 bins for the folded MAD WHEN the two
+    * central ranks share a bin (any continuous-ish distribution); an
+    * adversarial bimodal split across distant bins degrades to the
+    * lower-median bin — which is exactly what the est-vs-exact audit
+    * columns exist to expose before anyone trusts the sketch. All
+    * arithmetic after floor() is integer. */
+  def q178HistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select($"event_type", $"value")
+    val hist = ev
+      .groupBy($"event_type", floor($"value").cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val wType = Window.partitionBy($"event_type")
+    val wCum = wType.orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("n", sum($"c").over(wType))
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("target", expr("(n + 1) div 2"))
+    // n/target are per-type constants — min() is just the deterministic carry
+    val medBin = cum.filter($"cum" >= $"target")
+      .groupBy($"event_type").agg(min($"bin").as("med_bin"),
+        min($"n").as("n"), min($"target").as("target"))
+    val rhist = hist
+      .join(broadcast(medBin.select($"event_type", $"med_bin")), "event_type")
+      .groupBy($"event_type", abs($"bin" - $"med_bin").as("rbin"))
+      .agg(sum($"c").as("c"))
+    val wRCum = wType.orderBy($"rbin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val madBin = rhist.withColumn("cum", sum($"c").over(wRCum))
+      .join(broadcast(medBin.select($"event_type", $"target")), "event_type")
+      .filter($"cum" >= $"target")
+      .groupBy($"event_type").agg(min($"rbin").as("mad_bin"))
+    medBin.join(madBin, "event_type")
+      .join(broadcast(robustStats(ev)), "event_type")
+      .withColumn("med_est_milli", $"med_bin" * 1000 + 500)
+      .withColumn("med_exact_milli", floor($"med" * 1000).cast("long"))
+      .withColumn("mad_est_milli", $"mad_bin" * 1000 + 500)
+      .withColumn("mad_exact_milli", floor($"mad" * 1000).cast("long"))
+      .select($"event_type", $"n",
+        $"med_est_milli", $"med_exact_milli",
+        ($"med_est_milli" - $"med_exact_milli").as("med_err_milli"),
+        $"mad_est_milli", $"mad_exact_milli",
+        ($"mad_est_milli" - $"mad_exact_milli").as("mad_err_milli"))
+      .orderBy($"event_type")
+  }
+
+  val q178Oracle: String =
+    """WITH hist AS (
+      |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM hist),
+      |medb AS (
+      |  SELECT event_type, MIN(bin) AS med_bin, MIN(n) AS n,
+      |    MIN((n + 1) // 2) AS target
+      |  FROM cum WHERE cum >= (n + 1) // 2 GROUP BY event_type),
+      |rhist AS (
+      |  SELECT h.event_type, abs(h.bin - m.med_bin) AS rbin,
+      |    CAST(SUM(h.c) AS BIGINT) AS c
+      |  FROM hist h JOIN medb m USING (event_type) GROUP BY 1, 2),
+      |rcum AS (
+      |  SELECT *, CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY rbin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM rhist),
+      |madb AS (
+      |  SELECT r.event_type, MIN(r.rbin) AS mad_bin
+      |  FROM rcum r JOIN medb m USING (event_type)
+      |  WHERE r.cum >= m.target GROUP BY 1),
+      |med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |exact AS (
+      |  SELECT e.event_type, MIN(m.med) AS med,
+      |    median(abs(e.value - m.med)) AS mad
+      |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+      |SELECT b.event_type, b.n,
+      |  b.med_bin * 1000 + 500 AS med_est_milli,
+      |  CAST(floor(x.med * 1000) AS BIGINT) AS med_exact_milli,
+      |  b.med_bin * 1000 + 500 - CAST(floor(x.med * 1000) AS BIGINT)
+      |    AS med_err_milli,
+      |  d.mad_bin * 1000 + 500 AS mad_est_milli,
+      |  CAST(floor(x.mad * 1000) AS BIGINT) AS mad_exact_milli,
+      |  d.mad_bin * 1000 + 500 - CAST(floor(x.mad * 1000) AS BIGINT)
+      |    AS mad_err_milli
+      |FROM medb b JOIN madb d USING (event_type) JOIN exact x USING (event_type)
+      |ORDER BY b.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
     "q157_sessionize" -> q157Sessionize _,
     "q160_session_attribution" -> q160SessionAttribution _,
     "q177_event_anomalies" -> q177EventAnomalies _,
+    "q178_hist_quantiles" -> q178HistQuantiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -343,5 +449,6 @@ object Behavior {
     "q157_sessionize" -> q157Oracle,
     "q160_session_attribution" -> q160Oracle,
     "q177_event_anomalies" -> q177Oracle,
+    "q178_hist_quantiles" -> q178Oracle,
   )
 }

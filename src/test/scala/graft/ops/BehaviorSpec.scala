@@ -162,4 +162,30 @@ class BehaviorSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getDouble(4)))
     assert(got.toSeq === Seq((10L, "m", 5.5, 2.5), (20L, "z", 10.0, 0.0)))
   }
+
+  test("q178 histogram quantiles: hand-walked bins and fixture error bounds") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-behavior-").toString
+    // type "b": 1.2, 2.4, 3.7 → bins 1,2,3; target ⌈4/2⌉=2 → med_bin 2
+    // (est 2500 vs exact 2400); residuals fold to rbins {0:1, 1:2} →
+    // mad_bin 1 (est 1500 vs exact MAD 1.2 → 1200)
+    Seq((1L, "b", 1.2), (2L, "b", 2.4), (3L, "b", 3.7))
+      .map { case (id, t, v) =>
+        (id, t, v, 7L, Timestamp.valueOf("2024-01-01 00:00:00"), "{}")
+      }.toDF("event_id", "event_type", "value", "user_id", "ts", "props")
+      .write.parquet(s"$root/events.parquet")
+    val row = Behavior.q178HistQuantiles(s, root).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6), r.getLong(7)) ===
+      ((3L, 2500L, 2400L, 100L, 1500L, 1200L, 300L)))
+    // fixture-scale audit: continuous-ish values keep the median inside
+    // half a bin and the folded MAD inside 1.5 bins
+    Behavior.q178HistQuantiles(s, sf).collect().foreach { x =>
+      assert(math.abs(x.getLong(4)) <= 500L, s"${x.getString(0)} med err")
+      assert(math.abs(x.getLong(7)) <= 1500L, s"${x.getString(0)} mad err")
+    }
+  }
 }
