@@ -434,6 +434,46 @@ object Behavior {
       |FROM medb b JOIN madb d USING (event_type) JOIN exact x USING (event_type)
       |ORDER BY b.event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et al.
+    * 2007) over the analytics export grid — the pre-publication privacy
+    * gate: if per-(event_type, day, hour) cells were released, which cells
+    * are backed by fewer than k=5 distinct users (re-identification risk),
+    * and how diverse is the sensitive attribute (the value band) inside
+    * them? Output is the violation list with its evidence — the cells a
+    * release job must suppress or generalize before export.
+    *
+    * Plan: ONE aggregation keyed on the QI grid; both distinct counts run
+    * as the standard two-phase partial-distinct expansion on the same
+    * grid key. The grid is |types|·days·24 — the output and every
+    * post-agg row is metadata-sized at any event volume. */
+  def q179KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select($"user_id", $"event_type",
+        to_date($"ts").cast("string").as("day"),
+        hour($"ts").cast("long").as("hr"),
+        floor($"value" / 50).cast("long").as("vband"))
+      .groupBy($"event_type", $"day", $"hr")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("k_users"),
+        countDistinct($"vband").as("l_values"))
+      .filter($"k_users" < 5)
+      .orderBy($"event_type", $"day", $"hr")
+  }
+
+  val q179Oracle: String =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+      |  CAST(COUNT(DISTINCT CAST(floor(value / 50) AS BIGINT)) AS BIGINT)
+      |    AS l_values
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE), hour(ts)
+      |HAVING COUNT(DISTINCT user_id) < 5
+      |ORDER BY event_type, day, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
@@ -441,6 +481,7 @@ object Behavior {
     "q160_session_attribution" -> q160SessionAttribution _,
     "q177_event_anomalies" -> q177EventAnomalies _,
     "q178_hist_quantiles" -> q178HistQuantiles _,
+    "q179_k_anonymity" -> q179KAnonymity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +491,6 @@ object Behavior {
     "q160_session_attribution" -> q160Oracle,
     "q177_event_anomalies" -> q177Oracle,
     "q178_hist_quantiles" -> q178Oracle,
+    "q179_k_anonymity" -> q179Oracle,
   )
 }

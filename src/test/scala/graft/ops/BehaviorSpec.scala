@@ -188,4 +188,26 @@ class BehaviorSpec extends SparkSpec {
       assert(math.abs(x.getLong(7)) <= 1500L, s"${x.getString(0)} mad err")
     }
   }
+
+  test("q179 k-anonymity: k<5 cells flag with their l-diversity, k=5 cells pass") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-behavior-").toString
+    // cell A: 6 events from only 4 users (k=4 → VIOLATION), values in 3
+    // distinct 50-bands (l=3). cell B: 5 events from 5 users → passes.
+    val cellA = Seq(
+      (1L, 101L, 10.0), (2L, 101L, 60.0), (3L, 102L, 110.0),
+      (4L, 103L, 10.0), (5L, 104L, 60.0), (6L, 104L, 10.0))
+      .map { case (id, u, v) => (id, "a", v, u, "2024-01-01 10:00:00") }
+    val cellB = (11 to 15).map(i =>
+      (i.toLong, "b", 10.0, 200L + i, "2024-01-01 10:00:00"))
+    (cellA ++ cellB).map { case (id, t, v, u, ts) =>
+        (id, t, v, u, Timestamp.valueOf(ts), "{}")
+      }.toDF("event_id", "event_type", "value", "user_id", "ts", "props")
+      .write.parquet(s"$root/events.parquet")
+    val got = Behavior.q179KAnonymity(s, root).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    assert(got.toSeq === Seq(("a", 10L, 6L, 4L, 3L)))
+  }
 }
