@@ -474,6 +474,52 @@ object Behavior {
       |HAVING COUNT(DISTINCT user_id) < 5
       |ORDER BY event_type, day, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** Bounded-contribution capping — the preprocessing every
+    * differential-privacy aggregation requires (and heavy-user bias
+    * control wants anyway): each user contributes at most k=3 events per
+    * (user, day); the rest are dropped before counting, so no single user
+    * can dominate a released statistic. Output is the per-type audit —
+    * events before/after the cap and the capped-away fraction — the
+    * sensitivity-bound evidence a DP release attaches.
+    *
+    * Plan: one window ranked inside (user_id, day) — per-partition sorts
+    * bounded by a user's daily volume, the q157 terasort-per-key shape —
+    * then one per-type partial agg. The cap is WindowGroupLimit-eligible
+    * (rank ≤ k), so each map task forwards at most k rows per
+    * (user, day) group. */
+  def q180ContributionCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val k = 3
+    val w = Window.partitionBy($"user_id", $"day")
+      .orderBy($"us", $"event_id")
+    Tables(s, dir, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        to_date($"ts").as("day"), unix_micros($"ts").as("us"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_before"),
+        sum(when($"rn" <= k, 1L).otherwise(0L)).as("n_after"))
+      .withColumn("capped_milli",
+        expr("(n_before - n_after) * 1000 div n_before"))
+      .orderBy($"event_type")
+  }
+
+  val q180Oracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |      ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_before,
+      |    CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      |  FROM ranked GROUP BY event_type)
+      |SELECT event_type, n_before, n_after,
+      |  ((n_before - n_after) * 1000) // n_before AS capped_milli
+      |FROM a ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
@@ -482,6 +528,7 @@ object Behavior {
     "q177_event_anomalies" -> q177EventAnomalies _,
     "q178_hist_quantiles" -> q178HistQuantiles _,
     "q179_k_anonymity" -> q179KAnonymity _,
+    "q180_contribution_cap" -> q180ContributionCap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +539,6 @@ object Behavior {
     "q177_event_anomalies" -> q177Oracle,
     "q178_hist_quantiles" -> q178Oracle,
     "q179_k_anonymity" -> q179Oracle,
+    "q180_contribution_cap" -> q180Oracle,
   )
 }

@@ -210,4 +210,24 @@ class BehaviorSpec extends SparkSpec {
         r.getLong(5)))
     assert(got.toSeq === Seq(("a", 10L, 6L, 4L, 3L)))
   }
+
+  test("q180 contribution cap: k=3 per (user, day), the day boundary resets the cap") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-behavior-").toString
+    // user 1: 5 clicks on day 1 (2 capped) + 1 click on day 2 (cap resets,
+    // survives). user 2: 2 views — under the cap, untouched.
+    val rows =
+      (1 to 5).map(i => (i.toLong, "click", 1L, s"2024-01-01 0$i:00:00")) ++
+      Seq((6L, "click", 1L, "2024-01-02 01:00:00"),
+        (7L, "view", 2L, "2024-01-01 01:00:00"),
+        (8L, "view", 2L, "2024-01-01 02:00:00"))
+    rows.map { case (id, t, u, ts) =>
+        (id, t, 1.0, u, Timestamp.valueOf(ts), "{}")
+      }.toDF("event_id", "event_type", "value", "user_id", "ts", "props")
+      .write.parquet(s"$root/events.parquet")
+    val got = Behavior.q180ContributionCap(s, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("click", 6L, 4L, 333L), ("view", 2L, 2L, 0L)))
+  }
 }
