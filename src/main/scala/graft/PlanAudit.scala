@@ -128,6 +128,14 @@ object PlanAudit {
     "q170_weighted_sample" -> "Efraimidis–Spirakis weighted sample: draw + integer-log key are map-side projections over the scan; top-64 by (key, doc_id) plans TakeOrderedAndProject (map tasks forward 64 rows); the rank window runs over the 64 collected rows — never a global sort",
     "q171_budget_mix" -> "budgeted mixture cut: one |sources|-group partial agg over the shared q42 projection; rank/cumulative/take are windows over |sources| rows — the knapsack is metadata-sized at any corpus scale",
     "q172_surprisal_spans" -> "windowed-surprisal localization: the model is q141's vocabulary-bounded pair/context fold; position scoring joins on (w1, w2); sliding window + per-doc totals + the struct-max argmax ALL cluster on doc_id — one data exchange after scoring, no second window pass for the argmax",
+    "q173_kmv_sketch" -> "KMV cross-source sketch: the typed Aggregator dedups INSIDE its buffer, so the sketch leg has NO corpus distinct() exchange — map-side combine caps each task's shuffle at K longs per source (ObjectHashAggregate partial → 20 groups); pairwise union/intersection estimates are array arithmetic over the broadcast 20-row sketch table; the exact leg (distinct + shared-hash self-join) is the fixture-scale audit, dropped at 100 TB",
+    "q174_pareto_frontier" -> "2-D skyline with NO dominance join: the q42 score quantizes to milli map-side (what bounds the window), one ≤1001-key partial agg takes per-level min tokens, and the frontier is one running-min sweep over ≤1001 METADATA rows from the high-quality end",
+    "q175_calibration" -> "reliability audit in ONE scan: the q42 rule expressions and the q79 inference compose as two map-side projections (no doc_id self-join); fixed-width score bands (not ntile — no global sort) feed an ≤80-key partial agg; mean score via the exact-decimal-sum discipline",
+    "q176_wav_headers" -> "RIFF/WAVE introspection: pure map-side projection — hex() once, then little-endian byte-swapped substr/conv arithmetic walks fmt → (skippable chunk with pad) → data; O(header) per row regardless of payload size, zero exchange before the presentation sort",
+    "q177_event_anomalies" -> "Hampel outlier triage: two keyed per-type aggregations (exact percentile — the audit-scale form; q178 is the histogram scale path) + broadcast 5-row stat joins; the flag is a map-side CASE over the scan",
+    "q178_hist_quantiles" -> "histogram median/MAD: events collapse map-side into a ≤(bins×types) partial-agg histogram (the q95/q97 contract); the MAD histogram FOLDS the value histogram around the median bin, so both quantiles cost ONE pass over events; every window after the first agg runs over histogram-sized metadata",
+    "q179_k_anonymity" -> "privacy export gate: ONE aggregation keyed on the (type, day, hour) QI grid; both distinct counts are the standard two-phase partial-distinct expansion on the same grid key; output and all post-agg rows are grid-sized metadata",
+    "q180_contribution_cap" -> "DP-ready contribution bound: the PRODUCTION cap (filter rank ≤ k) plans WindowGroupLimit — map tasks forward at most k rows per (user, day); this AUDIT deliberately keeps both sides of the cap (it counts the capped-away mass), so it pays the full window — per-partition sorts bounded by a user's daily volume — then one per-type partial agg",
   )
 
   def main(args: Array[String]): Unit = {

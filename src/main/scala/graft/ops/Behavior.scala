@@ -485,9 +485,10 @@ object Behavior {
     *
     * Plan: one window ranked inside (user_id, day) — per-partition sorts
     * bounded by a user's daily volume, the q157 terasort-per-key shape —
-    * then one per-type partial agg. The cap is WindowGroupLimit-eligible
-    * (rank ≤ k), so each map task forwards at most k rows per
-    * (user, day) group. */
+    * then one per-type partial agg. The PRODUCTION cap (filter rank ≤ k)
+    * plans WindowGroupLimit, forwarding at most k rows per group from
+    * each map task; this audit deliberately keeps both sides of the cap
+    * (it counts the capped-away mass), so it pays the full window. */
   def q180ContributionCap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
