@@ -1532,6 +1532,66 @@ object TextAnalysis {
        |       ELSE -((-kl_num) // c_s) END AS kl_milli
        |FROM terms ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q181
+  /** Canonicalization and what it buys dedup — the CCNet normalize-before-
+    * hash discipline, measured: every exact-dedup pass (q21/q50/S8) keys
+    * on sha256(text), so "Hello, World!" and "hello world" count as
+    * distinct documents. This audit normalizes (lowercase → strip
+    * non-alphanumerics → collapse whitespace — each step idempotent, the
+    * spec proves the composition is too) and reports, per source, how many
+    * docs are exact-dup members under the RAW hash vs the CANONICAL hash.
+    * Raw-dup ⊆ canonical-dup by construction (equal texts normalize
+    * equal), so `gained` is the dedup recall the pipeline is leaving on
+    * the table by hashing raw bytes.
+    *
+    * Plan: normalization + both hashes are ONE map-side codegen'd
+    * projection; each dup bit is a count-over-hash window — the 64-byte
+    * hash shuffles, never the text (q111's corpus-dup shape, twice); the
+    * roll-up is |sources| groups. DuckDB's regexp_replace needs the 'g'
+    * flag to match Spark's replace-all default — the dialect trap is in
+    * the oracle, not the engine. */
+  def q181CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", " "), " +", " "))
+    val hashed = Tables(s, dir, "documents")
+      .select($"source", sha2($"text", 256).as("raw_sha"),
+        sha2(norm, 256).as("norm_sha"))
+    val flagged = hashed
+      .withColumn("raw_dup",
+        count(lit(1)).over(Window.partitionBy($"raw_sha")) > 1)
+      .withColumn("norm_dup",
+        count(lit(1)).over(Window.partitionBy($"norm_sha")) > 1)
+    flagged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"raw_dup", 1L).otherwise(0L)).as("raw_dup_docs"),
+        sum(when($"norm_dup", 1L).otherwise(0L)).as("norm_dup_docs"))
+      .withColumn("gained_milli",
+        expr("(norm_dup_docs - raw_dup_docs) * 1000 div n_docs"))
+      .orderBy($"source")
+  }
+
+  val q181Oracle: String =
+    """WITH hashed AS (
+      |  SELECT source, sha256(text) AS raw_sha,
+      |    sha256(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_sha
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT source,
+      |    COUNT(*) OVER (PARTITION BY raw_sha) > 1 AS raw_dup,
+      |    COUNT(*) OVER (PARTITION BY norm_sha) > 1 AS norm_dup
+      |  FROM hashed),
+      |agg AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN raw_dup THEN 1 ELSE 0 END) AS BIGINT) AS raw_dup_docs,
+      |    CAST(SUM(CASE WHEN norm_dup THEN 1 ELSE 0 END) AS BIGINT) AS norm_dup_docs
+      |  FROM flagged GROUP BY source)
+      |SELECT source, n_docs, raw_dup_docs, norm_dup_docs,
+      |  ((norm_dup_docs - raw_dup_docs) * 1000) // n_docs AS gained_milli
+      |FROM agg ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -1558,6 +1618,7 @@ object TextAnalysis {
     "q144_prefix_cache" -> q144PrefixCache _,
     "q165_vocab_growth" -> q165VocabGrowth _,
     "q166_length_kl" -> q166LengthKl _,
+    "q181_canonical_dedup" -> q181CanonicalDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1586,5 +1647,6 @@ object TextAnalysis {
     "q144_prefix_cache" -> q144Oracle,
     "q165_vocab_growth" -> q165Oracle,
     "q166_length_kl" -> q166Oracle,
+    "q181_canonical_dedup" -> q181Oracle,
   )
 }

@@ -593,4 +593,28 @@ class TextAnalysisSpec extends SparkSpec {
     // the mixed source tracks the corpus marginal; the skewed ones leak
     assert(got("mix")._3 < got("short")._3 && got("mix")._3 < got("long")._3)
   }
+
+  test("q181 canonicalization: case/punct twins dedup under the canonical hash only") {
+    val s = spark
+    import s.implicits._
+    // docs 1/2: raw-distinct, canonical-equal (case + punctuation + extra
+    // whitespace). docs 3/4: byte-identical (raw dups, and therefore
+    // canonical dups too). doc 5: unique under both.
+    val dir = writeDocs(Seq(
+      (1L, "Hello, World! This is FINE."),
+      (2L, "hello world  this is fine"),
+      (3L, "same exact bytes"),
+      (4L, "same exact bytes"),
+      (5L, "a lonely unique document")))
+    val r = TextAnalysis.q181CanonicalDedup(s, dir).collect()
+    assert(r.length === 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3),
+      r.head.getLong(4)) === ((5L, 2L, 4L, 400L)))
+    // normalization is idempotent: canonicalizing a canonical text is a
+    // no-op, so running the audit over pre-normalized docs gains nothing
+    val dir2 = writeDocs(Seq(
+      (1L, "hello world this is fine"), (2L, "hello world this is fine")))
+    val r2 = TextAnalysis.q181CanonicalDedup(s, dir2).collect().head
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((2L, 2L, 0L)))
+  }
 }
