@@ -1592,6 +1592,227 @@ object TextAnalysis {
       |  ((norm_dup_docs - raw_dup_docs) * 1000) // n_docs AS gained_milli
       |FROM agg ORDER BY source""".stripMargin
 
+  // ----------------------------------------------------------- q182/q183
+  /** Unigram-LM tokenizer (Kudo 2018, the SentencePiece model family —
+    * the OTHER trainable tokenizer next to q137's BPE): pieces carry
+    * −log₂ p costs in integer milli-bits, and a word's segmentation is
+    * the min-cost Viterbi path over its characters.
+    *
+    * The Spark-first move: the Viterbi DP is UNROLLED INTO PURE COLUMN
+    * ARITHMETIC — no UDF, no mapPartitions, no driver loop over rows.
+    * Piece costs pivot into `c_i_l` columns (min-CASE aggregation), the
+    * DP chain `b_i = min_l(c_i_l + b_{i−l})` and the argmin `l_i` become
+    * [[UniL]] chained column expressions, and the backtrace itself is
+    * [[UniL]] unrolled CASE steps — every stage whole-stage-codegen
+    * eligible. This is sound because the DP runs over the DISTINCT-WORD
+    * table (the q137 vocabulary-bound argument): corpus size enters only
+    * the word-count fold; the DP's row count is |vocabulary|, and its
+    * column count is the [[UniL]]·[[UniPiece]] grid.
+    *
+    * Seed model: every substring occurrence of length 1..[[UniPiece]]
+    * weighted by word frequency; the vocab keeps ALL single chars (the
+    * segmentability floor) plus the top-[[UniTop]] multi-char pieces;
+    * cost(piece) = qlog(total) − qlog(count) milli-bits (the shared
+    * libm-free Sql.qlogMilli path). Ties in the argmin break to the
+    * SMALLEST l — spelled as the same first-match CASE order in both
+    * engines. Words longer than [[UniL]] chars are out of scope by
+    * filter (fixture max is 8; production raises the unroll constant). */
+  private val UniL = 12
+  private val UniPiece = 4
+  private val UniTop = 128
+  private val UniBig = 1000000000L
+
+  private[ops] def unigramSegmented(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= UniL)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true) // |vocabulary| rows — the DP's whole input
+    val counts = words
+      .select($"w", $"freq", explode(expr(s"sequence(1, $UniPiece)")).as("pl"))
+      .filter($"pl" <= length($"w"))
+      .select($"freq", $"pl", $"w",
+        explode(expr("sequence(1, length(w) - pl + 1)")).as("pi"))
+      .select(expr("substring(w, pi, pl)").as("piece"), $"freq")
+      .groupBy($"piece").agg(sum($"freq").as("cnt"))
+      .localCheckpoint(true)
+    val vocab = counts.filter(length($"piece") === 1)
+      .unionByName(counts.filter(length($"piece") > 1)
+        .orderBy($"cnt".desc, $"piece").limit(UniTop))
+      .localCheckpoint(true) // ≤ chars + UniTop rows — bounded metadata
+    val total = vocab.agg(sum($"cnt")).head.getLong(0)
+    val cost = vocab.select($"piece", $"cnt",
+      expr(s"${Sql.qlogMilliSpark(total.toString)} - ${Sql.qlogMilliSpark("cnt")}")
+        .as("cost"))
+    val cand = words
+      .select($"w", explode(expr(s"sequence(1, least(length(w), $UniL))")).as("i"))
+      .select($"w", $"i", explode(expr(s"sequence(1, least(i, $UniPiece))")).as("l"))
+      .select($"w", $"i", $"l", expr("substring(w, i - l + 1, l)").as("piece"))
+      .join(broadcast(cost.select($"piece", $"cost")), "piece")
+    val pivotAggs = for { i <- 1 to UniL; l <- 1 to UniPiece }
+      yield min(when($"i" === i && $"l" === l, $"cost")).as(s"c_${i}_$l")
+    var df = words.join(cand.groupBy($"w").agg(pivotAggs.head, pivotAggs.tail: _*), "w")
+      .withColumn("b_0", lit(0L))
+    for (i <- 1 to UniL) {
+      val terms = (1 to math.min(i, UniPiece)).map(l =>
+        coalesce(col(s"c_${i}_$l") + col(s"b_${i - l}"), lit(UniBig)))
+      df = df.withColumn(s"b_$i",
+        if (terms.size == 1) terms.head else least(terms: _*))
+    }
+    for (i <- 1 to UniL) { // first-match CASE order == smallest-l tie-break
+      val choices = (1 to math.min(i, UniPiece)).map(l =>
+        when(coalesce(col(s"c_${i}_$l") + col(s"b_${i - l}"), lit(UniBig))
+          === col(s"b_$i"), lit(l)))
+      df = df.withColumn(s"l_$i", coalesce(choices: _*))
+    }
+    df = df.withColumn("pos_1", length($"w"))
+    for (k <- 1 to UniL) {
+      val lsel = (1 to UniL).foldLeft(when(lit(false), lit(0)): Column)(
+        (acc, p) => acc.when(col(s"pos_$k") === p, col(s"l_$p")))
+      df = df.withColumn(s"sl_$k", lsel)
+        .withColumn(s"piece_$k", when(col(s"pos_$k") > 0,
+          expr(s"substring(w, pos_$k - sl_$k + 1, sl_$k)")))
+        .withColumn(s"pos_${k + 1}",
+          when(col(s"pos_$k") > 0, col(s"pos_$k") - col(s"sl_$k"))
+            .otherwise(lit(0)))
+    }
+    val pieceArr = array((1 to UniL).map(k => col(s"piece_$k")): _*)
+    val costSel = (1 to UniL).foldLeft(when(lit(false), lit(0L)): Column)(
+      (acc, i) => acc.when(length($"w") === i, col(s"b_$i")))
+    df.withColumn("seg",
+        array_join(reverse(filter(pieceArr, p => p.isNotNull)), "|"))
+      .withColumn("n_pieces", size(filter(pieceArr, p => p.isNotNull)))
+      .withColumn("cost_milli", costSel)
+      .select($"w".as("word"), $"freq", length($"w").cast("long").as("wlen"),
+        $"cost_milli", $"n_pieces".cast("long").as("n_pieces"), $"seg")
+  }
+
+  def q182UnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramSegmented(s, dir).orderBy($"word")
+  }
+
+  /** Hard-EM re-estimation (one round): piece usage counts from the
+    * Viterbi segmentations (weighted by word frequency) against the seed
+    * substring counts — the signal the unigram trainer prunes with: a
+    * piece the Viterbi paths never use is dead vocabulary no matter how
+    * often it occurs as a raw substring. Top [[UniTop]]/2 pieces by
+    * usage; all integer. */
+  def q183UnigramEm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seg = unigramSegmented(s, dir)
+    val usage = seg
+      .select($"freq", explode(split($"seg", "\\|")).as("piece"))
+      .groupBy($"piece").agg(sum($"freq").as("vit_cnt"))
+    // seed counts: the same substring fold the model was built from
+    val words = Tables(s, dir, "documents")
+      .select(explode(TextFns.tokens($"text")).as("w"))
+      .filter(length($"w") >= 1 && length($"w") <= UniL)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+    val seed = words
+      .select($"w", $"freq", explode(expr(s"sequence(1, $UniPiece)")).as("pl"))
+      .filter($"pl" <= length($"w"))
+      .select($"freq", $"pl", $"w",
+        explode(expr("sequence(1, length(w) - pl + 1)")).as("pi"))
+      .select(expr("substring(w, pi, pl)").as("piece"), $"freq")
+      .groupBy($"piece").agg(sum($"freq").as("seed_cnt"))
+    usage.join(seed, Seq("piece"))
+      .withColumn("delta", $"vit_cnt" - $"seed_cnt")
+      .orderBy($"vit_cnt".desc, $"piece").limit(UniTop / 2)
+      .select($"piece", $"seed_cnt", $"vit_cnt", $"delta")
+  }
+
+  private def uniOracleSegmented: String = {
+    val qc = (i: Int, l: Int) => s"c_${i}_$l"
+    val pivotCols = (for { i <- 1 to UniL; l <- 1 to UniPiece } yield
+      s"MIN(CASE WHEN i = $i AND l = $l THEN cost END) AS ${qc(i, l)}")
+      .mkString(",\n      ")
+    // DP + argmin + backtrace as nested subselects (no lateral-alias
+    // dependence): each stage wraps the previous
+    var inner = "SELECT *, CAST(0 AS BIGINT) AS b_0 FROM piv"
+    for (i <- 1 to UniL) {
+      val terms = (1 to math.min(i, UniPiece)).map(l =>
+        s"COALESCE(${qc(i, l)} + b_${i - l}, $UniBig)")
+      val expr = if (terms.size == 1) terms.head else s"LEAST(${terms.mkString(", ")})"
+      inner = s"SELECT *, $expr AS b_$i FROM ($inner)"
+    }
+    for (i <- 1 to UniL) {
+      val cases = (1 to math.min(i, UniPiece)).map(l =>
+        s"WHEN COALESCE(${qc(i, l)} + b_${i - l}, $UniBig) = b_$i THEN $l")
+      inner = s"SELECT *, CASE ${cases.mkString(" ")} END AS l_$i FROM ($inner)"
+    }
+    inner = s"SELECT *, len(w) AS pos_1 FROM ($inner)"
+    for (k <- 1 to UniL) {
+      val sel = (1 to UniL).map(p => s"WHEN pos_$k = $p THEN l_$p").mkString(" ")
+      inner = s"SELECT *, CASE $sel END AS sl_$k FROM ($inner)"
+      inner = s"SELECT *, CASE WHEN pos_$k > 0 THEN " +
+        s"substr(w, CAST(pos_$k - sl_$k + 1 AS INTEGER), CAST(sl_$k AS INTEGER)) END AS piece_$k, " +
+        s"CASE WHEN pos_$k > 0 THEN pos_$k - sl_$k ELSE 0 END AS pos_${k + 1} FROM ($inner)"
+    }
+    val pieceList = (1 to UniL).map(k => s"piece_$k").mkString(", ")
+    val costCase = (1 to UniL).map(i => s"WHEN len(w) = $i THEN b_$i").mkString(" ")
+    s"""words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND $UniL GROUP BY w),
+       |cnts AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(w, CAST(pi AS INTEGER), CAST(pl AS INTEGER)) AS piece, freq FROM (
+       |      SELECT w, freq, pl, unnest(range(1, len(w) - pl + 2)) AS pi FROM (
+       |        SELECT w, freq, unnest(range(1, ${UniPiece + 1})) AS pl FROM words)
+       |      WHERE pl <= len(w)))
+       |  GROUP BY piece),
+       |vocab AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cnts WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM cnts WHERE len(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $UniTop)),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+       |cost AS MATERIALIZED (
+       |  SELECT piece, ${Sql.qlogMilliDuck("total")} - ${Sql.qlogMilliDuck("cnt")} AS cost
+       |  FROM vocab CROSS JOIN tot),
+       |cand AS (
+       |  SELECT c.w, c.i, c.l, k.cost FROM (
+       |    SELECT w, i, l,
+       |      substr(w, CAST(i - l + 1 AS INTEGER), CAST(l AS INTEGER)) AS piece FROM (
+       |      SELECT w, i, unnest(range(1, least(i, $UniPiece) + 1)) AS l FROM (
+       |        SELECT w, unnest(range(1, least(len(w), $UniL) + 1)) AS i FROM words)))
+       |    c JOIN cost k USING (piece)),
+       |piv AS MATERIALIZED (
+       |  SELECT v.w, v.freq, $pivotCols
+       |  FROM cand JOIN words v USING (w)
+       |  GROUP BY v.w, v.freq),
+       |dp AS MATERIALIZED (
+       |  SELECT w, freq, len(w) AS wlen,
+       |    CASE $costCase END AS cost_milli,
+       |    list_reverse(list_filter([$pieceList], up -> up IS NOT NULL)) AS pieces
+       |  FROM ($inner)),
+       |segd AS (
+       |  SELECT w AS word, freq, CAST(wlen AS BIGINT) AS wlen,
+       |    CAST(cost_milli AS BIGINT) AS cost_milli,
+       |    CAST(len(pieces) AS BIGINT) AS n_pieces,
+       |    array_to_string(pieces, '|') AS seg
+       |  FROM dp)""".stripMargin
+  }
+
+  val q182Oracle: String =
+    s"""WITH ${uniOracleSegmented}
+       |SELECT word, freq, wlen, cost_milli, n_pieces, seg
+       |FROM segd ORDER BY word""".stripMargin
+
+  val q183Oracle: String =
+    s"""WITH ${uniOracleSegmented},
+       |usage AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS vit_cnt FROM (
+       |    SELECT freq, unnest(string_split(seg, '|')) AS piece FROM segd)
+       |  GROUP BY piece)
+       |SELECT u.piece, c.cnt AS seed_cnt, u.vit_cnt,
+       |  u.vit_cnt - c.cnt AS delta
+       |FROM usage u JOIN cnts c USING (piece)
+       |ORDER BY u.vit_cnt DESC, u.piece LIMIT ${UniTop / 2}""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
@@ -1619,6 +1840,8 @@ object TextAnalysis {
     "q165_vocab_growth" -> q165VocabGrowth _,
     "q166_length_kl" -> q166LengthKl _,
     "q181_canonical_dedup" -> q181CanonicalDedup _,
+    "q182_unigram_segment" -> q182UnigramSegment _,
+    "q183_unigram_em" -> q183UnigramEm _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1648,5 +1871,7 @@ object TextAnalysis {
     "q165_vocab_growth" -> q165Oracle,
     "q166_length_kl" -> q166Oracle,
     "q181_canonical_dedup" -> q181Oracle,
+    "q182_unigram_segment" -> q182Oracle,
+    "q183_unigram_em" -> q183Oracle,
   )
 }

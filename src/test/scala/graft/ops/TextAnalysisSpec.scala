@@ -617,4 +617,82 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = TextAnalysis.q181CanonicalDedup(s, dir2).collect().head
     assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) === ((2L, 2L, 0L)))
   }
+
+  test("q182 unigram Viterbi equals a full local DP; q183 usage equals a local recount") {
+    val s = spark
+    import s.implicits._
+    // a corpus where one substring ("abab") is overwhelmingly frequent, so
+    // the LM must prefer it over char paths, plus rare words that must
+    // fall back to chars
+    val dir = writeDocs(
+      (1 to 30).map(i => (i.toLong, "abab abab ababx")) ++
+        Seq((100L, "zq xyzw abab")))
+    val got = TextAnalysis.q182UnigramSegment(s, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+
+    // ---- independent local reimplementation ----
+    def qlog(e: Long): Long = {
+      val b = 64 - java.lang.Long.numberOfLeadingZeros(e)
+      val p = 1L << (b - 1)
+      (b - 1) * 1000L + (e - p) * 1000L / p
+    }
+    val allWords = ((1 to 30).flatMap(_ => Seq("abab", "abab", "ababx")) ++
+      Seq("zq", "xyzw", "abab"))
+    val freq = allWords.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val counts = scala.collection.mutable.Map[String, Long]()
+    for ((w, f) <- freq; l <- 1 to 4; i <- 0 to w.length - l)
+      counts(w.substring(i, i + l)) = counts.getOrElse(w.substring(i, i + l), 0L) + f
+    val chars = counts.filter(_._1.length == 1)
+    val multi = counts.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(128)
+    val vocab = (chars.toSeq ++ multi).toMap
+    val total = vocab.values.sum
+    val cost = vocab.map { case (p, c) => p -> (qlog(total) - qlog(c)) }
+    def viterbi(w: String): (Long, Seq[String]) = {
+      val big = 1000000000L
+      val b = Array.fill(w.length + 1)(big)
+      val choice = Array.fill(w.length + 1)(0)
+      b(0) = 0
+      for (i <- 1 to w.length; l <- 1 to math.min(i, 4)) {
+        val piece = w.substring(i - l, i)
+        cost.get(piece).foreach { c =>
+          // strictly-less: first (smallest) l wins ties, matching the
+          // engine's first-match CASE order
+          if (b(i - l) + c < b(i)) { b(i) = b(i - l) + c; choice(i) = l }
+        }
+      }
+      val pieces = scala.collection.mutable.ListBuffer[String]()
+      var pos = w.length
+      while (pos > 0) { val l = choice(pos); pieces.prepend(w.substring(pos - l, pos)); pos -= l }
+      (b(w.length), pieces.toSeq)
+    }
+    for ((w, f) <- freq) {
+      val (c, pieces) = viterbi(w)
+      val (gf, gc, gn, gseg) = got(w)
+      assert(gf === f, s"$w freq")
+      assert(gc === c, s"$w cost")
+      assert(gn === pieces.size.toLong, s"$w n_pieces")
+      assert(gseg === pieces.mkString("|"), s"$w seg")
+      assert(pieces.mkString("") === w, s"$w pieces don't reassemble")
+    }
+    // the frequent word is kept whole; the 5-char variant splits into two
+    // multi-char pieces (never the 5-char char walk); even the rare
+    // 2-char word stays whole — one rare piece costs less than two rare
+    // chars
+    assert(got("abab")._4 === "abab")
+    assert(got("ababx")._3 === 2L && got("ababx")._4.split("\\|").forall(_.length > 1))
+    assert(got("zq")._4 === "zq")
+
+    // q183: usage == local recount of the segmentations, join to seed
+    val em = TextAnalysis.q183UnigramEm(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val localUsage = scala.collection.mutable.Map[String, Long]()
+    for ((w, f) <- freq; p <- viterbi(w)._2)
+      localUsage(p) = localUsage.getOrElse(p, 0L) + f
+    for ((p, (seedC, vitC)) <- em) {
+      assert(vitC === localUsage(p), s"$p usage")
+      assert(seedC === counts(p), s"$p seed")
+    }
+  }
 }
