@@ -1177,11 +1177,87 @@ object Similarity {
        |FROM counts CROSS JOIN tot
        |ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** One Lloyd refinement step over the standing IVF quantizer — the
+    * index-maintenance question q149's drift gate begs: the shelf's
+    * centroids are per-LABEL means (the fixed coarse quantizer), but
+    * vectors are ASSIGNED to their nearest centroid, so the cell means
+    * under the real assignment differ from the label means. This step
+    * reassigns (the literal [[ivfAssigned]] NearestCells projection, plus
+    * the label column), recomputes exact decimal means per cell, and
+    * reports per cell: occupancy, how many members still carry the cell's
+    * own label, and the centroid movement in integer micro (the k-means
+    * convergence signal an index-refresh job thresholds on before
+    * rewriting the quantizer).
+    *
+    * Scale shape: assignment is the same zero-exchange codegen'd
+    * projection q59 serves from; the mean recompute is one (cell, dim)
+    * partial agg (nlist·64 surviving groups); the old quantizer joins
+    * back as broadcast driver metadata (the cached centroid arrays).
+    * Determinism: decimal-exact means and shift sums, floor before the
+    * BIGINT cast (DuckDB's decimal→int cast ROUNDS where Spark's
+    * truncates — floor first makes them agree). */
+  def q184KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import s.implicits._
+    val (cells, mats) = cachedCentroidMeta(s, dir)
+    val assigned = Tables(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding",
+        element_at(
+          graft.functions.NearestCellsUtil.column($"embedding", cells, mats, 1), 1)
+          .as("cell"))
+      .localCheckpoint(true) // feeds means + sizes: one assignment pass
+    val newMeans = assigned
+      .select($"cell", posexplode($"embedding").as(Seq("d", "v")))
+      .groupBy($"cell", $"d")
+      .agg((sum($"v".cast(DecimalType(18, 9))).cast(DoubleType) / count(lit(1)))
+        .as("m_new"))
+    val oldMeans = cells.zip(mats).toSeq.flatMap { case (c, arr) =>
+      arr.zipWithIndex.map { case (m, d) => (c, d, m) }
+    }.toDF("cell", "d", "m_old") // nlist·64 driver rows — bounded metadata
+    val shifts = newMeans.join(broadcast(oldMeans), Seq("cell", "d"))
+      .groupBy($"cell")
+      .agg(floor(sum(abs($"m_new" - $"m_old").cast(DecimalType(18, 9)))
+        * 1000000).cast("long").as("shift_micro"))
+    val sizes = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(when($"label".cast("long") === $"cell", 1L).otherwise(0L))
+          .as("n_own_label"))
+    sizes.join(shifts, "cell")
+      .select($"cell", $"n_assigned", $"n_own_label", $"shift_micro")
+      .orderBy($"cell")
+  }
+
+  val q184Oracle: String =
+    s"""WITH $ivfAssignCte,
+       |nm AS (
+       |  SELECT cell, i AS d,
+       |    CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(18,9)))
+       |      AS DOUBLE) / COUNT(*) AS m_new
+       |  FROM assigned CROSS JOIN range(0, 64) r(i)
+       |  GROUP BY cell, i),
+       |om AS (
+       |  SELECT cell, i AS d, centroid[i + 1] AS m_old
+       |  FROM cent CROSS JOIN range(0, 64) r(i)),
+       |sh AS (
+       |  SELECT cell,
+       |    CAST(floor(SUM(CAST(abs(m_new - m_old) AS DECIMAL(18,9))) * 1000000)
+       |      AS BIGINT) AS shift_micro
+       |  FROM nm JOIN om USING (cell, d) GROUP BY cell),
+       |sz AS (
+       |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       |    CAST(SUM(CASE WHEN CAST(e.label AS BIGINT) = a.cell THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_own_label
+       |  FROM assigned a JOIN embeddings e USING (vec_id) GROUP BY a.cell)
+       |SELECT cell, n_assigned, n_own_label, shift_micro
+       |FROM sz JOIN sh USING (cell) ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_ivf_balance" -> q128IvfBalance _,
     "q55_ann_brute" -> q55AnnBrute _,
     "q56_ann_lsh" -> q56AnnLsh _,
     "q59_ann_ivf" -> q59AnnIvf _,
+    "q184_kmeans_step" -> q184KmeansStep _,
     "q73_ann_pq" -> q73AnnPq _,
     "q86_random_projection" -> q86RandomProjection _,
     "q88_ann_recall" -> q88AnnRecall _,
@@ -1197,6 +1273,7 @@ object Similarity {
     "q55_ann_brute" -> q55Oracle,
     "q56_ann_lsh" -> q56Oracle,
     "q59_ann_ivf" -> q59Oracle,
+    "q184_kmeans_step" -> q184Oracle,
     "q73_ann_pq" -> q73Oracle,
     "q86_random_projection" -> q86Oracle,
     "q88_ann_recall" -> q88Oracle,

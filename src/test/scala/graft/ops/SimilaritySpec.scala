@@ -304,4 +304,57 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.find(_._1 == 2L).get._4 === q92ivf.getAs[Double]("mean_recall"))
     assert(rows.find(_._1 == 2L).get._5 === q92ivf.getAs[Double]("worst_recall"))
   }
+
+  test("q184 Lloyd step: occupancy reconciles, shift equals a local recompute") {
+    val s = spark
+    import s.implicits._
+    val got = Similarity.q184KmeansStep(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.Tables(s, sf, "embeddings").count()
+    assert(got.map(_._2).sum === total, "assignment must partition the corpus")
+    got.foreach { case (cell, n, own, shift) =>
+      assert(own <= n, s"cell $cell own-label exceeds occupancy")
+      assert(shift >= 0L, s"cell $cell negative shift")
+    }
+    // local recompute: reassign with the collected quantizer, take exact
+    // per-cell means, compare the movement numbers
+    val emb = graft.Tables(s, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val old = emb.groupBy(_._2).map { case (lbl, vs) =>
+      lbl -> Array.tabulate(64) { d =>
+        val sum = vs.map(v => BigDecimal(v._3(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        (sum.toDouble / vs.size)
+      }
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (d <- 0 until 64) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = emb.map { case (id, lbl, v) =>
+      val best = old.toSeq.map { case (c, m) => (c, cos(v, m)) }
+        .sortBy { case (c, sc) => (-sc, c) }.head._1
+      (id, lbl, v, best)
+    }
+    val localBy = assigned.groupBy(_._4).map { case (cell, vs) =>
+      val mNew = Array.tabulate(64) { d =>
+        vs.map(v => BigDecimal(v._3(d)).setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / vs.size
+      }
+      val shift = (0 until 64)
+        .map(d => BigDecimal(math.abs(mNew(d) - old(cell)(d)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      cell -> ((vs.size.toLong, vs.count(v => v._2 == cell).toLong,
+        (shift * 1000000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong))
+    }
+    got.foreach { case (cell, n, own, shift) =>
+      val (ln, lown, lshift) = localBy(cell)
+      assert(n === ln, s"cell $cell occupancy")
+      assert(own === lown, s"cell $cell own-label count")
+      assert(shift === lshift, s"cell $cell shift")
+    }
+    // the step is not vacuous: some vector sits outside its label's cell,
+    // so at least one centroid actually moves
+    assert(got.exists(_._4 > 0L), "no centroid moved — degenerate fixture")
+  }
 }
