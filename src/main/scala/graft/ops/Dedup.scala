@@ -1738,6 +1738,88 @@ object Dedup {
        |ORDER BY n_bands""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q185
+  /** PageRank centrality over the near-dup graph (Brin & Page 1998, power
+    * iteration) — the graph-analytics primitive the dedup stack was
+    * missing: q60's components say WHICH docs are related; the rank says
+    * which member is most CENTRAL to its family (the hub a crawl keeps
+    * re-finding — a better canonical-representative signal than min-id,
+    * and the complement of q169's quality-argmax election). Five damped
+    * rounds (d = 0.85) in pure integer milli: contribution = rank div
+    * deg, rank′ = 150 + 850·Σin div 1000 — truncating division leaks
+    * mass deterministically, which is fine for an ORDERING signal and is
+    * what makes the result hash-exact in any engine (the q140 integer
+    * discipline; a probability-normalized variant would be
+    * order-sensitive doubles).
+    *
+    * Scale shape: each round is ONE join of the symmetrized edge list
+    * against the rank table on an 8-byte key + one partial-aggregated
+    * groupBy — the CC pointer-doubling cost model — localCheckpoint'd per
+    * round so round k never replays rounds 1..k−1. Nodes/edges are the
+    * standing [[cachedNearDupPairs]] asset; everything here is
+    * pair-graph-sized, not corpus-sized. */
+  /** The iteration core over ANY two-long-column edge list (one row per
+    * undirected edge) — factored like [[connectedComponents]] so the spec
+    * drives a hand-built graph through the literal registered rounds. */
+  private[graft] def pagerank(pairs0: DataFrame, rounds: Int = 5): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint(true)
+    val nodes = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("doc_id"), $"deg")
+      .localCheckpoint(true)
+    var rank = nodes.select($"doc_id", $"deg", lit(1000L).as("rank"))
+    for (_ <- 1 to rounds) {
+      // undirected graph: every node has deg ≥ 1, so every node receives
+      // at least one contribution — the inner joins drop nothing
+      val contrib = edges
+        .join(rank.select($"doc_id".as("u"), expr("rank div deg").as("c")), "u")
+        .groupBy($"v").agg(sum($"c").as("in_sum"))
+        .select($"v".as("doc_id"), $"in_sum")
+      rank = nodes.join(contrib, "doc_id")
+        .select($"doc_id", $"deg",
+          (lit(150L) + expr("850 * in_sum div 1000")).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.select($"doc_id", $"deg", $"rank".as("rank_milli"))
+  }
+
+  def q185Pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pagerank(cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b"))
+      .orderBy($"doc_id")
+  }
+
+  val q185Oracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.doc_id, n.deg,
+         |    150 + (850 * SUM(rp.rank // rp.deg)) // 1000 AS rank
+         |  FROM nodes n
+         |  JOIN edges e ON e.v = n.doc_id
+         |  JOIN $prev rp ON rp.doc_id = e.u
+         |  GROUP BY n.doc_id, n.deg)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${Dedup.q51OracleNoOrder}) p
+       |), edges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), nodes AS (
+       |  SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY u
+       |), r0 AS (SELECT doc_id, deg, CAST(1000 AS BIGINT) AS rank FROM nodes),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")},
+       |${round("r3", "r4")},
+       |${round("r4", "r5")}
+       |SELECT doc_id, deg, rank AS rank_milli FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_shingle_df_audit" -> q129ShingleDfAudit _,
     "q50_dedup_exact" -> q50DedupExact _,
@@ -1746,6 +1828,7 @@ object Dedup {
     "q53_simhash" -> q53Simhash _,
     "q54_cosine_neardup" -> q54CosineNeardup _,
     "q60_dup_clusters" -> q60DupClusters _,
+    "q185_pagerank" -> q185Pagerank _,
     "q62_dedup_corpus" -> q62DedupCorpus _,
     "q65_simhash_banded" -> q65SimhashBanded _,
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
@@ -1770,6 +1853,7 @@ object Dedup {
     "q53_simhash" -> q53Oracle,
     "q54_cosine_neardup" -> q54Oracle,
     "q60_dup_clusters" -> q60Oracle,
+    "q185_pagerank" -> q185Oracle,
     "q62_dedup_corpus" -> q62Oracle,
     "q65_simhash_banded" -> q65Oracle,
     "q67_multisignal_clusters" -> q67Oracle,

@@ -486,4 +486,28 @@ class DedupSpec extends SparkSpec {
     val mid = rows.find(r => r._1 == 4L).get
     assert((mid._3, mid._4, mid._5, mid._6) === ((nt, nc, nh, rec)))
   }
+
+  test("q185 pagerank core matches a local integer iteration; hubs outrank leaves") {
+    val s = spark
+    import s.implicits._
+    // star 1—2,1—3,1—4 plus a 2-path 10—11: the hub must outrank its
+    // leaves, the isolated pair stays symmetric
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L))
+    val got = Dedup.pagerank(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // local replay of the exact integer rounds
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> 1000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = rank.keys.map(k => k -> (150L + 850L * in(k) / 1000L)).toMap
+    }
+    assert(got === rank.map { case (k, r) => k -> ((deg(k), r)) })
+    assert(got(1L)._2 > got(2L)._2, "hub must outrank leaf")
+    assert(got(2L) === got(3L) && got(3L) === got(4L), "leaves must tie")
+    assert(got(10L) === got(11L), "symmetric pair must tie")
+  }
 }
