@@ -556,12 +556,154 @@ object Multimodal {
        |FROM fields ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q186
+  /** Synthetic ISO-BMFF (MP4) fixture — the third container family after
+    * q163 (big-endian, fixed offsets + one segment walk) and q176
+    * (little-endian chunk walk): a `ftyp` box of VARYING size (brand
+    * padding), for doc_id % 3 = 0 rows a `free` box of varying size too,
+    * then the `moov` container whose FIRST CHILD is the version-0 `mvhd`
+    * carrying timescale and duration — the NESTED-box shape that makes
+    * BMFF parsing different from flat chunk lists. doc_id % 23 = 0 rows
+    * get their first byte zeroed (must classify `unknown`). */
+  private[multimodal] def mp4MediaTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    def be4(c: Column): Column = lpad(hex(c), 8, "0")
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        (($"doc_id" % 8) * 4).as("pad"),
+        (lit(600L) * (lit(1L) + $"doc_id" % 4)).as("tscale"),
+        (($"n_chars" * 37) % 100000).as("dur"),
+        hex(substring($"text", 1, 8).cast("binary")).as("body"))
+      .withColumn("ftyp_size", lit(16L) + $"pad")
+      .withColumn("free_size",
+        when($"doc_id" % 3 === 0, lit(8L) + $"doc_id" % 7))
+      .withColumn("hdr", concat(
+        be4($"ftyp_size"), lit("6674797069736F6D00000000"),
+        expr("repeat('00', int(pad))"),
+        when($"free_size".isNotNull, concat(be4($"free_size"), lit("66726565"),
+          expr("repeat('00', int(free_size) - 8)"))).otherwise(lit("")),
+        // moov(116) > mvhd(108): ver0+flags, creation, modification,
+        // then timescale and duration at their spec'd offsets
+        lit("000000746D6F6F760000006C6D766864000000000000000000000000"),
+        be4($"tscale"), be4($"dur"), expr("repeat('00', 80)"), $"body"))
+      .select($"doc_id",
+        unhex(when($"doc_id" % 23 === 0,
+            concat(lit("00"), expr("substr(hdr, 3)"))).otherwise($"hdr"))
+          .as("payload"))
+  }
+
+  /** ISO-BMFF header introspection: walk the top-level box list by each
+    * box's OWN size field (ftyp → optional one non-moov box → moov),
+    * then descend INTO moov to its first child and require `mvhd`,
+    * reading timescale/duration at version-0 offsets. Big-endian hex
+    * arithmetic (q163's conv discipline), pure map-side, O(header) per
+    * row; anything failing a signature or the walk classifies `unknown`
+    * with NULL fields. */
+  def parseMp4Headers(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    def be4(pos: String): String =
+      s"cast(conv(substr(h, cast($pos as int), 8), 16, 10) as bigint)"
+    media
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+        hex($"payload").as("h"))
+      .withColumn("is_ftyp", substring($"h", 9, 8) === "66747970")
+      .withColumn("p2", when($"is_ftyp", expr(be4("1")) * 2 + 1))
+      .withColumn("t2", when($"is_ftyp", expr("substr(h, cast(p2 + 8 as int), 8)")))
+      .withColumn("p3",
+        when($"t2".isNotNull && $"t2" =!= "6D6F6F76",
+          $"p2" + expr(be4("p2")) * 2).otherwise($"p2"))
+      .withColumn("is_moov",
+        $"is_ftyp" && expr("substr(h, cast(p3 + 8 as int), 8)") === "6D6F6F76")
+      .withColumn("pm", $"p3" + 16)
+      .withColumn("is_mp4",
+        $"is_moov" && expr("substr(h, cast(pm + 8 as int), 8)") === "6D766864" &&
+          expr("substr(h, cast(pm + 16 as int), 2)") === "00") // version 0
+      .withColumn("container", when($"is_mp4", "mp4").otherwise("unknown"))
+      .withColumn("timescale", when($"is_mp4", expr(be4("pm + 40"))))
+      .withColumn("duration", when($"is_mp4", expr(be4("pm + 48"))))
+      .withColumn("duration_ms",
+        when($"is_mp4" && $"timescale" > 0,
+          expr("duration * 1000 div timescale")))
+      .select($"doc_id", $"container", $"timescale", $"duration",
+        $"duration_ms", $"n_bytes")
+  }
+
+  def q186Mp4Headers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    parseMp4Headers(mp4MediaTable(s, dir)).orderBy($"doc_id")
+  }
+
+  val q186Oracle: String = {
+    def hv(pos: String): String =
+      s"(strpos('0123456789ABCDEF', substr(h, CAST($pos AS INTEGER), 1)) - 1)"
+    def hex2(pos: String): String =
+      s"(${hv(pos)} * 16 + ${hv(s"($pos) + 1")})"
+    def hex4(pos: String): String =
+      s"(${hex2(pos)} * 256 + ${hex2(s"($pos) + 2")})"
+    def be4(pos: String): String =
+      s"CAST(${hex4(pos)} * 65536 + ${hex4(s"($pos) + 4")} AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST((doc_id % 8) * 4 AS BIGINT) AS pad,
+       |    CAST(600 * (1 + doc_id % 4) AS BIGINT) AS tscale,
+       |    CAST((n_chars * 37) % 100000 AS BIGINT) AS dur,
+       |    hex(CAST(substr(text, 1, 8) AS BLOB)) AS body
+       |  FROM documents),
+       |hdr AS (
+       |  SELECT doc_id,
+       |    lpad(hex(16 + pad), 8, '0') || '6674797069736F6D00000000'
+       |      || repeat('00', CAST(pad AS INTEGER))
+       |      || (CASE WHEN doc_id % 3 = 0 THEN
+       |            lpad(hex(8 + doc_id % 7), 8, '0') || '66726565'
+       |              || repeat('00', CAST(doc_id % 7 AS INTEGER))
+       |          ELSE '' END)
+       |      || '000000746D6F6F760000006C6D766864000000000000000000000000'
+       |      || lpad(hex(tscale), 8, '0') || lpad(hex(dur), 8, '0')
+       |      || repeat('00', 80) || body AS hx
+       |  FROM base),
+       |pay AS (
+       |  SELECT doc_id, hex(unhex(
+       |    CASE WHEN doc_id % 23 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |  FROM hdr),
+       |w1 AS (
+       |  SELECT doc_id, h, CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
+       |    (substr(h, 9, 8) = '66747970') AS is_ftyp
+       |  FROM pay),
+       |w2 AS (
+       |  SELECT *, CASE WHEN is_ftyp THEN ${be4("1")} * 2 + 1 END AS p2 FROM w1),
+       |w3 AS (
+       |  SELECT *, CASE WHEN is_ftyp
+       |    THEN substr(h, CAST(p2 + 8 AS INTEGER), 8) END AS t2 FROM w2),
+       |w4 AS (
+       |  SELECT *, CASE WHEN t2 IS NOT NULL AND t2 <> '6D6F6F76'
+       |    THEN p2 + ${be4("p2")} * 2 ELSE p2 END AS p3 FROM w3),
+       |w5 AS (
+       |  SELECT *, (is_ftyp AND substr(h, CAST(p3 + 8 AS INTEGER), 8) = '6D6F6F76')
+       |    AS is_moov FROM w4),
+       |w6 AS (
+       |  SELECT *, p3 + 16 AS pm FROM w5),
+       |w7 AS (
+       |  SELECT *, (is_moov AND substr(h, CAST(pm + 8 AS INTEGER), 8) = '6D766864'
+       |    AND substr(h, CAST(pm + 16 AS INTEGER), 2) = '00') AS is_mp4 FROM w6)
+       |SELECT doc_id,
+       |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS container,
+       |  CASE WHEN is_mp4 THEN ${be4("pm + 40")} END AS timescale,
+       |  CASE WHEN is_mp4 THEN ${be4("pm + 48")} END AS duration,
+       |  CASE WHEN is_mp4 AND ${be4("pm + 40")} > 0
+       |    THEN (${be4("pm + 48")} * 1000) // ${be4("pm + 40")} END AS duration_ms,
+       |  n_bytes
+       |FROM w7 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_media_meta" -> q57MediaMeta _,
     "q58_frame_sample" -> q58FrameSample _,
     "q159_media_entropy" -> q159MediaEntropy _,
     "q163_media_headers" -> q163MediaHeaders _,
     "q176_wav_headers" -> q176WavHeaders _,
+    "q186_mp4_headers" -> q186Mp4Headers _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -570,5 +712,6 @@ object Multimodal {
     "q159_media_entropy" -> q159Oracle,
     "q163_media_headers" -> q163Oracle,
     "q176_wav_headers" -> q176Oracle,
+    "q186_mp4_headers" -> q186Oracle,
   )
 }

@@ -165,4 +165,46 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q186: hand-built ISO-BMFF boxes parse, nested mvhd found through the walk") {
+    val s = spark
+    import s.implicits._
+    def be4(v: Long): Array[Byte] = Array(((v >> 24) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    def mvhd(tscale: Long, dur: Long): Array[Byte] =
+      be4(108) ++ ascii("mvhd") ++ be4(0) ++ be4(0) ++ be4(0) ++
+        be4(tscale) ++ be4(dur) ++ Array.fill(80)(0.toByte)
+    def moov(tscale: Long, dur: Long): Array[Byte] =
+      be4(116) ++ ascii("moov") ++ mvhd(tscale, dur)
+    val ftyp = be4(16) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom")
+    // 90 s at the QuickTime-canonical 600 timescale
+    val plain = ftyp ++ moov(600, 54000)
+    // a free box between ftyp and moov — the walk must skip it by size
+    val withFree = ftyp ++ be4(11) ++ ascii("free") ++ Array.fill(3)(0.toByte) ++
+      moov(44100, 44100)
+    val corrupt = { val c = plain.clone(); c(0) = 0; c }
+    val noMoov = ftyp ++ be4(8) ++ ascii("mdat")
+    val got = Multimodal.parseMp4Headers(
+      Seq(1L -> plain, 2L -> withFree, 3L -> corrupt, 4L -> noMoov)
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          (2 to 4).map(i => if (r.isNullAt(i)) -1L else r.getLong(i))))).toMap
+    assert(got(1L) === (("mp4", Seq(600L, 54000L, 90000L))))
+    assert(got(2L) === (("mp4", Seq(44100L, 44100L, 1000L))))
+    assert(got(3L)._1 === "unknown")
+    assert(got(4L)._1 === "unknown")
+    // fixture round-trip: formulas come back out; %23 rows are unknown
+    val full = Multimodal.q186Mp4Headers(s, sf).collect()
+    assert(full.length === 500)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 23 == 0) assert(r.getString(1) === "unknown", s"doc $id")
+      else {
+        assert(r.getString(1) === "mp4", s"doc $id")
+        assert(r.getLong(2) === 600 * (1 + id % 4), s"doc $id timescale")
+      }
+    }
+  }
 }
