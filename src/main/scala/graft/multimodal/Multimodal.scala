@@ -18,6 +18,16 @@ import graft.ops.Sql
   */
 object Multimodal {
 
+  /** Header-parse byte bounds: the parsers hex ONLY this prefix of the
+    * payload, so per-row cost is O(header) regardless of asset size; a
+    * payload whose box/segment/chunk walk would pass the bound simply
+    * fails its signature check against the truncated hex and classifies
+    * `unknown` — a quarantine row, never a deep scan. Generous vs the
+    * fixtures (≤ ~300 B) and vs real containers' metadata prologues. */
+  val PngJpegHeaderBytes = 4096
+  val WavHeaderBytes     = 1024
+  val Mp4HeaderBytes     = 512
+
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, format: String)
 
@@ -251,15 +261,18 @@ object Multimodal {
     * (doc_id, payload) frame for the hand-built-fixture spec.
     *
     * Scale shape: pure map-side projection (scan → project, zero
-    * exchange, whole-stage codegen'd); only the header PREFIX of each
-    * hex string is ever touched, so cost is O(header), not O(payload) —
-    * at 100 TB the scan cost IS the query cost. */
+    * exchange, whole-stage codegen'd); the hex projection is BOUNDED to
+    * the first [[PngJpegHeaderBytes]] bytes (a payload whose segment
+    * walk would pass the bound classifies `unknown`), so cost is
+    * O(header), not O(payload) — at 100 TB with multi-MB assets hexing
+    * the whole binary would double the scan; bounding the substring
+    * keeps the claim honest. */
   def parseMediaHeaders(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
     media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
-        hex($"payload").as("h"))
+        hex(substring($"payload", 1, PngJpegHeaderBytes)).as("h"))
       .withColumn("is_png",
         substring($"h", 1, 16) === "89504E470D0A1A0A" &&
           substring($"h", 25, 8) === "49484452")
@@ -296,13 +309,16 @@ object Multimodal {
 
   val q163Oracle: String = {
     // hex → int by positional nibble arithmetic (DuckDB has no conv());
-    // pos is 1-based into the uppercase hex string h
-    def hv(pos: String): String =
-      s"(strpos('0123456789ABCDEF', substr(h, CAST($pos AS INTEGER), 1)) - 1)"
-    def hex2(pos: String): String =
-      s"(${hv(pos)} * 16 + ${hv(s"($pos) + 1")})"
-    def hex4(pos: String): String =
-      s"(${hex2(pos)} * 256 + ${hex2(s"($pos) + 2")})"
+    // pos is 1-based into the uppercase hex string h (col overridable)
+    def hvc(c: String, pos: String): String =
+      s"(strpos('0123456789ABCDEF', substr($c, CAST($pos AS INTEGER), 1)) - 1)"
+    def hex2c(c: String, pos: String): String =
+      s"(${hvc(c, pos)} * 16 + ${hvc(c, s"($pos) + 1")})"
+    def hex4c(c: String, pos: String): String =
+      s"(${hex2c(c, pos)} * 256 + ${hex2c(c, s"($pos) + 2")})"
+    def hex2(pos: String): String = hex2c("h", pos)
+    def hex4(pos: String): String = hex4c("h", pos)
+    def hex4p(c: String, pos: String): String = hex4c(c, pos)
     def hex8(pos: String): String =
       s"(${hex4(pos)} * 65536 + ${hex4(s"($pos) + 4")})"
     s"""WITH base AS (
@@ -328,15 +344,16 @@ object Multimodal {
        |  FROM base),
        |pay AS (
        |  SELECT doc_id, hex(unhex(
-       |    CASE WHEN doc_id % 17 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |    CASE WHEN doc_id % 17 = 0 THEN '00' || substr(hx, 3) ELSE hx END))
+       |    AS hfull
        |  FROM hdr),
        |parsed AS (
-       |  SELECT doc_id, h,
-       |    CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
-       |    (substr(h, 1, 16) = '89504E470D0A1A0A'
-       |      AND substr(h, 25, 8) = '49484452') AS is_png,
-       |    CASE WHEN substr(h, 1, 8) = 'FFD8FFE0'
-       |      THEN CAST(${hex4("9")} AS BIGINT) END AS app0_len
+       |  SELECT doc_id, substr(hfull, 1, ${PngJpegHeaderBytes * 2}) AS h,
+       |    CAST(octet_length(unhex(hfull)) AS BIGINT) AS n_bytes,
+       |    (substr(hfull, 1, 16) = '89504E470D0A1A0A'
+       |      AND substr(hfull, 25, 8) = '49484452') AS is_png,
+       |    CASE WHEN substr(hfull, 1, 8) = 'FFD8FFE0'
+       |      THEN CAST(${hex4p("hfull", "9")} AS BIGINT) END AS app0_len
        |  FROM pay),
        |walked AS (
        |  SELECT *, app0_len * 2 + 9 AS sof_at,
@@ -430,21 +447,29 @@ object Multimodal {
         s"substr(h,($pos)+2,2),substr(h,$pos,2)),16,10) as bigint)"
     media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
-        hex($"payload").as("h"))
+        hex(substring($"payload", 1, WavHeaderBytes)).as("h"))
+      .withColumn("hl", length($"h").cast("long") + 1L)
       .withColumn("is_riff",
         substring($"h", 1, 8) === "52494646" &&
           substring($"h", 17, 8) === "57415645" &&
           substring($"h", 25, 8) === "666D7420")
       .withColumn("fmt_size", when($"is_riff", expr(le4("33"))))
       // next chunk id position (hex chars, 1-based): fmt data starts at
-      // char 41; chunks are word-aligned, so odd sizes skip one pad byte
-      .withColumn("p1", ($"fmt_size" + ($"fmt_size" % 2)) * 2 + lit(41L))
+      // char 41; chunks are word-aligned, so odd sizes skip one pad byte.
+      // fmt_size/skip_size are attacker-controlled 32-bit fields — every
+      // size-derived offset is clamped to just past the hex end (substr
+      // there yields '' → the walk falls through to container='unknown')
+      // so a garbage size field can never overflow `cast(_ AS INT)` under
+      // ANSI and abort the scan: one bad asset is a quarantine row, not a
+      // dead job (the A3 error-isolation contract).
+      .withColumn("p1",
+        least(($"fmt_size" + ($"fmt_size" % 2)) * 2 + lit(41L), $"hl"))
       .withColumn("nid", when($"is_riff", expr("substr(h, cast(p1 as int), 8)")))
       .withColumn("skip_size",
         when($"nid".isNotNull && length($"nid") === 8 && $"nid" =!= "64617461",
           expr(le4("p1 + 8"))))
       .withColumn("p2", when($"skip_size".isNotNull,
-          $"p1" + 16L + ($"skip_size" + ($"skip_size" % 2)) * 2)
+          least($"p1" + 16L + ($"skip_size" + ($"skip_size" % 2)) * 2, $"hl"))
         .otherwise($"p1"))
       .withColumn("is_wav",
         $"is_riff" && expr("substr(h, cast(p2 as int), 8)") === "64617461")
@@ -511,19 +536,21 @@ object Multimodal {
        |  FROM sized),
        |pay AS (
        |  SELECT doc_id, hex(unhex(
-       |    CASE WHEN doc_id % 19 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |    CASE WHEN doc_id % 19 = 0 THEN '00' || substr(hx, 3) ELSE hx END))
+       |    AS hfull
        |  FROM hdr),
        |parsed AS (
-       |  SELECT doc_id, h,
-       |    CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
-       |    (substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
-       |      AND substr(h, 25, 8) = '666D7420') AS is_riff
+       |  SELECT doc_id, substr(hfull, 1, ${WavHeaderBytes * 2}) AS h,
+       |    CAST(len(substr(hfull, 1, ${WavHeaderBytes * 2})) + 1 AS BIGINT) AS hl,
+       |    CAST(octet_length(unhex(hfull)) AS BIGINT) AS n_bytes,
+       |    (substr(hfull, 1, 8) = '52494646' AND substr(hfull, 17, 8) = '57415645'
+       |      AND substr(hfull, 25, 8) = '666D7420') AS is_riff
        |  FROM pay),
        |w1 AS (
        |  SELECT *, CASE WHEN is_riff THEN CAST(${le4("33")} AS BIGINT) END AS fmt_size
        |  FROM parsed),
        |w2 AS (
-       |  SELECT *, (fmt_size + fmt_size % 2) * 2 + 41 AS p1 FROM w1),
+       |  SELECT *, least((fmt_size + fmt_size % 2) * 2 + 41, hl) AS p1 FROM w1),
        |w3 AS (
        |  SELECT *, CASE WHEN is_riff THEN substr(h, CAST(p1 AS INTEGER), 8) END AS nid
        |  FROM w2),
@@ -534,7 +561,8 @@ object Multimodal {
        |  FROM w3),
        |w5 AS (
        |  SELECT *, CASE WHEN skip_size IS NOT NULL
-       |      THEN p1 + 16 + (skip_size + skip_size % 2) * 2 ELSE p1 END AS p2
+       |      THEN least(p1 + 16 + (skip_size + skip_size % 2) * 2, hl)
+       |      ELSE p1 END AS p2
        |  FROM w4),
        |w6 AS (
        |  SELECT *, (is_riff AND substr(h, CAST(p2 AS INTEGER), 8) = '64617461')
@@ -564,7 +592,10 @@ object Multimodal {
     * then the `moov` container whose FIRST CHILD is the version-0 `mvhd`
     * carrying timescale and duration — the NESTED-box shape that makes
     * BMFF parsing different from flat chunk lists. doc_id % 23 = 0 rows
-    * get their first byte zeroed (must classify `unknown`). */
+    * get byte 5 — the 'f' of the `ftyp` tag — zeroed (must classify
+    * `unknown`; a BMFF payload's FIRST byte is the size field's high
+    * byte, already 0x00, so blanking it would corrupt nothing —
+    * VERDICT r11 #2c). */
   private[multimodal] def mp4MediaTable(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
@@ -589,7 +620,8 @@ object Multimodal {
         be4($"tscale"), be4($"dur"), expr("repeat('00', 80)"), $"body"))
       .select($"doc_id",
         unhex(when($"doc_id" % 23 === 0,
-            concat(lit("00"), expr("substr(hdr, 3)"))).otherwise($"hdr"))
+            concat(expr("substr(hdr, 1, 8)"), lit("00"), expr("substr(hdr, 11)")))
+          .otherwise($"hdr"))
           .as("payload"))
   }
 
@@ -598,8 +630,18 @@ object Multimodal {
     * then descend INTO moov to its first child and require `mvhd`,
     * reading timescale/duration at version-0 offsets. Big-endian hex
     * arithmetic (q163's conv discipline), pure map-side, O(header) per
-    * row; anything failing a signature or the walk classifies `unknown`
-    * with NULL fields. */
+    * row (hex bounded to [[Mp4HeaderBytes]]); anything failing a
+    * signature or the walk classifies `unknown` with NULL fields.
+    *
+    * Box sizes are attacker-controlled 32-bit fields: every size-derived
+    * walk offset is clamped to just past the hex end (`least(p, hl)` —
+    * substr there yields '', failing the next signature check) so a
+    * garbage size can never overflow `cast(_ AS INT)` under ANSI and
+    * abort the scan — one malformed asset is a quarantine row, not a
+    * dead job (the A3 error-isolation contract; VERDICT r11 #2a). The
+    * second-box hop additionally requires a FULL 8-char type field
+    * before trusting the size beside it, so a truncated header never
+    * feeds conv() a partial size. */
   def parseMp4Headers(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
@@ -607,13 +649,15 @@ object Multimodal {
       s"cast(conv(substr(h, cast($pos as int), 8), 16, 10) as bigint)"
     media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
-        hex($"payload").as("h"))
+        hex(substring($"payload", 1, Mp4HeaderBytes)).as("h"))
+      .withColumn("hl", length($"h").cast("long") + 1L)
       .withColumn("is_ftyp", substring($"h", 9, 8) === "66747970")
-      .withColumn("p2", when($"is_ftyp", expr(be4("1")) * 2 + 1))
+      .withColumn("p2",
+        when($"is_ftyp", least(expr(be4("1")) * 2 + 1, $"hl")))
       .withColumn("t2", when($"is_ftyp", expr("substr(h, cast(p2 + 8 as int), 8)")))
       .withColumn("p3",
-        when($"t2".isNotNull && $"t2" =!= "6D6F6F76",
-          $"p2" + expr(be4("p2")) * 2).otherwise($"p2"))
+        when($"t2".isNotNull && length($"t2") === 8 && $"t2" =!= "6D6F6F76",
+          least($"p2" + expr(be4("p2")) * 2, $"hl")).otherwise($"p2"))
       .withColumn("is_moov",
         $"is_ftyp" && expr("substr(h, cast(p3 + 8 as int), 8)") === "6D6F6F76")
       .withColumn("pm", $"p3" + 16)
@@ -665,20 +709,25 @@ object Multimodal {
        |  FROM base),
        |pay AS (
        |  SELECT doc_id, hex(unhex(
-       |    CASE WHEN doc_id % 23 = 0 THEN '00' || substr(hx, 3) ELSE hx END)) AS h
+       |    CASE WHEN doc_id % 23 = 0
+       |      THEN substr(hx, 1, 8) || '00' || substr(hx, 11)
+       |      ELSE hx END)) AS hfull
        |  FROM hdr),
        |w1 AS (
-       |  SELECT doc_id, h, CAST(octet_length(unhex(h)) AS BIGINT) AS n_bytes,
-       |    (substr(h, 9, 8) = '66747970') AS is_ftyp
+       |  SELECT doc_id, substr(hfull, 1, ${Mp4HeaderBytes * 2}) AS h,
+       |    CAST(len(substr(hfull, 1, ${Mp4HeaderBytes * 2})) + 1 AS BIGINT) AS hl,
+       |    CAST(octet_length(unhex(hfull)) AS BIGINT) AS n_bytes,
+       |    (substr(hfull, 9, 8) = '66747970') AS is_ftyp
        |  FROM pay),
        |w2 AS (
-       |  SELECT *, CASE WHEN is_ftyp THEN ${be4("1")} * 2 + 1 END AS p2 FROM w1),
+       |  SELECT *, CASE WHEN is_ftyp
+       |    THEN least(${be4("1")} * 2 + 1, hl) END AS p2 FROM w1),
        |w3 AS (
        |  SELECT *, CASE WHEN is_ftyp
        |    THEN substr(h, CAST(p2 + 8 AS INTEGER), 8) END AS t2 FROM w2),
        |w4 AS (
-       |  SELECT *, CASE WHEN t2 IS NOT NULL AND t2 <> '6D6F6F76'
-       |    THEN p2 + ${be4("p2")} * 2 ELSE p2 END AS p3 FROM w3),
+       |  SELECT *, CASE WHEN t2 IS NOT NULL AND len(t2) = 8 AND t2 <> '6D6F6F76'
+       |    THEN least(p2 + ${be4("p2")} * 2, hl) ELSE p2 END AS p3 FROM w3),
        |w5 AS (
        |  SELECT *, (is_ftyp AND substr(h, CAST(p3 + 8 AS INTEGER), 8) = '6D6F6F76')
        |    AS is_moov FROM w4),

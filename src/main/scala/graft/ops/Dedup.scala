@@ -1798,7 +1798,7 @@ object Dedup {
     def round(prev: String, cur: String): String =
       s"""$cur AS (
          |  SELECT n.doc_id, n.deg,
-         |    150 + (850 * SUM(rp.rank // rp.deg)) // 1000 AS rank
+         |    CAST(150 + (850 * SUM(rp.rank // rp.deg)) // 1000 AS BIGINT) AS rank
          |  FROM nodes n
          |  JOIN edges e ON e.v = n.doc_id
          |  JOIN $prev rp ON rp.doc_id = e.u

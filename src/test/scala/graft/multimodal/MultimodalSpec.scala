@@ -177,13 +177,17 @@ class MultimodalSpec extends SparkSpec {
         be4(tscale) ++ be4(dur) ++ Array.fill(80)(0.toByte)
     def moov(tscale: Long, dur: Long): Array[Byte] =
       be4(116) ++ ascii("moov") ++ mvhd(tscale, dur)
-    val ftyp = be4(16) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom")
+    // size(4) + 'ftyp'(4) + major 'isom'(4) + minor(4) + compat 'isom'(4)
+    // = 20 bytes — the size field must declare the PHYSICAL length or the
+    // walk lands mid-box (r11's red spec declared 16)
+    val ftyp = be4(20) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom")
     // 90 s at the QuickTime-canonical 600 timescale
     val plain = ftyp ++ moov(600, 54000)
     // a free box between ftyp and moov — the walk must skip it by size
     val withFree = ftyp ++ be4(11) ++ ascii("free") ++ Array.fill(3)(0.toByte) ++
       moov(44100, 44100)
-    val corrupt = { val c = plain.clone(); c(0) = 0; c }
+    // blank the 'f' of 'ftyp' — byte 0 is the size high byte, already 0x00
+    val corrupt = { val c = plain.clone(); c(4) = 0; c }
     val noMoov = ftyp ++ be4(8) ++ ascii("mdat")
     val got = Multimodal.parseMp4Headers(
       Seq(1L -> plain, 2L -> withFree, 3L -> corrupt, 4L -> noMoov)
@@ -206,5 +210,71 @@ class MultimodalSpec extends SparkSpec {
         assert(r.getLong(2) === 600 * (1 + id % 4), s"doc $id timescale")
       }
     }
+  }
+
+  test("adversarial payloads: garbage sizes, truncations, random and " +
+      "flipped bytes classify — never throw (A3 error isolation)") {
+    val s = spark
+    import s.implicits._
+    def be4(v: Long): Array[Byte] = Array(((v >> 24) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def le4(v: Long): Array[Byte] = Array((v & 255).toByte,
+      ((v >> 8) & 255).toByte, ((v >> 16) & 255).toByte,
+      ((v >> 24) & 255).toByte)
+    def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    val validMp4 = be4(20) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom") ++
+      be4(116) ++ ascii("moov") ++ be4(108) ++ ascii("mvhd") ++ be4(0) ++
+      be4(0) ++ be4(0) ++ be4(600) ++ be4(54000) ++ Array.fill(80)(0.toByte)
+    val validWav = ascii("RIFF") ++ le4(44) ++ ascii("WAVEfmt ") ++ le4(16) ++
+      Array[Byte](1, 0, 2, 0) ++ le4(44100) ++ le4(176400) ++
+      Array[Byte](4, 0, 16, 0) ++ ascii("data") ++ le4(8) ++
+      Array.fill(8)(7.toByte)
+    val validPng = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte) ++ be4(13) ++ ascii("IHDR") ++ be4(16) ++ be4(16) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be4(0xDEADBEEFL)
+    val rnd = new scala.util.Random(42)
+    val adversarial: Seq[Array[Byte]] =
+      Seq[Array[Byte]](
+        Array.emptyByteArray,
+        // the r11 CAST_OVERFLOW repro class: valid signature, garbage size
+        be4(0xFFFFFFFFL) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom"),
+        // the original red-spec shape: ftyp declaring 16 but physically 20
+        // — the walk reads the 'isom' brand (0x69736F6D) as a size field
+        be4(16) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom") ++
+          validMp4.drop(20),
+        ascii("RIFF") ++ le4(0xFFFFFFFFL) ++ ascii("WAVEfmt ") ++
+          le4(0xFFFFFFFFL) ++ Array.fill(16)(0.toByte),
+        // over-bound: moov pushed past Mp4HeaderBytes by a huge free box
+        be4(20) ++ ascii("ftypisom") ++ be4(0) ++ ascii("isom") ++
+          be4(4096) ++ ascii("free") ++ Array.fill(600)(0.toByte)) ++
+      (0 until validMp4.length).map(validMp4.take) ++   // every truncation
+      (0 until validWav.length).map(validWav.take) ++
+      (0 until validPng.length).map(validPng.take) ++
+      (1 to 24).map(n => { val b = new Array[Byte](n * 5); rnd.nextBytes(b); b }) ++
+      (1 to 16).map { _ =>                              // bit-flipped valids
+        val src = Seq(validMp4, validWav, validPng)(rnd.nextInt(3))
+        val c = src.clone(); val i = rnd.nextInt(c.length)
+        c(i) = (c(i) ^ (1 << rnd.nextInt(8))).toByte; c
+      }
+    val df = adversarial.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
+    val ok = Set("png", "jpeg", "wav", "mp4", "unknown")
+    for ((name, parsed) <- Seq(
+        "png/jpeg" -> Multimodal.parseMediaHeaders(df),
+        "wav" -> Multimodal.parseWavHeaders(df),
+        "mp4" -> Multimodal.parseMp4Headers(df))) {
+      val rows = parsed.collect()   // must not throw
+      assert(rows.length === adversarial.length, name)
+      rows.foreach(r => assert(ok.contains(r.getString(1)), s"$name $r"))
+    }
+    // positive control: the clamps must not break valid specimens
+    val valids = Seq(0L -> validMp4, 1L -> validWav, 2L -> validPng)
+      .toDF("doc_id", "payload")
+    assert(Multimodal.parseMp4Headers(valids)
+      .filter($"container" === "mp4").count() === 1)
+    assert(Multimodal.parseWavHeaders(valids)
+      .filter($"container" === "wav").count() === 1)
+    assert(Multimodal.parseMediaHeaders(valids)
+      .filter($"container" === "png").count() === 1)
   }
 }

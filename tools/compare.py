@@ -57,8 +57,15 @@ def main(sfdir: str, outdir: str) -> int:
             n_bad += 1
             continue
         bad_cols = []
+        dtype_cols = []
         for c in s.columns:
             a, b = s[c].to_numpy(), d[c].to_numpy()
+            # The driver's hash is dtype-sensitive: an oracle whose column
+            # comes back e.g. HUGEINT (DuckDB promotes SUM(BIGINT)) fails
+            # the driver even when every value matches (q185, round 11).
+            # astype() would silently mask exactly that, so flag it FIRST.
+            if a.dtype != b.dtype and not (a.dtype.kind == b.dtype.kind == "f"):
+                dtype_cols.append(f"{c} (spark={a.dtype} duck={b.dtype})")
             try:
                 b = b.astype(a.dtype)
             except Exception:
@@ -76,6 +83,11 @@ def main(sfdir: str, outdir: str) -> int:
                     same = bool(same.all())
                 if not same:
                     bad_cols.append(c)
+        if dtype_cols:
+            print(f"FAIL {name}: DTYPE mismatch (driver hash would differ "
+                  f"even on equal values) in {dtype_cols}")
+            n_bad += 1
+            continue
         if bad_cols:
             print(f"FAIL {name}: value mismatch in {bad_cols}")
             idx = None
