@@ -510,4 +510,32 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === got(3L) && got(3L) === got(4L), "leaves must tie")
     assert(got(10L) === got(11L), "symmetric pair must tie")
   }
+
+  test("q187 incremental pagerank == q185 rescan; flags mark exactly the " +
+      "components holding a delta doc") {
+    val s = spark
+    import s.implicits._
+    val full = Dedup.q185Pagerank(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inc = Dedup.q187IncrementalPagerank(s, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    // identity: same node set, same (deg, rank) per node as the rescan
+    assert(inc.map(_._1).toSet === full.keySet)
+    inc.foreach { case (id, (deg, rank, _)) =>
+      assert(full(id) === ((deg, rank)), s"doc $id diverges from rescan")
+    }
+    // flag ground truth from the independently-specced CC labels
+    val labels = Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val touched = labels.collect {
+      case (id, c) if id % 10 == 7 => c
+    }.toSet
+    inc.foreach { case (id, (_, _, flag)) =>
+      assert(flag === touched.contains(labels(id)), s"doc $id flag")
+    }
+    // the fixture must exercise BOTH paths or the identity is vacuous
+    assert(inc.exists(_._2._3) && inc.exists(!_._2._3),
+      "fixture must contain touched AND untouched components")
+  }
 }
