@@ -250,7 +250,13 @@ object Bench {
     // 1-decimal floor is reached, the constant "q" prefix is dropped from
     // numeric keys ("q114" → "114", ~1 char × |queries| back), with the
     // same collision fallback; prep entries (no q-prefix) are untouched.
-    def queryLine(decimals: Int, stripQ: Boolean): String = {
+    // VERDICT r11 #6: a deciseconds rung between (1,stripQ) and the
+    // 0-decimal floor — per-query values become integer DECISECONDS
+    // ("114":42 = 4.2 s), self-described by a `"qunit":"ds"` key so the
+    // line stays unambiguous; 10× the floor rung's resolution for ~the
+    // same chars (the dot is dropped, one digit comes back). The total
+    // `value` stays seconds at full precision on every rung.
+    def queryLine(decimals: Int, stripQ: Boolean, deci: Boolean = false): String = {
       def key0(name: String): String = {
         val p = shortKey(name)
         if (stripQ && p.matches("q\\d+")) p.drop(1) else p
@@ -259,7 +265,8 @@ object Bench {
         case (sk, vs) => sk -> vs.size
       }
       def fmt(v: Double): String =
-        String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
+        if (deci) math.round(v * 10).toString
+        else String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
       val qs = results.map { case (k, v) =>
         val sk = key0(k)
         val key = if (keyCounts(sk) == 1) sk else {
@@ -269,7 +276,10 @@ object Bench {
         s"\"" + key + "\":" + fmt(v)
       }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val totalStr =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      val qunit = if (deci) "\"qunit\":\"ds\"," else ""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec",$qunit"queries":$qs,"sf":"$sfDir"}"""
     }
     // Streaming throughput lives in a persisted artifact (VERDICT r4 item
     // 5) but NOT on the driver-parsed query line (VERDICT r9 item 1) — it
@@ -298,20 +308,27 @@ object Bench {
     val tailBudget = math.max(50, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900").toInt)
       .getOrElse(1900))
-    val ladder = Seq((3, false), (2, false), (1, false), (1, true), (0, true))
+    // (decimals, stripQ, deciseconds); the ds rung sits above the
+    // 0-decimal floor — same footprint as (1, true) minus the dots, with
+    // 10× the floor's resolution (VERDICT r11 #6).
+    val ladder = Seq((3, false, false), (2, false, false), (1, false, false),
+      (1, true, false), (1, true, true), (0, true, false))
     val (line, rung) = ladder.iterator
-      .map { case (d, sq) => (queryLine(d, sq), (d, sq)) }
+      .map { case (d, sq, ds) => (queryLine(d, sq, ds), (d, sq, ds)) }
       .find { case (l, r) => l.length <= tailBudget || r == ladder.last }
       .get
+    def rungDesc(r: (Int, Boolean, Boolean)): String =
+      if (r._3) s"deciseconds, stripQ=${r._2}"
+      else s"${r._1} decimals, stripQ=${r._2}"
     if (rung != ladder.head) System.err.println(
-      s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at ${rung._1} decimals, stripQ=${rung._2} (${line.length} chars)")
+      s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at ${rungDesc(rung)} (${line.length} chars)")
     if (line.length > tailBudget) System.err.println(
       s"[bench] WARNING: query line ${line.length} chars exceeds $tailBudget even at the ladder floor — driver tail may clip; split the line next round")
     // Headroom report (VERDICT r10 #2): how much budget the CHOSEN rung
     // leaves, and roughly how many more ~11-char entries fit before the
     // next rung engages — so the overflow is visible a round early.
     System.err.println(s"[bench] query line ${line.length}/$tailBudget chars " +
-      s"at ${rung._1} decimals, stripQ=${rung._2} — headroom " +
+      s"at ${rungDesc(rung)} — headroom " +
       s"${tailBudget - line.length} chars (~${(tailBudget - line.length) / 11} more entries on this rung)")
     def writeFile(name: String, content: String): Unit = try {
       val out = java.nio.file.Paths.get("target", name)
