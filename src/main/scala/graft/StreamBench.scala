@@ -601,7 +601,8 @@ object StreamBench {
       sessions: Option[SeamResult],
       windowDedup: Option[SeamResult],
       sample: Option[SeamResult],
-      anomalyGate: Option[SeamResult]) {
+      anomalyGate: Option[SeamResult],
+      containerGate: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -624,7 +625,8 @@ object StreamBench {
         "sessions" -> sessions,
         "window_dedup" -> windowDedup,
         "sample" -> sample,
-        "anomaly_gate" -> anomalyGate).map { case (k, v) =>
+        "anomaly_gate" -> anomalyGate,
+        "container_gate" -> containerGate).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -661,7 +663,8 @@ object StreamBench {
       guarded("sessions")(measureSessions(spark, sfDir)),
       guarded("windowdedup")(measureWindowDedup(spark, sfDir)),
       guarded("sample")(measureSample(spark, sfDir)),
-      guarded("anomalygate")(measureAnomalyGate(spark, sfDir)))
+      guarded("anomalygate")(measureAnomalyGate(spark, sfDir)),
+      guarded("containergate")(measureContainerGate(spark, sfDir)))
   }
 
   /** S25 throughput: the events table replayed as a file-source stream
@@ -697,6 +700,38 @@ object StreamBench {
     } else {
       val cleanN = spark.read.parquet(s"$root/out/clean").count()
       SeamResult(n / secs, n, cleanN, secs)
+    }
+  }
+
+  /** S26 throughput: the q188 mixed-media fixture replayed as a
+    * file-source stream through
+    * [[graft.streaming.ContainerGateStream]]'s signature dispatch —
+    * payloads/sec through the four map-side classify subplans and the
+    * partitioned split. `clean` = media-sink row count (assets admitted
+    * past the gate). */
+  def measureContainerGate(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-containergate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    multimodal.Multimodal.mixedMediaTable(spark, sfDir)
+      .write.mode("overwrite").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("doc_id long, payload binary").parquet(incoming)
+    val q = streaming.ContainerGateStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:containergate] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val okN = spark.read.parquet(s"$root/out/media").count()
+      SeamResult(n / secs, n, okN, secs)
     }
   }
 

@@ -746,6 +746,110 @@ object Multimodal {
        |FROM w7 ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q188
+  /** Unified container classification — the dispatch layer the S26
+    * streaming gate runs at the ingest boundary: route each payload by
+    * its cheap signature prefix to exactly ONE family parser (the
+    * LITERAL q163/q176/q186 code — stream and batch cannot disagree),
+    * and rows matching no signature skip parsing entirely (the common
+    * fast path when media is a minority of the feed). One wide nullable
+    * schema across families so the result is a plain relational frame —
+    * family fields are NULL outside their family, `unknown` rows carry
+    * only `n_bytes` (the quarantine evidence).
+    *
+    * Scale shape: four map-side subplans of the same scan unioned —
+    * zero exchange (the S19/S25 measured preference for re-projection
+    * over materialization); each family parser touches only its
+    * signature-matched rows and only its bounded header prefix. */
+  def classifyContainers(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    val sig8 = hex(substring($"payload", 1, 8))
+    val isPj = sig8 === "89504E470D0A1A0A" ||
+      substring(sig8, 1, 4) === "FFD8"
+    val isWav = substring(sig8, 1, 8) === "52494646"
+    val isMp4 = hex(substring($"payload", 5, 4)) === "66747970"
+    def nul(names: String*): Seq[Column] =
+      names.map(n => lit(null).cast("long").as(n))
+    val pj = parseMediaHeaders(media.filter(isPj))
+      .select(Seq($"doc_id", $"container", $"width", $"height",
+        $"bit_depth") ++
+        nul("channels", "sample_rate", "data_size", "duration_ms",
+          "timescale", "duration") :+ $"n_bytes": _*)
+    val wav = parseWavHeaders(media.filter(!isPj && isWav))
+      .select(Seq($"doc_id", $"container") ++ nul("width", "height") ++
+        Seq($"bit_depth", $"channels", $"sample_rate", $"data_size",
+          $"duration_ms") ++ nul("timescale", "duration") :+ $"n_bytes": _*)
+    val mp4 = parseMp4Headers(media.filter(!isPj && !isWav && isMp4))
+      .select(Seq($"doc_id", $"container") ++
+        nul("width", "height", "bit_depth", "channels", "sample_rate",
+          "data_size") ++
+        Seq($"duration_ms", $"timescale", $"duration", $"n_bytes"): _*)
+    val rest = media.filter(!(isPj || isWav || isMp4))
+      .select(Seq($"doc_id", lit("unknown").as("container")) ++
+        nul("width", "height", "bit_depth", "channels", "sample_rate",
+          "data_size", "duration_ms", "timescale", "duration") :+
+        length($"payload").cast("long").as("n_bytes"): _*)
+    pj.unionByName(wav).unionByName(mp4).unionByName(rest)
+  }
+
+  /** Mixed-media fixture for q188: the three family fixtures on disjoint
+    * doc_id ranges plus raw document text as the no-signature majority —
+    * the feed shape an ingest gate actually sees. */
+  private[graft] def mixedMediaTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    headeredMediaTable(s, dir)
+      .unionByName(wavMediaTable(s, dir)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"payload"))
+      .unionByName(mp4MediaTable(s, dir)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"payload"))
+      .unionByName(Tables(s, dir, "documents")
+        .select(($"doc_id" + 30000000L).as("doc_id"),
+          $"text".cast("binary").as("payload")))
+  }
+
+  def q188ContainerGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    classifyContainers(mixedMediaTable(s, dir)).orderBy($"doc_id")
+  }
+
+  /** The oracle composes the three family oracles (sans ORDER BY) on the
+    * same disjoint id ranges and pads each to the wide schema; text rows
+    * are `unknown` flat — no document text can carry a container
+    * signature by construction of the fixtures. */
+  val q188Oracle: String = {
+    def noOrder(o: String): String =
+      o.stripSuffix("ORDER BY doc_id").trim
+    val nulls = "CAST(NULL AS BIGINT)"
+    // the sub-oracles contain lines beginning with `||` (string concat
+    // continuations) that a second stripMargin would mangle into `|` —
+    // interpolate them only AFTER the template's own margins are gone
+    "WITH pj AS MATERIALIZED (\n" + noOrder(q163Oracle) +
+      "\n), wav AS MATERIALIZED (\n" + noOrder(q176Oracle) +
+      "\n), mp4 AS MATERIALIZED (\n" + noOrder(q186Oracle) + "\n)\n" +
+    s"""SELECT doc_id, container, width, height, bit_depth,
+       |  $nulls AS channels, $nulls AS sample_rate, $nulls AS data_size,
+       |  $nulls AS duration_ms, $nulls AS timescale, $nulls AS duration,
+       |  n_bytes
+       |FROM pj
+       |UNION ALL
+       |SELECT doc_id + 10000000, container, $nulls, $nulls, bit_depth,
+       |  channels, sample_rate, data_size, duration_ms, $nulls, $nulls,
+       |  n_bytes
+       |FROM wav
+       |UNION ALL
+       |SELECT doc_id + 20000000, container, $nulls, $nulls, $nulls,
+       |  $nulls, $nulls, $nulls, duration_ms, timescale, duration, n_bytes
+       |FROM mp4
+       |UNION ALL
+       |SELECT doc_id + 30000000, 'unknown', $nulls, $nulls, $nulls,
+       |  $nulls, $nulls, $nulls, $nulls, $nulls, $nulls,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_media_meta" -> q57MediaMeta _,
     "q58_frame_sample" -> q58FrameSample _,
@@ -753,6 +857,7 @@ object Multimodal {
     "q163_media_headers" -> q163MediaHeaders _,
     "q176_wav_headers" -> q176WavHeaders _,
     "q186_mp4_headers" -> q186Mp4Headers _,
+    "q188_container_gate" -> q188ContainerGate _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -762,5 +867,6 @@ object Multimodal {
     "q163_media_headers" -> q163Oracle,
     "q176_wav_headers" -> q176Oracle,
     "q186_mp4_headers" -> q186Oracle,
+    "q188_container_gate" -> q188Oracle,
   )
 }
