@@ -757,7 +757,7 @@ object Multimodal {
     * family fields are NULL outside their family, `unknown` rows carry
     * only `n_bytes` (the quarantine evidence).
     *
-    * Scale shape: four map-side subplans of the same scan unioned —
+    * Scale shape: five map-side subplans of the same scan unioned —
     * zero exchange (the S19/S25 measured preference for re-projection
     * over materialization); each family parser touches only its
     * signature-matched rows and only its bounded header prefix. */
@@ -769,28 +769,36 @@ object Multimodal {
       substring(sig8, 1, 4) === "FFD8"
     val isWav = substring(sig8, 1, 8) === "52494646"
     val isMp4 = hex(substring($"payload", 5, 4)) === "66747970"
+    val isTiff = substring(sig8, 1, 8) === "49492A00" ||
+      substring(sig8, 1, 8) === "4D4D002A"
     def nul(names: String*): Seq[Column] =
       names.map(n => lit(null).cast("long").as(n))
+    val noOrder = lit(null).cast("string").as("byte_order")
     val pj = parseMediaHeaders(media.filter(isPj))
-      .select(Seq($"doc_id", $"container", $"width", $"height",
+      .select(Seq($"doc_id", $"container", noOrder, $"width", $"height",
         $"bit_depth") ++
         nul("channels", "sample_rate", "data_size", "duration_ms",
           "timescale", "duration") :+ $"n_bytes": _*)
     val wav = parseWavHeaders(media.filter(!isPj && isWav))
-      .select(Seq($"doc_id", $"container") ++ nul("width", "height") ++
+      .select(Seq($"doc_id", $"container", noOrder) ++ nul("width", "height") ++
         Seq($"bit_depth", $"channels", $"sample_rate", $"data_size",
           $"duration_ms") ++ nul("timescale", "duration") :+ $"n_bytes": _*)
     val mp4 = parseMp4Headers(media.filter(!isPj && !isWav && isMp4))
-      .select(Seq($"doc_id", $"container") ++
+      .select(Seq($"doc_id", $"container", noOrder) ++
         nul("width", "height", "bit_depth", "channels", "sample_rate",
           "data_size") ++
         Seq($"duration_ms", $"timescale", $"duration", $"n_bytes"): _*)
-    val rest = media.filter(!(isPj || isWav || isMp4))
-      .select(Seq($"doc_id", lit("unknown").as("container")) ++
+    val tiff = parseTiffHeaders(media.filter(!isPj && !isWav && !isMp4 && isTiff))
+      .select(Seq($"doc_id", $"container", $"byte_order", $"width", $"height",
+        $"bit_depth") ++
+        nul("channels", "sample_rate", "data_size", "duration_ms",
+          "timescale", "duration") :+ $"n_bytes": _*)
+    val rest = media.filter(!(isPj || isWav || isMp4 || isTiff))
+      .select(Seq($"doc_id", lit("unknown").as("container"), noOrder) ++
         nul("width", "height", "bit_depth", "channels", "sample_rate",
           "data_size", "duration_ms", "timescale", "duration") :+
         length($"payload").cast("long").as("n_bytes"): _*)
-    pj.unionByName(wav).unionByName(mp4).unionByName(rest)
+    pj.unionByName(wav).unionByName(mp4).unionByName(tiff).unionByName(rest)
   }
 
   /** Mixed-media fixture for q188: the three family fixtures on disjoint
@@ -807,6 +815,8 @@ object Multimodal {
       .unionByName(Tables(s, dir, "documents")
         .select(($"doc_id" + 30000000L).as("doc_id"),
           $"text".cast("binary").as("payload")))
+      .unionByName(tiffMediaTable(s, dir)
+        .select(($"doc_id" + 40000000L).as("doc_id"), $"payload"))
   }
 
   def q188ContainerGate(s: SparkSession, dir: String): DataFrame = {
@@ -818,36 +828,262 @@ object Multimodal {
     * same disjoint id ranges and pads each to the wide schema; text rows
     * are `unknown` flat — no document text can carry a container
     * signature by construction of the fixtures. */
-  val q188Oracle: String = {
+  // lazy: composes q189Oracle, which is declared later in the file
+  lazy val q188Oracle: String = {
     def noOrder(o: String): String =
       o.stripSuffix("ORDER BY doc_id").trim
     val nulls = "CAST(NULL AS BIGINT)"
+    val noOrd = "CAST(NULL AS VARCHAR)"
     // the sub-oracles contain lines beginning with `||` (string concat
     // continuations) that a second stripMargin would mangle into `|` —
     // interpolate them only AFTER the template's own margins are gone
     "WITH pj AS MATERIALIZED (\n" + noOrder(q163Oracle) +
       "\n), wav AS MATERIALIZED (\n" + noOrder(q176Oracle) +
-      "\n), mp4 AS MATERIALIZED (\n" + noOrder(q186Oracle) + "\n)\n" +
-    s"""SELECT doc_id, container, width, height, bit_depth,
+      "\n), mp4 AS MATERIALIZED (\n" + noOrder(q186Oracle) +
+      "\n), tif AS MATERIALIZED (\n" + noOrder(q189Oracle) + "\n)\n" +
+    s"""SELECT doc_id, container, $noOrd AS byte_order,
+       |  width, height, bit_depth,
        |  $nulls AS channels, $nulls AS sample_rate, $nulls AS data_size,
        |  $nulls AS duration_ms, $nulls AS timescale, $nulls AS duration,
        |  n_bytes
        |FROM pj
        |UNION ALL
-       |SELECT doc_id + 10000000, container, $nulls, $nulls, bit_depth,
+       |SELECT doc_id + 10000000, container, $noOrd, $nulls, $nulls, bit_depth,
        |  channels, sample_rate, data_size, duration_ms, $nulls, $nulls,
        |  n_bytes
        |FROM wav
        |UNION ALL
-       |SELECT doc_id + 20000000, container, $nulls, $nulls, $nulls,
+       |SELECT doc_id + 20000000, container, $noOrd, $nulls, $nulls, $nulls,
        |  $nulls, $nulls, $nulls, duration_ms, timescale, duration, n_bytes
        |FROM mp4
        |UNION ALL
-       |SELECT doc_id + 30000000, 'unknown', $nulls, $nulls, $nulls,
+       |SELECT doc_id + 30000000, 'unknown', $noOrd, $nulls, $nulls, $nulls,
        |  $nulls, $nulls, $nulls, $nulls, $nulls, $nulls,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
        |FROM documents
+       |UNION ALL
+       |SELECT doc_id + 40000000, container, byte_order,
+       |  width, height, bit_depth,
+       |  $nulls, $nulls, $nulls, $nulls, $nulls, $nulls, n_bytes
+       |FROM tif
        |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q189
+  /** Synthetic TIFF fixture — the fourth container family, and the one
+    * with a property none of PNG/RIFF/BMFF have: the BYTE-ORDER of every
+    * multi-byte field is data-dependent ('II' little-endian vs 'MM'
+    * big-endian, TIFF 6.0 §2), so the parser must pick its arithmetic per
+    * ROW, not per format. Layout: order mark, magic 42, a 4-byte IFD
+    * offset that skips a VARYING pad (forcing the parser to follow the
+    * pointer), then the IFD: entry count, 12-byte entries in ascending
+    * tag order (optional NewSubfileType 254 for doc_id % 3 = 0 rows, then
+    * ImageWidth 256 / ImageLength 257 / BitsPerSample 258 /
+    * Compression 259, all type LONG), a zero next-IFD pointer, body.
+    * doc_id % 29 = 0 rows get the first order-mark byte zeroed (must
+    * classify `unknown`). */
+  private[graft] def tiffMediaTable(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    def be2(c: Column): Column = lpad(hex(c), 4, "0")
+    def be4(c: Column): Column = lpad(hex(c), 8, "0")
+    def num2(le: Column, c: Column): Column = when(le, le2hex(c)).otherwise(be2(c))
+    def num4(le: Column, c: Column): Column = when(le, le4hex(c)).otherwise(be4(c))
+    def entry(le: Column, tag: Long, v: Column): Column = concat(
+      num2(le, lit(tag)), num2(le, lit(4L)), num4(le, lit(1L)), num4(le, v))
+    Tables(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        ($"doc_id" % 2 === 0).as("le"),
+        (($"doc_id" % 5) * 2).as("pad"),
+        ($"n_chars" % 4000 + 1).cast("long").as("w"),
+        (($"n_chars" * 3) % 3000 + 1).cast("long").as("hh"),
+        (lit(8L) * (lit(1L) + $"doc_id" % 2)).as("bits"),
+        hex(substring($"text", 1, 8).cast("binary")).as("body"))
+      .withColumn("extra", $"doc_id" % 3 === 0)
+      .withColumn("m", when($"extra", 5L).otherwise(4L))
+      .withColumn("hdr", concat(
+        when($"le", "49492A00").otherwise("4D4D002A"),
+        num4($"le", lit(8L) + $"pad"),
+        expr("repeat('00', int(pad))"),
+        num2($"le", $"m"),
+        when($"extra", entry($"le", 254L, lit(0L))).otherwise(lit("")),
+        entry($"le", 256L, $"w"),
+        entry($"le", 257L, $"hh"),
+        entry($"le", 258L, $"bits"),
+        entry($"le", 259L, lit(1L)),
+        lit("00000000"), $"body"))
+      .select($"doc_id",
+        unhex(when($"doc_id" % 29 === 0,
+            concat(lit("00"), expr("substr(hdr, 3)"))).otherwise($"hdr"))
+          .as("payload"))
+  }
+
+  /** TIFF baseline-header introspection: detect the byte-order mark,
+    * verify magic 42 UNDER THAT ORDER, follow the IFD offset pointer,
+    * read the entry count, and search the (≤ [[TiffMaxIfdEntries]])
+    * fixed-width entries for the ImageWidth/ImageLength/BitsPerSample
+    * tags — the q182 unrolled-column discipline applied to a pointer
+    * walk: the entry scan is a compile-time unroll of codegen'd
+    * substr/conv projections, no UDF, no explode. Every row-dependent
+    * offset (IFD pointer, entry count) is clamped/validated exactly like
+    * q186's box walk, so adversarial headers classify `unknown` rather
+    * than aborting (A3). The per-row endianness switch is a CASE around
+    * each numeric read — the property that makes TIFF the adversarial
+    * test of hex-arithmetic parsing rather than a q163 rerun. */
+  val TiffHeaderBytes = 1024
+  val TiffMaxIfdEntries = 6
+  def parseTiffHeaders(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    def u16(pos: String): String =
+      s"cast(conv(CASE WHEN le THEN concat(substr(h,($pos)+2,2),substr(h,$pos,2)) " +
+        s"ELSE substr(h,$pos,4) END, 16, 10) as bigint)"
+    def u32(pos: String): String =
+      s"cast(conv(CASE WHEN le THEN concat(substr(h,($pos)+6,2),substr(h,($pos)+4,2)," +
+        s"substr(h,($pos)+2,2),substr(h,$pos,2)) " +
+        s"ELSE substr(h,$pos,8) END, 16, 10) as bigint)"
+    var df = media
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+        hex(substring($"payload", 1, TiffHeaderBytes)).as("h"))
+      .withColumn("hl", length($"h").cast("long") + 1L)
+      .withColumn("le", substring($"h", 1, 4) === "4949")
+      .withColumn("is_tiff",
+        (substring($"h", 1, 4) === "4949" || substring($"h", 1, 4) === "4D4D") &&
+          expr(u16("5")) === 42L)
+      .withColumn("p0",
+        when($"is_tiff", least(expr(u32("9")) * 2 + 1, $"hl")))
+      .withColumn("m", when($"is_tiff", expr(u16("p0"))))
+      .withColumn("ok",
+        $"is_tiff" && $"m" >= 1L && $"m" <= TiffMaxIfdEntries &&
+          $"p0" + 4L + $"m" * 24L <= $"hl")
+    for (i <- 0 until TiffMaxIfdEntries) {
+      df = df
+        .withColumn(s"tag_$i",
+          when($"ok" && lit(i.toLong) < $"m", expr(u16(s"p0 + ${4 + 24 * i}"))))
+        .withColumn(s"val_$i",
+          when($"ok" && lit(i.toLong) < $"m", expr(u32(s"p0 + ${20 + 24 * i}"))))
+    }
+    def tagVal(t: Long): Column = coalesce(
+      (0 until TiffMaxIfdEntries).map(i =>
+        when(col(s"tag_$i") === t, col(s"val_$i"))): _*)
+    df
+      .withColumn("width", tagVal(256L))
+      .withColumn("height", tagVal(257L))
+      .withColumn("bit_depth", tagVal(258L))
+      .withColumn("is_ok",
+        $"ok" && $"width".isNotNull && $"height".isNotNull)
+      .select($"doc_id",
+        when($"is_ok", "tiff").otherwise("unknown").as("container"),
+        when($"is_ok", when($"le", "II").otherwise("MM")).as("byte_order"),
+        when($"is_ok", $"width").as("width"),
+        when($"is_ok", $"height").as("height"),
+        when($"is_ok", $"bit_depth").as("bit_depth"),
+        $"n_bytes")
+  }
+
+  def q189TiffHeaders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    parseTiffHeaders(tiffMediaTable(s, dir)).orderBy($"doc_id")
+  }
+
+  val q189Oracle: String = {
+    def hv(c: String, pos: String): String =
+      s"(strpos('0123456789ABCDEF', substr($c, CAST($pos AS INTEGER), 1)) - 1)"
+    def hex2(pos: String): String =
+      s"(${hv("h", pos)} * 16 + ${hv("h", s"($pos) + 1")})"
+    def u16(pos: String): String =
+      s"(CASE WHEN le THEN ${hex2(pos)} + 256 * ${hex2(s"($pos) + 2")} " +
+        s"ELSE ${hex2(pos)} * 256 + ${hex2(s"($pos) + 2")} END)"
+    def u32(pos: String): String =
+      s"(CASE WHEN le THEN ${hex2(pos)} + 256 * ${hex2(s"($pos) + 2")} + " +
+        s"65536 * ${hex2(s"($pos) + 4")} + 16777216 * ${hex2(s"($pos) + 6")} " +
+        s"ELSE ((${hex2(pos)} * 256 + ${hex2(s"($pos) + 2")}) * 256 + " +
+        s"${hex2(s"($pos) + 4")}) * 256 + ${hex2(s"($pos) + 6")} END)"
+    def le2h(v: String): String = {
+      val x = s"lpad(hex($v), 4, '0')"
+      s"(substr($x, 3, 2) || substr($x, 1, 2))"
+    }
+    def le4h(v: String): String = {
+      val x = s"lpad(hex($v), 8, '0')"
+      s"(substr($x, 7, 2) || substr($x, 5, 2) || substr($x, 3, 2) || substr($x, 1, 2))"
+    }
+    def num2(v: String): String =
+      s"(CASE WHEN le THEN ${le2h(v)} ELSE lpad(hex($v), 4, '0') END)"
+    def num4(v: String): String =
+      s"(CASE WHEN le THEN ${le4h(v)} ELSE lpad(hex($v), 8, '0') END)"
+    def entry(tag: Long, v: String): String =
+      s"(${num2(tag.toString)} || ${num2("4")} || ${num4("1")} || ${num4(v)})"
+    val tags = (0 until TiffMaxIfdEntries).map { i =>
+      s"CASE WHEN ok AND $i < m THEN ${u16(s"p0 + ${4 + 24 * i}")} END AS tag_$i, " +
+        s"CASE WHEN ok AND $i < m THEN ${u32(s"p0 + ${20 + 24 * i}")} END AS val_$i"
+    }.mkString(",\n    ")
+    def tagVal(t: Long): String = "COALESCE(" +
+      (0 until TiffMaxIfdEntries).map(i =>
+        s"CASE WHEN tag_$i = $t THEN val_$i END").mkString(", ") + ")"
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars,
+       |    (doc_id % 2 = 0) AS le,
+       |    CAST((doc_id % 5) * 2 AS BIGINT) AS pad,
+       |    CAST(n_chars % 4000 + 1 AS BIGINT) AS w,
+       |    CAST((n_chars * 3) % 3000 + 1 AS BIGINT) AS hh,
+       |    CAST(8 * (1 + doc_id % 2) AS BIGINT) AS bits,
+       |    (doc_id % 3 = 0) AS extra,
+       |    CAST(CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS BIGINT) AS m0,
+       |    hex(CAST(substr(text, 1, 8) AS BLOB)) AS body
+       |  FROM documents),
+       |hdr AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN le THEN '49492A00' ELSE '4D4D002A' END)
+       |      || ${num4("8 + pad")}
+       |      || repeat('00', CAST(pad AS INTEGER))
+       |      || ${num2("m0")}
+       |      || (CASE WHEN extra THEN ${entry(254L, "0")} ELSE '' END)
+       |      || ${entry(256L, "w")} || ${entry(257L, "hh")}
+       |      || ${entry(258L, "bits")} || ${entry(259L, "1")}
+       |      || '00000000' || body AS hx
+       |  FROM base),
+       |pay AS (
+       |  SELECT doc_id, hex(unhex(
+       |    CASE WHEN doc_id % 29 = 0 THEN '00' || substr(hx, 3) ELSE hx END))
+       |    AS hfull
+       |  FROM hdr),
+       |w1 AS (
+       |  SELECT doc_id, substr(hfull, 1, ${TiffHeaderBytes * 2}) AS h,
+       |    CAST(len(substr(hfull, 1, ${TiffHeaderBytes * 2})) + 1 AS BIGINT) AS hl,
+       |    CAST(octet_length(unhex(hfull)) AS BIGINT) AS n_bytes,
+       |    (substr(hfull, 1, 4) = '4949') AS le
+       |  FROM pay),
+       |w2 AS (
+       |  SELECT *, ((substr(h, 1, 4) = '4949' OR substr(h, 1, 4) = '4D4D')
+       |    AND ${u16("5")} = 42) AS is_tiff FROM w1),
+       |w3 AS (
+       |  SELECT *, CASE WHEN is_tiff
+       |    THEN least(${u32("9")} * 2 + 1, hl) END AS p0 FROM w2),
+       |w4 AS (
+       |  SELECT *, CASE WHEN is_tiff THEN ${u16("p0")} END AS m FROM w3),
+       |w5 AS (
+       |  SELECT *, (is_tiff AND m >= 1 AND m <= $TiffMaxIfdEntries
+       |    AND p0 + 4 + m * 24 <= hl) AS ok FROM w4),
+       |w6 AS (
+       |  SELECT *,
+       |    $tags
+       |  FROM w5),
+       |w7 AS (
+       |  SELECT *, ${tagVal(256L)} AS width, ${tagVal(257L)} AS height,
+       |    ${tagVal(258L)} AS bit_depth
+       |  FROM w6),
+       |w8 AS (
+       |  SELECT *, (ok AND width IS NOT NULL AND height IS NOT NULL) AS is_ok
+       |  FROM w7)
+       |SELECT doc_id,
+       |  CASE WHEN is_ok THEN 'tiff' ELSE 'unknown' END AS container,
+       |  CASE WHEN is_ok THEN (CASE WHEN le THEN 'II' ELSE 'MM' END)
+       |    END AS byte_order,
+       |  CAST(CASE WHEN is_ok THEN width END AS BIGINT) AS width,
+       |  CAST(CASE WHEN is_ok THEN height END AS BIGINT) AS height,
+       |  CAST(CASE WHEN is_ok THEN bit_depth END AS BIGINT) AS bit_depth,
+       |  n_bytes
+       |FROM w8 ORDER BY doc_id""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,6 +1094,7 @@ object Multimodal {
     "q176_wav_headers" -> q176WavHeaders _,
     "q186_mp4_headers" -> q186Mp4Headers _,
     "q188_container_gate" -> q188ContainerGate _,
+    "q189_tiff_headers" -> q189TiffHeaders _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +1105,6 @@ object Multimodal {
     "q176_wav_headers" -> q176Oracle,
     "q186_mp4_headers" -> q186Oracle,
     "q188_container_gate" -> q188Oracle,
+    "q189_tiff_headers" -> q189Oracle,
   )
 }

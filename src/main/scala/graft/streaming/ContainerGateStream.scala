@@ -26,7 +26,7 @@ import graft.multimodal.Multimodal
   * (Hive layout, so downstream family jobs partition-prune their scans);
   * failures under `quarantine/batch=<id>/`.
   *
-  * Scale shape per batch: four map-side subplans of the micro-batch scan,
+  * Scale shape per batch: five map-side subplans of the micro-batch scan,
   * zero trigger-path shuffles, header-bounded hex per row; the payload is
   * dropped from the classified sinks (metadata rows, not asset copies).
   */

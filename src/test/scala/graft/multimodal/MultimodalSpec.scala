@@ -212,6 +212,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("q189: hand-built TIFFs parse under BOTH byte orders; the walk " +
+      "follows the IFD pointer and searches tags") {
+    val s = spark
+    import s.implicits._
+    def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    def n2(le: Boolean, v: Long): Array[Byte] =
+      if (le) Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+      else Array(((v >> 8) & 255).toByte, (v & 255).toByte)
+    def n4(le: Boolean, v: Long): Array[Byte] =
+      if (le) Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+        ((v >> 16) & 255).toByte, ((v >> 24) & 255).toByte)
+      else Array(((v >> 24) & 255).toByte, ((v >> 16) & 255).toByte,
+        ((v >> 8) & 255).toByte, (v & 255).toByte)
+    def entry(le: Boolean, tag: Long, v: Long): Array[Byte] =
+      n2(le, tag) ++ n2(le, 4) ++ n4(le, 1) ++ n4(le, v)
+    def tiff(le: Boolean, pad: Int, extra: Boolean,
+        w: Long, h: Long, bits: Long): Array[Byte] = {
+      val entries =
+        (if (extra) entry(le, 254, 0) else Array.emptyByteArray) ++
+          entry(le, 256, w) ++ entry(le, 257, h) ++
+          entry(le, 258, bits) ++ entry(le, 259, 1)
+      ascii(if (le) "II" else "MM") ++ n2(le, 42) ++
+        n4(le, 8L + pad) ++ Array.fill(pad)(0.toByte) ++
+        n2(le, if (extra) 5L else 4L) ++ entries ++ n4(le, 0)
+    }
+    val ii = tiff(le = true, pad = 0, extra = false, 640, 480, 8)
+    val mm = tiff(le = false, pad = 6, extra = true, 1024, 768, 16)
+    val badMagic = { val c = ii.clone(); c(2) = 0x2B; c }
+    val corrupt = { val c = mm.clone(); c(0) = 0; c }
+    // IFD pointer far past the payload: must classify, not abort
+    val wildPtr = ascii("II") ++ n2(le = true, 42) ++
+      n4(le = true, 0xFFFFFFF0L) ++ Array.fill(8)(0.toByte)
+    val got = Multimodal.parseTiffHeaders(
+      Seq(1L -> ii, 2L -> mm, 3L -> badMagic, 4L -> corrupt, 5L -> wildPtr)
+        .toDF("doc_id", "payload"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) "-" else r.getString(2),
+          (3 to 5).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))))
+      .toMap
+    assert(got(1L) === (("tiff", "II", Seq(640L, 480L, 8L))))
+    assert(got(2L) === (("tiff", "MM", Seq(1024L, 768L, 16L))))
+    assert(got(3L)._1 === "unknown")
+    assert(got(4L)._1 === "unknown")
+    assert(got(5L)._1 === "unknown")
+    // fixture round-trip: formulas come back out; %29 rows are unknown
+    val full = Multimodal.q189TiffHeaders(s, sf).collect()
+    assert(full.length === 500)
+    full.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 29 == 0) assert(r.getString(1) === "unknown", s"doc $id")
+      else {
+        assert(r.getString(1) === "tiff", s"doc $id")
+        assert(r.getString(2) === (if (id % 2 == 0) "II" else "MM"),
+          s"doc $id order")
+        assert(r.getLong(5) === 8 * (1 + id % 2), s"doc $id bits")
+      }
+    }
+  }
+
   test("adversarial payloads: garbage sizes, truncations, random and " +
       "flipped bytes classify — never throw (A3 error isolation)") {
     val s = spark
@@ -258,11 +317,12 @@ class MultimodalSpec extends SparkSpec {
       }
     val df = adversarial.zipWithIndex
       .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "payload")
-    val ok = Set("png", "jpeg", "wav", "mp4", "unknown")
+    val ok = Set("png", "jpeg", "wav", "mp4", "tiff", "unknown")
     for ((name, parsed) <- Seq(
         "png/jpeg" -> Multimodal.parseMediaHeaders(df),
         "wav" -> Multimodal.parseWavHeaders(df),
-        "mp4" -> Multimodal.parseMp4Headers(df))) {
+        "mp4" -> Multimodal.parseMp4Headers(df),
+        "tiff" -> Multimodal.parseTiffHeaders(df))) {
       val rows = parsed.collect()   // must not throw
       assert(rows.length === adversarial.length, name)
       rows.foreach(r => assert(ok.contains(r.getString(1)), s"$name $r"))

@@ -31,10 +31,11 @@ class ContainerGateStreamSpec extends SparkSpec {
       root)
     assert(q0.awaitTermination(120000))
 
-    def key(r: org.apache.spark.sql.Row): (Long, String, Seq[Long]) =
+    def key(r: org.apache.spark.sql.Row): (Long, String, String, Seq[Long]) =
       (r.getLong(0), r.getString(1),
-        (2 to 11).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))
-    val cols = Seq($"doc_id", $"container", $"width", $"height",
+        if (r.isNullAt(2)) "-" else r.getString(2),
+        (3 to 12).map(i => if (r.isNullAt(i)) -1L else r.getLong(i)))
+    val cols = Seq($"doc_id", $"container", $"byte_order", $"width", $"height",
       $"bit_depth", $"channels", $"sample_rate", $"data_size",
       $"duration_ms", $"timescale", $"duration", $"n_bytes")
     val ok = s.read.parquet(s"$root/media").select(cols: _*)
@@ -49,15 +50,15 @@ class ContainerGateStreamSpec extends SparkSpec {
     assert((ok ++ quarantined).sortBy(_._1).toSeq ===
       truth.sortBy(_._1).toSeq)
     assert(ok.nonEmpty && quarantined.nonEmpty, "fixture split degenerate")
-    // all four families present — the gate exercises every dispatch arm
-    assert(ok.map(_._2).toSet === Set("png", "jpeg", "wav", "mp4"))
+    // all five families present — the gate exercises every dispatch arm
+    assert(ok.map(_._2).toSet === Set("png", "jpeg", "wav", "mp4", "tiff"))
 
     // Hive layout: one directory per family under the batch dir, so a
     // family job's filter prunes to its own files
     val famDirs = new java.io.File(s"$root/media/batch=0").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
     assert(famDirs === Set("container=png", "container=jpeg",
-      "container=wav", "container=mp4"))
+      "container=wav", "container=mp4", "container=tiff"))
 
     // replay: a restarted stream over one more file re-decides with the
     // same dispatch — a malformed asset must quarantine, not kill the run
