@@ -1871,6 +1871,173 @@ object Dedup {
     recomputed.union(carried).orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- q191
+  /** Incremental connected components — q187's carry-forward discipline
+    * applied to the clustering itself: a delta batch's new edges can only
+    * MERGE existing components (edges never split), so the refresh runs
+    * CC on the CONTRACTED graph — each new edge's endpoints mapped to
+    * their standing base label (delta-first nodes are their own 1-node
+    * base component) — and relabels through the resulting label→label
+    * map. Because base labels are the minima of their components, the
+    * contracted minimum IS the rescan minimum, so the identity is exact;
+    * the oracle rescans the full graph and hash-equality machine-proves
+    * it. `touched` marks rows whose component absorbed a delta doc.
+    *
+    * Scale shape: the contracted graph is DELTA-bounded (one node per
+    * touched base component, one edge per new pair) — its CC rounds run
+    * on metadata, not the corpus; the relabel is one broadcast join over
+    * the standing label table. A production refresh reads the standing
+    * labels; this registered query rebuilds them so the proof is
+    * end-to-end. */
+  def q191IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val isNew = ($"doc_a" % 10 === 7) || ($"doc_b" % 10 === 7)
+    val newPairs = pairs.filter(isNew).localCheckpoint(true)
+    val base = connectedComponents(pairs.filter(!isNew)) // standing labels
+      .localCheckpoint(true)
+    val lbl = base.select($"doc_id", $"cluster")
+    val contracted = newPairs
+      .join(lbl.select($"doc_id".as("doc_a"), $"cluster".as("ca")),
+        Seq("doc_a"), "left")
+      .join(lbl.select($"doc_id".as("doc_b"), $"cluster".as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce($"ca", $"doc_a").as("doc_a"),
+        coalesce($"cb", $"doc_b").as("doc_b"))
+    val merged = connectedComponents(contracted)
+      .select($"doc_id".as("old_label"), $"cluster")
+      .localCheckpoint(true)
+    val newOnlyNodes = newPairs.select($"doc_a".as("doc_id"))
+      .union(newPairs.select($"doc_b".as("doc_id"))).distinct()
+      .join(lbl.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val fromBase = base
+      .join(broadcast(merged.select($"old_label".as("cluster"),
+          $"cluster".as("m_cluster"))),
+        Seq("cluster"), "left")
+      .select($"doc_id", coalesce($"m_cluster", $"cluster").as("cluster"))
+    val fromNew = newOnlyNodes
+      .join(broadcast(merged), $"doc_id" === $"old_label")
+      .select($"doc_id", $"cluster")
+    val touchedSet = merged.select($"cluster").distinct()
+      .withColumn("t0", lit(true))
+    fromBase.union(fromNew)
+      .join(broadcast(touchedSet), Seq("cluster"), "left")
+      .select($"doc_id", $"cluster",
+        coalesce($"t0", lit(false)).as("touched"))
+      .orderBy($"doc_id")
+  }
+
+  val q191Oracle: String =
+    s"""WITH cc AS MATERIALIZED (
+       |${q60OracleNoOrder}
+       |)
+       |SELECT c.doc_id, c.cluster,
+       |  (c.cluster IN (SELECT DISTINCT cluster FROM cc
+       |                 WHERE doc_id % 10 = 7)) AS touched
+       |FROM cc c ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q190
+  /** Per-node triangle counts + local clustering coefficient over the
+    * near-dup graph — the cohesion signal CC and PageRank both miss:
+    * q60 says WHICH docs are related and q185 says who is central, but
+    * neither distinguishes a tight copy-family (every pair similar —
+    * triangles everywhere) from a hub-and-spokes chain of borderline
+    * matches (no triangles), and that difference decides whether "keep
+    * one representative" loses information. cc_milli = 2000·T div
+    * (deg·(deg−1)) in pure integer milli (the q140 discipline).
+    *
+    * Scale shape — the classic degree-ordered orientation (Cohen 2009;
+    * Suri & Vassilvitskii WWW'11): orient every undirected edge from its
+    * lower to its higher endpoint under the TOTAL order (deg, id), so
+    * each triangle is counted exactly once and — the load-bound that
+    * makes this survive 100× — every node's OUT-degree is O(√m), which
+    * caps the wedge join's per-key fan-out regardless of how skewed the
+    * raw degree distribution is (a hub with deg 10⁶ still emits only
+    * √m wedges because its heavy neighbors all orient AWAY from it).
+    * Two hash joins on long keys + one explode-groupBy; all
+    * pair-graph-sized. */
+  private[graft] def triangleCounts(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint(true)
+    val nodes = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("doc_id"), $"deg")
+      .localCheckpoint(true)
+    // orient each undirected edge once: src = smaller endpoint under the
+    // (deg, id) total order; carry the dst's order key for the wedge
+    val withDeg = edges
+      .join(nodes.select($"doc_id".as("u"), $"deg".as("du")), "u")
+      .join(nodes.select($"doc_id".as("v"), $"deg".as("dv")), "v")
+    val orient = withDeg
+      .filter($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"))
+      .select($"u".as("src"), $"v".as("dst"), $"dv".as("ddst"))
+      .localCheckpoint(true)
+    // wedges at the low node, ordered so (b, c) is itself oriented; close
+    // with one semi-ish join against the oriented edge list
+    val e2 = orient.select($"src", $"dst".as("dst2"), $"ddst".as("ddst2"))
+    val wedges = orient.join(e2, "src")
+      .filter($"ddst" < $"ddst2" ||
+        ($"ddst" === $"ddst2" && $"dst" < $"dst2"))
+      .select($"src".as("a"), $"dst".as("b"), $"dst2".as("c"))
+    val tris = wedges
+      .join(orient.select($"src".as("b"), $"dst".as("c")), Seq("b", "c"),
+        "left_semi")
+    val perNode = tris
+      .select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("triangles"))
+    nodes.join(perNode, Seq("doc_id"), "left")
+      .select($"doc_id", $"deg",
+        coalesce($"triangles", lit(0L)).as("triangles"))
+      .withColumn("cc_milli",
+        when($"deg" >= 2L,
+          expr("2000 * triangles div (deg * (deg - 1))")).otherwise(0L))
+  }
+
+  def q190Triangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    triangleCounts(cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b"))
+      .orderBy($"doc_id")
+  }
+
+  val q190Oracle: String =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${Dedup.q51OracleNoOrder}) p
+       |), edges AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), nodes AS (
+       |  SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+       |  FROM edges GROUP BY u
+       |), orient AS MATERIALIZED (
+       |  SELECT e.u AS src, e.v AS dst, nv.deg AS ddst
+       |  FROM edges e
+       |  JOIN nodes nu ON nu.doc_id = e.u
+       |  JOIN nodes nv ON nv.doc_id = e.v
+       |  WHERE nu.deg < nv.deg OR (nu.deg = nv.deg AND e.u < e.v)
+       |), tris AS (
+       |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |  FROM orient e1
+       |  JOIN orient e2 ON e2.src = e1.src
+       |    AND (e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst))
+       |  JOIN orient e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+       |), pernode AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+       |    SELECT a AS doc_id FROM tris
+       |    UNION ALL SELECT b FROM tris
+       |    UNION ALL SELECT c FROM tris) GROUP BY doc_id
+       |)
+       |SELECT n.doc_id, n.deg,
+       |  COALESCE(t.triangles, 0) AS triangles,
+       |  CAST(CASE WHEN n.deg >= 2
+       |    THEN (2000 * COALESCE(t.triangles, 0)) // (n.deg * (n.deg - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_milli
+       |FROM nodes n LEFT JOIN pernode t ON t.doc_id = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
   val q187Oracle: String =
     s"""$pagerankOracleCtes,
        |reach(u, v) AS (
@@ -1896,6 +2063,8 @@ object Dedup {
     "q60_dup_clusters" -> q60DupClusters _,
     "q185_pagerank" -> q185Pagerank _,
     "q187_incremental_pagerank" -> q187IncrementalPagerank _,
+    "q190_triangles" -> q190Triangles _,
+    "q191_incremental_cc" -> q191IncrementalCc _,
     "q62_dedup_corpus" -> q62DedupCorpus _,
     "q65_simhash_banded" -> q65SimhashBanded _,
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
@@ -1922,6 +2091,8 @@ object Dedup {
     "q60_dup_clusters" -> q60Oracle,
     "q185_pagerank" -> q185Oracle,
     "q187_incremental_pagerank" -> q187Oracle,
+    "q190_triangles" -> q190Oracle,
+    "q191_incremental_cc" -> q191Oracle,
     "q62_dedup_corpus" -> q62Oracle,
     "q65_simhash_banded" -> q65Oracle,
     "q67_multisignal_clusters" -> q67Oracle,

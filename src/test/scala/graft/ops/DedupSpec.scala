@@ -511,6 +511,59 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === got(11L), "symmetric pair must tie")
   }
 
+  test("q191 incremental CC == q60 rescan; touched marks exactly the " +
+      "merged components") {
+    val s = spark
+    import s.implicits._
+    val full = Dedup.q60DupClusters(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = Dedup.q191IncrementalCc(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(inc.map(_._1).toSet === full.keySet)
+    inc.foreach { case (id, c, _) =>
+      assert(full(id) === c, s"doc $id label diverges from rescan")
+    }
+    val touchedTruth = full.collect {
+      case (id, c) if id % 10 == 7 => c
+    }.toSet
+    inc.foreach { case (id, _, t) =>
+      assert(t === touchedTruth.contains(full(id)), s"doc $id touched flag")
+    }
+    assert(inc.exists(_._3) && inc.exists(!_._3),
+      "fixture must contain merged AND untouched components")
+  }
+
+  test("q190 triangle core: known graph counts exactly; orientation " +
+      "counts each triangle once; triangle-free stars stay zero") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1-4 (4 triangles, every node in 3) + a triangle 10-11-12
+    // sharing node 10 with a 3-star (10-20,10-21,10-22: wedges, no
+    // closure) + an isolated edge 30-31
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (10L, 20L), (10L, 21L), (10L, 22L),
+      (30L, 31L))
+    val got = Dedup.triangleCounts(pairs.toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // K4: deg 3, each node in C(3,2)=3 triangles, cc = 2000*3/(3*2)=1000
+    Seq(1L, 2L, 3L, 4L).foreach { n =>
+      assert(got(n) === ((3L, 3L, 1000L)), s"K4 node $n")
+    }
+    // hub 10: deg 5, exactly the one 10-11-12 triangle → 2000*1/(5*4)=100
+    assert(got(10L) === ((5L, 1L, 100L)))
+    assert(got(11L) === ((2L, 1L, 1000L)) && got(12L) === ((2L, 1L, 1000L)))
+    // star leaves and the isolated edge: no triangles, cc 0
+    Seq(20L, 21L, 22L, 30L, 31L).foreach { n =>
+      assert(got(n)._2 === 0L, s"node $n must be triangle-free")
+      assert(got(n)._3 === 0L, s"node $n cc")
+    }
+    // global count: sum per-node / 3 == 4 + 1
+    assert(got.values.map(_._2).sum === 3 * 5L)
+  }
+
   test("q187 incremental pagerank == q185 rescan; flags mark exactly the " +
       "components holding a delta doc") {
     val s = spark
