@@ -80,11 +80,92 @@ object Layout {
        |FROM zk GROUP BY 1 ORDER BY tile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q192
+  /** Range-partition planner audit — the primitive under EVERY range
+    * exchange and sorted write (repartitionByRange, terasort, Iceberg
+    * sort orders): pick P−1 boundary keys, assign rows by comparison,
+    * and grade the balance. Range partitioning CANNOT split a duplicated
+    * key across partitions, so boundary keys with heavy duplication
+    * produce structural skew no sampler can fix — exactly what this
+    * audit surfaces per partition (`skew_milli` = 1000·n·P div N; 1000 =
+    * perfectly balanced) including EMPTY ranges where duplicates
+    * collapsed adjacent boundaries. The planner here computes EXACT
+    * boundary ranks (b_i = min key whose cumulative count reaches
+    * ⌊i·N/P⌋+1) so the audit is deterministic and oracle-checkable; a
+    * production exchange swaps in sampled ranks, same shape.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates to the distinct-key
+    * table; everything after (cumulative counts, boundary election,
+    * assignment) runs on |keys| rows — the documented metadata-window
+    * discipline (q174): the single-partition window is vocabulary-sized,
+    * never corpus-sized. Boundaries (P−1 rows) broadcast to the
+    * assignment join. */
+  def q192RangePlanner(s: SparkSession, dir: String,
+      parts: Int = 32): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val keyCnt = Tables(s, dir, "events")
+      .groupBy($"user_id".as("k")).agg(count(lit(1)).as("cnt"))
+    val cum = keyCnt
+      .withColumn("cum", sum($"cnt").over(Window.orderBy($"k")))
+      .localCheckpoint(true)
+    val total = cum.agg(sum($"cnt").as("n"))
+    val spine = (1 until parts).toDF("i")
+    val bounds = spine.crossJoin(broadcast(total))
+      .withColumn("t", expr(s"i * n div $parts"))
+      .join(cum, $"cum" >= $"t" + 1L)
+      .groupBy($"i").agg(min($"k").as("b"))
+    val assigned = cum
+      .join(broadcast(bounds.select($"b")), $"b" <= $"k", "left")
+      .groupBy($"k", $"cnt").agg(count($"b").as("pid"))
+    val stats = assigned.groupBy($"pid")
+      .agg(sum($"cnt").as("n_rows"), min($"k").as("lo_key"),
+        max($"k").as("hi_key"))
+    (0 until parts).toDF("pid0")
+      .select($"pid0".cast("long").as("pid"))
+      .join(stats, Seq("pid"), "left")
+      .crossJoin(broadcast(total))
+      .select($"pid", $"lo_key", $"hi_key",
+        coalesce($"n_rows", lit(0L)).as("n_rows"),
+        expr(s"n div $parts").as("ideal_rows"),
+        expr(s"1000 * coalesce(n_rows, 0) * $parts div n").as("skew_milli"))
+      .orderBy($"pid")
+  }
+
+  val q192Oracle: String =
+    s"""WITH kc AS (
+       |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1),
+       |cum AS (SELECT k, cnt, SUM(cnt) OVER (ORDER BY k) AS cum FROM kc),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM kc),
+       |bounds AS (
+       |  SELECT i, MIN(k) AS b
+       |  FROM (SELECT unnest(range(1, 32)) AS i), tot, cum
+       |  WHERE cum >= (i * n) // 32 + 1 GROUP BY i),
+       |assigned AS (
+       |  SELECT c.k, c.cnt,
+       |    (SELECT COUNT(*) FROM bounds b WHERE b.b <= c.k) AS pid
+       |  FROM cum c),
+       |stats AS (
+       |  SELECT pid, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |    MIN(k) AS lo_key, MAX(k) AS hi_key
+       |  FROM assigned GROUP BY pid)
+       |SELECT CAST(p.pid AS BIGINT) AS pid, s.lo_key, s.hi_key,
+       |  COALESCE(s.n_rows, 0) AS n_rows,
+       |  (SELECT n // 32 FROM tot) AS ideal_rows,
+       |  CAST(1000 * COALESCE(s.n_rows, 0) * 32 // (SELECT n FROM tot)
+       |    AS BIGINT) AS skew_milli
+       |FROM (SELECT unnest(range(0, 32)) AS pid) p
+       |LEFT JOIN stats s ON s.pid = p.pid
+       |ORDER BY pid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
+    "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
   )
 
   val oracles: Map[String, String] = Map(
     "q98_zorder_layout" -> q98Oracle,
+    "q192_range_planner" -> q192Oracle,
   )
 }

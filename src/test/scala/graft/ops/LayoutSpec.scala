@@ -39,4 +39,56 @@ class LayoutSpec extends SparkSpec {
       assert(r.getLong(4) / 64 === r.getLong(5) / 64, "y range crosses a block")
     }
   }
+
+  test("q192 range planner: a partition of the rows, ranges disjoint and " +
+      "ordered, no key split, local replay agrees") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q192RangePlanner(s, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length === 32)
+    assert(rows.map(_._1).toSeq === (0L until 32L))
+    val ev = graft.Tables(s, sf, "events")
+      .select($"user_id").as[Long].collect()
+    // partition of the rows: counts sum to N; empty ranges carry NULLs
+    assert(rows.map(_._4).sum === ev.length)
+    rows.foreach { case (pid, lo, hi, n, _, _) =>
+      assert((n == 0) === lo.isEmpty && lo.isEmpty === hi.isEmpty, s"pid $pid")
+      lo.zip(hi).foreach { case (l, h) => assert(l <= h, s"pid $pid") }
+    }
+    // ranges are ordered and disjoint: hi of one nonempty range < lo of
+    // the next — and therefore no key appears in two ranges
+    val nonEmpty = rows.filter(_._4 > 0)
+    nonEmpty.sliding(2).foreach {
+      case Array((p1, _, Some(h1), _, _, _), (p2, Some(l2), _, _, _, _)) =>
+        assert(h1 < l2, s"ranges $p1/$p2 overlap")
+      case _ =>
+    }
+    // local replay of the exact planner arithmetic
+    val n = ev.length.toLong
+    val keyCnt = ev.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val sortedKeys = keyCnt.keys.toSeq.sorted
+    val cum = sortedKeys.scanLeft(0L)((a, k) => a + keyCnt(k)).tail
+      .zip(sortedKeys).map { case (c, k) => k -> c }.toMap
+    val bounds = (1 until 32).flatMap { i =>
+      val t = i * n / 32
+      sortedKeys.find(k => cum(k) >= t + 1)
+    }
+    def pid(k: Long): Long = bounds.count(_ <= k).toLong
+    val expect = sortedKeys.groupBy(pid).view
+      .mapValues(ks => ks.map(keyCnt).sum).toMap
+    rows.foreach { case (p, _, _, nr, ideal, skew) =>
+      assert(expect.getOrElse(p, 0L) === nr, s"pid $p count")
+      assert(ideal === n / 32)
+      assert(skew === 1000L * nr * 32 / n, s"pid $p skew")
+    }
+    // the audit must surface real structural skew on this fixture:
+    // duplicated boundary keys make at least one range over- or
+    // under-shoot perfect balance
+    assert(rows.exists(r => r._6 != 1000L), "fixture skew degenerate")
+  }
 }
