@@ -602,7 +602,8 @@ object StreamBench {
       windowDedup: Option[SeamResult],
       sample: Option[SeamResult],
       anomalyGate: Option[SeamResult],
-      containerGate: Option[SeamResult]) {
+      containerGate: Option[SeamResult],
+      labels: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -626,7 +627,8 @@ object StreamBench {
         "window_dedup" -> windowDedup,
         "sample" -> sample,
         "anomaly_gate" -> anomalyGate,
-        "container_gate" -> containerGate).map { case (k, v) =>
+        "container_gate" -> containerGate,
+        "labels" -> labels).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -664,7 +666,8 @@ object StreamBench {
       guarded("windowdedup")(measureWindowDedup(spark, sfDir)),
       guarded("sample")(measureSample(spark, sfDir)),
       guarded("anomalygate")(measureAnomalyGate(spark, sfDir)),
-      guarded("containergate")(measureContainerGate(spark, sfDir)))
+      guarded("containergate")(measureContainerGate(spark, sfDir)),
+      guarded("labels")(measureLabels(spark, sfDir)))
   }
 
   /** S25 throughput: the events table replayed as a file-source stream
@@ -732,6 +735,41 @@ object StreamBench {
     } else {
       val okN = spark.read.parquet(s"$root/out/media").count()
       SeamResult(n / secs, n, okN, secs)
+    }
+  }
+
+  /** S27 throughput: the near-dup pair graph replayed as a file-source
+    * stream through [[graft.streaming.LabelStream]]'s versioned label
+    * maintenance — pairs/sec through the contracted-CC merge and the
+    * artifact rewrite. `clean` = final label-table row count. */
+  def measureLabels(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    val root = s"${Scratch.forSf("streambench", sfDir)}-labels"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val pairs = ops.Dedup.q51NgramJaccard(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    for (chunk <- 0 to 2) {
+      pairs.filter(pmod($"doc_a", lit(3)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("doc_a long, doc_b long")
+      .option("maxFilesPerTrigger", 2).parquet(incoming)
+    val q = streaming.LabelStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:labels] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val labelN = streaming.LabelStream.currentLabels(spark, s"$root/out").count()
+      SeamResult(n / secs, n, labelN, secs)
     }
   }
 

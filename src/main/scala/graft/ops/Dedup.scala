@@ -1889,13 +1889,16 @@ object Dedup {
     * the standing label table. A production refresh reads the standing
     * labels; this registered query rebuilds them so the proof is
     * end-to-end. */
-  def q191IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+  /** The label-merge core: fold a batch of new edges into a standing
+    * (doc_id, cluster) label table. Returns the new labels plus the
+    * merged-component label set (delta-bounded metadata — the `touched`
+    * evidence). Shared verbatim by q191 and the S27 label-maintenance
+    * stream, so stream and batch cannot disagree on a merge. */
+  private[graft] def mergeLabels(base: DataFrame, newPairs0: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val s = base.sparkSession
     import s.implicits._
-    val pairs = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
-    val isNew = ($"doc_a" % 10 === 7) || ($"doc_b" % 10 === 7)
-    val newPairs = pairs.filter(isNew).localCheckpoint(true)
-    val base = connectedComponents(pairs.filter(!isNew)) // standing labels
-      .localCheckpoint(true)
+    val newPairs = newPairs0.toDF("doc_a", "doc_b").localCheckpoint(true)
     val lbl = base.select($"doc_id", $"cluster")
     val contracted = newPairs
       .join(lbl.select($"doc_id".as("doc_a"), $"cluster".as("ca")),
@@ -1918,10 +1921,19 @@ object Dedup {
     val fromNew = newOnlyNodes
       .join(broadcast(merged), $"doc_id" === $"old_label")
       .select($"doc_id", $"cluster")
-    val touchedSet = merged.select($"cluster").distinct()
-      .withColumn("t0", lit(true))
-    fromBase.union(fromNew)
-      .join(broadcast(touchedSet), Seq("cluster"), "left")
+    (fromBase.union(fromNew), merged.select($"cluster").distinct())
+  }
+
+  def q191IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = cachedNearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val isNew = ($"doc_a" % 10 === 7) || ($"doc_b" % 10 === 7)
+    val base = connectedComponents(pairs.filter(!isNew)) // standing labels
+      .localCheckpoint(true)
+    val (labels, mergedClusters) = mergeLabels(base, pairs.filter(isNew))
+    labels
+      .join(broadcast(mergedClusters.withColumn("t0", lit(true))),
+        Seq("cluster"), "left")
       .select($"doc_id", $"cluster",
         coalesce($"t0", lit(false)).as("touched"))
       .orderBy($"doc_id")
