@@ -521,7 +521,105 @@ object Behavior {
       |  ((n_before - n_after) * 1000) // n_before AS capped_milli
       |FROM a ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** Calendar gap-fill with linear interpolation — the time-series
+    * surface the windowed metrics (q26/q90) leave open: a dashboard or
+    * downstream model wants a DENSE per-minute series, but most minutes
+    * have no events. Per event type, the minute spine from first to last
+    * observed bucket is generated (`sequence`), observed buckets carry
+    * their count and integer milli-mean, and every missing bucket is
+    * filled by linear interpolation between its nearest observed
+    * neighbors — all in int64 (floor(value·1000) before summing: the
+    * q184 cast-rounds trap; truncating div for the slope, identical in
+    * both engines), with a `filled` provenance flag so consumers can
+    * tell measurement from imputation.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates events to the
+    * (type, minute) grid; the spine explode and the two neighbor windows
+    * run on that grid — calendar-sized (types × minutes of span), never
+    * event-sized. The windows are per-type monotone passes, exactly the
+    * q76 gaps-and-islands discipline. Interp products peak at
+    * mean_milli·span_ms ≈ 10^15 at fixture scale — int64-safe; a
+    * century-long span at milli precision would need the slope factored
+    * first (documented bound). */
+  def q195GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val present = Tables(s, dir, "events")
+      .groupBy($"event_type",
+        (expr("unix_millis(ts) div 60000") * 60000L).as("bucket_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(floor(value * 1000) as bigint)")).as("sum_milli"))
+      .withColumn("mean_milli", expr("sum_milli div n_events"))
+      .localCheckpoint(true)
+    val spine = present.groupBy($"event_type")
+      .agg(min($"bucket_ms").as("lo"), max($"bucket_ms").as("hi"))
+      .select($"event_type",
+        explode(expr("sequence(lo, hi, 60000)")).as("bucket_ms"))
+    // both neighbor lookups are GROWING frames (unbounded preceding →
+    // accumulating, O(n) per partition); the natural unbounded-FOLLOWING
+    // frame for the next neighbor recomputes its frame per row in
+    // Spark's WindowExec — O(n²), measured ~2 min on the 43k-minute
+    // fixture spine — so "next" is the same growing frame under a
+    // DESCENDING sort instead
+    val wPrev = Window.partitionBy($"event_type").orderBy($"bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextDesc = Window.partitionBy($"event_type").orderBy($"bucket_ms".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    spine
+      .join(present.select($"event_type", $"bucket_ms", $"n_events",
+        $"mean_milli"), Seq("event_type", "bucket_ms"), "left")
+      .withColumn("pv", last(when($"mean_milli".isNotNull,
+        struct($"bucket_ms", $"mean_milli")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", last(when($"mean_milli".isNotNull,
+        struct($"bucket_ms", $"mean_milli")), ignoreNulls = true).over(wNextDesc))
+      .select($"event_type", $"bucket_ms",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        when($"mean_milli".isNotNull, $"mean_milli")
+          .otherwise(expr("pv.mean_milli + ((nv.mean_milli - pv.mean_milli)" +
+            " * (bucket_ms - pv.bucket_ms)) div (nv.bucket_ms - pv.bucket_ms)"))
+          .as("mean_milli"),
+        $"mean_milli".isNull.as("filled"))
+      .orderBy($"event_type", $"bucket_ms")
+  }
+
+  val q195Oracle: String =
+    s"""WITH present AS (
+       |  SELECT event_type, (epoch_ms(ts) // 60000) * 60000 AS bucket_ms,
+       |    CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+       |      AS sum_milli
+       |  FROM events GROUP BY 1, 2),
+       |pm AS (SELECT *, sum_milli // n_events AS mean_milli FROM present),
+       |spine AS (
+       |  SELECT event_type, unnest(range(lo, hi + 60000, 60000)) AS bucket_ms
+       |  FROM (SELECT event_type, MIN(bucket_ms) AS lo, MAX(bucket_ms) AS hi
+       |        FROM pm GROUP BY 1)),
+       |j AS (
+       |  SELECT s.event_type, s.bucket_ms, p.n_events, p.mean_milli,
+       |    last_value(p.mean_milli IGNORE NULLS) OVER wp AS pvm,
+       |    last_value(CASE WHEN p.mean_milli IS NOT NULL
+       |      THEN s.bucket_ms END IGNORE NULLS) OVER wp AS pvb,
+       |    first_value(p.mean_milli IGNORE NULLS) OVER wn AS nvm,
+       |    first_value(CASE WHEN p.mean_milli IS NOT NULL
+       |      THEN s.bucket_ms END IGNORE NULLS) OVER wn AS nvb
+       |  FROM spine s
+       |  LEFT JOIN pm p
+       |    ON p.event_type = s.event_type AND p.bucket_ms = s.bucket_ms
+       |  WINDOW wp AS (PARTITION BY s.event_type ORDER BY s.bucket_ms
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |  wn AS (PARTITION BY s.event_type ORDER BY s.bucket_ms
+       |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, bucket_ms,
+       |  COALESCE(n_events, 0) AS n_events,
+       |  CAST(CASE WHEN mean_milli IS NOT NULL THEN mean_milli
+       |    ELSE pvm + ((nvm - pvm) * (bucket_ms - pvb)) // (nvb - pvb)
+       |    END AS BIGINT) AS mean_milli,
+       |  (mean_milli IS NULL) AS filled
+       |FROM j ORDER BY event_type, bucket_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_gap_fill" -> q195GapFill _,
     "q83_funnel" -> q83Funnel _,
     "q85_cohort_retention" -> q85CohortRetention _,
     "q157_sessionize" -> q157Sessionize _,
@@ -533,6 +631,7 @@ object Behavior {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_gap_fill" -> q195Oracle,
     "q83_funnel" -> q83Oracle,
     "q85_cohort_retention" -> q85Oracle,
     "q157_sessionize" -> q157Oracle,

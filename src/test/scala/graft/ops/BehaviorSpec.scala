@@ -230,4 +230,30 @@ class BehaviorSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq(("click", 6L, 4L, 333L), ("view", 2L, 2L, 0L)))
   }
+
+  test("q195 gap fill: missing minutes interpolate linearly, provenance " +
+      "flag separates measurement from imputation") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-gapfill-").toString
+    // one type: observed minutes 0 and 3 (means 1.0 and 4.0) — minutes 1
+    // and 2 must fill with 2000 and 3000 milli; second type: single
+    // bucket, nothing to fill
+    Seq(
+      (1L, "a", Timestamp.valueOf("2024-01-01 00:00:10"), 1.0),
+      (2L, "a", Timestamp.valueOf("2024-01-01 00:03:20"), 4.0),
+      (3L, "b", Timestamp.valueOf("2024-01-01 00:05:00"), 7.5))
+      .toDF("event_id", "event_type", "ts", "value")
+      .write.parquet(s"$root/events.parquet")
+    val got = Behavior.q195GapFill(s, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(got.toSeq === Seq(
+      ("a", base, 1L, 1000L, false),
+      ("a", base + 60000, 0L, 2000L, true),
+      ("a", base + 120000, 0L, 3000L, true),
+      ("a", base + 180000, 1L, 4000L, false),
+      ("b", base + 300000, 1L, 7500L, false)))
+  }
 }
