@@ -1813,7 +1813,84 @@ object TextAnalysis {
        |FROM usage u JOIN cnts c USING (piece)
        |ORDER BY u.vit_cnt DESC, u.piece LIMIT ${UniTop / 2}""".stripMargin
 
+
+  // ---------------------------------------------------------------- q196
+  /** Collocation mining — PMI-scored token-pair associations (Church &
+    * Hanks 1990), the lexical-association table a tokenizer/phrase miner
+    * is seeded from: for the top-V vocabulary, every within-document
+    * co-occurring pair scored by pointwise mutual information in integer
+    * milli-bits, PMI = qlog2(df_ab·N) − qlog2(df_a·df_b) (the q156/q165
+    * [[Sql.qlogMilliSpark]] discipline — libm-free, hash-exact).
+    *
+    * Scale shape: the pair join is the classic market-basket bound — the
+    * per-doc self-join runs AFTER restricting each doc's token set to
+    * the top-V vocabulary (V = 100, broadcast), so its fan-out is capped
+    * at C(V,2) keys and ≤ C(|doc ∩ V|, 2) rows per doc, independent of
+    * corpus size; document-frequency aggregation is one partial-agg
+    * shuffle on token. The unbounded all-pairs alternative is quadratic
+    * in document length — the df-cap lesson (SCALE.md §3) applied to
+    * co-occurrence. */
+  private val CollocV = 100
+  private val CollocMinDf = 5
+  def q196Collocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir, "documents").filter($"text".isNotNull)
+    val docTok = docs
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .filter($"t" =!= "").distinct()
+      .localCheckpoint(true)
+    val df = docTok.groupBy($"t").agg(count(lit(1)).as("df"))
+    val topV = df.orderBy($"df".desc, $"t").limit(CollocV)
+      .localCheckpoint(true)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dv = docTok.join(broadcast(topV.select($"t")), Seq("t"), "left_semi")
+    val pairs = dv.select($"doc_id", $"t".as("ta"))
+      .join(dv.select($"doc_id", $"t".as("tb")), "doc_id")
+      .filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("df_ab"))
+      .filter($"df_ab" >= CollocMinDf)
+    pairs
+      .join(broadcast(topV.select($"t".as("ta"), $"df".as("df_a"))), "ta")
+      .join(broadcast(topV.select($"t".as("tb"), $"df".as("df_b"))), "tb")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_milli",
+        expr(s"${graft.ops.Sql.qlogMilliSpark("df_ab * n")}" +
+          s" - ${graft.ops.Sql.qlogMilliSpark("df_a * df_b")}"))
+      .select($"ta".as("token_a"), $"tb".as("token_b"),
+        $"df_a", $"df_b", $"df_ab", $"pmi_milli")
+      .orderBy($"pmi_milli".desc, $"token_a", $"token_b")
+      .limit(50)
+  }
+
+  val q196Oracle: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |dt AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)
+       |  WHERE t <> ''),
+       |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY t),
+       |topv AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT $CollocV),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+       |dv AS (SELECT dt.doc_id, dt.t FROM dt JOIN topv USING (t)),
+       |pairs AS (
+       |  SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS df_ab
+       |  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $CollocMinDf)
+       |SELECT p.ta AS token_a, p.tb AS token_b,
+       |  fa.df AS df_a, fb.df AS df_b, p.df_ab,
+       |  CAST(${graft.ops.Sql.qlogMilliDuck("p.df_ab * n")}
+       |    - ${graft.ops.Sql.qlogMilliDuck("fa.df * fb.df")} AS BIGINT)
+       |    AS pmi_milli
+       |FROM pairs p
+       |JOIN topv fa ON fa.t = p.ta
+       |JOIN topv fb ON fb.t = p.tb, nn
+       |ORDER BY pmi_milli DESC, token_a, token_b
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_collocations" -> q196Collocations _,
     "q40_token_count" -> q40TokenCount _,
     "q41_langid" -> q41LangId _,
     "q42_quality" -> q42Quality _,
@@ -1845,6 +1922,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q196_collocations" -> q196Oracle,
     "q40_token_count" -> q40Oracle,
     "q41_langid" -> q41Oracle,
     "q42_quality" -> q42Oracle,

@@ -695,4 +695,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(seedC === counts(p), s"$p seed")
     }
   }
+
+  test("q196 collocations: perfect pair tops the list at qlog(N/df), " +
+      "independent pair scores ~0, min-support prunes") {
+    val s = spark
+    import s.implicits._
+    def qlog(x: Long): Long = {
+      val b = java.lang.Long.toBinaryString(x).length - 1
+      b * 1000L + (x - (1L << b)) * 1000L / (1L << b)
+    }
+    // 32 docs: "aa bb" always together in 16 docs (perfect collocation);
+    // "cc" and "dd" each in 16 docs but jointly in only 8 (independent:
+    // PMI = qlog(8*32) - qlog(256) = 0); "ee ff" co-occur in 2 docs only
+    // (below min support, must be pruned)
+    val docs = (0L until 32L).map { i =>
+      val parts = Seq(
+        if (i < 16) "aa bb" else "",
+        if (i % 2 == 0) "cc" else "",
+        if (i % 4 < 2) "dd" else "",
+        if (i >= 30) "ee ff" else "",
+        s"u$i") // unique filler so every doc is nonempty
+      (i, parts.filter(_.nonEmpty).mkString(" "))
+    }
+    val got = TextAnalysis.q196Collocations(s, writeDocs(docs)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // aa+bb: df 16 each, df_ab 16 → PMI = qlog(16*32) - qlog(256) = qlog(2)
+    assert(got(("aa", "bb")) === ((16L, 16L, 16L, qlog(512) - qlog(256))))
+    assert(qlog(512) - qlog(256) === 1000L)
+    // cc+dd: independent → exactly 0 milli-bits
+    assert(got(("cc", "dd")) === ((16L, 16L, 8L, 0L)))
+    // ee+ff: support 2 < 5 → pruned
+    assert(!got.contains(("ee", "ff")))
+  }
 }
