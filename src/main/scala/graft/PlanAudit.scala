@@ -136,6 +136,15 @@ object PlanAudit {
     "q178_hist_quantiles" -> "histogram median/MAD: events collapse map-side into a ≤(bins×types) partial-agg histogram (the q95/q97 contract); the MAD histogram FOLDS the value histogram around the median bin, so both quantiles cost ONE pass over events; every window after the first agg runs over histogram-sized metadata",
     "q179_k_anonymity" -> "privacy export gate: ONE aggregation keyed on the (type, day, hour) QI grid; both distinct counts are the standard two-phase partial-distinct expansion on the same grid key; output and all post-agg rows are grid-sized metadata",
     "q180_contribution_cap" -> "DP-ready contribution bound: the PRODUCTION cap (filter rank ≤ k) plans WindowGroupLimit — map tasks forward at most k rows per (user, day); this AUDIT deliberately keeps both sides of the cap (it counts the capped-away mass), so it pays the full window — per-partition sorts bounded by a user's daily volume — then one per-type partial agg",
+    "q187_incremental_pagerank" -> "incremental PageRank: the touched-component set (one id per delta doc) BROADCASTS into the edge-restriction semi-join over the standing labels; the re-iteration is q185's per-round edge⋈rank join + partial agg on the TOUCHED subgraph only; untouched components carry standing ranks via one anti-join — refresh cost ∝ the delta's neighborhood",
+    "q188_container_gate" -> "five-family container dispatch: ONE media scan projected five ways map-side (signature prefix routes each row to exactly one literal family parser; no-signature rows skip parsing entirely); unionByName of map-side subplans — zero exchange before the presentation sort",
+    "q189_tiff_headers" -> "TIFF introspection with PER-ROW endianness: the II/MM mark switches every substr/conv read via a CASE — one hex(bounded prefix) projection, IFD pointer followed with clamped offsets, tag search unrolled over ≤6 fixed-width entries; map-only, zero exchange before the sort",
+    "q190_triangles" -> "degree-ordered triangle counting: orientation keeps each undirected edge once with out-degree O(√m) (the heavy endpoint's edges orient AWAY), so the wedge equi-join on src is fan-out-bounded under any skew; closure is one left-semi join on the oriented (b,c) key; per-node counts via explode + partial agg — all pair-graph-sized",
+    "q191_incremental_cc" -> "incremental CC: the contracted graph (new edges mapped to standing base labels) is DELTA-bounded, so its CC rounds run on metadata; relabel is one broadcast join of the merge map over the standing label table; the touched flag is a broadcast semi-join on the merged-label set",
+    "q192_range_planner" -> "range-partition planner: ONE corpus pass partial-aggregates to the distinct-key table; cumulative ranks are a vocabulary-sized single-partition window (the documented metadata-window discipline); boundary election and assignment broadcast the P−1 boundaries — the exact-rank audit of what a range exchange samples",
+    "q194_integrity_audit" -> "20 data-quality checks in 8 scans: every check on a table is a conditional count inside ONE aggregate over one scan; FK membership via broadcast-joined DISTINCT parent key sets (dimension-sized) — fact sides never exchange; per-check rows are projections of each table's one-row aggregate",
+    "q195_gap_fill" -> "calendar gap-fill: one corpus pass collapses map-side to the (type, minute) grid; the spine explode and BOTH neighbor lookups run calendar-sized — each neighbor is a GROWING window frame (unbounded-preceding accumulating, O(n)), the descending sort standing in for the O(n²) unbounded-FOLLOWING frame WindowExec would recompute per row",
+    "q196_collocations" -> "PMI collocations: token presence is one distinct + partial-agg df shuffle; the per-doc pair self-join runs AFTER the broadcast top-V semi-join, capping fan-out at C(V,2) keys; PMI is codegen'd integer qlog arithmetic over the pair table; top-50 via TakeOrderedAndProject",
   )
 
   def main(args: Array[String]): Unit = {
