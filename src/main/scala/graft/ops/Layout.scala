@@ -159,13 +159,106 @@ object Layout {
        |LEFT JOIN stats s ON s.pid = p.pid
        |ORDER BY pid""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** Selectivity-estimation audit — the optimizer-statistics loop made
+    * inspectable: build the 4096-bin histogram a cost model would keep
+    * for `l_extendedprice`, estimate 20 range predicates from it (full
+    * bins below the threshold + HALF the straddling bin — the classic
+    * no-intra-bucket-knowledge rule, all integer), and grade each
+    * estimate against the exact count with a signed milli relative
+    * error. The audit shows exactly where histogram resolution helps and
+    * where the half-bucket rule bites — the evidence behind every
+    * join-ordering and exchange-sizing decision a planner makes.
+    *
+    * Determinism: thresholds are min + k·(max−min)/20 — the same IEEE
+    * double expression on both engines, then floored to milli for
+    * output; bin ids floor identically; estimator and error are pure
+    * int64.
+    *
+    * Scale shape: three scans — min/max agg; the map-side binned
+    * partial agg to the 4096-row histogram; and ONE pass computing all
+    * 20 exact counts as conditional aggregates (stacked to tall rows
+    * afterward — never a fact×predicate explode). Estimation itself
+    * runs on the histogram (metadata). */
+  def q197Selectivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 4096
+    val K = 20
+    val li = Tables(s, dir, "lineitem").select($"l_extendedprice".as("p"))
+    val mm = li.agg(min($"p").as("mn"), max($"p").as("mx"))
+      .localCheckpoint(true)
+    def binOf(e: String): String =
+      s"least(cast(floor((($e) - mn) * $B / (mx - mn)) as bigint), ${B - 1L})"
+    def thr(k: Int): String = s"(mn + (cast($k as double) * (mx - mn)) / $K.0)"
+    val hist = li.crossJoin(broadcast(mm))
+      .select(expr(binOf("p")).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val preds = (1 to K).toDF("k").crossJoin(broadcast(mm))
+      .withColumn("t", expr(s"mn + (cast(k as double) * (mx - mn)) / $K.0"))
+      .withColumn("tbin", expr(binOf("t")))
+    val est = preds.join(broadcast(hist), $"bin" <= $"tbin")
+      .groupBy($"k", $"t")
+      .agg(sum(when($"bin" < $"tbin", $"n").otherwise(expr("n div 2")))
+        .as("est_rows"))
+    val actual = li.crossJoin(broadcast(mm))
+      .agg(count(when($"p" <= expr(thr(1)), 1)).as("a_1"),
+        (2 to K).map(k =>
+          count(when($"p" <= expr(thr(k)), 1)).as(s"a_$k")): _*)
+      .selectExpr(s"stack($K, " +
+        (1 to K).map(k => s"$k, a_$k").mkString(", ") + ") as (k, actual_rows)")
+    est.join(actual, "k")
+      .select($"k".cast("long").as("pred_id"),
+        expr("cast(floor(t * 1000) as bigint)").as("threshold_milli"),
+        $"est_rows", $"actual_rows",
+        expr("(1000 * (est_rows - actual_rows)) div greatest(actual_rows, 1)")
+          .as("err_milli"))
+      .orderBy($"pred_id")
+  }
+
+  val q197Oracle: String =
+    s"""WITH mm AS (
+       |  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+       |  FROM lineitem),
+       |hist AS (
+       |  SELECT LEAST(CAST(FLOOR((l_extendedprice - mn) * 4096 / (mx - mn))
+       |      AS BIGINT), 4095) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lineitem, mm GROUP BY 1),
+       |preds AS (
+       |  SELECT k, mn + (CAST(k AS DOUBLE) * (mx - mn)) / 20.0 AS t, mn, mx
+       |  FROM (SELECT unnest(range(1, 21)) AS k), mm),
+       |pt AS (
+       |  SELECT k, t,
+       |    LEAST(CAST(FLOOR((t - mn) * 4096 / (mx - mn)) AS BIGINT), 4095)
+       |      AS tbin
+       |  FROM preds),
+       |est AS (
+       |  SELECT k, t,
+       |    CAST(SUM(CASE WHEN h.bin < p.tbin THEN h.n ELSE h.n // 2 END)
+       |      AS BIGINT) AS est_rows
+       |  FROM pt p JOIN hist h ON h.bin <= p.tbin GROUP BY 1, 2),
+       |act AS (
+       |  SELECT k,
+       |    CAST(COUNT(CASE WHEN l_extendedprice <= t THEN 1 END) AS BIGINT)
+       |      AS actual_rows
+       |  FROM lineitem, pt GROUP BY k)
+       |SELECT CAST(e.k AS BIGINT) AS pred_id,
+       |  CAST(FLOOR(e.t * 1000) AS BIGINT) AS threshold_milli,
+       |  e.est_rows, a.actual_rows,
+       |  CAST((1000 * (e.est_rows - a.actual_rows))
+       |    // GREATEST(a.actual_rows, 1) AS BIGINT) AS err_milli
+       |FROM est e JOIN act a USING (k) ORDER BY pred_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
+    "q197_selectivity" -> q197Selectivity _,
   )
 
   val oracles: Map[String, String] = Map(
     "q98_zorder_layout" -> q98Oracle,
     "q192_range_planner" -> q192Oracle,
+    "q197_selectivity" -> q197Oracle,
   )
 }

@@ -91,4 +91,36 @@ class LayoutSpec extends SparkSpec {
     // under-shoot perfect balance
     assert(rows.exists(r => r._6 != 1000L), "fixture skew degenerate")
   }
+
+  test("q197 selectivity: actuals exact, estimates within the " +
+      "half-straddling-bin bound, last predicate covers everything") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q197Selectivity(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length === 20)
+    val prices = graft.Tables(s, sf, "lineitem")
+      .select($"l_extendedprice").as[Double].collect()
+    val (mn, mx) = (prices.min, prices.max)
+    def bin(v: Double): Long =
+      math.min(math.floor((v - mn) * 4096 / (mx - mn)).toLong, 4095L)
+    var prevActual = -1L
+    rows.foreach { case (k, tMilli, est, actual, err) =>
+      // the SAME IEEE double expression as both engines
+      val t = mn + (k.toDouble * (mx - mn)) / 20.0
+      assert(tMilli === math.floor(t * 1000).toLong, s"k=$k threshold")
+      assert(actual === prices.count(_ <= t).toLong, s"k=$k actual")
+      // half-bucket rule: the estimate can miss only inside the
+      // straddling bin, by at most ceil(straddle/2)
+      val straddle = prices.count(bin(_) == bin(t)).toLong
+      assert(math.abs(est - actual) <= (straddle + 1) / 2,
+        s"k=$k est $est vs actual $actual (straddle $straddle)")
+      assert(err === 1000 * (est - actual) / math.max(actual, 1), s"k=$k err")
+      assert(actual >= prevActual, "actuals must be monotone in k")
+      prevActual = actual
+    }
+    assert(rows.last._4 === prices.length.toLong,
+      "threshold 20 = max must cover every row")
+  }
 }
