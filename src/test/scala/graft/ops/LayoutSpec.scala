@@ -123,4 +123,35 @@ class LayoutSpec extends SparkSpec {
     assert(rows.last._4 === prices.length.toLong,
       "threshold 20 = max must cover every row")
   }
+
+  test("q198 correlated selectivity: actuals exact; the correlated fixture " +
+      "breaks independence while the min rule tracks") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q198CorrelatedSelectivity(s, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10))))
+      .toMap
+    assert(rows.size === 16)
+    val d = graft.Tables(s, sf, "documents").filter($"text".isNotNull)
+      .select($"n_chars".cast("double"),
+        size(split($"text", " ")).cast("double"))
+      .as[(Double, Double)].collect()
+    val (mnx, mxx) = (d.map(_._1).min, d.map(_._1).max)
+    val (mny, mxy) = (d.map(_._2).min, d.map(_._2).max)
+    for { i <- 1 to 4; j <- 1 to 4 } {
+      val (tx, ty) = (mnx + (i.toDouble * (mxx - mnx)) / 4.0,
+        mny + (j.toDouble * (mxy - mny)) / 4.0)
+      val truth = d.count { case (x, y) => x <= tx && y <= ty }.toLong
+      assert(rows((i.toLong, j.toLong))._3 === truth, s"($i,$j) actual")
+    }
+    // n_chars and token count are correlated by construction: at least
+    // one cell must show the independence product badly wrong while the
+    // min rule stays within 5% everywhere
+    assert(rows.values.exists { case (_, _, _, ei, _) => math.abs(ei) > 200 },
+      "fixture failed to expose the independence error")
+    rows.foreach { case (k, (_, _, _, _, em)) =>
+      assert(math.abs(em) <= 50, s"$k min-rule error $em")
+    }
+  }
 }
