@@ -145,6 +145,8 @@ object PlanAudit {
     "q194_integrity_audit" -> "20 data-quality checks in 8 scans: every check on a table is a conditional count inside ONE aggregate over one scan; FK membership via broadcast-joined DISTINCT parent key sets (dimension-sized) — fact sides never exchange; per-check rows are projections of each table's one-row aggregate",
     "q195_gap_fill" -> "calendar gap-fill: one corpus pass collapses map-side to the (type, minute) grid; the spine explode and BOTH neighbor lookups run calendar-sized — each neighbor is a GROWING window frame (unbounded-preceding accumulating, O(n)), the descending sort standing in for the O(n²) unbounded-FOLLOWING frame WindowExec would recompute per row",
     "q196_collocations" -> "PMI collocations: token presence is one distinct + partial-agg df shuffle; the per-doc pair self-join runs AFTER the broadcast top-V semi-join, capping fan-out at C(V,2) keys; PMI is codegen'd integer qlog arithmetic over the pair table; top-50 via TakeOrderedAndProject",
+    "q197_selectivity" -> "histogram selectivity audit: min/max agg, ONE map-side binned partial agg to the 4096-row histogram, and ONE pass computing all 20 exact counts as conditional aggregates (stack to tall rows after — no fact×predicate explode); the estimator joins the broadcast histogram to 20 predicate rows — metadata",
+    "q198_correlated_selectivity" -> "conjunctive selectivity audit: two map-side histogram partial aggs over one scan each + ONE pass of 16 conjunctive conditional counts; both estimators (independence product, min rule) are integer arithmetic over broadcast marginal estimates — the exact counts are the only corpus-priced work",
   )
 
   def main(args: Array[String]): Unit = {
