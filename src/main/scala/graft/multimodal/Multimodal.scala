@@ -821,7 +821,13 @@ object Multimodal {
 
   def q188ContainerGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    classifyContainers(mixedMediaTable(s, dir)).orderBy($"doc_id")
+    // Pin the fixture once: the gate's six filtered subplans each re-run
+    // the whole 5-way fixture union otherwise (~30 scans of `documents`
+    // with concat/repeat-heavy header construction — measured 19.6s vs
+    // ~2s pinned at sf0.1). A real deployment reads a stored media table,
+    // where re-scan is cheap; the checkpoint stands in for that storage.
+    classifyContainers(mixedMediaTable(s, dir).localCheckpoint(true))
+      .orderBy($"doc_id")
   }
 
   /** The oracle composes the three family oracles (sans ORDER BY) on the
