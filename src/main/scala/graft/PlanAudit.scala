@@ -142,7 +142,7 @@ object PlanAudit {
     "q190_triangles" -> "degree-ordered triangle counting: orientation keeps each undirected edge once with out-degree O(√m) (the heavy endpoint's edges orient AWAY), so the wedge equi-join on src is fan-out-bounded under any skew; closure is one left-semi join on the oriented (b,c) key; per-node counts via explode + partial agg — all pair-graph-sized",
     "q191_incremental_cc" -> "incremental CC: the contracted graph (new edges mapped to standing base labels) is DELTA-bounded, so its CC rounds run on metadata; relabel is one broadcast join of the merge map over the standing label table; the touched flag is a broadcast semi-join on the merged-label set",
     "q192_range_planner" -> "range-partition planner: ONE corpus pass partial-aggregates to the distinct-key table; cumulative ranks are a vocabulary-sized single-partition window (the documented metadata-window discipline); boundary election and assignment broadcast the P−1 boundaries — the exact-rank audit of what a range exchange samples",
-    "q194_integrity_audit" -> "20 data-quality checks in 8 scans: every check on a table is a conditional count inside ONE aggregate over one scan; FK membership via broadcast-joined DISTINCT parent key sets (dimension-sized) — fact sides never exchange; per-check rows are projections of each table's one-row aggregate",
+    "q194_integrity_audit" -> "20 data-quality checks, ONE fact-side scan per audited table: every check is a conditional count inside one WIDE aggregate, unpivoted to tall rows by stack() — count the FileScans: lineitem appears exactly ONCE (r12's per-check-projection shape showed it 6×, zero ReusedExchange; IntegritySpec now asserts the counts); parent key-set joins add one dimension-sized scan each (orders/part key sets are fact-sized at TPC-H scale — at 100 TB those two FK probes shuffle-join or bloom-probe instead of broadcasting)",
     "q195_gap_fill" -> "calendar gap-fill: one corpus pass collapses map-side to the (type, minute) grid; the spine explode and BOTH neighbor lookups run calendar-sized — each neighbor is a GROWING window frame (unbounded-preceding accumulating, O(n)), the descending sort standing in for the O(n²) unbounded-FOLLOWING frame WindowExec would recompute per row",
     "q196_collocations" -> "PMI collocations: token presence is one distinct + partial-agg df shuffle; the per-doc pair self-join runs AFTER the broadcast top-V semi-join, capping fan-out at C(V,2) keys; PMI is codegen'd integer qlog arithmetic over the pair table; top-50 via TakeOrderedAndProject",
     "q197_selectivity" -> "histogram selectivity audit: min/max agg, ONE map-side binned partial agg to the 4096-row histogram, and ONE pass computing all 20 exact counts as conditional aggregates (stack to tall rows after — no fact×predicate explode); the estimator joins the broadcast histogram to 20 predicate rows — metadata",

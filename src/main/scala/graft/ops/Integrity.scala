@@ -12,13 +12,22 @@ import graft.Tables
   * (check, n_bad, n_scanned) frame a release gate can assert on (the
   * q64/q115 gate discipline applied to the relational layer).
   *
-  * Scale shape: ONE pass per audited table — every check on a table rides
-  * the same scan as a conditional count inside a single aggregate, with
-  * FK membership supplied by broadcast-joined DISTINCT parent key sets
-  * (dimension-sized; the fact-side scan never shuffles). The per-check
-  * rows are projections of each table's one-row aggregate, so 21 checks
-  * cost 8 scans, not 21. Composite-key uniqueness uses an injective
-  * integer encoding (l_orderkey·100 + l_linenumber, linenumber < 100 by
+  * Scale shape: ONE fact-side pass per audited table — every check on a
+  * table rides the same scan as a conditional count inside a single wide
+  * aggregate, and the 1-row result is unpivoted to tall (check, n_bad)
+  * rows with `stack()` (the q197 pattern). The r12 shape — one projection
+  * of the aggregate per check, unioned — was column-pruned by the
+  * optimizer into a DIFFERENT aggregate per branch (24 scans, zero
+  * ReusedExchange in its own PLANS.md dump); `stack()` keeps all checks
+  * in ONE aggregate so each audited table is scanned exactly once
+  * (asserted per table in IntegritySpec). FK membership comes from
+  * DISTINCT parent key-set joins: nation/region/customer key sets are
+  * dimension-sized and broadcast at any scale, but `o_orderkey` /
+  * `p_partkey` key sets are FACT-sized at TPC-H scale — at 100 TB those
+  * two FK checks shuffle-join on the key (or probe a bloom filter built
+  * from the parent side); the hint below pins broadcast only at fixture/
+  * bench scale. Composite-key uniqueness uses an injective integer
+  * encoding (l_orderkey·100 + l_linenumber, linenumber < 100 by
   * construction) so the distinct count stays a plain long agg in both
   * engines.
   */
@@ -32,16 +41,19 @@ object Integrity {
     import s.implicits._
     def t(n: String): DataFrame = Tables(s, dir, n)
 
-    /** One audited table: a single aggregate over one scan; each check is
-      * (name, bad-count column). Emitted as tall rows via one projection
-      * per check over the 1-row aggregate. */
+    /** One audited table: a single WIDE aggregate over one scan; each
+      * check is (name, bad-count column). The 1-row aggregate is unpivoted
+      * to tall rows by ONE `stack()` — never N projections of the
+      * aggregate, which the optimizer column-prunes into N separate
+      * aggregates each rescanning the table (the r12 regression). */
     def audit(table: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
       val agg = table.agg(count(lit(1)).as("__n"),
         checks.map { case (n, c) => c.as(n) }: _*)
-      checks.map { case (n, _) =>
-        agg.select(lit(n).as("check_name"), col(n).as("n_bad"),
-          $"__n".cast("long").as("n_scanned"))
-      }.reduce(_.unionByName(_))
+      agg.selectExpr(
+        s"stack(${checks.size}, " +
+          checks.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+          ") as (check_name, n_bad)",
+        "cast(__n as bigint) as n_scanned")
     }
     def orphans(key: String, parent: String): Column =
       count(when(col(key).isNotNull && col(s"__in_$parent").isNull, 1))

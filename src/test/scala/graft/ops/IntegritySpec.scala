@@ -35,6 +35,29 @@ class IntegritySpec extends SparkSpec {
     }
   }
 
+  test("plan scans each audited table's fact side exactly once — the " +
+      "stack() contract (r12's per-check projections rescanned lineitem 6x)") {
+    val plan = Integrity.q194IntegrityAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    def scansOf(table: String): Int =
+      plan.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains(s"/$table.parquet"))
+    // fact-side scans: exactly one per audited table. Parent key-set
+    // scans add at most one more per FK edge (nation parents customer AND
+    // supplier; ReuseExchange may collapse the twins, hence <=).
+    assert(scansOf("lineitem") === 1, "lineitem must be scanned exactly once")
+    assert(scansOf("embeddings") === 1)
+    assert(scansOf("part") === 1) // parent-only
+    assert(scansOf("orders") <= 2 && scansOf("orders") >= 1)
+    assert(scansOf("customer") <= 2)
+    assert(scansOf("supplier") <= 2)
+    assert(scansOf("nation") <= 3)
+    assert(scansOf("region") <= 2)
+    assert(scansOf("documents") <= 2)
+    val total = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(total <= 16, s"q194 plan has $total FileScans (r12 shape had 24)")
+  }
+
   test("injected violations are counted exactly") {
     val s = spark
     import s.implicits._
