@@ -1,0 +1,60 @@
+package graft
+
+/** Previous-round stamp recall for [[Bench]]'s outlier re-pass
+  * (VERDICT r13 #2): three judges in a row hand-adjudicated "phantom
+  * movers" — queries whose full-run stamp inflated 2–40× under driver
+  * load while an isolated re-run showed unchanged cost (r12: q137
+  * stamped 13.5s vs 1.54s isolated; r13: q138 10.8s vs 4.99s). The
+  * re-pass compares each stamp to the previous round's driver-committed
+  * `BENCH_r*.json` and re-times inflated queries after the main loop,
+  * when the transient load has usually drained.
+  *
+  * The parsing lives here, pure and spec-covered, because the prev file
+  * can carry any emit rung of the bench line ladder: full query names or
+  * `qN`/stripped-digit short keys, seconds at 0–3 decimals, or integer
+  * deciseconds self-described by `"qunit":"ds"`.
+  */
+object BenchPrev {
+
+  /** Extract full-query-name → seconds from a driver `BENCH_r*.json` (or
+    * a raw bench stdout line). The driver file wraps the bench stdout
+    * tail as an ESCAPED string plus the driver-parsed object; escaped
+    * copies contain `\"queries\"` and so cannot match the unescaped
+    * regex below — the LAST unescaped `"queries"` object is the parsed
+    * one. Returns only names present in `queryNames`; negative stamps
+    * (failed queries) are dropped. Any shape surprise yields an empty
+    * map — the re-pass must never break the bench contract. */
+  def parse(content: String, queryNames: Set[String]): Map[String, Double] =
+    try {
+      val qre = """"queries"\s*:\s*\{([^{}]*)\}""".r
+      qre.findAllMatchIn(content).toList.lastOption match {
+        case None => Map.empty
+        case Some(m) =>
+          // deciseconds rung: "qunit":"ds" sits in the same emitted object,
+          // a few keys before "queries"
+          val pre = content.substring(math.max(0, m.start - 400), m.start)
+          val scale =
+            if (""""qunit"\s*:\s*"ds"""".r.findFirstIn(pre).isDefined) 0.1
+            else 1.0
+          val pair = """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+          val raw = pair.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+          queryNames.iterator.flatMap { full =>
+            val p = full.takeWhile(_ != '_')
+            val keys =
+              if (p.matches("q\\d+")) Seq(full, p, p.drop(1)) else Seq(full)
+            keys.collectFirst {
+              case k if raw.contains(k) && raw(k) >= 0 =>
+                full -> raw(k) * scale
+            }
+          }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** True when a stamp warrants the isolated re-pass: ≥ `ratio`× its
+    * previous-round value AND big enough in absolute terms that the
+    * excess is not just sub-second scheduler noise. */
+  def inflated(current: Double, prev: Option[Double],
+      ratio: Double = 3.0, floorSec: Double = 0.5): Boolean =
+    current >= floorSec && prev.exists(p => p > 0 && current >= ratio * p)
+}

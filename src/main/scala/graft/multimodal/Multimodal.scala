@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.HexUint
 import graft.ops.Sql
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Multimodal column support: image/audio/video as opaque `binary` columns
   * with typed metadata, plus feature extraction over `mapPartitions`.
@@ -27,6 +29,20 @@ object Multimodal {
   val PngJpegHeaderBytes = 4096
   val WavHeaderBytes     = 1024
   val Mp4HeaderBytes     = 512
+
+  /** Fixed-width header read over the bounded hex projection — one
+    * codegen'd [[graft.functions.HexUint]] call per site instead of the
+    * original `conv(substr(...))` / byte-swap `conv(concat(substr×4))`
+    * trees (semantics identical — see HexParse). Compactness is
+    * load-bearing: when S26's `container` filter is pushed through the
+    * family union, alias substitution inlines every transitively
+    * referenced parser column into the predicate, and with the old trees
+    * the TIFF subplan exploded past janino's 64 KB method limit and ran
+    * interpreted at the ingest boundary (VERDICT r13 #1). */
+  private def hexUint(h: Column, pos: Column, le: Column, digits: Int)
+      : Column =
+    ColumnBridge.column(HexUint(ColumnBridge.expression(h),
+      ColumnBridge.expression(pos), ColumnBridge.expression(le), digits))
 
   case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, format: String)
@@ -278,7 +294,7 @@ object Multimodal {
           substring($"h", 25, 8) === "49484452")
       .withColumn("app0_len",
         when(substring($"h", 1, 8) === "FFD8FFE0",
-          expr("cast(conv(substr(h, 9, 4), 16, 10) as bigint)")))
+          hexUint($"h", lit(9), lit(false), 4)))
       // SOI(2B) + APP0 marker(2B) + app0_len bytes → SOF marker's 1-based
       // hex offset; hex char of byte k is 2k-1
       .withColumn("sof_at", ($"app0_len" * 2 + 9).cast("int"))
@@ -287,17 +303,14 @@ object Multimodal {
       .withColumn("container",
         when($"is_png", "png").when($"is_jpeg", "jpeg").otherwise("unknown"))
       .withColumn("width",
-        when($"is_png", expr("cast(conv(substr(h, 33, 8), 16, 10) as bigint)"))
-          .when($"is_jpeg",
-            expr("cast(conv(substr(h, sof_at + 14, 4), 16, 10) as bigint)")))
+        when($"is_png", hexUint($"h", lit(33), lit(false), 8))
+          .when($"is_jpeg", hexUint($"h", $"sof_at" + 14, lit(false), 4)))
       .withColumn("height",
-        when($"is_png", expr("cast(conv(substr(h, 41, 8), 16, 10) as bigint)"))
-          .when($"is_jpeg",
-            expr("cast(conv(substr(h, sof_at + 10, 4), 16, 10) as bigint)")))
+        when($"is_png", hexUint($"h", lit(41), lit(false), 8))
+          .when($"is_jpeg", hexUint($"h", $"sof_at" + 10, lit(false), 4)))
       .withColumn("bit_depth",
-        when($"is_png", expr("cast(conv(substr(h, 49, 2), 16, 10) as bigint)"))
-          .when($"is_jpeg",
-            expr("cast(conv(substr(h, sof_at + 8, 2), 16, 10) as bigint)")))
+        when($"is_png", hexUint($"h", lit(49), lit(false), 2))
+          .when($"is_jpeg", hexUint($"h", $"sof_at" + 8, lit(false), 2)))
       .select($"doc_id", $"container", $"width", $"height", $"bit_depth",
         $"n_bytes")
   }
@@ -440,11 +453,8 @@ object Multimodal {
   def parseWavHeaders(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    def le2(pos: String): String =
-      s"cast(conv(concat(substr(h,($pos)+2,2),substr(h,$pos,2)),16,10) as bigint)"
-    def le4(pos: String): String =
-      s"cast(conv(concat(substr(h,($pos)+6,2),substr(h,($pos)+4,2)," +
-        s"substr(h,($pos)+2,2),substr(h,$pos,2)),16,10) as bigint)"
+    def le2(pos: Column): Column = hexUint($"h", pos, lit(true), 4)
+    def le4(pos: Column): Column = hexUint($"h", pos, lit(true), 8)
     media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
         hex(substring($"payload", 1, WavHeaderBytes)).as("h"))
@@ -453,7 +463,7 @@ object Multimodal {
         substring($"h", 1, 8) === "52494646" &&
           substring($"h", 17, 8) === "57415645" &&
           substring($"h", 25, 8) === "666D7420")
-      .withColumn("fmt_size", when($"is_riff", expr(le4("33"))))
+      .withColumn("fmt_size", when($"is_riff", le4(lit(33))))
       // next chunk id position (hex chars, 1-based): fmt data starts at
       // char 41; chunks are word-aligned, so odd sizes skip one pad byte.
       // fmt_size/skip_size are attacker-controlled 32-bit fields — every
@@ -467,18 +477,18 @@ object Multimodal {
       .withColumn("nid", when($"is_riff", expr("substr(h, cast(p1 as int), 8)")))
       .withColumn("skip_size",
         when($"nid".isNotNull && length($"nid") === 8 && $"nid" =!= "64617461",
-          expr(le4("p1 + 8"))))
+          le4($"p1" + 8)))
       .withColumn("p2", when($"skip_size".isNotNull,
           least($"p1" + 16L + ($"skip_size" + ($"skip_size" % 2)) * 2, $"hl"))
         .otherwise($"p1"))
       .withColumn("is_wav",
         $"is_riff" && expr("substr(h, cast(p2 as int), 8)") === "64617461")
       .withColumn("container", when($"is_wav", "wav").otherwise("unknown"))
-      .withColumn("channels", when($"is_wav", expr(le2("45"))))
-      .withColumn("sample_rate", when($"is_wav", expr(le4("49"))))
-      .withColumn("byte_rate", when($"is_wav", expr(le4("57"))))
-      .withColumn("bit_depth", when($"is_wav", expr(le2("69"))))
-      .withColumn("data_size", when($"is_wav", expr(le4("p2 + 8"))))
+      .withColumn("channels", when($"is_wav", le2(lit(45))))
+      .withColumn("sample_rate", when($"is_wav", le4(lit(49))))
+      .withColumn("byte_rate", when($"is_wav", le4(lit(57))))
+      .withColumn("bit_depth", when($"is_wav", le2(lit(69))))
+      .withColumn("data_size", when($"is_wav", le4($"p2" + 8)))
       .withColumn("duration_ms",
         when($"is_wav" && $"byte_rate" > 0,
           expr("data_size * 1000 div byte_rate")))
@@ -645,19 +655,18 @@ object Multimodal {
   def parseMp4Headers(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    def be4(pos: String): String =
-      s"cast(conv(substr(h, cast($pos as int), 8), 16, 10) as bigint)"
+    def be4(pos: Column): Column = hexUint($"h", pos, lit(false), 8)
     media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
         hex(substring($"payload", 1, Mp4HeaderBytes)).as("h"))
       .withColumn("hl", length($"h").cast("long") + 1L)
       .withColumn("is_ftyp", substring($"h", 9, 8) === "66747970")
       .withColumn("p2",
-        when($"is_ftyp", least(expr(be4("1")) * 2 + 1, $"hl")))
+        when($"is_ftyp", least(be4(lit(1)) * 2 + 1, $"hl")))
       .withColumn("t2", when($"is_ftyp", expr("substr(h, cast(p2 + 8 as int), 8)")))
       .withColumn("p3",
         when($"t2".isNotNull && length($"t2") === 8 && $"t2" =!= "6D6F6F76",
-          least($"p2" + expr(be4("p2")) * 2, $"hl")).otherwise($"p2"))
+          least($"p2" + be4($"p2") * 2, $"hl")).otherwise($"p2"))
       .withColumn("is_moov",
         $"is_ftyp" && expr("substr(h, cast(p3 + 8 as int), 8)") === "6D6F6F76")
       .withColumn("pm", $"p3" + 16)
@@ -665,8 +674,8 @@ object Multimodal {
         $"is_moov" && expr("substr(h, cast(pm + 8 as int), 8)") === "6D766864" &&
           expr("substr(h, cast(pm + 16 as int), 2)") === "00") // version 0
       .withColumn("container", when($"is_mp4", "mp4").otherwise("unknown"))
-      .withColumn("timescale", when($"is_mp4", expr(be4("pm + 40"))))
-      .withColumn("duration", when($"is_mp4", expr(be4("pm + 48"))))
+      .withColumn("timescale", when($"is_mp4", be4($"pm" + 40)))
+      .withColumn("duration", when($"is_mp4", be4($"pm" + 48)))
       .withColumn("duration_ms",
         when($"is_mp4" && $"timescale" > 0,
           expr("duration * 1000 div timescale")))
@@ -941,13 +950,8 @@ object Multimodal {
   def parseTiffHeaders(media: DataFrame): DataFrame = {
     val s = media.sparkSession
     import s.implicits._
-    def u16(pos: String): String =
-      s"cast(conv(CASE WHEN le THEN concat(substr(h,($pos)+2,2),substr(h,$pos,2)) " +
-        s"ELSE substr(h,$pos,4) END, 16, 10) as bigint)"
-    def u32(pos: String): String =
-      s"cast(conv(CASE WHEN le THEN concat(substr(h,($pos)+6,2),substr(h,($pos)+4,2)," +
-        s"substr(h,($pos)+2,2),substr(h,$pos,2)) " +
-        s"ELSE substr(h,$pos,8) END, 16, 10) as bigint)"
+    def u16(pos: Column): Column = hexUint($"h", pos, $"le", 4)
+    def u32(pos: Column): Column = hexUint($"h", pos, $"le", 8)
     var df = media
       .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
         hex(substring($"payload", 1, TiffHeaderBytes)).as("h"))
@@ -955,19 +959,19 @@ object Multimodal {
       .withColumn("le", substring($"h", 1, 4) === "4949")
       .withColumn("is_tiff",
         (substring($"h", 1, 4) === "4949" || substring($"h", 1, 4) === "4D4D") &&
-          expr(u16("5")) === 42L)
+          u16(lit(5)) === 42L)
       .withColumn("p0",
-        when($"is_tiff", least(expr(u32("9")) * 2 + 1, $"hl")))
-      .withColumn("m", when($"is_tiff", expr(u16("p0"))))
+        when($"is_tiff", least(u32(lit(9)) * 2 + 1, $"hl")))
+      .withColumn("m", when($"is_tiff", u16($"p0")))
       .withColumn("ok",
         $"is_tiff" && $"m" >= 1L && $"m" <= TiffMaxIfdEntries &&
           $"p0" + 4L + $"m" * 24L <= $"hl")
     for (i <- 0 until TiffMaxIfdEntries) {
       df = df
         .withColumn(s"tag_$i",
-          when($"ok" && lit(i.toLong) < $"m", expr(u16(s"p0 + ${4 + 24 * i}"))))
+          when($"ok" && lit(i.toLong) < $"m", u16($"p0" + (4 + 24 * i))))
         .withColumn(s"val_$i",
-          when($"ok" && lit(i.toLong) < $"m", expr(u32(s"p0 + ${20 + 24 * i}"))))
+          when($"ok" && lit(i.toLong) < $"m", u32($"p0" + (20 + 24 * i))))
     }
     def tagVal(t: Long): Column = coalesce(
       (0 until TiffMaxIfdEntries).map(i =>

@@ -26,22 +26,37 @@ import graft.multimodal.Multimodal
   * (Hive layout, so downstream family jobs partition-prune their scans);
   * failures under `quarantine/batch=<id>/`.
   *
-  * Scale shape per batch: five map-side subplans of the micro-batch scan,
-  * zero trigger-path shuffles, header-bounded hex per row; the payload is
-  * dropped from the classified sinks (metadata rows, not asset copies).
+  * Scale shape per batch: five map-side subplans of the micro-batch scan
+  * classify ONCE into a pinned narrow metadata frame (payloads dropped —
+  * metadata rows, not asset copies); both sinks filter the pinned frame,
+  * so the trigger path has zero shuffles, header-bounded hex per row, and
+  * one parse per payload (see [[split]] for why the sinks must not
+  * recompute the classify plan).
   */
 object ContainerGateStream {
 
-  /** Pure batch-side split: (media, quarantine). `batch` must carry
-    * (doc_id long, payload binary). */
-  private[streaming] def splitBatch(batch: DataFrame)
+  /** Pure sink split of an already-classified frame: (media, quarantine).
+    *
+    * The two sinks must NOT each re-run the classify plan (the r12/r13
+    * shape): pushing the `container` predicate through the family union
+    * makes Catalyst inline every parser column the predicate transitively
+    * references into the pushed condition, and the TIFF chain's alias
+    * multiplicities (each tag/val pair re-expands ok → m → p0 → …) blew
+    * the generated `processNext()` past janino's 64 KB limit — the whole
+    * ingest-gate stage silently ran INTERPRETED (VERDICT r13 #1), and the
+    * surviving predicate would still re-parse every header per sink. So
+    * the driver classifies ONCE per micro-batch and pins the narrow
+    * metadata result (14 scalar columns — the payloads are already
+    * dropped); both sinks then filter the pinned frame, where the
+    * predicate lands on the materialized `container` column. This
+    * supersedes the S19/S25 "re-projection beats materialization"
+    * measurement, which holds only while the recomputed plan stays a
+    * cheap codegen'd projection — a predicate-inlined parser walk is
+    * neither. */
+  private[streaming] def split(classified: DataFrame)
       : (DataFrame, DataFrame) = {
-    val s = batch.sparkSession
+    val s = classified.sparkSession
     import s.implicits._
-    // both sinks re-run the map-side classify plan — deliberately: a
-    // codegen'd projection is cheaper than materializing the batch (the
-    // S19/S25 measurement)
-    val classified = Multimodal.classifyContainers(batch)
     (classified.filter($"container" =!= "unknown"),
       classified.filter($"container" === "unknown"))
   }
@@ -54,12 +69,15 @@ object ContainerGateStream {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (ok, quarantine) = splitBatch(batch)
-        ok.write.mode(SaveMode.Overwrite)
-          .partitionBy("container")
-          .parquet(s"$root/media/batch=$batchId")
-        quarantine.write.mode(SaveMode.Overwrite)
-          .parquet(s"$root/quarantine/batch=$batchId")
+        val classified = Multimodal.classifyContainers(batch).persist()
+        try {
+          val (ok, quarantine) = split(classified)
+          ok.write.mode(SaveMode.Overwrite)
+            .partitionBy("container")
+            .parquet(s"$root/media/batch=$batchId")
+          quarantine.write.mode(SaveMode.Overwrite)
+            .parquet(s"$root/quarantine/batch=$batchId")
+        } finally { classified.unpersist(); () }
         ()
       }
       .start()

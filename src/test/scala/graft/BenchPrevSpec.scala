@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The outlier re-pass must read previous stamps out of every shape a
+  * driver BENCH_r*.json can take — the emit-rung ladder changes keys and
+  * units round to round, and the file wraps an ESCAPED copy of the bench
+  * stdout (whose `\"queries\"` must not be mistaken for the parsed one).
+  */
+class BenchPrevSpec extends AnyFunSuite {
+
+  val names = Set("q138_retrieval_trend", "q92_ann_recall_families",
+    "dedup_prep", "q01_agg")
+
+  test("deciseconds rung with stripped-digit keys (the r13 shape)") {
+    val content =
+      """{"n": 13, "tail": "noise \"qunit\":\"ds\" \"queries\":{\"138\":9999} end",
+        |"parsed": {"metric": "total", "value": 172.752, "unit": "sec",
+        |"qunit": "ds", "queries": {"dedup_prep": 10, "01": 16, "92": 39,
+        |"138": 108}, "sf": "/root/testdata/sf0.1"}}""".stripMargin
+    val m = BenchPrev.parse(content, names)
+    assert(math.abs(m("q138_retrieval_trend") - 10.8) < 1e-9)
+    assert(math.abs(m("q92_ann_recall_families") - 3.9) < 1e-9)
+    assert(math.abs(m("q01_agg") - 1.6) < 1e-9)
+    assert(math.abs(m("dedup_prep") - 1.0) < 1e-9)
+  }
+
+  test("full-precision rung with full names and qN short keys") {
+    val content =
+      """{"parsed": {"metric":"total","value":1.0,"unit":"sec",
+        |"queries":{"q138_retrieval_trend":5.312,"q92":2.75,"dedup_prep":0.9},
+        |"sf":"x"}}""".stripMargin
+    val m = BenchPrev.parse(content, names)
+    assert(m("q138_retrieval_trend") === 5.312)
+    assert(m("q92_ann_recall_families") === 2.75)
+    assert(m("dedup_prep") === 0.9)
+    assert(!m.contains("q01_agg"))
+  }
+
+  test("failed (-1) stamps, unknown keys, and garbage are dropped, never throw") {
+    val content =
+      """{"parsed": {"queries": {"138": -1, "zzz": 4, "01": 7}}}"""
+    val m = BenchPrev.parse(content, names)
+    assert(m === Map("q01_agg" -> 7.0))
+    assert(BenchPrev.parse("", names) === Map.empty)
+    assert(BenchPrev.parse("{\"parsed\": null}", names) === Map.empty)
+    assert(BenchPrev.parse("not json at all", names) === Map.empty)
+  }
+
+  test("inflation gate: ≥3× over prev AND ≥0.5s absolute") {
+    assert(BenchPrev.inflated(10.8, Some(3.0)))
+    assert(!BenchPrev.inflated(8.9, Some(3.0)))   // < 3×
+    assert(!BenchPrev.inflated(0.45, Some(0.1)))  // sub-second noise band
+    assert(BenchPrev.inflated(0.9, Some(0.25)))
+    assert(!BenchPrev.inflated(10.8, None))       // new query: no baseline
+    assert(!BenchPrev.inflated(10.8, Some(0.0)))  // degenerate prev
+    assert(!BenchPrev.inflated(-1.0, Some(3.0)))  // failed query stays -1
+  }
+}

@@ -9,12 +9,79 @@ import graft.multimodal.Multimodal
 
 /** S26 streaming container gate: decisions are the literal q188 dispatch,
   * media ∪ quarantine is a partition of the input, the Hive container
-  * layout prunes, and replay re-decides identically.
+  * layout prunes, and replay re-decides identically. Every plan the gate
+  * executes must COMPILE — janino rejecting a generated `processNext()`
+  * (the 64 KB method limit) is a silent fallback to interpreted
+  * execution, which r12/r13 shipped undetected at this exact seam
+  * (VERDICT r13 #1); the log capture below turns that into a red test.
   */
 class ContainerGateStreamSpec extends SparkSpec {
 
+  /** Capture CodeGenerator's compile-failure ERROR events while `body`
+    * runs — the only runtime evidence of a whole-stage-codegen janino
+    * rejection (the query still succeeds, interpreted). */
+  private def codegenFailuresDuring[T](body: => T): (T, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender("graft-cg-capture", null, null, true,
+        Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("Failed to compile")) { captured.add(m); () }
+      }
+    }
+    app.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(app, Level.ERROR, null)
+    ctx.updateLoggers()
+    try {
+      val r = body
+      (r, captured.toArray(Array.empty[String]).toSeq)
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-cg-capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
+
+  test("every gate plan stays within janino's method limit — classify " +
+      "compiles JIT-small, sink splits compile, no silent interpretation") {
+    val s = spark
+    import org.apache.spark.sql.execution.debug.codegenStringSeq
+    val root = Files.createTempDirectory("graft-cgc-").toString
+    // parquet-backed media, the micro-batch plan shape (filters pushable)
+    Multimodal.mixedMediaTable(s, sf).write.parquet(s"$root/media")
+    val media = s.read.parquet(s"$root/media")
+    def maxMethods(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      codegenStringSeq(df.queryExecution.executedPlan).map {
+        case (subtree, _, stats) =>
+          assert(stats.maxMethodCodeSize != -1,
+            s"whole-stage codegen failed to compile (janino):\n" +
+              subtree.linesIterator.take(3).mkString("\n"))
+          stats.maxMethodCodeSize
+      }
+    val classified = Multimodal.classifyContainers(media)
+    // the classify stages are the per-payload hot path: they must not
+    // just compile but stay under HotSpot's 8 KB JIT ceiling
+    val sizes = maxMethods(classified)
+    assert(sizes.nonEmpty && sizes.forall(_ <= 8000),
+      s"classify stage exceeds the JIT method ceiling: $sizes")
+    val pinned = classified.persist()
+    try {
+      val (ok, quarantine) = ContainerGateStream.split(pinned)
+      maxMethods(ok)
+      maxMethods(quarantine)
+    } finally { pinned.unpersist(); () }
+  }
+
   test("classification parity with q188, sinks partition the input, " +
-      "container layout prunes, replay is idempotent") {
+      "container layout prunes, replay is idempotent, zero codegen " +
+      "compile failures") {
+    val (_, failures) = codegenFailuresDuring {
     val s = spark
     import s.implicits._
     implicit val sp: org.apache.spark.sql.SparkSession = s
@@ -77,5 +144,9 @@ class ContainerGateStreamSpec extends SparkSpec {
       "malformed asset must land in quarantine")
     assert(quarantined2 -- Set(90000001L) === quarantined.map(_._1).toSet,
       "replay changed prior decisions")
+    }
+    assert(failures.isEmpty,
+      "generated code failed to compile during the gate run (the stage " +
+        s"ran interpreted):\n${failures.mkString("\n")}")
   }
 }
