@@ -741,7 +741,21 @@ object StreamBench {
   /** S27 throughput: the near-dup pair graph replayed as a file-source
     * stream through [[graft.streaming.LabelStream]]'s versioned label
     * maintenance — pairs/sec through the contracted-CC merge and the
-    * artifact rewrite. `clean` = final label-table row count. */
+    * artifact rewrite. `clean` = final label-table row count.
+    *
+    * The seam's per-batch floor (CC rounds + label rewrite + trigger
+    * overhead) is a FIXED cost that only amortizes over trigger size —
+    * at the fixture's native 256 edges it dominated and the r13 seam
+    * read 15.4 rec/s, which measured the floor, not the merge (VERDICT
+    * r13 #3). The driver therefore feeds production-shaped triggers:
+    * the pair graph is replicated into [[LabelReplicas]] DISJOINT id
+    * spaces (offset stride 10⁷ ≫ any doc_id) so each of the two triggers
+    * carries ≥10⁴ edges, while chunking by doc_a parity keeps every
+    * replica's component split ACROSS the two batches — the
+    * cross-version merge path stays exercised, per batch and at scale.
+    * The pair graph itself is computed once and pinned (it was re-run
+    * per chunk write in r13 — VERDICT r13 #4). */
+  val LabelReplicas = 80
   def measureLabels(spark: SparkSession, sfDir: String,
       timeoutMs: Long = 600000): SeamResult = {
     import spark.implicits._
@@ -750,16 +764,20 @@ object StreamBench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val incoming = s"$root/incoming"
     val pairs = ops.Dedup.q51NgramJaccard(spark, sfDir)
-      .select($"doc_a", $"doc_b")
-    for (chunk <- 0 to 2) {
-      pairs.filter(pmod($"doc_a", lit(3)) === chunk)
-        .write.mode("append").parquet(incoming)
+      .select($"doc_a", $"doc_b").localCheckpoint(true)
+    val wide = pairs.crossJoin(
+        spark.range(LabelReplicas).select(($"id" * 10000000L).as("off")))
+      .select(($"doc_a" + $"off").as("doc_a"), ($"doc_b" + $"off").as("doc_b"))
+      .localCheckpoint(true)
+    for (chunk <- 0 to 1) {
+      wide.filter(pmod($"doc_a", lit(2)) === chunk)
+        .coalesce(1).write.mode("append").parquet(incoming)
     }
     val n = spark.read.parquet(incoming).count()
     val t0 = System.nanoTime()
     val stream = spark.readStream
       .schema("doc_a long, doc_b long")
-      .option("maxFilesPerTrigger", 2).parquet(incoming)
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
     val q = streaming.LabelStream.run(stream, s"$root/out")
     val finished = q.awaitTermination(timeoutMs)
     val secs = (System.nanoTime() - t0) / 1e9

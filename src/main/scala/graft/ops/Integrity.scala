@@ -49,9 +49,15 @@ object Integrity {
     def audit(table: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
       val agg = table.agg(count(lit(1)).as("__n"),
         checks.map { case (n, c) => c.as(n) }: _*)
+      // names are interpolated into SQL both as a literal and as an
+      // identifier — escape quotes and backtick the identifier so a
+      // future check name with a space/quote/keyword cannot mangle the
+      // generated stack() (ADVICE r13)
       agg.selectExpr(
         s"stack(${checks.size}, " +
-          checks.map { case (n, _) => s"'$n', $n" }.mkString(", ") +
+          checks.map { case (n, _) =>
+            s"'${n.replace("'", "''")}', `${n.replace("`", "``")}`"
+          }.mkString(", ") +
           ") as (check_name, n_bad)",
         "cast(__n as bigint) as n_scanned")
     }

@@ -37,8 +37,20 @@ class IntegritySpec extends SparkSpec {
 
   test("plan scans each audited table's fact side exactly once — the " +
       "stack() contract (r12's per-check projections rescanned lineitem 6x)") {
-    val plan = Integrity.q194IntegrityAudit(spark, sf)
-      .queryExecution.executedPlan.toString
+    // Spark truncates the FileScan Location field at
+    // maxMetadataStringLength (default 100 chars) — a longer fixture path
+    // would silently drop the "/<table>.parquet" suffix these counts key
+    // on and the === 1 asserts would fail (or <= bounds pass vacuously at
+    // 0). Widen it for the duration of the dump (ADVICE r13).
+    val prevLen = spark.conf.getOption("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    val plan =
+      try Integrity.q194IntegrityAudit(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally prevLen match {
+        case Some(v) => spark.conf.set("spark.sql.maxMetadataStringLength", v)
+        case None => spark.conf.unset("spark.sql.maxMetadataStringLength")
+      }
     def scansOf(table: String): Int =
       plan.linesIterator.count(l =>
         l.contains("FileScan parquet") && l.contains(s"/$table.parquet"))

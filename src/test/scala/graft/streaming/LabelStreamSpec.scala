@@ -42,7 +42,9 @@ class LabelStreamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === truth, "streamed labels diverge from the q60 rescan")
     // more than one version: the stream really did merge incrementally
-    assert(LabelStream.latestVersionBelow(root, Long.MaxValue).exists(_ >= 1))
+    assert(LabelStream.latestVersionBelow(s, root, Long.MaxValue).exists(_ >= 1))
+    // compaction: never more than KeepVersions committed versions on disk
+    assert(LabelStream.versions(s, root).size <= LabelStream.KeepVersions)
 
     // a later batch bridging two standing components must merge them
     val clusters = truth.values.toSet.toSeq.sorted
@@ -61,6 +63,32 @@ class LabelStreamSpec extends SparkSpec {
       val expect = if (c == c1 || c == c2) mergedLabel else c
       assert(after(id) === expect, s"doc $id after bridge merge")
     }
+
+    // a no-op batch — an edge strictly inside one standing component —
+    // must neither rewrite the label table nor commit a new version
+    val versionsBefore = LabelStream.versions(s, root).toSet
+    val inside = after.toSeq.groupBy(_._2).values.find(_.size >= 2).get
+      .map(_._1).take(2)
+    Seq((inside.head, inside.last)).toDF("doc_a", "doc_b")
+      .write.mode("append").parquet(incoming)
+    val q2 = LabelStream.run(
+      s.readStream.schema("doc_a long, doc_b long")
+        .option("maxFilesPerTrigger", 2).parquet(incoming), root)
+    assert(q2.awaitTermination(180000))
+    assert(LabelStream.versions(s, root).toSet === versionsBefore,
+      "a no-op merge must skip the version commit")
+    val afterNoop = LabelStream.currentLabels(s, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(afterNoop === after)
+  }
+
+  test("a non-local filesystem scheme fails fast instead of silently " +
+      "resetting the label base (the java.io.File trap)") {
+    val s = spark
+    val e = intercept[Exception] {
+      LabelStream.currentLabels(s, "graft-no-such-scheme://bucket/labels")
+    }
+    assert(e.getMessage != null)
   }
 
   test("merge core is deterministic: replaying the same merge rewrites " +
