@@ -137,7 +137,7 @@ object PlanAudit {
     "q179_k_anonymity" -> "privacy export gate: ONE aggregation keyed on the (type, day, hour) QI grid; both distinct counts are the standard two-phase partial-distinct expansion on the same grid key; output and all post-agg rows are grid-sized metadata",
     "q180_contribution_cap" -> "DP-ready contribution bound: the PRODUCTION cap (filter rank ≤ k) plans WindowGroupLimit — map tasks forward at most k rows per (user, day); this AUDIT deliberately keeps both sides of the cap (it counts the capped-away mass), so it pays the full window — per-partition sorts bounded by a user's daily volume — then one per-type partial agg",
     "q187_incremental_pagerank" -> "incremental PageRank: the touched-component set (one id per delta doc) BROADCASTS into the edge-restriction semi-join over the standing labels; the re-iteration is q185's per-round edge⋈rank join + partial agg on the TOUCHED subgraph only; untouched components carry standing ranks via one anti-join — refresh cost ∝ the delta's neighborhood",
-    "q188_container_gate" -> "five-family container dispatch: ONE media scan projected five ways map-side (signature prefix routes each row to exactly one literal family parser; no-signature rows skip parsing entirely); unionByName of map-side subplans — zero exchange before the presentation sort",
+    "q188_container_gate" -> "five-family container dispatch: ONE media scan projected five ways map-side (signature prefix routes each row to exactly one literal family parser; no-signature rows skip parsing entirely); unionByName of map-side subplans — zero exchange before the presentation sort; every multi-byte header read is one compact codegen'd hex_uint call, which keeps each family stage inside janino's 64 KB method limit EVEN when a downstream container predicate is pushed through the union and alias substitution inlines the parser chain into it (the S26 r12/r13 silent-interpretation regression, now spec-gated)",
     "q189_tiff_headers" -> "TIFF introspection with PER-ROW endianness: the II/MM mark switches every substr/conv read via a CASE — one hex(bounded prefix) projection, IFD pointer followed with clamped offsets, tag search unrolled over ≤6 fixed-width entries; map-only, zero exchange before the sort",
     "q190_triangles" -> "degree-ordered triangle counting: orientation keeps each undirected edge once with out-degree O(√m) (the heavy endpoint's edges orient AWAY), so the wedge equi-join on src is fan-out-bounded under any skew; closure is one left-semi join on the oriented (b,c) key; per-node counts via explode + partial agg — all pair-graph-sized",
     "q191_incremental_cc" -> "incremental CC: the contracted graph (new edges mapped to standing base labels) is DELTA-bounded, so its CC rounds run on metadata; relabel is one broadcast join of the merge map over the standing label table; the touched flag is a broadcast semi-join on the merged-label set",
