@@ -96,9 +96,15 @@ object Layout {
     *
     * Scale shape: ONE corpus pass partial-aggregates to the distinct-key
     * table; everything after (cumulative counts, boundary election,
-    * assignment) runs on |keys| rows — the documented metadata-window
-    * discipline (q174): the single-partition window is vocabulary-sized,
-    * never corpus-sized. Boundaries (P−1 rows) broadcast to the
+    * assignment) runs on |keys| rows. The cumulative ranks are TWO-LEVEL
+    * (VERDICT r13 #5): the key domain here is `user_id` — user-sized,
+    * not vocabulary-sized — so a global `Window.orderBy(k)` would funnel
+    * the whole distinct-key table through ONE partition. Instead the key
+    * table range-partitions on k (range i's keys all sort before range
+    * i+1's — the RangePartitioner contract), each range cumulates
+    * locally in parallel, and the R per-range totals prefix-sum on
+    * METADATA (an R-row single-partition window) into broadcast
+    * exclusive offsets. Boundaries (P−1 rows) broadcast to the
     * assignment join. */
   def q192RangePlanner(s: SparkSession, dir: String,
       parts: Int = 32): DataFrame = {
@@ -106,8 +112,23 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val keyCnt = Tables(s, dir, "events")
       .groupBy($"user_id".as("k")).agg(count(lit(1)).as("cnt"))
-    val cum = keyCnt
-      .withColumn("cum", sum($"cnt").over(Window.orderBy($"k")))
+    val ranges = 8
+    val ranged = keyCnt.repartitionByRange(ranges, $"k")
+      // pin ONE partition assignment before reading spark_partition_id:
+      // a sampled range exchange feeding multiple consumers can
+      // re-execute with different boundaries (the ExactDecontamStream
+      // divergence, r12) — the checkpoint makes pid a stable column
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val local = ranged.withColumn("lcum",
+      sum($"cnt").over(Window.partitionBy($"pid").orderBy($"k")))
+    val offsets = ranged.groupBy($"pid").agg(sum($"cnt").as("ptotal"))
+      .withColumn("off", coalesce(
+        sum($"ptotal").over(Window.orderBy($"pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"pid", $"off")
+    val cum = local.join(broadcast(offsets), Seq("pid"))
+      .select($"k", $"cnt", ($"lcum" + $"off").as("cum"))
       .localCheckpoint(true)
     val total = cum.agg(sum($"cnt").as("n"))
     val spine = (1 until parts).toDF("i")
@@ -392,11 +413,146 @@ object Layout {
        |ORDER BY pi, qi""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q199
+  /** Join-cardinality estimation audit — the third leg of the optimizer-
+    * statistics family (q197 single-predicate, q198 conjunctions, here
+    * JOINS): for every FK edge of the TPC-H snowflake, estimate
+    * |A ⋈ B| by the classic System-R containment-of-values rule
+    * — est = |A|·|B| div max(ndv(A.k), ndv(B.k)) (uniform values,
+    * contained key domains; Selinger et al. 1979, the formula every
+    * cost-based join reorder still starts from) — and grade it against
+    * the exact join count with the q197 signed milli error. On clean FK
+    * data the rule is near-exact (every fact key hits, ndv(parent) =
+    * parent count) — so two STRESS edges exercise the assumptions where
+    * they actually break: a self-join on the skewed `n_chars` attribute,
+    * where Σ n(v)² exceeds N²/D by the second frequency moment (the
+    * classic ~20% underestimation that motivates frequency histograms
+    * beyond plain ndv), and the near-uniform o_orderdate⋈l_shipdate
+    * non-key join as the within-1% contrast row.
+    *
+    * Scale shape: the stats legs are per-side partial aggregates (count
+    * + exact ndv of the join key — what a catalog keeps as HLL sketches
+    * and serves for FREE at plan time; exact and recomputed here so the
+    * DuckDB oracle can hash-match). The
+    * exact join counts are the corpus-priced audit evidence: dimension
+    * sides broadcast, the lineitem⋈orders count is the one genuine
+    * fact⋈fact shuffle — the same honesty note as q194's FK probes. The
+    * estimator itself reads ONLY the broadcast 1-row stats (pure integer
+    * arithmetic; at SF1000 `n_left·n_right` wants DECIMAL headroom —
+    * documented, longs suffice at every test SF). */
+  def q199JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String): DataFrame = Tables(s, dir, n)
+    // Per-side stats aggregates, left as parallel branches of the ONE
+    // action (a production planner reads these from the catalog for
+    // free; eagerly pre-materializing them here serialized 8 small jobs
+    // and measured SLOWER than letting the scheduler overlap the
+    // branches — 6.5s vs 4.8s isolated at sf0.1)
+    def stats(table: String, key: String, side: String): DataFrame =
+      t(table).agg(count(lit(1)).as(s"n_$side"),
+        countDistinct(col(key)).as(s"ndv_$side"))
+    def edgeFrom(name: String, lt: String, lk: String, rt: String,
+        rk: String, exact: DataFrame): DataFrame =
+      stats(lt, lk, "left").crossJoin(stats(rt, rk, "right"))
+        .crossJoin(exact)
+        .select(lit(name).as("join_edge"),
+          $"n_left", $"n_right", $"ndv_left", $"ndv_right",
+          expr("n_left * n_right div greatest(ndv_left, ndv_right)")
+            .as("est_rows"),
+          $"exact_rows",
+          expr("(1000 * (n_left * n_right div greatest(ndv_left, ndv_right)" +
+            " - exact_rows)) div greatest(exact_rows, 1)").as("err_milli"))
+    // FK edges: the exact count IS the audited join (dimension sides
+    // broadcast; lineitem⋈orders is the one genuine fact⋈fact shuffle)
+    def edge(name: String, lt: String, lk: String, rt: String, rk: String)
+        : DataFrame =
+      edgeFrom(name, lt, lk, rt, rk,
+        t(lt).join(t(rt), col(lk) === col(rk))
+          .agg(count(lit(1)).as("exact_rows")))
+    // Stress edges join on multi-valued attributes where the row
+    // explosion would be quadratic-ish — the exact count uses the
+    // identity |A ⋈_v B| = Σ_v a(v)·b(v): two per-value partial-agg
+    // count tables joined on the VALUE DOMAIN (never materializing the
+    // join), the same trick a planner's cardinality validator uses
+    def edgeByCounts(name: String, lt: String, lk: String, rt: String,
+        rk: String): DataFrame =
+      edgeFrom(name, lt, lk, rt, rk,
+        t(lt).groupBy(col(lk).as("__v")).agg(count(lit(1)).as("__na"))
+          .join(t(rt).groupBy(col(rk).as("__v"))
+            .agg(count(lit(1)).as("__nb")), "__v")
+          .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).as("exact_rows")))
+    Seq(
+      edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      // skew stress: n_chars duplicates concentrate mass — Σ n(v)² beats
+      // N²/D by the second frequency moment, the underestimation that
+      // motivates frequency histograms beyond plain ndv (err ≈ −207‰)
+      edgeByCounts("documents_chars_self",
+        "documents", "n_chars", "documents", "n_chars"),
+      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      // non-key multi-valued date join: near-uniform domains keep the
+      // rule within ~1% — the contrast row to the skewed self-join
+      edgeByCounts("orders_lineitem_date",
+        "orders", "o_orderdate", "lineitem", "l_shipdate"),
+      edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ).reduce(_.unionByName(_)).orderBy($"join_edge")
+  }
+
+  val q199Oracle: String = {
+    def edgeWith(name: String, lt: String, lk: String, rt: String,
+        rk: String, exactSql: String): String =
+      s"""SELECT '$name' AS join_edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS n_left,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS n_right,
+         |  (SELECT CAST(COUNT(DISTINCT $lk) AS BIGINT) FROM $lt) AS ndv_left,
+         |  (SELECT CAST(COUNT(DISTINCT $rk) AS BIGINT) FROM $rt) AS ndv_right,
+         |  CAST((SELECT COUNT(*) FROM $lt) * (SELECT COUNT(*) FROM $rt)
+         |    // GREATEST((SELECT COUNT(DISTINCT $lk) FROM $lt),
+         |               (SELECT COUNT(DISTINCT $rk) FROM $rt)) AS BIGINT)
+         |    AS est_rows,
+         |  CAST(($exactSql) AS BIGINT) AS exact_rows,
+         |  CAST((1000 * (CAST((SELECT COUNT(*) FROM $lt)
+         |        * (SELECT COUNT(*) FROM $rt)
+         |        // GREATEST((SELECT COUNT(DISTINCT $lk) FROM $lt),
+         |                   (SELECT COUNT(DISTINCT $rk) FROM $rt)) AS BIGINT)
+         |      - ($exactSql)))
+         |    // GREATEST(($exactSql), 1)
+         |    AS BIGINT) AS err_milli""".stripMargin
+    def edge(name: String, lt: String, lk: String, rt: String, rk: String)
+        : String =
+      edgeWith(name, lt, lk, rt, rk,
+        s"SELECT COUNT(*) FROM $lt JOIN $rt ON $lk = $rk")
+    def edgeByCounts(name: String, lt: String, lk: String, rt: String,
+        rk: String): String =
+      edgeWith(name, lt, lk, rt, rk,
+        s"SELECT COALESCE(SUM(a.n * b.n), 0) FROM " +
+          s"(SELECT $lk AS v, COUNT(*) AS n FROM $lt GROUP BY 1) a JOIN " +
+          s"(SELECT $rk AS v, COUNT(*) AS n FROM $rt GROUP BY 1) b " +
+          s"ON a.v = b.v")
+    Seq(
+      edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edgeByCounts("documents_chars_self",
+        "documents", "n_chars", "documents", "n_chars"),
+      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edgeByCounts("orders_lineitem_date",
+        "orders", "o_orderdate", "lineitem", "l_shipdate"),
+      edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY join_edge")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
     "q197_selectivity" -> q197Selectivity _,
     "q198_correlated_selectivity" -> q198CorrelatedSelectivity _,
+    "q199_join_cardinality" -> q199JoinCardinality _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +560,6 @@ object Layout {
     "q192_range_planner" -> q192Oracle,
     "q197_selectivity" -> q197Oracle,
     "q198_correlated_selectivity" -> q198Oracle,
+    "q199_join_cardinality" -> q199Oracle,
   )
 }

@@ -154,4 +154,33 @@ class LayoutSpec extends SparkSpec {
       assert(math.abs(em) <= 50, s"$k min-rule error $em")
     }
   }
+
+  test("q199 join cardinality: exact counts verified locally; the " +
+      "System-R rule is exact on FK edges and underestimates the skewed " +
+      "self-join by the second frequency moment") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q199JoinCardinality(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows.size === 9)
+    // est formula is the published rule, recomputed locally per edge
+    rows.foreach { case (e, (nl, nr, dl, dr, est, exact, err)) =>
+      assert(est === nl * nr / math.max(dl, dr), s"$e est formula")
+      assert(err === 1000 * (est - exact) / math.max(exact, 1), s"$e err")
+    }
+    // local exact-count replay for the skewed self-join: Σ n(v)²
+    val counts = graft.Tables(s, sf, "documents")
+      .groupBy($"n_chars").count().as[(Long, Long)].collect()
+    val selfExact = counts.map { case (_, n) => n * n }.sum
+    val (_, _, _, _, selfEst, gotExact, selfErr) = rows("documents_chars_self")
+    assert(gotExact === selfExact, "self-join exact must equal Σ n(v)²")
+    assert(selfErr < -100,
+      s"skewed self-join must underestimate well beyond noise, got $selfErr")
+    assert(selfEst < selfExact)
+    // clean FK edges: containment + uniformity hold, the rule is exact
+    Seq("customer_nation", "nation_region", "supplier_nation").foreach { e =>
+      assert(rows(e)._7 === 0L, s"$e should estimate exactly on clean FKs")
+    }
+  }
 }
