@@ -603,7 +603,8 @@ object StreamBench {
       sample: Option[SeamResult],
       anomalyGate: Option[SeamResult],
       containerGate: Option[SeamResult],
-      labels: Option[SeamResult]) {
+      labels: Option[SeamResult],
+      stats: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -628,7 +629,8 @@ object StreamBench {
         "sample" -> sample,
         "anomaly_gate" -> anomalyGate,
         "container_gate" -> containerGate,
-        "labels" -> labels).map { case (k, v) =>
+        "labels" -> labels,
+        "stats" -> stats).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -667,7 +669,44 @@ object StreamBench {
       guarded("sample")(measureSample(spark, sfDir)),
       guarded("anomalygate")(measureAnomalyGate(spark, sfDir)),
       guarded("containergate")(measureContainerGate(spark, sfDir)),
-      guarded("labels")(measureLabels(spark, sfDir)))
+      guarded("labels")(measureLabels(spark, sfDir)),
+      guarded("stats")(measureStats(spark, sfDir)))
+  }
+
+  /** S28 throughput: lineitem prices replayed as a file-source stream
+    * through [[graft.streaming.StatsStream]]'s staged-bounds histogram
+    * maintenance — rows/sec through the map-side binned partial-agg seam.
+    * `clean` = merged-histogram total (must equal the record count: the
+    * clamped binning drops nothing). */
+  def measureStats(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val prices = Tables(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("p"))
+    for (chunk <- 0 to 2) {
+      prices.filter(pmod(($"p" * 100).cast("long"), lit(3)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    val bounds = streaming.StatsStream.stageBounds(spark.read.parquet(incoming))
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("p double").option("maxFilesPerTrigger", 8).parquet(incoming)
+    val q = streaming.StatsStream.run(stream, s"$root/out", bounds)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:stats] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val total = streaming.StatsStream.mergedHistogram(spark, s"$root/out")
+        .agg(sum($"n")).as[Long].head()
+      SeamResult(n / secs, n, total, secs)
+    }
   }
 
   /** S25 throughput: the events table replayed as a file-source stream

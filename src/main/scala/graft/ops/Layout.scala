@@ -201,15 +201,24 @@ object Layout {
     * 20 exact counts as conditional aggregates (stacked to tall rows
     * afterward — never a fact×predicate explode). Estimation itself
     * runs on the histogram (metadata). */
+  /** The q197 histogram geometry, shared VERBATIM with the S28 streaming
+    * maintenance ([[graft.streaming.StatsStream]]) so the staged and the
+    * batch-built histogram cannot disagree on a bin: 4096 equi-width bins
+    * over [mn, mx], value→bin by the floor expression below (columns `mn`
+    * and `mx` must be in scope). */
+  private[graft] val HistBins = 4096
+  private[graft] def histBinOf(e: String): String =
+    s"least(cast(floor((($e) - mn) * $HistBins / (mx - mn)) as bigint), " +
+      s"${HistBins - 1L})"
+
   def q197Selectivity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val B = 4096
+    val B = HistBins
     val K = 20
     val li = Tables(s, dir, "lineitem").select($"l_extendedprice".as("p"))
     val mm = li.agg(min($"p").as("mn"), max($"p").as("mx"))
       .localCheckpoint(true)
-    def binOf(e: String): String =
-      s"least(cast(floor((($e) - mn) * $B / (mx - mn)) as bigint), ${B - 1L})"
+    def binOf(e: String): String = histBinOf(e)
     def thr(k: Int): String = s"(mn + (cast($k as double) * (mx - mn)) / $K.0)"
     val hist = li.crossJoin(broadcast(mm))
       .select(expr(binOf("p")).as("bin"))
