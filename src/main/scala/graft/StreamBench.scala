@@ -604,7 +604,8 @@ object StreamBench {
       anomalyGate: Option[SeamResult],
       containerGate: Option[SeamResult],
       labels: Option[SeamResult],
-      stats: Option[SeamResult]) {
+      stats: Option[SeamResult],
+      ndv: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -630,7 +631,8 @@ object StreamBench {
         "anomaly_gate" -> anomalyGate,
         "container_gate" -> containerGate,
         "labels" -> labels,
-        "stats" -> stats).map { case (k, v) =>
+        "stats" -> stats,
+        "ndv" -> ndv).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -670,7 +672,43 @@ object StreamBench {
       guarded("anomalygate")(measureAnomalyGate(spark, sfDir)),
       guarded("containergate")(measureContainerGate(spark, sfDir)),
       guarded("labels")(measureLabels(spark, sfDir)),
-      guarded("stats")(measureStats(spark, sfDir)))
+      guarded("stats")(measureStats(spark, sfDir)),
+      guarded("ndv")(measureNdv(spark, sfDir)))
+  }
+
+  /** S29 throughput: lineitem order keys replayed as a file-source
+    * stream through [[graft.streaming.NdvStream]]'s KMV maintenance —
+    * rows/sec through the map-side distinct + TakeOrdered(K) seam.
+    * `clean` = the ndv estimate read off the merged sketch (must track
+    * the exact ndv — the merged sketch equals the one-pass sketch by
+    * associativity, so this is q200's estimate verbatim). */
+  def measureNdv(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-ndv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val keys = Tables(spark, sfDir, "lineitem").select($"l_orderkey".as("v"))
+    for (chunk <- 0 to 2) {
+      keys.filter(pmod($"v", lit(3)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("v bigint").option("maxFilesPerTrigger", 8).parquet(incoming)
+    val q = streaming.NdvStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:ndv] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val est = streaming.NdvStream.estimate(
+        streaming.NdvStream.mergedSketch(spark, s"$root/out"))
+      SeamResult(n / secs, n, est, secs)
+    }
   }
 
   /** S28 throughput: lineitem prices replayed as a file-source stream

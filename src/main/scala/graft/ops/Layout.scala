@@ -556,12 +556,130 @@ object Layout {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY join_edge")
   }
 
+  // ---------------------------------------------------------------- q200
+  /** Distinct-count sketch audit — the fourth leg of the optimizer-
+    * statistics family, and the one that closes q199's open loop: q199
+    * reads ndv "from the catalog for free", and THIS is the sketch a
+    * catalog actually keeps. K-minimum-values (Bar-Yossef et al. 2002;
+    * the AKMV/theta-sketch family behind DataSketches): hash every value
+    * with a fixed integer bijection into [0, P), keep the K smallest
+    * DISTINCT hashes; if fewer than K exist the sketch is exhaustive
+    * (est = what it holds), otherwise est = (K−1)·P div h_(K) — the
+    * classic unbiased estimator, pure int64 on both engines. The audited
+    * columns span the three regimes a catalog meets: ndv ≪ K (nationkey,
+    * p_size — exact path), ndv ≈ K (o_custkey, l_partkey, user_id —
+    * straddles K across scale factors), ndv ≫ K (l_orderkey — the
+    * estimator earns its keep), plus the SKEWED `n_chars` (row
+    * multiplicity is invisible to a distinct-hash sketch — the property
+    * that makes KMV beat row sampling for ndv, the q199 skew lesson's
+    * counterpart).
+    *
+    * Determinism: the hash is two affine rounds mod the Mersenne prime
+    * P = 2^31−1 — a BIJECTION on [0, P) (affine maps mod a prime are
+    * invertible), so distinct hashes ≡ distinct values at every test SF
+    * (key domains < P; the fold documents the general case) and the
+    * k-th order statistic is a pure function of the column. Both engines
+    * evaluate the identical integer expression ([[kmvHashSql]], shared
+    * verbatim like q197's [[histBinOf]]).
+    *
+    * Scale shape: two legs per column riding parallel branches of ONE
+    * action (the q199 lesson — don't serialize tiny jobs). The exact-ndv
+    * leg is the audit's truth price (countDistinct: map-side partial
+    * distinct, ndv-sized shuffle). The sketch leg is the production
+    * shape: map-side partial distinct on the hash, TakeOrdered(K) — the
+    * shuffle carries per-partition distinct hashes and the result is K
+    * rows. A production pipeline never pays the exact leg: S29
+    * ([[graft.streaming.NdvStream]]) maintains the same K-minima
+    * artifact per micro-batch with NO staged bounds at all (the hash
+    * domain is fixed a priori — contrast S28's staged histogram bounds),
+    * and k-min-of-union is associative, so any batching merges to
+    * EXACTLY the one-pass sketch. */
+  private[graft] val KmvK = 1024
+  private[graft] val KmvP = 2147483647L
+  /** The shared KMV hash — two affine rounds mod P (bijective on
+    * [0, P)); valid Spark SQL and DuckDB SQL verbatim. The leading
+    * `% P + P) % P` fold normalizes values outside [0, P) (none exist at
+    * test SFs; at SF1000 an 8-byte key folds, costing the bijection but
+    * not the estimator). */
+  private[graft] def kmvHashSql(e: String): String =
+    s"(((cast(($e) as bigint) % $KmvP + $KmvP) % $KmvP" +
+      s" * 48271 + 12345) % $KmvP * 69621 + 67890) % $KmvP"
+
+  /** The KMV estimate from (rows held, k-th smallest hash) — shared with
+    * [[graft.streaming.NdvStream]] and the spec's local replay. */
+  private[graft] def kmvEstimate(sketchRows: Long, kthHash: Long): Long =
+    if (sketchRows < KmvK) sketchRows
+    else (KmvK - 1L) * KmvP / math.max(kthHash, 1L)
+
+  def q200NdvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def leg(table: String, column: String): DataFrame = {
+      val base = Tables(s, dir, table)
+      val exact = base.agg(countDistinct(col(column)).as("exact_ndv"))
+      val sk = base.where(col(column).isNotNull)
+        .select(expr(kmvHashSql(column)).as("h")).distinct()
+        .orderBy($"h").limit(KmvK)
+        .agg(coalesce(max($"h"), lit(0L)).as("kth_hash"),
+          count(lit(1)).as("sketch_rows"))
+      exact.crossJoin(sk)
+        .select(lit(s"$table.$column").as("col_id"),
+          $"exact_ndv", $"sketch_rows", $"kth_hash",
+          // (K−1)·P precomputed: as a literal product both parsers would
+          // type it INT×INT (silent wrap here, error in DuckDB)
+          when($"sketch_rows" < KmvK, $"sketch_rows")
+            .otherwise(expr(
+              s"${(KmvK - 1L) * KmvP} div greatest(kth_hash, 1)"))
+            .as("est_ndv"))
+        .withColumn("err_milli",
+          expr("(1000 * (est_ndv - exact_ndv)) div greatest(exact_ndv, 1)"))
+    }
+    KmvColumns.map { case (t, c) => leg(t, c) }
+      .reduce(_.unionByName(_)).orderBy($"col_id")
+  }
+
+  /** Audited columns: the three ndv regimes plus the skewed-multiplicity
+    * contrast row (see the q200 scaladoc). */
+  private val KmvColumns = Seq(
+    "customer" -> "c_nationkey", "documents" -> "n_chars",
+    "events" -> "user_id", "lineitem" -> "l_orderkey",
+    "lineitem" -> "l_partkey", "orders" -> "o_custkey",
+    "part" -> "p_size")
+
+  val q200Oracle: String = {
+    def leg(table: String, column: String): String = {
+      val h = kmvHashSql(column)
+      s"""SELECT col_id, exact_ndv, sketch_rows, kth_hash, est_ndv,
+         |  CAST((1000 * (est_ndv - exact_ndv))
+         |    // GREATEST(exact_ndv, 1) AS BIGINT) AS err_milli
+         |FROM (
+         |  SELECT col_id, exact_ndv, sketch_rows, kth_hash,
+         |    CASE WHEN sketch_rows < $KmvK THEN sketch_rows
+         |      ELSE CAST(${(KmvK - 1L) * KmvP}
+         |        // GREATEST(kth_hash, 1) AS BIGINT) END AS est_ndv
+         |  FROM (
+         |    SELECT '$table.$column' AS col_id,
+         |      (SELECT CAST(COUNT(DISTINCT $column) AS BIGINT)
+         |       FROM $table) AS exact_ndv,
+         |      (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |        (SELECT DISTINCT $h AS h FROM $table
+         |         WHERE $column IS NOT NULL ORDER BY h LIMIT $KmvK))
+         |        AS sketch_rows,
+         |      (SELECT CAST(COALESCE(MAX(h), 0) AS BIGINT) FROM
+         |        (SELECT DISTINCT $h AS h FROM $table
+         |         WHERE $column IS NOT NULL ORDER BY h LIMIT $KmvK))
+         |        AS kth_hash))""".stripMargin
+    }
+    KmvColumns.map { case (t, c) => leg(t, c) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
     "q197_selectivity" -> q197Selectivity _,
     "q198_correlated_selectivity" -> q198CorrelatedSelectivity _,
     "q199_join_cardinality" -> q199JoinCardinality _,
+    "q200_ndv_sketch" -> q200NdvSketch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -570,5 +688,6 @@ object Layout {
     "q197_selectivity" -> q197Oracle,
     "q198_correlated_selectivity" -> q198Oracle,
     "q199_join_cardinality" -> q199Oracle,
+    "q200_ndv_sketch" -> q200Oracle,
   )
 }

@@ -183,4 +183,39 @@ class LayoutSpec extends SparkSpec {
       assert(rows(e)._7 === 0L, s"$e should estimate exactly on clean FKs")
     }
   }
+
+  test("q200 ndv sketch: the KMV hash is a bijection, the exact path " +
+      "fires below K, the estimator replays locally, and multiplicity " +
+      "is invisible") {
+    val s = spark
+    import s.implicits._
+    // bijectivity of the affine-mod-P hash on a dense probe range: no
+    // two inputs collide (mod-prime affine maps are invertible)
+    val probe = (0L until 50000L).toDF("v")
+      .selectExpr(Layout.kmvHashSql("v") + " as h")
+      .agg(countDistinct($"h")).as[Long].head()
+    assert(probe === 50000L, "affine-mod-prime hash must not collide")
+    val rows = Layout.q200NdvSketch(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.size === 7)
+    rows.foreach { case (c, (exact, m, hk, est, err)) =>
+      // the sketch never holds more than K rows, and the estimate and
+      // error replay through the shared local formula
+      assert(m <= 1024L, s"$c sketch exceeded K")
+      assert(est === Layout.kmvEstimate(m, hk), s"$c estimator replay")
+      assert(err === 1000 * (est - exact) / math.max(exact, 1), s"$c err")
+      // below K the sketch is exhaustive: bijective hashes make the
+      // estimate EXACT, not approximate
+      if (exact < 1024L) assert(est === exact, s"$c exact path")
+      else assert(math.abs(err) <= 100,
+        s"$c estimator outside 10% on a uniform column, err $err")
+    }
+    // multiplicity-immunity: n_chars repeats across documents, yet the
+    // sketch sees only distinct values — est equals the true ndv even
+    // though a 1024-ROW sample of the column would be dominated by the
+    // heavy values (the reason catalogs sketch hashes, not rows)
+    val (nchExact, _, _, nchEst, _) = rows("documents.n_chars")
+    assert(nchEst === nchExact)
+  }
 }
