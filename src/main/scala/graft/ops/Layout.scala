@@ -673,6 +673,156 @@ object Layout {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_id")
   }
 
+  // ---------------------------------------------------------------- q201
+  /** Join-ORDER enumeration audit — the statistics family's capstone:
+    * q197–q200 built and graded the inputs (histograms, selectivities,
+    * join cardinalities, ndv sketches); here they drive the decision
+    * they exist FOR. Over the 4-table FK chain nation–customer–orders–
+    * lineitem, the System-R enumeration considers every left-deep order
+    * whose prefixes stay connected (8 of them for a 4-chain, collapsing
+    * to 4 COST-DISTINCT profiles because the first two tables commute);
+    * each profile's cost is the classic sum of intermediate result
+    * sizes, estimated by cascading the q199 containment rule step by
+    * step in the profile's own join sequence (integer div at each step,
+    * exactly as a cascading estimator propagates), and graded against
+    * the TRUE cost — the same sum over exact intermediate join counts.
+    * The audit's verdict columns: est_rank vs exact_rank per profile
+    * (the cost model must pick the true best order) and the spread
+    * between best and worst (the quantified value of join reordering —
+    * ~7× on this chain: dimension-first vs fact-first).
+    *
+    * Scale shape: the stats leg is q199's (per-table count+ndv partial
+    * aggregates — catalog lookups in production). The exact legs price
+    * the audit's truth: 5 distinct connected sub-chains ({N,C}, {N,C,O},
+    * {C,O}, {C,O,L}, {O,L}), each ONE count-aggregated join, dimension
+    * sides broadcast, the two lineitem probes being the genuine
+    * fact-sized scans (q194's honesty note). Enumeration, cascade
+    * arithmetic, and ranking all run on the broadcast 1-row stats —
+    * pure int64 (at SF1000 the e·n products want DECIMAL headroom, as
+    * q199 documents). The ranking window orders 4 rows. */
+  /** Per-profile (name, est-cost expr, exact-cost expr) — the SAME
+    * expression text runs on Spark (div) and DuckDB (//), over the wide
+    * stats row (n_*, d_*) and exact sub-chain counts (x_*). */
+  private def q201Profiles(div: String): Seq[(String, String, String)] = {
+    val dNC = "greatest(d_nc_n, d_nc_c)"
+    val dCO = "greatest(d_co_c, d_co_o)"
+    val dOL = "greatest(d_ol_o, d_ol_l)"
+    def casc(e2: String, n3: String, d3: String) =
+      s"($e2) + ($e2) * $n3 $div $d3"
+    Seq(
+      // N⋈C first (dimension-first: the true optimum on this chain)
+      ("N.C.O.L", casc(s"n_n * n_c $div $dNC", "n_o", dCO), "x_nc + x_nco"),
+      // C⋈O first, dimension N next
+      ("C.O.N.L", casc(s"n_c * n_o $div $dCO", "n_n", dNC), "x_co + x_nco"),
+      // C⋈O first, fact L next
+      ("C.O.L.N", casc(s"n_c * n_o $div $dCO", "n_l", dOL), "x_co + x_col"),
+      // fact⋈fact first (the order reordering exists to avoid)
+      ("O.L.C.N", casc(s"n_o * n_l $div $dOL", "n_c", dCO), "x_ol + x_col"))
+  }
+
+  def q201JoinOrderAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def t(n: String): DataFrame = Tables(s, dir, n)
+    // catalog stats: one wide broadcast row (q199's parallel branches)
+    val st = t("nation")
+      .agg(count(lit(1)).as("n_n"), countDistinct($"n_nationkey").as("d_nc_n"))
+      .crossJoin(t("customer").agg(count(lit(1)).as("n_c"),
+        countDistinct($"c_nationkey").as("d_nc_c"),
+        countDistinct($"c_custkey").as("d_co_c")))
+      .crossJoin(t("orders").agg(count(lit(1)).as("n_o"),
+        countDistinct($"o_custkey").as("d_co_o"),
+        countDistinct($"o_orderkey").as("d_ol_o")))
+      .crossJoin(t("lineitem").agg(count(lit(1)).as("n_l"),
+        countDistinct($"l_orderkey").as("d_ol_l")))
+    // exact intermediate sizes: the 5 connected sub-chains, one
+    // count-agg join each
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val nc = t("nation").join(t("customer"), $"n_nationkey" === $"c_nationkey")
+    val co = t("customer").join(t("orders"), $"c_custkey" === $"o_custkey")
+    val ol = t("orders").join(t("lineitem"), $"o_orderkey" === $"l_orderkey")
+    val wide = st
+      .crossJoin(cnt(nc, "x_nc"))
+      .crossJoin(cnt(nc.join(t("orders"), $"c_custkey" === $"o_custkey"),
+        "x_nco"))
+      .crossJoin(cnt(co, "x_co"))
+      .crossJoin(cnt(co.join(t("lineitem"), $"o_orderkey" === $"l_orderkey"),
+        "x_col"))
+      .crossJoin(cnt(ol, "x_ol"))
+    val profiles = q201Profiles("div")
+    val rows = wide.selectExpr(s"stack(${profiles.size}, " +
+      profiles.map { case (n, est, exact) =>
+        s"'$n', cast(($est) as bigint), cast(($exact) as bigint)"
+      }.mkString(", ") + ") as (join_order, est_cost, exact_cost)")
+    val byEst = org.apache.spark.sql.expressions.Window
+      .orderBy($"est_cost", $"join_order")
+    val byExact = org.apache.spark.sql.expressions.Window
+      .orderBy($"exact_cost", $"join_order")
+    rows
+      .withColumn("err_milli",
+        expr("(1000 * (est_cost - exact_cost)) div greatest(exact_cost, 1)"))
+      .withColumn("est_rank", row_number().over(byEst).cast("long"))
+      .withColumn("exact_rank", row_number().over(byExact).cast("long"))
+      .withColumn("rank_match",
+        when($"est_rank" === $"exact_rank", 1L).otherwise(0L))
+      .orderBy($"join_order")
+  }
+
+  val q201Oracle: String = {
+    val profiles = q201Profiles("//")
+    val legs = profiles.map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS join_order,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH st AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_n,
+       |    (SELECT CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) FROM nation)
+       |      AS d_nc_n,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+       |    (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer)
+       |      AS d_nc_c,
+       |    (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+       |      AS d_co_c,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+       |    (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+       |      AS d_co_o,
+       |    (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+       |      AS d_ol_o,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+       |    (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+       |      AS d_ol_l),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey) AS x_nc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey
+       |     JOIN orders ON c_custkey = o_custkey) AS x_nco,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN orders ON c_custkey = o_custkey) AS x_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN orders ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_col,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_ol),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, exact_cost,
+       |  CAST((1000 * (est_cost - exact_cost))
+       |    // GREATEST(exact_cost, 1) AS BIGINT) AS err_milli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
@@ -680,6 +830,7 @@ object Layout {
     "q198_correlated_selectivity" -> q198CorrelatedSelectivity _,
     "q199_join_cardinality" -> q199JoinCardinality _,
     "q200_ndv_sketch" -> q200NdvSketch _,
+    "q201_join_order" -> q201JoinOrderAudit _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -689,5 +840,6 @@ object Layout {
     "q198_correlated_selectivity" -> q198Oracle,
     "q199_join_cardinality" -> q199Oracle,
     "q200_ndv_sketch" -> q200Oracle,
+    "q201_join_order" -> q201Oracle,
   )
 }

@@ -218,4 +218,38 @@ class LayoutSpec extends SparkSpec {
     val (nchExact, _, _, nchEst, _) = rows("documents.n_chars")
     assert(nchEst === nchExact)
   }
+
+  test("q201 join-order audit: the cost-model ranking matches the exact " +
+      "ranking, dimension-first wins, and the costs replay locally") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q201JoinOrderAudit(s, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.size === 4)
+    // the cost model must rank every profile exactly as the truth does
+    rows.foreach { case (o, (_, _, _, er, xr, m)) =>
+      assert(m === 1L, s"$o est_rank $er != exact_rank $xr")
+    }
+    // dimension-first is the true and the chosen optimum; fact⋈fact
+    // first is the true and the estimated worst
+    assert(rows("N.C.O.L")._4 === 1L && rows("N.C.O.L")._5 === 1L)
+    assert(rows("O.L.C.N")._4 === 4L && rows("O.L.C.N")._5 === 4L)
+    // local replay of the N.C.O.L cascade from base-table stats
+    def nd(t: String, k: String): (Long, Long) = {
+      val df = graft.Tables(s, sf, t)
+      (df.count(), df.select(k).distinct().count())
+    }
+    val (nN, dN) = nd("nation", "n_nationkey")
+    val (nC, dC) = nd("customer", "c_nationkey")
+    val (nO, dO) = nd("orders", "o_custkey")
+    val e2 = nN * nC / math.max(dN, dC)
+    val dCu = graft.Tables(s, sf, "customer")
+      .select($"c_custkey").distinct().count()
+    val e3 = e2 * nO / math.max(dCu, dO)
+    assert(rows("N.C.O.L")._1 === e2 + e3, "N.C.O.L cascade replay")
+    // the spread between best and worst is the value of reordering —
+    // materially more than rounding (>= 2x on this chain at any SF)
+    assert(rows("O.L.C.N")._2 >= 2 * rows("N.C.O.L")._2)
+  }
 }
