@@ -605,7 +605,8 @@ object StreamBench {
       containerGate: Option[SeamResult],
       labels: Option[SeamResult],
       stats: Option[SeamResult],
-      ndv: Option[SeamResult]) {
+      ndv: Option[SeamResult],
+      statsGen: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -632,7 +633,8 @@ object StreamBench {
         "container_gate" -> containerGate,
         "labels" -> labels,
         "stats" -> stats,
-        "ndv" -> ndv).map { case (k, v) =>
+        "ndv" -> ndv,
+        "stats_gen" -> statsGen).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -673,7 +675,62 @@ object StreamBench {
       guarded("containergate")(measureContainerGate(spark, sfDir)),
       guarded("labels")(measureLabels(spark, sfDir)),
       guarded("stats")(measureStats(spark, sfDir)),
-      guarded("ndv")(measureNdv(spark, sfDir)))
+      guarded("ndv")(measureNdv(spark, sfDir)),
+      guarded("statsgen")(measureStatsGen(spark, sfDir)))
+  }
+
+  /** S30 throughput: lineitem prices replayed through
+    * [[graft.streaming.StatsGenStream]] with a DRIFTED tail (prices ×3,
+    * ~1/7 of the mass) appended after the bounds were staged from the
+    * in-range head — so the run exercises a real mid-stream generation
+    * cutover, not just the binning core. `clean` = merged-histogram
+    * total of the final generation WHEN a cutover actually happened
+    * (mass through carry + rebin must equal the record count), −1 if no
+    * generation was elected (the seam failed its own premise). */
+  def measureStatsGen(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-statsgen"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val prices = Tables(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("p"))
+    for (chunk <- 0 to 2) {
+      prices.filter(pmod(($"p" * 100).cast("long"), lit(3)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    // stage generation 0 from the in-range head — untimed, the nightly
+    // election — THEN land the drifted tail
+    streaming.StatsGenStream
+      .stageInitial(spark.read.parquet(incoming), s"$root/out")
+    prices.filter(pmod(($"p" * 100).cast("long"), lit(7)) === 0)
+      .select(($"p" * 3).as("p"))
+      .write.mode("append").parquet(incoming)
+    // an in-range coda AFTER the drifted tail: the election check runs
+    // at batch START, so the batch following the drift evidence is the
+    // one that cuts over — without a coda, AvailableNow would end the
+    // stream on the drifted batch itself and never elect
+    prices.filter(pmod(($"p" * 100).cast("long"), lit(7)) === 1)
+      .write.mode("append").parquet(incoming)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("p double").option("maxFilesPerTrigger", 2).parquet(incoming)
+    val q = streaming.StatsGenStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:statsgen] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val cutOver =
+        streaming.StatsGenStream.generations(spark, s"$root/out").size >= 2
+      val total = streaming.StatsGenStream
+        .mergedHistogram(spark, s"$root/out")
+        .agg(sum($"n")).as[Long].head()
+      SeamResult(n / secs, n, if (cutOver) total else -1L, secs)
+    }
   }
 
   /** S29 throughput: lineitem order keys replayed as a file-source

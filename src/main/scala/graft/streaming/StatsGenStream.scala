@@ -1,0 +1,214 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Layout
+
+/** S30 — staged-bounds GENERATION CUTOVER for the streaming optimizer
+  * histogram: the piece S28 deliberately defers. S28 maintains the q197
+  * 4096-bin histogram under bounds elected once from the standing
+  * corpus, clamping out-of-range arrivals to the edge bins — correct
+  * until the distribution actually moves, at which point a production
+  * system must RE-ELECT the bounds and cut the artifact over to a new
+  * generation without losing the mass it has already absorbed. This
+  * driver runs that lifecycle end to end:
+  *
+  *  - every micro-batch writes S28's histogram partial
+  *    ([[StatsStream.batchHistogram]] — the LITERAL q197 binning) under
+  *    the CURRENT generation, plus a 1-row RANGE partial (count,
+  *    out-of-range count, raw batch min/max — raw even when the binned
+  *    values clamp, because the next election needs the true span);
+  *  - before binning, the batch checks the standing generation's
+  *    out-of-range mass (a metadata-sized sum over its range rows):
+  *    above [[DriftMilli]] per-mille, it ELECTS generation G+1 — new
+  *    bounds = the union span of the old bounds and every raw batch
+  *    range — and CARRIES the old generation's merged histogram across
+  *    by a mass-preserving deterministic rebin ([[rebin]]: telescoped
+  *    rounding of the piecewise-linear CDF, so the carried total equals
+  *    the old total EXACTLY regardless of rounding);
+  *  - readers take the highest generation (manifest + carry + its batch
+  *    partials) — the q164/S27 versioned-artifact contract, listed
+  *    through Hadoop's FileSystem API (the LabelStream r14 lesson: a
+  *    java.io.File listing silently resets state on non-local roots).
+  *
+  * Idempotence — scoped to foreachBatch's actual replay contract (the
+  * engine re-runs at most the LATEST uncommitted batch; committed
+  * batches never re-execute, so a pre-cutover batch can never re-land
+  * post-cutover): election is a pure function of the FROZEN previous
+  * generation — an electing batch has written nothing to it yet, and no
+  * new batch lands in G once G+1 exists — and both the carry and the
+  * manifest are deterministic overwrites, the manifest LAST as the
+  * commit point. So a replay crossing a crash anywhere (before the
+  * election, between carry and manifest, after either partial write)
+  * re-derives byte-identical artifacts: pre-manifest crashes re-elect
+  * the identical generation; post-manifest replays see the new
+  * generation current, find its out-of-range mass at zero, and simply
+  * overwrite their own partials. (A whole-stream restart with a FRESH
+  * checkpoint is a different operation — it re-ingests history and
+  * must target a fresh `root`, exactly as S27's versioned labels.)
+  *
+  * At 100 TB/day the added per-batch cost over S28 is one 1-row range
+  * aggregate and one metadata-sized drift sum; an election reads ≤ 4096
+  * histogram rows on the driver — a generation artifact, not data
+  * motion. */
+object StatsGenStream {
+
+  /** Out-of-range mass (per mille of the generation's rows) above which
+    * the next batch re-elects the bounds. */
+  val DriftMilli = 10L
+
+  final case class Gen(g: Long, mn: Double, mx: Double)
+
+  private def fs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Committed generations under `root/gens` (ascending), via Hadoop's
+    * FS API. */
+  def generations(s: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/gens")
+    val f = fs(s, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g="))
+      .map(_.getPath.getName.stripPrefix("g=").toLong).sorted
+  }
+
+  /** The current (highest) generation's manifest. */
+  def currentGen(s: SparkSession, root: String): Option[Gen] =
+    generations(s, root).sorted.lastOption.map { g =>
+      val r = s.read.parquet(s"$root/gens/g=$g").head()
+      Gen(g, r.getDouble(0), r.getDouble(1))
+    }
+
+  private def writeGen(s: SparkSession, root: String, gen: Gen): Unit = {
+    import s.implicits._
+    Seq((gen.mn, gen.mx)).toDF("mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/gens/g=${gen.g}")
+  }
+
+  /** Stage generation 0 from the standing corpus (S28's stageBounds,
+    * persisted as the first manifest). */
+  def stageInitial(prices: DataFrame, root: String): Gen = {
+    val (mn, mx) = StatsStream.stageBounds(prices)
+    val gen = Gen(0L, mn, mx)
+    writeGen(prices.sparkSession, root, gen)
+    gen
+  }
+
+  /** Mass-preserving deterministic rebin of a 4096-bin histogram from
+    * `from` bounds to `to` bounds (which must span them): each old bin's
+    * mass is a linear density over its width; new bin j receives
+    * r(j+1) − r(j) where r(j) = floor(C(edge_j) + 0.5) rounds the
+    * piecewise-linear cumulative count — telescoping, so the new total
+    * equals the old total EXACTLY whatever the rounding does. Driver-side
+    * by design: ≤ 4096 rows of generation metadata. */
+  private[streaming] def rebin(hist: Seq[(Long, Long)],
+      from: (Double, Double), to: (Double, Double)): Seq[(Long, Long)] = {
+    val b = Layout.HistBins
+    val (omn, omx) = from
+    val (nmn, nmx) = to
+    require(nmn <= omn && nmx >= omx, "new bounds must span the old")
+    val counts = Array.fill(b)(0L)
+    hist.foreach { case (bin, n) => counts(bin.toInt) += n }
+    val cum = counts.scanLeft(0L)(_ + _) // cum(i) = mass below old edge i
+    val ow = (omx - omn) / b
+    def cdf(x: Double): Double =
+      if (x <= omn) 0.0
+      else if (x >= omx) cum(b).toDouble
+      else {
+        val i = math.min(((x - omn) / ow).toInt, b - 1)
+        cum(i) + counts(i) * ((x - (omn + i * ow)) / ow)
+      }
+    val nw = (nmx - nmn) / b
+    def r(j: Int): Long = math.floor(cdf(nmn + j * nw) + 0.5).toLong
+    (0 until b).map(j => (j.toLong, r(j + 1) - r(j)))
+      .filter(_._2 > 0L)
+  }
+
+  /** The standing generation's out-of-range mass in per mille — a sum
+    * over its 1-row range partials (metadata). */
+  private[streaming] def oobMilli(s: SparkSession, root: String, g: Long)
+      : Long = {
+    val dir = new Path(s"$root/range/g=$g")
+    if (!fs(s, dir).exists(dir)) 0L
+    else {
+      val r = s.read.parquet(dir.toString)
+        .agg(sum("n"), sum("oob")).head()
+      if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
+      else 1000L * r.getLong(1) / r.getLong(0)
+    }
+  }
+
+  /** Elect generation `cur.g + 1`: bounds = union span of the old
+    * bounds and every raw batch range of the frozen old generation;
+    * carry = rebin of the old generation's merged batch partials.
+    * Deterministic in the frozen generation → overwrite-idempotent. */
+  private[streaming] def elect(s: SparkSession, root: String, cur: Gen)
+      : Gen = {
+    val span = s.read.parquet(s"$root/range/g=${cur.g}")
+      .agg(min("mn"), max("mx")).head()
+    val gen = Gen(cur.g + 1,
+      math.min(cur.mn, span.getDouble(0)), math.max(cur.mx, span.getDouble(1)))
+    val old = s.read.parquet(s"$root/hist/g=${cur.g}")
+      .groupBy("bin").agg(sum("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val carried = rebin(old, (cur.mn, cur.mx), (gen.mn, gen.mx))
+    import s.implicits._
+    // the carry is `batch=-1` so the generation directory stays a
+    // uniform batch=<id> partition layout (foreachBatch ids are ≥ 0);
+    // manifest LAST: its existence is the commit point — a crash between
+    // carry and manifest replays the whole election
+    carried.toDF("bin", "n").coalesce(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/hist/g=${gen.g}/batch=-1")
+    writeGen(s, root, gen)
+    gen
+  }
+
+  /** One micro-batch: maybe cut over, then write S28's histogram partial
+    * plus the 1-row range partial under the current generation. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val s = batch.sparkSession
+    val cur = currentGen(s, root)
+      .getOrElse(sys.error(s"no staged generation under $root/gens — " +
+        "run stageInitial first"))
+    val gen =
+      if (oobMilli(s, root, cur.g) > DriftMilli) elect(s, root, cur) else cur
+    val rows = batch.where(col("p").isNotNull).localCheckpoint(true)
+    StatsStream.batchHistogram(rows, gen.mn, gen.mx)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/hist/g=${gen.g}/batch=$batchId")
+    rows.agg(count(lit(1)).as("n"),
+        count(when(col("p") < gen.mn || col("p") > gen.mx, 1)).as("oob"),
+        coalesce(min(col("p")), lit(gen.mn)).as("mn"),
+        coalesce(max(col("p")), lit(gen.mx)).as("mx"))
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/range/g=${gen.g}/batch=$batchId")
+  }
+
+  /** Streaming driver. `prices` must carry (p double); stage generation
+    * 0 with [[stageInitial]] before starting. */
+  def run(prices: DataFrame, root: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    prices.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root)
+      }
+      .start()
+
+  /** The standing histogram: the CURRENT generation's carry + batch
+    * partials summed per bin — metadata-sized input. */
+  def mergedHistogram(s: SparkSession, root: String): DataFrame = {
+    val g = currentGen(s, root)
+      .getOrElse(sys.error(s"no staged generation under $root/gens")).g
+    s.read.parquet(s"$root/hist/g=$g")
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+  }
+}

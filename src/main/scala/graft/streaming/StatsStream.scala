@@ -21,8 +21,9 @@ import graft.ops.Layout
   * LITERAL q197 binning expression ([[Layout.histBinOf]] — staged and
   * batch histograms cannot disagree on a bin), and arrivals OUTSIDE the
   * staged range clamp to the edge bins (the half-bucket estimator already
-  * treats the extremes as open-ended; a drift large enough to matter is
-  * S13's drift-detector's job to flag for re-election).
+  * treats the extremes as open-ended; a drift large enough to matter
+  * triggers re-election — S30 ([[StatsGenStream]]) runs that full
+  * generation-cutover lifecycle on top of this binning core).
   *
   * Idempotency protocol (S8/S9/S12): the per-batch ≤ 4096-row partial is
   * a pure function of (batch, staged bounds), overwritten into
