@@ -53,8 +53,12 @@ object BenchPrev {
 
   /** True when a stamp warrants the isolated re-pass: ≥ `ratio`× its
     * previous-round value AND big enough in absolute terms that the
-    * excess is not just sub-second scheduler noise. */
+    * excess is not just sub-second scheduler noise. Ratio 2.0: the
+    * movers judges actually hand-adjudicated sat at ~2× (r13: q138
+    * 10.8s vs prev 5.3s = 2.04×) — a 3× trip line would have passed
+    * exactly the case the re-pass was built for. The requeue cap in
+    * [[Bench]] bounds the extra wall-clock either way. */
   def inflated(current: Double, prev: Option[Double],
-      ratio: Double = 3.0, floorSec: Double = 0.5): Boolean =
+      ratio: Double = 2.0, floorSec: Double = 0.5): Boolean =
     current >= floorSec && prev.exists(p => p > 0 && current >= ratio * p)
 }

@@ -47,9 +47,10 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(BenchPrev.parse("not json at all", names) === Map.empty)
   }
 
-  test("inflation gate: ≥3× over prev AND ≥0.5s absolute") {
+  test("inflation gate: ≥2× over prev AND ≥0.5s absolute") {
     assert(BenchPrev.inflated(10.8, Some(3.0)))
-    assert(!BenchPrev.inflated(8.9, Some(3.0)))   // < 3×
+    assert(BenchPrev.inflated(10.8, Some(5.3)))   // the r13 q138 case
+    assert(!BenchPrev.inflated(8.9, Some(5.3)))   // < 2×
     assert(!BenchPrev.inflated(0.45, Some(0.1)))  // sub-second noise band
     assert(BenchPrev.inflated(0.9, Some(0.25)))
     assert(!BenchPrev.inflated(10.8, None))       // new query: no baseline
