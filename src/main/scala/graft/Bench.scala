@@ -226,7 +226,9 @@ object Bench {
     }
     // Outlier re-pass (VERDICT r13 #2): full-run stamps inflate 2–40×
     // under transient driver load (three rounds of judge-adjudicated
-    // phantom movers); any stamp ≥3× its previous-round value is re-timed
+    // phantom movers); any stamp ≥2× its previous-round value (the trip
+    // line lives in BenchPrev.inflated — 2×, because the adjudicated
+    // movers sat at ~2×) is re-timed
     // AFTER the main loop behind a settle, median-of-3, and the final
     // stamp is min(original, re-run) — load noise is one-sided (it only
     // inflates), so the smaller of two medians is the better estimate of
@@ -243,9 +245,13 @@ object Bench {
           if (spec != "auto") java.nio.file.Paths.get(spec)
           else {
             val re = """BENCH_r(\d+)\.json""".r
-            val candidates = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-              .toArray.toSeq.map(_.toString)
-              .flatMap { p => re.findFirstMatchIn(p).map(m => (m.group(1).toInt, p)) }
+            val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+            val candidates =
+              try listing.toArray.toSeq.map(_.toString)
+                .flatMap { p =>
+                  re.findFirstMatchIn(p).map(m => (m.group(1).toInt, p))
+                }
+              finally listing.close() // Files.list leaks the dir handle otherwise
             java.nio.file.Paths.get(candidates.maxBy(_._1)._2)
           }
         val content = new String(

@@ -21,9 +21,12 @@ import graft.ops.Layout
   *    the CURRENT generation, plus a 1-row RANGE partial (count,
   *    out-of-range count, raw batch min/max — raw even when the binned
   *    values clamp, because the next election needs the true span);
-  *  - before binning, the batch checks the standing generation's
-  *    out-of-range mass (a metadata-sized sum over its range rows):
-  *    above [[DriftMilli]] per-mille, it ELECTS generation G+1 — new
+  *  - before binning, the batch checks the out-of-range mass of the
+  *    [[DriftWindow]] most recent COMMITTED batches — strictly before
+  *    its own id (self-exclusion keeps the decision replay-invariant),
+  *    windowed so fresh drift is not diluted by the generation's
+  *    accumulated mass: above [[DriftMilli]] per-mille, it ELECTS
+  *    generation G+1 — new
   *    bounds = the union span of the old bounds and every raw batch
   *    range — and CARRIES the old generation's merged histogram across
   *    by a mass-preserving deterministic rebin ([[rebin]]: telescoped
@@ -56,9 +59,17 @@ import graft.ops.Layout
   * motion. */
 object StatsGenStream {
 
-  /** Out-of-range mass (per mille of the generation's rows) above which
-    * the next batch re-elects the bounds. */
+  /** Out-of-range mass (per mille of the evidence window's rows) above
+    * which the next batch re-elects the bounds. */
   val DriftMilli = 10L
+
+  /** Trigger evidence window, in batches: the drift ratio is computed
+    * over the most recent [[DriftWindow]] COMMITTED batches, not the
+    * generation's cumulative counts — a cumulative denominator dilutes
+    * fresh drift under an old generation's mass (a sustained 5% shift
+    * against 10⁹ absorbed rows would take 2.6·10⁸ more rows to trip,
+    * and a permanent sub-threshold drift would never trip at all). */
+  val DriftWindow = 8L
 
   final case class Gen(g: Long, mn: Double, mx: Double)
 
@@ -66,13 +77,19 @@ object StatsGenStream {
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Committed generations under `root/gens` (ascending), via Hadoop's
-    * FS API. */
+    * FS API. Committed = the writer's `_SUCCESS` marker is present: a
+    * crash mid-way through the manifest write leaves a directory with no
+    * (or partial) data files, and listing it as a generation would wedge
+    * every subsequent [[currentGen]] read — a half-written manifest is
+    * instead invisible, so the next batch re-elects over it (the
+    * deterministic overwrite heals the directory). */
   def generations(s: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/gens")
     val f = fs(s, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("g=")
+        && f.exists(new Path(st.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("g=").toLong).sorted
   }
 
@@ -129,14 +146,21 @@ object StatsGenStream {
       .filter(_._2 > 0L)
   }
 
-  /** The standing generation's out-of-range mass in per mille — a sum
-    * over its 1-row range partials (metadata). */
-  private[streaming] def oobMilli(s: SparkSession, root: String, g: Long)
-      : Long = {
+  /** The generation's out-of-range mass in per mille over the evidence
+    * window — the [[DriftWindow]] most recent range partials STRICTLY
+    * BEFORE `belowBatch` (a metadata sum). Excluding the current batch
+    * id is what makes the election decision replay-invariant: a crash
+    * after batch b wrote its partials but before the epoch committed
+    * would otherwise let b's replay see its OWN range row, elect where
+    * the first run did not, and double-count b's mass through the carry. */
+  private[streaming] def oobMilli(s: SparkSession, root: String, g: Long,
+      belowBatch: Long): Long = {
     val dir = new Path(s"$root/range/g=$g")
     if (!fs(s, dir).exists(dir)) 0L
     else {
       val r = s.read.parquet(dir.toString)
+        .where(col("batch") >= belowBatch - DriftWindow &&
+          col("batch") < belowBatch)
         .agg(sum("n"), sum("oob")).head()
       if (r.isNullAt(0) || r.getLong(0) == 0L) 0L
       else 1000L * r.getLong(1) / r.getLong(0)
@@ -178,7 +202,8 @@ object StatsGenStream {
       .getOrElse(sys.error(s"no staged generation under $root/gens — " +
         "run stageInitial first"))
     val gen =
-      if (oobMilli(s, root, cur.g) > DriftMilli) elect(s, root, cur) else cur
+      if (oobMilli(s, root, cur.g, batchId) > DriftMilli) elect(s, root, cur)
+      else cur
     val rows = batch.where(col("p").isNotNull).localCheckpoint(true)
     StatsStream.batchHistogram(rows, gen.mn, gen.mx)
       .coalesce(1).write.mode(SaveMode.Overwrite)

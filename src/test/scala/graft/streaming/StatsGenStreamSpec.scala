@@ -105,5 +105,33 @@ class StatsGenStreamSpec extends SparkSpec {
     assert(gen1b === gen1, "re-election must be deterministic")
     assert(toMap(StatsGenStream.mergedHistogram(s, root)) === m1,
       "re-elected carry + partials must be byte-identical")
+
+    // half-written manifest (crash DURING the write): a gens/g=2
+    // directory with no _SUCCESS marker must be invisible — not listed,
+    // not wedging currentGen, and healed by the next overwrite
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$root/gens/g=2"))
+    assert(StatsGenStream.generations(s, root) === Seq(0L, 1L),
+      "a markerless manifest directory must not be listed as committed")
+    assert(StatsGenStream.currentGen(s, root).get === gen1)
+    StatsGenStream.processBatch(file4.toDF("p"), 3L, root)
+    assert(toMap(StatsGenStream.mergedHistogram(s, root)) === m1)
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$root/gens/g=2"), true)
+
+    // trigger self-exclusion: evidence strictly BEFORE the batch's own
+    // id — a crash after batch b wrote its range partial but before the
+    // epoch committed must not let b's replay elect off its own row
+    Seq((300L, 300L, 500.0, 999.0)).toDF("n", "oob", "mn", "mx")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/range/g=1/batch=99")
+    assert(StatsGenStream.oobMilli(s, root, 1L, 99L) <= 10L,
+      "the batch's own range row must be excluded from its evidence")
+    assert(StatsGenStream.oobMilli(s, root, 1L, 100L) > 10L,
+      "the SAME row is evidence for the NEXT batch")
+    // windowing: drift evidence ages out of the trigger after
+    // DriftWindow batches (a cumulative denominator would instead
+    // dilute fresh drift under old mass forever)
+    assert(StatsGenStream.oobMilli(s, root, 1L,
+      99L + StatsGenStream.DriftWindow + 1L) === 0L,
+      "evidence older than the window must not trip the trigger")
   }
 }
