@@ -823,6 +823,193 @@ object Layout {
        |FROM costed ORDER BY join_order""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q202
+  /** Zone-map pruning audit — what the q98 layout argument and the
+    * q197 statistics exist to BUY: scan cost. A 100 TB table is read
+    * through file-level min/max statistics ("zone maps" — parquet
+    * footers, Iceberg/Delta file stats), and the fraction of files a
+    * predicate can SKIP is determined entirely by how the writer laid
+    * rows into files. This audit builds the same 64-file zone maps
+    * under three writer layouts — NATURAL (insertion order ≈ orderkey
+    * ranges: every file spans the whole price/date domain), SORTED by
+    * price (price zones are tight, date zones shredded), and Z-ORDER on
+    * (price, date) (the q98 Morton tiling: both dimensions bounded) —
+    * and grades 10 range predicates (5 on price, 5 on date) on each:
+    * `files_read` (zone overlaps the predicate — what the reader MUST
+    * open) vs `files_match` (files that truly contain a matching row),
+    * with the false-positive gap and the skip rate. The expected shape
+    * IS the audit's finding: sorted-by-price skips ~4/5 of files on
+    * price predicates and nearly nothing on date predicates; z-order
+    * skips materially on BOTH — the quantified case for multi-dimension
+    * clustering (q98's bbox argument, priced in files).
+    *
+    * Determinism: file ids are pure integer/double arithmetic over the
+    * broadcast stats row (value-range buckets and the q98 Morton
+    * interleave — no global windows, no ntile ties); predicate bounds
+    * are the q197 threshold expressions; the row-match and zone-overlap
+    * conditions share the same half-open semantics (last bucket
+    * closed), so read ⊇ match by construction.
+    *
+    * Scale shape: ONE row-priced pass per layout for the zone maps
+    * (map-side partial agg to 64 groups) — in production these are free
+    * parquet-footer reads, recomputed here so DuckDB can hash-match —
+    * plus ONE broadcast nested-loop pass joining rows to the 10
+    * predicate rows for the exact file-match truth (each row matches
+    * ≤ 2 predicates). Overlap testing and the final counts run on
+    * 64·10·3 metadata rows. */
+  private val ZmFiles = 64
+  /** Shared expression fragments; `div` = "div" (Spark) / "//" (DuckDB),
+    * `day` = the engine's l_shipdate→epoch-day expression. */
+  private def zmExprs(div: String): Map[String, String] = Map(
+    "f_nat" -> (s"least(cast(floor(cast(ok as double) * $ZmFiles.0" +
+      s" / (mx_ok + 1.0)) as bigint), ${ZmFiles - 1})"),
+    "f_sort" -> (s"least(cast(floor((p - mn_p) * $ZmFiles.0" +
+      s" / (mx_p - mn_p)) as bigint), ${ZmFiles - 1})"),
+    "zx" -> ("least(cast(floor((p - mn_p) * 1024.0 / (mx_p - mn_p))" +
+      " as bigint), 1023)"),
+    "zy" -> ("least(cast(floor(cast(d - mn_d as double) * 1024.0" +
+      " / cast(mx_d - mn_d as double)) as bigint), 1023)"),
+    "f_z" -> s"(${zmMorton("zx", "zy")}) $div 16384")
+  private def zmMorton(x: String, y: String): String =
+    (0 until 10).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+  /** The 10 predicate rows' (k, col, lo, hi, closed) expressions over
+    * the stats row: 5 fifths of the price span, 5 of the date span;
+    * the last bucket of each is closed. */
+  private def zmPreds: Seq[(Int, String, String, String, Int)] =
+    (1 to 5).map { k =>
+      (k, "p", s"mn_p + ${k - 1} * (mx_p - mn_p) / 5.0",
+        s"mn_p + $k * (mx_p - mn_p) / 5.0", if (k == 5) 1 else 0)
+    } ++ (1 to 5).map { k =>
+      (k + 5, "d", s"mn_d + ${k - 1} * (mx_d - mn_d) / 5.0",
+        s"mn_d + $k * (mx_d - mn_d) / 5.0", if (k == 5) 1 else 0)
+    }
+  /** Row-match and zone-overlap share the half-open-unless-closed
+    * semantics: value ∈ [lo, hi) — or [lo, hi] when closed. */
+  private def zmMatchCond: String =
+    Seq("p", "d").map { c =>
+      s"(pred_col = '$c' AND $c >= lo AND" +
+        s" ($c < hi OR (closed = 1 AND $c <= hi)))"
+    }.mkString(" OR ")
+  private def zmOverlapCond: String =
+    Seq("p", "d").map { c =>
+      s"(pred_col = '$c' AND zmax_$c >= lo AND" +
+        s" (zmin_$c < hi OR (closed = 1 AND zmin_$c <= hi)))"
+    }.mkString(" OR ")
+
+  def q202ZoneMapAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = zmExprs("div")
+    val li = Tables(s, dir, "lineitem").selectExpr(
+      "l_extendedprice as p",
+      "datediff(l_shipdate, date'1970-01-01') as d",
+      "l_orderkey as ok")
+    val st = li.agg(min($"p").as("mn_p"), max($"p").as("mx_p"),
+      min($"d").as("mn_d"), max($"d").as("mx_d"), max($"ok").as("mx_ok"))
+      .localCheckpoint(true)
+    val rows = li.crossJoin(broadcast(st))
+      .selectExpr("p", "d",
+        s"${e("f_nat")} as f_nat", s"${e("f_sort")} as f_sort",
+        s"${e("zx")} as zx", s"${e("zy")} as zy")
+      .selectExpr("p", "d", "f_nat", "f_sort", s"${e("f_z")} as f_z")
+    val preds = st.selectExpr(s"stack(${zmPreds.size}, " +
+      zmPreds.map { case (k, c, lo, hi, cl) =>
+        s"$k, '$c', cast(($lo) as double), cast(($hi) as double), $cl"
+      }.mkString(", ") + ") as (k, pred_col, lo, hi, closed)")
+      .localCheckpoint(true)
+    // exact truth: ONE row-priced pass — each row matches ≤ 2 of the 10
+    // broadcast predicate rows; files_match = distinct files per layout
+    val matched = rows.join(broadcast(preds), expr(zmMatchCond))
+      .groupBy($"k").agg(
+        countDistinct($"f_nat").as("m_natural"),
+        countDistinct($"f_sort").as("m_sorted"),
+        countDistinct($"f_z").as("m_zorder"))
+      .selectExpr("k", "stack(3, 'natural', m_natural, " +
+        "'sorted', m_sorted, 'zorder', m_zorder) as (layout, files_match)")
+    // zone maps: 64 (min, max) rows per layout — parquet footers in
+    // production, recomputed for the oracle
+    def zones(f: String, layout: String): DataFrame =
+      rows.groupBy(col(f).as("f"))
+        .agg(min($"p").as("zmin_p"), max($"p").as("zmax_p"),
+          min($"d").as("zmin_d"), max($"d").as("zmax_d"))
+        .withColumn("layout", lit(layout))
+    val allZones = zones("f_nat", "natural")
+      .unionByName(zones("f_sort", "sorted"))
+      .unionByName(zones("f_z", "zorder"))
+    val read = allZones.join(broadcast(preds), expr(zmOverlapCond))
+      .groupBy($"layout", $"k").agg(count(lit(1)).as("files_read"))
+    read.join(matched, Seq("layout", "k"), "left")
+      .join(broadcast(preds.select($"k", $"pred_col")), Seq("k"))
+      .select($"layout", $"k".cast("long").as("pred_id"), $"pred_col",
+        $"files_read", coalesce($"files_match", lit(0L)).as("files_match"))
+      .withColumn("false_pos", expr("files_read - files_match"))
+      .withColumn("skip_milli",
+        expr(s"(1000 * ($ZmFiles - files_read)) div $ZmFiles"))
+      .orderBy($"layout", $"pred_id")
+  }
+
+  val q202Oracle: String = {
+    val e = zmExprs("//")
+    def zoneLeg(f: String, layout: String): String =
+      s"""  SELECT '$layout' AS layout, $f AS f,
+         |    MIN(p) AS zmin_p, MAX(p) AS zmax_p,
+         |    MIN(d) AS zmin_d, MAX(d) AS zmax_d
+         |  FROM rows GROUP BY 1, 2""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_extendedprice AS p,
+       |    date_diff('day', DATE '1970-01-01', l_shipdate) AS d,
+       |    l_orderkey AS ok
+       |  FROM lineitem),
+       |st AS (
+       |  SELECT MIN(p) AS mn_p, MAX(p) AS mx_p, MIN(d) AS mn_d,
+       |    MAX(d) AS mx_d, MAX(ok) AS mx_ok
+       |  FROM li),
+       |keyed AS (
+       |  SELECT p, d, ${e("f_nat")} AS f_nat, ${e("f_sort")} AS f_sort,
+       |    ${e("zx")} AS zx, ${e("zy")} AS zy
+       |  FROM li, st),
+       |rows AS (
+       |  SELECT p, d, f_nat, f_sort, ${e("f_z")} AS f_z FROM keyed),
+       |preds AS (
+       |${zmPreds.map { case (k, c, lo, hi, cl) =>
+          s"""  SELECT $k AS k, '$c' AS pred_col,
+             |    CAST(($lo) AS DOUBLE) AS lo, CAST(($hi) AS DOUBLE) AS hi,
+             |    $cl AS closed FROM st""".stripMargin
+        }.mkString("\nUNION ALL\n")}),
+       |matched AS (
+       |  SELECT k,
+       |    COUNT(DISTINCT f_nat) AS m_natural,
+       |    COUNT(DISTINCT f_sort) AS m_sorted,
+       |    COUNT(DISTINCT f_z) AS m_zorder
+       |  FROM rows JOIN preds ON ($zmMatchCond)
+       |  GROUP BY k),
+       |fm AS (
+       |  SELECT k, 'natural' AS layout, m_natural AS files_match FROM matched
+       |  UNION ALL
+       |  SELECT k, 'sorted', m_sorted FROM matched
+       |  UNION ALL
+       |  SELECT k, 'zorder', m_zorder FROM matched),
+       |zones AS (
+       |${Seq(zoneLeg("f_nat", "natural"), zoneLeg("f_sort", "sorted"),
+          zoneLeg("f_z", "zorder")).mkString("\nUNION ALL\n")}),
+       |fr AS (
+       |  SELECT layout, k, CAST(COUNT(*) AS BIGINT) AS files_read
+       |  FROM zones JOIN preds ON ($zmOverlapCond)
+       |  GROUP BY 1, 2)
+       |SELECT fr.layout, CAST(fr.k AS BIGINT) AS pred_id, p.pred_col,
+       |  fr.files_read,
+       |  CAST(COALESCE(fm.files_match, 0) AS BIGINT) AS files_match,
+       |  CAST(fr.files_read - COALESCE(fm.files_match, 0) AS BIGINT)
+       |    AS false_pos,
+       |  CAST((1000 * ($ZmFiles - fr.files_read)) // $ZmFiles AS BIGINT)
+       |    AS skip_milli
+       |FROM fr
+       |LEFT JOIN fm ON fr.layout = fm.layout AND fr.k = fm.k
+       |JOIN preds p ON fr.k = p.k
+       |ORDER BY fr.layout, pred_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
@@ -831,6 +1018,7 @@ object Layout {
     "q199_join_cardinality" -> q199JoinCardinality _,
     "q200_ndv_sketch" -> q200NdvSketch _,
     "q201_join_order" -> q201JoinOrderAudit _,
+    "q202_zone_map" -> q202ZoneMapAudit _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -841,5 +1029,6 @@ object Layout {
     "q199_join_cardinality" -> q199Oracle,
     "q200_ndv_sketch" -> q200Oracle,
     "q201_join_order" -> q201Oracle,
+    "q202_zone_map" -> q202Oracle,
   )
 }

@@ -252,4 +252,35 @@ class LayoutSpec extends SparkSpec {
     // materially more than rounding (>= 2x on this chain at any SF)
     assert(rows("O.L.C.N")._2 >= 2 * rows("N.C.O.L")._2)
   }
+
+  test("q202 zone maps: read superset of match, natural layout prunes " +
+      "nothing, sorted prunes only its own dimension, z-order prunes both") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q202ZoneMapAudit(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(rows.size === 30)
+    rows.foreach { case ((l, k), (_, read, m, fp, skip)) =>
+      // zone maps may read too much, never too little
+      assert(m <= read && read <= 64, s"$l/$k read/match sanity")
+      assert(fp === read - m && fp >= 0, s"$l/$k false_pos")
+      assert(skip === 1000 * (64 - read) / 64, s"$l/$k skip formula")
+    }
+    def skips(l: String, c: String) =
+      rows.collect { case ((`l`, _), (`c`, _, _, _, sk)) => sk }
+    // insertion order interleaves both domains into every file
+    assert(skips("natural", "p").forall(_ === 0L))
+    assert(skips("natural", "d").forall(_ === 0L))
+    // a price sort makes price zones tight and shreds the date zones
+    assert(skips("sorted", "p").forall(_ >= 500L),
+      s"sorted layout must skip most files on its sort column")
+    assert(skips("sorted", "d").forall(_ <= 100L),
+      s"sorted layout cannot prune the shredded dimension")
+    // the Morton tiling bounds BOTH dimensions (the q98 bbox argument,
+    // priced in files)
+    assert(skips("zorder", "p").forall(_ >= 400L))
+    assert(skips("zorder", "d").forall(_ >= 400L))
+  }
 }
