@@ -64,11 +64,15 @@ object Layout {
   /** The same 20-term interleave, unrolled in SQL. Spark's `/` on longs is
     * integer division only via `div`, so the minute index uses `//` on the
     * DuckDB side and `div`-free cast arithmetic is avoided on both. */
+  /** The 20-term Morton-interleave SQL (shared by q98's oracle and
+    * q202's z-order file assignment — one generator, so the two cannot
+    * diverge); valid Spark SQL and DuckDB verbatim. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 10).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   val q98Oracle: String = {
-    def mortonSql(x: String, y: String): String =
-      (0 until 10).map { i =>
-        s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
-      }.mkString(" + ")
     s"""WITH keyed AS (
        |  SELECT ${Sql.pmod("user_id", 1024)} AS x,
        |    ${Sql.pmod("epoch_ms(ts) // 60000", 1024)} AS y
@@ -858,8 +862,9 @@ object Layout {
     * ≤ 2 predicates). Overlap testing and the final counts run on
     * 64·10·3 metadata rows. */
   private val ZmFiles = 64
-  /** Shared expression fragments; `div` = "div" (Spark) / "//" (DuckDB),
-    * `day` = the engine's l_shipdate→epoch-day expression. */
+  /** Shared expression fragments over the stats row; `div` = "div"
+    * (Spark) / "//" (DuckDB). The epoch-day column `d` is produced
+    * upstream per engine (datediff / date_diff — the one dialect split). */
   private def zmExprs(div: String): Map[String, String] = Map(
     "f_nat" -> (s"least(cast(floor(cast(ok as double) * $ZmFiles.0" +
       s" / (mx_ok + 1.0)) as bigint), ${ZmFiles - 1})"),
@@ -869,11 +874,7 @@ object Layout {
       " as bigint), 1023)"),
     "zy" -> ("least(cast(floor(cast(d - mn_d as double) * 1024.0" +
       " / cast(mx_d - mn_d as double)) as bigint), 1023)"),
-    "f_z" -> s"(${zmMorton("zx", "zy")}) $div 16384")
-  private def zmMorton(x: String, y: String): String =
-    (0 until 10).map { i =>
-      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
-    }.mkString(" + ")
+    "f_z" -> s"(${mortonSql("zx", "zy")}) $div 16384")
   /** The 10 predicate rows' (k, col, lo, hi, closed) expressions over
     * the stats row: 5 fifths of the price span, 5 of the date span;
     * the last bucket of each is closed. */
