@@ -21,7 +21,7 @@ PATTERNS = {
     # commons, derby, scalatest/scalacheck, graft itself). Session-variable
     # imports (`import s.implicits._`) are not package roots and don't match.
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache\.(spark|commons|derby)|org\.scalatest|org\.scalacheck|graft\.)(org|com|net|io|ai|co|dev|us)\.[a-z0-9_]+\.",
+        r"^\s*import\s+(?!org\.apache\.(spark|commons|derby|hadoop|logging)|org\.scalatest|org\.scalacheck|graft\.)(org|com|net|io|ai|co|dev|us)\.[a-z0-9_]+\.",
         re.M),
     # any URL whose host is NOT on the public allowlist — internal wikis,
     # issue trackers, dashboards, corp TLDs all match (the previous version
