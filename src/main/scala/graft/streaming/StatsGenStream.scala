@@ -141,7 +141,14 @@ object StatsGenStream {
         cum(i) + counts(i) * ((x - (omn + i * ow)) / ow)
       }
     val nw = (nmx - nmn) / b
-    def r(j: Int): Long = math.floor(cdf(nmn + j * nw) + 0.5).toLong
+    // endpoints pinned exactly: the first/last new edges are ≤ omn /
+    // ≥ omx by the require above, but nmn + b·nw can land an ulp below
+    // omx in FP — with large bin counts the interpolation error then
+    // exceeds the 0.5 rounding guard and the telescoped total drifts
+    def r(j: Int): Long =
+      if (j <= 0) 0L
+      else if (j >= b) cum(b)
+      else math.floor(cdf(nmn + j * nw) + 0.5).toLong
     (0 until b).map(j => (j.toLong, r(j + 1) - r(j)))
       .filter(_._2 > 0L)
   }

@@ -30,6 +30,29 @@ class StatsGenStreamSpec extends SparkSpec {
     assert(rs.map(_._2).sum === 3L * 4096)
   }
 
+  test("rebin property: mass is preserved exactly and bins stay " +
+      "non-negative for random histograms and spanning bounds") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 1 to 100) {
+      // sparse random histogram: up to 64 populated bins, skewed counts
+      val hist = Seq.fill(rnd.nextInt(64) + 1)(
+        (rnd.nextInt(4096).toLong,
+          math.abs(rnd.nextLong() % (1L << rnd.nextInt(40))) + 1L))
+      val omn = rnd.nextDouble() * 1000 - 500
+      val omx = omn + rnd.nextDouble() * 1000 + 1e-6
+      val nmn = omn - rnd.nextDouble() * 500
+      val nmx = omx + rnd.nextDouble() * 500
+      val out = StatsGenStream.rebin(hist, (omn, omx), (nmn, nmx))
+      // the telescoped-CDF rounding must never lose or mint mass, for
+      // ANY counts (including ones far past double's 2^53 exactness if
+      // they arose — bounded here to 2^40 per bin, realistic per-file
+      // partial scale) and ANY spanning bounds
+      assert(out.map(_._2).sum === hist.map(_._2).sum,
+        s"mass not preserved for bounds ($omn,$omx)->($nmn,$nmx)")
+      assert(out.forall { case (b, n) => b >= 0 && b < 4096 && n > 0 })
+    }
+  }
+
   test("in-range traffic stays in generation 0; drift elects exactly " +
       "one new generation; mass carries exactly; replay is idempotent") {
     val s = spark
