@@ -1011,6 +1011,92 @@ object Layout {
        |ORDER BY fr.layout, pred_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q203
+  /** MCV (most-common-values) estimation audit — the answer to q199's
+    * open finding. q199 measured the plain containment rule
+    * underestimating the skewed `n_chars` self-join by ~21% (Σ n(v)²
+    * exceeds N²/D by the second frequency moment, which ndv alone
+    * cannot see). The classic catalog fix — Postgres's pg_stats, every
+    * serious optimizer since System R's successors — keeps the top-k
+    * FREQUENT values exactly (the MCV list) and applies the uniformity
+    * assumption only to the remainder. This audit grades that hybrid at
+    * k ∈ {0, 8, 32, 128}: est(k) = Σ_{v ∈ top-k} n(v)² + n_rest² div
+    * ndv_rest, against the exact Σ_v n(v)² — k = 0 reproduces q199's
+    * underestimate verbatim; the error collapses toward zero as the MCV
+    * list absorbs the head of the frequency distribution. The output is
+    * the sizing curve a catalog designer actually reads: how many MCV
+    * slots buy how much estimation error.
+    *
+    * Determinism: the MCV ranking breaks frequency ties by value
+    * (ORDER BY n DESC, v), identical in both engines; everything after
+    * the one value-domain aggregation is pure int64.
+    *
+    * Scale shape: ONE corpus pass partial-aggregates to the value-domain
+    * count table (n_chars is a bounded attribute — its domain stays
+    * value-sized at any corpus scale); the ranking window and the 4
+    * conditional-sum legs ride that metadata table (the q192/q196
+    * metadata-window discipline); no join is ever materialized — the
+    * exact self-join count is the Σ n(v)² identity from q199. */
+  private val McvKs = Seq(0, 8, 32, 128)
+  def q203McvEstimation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables(s, dir, "documents")
+      .groupBy($"n_chars".as("v")).agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"v")))
+    val aggs = sum($"n" * $"n").as("exact_rows") +:
+      McvKs.flatMap { k =>
+        Seq(coalesce(sum(when($"r" <= k, $"n" * $"n")), lit(0L))
+          .as(s"mcv_$k"),
+          coalesce(sum(when($"r" > k, $"n")), lit(0L)).as(s"nrest_$k"),
+          count(when($"r" > k, 1)).as(s"drest_$k"))
+      }
+    val wide = ranked.agg(aggs.head, aggs.tail: _*)
+    wide.selectExpr(s"stack(${McvKs.size}, " +
+      McvKs.map { k =>
+        s"$k, cast(mcv_$k + nrest_$k * nrest_$k div greatest(drest_$k, 1)" +
+          s" as bigint), exact_rows"
+      }.mkString(", ") + ") as (mcv_k, est_rows, exact_rows)")
+      .select($"mcv_k".cast("long"), $"est_rows", $"exact_rows")
+      .withColumn("err_milli",
+        expr("(1000 * (est_rows - exact_rows)) div greatest(exact_rows, 1)"))
+      .orderBy($"mcv_k")
+  }
+
+  val q203Oracle: String = {
+    val legs = McvKs.map { k =>
+      s"""  SELECT $k AS mcv_k,
+         |    CAST(mcv_$k + nrest_$k * nrest_$k
+         |      // GREATEST(drest_$k, 1) AS BIGINT) AS est_rows,
+         |    exact_rows
+         |  FROM wide""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |  SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |ranked AS (
+       |  SELECT v, n, ROW_NUMBER() OVER (ORDER BY n DESC, v) AS r
+       |  FROM counts),
+       |wide AS (
+       |  SELECT CAST(SUM(n * n) AS BIGINT) AS exact_rows,
+       |${McvKs.map { k =>
+          s"""    CAST(COALESCE(SUM(CASE WHEN r <= $k THEN n * n END), 0)
+             |      AS BIGINT) AS mcv_$k,
+             |    CAST(COALESCE(SUM(CASE WHEN r > $k THEN n END), 0)
+             |      AS BIGINT) AS nrest_$k,
+             |    CAST(COUNT(CASE WHEN r > $k THEN 1 END) AS BIGINT)
+             |      AS drest_$k""".stripMargin
+        }.mkString(",\n")}
+       |  FROM ranked),
+       |legs AS (
+       |$legs
+       |)
+       |SELECT CAST(mcv_k AS BIGINT) AS mcv_k, est_rows, exact_rows,
+       |  CAST((1000 * (est_rows - exact_rows))
+       |    // GREATEST(exact_rows, 1) AS BIGINT) AS err_milli
+       |FROM legs ORDER BY mcv_k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
@@ -1020,6 +1106,7 @@ object Layout {
     "q200_ndv_sketch" -> q200NdvSketch _,
     "q201_join_order" -> q201JoinOrderAudit _,
     "q202_zone_map" -> q202ZoneMapAudit _,
+    "q203_mcv_estimation" -> q203McvEstimation _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1031,5 +1118,6 @@ object Layout {
     "q200_ndv_sketch" -> q200Oracle,
     "q201_join_order" -> q201Oracle,
     "q202_zone_map" -> q202Oracle,
+    "q203_mcv_estimation" -> q203Oracle,
   )
 }

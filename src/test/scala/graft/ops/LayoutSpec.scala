@@ -283,4 +283,36 @@ class LayoutSpec extends SparkSpec {
     assert(skips("zorder", "p").forall(_ >= 400L))
     assert(skips("zorder", "d").forall(_ >= 400L))
   }
+
+  test("q203 MCV estimation: k=0 reproduces q199's skew underestimate, " +
+      "error shrinks monotonically in k, and the estimator replays " +
+      "locally") {
+    val s = spark
+    import s.implicits._
+    val rows = Layout.q203McvEstimation(s, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.keySet === Set(0L, 8L, 32L, 128L))
+    val exact = rows(0L)._2
+    assert(rows.values.forall(_._2 === exact), "one truth for all k")
+    // k = 0 is exactly q199's plain containment rule on the self-join:
+    // underestimates well beyond noise on the skewed attribute
+    assert(rows(0L)._3 < -100, s"k=0 must reproduce the skew gap")
+    // MCV slots buy error: |err| non-increasing in k, near-exact at 128
+    val errs = Seq(0L, 8L, 32L, 128L).map(k => math.abs(rows(k)._3))
+    assert(errs === errs.sorted.reverse, s"|err| must shrink in k: $errs")
+    assert(errs.last <= 20, s"128 MCV slots must be near-exact: $errs")
+    // local replay from the raw frequency table
+    val counts = graft.Tables(s, sf, "documents")
+      .groupBy($"n_chars").count().as[(Long, Long)].collect()
+      .sortBy { case (v, n) => (-n, v) }
+    assert(exact === counts.map { case (_, n) => n * n }.sum)
+    val k = 8
+    val (mcv, rest) = counts.splitAt(k)
+    val est8 = mcv.map { case (_, n) => n * n }.sum + {
+      val nr = rest.map(_._2).sum
+      nr * nr / math.max(rest.size, 1)
+    }
+    assert(rows(8L)._1 === est8, "k=8 estimator replay")
+  }
 }
