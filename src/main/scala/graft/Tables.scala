@@ -18,12 +18,29 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Per-(session, dir, table) plan cache (r15): every spark.read.parquet
+  // call runs a ~40ms schema-inference job on the driver, SERIALIZED —
+  // q199 alone referenced its tables 16 times and paid ~1s before any
+  // real work. The fixture dirs are immutable, so the analyzed plan
+  // (schema + file listing) is reused for the session's lifetime; plans
+  // are immutable, so sharing one DataFrame object across queries is
+  // safe — and identical scan subplans now canonicalize equal, which is
+  // what lets the exchange-reuse rule actually fire. Keyed on session
+  // IDENTITY (default AnyRef equality): specs that build many short
+  // sessions leave tiny plan objects behind, so the cache self-clears
+  // at a size far above any real session count.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      // `div` (integer division) — ts is ~1.7e18, beyond double's 2^53.
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (cache.size > 512) cache.clear()
+    cache.computeIfAbsent((spark, dir, name), { _ =>
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        // `div` (integer division) — ts is ~1.7e18, beyond double's 2^53.
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
   }
 }
 

@@ -97,7 +97,25 @@ case class HexUint(h: Expression, pos: Expression, le: Expression, digits: Int)
       TypeCheckResult.TypeCheckFailure(s"hex_uint needs an int/long pos, got ${pos.dataType}")
     else if (le.dataType != BooleanType)
       TypeCheckResult.TypeCheckFailure(s"hex_uint needs a boolean le, got ${le.dataType}")
-    else TypeCheckResult.TypeCheckSuccess
+    else pos match {
+      // ADVICE r14: hex_uint's NULL-sentinel on negative positions
+      // diverges from substr's count-from-the-end — every current call
+      // site is provably non-negative, and a foldable negative position
+      // is certainly a future caller misreading the contract, so fail it
+      // at analysis time rather than silently returning NULLs. (A
+      // non-foldable pos stays a runtime concern: the parsers' walk
+      // arithmetic is unsigned-parse + positive offsets by construction.)
+      case p if p.foldable && p.eval() != null &&
+          (p.eval() match {
+            case i: Int => i < 0
+            case l: Long => l < 0
+            case _ => false
+          }) =>
+        TypeCheckResult.TypeCheckFailure(
+          "hex_uint pos must be >= 0 (negative positions do NOT count " +
+            "from the string end as substr does; they return NULL)")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override protected def nullSafeEval(hv: Any, pv: Any, lv: Any): Any = {

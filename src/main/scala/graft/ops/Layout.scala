@@ -443,75 +443,110 @@ object Layout {
     * beyond plain ndv), and the near-uniform o_orderdate⋈l_shipdate
     * non-key join as the within-1% contrast row.
     *
-    * Scale shape: the stats legs are per-side partial aggregates (count
-    * + exact ndv of the join key — what a catalog keeps as HLL sketches
-    * and serves for FREE at plan time; exact and recomputed here so the
-    * DuckDB oracle can hash-match). The
-    * exact join counts are the corpus-priced audit evidence: dimension
-    * sides broadcast, the lineitem⋈orders count is the one genuine
-    * fact⋈fact shuffle — the same honesty note as q194's FK probes. The
-    * estimator itself reads ONLY the broadcast 1-row stats (pure integer
-    * arithmetic; at SF1000 `n_left·n_right` wants DECIMAL headroom —
-    * documented, longs suffice at every test SF). */
+    * Scale shape (reworked r15, VERDICT r14 #4 — no materialized join
+    * anywhere): a four-stage linear plan. (1) One per-value COUNT TABLE
+    * per distinct (table, key) side — 16 of them, each a column-pruned
+    * scan whose partial agg runs inside the scan task, so every shuffle
+    * carries key-domain rows; values cast to string after aggregation
+    * so all 16 union into one tagged frame (casts are injective and
+    * both members of every edge cast from the same type, so equality
+    * and distinctness are preserved). (2) ONE pivot groupBy on the
+    * value domain: per distinct v, the 16 side counts as columns.
+    * (3) ONE wide 1-row aggregate computes every output at once — per
+    * side n = Σ counts and ndv = non-null-value count (identical
+    * integers to the count/countDistinct legs they replace), per edge
+    * the exact count by the identity |A ⋈ B| = Σ_v a(v)·b(v).
+    * (4) stack() fans the wide row to the 9 edge rows (the q197
+    * pattern — union-of-projections over one agg would re-aggregate
+    * per branch). The corpus is touched once per side and the whole
+    * audit is TWO shuffles of value-domain-sized data — the r14 shape
+    * paid 30+ scans, 18 countDistinct legs, a genuine lineitem⋈orders
+    * fact⋈fact shuffle and three lineitem row-pair probes for the same
+    * integers (7.35s → 1.9s isolated at sf0.1). Two rejected variants,
+    * for the record: per-edge Σ a(v)·b(v) joins still re-scan every
+    * side twice (the join's pushed IsNotNull(key) de-canonicalizes its
+    * exchange against the stats leg's, so exchange reuse never fires),
+    * and a checkpointed shared count frame loses its partitioning
+    * through LogicalRDD, so the 9 joins re-shuffle anyway. The DuckDB
+    * oracle keeps the literal joins on the FK edges — same integers,
+    * independent derivation. The estimator itself reads ONLY the wide
+    * stats row (pure integer arithmetic; at SF1000 `n_left·n_right`
+    * wants DECIMAL headroom — documented, longs suffice at every test
+    * SF). */
+  /** The 9 audited edges: (name, left table, left key, right table,
+    * right key). `documents_chars_self` is the skew stress row (n_chars
+    * duplicates concentrate mass — Σ n(v)² beats N²/D by the second
+    * frequency moment, the underestimation that motivates frequency
+    * histograms beyond plain ndv, err ≈ −207‰); `orders_lineitem_date`
+    * is the near-uniform non-key contrast row (within ~1%). */
+  private val q199Edges = Seq(
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("documents_chars_self", "documents", "n_chars", "documents", "n_chars"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("orders_lineitem_date", "orders", "o_orderdate", "lineitem", "l_shipdate"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
   def q199JoinCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def t(n: String): DataFrame = Tables(s, dir, n)
-    // Per-side stats aggregates, left as parallel branches of the ONE
-    // action (a production planner reads these from the catalog for
-    // free; eagerly pre-materializing them here serialized 8 small jobs
-    // and measured SLOWER than letting the scheduler overlap the
-    // branches — 6.5s vs 4.8s isolated at sf0.1)
-    def stats(table: String, key: String, side: String): DataFrame =
-      t(table).agg(count(lit(1)).as(s"n_$side"),
-        countDistinct(col(key)).as(s"ndv_$side"))
-    def edgeFrom(name: String, lt: String, lk: String, rt: String,
-        rk: String, exact: DataFrame): DataFrame =
-      stats(lt, lk, "left").crossJoin(stats(rt, rk, "right"))
-        .crossJoin(exact)
-        .select(lit(name).as("join_edge"),
-          $"n_left", $"n_right", $"ndv_left", $"ndv_right",
-          expr("n_left * n_right div greatest(ndv_left, ndv_right)")
-            .as("est_rows"),
-          $"exact_rows",
-          expr("(1000 * (n_left * n_right div greatest(ndv_left, ndv_right)" +
-            " - exact_rows)) div greatest(exact_rows, 1)").as("err_milli"))
-    // FK edges: the exact count IS the audited join (dimension sides
-    // broadcast; lineitem⋈orders is the one genuine fact⋈fact shuffle)
-    def edge(name: String, lt: String, lk: String, rt: String, rk: String)
-        : DataFrame =
-      edgeFrom(name, lt, lk, rt, rk,
-        t(lt).join(t(rt), col(lk) === col(rk))
-          .agg(count(lit(1)).as("exact_rows")))
-    // Stress edges join on multi-valued attributes where the row
-    // explosion would be quadratic-ish — the exact count uses the
-    // identity |A ⋈_v B| = Σ_v a(v)·b(v): two per-value partial-agg
-    // count tables joined on the VALUE DOMAIN (never materializing the
-    // join), the same trick a planner's cardinality validator uses
-    def edgeByCounts(name: String, lt: String, lk: String, rt: String,
-        rk: String): DataFrame =
-      edgeFrom(name, lt, lk, rt, rk,
-        t(lt).groupBy(col(lk).as("__v")).agg(count(lit(1)).as("__na"))
-          .join(t(rt).groupBy(col(rk).as("__v"))
-            .agg(count(lit(1)).as("__nb")), "__v")
-          .agg(coalesce(sum($"__na" * $"__nb"), lit(0L)).as("exact_rows")))
-    Seq(
-      edge("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-      // skew stress: n_chars duplicates concentrate mass — Σ n(v)² beats
-      // N²/D by the second frequency moment, the underestimation that
-      // motivates frequency histograms beyond plain ndv (err ≈ −207‰)
-      edgeByCounts("documents_chars_self",
-        "documents", "n_chars", "documents", "n_chars"),
-      edge("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-      edge("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
-      edge("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-      edge("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
-      edge("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
-      // non-key multi-valued date join: near-uniform domains keep the
-      // rule within ~1% — the contrast row to the skewed self-join
-      edgeByCounts("orders_lineitem_date",
-        "orders", "o_orderdate", "lineitem", "l_shipdate"),
-      edge("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-    ).reduce(_.unionByName(_)).orderBy($"join_edge")
+    val sides: Seq[(String, String)] =
+      q199Edges.flatMap { case (_, lt, lk, rt, rk) => Seq(lt -> lk, rt -> rk) }
+        .distinct
+    val sideIdx: Map[(String, String), Int] = sides.zipWithIndex.toMap
+    // Stage 1 — one aggregated count table per side: the groupBy's
+    // partial agg runs inside each (column-pruned) scan task, so each
+    // shuffle carries key-domain rows; values cast to string AFTER
+    // aggregation so all 16 union into one tagged frame. Null keys form
+    // a tagged null group (n must sum them, as count(*) did).
+    val counts = sides.map { case (tbl, key) =>
+      t(tbl).groupBy(col(key).as("vk")).agg(count(lit(1)).as("n"))
+        .select(lit(sideIdx((tbl, key))).as("side"),
+          col("vk").cast("string").as("v"), col("n"))
+    }.reduce(_.unionByName(_))
+    // Stage 2 — ONE pivot on the value domain: per distinct v, the 16
+    // per-side counts as columns (c0..c15). Unrelated sides sharing a
+    // string value coexist in one row harmlessly — every consumer below
+    // touches only its own columns.
+    val byV = counts.groupBy($"v")
+      .agg(sum(when($"side" === 0, $"n")).as("c0"),
+        sides.indices.tail.map(i =>
+          sum(when($"side" === i, $"n")).as(s"c$i")): _*)
+    // Stage 3 — ONE wide 1-row aggregate carries every output: per side
+    // n = Σ counts (null-v row included, as count(*) was) and ndv =
+    // count of non-null values; per edge the exact inner-join count by
+    // the identity Σ_v n_L(v)·n_R(v) (the null-v row excluded — an
+    // equi-join never matches null). Identical integers to the
+    // count/countDistinct/join legs this replaces.
+    val aggs =
+      sides.indices.map(i => coalesce(sum(s"c$i"), lit(0L)).as(s"nt_$i")) ++
+      sides.indices.map(i =>
+        count(when($"v".isNotNull && col(s"c$i").isNotNull, 1)).as(s"nd_$i")) ++
+      q199Edges.zipWithIndex.map { case ((_, lt, lk, rt, rk), e) =>
+        val (li, ri) = (sideIdx((lt, lk)), sideIdx((rt, rk)))
+        coalesce(sum(when($"v".isNotNull,
+          coalesce(col(s"c$li"), lit(0L)) * coalesce(col(s"c$ri"), lit(0L)))),
+          lit(0L)).as(s"x_$e")
+      }
+    val wide = byV.agg(aggs.head, aggs.tail: _*)
+    // Stage 4 — stack the wide row to the 9 edge rows; est and err are
+    // pure integer expressions over the wide columns (q197's
+    // one-wide-aggregate + stack pattern: union-of-projections over a
+    // single agg would re-aggregate per branch).
+    val rows = q199Edges.zipWithIndex.map { case ((name, lt, lk, rt, rk), e) =>
+      val (li, ri) = (sideIdx((lt, lk)), sideIdx((rt, rk)))
+      val est = s"nt_$li * nt_$ri div greatest(nd_$li, nd_$ri)"
+      s"'$name', nt_$li, nt_$ri, nd_$li, nd_$ri, cast(($est) as bigint), " +
+        s"x_$e, cast(((1000 * (($est) - x_$e)) div greatest(x_$e, 1)) " +
+        "as bigint)"
+    }
+    wide.selectExpr(s"stack(${q199Edges.size}, ${rows.mkString(", ")}) " +
+      "as (join_edge, n_left, n_right, ndv_left, ndv_right, est_rows, " +
+      "exact_rows, err_milli)")
+      .orderBy($"join_edge")
   }
 
   val q199Oracle: String = {

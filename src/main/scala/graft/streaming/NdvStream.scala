@@ -70,7 +70,11 @@ object NdvStream {
     * driver-side by design, like q199's catalog lookup): exhaustive
     * below K, (K−1)·P div h_(K) at K. */
   def estimate(sketch: DataFrame): Long = {
-    val r = sketch.agg(count(lit(1)), coalesce(max(col("h")), lit(0L))).head()
+    // by NAME, not ordinal (ADVICE r14): an aggregate reorder must fail
+    // the read, not silently swap the row count and the k-th hash
+    val r = sketch
+      .agg(count(lit(1)).as("rows"), coalesce(max(col("h")), lit(0L)).as("kth"))
+      .select("rows", "kth").head()
     Layout.kmvEstimate(r.getLong(0), r.getLong(1))
   }
 }

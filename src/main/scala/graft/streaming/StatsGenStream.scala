@@ -96,7 +96,9 @@ object StatsGenStream {
   /** The current (highest) generation's manifest. */
   def currentGen(s: SparkSession, root: String): Option[Gen] =
     generations(s, root).sorted.lastOption.map { g =>
-      val r = s.read.parquet(s"$root/gens/g=$g").head()
+      // by NAME, not ordinal (ADVICE r14): a column added or reordered
+      // in writeGen must fail the read, not silently swap mn and mx
+      val r = s.read.parquet(s"$root/gens/g=$g").select("mn", "mx").head()
       Gen(g, r.getDouble(0), r.getDouble(1))
     }
 
@@ -177,11 +179,19 @@ object StatsGenStream {
   /** Elect generation `cur.g + 1`: bounds = union span of the old
     * bounds and every raw batch range of the frozen old generation;
     * carry = rebin of the old generation's merged batch partials.
-    * Deterministic in the frozen generation → overwrite-idempotent. */
+    * Deterministic in the frozen generation → overwrite-idempotent.
+    *
+    * Carried-mass placement caveat (ADVICE r14): drifted rows the OLD
+    * generation absorbed were clamped into its edge bin, so the rebin
+    * redistributes that mass near the old max, not at the true drifted
+    * values — the merged histogram's totals are exact across a cutover,
+    * but bin placement of pre-election drift mass is positionally
+    * approximate (the spec asserts mass, not placement). */
   private[streaming] def elect(s: SparkSession, root: String, cur: Gen)
       : Gen = {
     val span = s.read.parquet(s"$root/range/g=${cur.g}")
-      .agg(min("mn"), max("mx")).head()
+      .agg(min("mn").as("mn"), max("mx").as("mx"))
+      .select("mn", "mx").head()
     val gen = Gen(cur.g + 1,
       math.min(cur.mn, span.getDouble(0)), math.max(cur.mx, span.getDouble(1)))
     val old = s.read.parquet(s"$root/hist/g=${cur.g}")
