@@ -22,6 +22,18 @@ object Bench {
     // failure must never break the one-JSON-line contract.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Load canary (VERDICT r14 #1): probe the machine at run start,
+    // middle, and end; the median/expected ratio is emitted as
+    // "load_index" on the bench line so inflated stamps carry their own
+    // health warning instead of costing a judge another adjudication.
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canary(tag: String): Unit = {
+      val t = LoadCanary.probe(spark)
+      canaryTimes += t
+      System.err.println(f"[bench] load canary ($tag): $t%.3fs " +
+        f"(expected ${LoadCanary.expectedSec}%.3fs quiesced)")
+    }
+    canary("start")
     // Clamped ≥ 1 and guarded against non-numeric values: a bad env var
     // must degrade to the default, never break the one-JSON-line contract.
     // Default raised 3 → 5 in round 5: sub-second queries were observed
@@ -201,13 +213,15 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition { case (name, _) => !sideEffecting(name) }
     val (pure, gates) = rest.partition { case (name, _) => !gateCluster(name) }
+    val ordered = (pure ++ gates ++ dirty)
+    val midIdx = ordered.size / 2
     val measured = prepEntry ++ forgetPrep ++ compactPrep ++ suffixPrep ++
-      annPrep ++ (pure ++ gates ++ dirty)
-      .map { case (name, fn) =>
+      annPrep ++ ordered.zipWithIndex.map { case ((name, fn), idx) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),
       // which is far beyond the 2× regression threshold the gate enforces.
       // The median is robust to one bad run in three; total = sum of medians.
+      if (idx == midIdx && ordered.size >= 2) canary("middle")
       if (sideEffecting(name) || gateCluster(name))
         settle() // untimed fence before gate/dirty entries
       val times = (1 to iters).flatMap { _ =>
@@ -233,42 +247,67 @@ object Bench {
     // stamp is min(original, re-run) — load noise is one-sided (it only
     // inflates), so the smaller of two medians is the better estimate of
     // steady-state cost. Previous stamps come from the latest
-    // driver-committed BENCH_r*.json in the working directory
-    // (SPARK_GRAFT_BENCH_PREV overrides the path; "none" disables), so
-    // the driver contract is unchanged. Everything is guarded: a missing
-    // or malformed prev file simply skips the re-pass.
+    // driver-committed BENCH_r*.json in the working directory, with
+    // target/bench.json (the previous run's own full-precision archive,
+    // not yet overwritten at this point) filling in names the driver
+    // file lacks — the committed tail may carry only family subtotals
+    // once the line ladder floors out (SPARK_GRAFT_BENCH_PREV overrides
+    // the path; "none" disables). Everything is guarded: a missing or
+    // malformed prev file simply skips the re-pass.
     val prevStamps: Map[String, Double] = {
       val spec = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "auto")
       if (spec == "none") Map.empty
-      else scala.util.Try {
-        val path =
-          if (spec != "auto") java.nio.file.Paths.get(spec)
-          else {
-            val re = """BENCH_r(\d+)\.json""".r
-            val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-            val candidates =
-              try listing.toArray.toSeq.map(_.toString)
-                .flatMap { p =>
-                  re.findFirstMatchIn(p).map(m => (m.group(1).toInt, p))
-                }
-              finally listing.close() // Files.list leaks the dir handle otherwise
-            java.nio.file.Paths.get(candidates.maxBy(_._1)._2)
-          }
-        val content = new String(
-          java.nio.file.Files.readAllBytes(path), "UTF-8")
-        val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
-        System.err.println(
-          s"[bench] outlier re-pass baseline: $path (${parsed.size} stamps)")
-        parsed
-      }.getOrElse(Map.empty)
+      else {
+        val primary = scala.util.Try {
+          val path =
+            if (spec != "auto") java.nio.file.Paths.get(spec)
+            else {
+              val re = """BENCH_r(\d+)\.json""".r
+              val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+              val candidates =
+                try listing.toArray.toSeq.map(_.toString)
+                  .flatMap { p =>
+                    re.findFirstMatchIn(p).map(m => (m.group(1).toInt, p))
+                  }
+                finally listing.close() // Files.list leaks the dir handle otherwise
+              java.nio.file.Paths.get(candidates.maxBy(_._1)._2)
+            }
+          val content = new String(
+            java.nio.file.Files.readAllBytes(path), "UTF-8")
+          val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+          System.err.println(
+            s"[bench] outlier re-pass baseline: $path (${parsed.size} stamps)")
+          parsed
+        }.getOrElse(Map.empty)
+        val fallback = scala.util.Try {
+          val content = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get("target", "bench.json")), "UTF-8")
+          val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+          if (parsed.nonEmpty) System.err.println(
+            s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
+          parsed
+        }.getOrElse(Map.empty[String, Double])
+        fallback ++ primary
+      }
     }
     val requeueCap = 12 // bound the re-pass wall-clock; stderr if exceeded
     var requeues = 0
     val results = measured.map { case (name, v) =>
       val fn = SparkEntry.queries.get(name) // prep entries are not re-runnable
+      // ADVICE r14: only the PURE partition re-runs — a warm isolated
+      // rerun of a gate/dirty query against already-mutated scratch state
+      // can undercut its honest cold cost (and mutate state after the
+      // suite ended), so min(original, rerun) would understate it.
+      val requeueable = fn.nonEmpty &&
+        !sideEffecting(name) && !gateCluster(name)
       if (!BenchPrev.inflated(v, prevStamps.get(name)) || fn.isEmpty)
         name -> v
-      else if (requeues >= requeueCap) {
+      else if (!requeueable) {
+        System.err.println(f"[bench] $name inflated ≥2× vs prev " +
+          f"(${prevStamps(name)}%.2fs → $v%.2fs) but is a gate/dirty " +
+          "query — not requeued (warm rerun would understate it)")
+        name -> v
+      } else if (requeues >= requeueCap) {
         System.err.println(s"[bench] requeue cap $requeueCap reached; " +
           s"$name left at stamped ${f"$v%.2f"}s")
         name -> v
@@ -295,63 +334,12 @@ object Bench {
         }
       }
     }
-    // The driver keeps only the LAST ~2000 chars of output; with 67 full
-    // query names and 9-decimal doubles the line reached ~2900 chars and
-    // its head was clipped — BENCH_r0{1,3,4,5} all recorded parsed:null.
-    // Round-5 fixes: (a) millisecond precision, (b) the driver-contract
-    // short key form ("q1" for "q1_agg"). Round 9 showed those stop
-    // scaling at ~110 entries once the ~700-char streambench object rides
-    // along (2,645 chars, parsed:null again — VERDICT r9 #1). Round-10
-    // fixes, permanent this time: (c) streambench is emitted as its OWN
-    // labeled JSON line (and file) BEFORE the query line, so the LAST
-    // stdout line is totals + per-query times only; (d) the query line's
-    // length is checked at emit time — over the tail budget, per-query
-    // precision degrades 3 → 2 → 1 decimals (run-to-run noise is well
-    // above 10 ms at this scale) with a stderr warning.
-    def shortKey(name: String): String = {
-      val p = name.takeWhile(_ != '_')
-      if (p.matches("q\\d+")) p else name
-    }
-    // ADVICE r6: two full names sharing a qN prefix would collide on the
-    // short key and silently drop a timing from the JSON object. Keep the
-    // short form only where it is unique; colliding entries fall back to
-    // their full (unique) names plus a loud stderr warning — no timing is
-    // ever lost, and the contract's one-JSON-line shape is preserved.
-    // VERDICT r10 #2: the ladder gained a `stripQ` dimension — once the
-    // 1-decimal floor is reached, the constant "q" prefix is dropped from
-    // numeric keys ("q114" → "114", ~1 char × |queries| back), with the
-    // same collision fallback; prep entries (no q-prefix) are untouched.
-    // VERDICT r11 #6: a deciseconds rung between (1,stripQ) and the
-    // 0-decimal floor — per-query values become integer DECISECONDS
-    // ("114":42 = 4.2 s), self-described by a `"qunit":"ds"` key so the
-    // line stays unambiguous; 10× the floor rung's resolution for ~the
-    // same chars (the dot is dropped, one digit comes back). The total
-    // `value` stays seconds at full precision on every rung.
-    def queryLine(decimals: Int, stripQ: Boolean, deci: Boolean = false): String = {
-      def key0(name: String): String = {
-        val p = shortKey(name)
-        if (stripQ && p.matches("q\\d+")) p.drop(1) else p
-      }
-      val keyCounts = results.groupBy { case (k, _) => key0(k) }.map {
-        case (sk, vs) => sk -> vs.size
-      }
-      def fmt(v: Double): String =
-        if (deci) math.round(v * 10).toString
-        else String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
-      val qs = results.map { case (k, v) =>
-        val sk = key0(k)
-        val key = if (keyCounts(sk) == 1) sk else {
-          System.err.println(s"[bench] WARNING: short key '$sk' is ambiguous; emitting full name '$k'")
-          k
-        }
-        s"\"" + key + "\":" + fmt(v)
-      }.mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val totalStr =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
-      val qunit = if (deci) "\"qunit\":\"ds\"," else ""
-      s"""{"metric":"total","value":$totalStr,"unit":"sec",$qunit"queries":$qs,"sf":"$sfDir"}"""
-    }
+    canary("end")
+    val loadIndex = LoadCanary.index(canaryTimes.toSeq, LoadCanary.expectedSec)
+    if (loadIndex >= 1.4) System.err.println(
+      f"[bench] WARNING: load_index $loadIndex%.2f — the machine was LOADED " +
+        "during this run; stamps are inflated wholesale. Adjudicate movers " +
+        "with isolated re-runs (SPARK_GRAFT_BENCH_ONLY), not round-over-round.")
     // Streaming throughput lives in a persisted artifact (VERDICT r4 item
     // 5) but NOT on the driver-parsed query line (VERDICT r9 item 1) — it
     // gets its own labeled line, printed BEFORE the query line, plus its
@@ -368,38 +356,27 @@ object Bench {
     val streamLine = streamJson.map(j =>
       s"""{"metric":"streambench","seams":$j,"sf":"$sfDir"}""")
     // Tail budget kept below the driver's ~2,000-char window with margin.
-    // The ladder (VERDICT r10 #2): full precision first, then degrade
-    // decimals, then strip the constant q-prefix from keys, then the
-    // 0-decimal floor (run-to-run noise at this scale is well above 1s
-    // for every query that would round to 0 anyway). Each rung preserves
-    // the driver-parsed schema: {"metric","value","unit","queries","sf"}.
+    // The ladder (VERDICT r10 #2, restructured r14 #2 — see [[BenchLine]]):
+    // full precision first, then degraded rungs, and a BOUNDED family-
+    // subtotal floor with a detail pointer instead of the old integer-
+    // seconds floor; full-precision per-query stamps always ride the
+    // bench_queries detail lines and target/bench.json.
     // SPARK_GRAFT_BENCH_TAIL_BUDGET exists to exercise the lower rungs in
     // a cheap subset run (the driver never sets it); guarded like the
     // other env knobs — a bad value degrades to the default.
     val tailBudget = math.max(50, scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900").toInt)
       .getOrElse(1900))
-    // (decimals, stripQ, deciseconds); the ds rung sits above the
-    // 0-decimal floor — same footprint as (1, true) minus the dots, with
-    // 10× the floor's resolution (VERDICT r11 #6).
-    val ladder = Seq((3, false, false), (2, false, false), (1, false, false),
-      (1, true, false), (1, true, true), (0, true, false))
-    val (line, rung) = ladder.iterator
-      .map { case (d, sq, ds) => (queryLine(d, sq, ds), (d, sq, ds)) }
-      .find { case (l, r) => l.length <= tailBudget || r == ladder.last }
-      .get
-    def rungDesc(r: (Int, Boolean, Boolean)): String =
-      if (r._3) s"deciseconds, stripQ=${r._2}"
-      else s"${r._1} decimals, stripQ=${r._2}"
-    if (rung != ladder.head) System.err.println(
-      s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at ${rungDesc(rung)} (${line.length} chars)")
-    if (line.length > tailBudget) System.err.println(
-      s"[bench] WARNING: query line ${line.length} chars exceeds $tailBudget even at the ladder floor — driver tail may clip; split the line next round")
+    val li = Some(loadIndex)
+    val (line, rung) = BenchLine.finalLine(results, sfDir, tailBudget, li,
+      System.err.println)
+    if (rung != "3 decimals, stripQ=false") System.err.println(
+      s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at $rung (${line.length} chars)")
     // Headroom report (VERDICT r10 #2): how much budget the CHOSEN rung
     // leaves, and roughly how many more ~11-char entries fit before the
-    // next rung engages — so the overflow is visible a round early.
+    // next rung engages — so a rung change is visible a round early.
     System.err.println(s"[bench] query line ${line.length}/$tailBudget chars " +
-      s"at ${rungDesc(rung)} — headroom " +
+      s"at $rung — headroom " +
       s"${tailBudget - line.length} chars (~${(tailBudget - line.length) / 11} more entries on this rung)")
     def writeFile(name: String, content: String): Unit = try {
       val out = java.nio.file.Paths.get("target", name)
@@ -411,21 +388,29 @@ object Bench {
     // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets
     // run/outputStrategy := StdoutOutput so stdout passes through raw; the
     // file and stderr copies are belt-and-braces for any other launcher.
-    // Order matters: streambench FIRST so the query line stays LAST.
+    // Order matters: streambench and the full-precision detail lines come
+    // FIRST so the driver-parsed query line stays LAST.
     streamLine.foreach { sl =>
       println(sl)
       System.err.println(sl)
       writeFile("streambench.json", sl)
     }
+    BenchLine.detailLines(results, sfDir).foreach { dl =>
+      println(dl)
+      System.err.println(dl)
+    }
     println(line)
     System.err.println(line)
     // target/bench.json stays self-sufficient for the judge: the full
-    // 3-decimal query line, with streambench inlined when it was measured.
+    // 3-decimal query line (with load_index), with streambench inlined
+    // when it was measured.
+    val fullLine = BenchLine.queryLine(results, sfDir, 3, stripQ = false,
+      deci = false, loadIndex = li)
     writeFile("bench.json", streamJson match {
       case Some(sj) =>
-        queryLine(3, stripQ = false).stripSuffix(s""","sf":"$sfDir"}""") +
+        fullLine.stripSuffix(s""","sf":"$sfDir"}""") +
           s""","streambench":$sj,"sf":"$sfDir"}"""
-      case None => queryLine(3, stripQ = false)
+      case None => fullLine
     })
     spark.stop()
   }

@@ -6,40 +6,49 @@ package graft
   * load while an isolated re-run showed unchanged cost (r12: q137
   * stamped 13.5s vs 1.54s isolated; r13: q138 10.8s vs 4.99s). The
   * re-pass compares each stamp to the previous round's driver-committed
-  * `BENCH_r*.json` and re-times inflated queries after the main loop,
-  * when the transient load has usually drained.
+  * `BENCH_r*.json` (with the previous run's `target/bench.json` as a
+  * full-precision fallback) and re-times inflated queries after the main
+  * loop, when the transient load has usually drained.
   *
   * The parsing lives here, pure and spec-covered, because the prev file
   * can carry any emit rung of the bench line ladder: full query names or
-  * `qN`/stripped-digit short keys, seconds at 0–3 decimals, or integer
-  * deciseconds self-described by `"qunit":"ds"`.
+  * `qN`/stripped-digit short keys, seconds at 1–3 decimals, integer
+  * deciseconds self-described by `"qunit":"ds"`, the r15 family-subtotal
+  * floor (whose family keys match no query name and fall away), and the
+  * r15 `bench_queries` detail lines (full names, 3 decimals).
   */
 object BenchPrev {
 
-  /** Extract full-query-name → seconds from a driver `BENCH_r*.json` (or
-    * a raw bench stdout line). The driver file wraps the bench stdout
-    * tail as an ESCAPED string plus the driver-parsed object; escaped
-    * copies contain `\"queries\"` and so cannot match the unescaped
-    * regex below — the LAST unescaped `"queries"` object is the parsed
-    * one. Returns only names present in `queryNames`; negative stamps
-    * (failed queries) are dropped. Any shape surprise yields an empty
-    * map — the re-pass must never break the bench contract. */
+  /** Extract full-query-name → seconds from a driver `BENCH_r*.json`, a
+    * `target/bench.json`, or raw bench stdout. The driver file wraps the
+    * bench stdout tail as an ESCAPED string plus the driver-parsed
+    * object; escaped copies contain `\"queries\"` and so cannot match
+    * the unescaped regex below. EVERY unescaped `"queries"` object
+    * contributes, FIRST-seen name wins: the full-precision
+    * `bench_queries` detail lines precede the final line in stdout, so
+    * their 3-decimal stamps beat the final line's degraded rung when
+    * both are present. Returns only names present in `queryNames`;
+    * negative stamps (failed queries) are dropped. Any shape surprise
+    * yields an empty map — the re-pass must never break the bench
+    * contract. */
   def parse(content: String, queryNames: Set[String]): Map[String, Double] =
     try {
       val qre = """"queries"\s*:\s*\{([^{}]*)\}""".r
-      qre.findAllMatchIn(content).toList.lastOption match {
-        case None => Map.empty
-        case Some(m) =>
-          // deciseconds rung: "qunit":"ds" sits in the same emitted object,
-          // a few keys before "queries"
-          val pre = content.substring(math.max(0, m.start - 400), m.start)
+      val pair = """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+      qre.findAllMatchIn(content).toList.foldLeft(Map.empty[String, Double]) {
+        (acc, m) =>
+          // Deciseconds detection, anchored to THIS object (ADVICE r14:
+          // a fixed 400-char look-behind could pick up a neighboring
+          // object's qunit): every emit rung prints `"qunit":"ds"`
+          // immediately before `"queries"`, so a 64-char window cannot
+          // reach past this object's own keys.
+          val pre = content.substring(math.max(0, m.start - 64), m.start)
           val scale =
             if (""""qunit"\s*:\s*"ds"""".r.findFirstIn(pre).isDefined) 0.1
             else 1.0
-          val pair = """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
           val raw = pair.findAllMatchIn(m.group(1))
             .map(p => p.group(1) -> p.group(2).toDouble).toMap
-          queryNames.iterator.flatMap { full =>
+          val batch = queryNames.iterator.flatMap { full =>
             val p = full.takeWhile(_ != '_')
             val keys =
               if (p.matches("q\\d+")) Seq(full, p, p.drop(1)) else Seq(full)
@@ -48,6 +57,7 @@ object BenchPrev {
                 full -> raw(k) * scale
             }
           }.toMap
+          batch ++ acc // first-seen wins: acc (earlier matches) overrides
       }
     } catch { case _: Throwable => Map.empty }
 

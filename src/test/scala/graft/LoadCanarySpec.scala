@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench load canary (VERDICT r14 #1): index math pinned pure, and
+  * the one property that makes the canary worth emitting — CPU
+  * contention moves it — demonstrated with deliberate oversubscription.
+  */
+class LoadCanarySpec extends SparkSpec {
+
+  test("index: median of valid probes over expected, 2 decimals") {
+    assert(LoadCanary.index(Seq(0.07), 0.07) === 1.0)
+    assert(LoadCanary.index(Seq(0.14, 0.15, 0.13), 0.07) === 2.0)
+    // median across probe points: one clean probe cannot hide sustained
+    // load, one spike cannot fake it
+    assert(LoadCanary.index(Seq(0.07, 0.21, 0.22), 0.07) === 3.0)
+    assert(LoadCanary.index(Seq(0.07, 0.07, 0.35), 0.07) === 1.0)
+    // failed probes (-1) are dropped; all-failed or bad expected → -1
+    assert(LoadCanary.index(Seq(-1.0, 0.14), 0.07) === 2.0)
+    assert(LoadCanary.index(Seq(-1.0, -1.0), 0.07) === -1.0)
+    assert(LoadCanary.index(Seq(0.07), 0.0) === -1.0)
+    assert(LoadCanary.index(Seq.empty, 0.07) === -1.0)
+  }
+
+  test("expected cost: env override is guarded, default is positive") {
+    assert(LoadCanary.DefaultExpectedSec > 0)
+    assert(LoadCanary.expectedSec > 0) // env unset or valid either way
+  }
+
+  test("emitted shape: load_index key parseable on the final line") {
+    val (line, _) = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 1900,
+      Some(LoadCanary.index(Seq(0.1), 0.07)))
+    val re = """"load_index":(-?\d+\.\d{2}),"queries"""".r
+    val m = re.findFirstMatchIn(line)
+    assert(m.isDefined, s"load_index must precede queries: $line")
+    assert(m.get.group(1).toDouble === 1.43)
+  }
+
+  test("CPU contention moves the canary: deliberate 2x oversubscription " +
+    "inflates the probe ≥1.3x over the quiesced calibration") {
+    // warm until steady, THEN calibrate (min of 2): Spark's own paths
+    // keep JIT-warming across the first probes, and a calibration taken
+    // while still warming reads high — which would mask the contention
+    // the test exists to demonstrate
+    LoadCanary.probe(spark); LoadCanary.probe(spark)
+    val quiesced = math.min(LoadCanary.probe(spark), LoadCanary.probe(spark))
+    assert(quiesced > 0, "quiesced probe must succeed")
+    // a quiesced re-probe reads ~1.0 against its own calibration
+    val self = LoadCanary.index(Seq(LoadCanary.probe(spark)), quiesced)
+    assert(self > 0.5 && self < 1.7, s"quiesced self-index was $self")
+    // dual-load simulation: spin 2x the machine's cores so the probe's
+    // task threads get roughly half a core each (the r14 scenario —
+    // another full bench sharing the box)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val spinners = (1 to 2 * Runtime.getRuntime.availableProcessors).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x = x * 6364136223846793005L + 1442695040888963407L }
+        if (x == 42L) println(x) // defeat dead-code elimination
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    try {
+      Thread.sleep(300) // let the scheduler spread the spinners
+      // min of 2 loaded probes: under SUSTAINED spin there is no lucky
+      // idle window, so even the min carries the contention
+      val loaded = LoadCanary.index(Seq(math.min(
+        LoadCanary.probe(spark), LoadCanary.probe(spark))), quiesced)
+      assert(loaded >= 1.3,
+        s"2x oversubscription should inflate the canary ≥1.3x, got $loaded")
+    } finally {
+      stop.set(true)
+      spinners.foreach(_.join(2000))
+    }
+  }
+}
