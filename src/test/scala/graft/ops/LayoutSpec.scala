@@ -284,6 +284,219 @@ class LayoutSpec extends SparkSpec {
     assert(skips("zorder", "d").forall(_ >= 400L))
   }
 
+  test("q202 production twin (VERDICT r14 #3): REAL parquet footers under " +
+      "the three writer layouts reproduce the simulated skip rates, and " +
+      "Spark's own scan pushdown actually skips the pruned row groups") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val root = graft.Scratch.dir("layout-proof")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // sf0.01: ~60k lineitem rows → 64 files of ~950 rows, one row group
+    // each — real zones with room to prune
+    val sfd = "/root/testdata/sf0.01"
+    val li0 = graft.Tables(s, sfd, "lineitem").selectExpr(
+      "l_extendedprice as p",
+      "datediff(l_shipdate, date'1970-01-01') as d",
+      "l_orderkey as ok")
+    val strow = li0.agg(min($"p"), max($"p"), min($"d"), max($"d")).head()
+    val (mnP, mxP) = (strow.getDouble(0), strow.getDouble(1))
+    val (mnD, mxD) = (strow.getInt(2), strow.getInt(3))
+    // the q202/q98 Morton key, computed with the audit's own expressions
+    val keyed = li0
+      .withColumn("zx", expr(s"least(cast(floor((p - $mnP) * 1024.0 / " +
+        s"($mxP - $mnP)) as bigint), 1023)"))
+      .withColumn("zy", expr(s"least(cast(floor(cast(d - $mnD as double) " +
+        s"* 1024.0 / ${(mxD - mnD).toDouble}) as bigint), 1023)"))
+      .withColumn("zkey", Layout.morton10($"zx", $"zy"))
+    // the PRODUCTION writes: repartitionByRange on insertion key / sort
+    // key / Morton key (the q98 scaladoc's "production write" verbatim)
+    Seq(("natural", "ok"), ("sorted", "p"), ("zorder", "zkey"))
+      .foreach { case (name, key) =>
+        keyed.repartitionByRange(64, col(key)).select($"p", $"d")
+          .write.mode("overwrite").parquet(s"$root/$name")
+      }
+    // REAL zone maps: per-file min/max straight from the parquet footers
+    def zones(layout: String): Seq[(Double, Double, Int, Int, Long)] = {
+      val conf = s.sparkContext.hadoopConfiguration
+      new java.io.File(s"$root/$layout").listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+          try {
+            var (pmn, pmx) = (Double.MaxValue, Double.MinValue)
+            var (dmn, dmx) = (Int.MaxValue, Int.MinValue)
+            var rows = 0L
+            r.getFooter.getBlocks.asScala.foreach { b =>
+              rows += b.getRowCount
+              b.getColumns.asScala.foreach { c =>
+                (c.getPath.toDotString, c.getStatistics.genericGetMin,
+                  c.getStatistics.genericGetMax) match {
+                  case ("p", lo: java.lang.Double, hi: java.lang.Double) =>
+                    pmn = math.min(pmn, lo); pmx = math.max(pmx, hi)
+                  case ("d", lo: java.lang.Integer, hi: java.lang.Integer) =>
+                    dmn = math.min(dmn, lo.intValue); dmx = math.max(dmx, hi.intValue)
+                  case _ =>
+                }
+              }
+            }
+            (pmn, pmx, dmn, dmx, rows)
+          } finally r.close()
+        }
+    }
+    // the audit's 10 predicates (5 price fifths, 5 date fifths; the last
+    // of each closed), reproduced in the same double arithmetic
+    val preds: Seq[(Int, String, Double, Double, Boolean)] =
+      (1 to 5).map(k => (k, "p", mnP + (k - 1) * (mxP - mnP) / 5.0,
+        mnP + k * (mxP - mnP) / 5.0, k == 5)) ++
+      (1 to 5).map(k => (k + 5, "d",
+        mnD + (k - 1) * (mxD - mnD).toDouble / 5.0,
+        mnD + k * (mxD - mnD).toDouble / 5.0, k == 5))
+    def skipMilli(layout: String): Map[Int, Long] = {
+      val zs = zones(layout)
+      val total = zs.size
+      preds.map { case (k, c, lo, hi, closed) =>
+        val read = zs.count { case (pmn, pmx, dmn, dmx, _) =>
+          val (zlo, zhi) =
+            if (c == "p") (pmn, pmx) else (dmn.toDouble, dmx.toDouble)
+          zhi >= lo && (zlo < hi || (closed && zlo <= hi))
+        }
+        k -> 1000L * (total - read) / total
+      }.toMap
+    }
+    val (natS, sortS, zS) = (skipMilli("natural"), skipMilli("sorted"),
+      skipMilli("zorder"))
+    def avg(m: Map[Int, Long], ks: Range) = ks.map(m).sum / ks.size
+    // the audit's headline claims, now measured off REAL footers:
+    // natural prunes nothing, sorted prunes only its own dimension,
+    // z-order prunes BOTH
+    assert(avg(natS, 1 to 5) <= 150 && avg(natS, 6 to 10) <= 150,
+      s"natural layout should prune ~nothing: $natS")
+    assert(avg(sortS, 1 to 5) >= 500,
+      s"sorted layout must skip most files on price: $sortS")
+    assert(avg(sortS, 6 to 10) <= 150,
+      s"sorted layout cannot prune the shredded date dimension: $sortS")
+    assert(avg(zS, 1 to 5) >= 350 && avg(zS, 6 to 10) >= 350,
+      s"z-order must prune materially on BOTH dimensions: $zS")
+    // within tolerance of the SIMULATED audit at the same SF (sampled
+    // range boundaries vs the audit's exact bucketing)
+    val sim = Layout.q202ZoneMapAudit(s, sfd).collect()
+      .map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(6)).toMap
+    for (k <- 1 to 10) {
+      assert(math.abs(zS(k) - sim(("zorder", k))) <= 300,
+        s"zorder pred $k: real ${zS(k)} vs simulated ${sim(("zorder", k))}")
+      assert(math.abs(sortS(k) - sim(("sorted", k))) <= 300,
+        s"sorted pred $k: real ${sortS(k)} vs simulated ${sim(("sorted", k))}")
+    }
+    // ENGINE leg: a price+date range read over the z-order layout must
+    // push both filters into the scan and output only the rows of the
+    // footer-overlapping files — Spark's row-group skipping doing in
+    // production what the audit priced
+    val (_, _, pLo, pHi, _) = preds(1) // price fifth 2
+    val (_, _, dLo, dHi, _) = preds(6) // date fifth 2
+    val q = s.read.parquet(s"$root/zorder")
+      .where($"p" >= pLo && $"p" < pHi &&
+        $"d" >= dLo.toInt && $"d" < dHi.toInt)
+    q.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case f: FileSourceScanExec => Some(f)
+      case other => other.children.iterator.map(findScan)
+        .collectFirst { case Some(f) => f }
+    }
+    val scan = findScan(q.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(p,"),
+      "price filter must reach the parquet scan")
+    assert(scan.metadata("PushedFilters").contains("LessThan(d,"),
+      "date filter must reach the parquet scan")
+    val zoneRows = zones("zorder")
+    val totalRows = zoneRows.map(_._5).sum
+    val overlapRows = zoneRows.collect {
+      case (pmn, pmx, dmn, dmx, n)
+        if pmx >= pLo && pmn < pHi &&
+          dmx.toDouble >= dLo && dmn.toDouble < dHi => n
+    }.sum
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned <= overlapRows,
+      s"scan output $scanned must not exceed the $overlapRows rows of " +
+        "footer-overlapping files (row-group skipping)")
+    assert(scanned < totalRows / 2,
+      s"scan output $scanned of $totalRows total — the engine must " +
+        "actually skip most row groups on this layout")
+  }
+
+  test("q192 production twin (VERDICT r14 #7): the planner's exact bounds " +
+      "drive a real range exchange; engine partition sizes and written " +
+      "file row counts equal the predicted n_rows") {
+    val s = spark
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val planned = Layout.q192RangePlanner(s, sf).collect()
+      .map(r => (r.getLong(0).toInt,
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(3), r.getLong(5)))
+    // reconstruct the elected boundary multiset from the plan: b_i is
+    // the lo_key of the first non-empty partition at or above i
+    // (duplicated boundaries collapse the partitions between them)
+    val loByPid = planned.map { case (pid, lo, _, _) => pid -> lo }.toMap
+    val bounds = (1 until 32).map { i =>
+      (i until 32).iterator.flatMap(loByPid(_)).nextOption()
+        .getOrElse(Long.MaxValue)
+    }
+    // a real Spark range exchange with EXACTLY those bounds: the public
+    // DataFrame API only offers sampled boundaries (repartitionByRange),
+    // so the exchange runs through the RDD Partitioner seam — the same
+    // physical shuffle, boundary comparison per row
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = 32
+      override def getPartition(key: Any): Int =
+        bounds.count(_ <= key.asInstanceOf[Long])
+    }
+    val exchanged = graft.Tables(s, sf, "events")
+      .select($"user_id").as[Long].rdd
+      .map(k => (k, ())).partitionBy(part)
+    // ENGINE partition sizes (counted inside the shuffle read) must equal
+    // the audit's predicted n_rows per pid, and therefore its skew_milli
+    val sizes = exchanged
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().toMap
+    val n = planned.map(_._3).sum
+    planned.foreach { case (pid, _, nr, skew) =>
+      assert(sizes.getOrElse(pid, 0L) === nr,
+        s"pid $pid: engine partition size ${sizes.getOrElse(pid, 0L)} " +
+          s"vs predicted $nr")
+      assert(skew === 1000L * nr * 32 / n, s"pid $pid skew replay")
+    }
+    // and the files a sorted write would produce: one parquet file per
+    // non-empty partition, whose REAL footer row counts are exactly the
+    // predicted per-partition sizes (multiset compare — file names do
+    // not carry the pid)
+    val root = graft.Scratch.dir("layout-proof", "range")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    exchanged.map(_._1).toDF("user_id")
+      .write.mode("overwrite").parquet(root)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fileRows = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }
+    // empty partitions may still emit a zero-row part file on this
+    // writer path — rows, not files, are the prediction under test
+    assert(fileRows.filter(_ > 0).sorted ===
+      planned.map(_._3).filter(_ > 0).sorted.toSeq,
+      "written file row counts must equal the predicted partition sizes")
+  }
+
   test("q203 MCV estimation: k=0 reproduces q199's skew underestimate, " +
       "error shrinks monotonically in k, and the estimator replays " +
       "locally") {

@@ -18,10 +18,13 @@ ROOT = pathlib.Path(__file__).resolve().parent.parent
 # expectation is every list stays empty.
 PATTERNS = {
     # reverse-domain-rooted imports outside the public surface (spark,
-    # commons, derby, scalatest/scalacheck, graft itself). Session-variable
-    # imports (`import s.implicits._`) are not package roots and don't match.
+    # commons, derby, scalatest/scalacheck, graft itself; hadoop/logging
+    # added r14 and parquet r15 — all public ASF namespaces shipped in
+    # /opt/spark/jars, the last for the real-footer zone-map proof).
+    # Session-variable imports (`import s.implicits._`) are not package
+    # roots and don't match.
     "internal-import": re.compile(
-        r"^\s*import\s+(?!org\.apache\.(spark|commons|derby|hadoop|logging)|org\.scalatest|org\.scalacheck|graft\.)(org|com|net|io|ai|co|dev|us)\.[a-z0-9_]+\.",
+        r"^\s*import\s+(?!org\.apache\.(spark|commons|derby|hadoop|logging|parquet)|org\.scalatest|org\.scalacheck|graft\.)(org|com|net|io|ai|co|dev|us)\.[a-z0-9_]+\.",
         re.M),
     # any URL whose host is NOT on the public allowlist — internal wikis,
     # issue trackers, dashboards, corp TLDs all match (the previous version
