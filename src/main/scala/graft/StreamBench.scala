@@ -585,7 +585,8 @@ object StreamBench {
     * structurally, never by regexing serialized JSON). A failed seam is
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
-    * sketch,drift,exactdecontam,shards,qualitygate,anomalygate,… — the quick-run knob;
+    * sketch,drift,exactdecontam,shards,qualitygate,anomalygate,stats,
+    * ndv,statsgen,mcv,… — the quick-run knob;
     * unset = all) is also None and is skipped without paying its
     * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
@@ -606,7 +607,8 @@ object StreamBench {
       labels: Option[SeamResult],
       stats: Option[SeamResult],
       ndv: Option[SeamResult],
-      statsGen: Option[SeamResult]) {
+      statsGen: Option[SeamResult],
+      mcv: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -634,7 +636,8 @@ object StreamBench {
         "labels" -> labels,
         "stats" -> stats,
         "ndv" -> ndv,
-        "stats_gen" -> statsGen).map { case (k, v) =>
+        "stats_gen" -> statsGen,
+        "mcv" -> mcv).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -676,7 +679,46 @@ object StreamBench {
       guarded("labels")(measureLabels(spark, sfDir)),
       guarded("stats")(measureStats(spark, sfDir)),
       guarded("ndv")(measureNdv(spark, sfDir)),
-      guarded("statsgen")(measureStatsGen(spark, sfDir)))
+      guarded("statsgen")(measureStatsGen(spark, sfDir)),
+      guarded("mcv")(measureMcv(spark, sfDir)))
+  }
+
+  /** S31 throughput: documents' `n_chars` replayed as a file-source
+    * stream through [[graft.streaming.McvStream]]'s additive count-table
+    * maintenance — rows/sec through the map-side value-count partial
+    * seam. `clean` = merged-table mass (must equal the record count —
+    * counts of a union are sums of counts, nothing drops), with the q203
+    * estimate logged as the read-time derivation the table exists for. */
+  def measureMcv(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-mcv"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    for (chunk <- 0 to 2) {
+      Tables(spark, sfDir, "documents")
+        .where(pmod($"doc_id", lit(3)) === chunk)
+        .select($"n_chars".as("v"))
+        .write.mode("append").parquet(incoming)
+    }
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("v bigint").option("maxFilesPerTrigger", 8).parquet(incoming)
+    val q = streaming.McvStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:mcv] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val mass = streaming.McvStream.mergedCounts(spark, s"$root/out")
+        .agg(sum($"n")).as[Long].head()
+      System.err.println(s"[streambench:mcv] q203 estimate at k=32 from " +
+        s"the streamed table: ${streaming.McvStream.estimate(spark, s"$root/out", 32)}")
+      SeamResult(n / secs, n, mass, secs)
+    }
   }
 
   /** S30 throughput: lineitem prices replayed through

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S31 — streaming MCV / frequency-statistics maintenance: the q203
+  * most-common-values list kept current per micro-batch, closing the last
+  * asymmetric member of the optimizer-statistics family (S28 maintains
+  * q197's histogram, S29 maintains q200's ndv sketch; this maintains the
+  * frequency table q203's skew-aware join estimates read).
+  *
+  * The structural observation (the S29 contrast again): a histogram
+  * needs staged bounds and an MCV list is a top-k — neither is additive —
+  * but the VALUE-DOMAIN COUNT TABLE underneath the MCV list is pure
+  * addition: counts of a union are sums of counts, associative and
+  * commutative in any batching. So the stream maintains the count table
+  * (bounded — `n_chars` is a bounded attribute, so the artifact stays
+  * value-domain-sized at any corpus scale) and the MCV list, the
+  * uniformity remainder, and the q203 estimate itself are READ-TIME
+  * derivations — no election, no staging, no rebin, and the merged table
+  * is EQUAL to the one-pass table for any batching (spec-pinned).
+  *
+  * Idempotency protocol (S8/S9/S12/S28/S29): the per-batch partial is a
+  * pure function of the batch, overwritten into `mcv/batch=<id>`;
+  * reprocessing a batch rewrites the identical partial. The standing
+  * table is a sum over batch partitions — |batches|·|values| metadata
+  * rows, no state store, no rescan.
+  *
+  * At 100 TB/day the per-batch plan is one map-side partial-aggregated
+  * groupBy to value-domain rows; the standing artifact a planner reads
+  * is the value domain, regardless of corpus size. */
+object McvStream {
+
+  /** Per-batch value-count partial — pure in the batch; `batch` carries
+    * (v bigint). The null group is KEPT, exactly as q203's count table
+    * keeps it (a grouped count, not a join). */
+  private[streaming] def batchCounts(batch: DataFrame): DataFrame =
+    batch.groupBy(col("v")).agg(count(lit(1)).as("n"))
+
+  /** Streaming driver. `values` must carry (v bigint). */
+  def run(values: DataFrame, root: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batchCounts(batch)
+          .coalesce(1) // value-domain rows — one file per batch partition
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$root/mcv/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** The standing count table: per-value sums over all batch partials —
+    * metadata-sized input, and EQUAL to the one-pass count table of the
+    * union (addition is associative and commutative). */
+  def mergedCounts(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/mcv")
+      .groupBy(col("v")).agg(sum(col("n")).as("n"))
+
+  /** The top-k MCV list a catalog serves: frequency-ranked, ties broken
+    * by value — the exact q203 ranking. */
+  def mcvList(s: SparkSession, root: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    mergedCounts(s, root)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("v"))))
+      .where(col("r") <= k)
+      .select(col("v"), col("n"), col("r").cast("long").as("r"))
+  }
+
+  /** q203's hybrid self-join estimate at MCV size k, read off the
+    * streamed table: Σ_{v ∈ top-k} n(v)² + n_rest² div ndv_rest. One
+    * wide aggregate over the value-domain table, `head()` of one row —
+    * the planner's catalog lookup (the NdvStream.estimate discipline). */
+  def estimate(s: SparkSession, root: String, k: Int): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val r = mergedCounts(s, root)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("v"))))
+      .agg(coalesce(sum(when(col("r") <= k, col("n") * col("n"))), lit(0L))
+          .as("mcv"),
+        coalesce(sum(when(col("r") > k, col("n"))), lit(0L)).as("nrest"),
+        count(when(col("r") > k, 1)).as("drest"))
+      .selectExpr("cast(mcv + nrest * nrest div greatest(drest, 1) " +
+        "as bigint) as est")
+      .head()
+    r.getLong(0)
+  }
+}
