@@ -147,7 +147,7 @@ object PlanAudit {
     "q196_collocations" -> "PMI collocations: token presence is one distinct + partial-agg df shuffle; the per-doc pair self-join runs AFTER the broadcast top-V semi-join, capping fan-out at C(V,2) keys; PMI is codegen'd integer qlog arithmetic over the pair table; top-50 via TakeOrderedAndProject",
     "q197_selectivity" -> "histogram selectivity audit: min/max agg, ONE map-side binned partial agg to the 4096-row histogram, and ONE pass computing all 20 exact counts as conditional aggregates (stack to tall rows after — no fact×predicate explode); the estimator joins the broadcast histogram to 20 predicate rows — metadata",
     "q198_correlated_selectivity" -> "conjunctive selectivity audit: two map-side histogram partial aggs over one scan each + ONE pass of 16 conjunctive conditional counts; both estimators (independence product, min rule) are integer arithmetic over broadcast marginal estimates — the exact counts are the only corpus-priced work",
-    "q199_join_cardinality" -> "join-cardinality audit: per-side count+ndv partial aggregates (free catalog lookups in production) ride as parallel branches of ONE action; FK exact legs broadcast their dimension side (lineitem⋈orders is the one fact⋈fact shuffle); stress-edge exact counts join per-VALUE count tables (Σ a(v)·b(v)) — the quadratic join is never materialized; the estimator is integer arithmetic over broadcast 1-row stats",
+    "q199_join_cardinality" -> "join-cardinality audit, r15 no-join shape: 16 per-side count tables (one column-pruned scan each, partial agg inside the scan task) union into one tagged value-domain frame; ONE pivot groupBy on v, ONE wide 1-row aggregate computes every n/ndv/exact leg (exact = Σ_v a(v)·b(v) — no join is ever materialized, the r14 lineitem⋈orders fact⋈fact shuffle is gone), stack() fans out the 9 edge rows; two value-domain shuffles total",
     "q200_ndv_sketch" -> "KMV ndv-sketch audit: per column, the exact leg is a countDistinct partial agg (the audit's truth price) and the sketch leg is the production shape — map-side partial distinct on the codegen'd affine-mod-P hash, then TakeOrderedAndProject(K=1024): the shuffle carries per-partition distinct hashes and the result is K rows; the estimator is one integer expression over the K-row sketch",
     "q201_join_order" -> "join-order enumeration audit: per-table count+ndv stats as parallel agg branches; 5 exact sub-chain counts, each ONE count-aggregated join with dimension sides broadcast (the two lineitem probes are the honest fact-sized legs); the 4 cost-distinct left-deep profiles, their cascaded estimates, and both ranking windows run on the broadcast 1-row wide stats — a 4-row window, metadata by construction",
     "q202_zone_map" -> "zone-map pruning audit: file ids are map-side arithmetic over the broadcast stats row (value buckets + the q98 Morton interleave — no global windows, no ntile); zone maps are three 64-group map-side partial aggs (parquet footers in production, recomputed for the oracle); the exact file-match truth is ONE broadcast nested-loop pass against the 10 predicate rows (each row matches ≤ 2); overlap testing and the final counts run on 64·10·3 metadata rows",
