@@ -91,14 +91,17 @@ object LoadCanary {
       -1.0
     }
 
-  /** The emitted index: median of the (valid) probe medians over the
+  /** The emitted index: median of the (valid) probe points over the
     * expected quiesced cost, 2 decimals. Median across the run's probe
     * points so a transient spike at one point cannot flag a quiesced
-    * run — SUSTAINED load (the r14 failure mode) moves all of them.
+    * run — SUSTAINED load (the r14 failure mode) moves all of them. The
+    * LOWER middle for even counts: a single-query subset run has only
+    * start+end probes, and the start probe reads high on a cold JVM —
+    * the upper middle would stamp such runs "loaded" on a quiet box.
     * Returns -1 when no probe succeeded. */
   def index(observedSec: Seq[Double], expected: Double): Double = {
     val valid = observedSec.filter(t => t > 0 && t.isFinite).sorted
     if (valid.isEmpty || expected <= 0) -1.0
-    else math.round(100.0 * valid(valid.size / 2) / expected) / 100.0
+    else math.round(100.0 * valid((valid.size - 1) / 2) / expected) / 100.0
   }
 }

@@ -1132,6 +1132,123 @@ object Layout {
        |FROM legs ORDER BY mcv_k""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q204
+  /** Sample-vs-sketch ndv estimation audit — the quantitative case behind
+    * q200's design choice. q200 asserts that catalogs sketch HASHES
+    * rather than scan row samples for distinct counts; this audit prices
+    * the alternative: a deterministic 1-in-64 Bernoulli ROW sample per
+    * column, graded through the three classic sample-based estimators —
+    * naive scale-up (64·d_samp), the unsmoothed first-order jackknife
+    * (Haas–Naughton–Seshadri–Stokes 1995: d·n/(n − (1−q)·f1) with
+    * q = 1/64), and bias-corrected Chao1 (d + f1(f1−1)/(2(f2+1)),
+    * Chao 1984) — against the exact ndv, per column, with signed milli
+    * errors. The expected shape IS the finding (Charikar et al. 2000
+    * prove no sample-based estimator can win in general): scale-up is
+    * catastrophic on duplicated columns (×64 on c_nationkey) and exact
+    * only on unique-ish ones; the jackknife and Chao1 repair the head
+    * but still miss by hundreds of per-mille exactly where multiplicity
+    * hides values from the sample (l_orderkey at ~4 rows/value,
+    * o_custkey at ~10) — while q200's KMV sketch, which sees every ROW
+    * but keeps only distinct-hash minima, lands within ±6‰ on the same
+    * columns at the same cost class. Row-sample ndv is the one statistic
+    * a catalog should never sample for.
+    *
+    * Determinism: sample membership is `kmvHash(rowkey) % 64 == 0` over
+    * each table's natural row key — the shared affine bijection
+    * ([[kmvHashSql]]), valid verbatim in both engines; every estimator
+    * is pure int64 (at SF1000 the d·n·64 jackknife numerator wants
+    * DECIMAL headroom, the q199 caveat).
+    *
+    * Scale shape (the q199 architecture): one column-pruned scan per
+    * column with the partial agg inside the scan task — the per-value
+    * (count, sampled-count) table is the ONLY shuffle, value-domain-
+    * sized; the six sides union into one tagged frame and one groupBy
+    * produces every output row. The sampled-value count table is
+    * additive across batches (the S31 shape filtered to the sample), so
+    * the streaming maintenance story is already covered. */
+  private val q204Sides: Seq[(String, String, String, String)] = Seq(
+    // (col_id, table, value column, row-key expression)
+    ("customer.c_nationkey", "customer", "c_nationkey", "c_custkey"),
+    ("documents.n_chars", "documents", "n_chars", "doc_id"),
+    ("events.user_id", "events", "user_id", "event_id"),
+    // l_linenumber is 1..7, so orderkey*10+linenumber is a unique row key
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey",
+      "l_orderkey * 10 + l_linenumber"),
+    ("orders.o_custkey", "orders", "o_custkey", "o_orderkey"),
+    ("part.p_size", "part", "p_size", "p_partkey"))
+
+  /** The shared estimator/error SQL over the wide per-column stats row;
+    * `div` = "div" (Spark) / "//" (DuckDB). */
+  private def q204Ests(div: String): Seq[(String, String)] = {
+    val ests = Seq(
+      "est_scale" -> "64 * d_samp",
+      // n − (1−q)·f1 with q = 1/64, scaled by 64 to stay integral
+      "est_ujack" -> (s"(d_samp * sample_rows * 64) $div " +
+        "greatest(64 * sample_rows - 63 * f1, 1)"),
+      "est_chao" -> s"d_samp + (f1 * (f1 - 1)) $div (2 * (f2 + 1))")
+    ests ++ ests.map { case (n, e) =>
+      s"err_${n.stripPrefix("est_")}_milli" ->
+        s"(1000 * (($e) - exact_ndv)) $div greatest(exact_ndv, 1)"
+    }
+  }
+
+  def q204SampleNdv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // per-value (rows, sampled rows) tables, partial-aggregated in the
+    // scan tasks, unioned into one tagged value-domain frame
+    val counts = q204Sides.map { case (cid, tbl, vc, rk) =>
+      Tables(s, dir, tbl)
+        .groupBy(col(vc).as("v"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(expr(s"case when (${kmvHashSql(rk)}) % 64 = 0 " +
+            "then 1 else 0 end")), lit(0L)).as("ns"))
+        .select(lit(cid).as("col_id"), $"v".cast("bigint").as("v"),
+          $"n", $"ns")
+    }.reduce(_.unionByName(_))
+    // one groupBy to the 6 wide stats rows; null values are excluded
+    // from ndv and from the sample stats alike (countDistinct semantics)
+    val wide = counts.groupBy($"col_id").agg(
+      count(when($"v".isNotNull, 1)).as("exact_ndv"),
+      coalesce(sum(when($"v".isNotNull, $"ns")), lit(0L)).as("sample_rows"),
+      count(when($"v".isNotNull && $"ns" > 0, 1)).as("d_samp"),
+      count(when($"v".isNotNull && $"ns" === 1, 1)).as("f1"),
+      count(when($"v".isNotNull && $"ns" === 2, 1)).as("f2"))
+    wide.selectExpr(Seq("col_id", "exact_ndv", "sample_rows", "d_samp",
+      "f1", "f2") ++
+      q204Ests("div").map { case (n, e) => s"cast(($e) as bigint) as $n" }: _*)
+      .orderBy($"col_id")
+  }
+
+  val q204Oracle: String = {
+    val legs = q204Sides.map { case (cid, tbl, vc, rk) =>
+      s"""  SELECT '$cid' AS col_id, CAST($vc AS BIGINT) AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COALESCE(SUM(CASE WHEN (${kmvHashSql(rk)}) % 64 = 0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS ns
+         |  FROM $tbl GROUP BY 1, 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH counts AS (
+       |$legs),
+       |wide AS (
+       |  SELECT col_id,
+       |    CAST(COUNT(CASE WHEN v IS NOT NULL THEN 1 END) AS BIGINT)
+       |      AS exact_ndv,
+       |    CAST(COALESCE(SUM(CASE WHEN v IS NOT NULL THEN ns END), 0)
+       |      AS BIGINT) AS sample_rows,
+       |    CAST(COUNT(CASE WHEN v IS NOT NULL AND ns > 0 THEN 1 END)
+       |      AS BIGINT) AS d_samp,
+       |    CAST(COUNT(CASE WHEN v IS NOT NULL AND ns = 1 THEN 1 END)
+       |      AS BIGINT) AS f1,
+       |    CAST(COUNT(CASE WHEN v IS NOT NULL AND ns = 2 THEN 1 END)
+       |      AS BIGINT) AS f2
+       |  FROM counts GROUP BY 1)
+       |SELECT col_id, exact_ndv, sample_rows, d_samp, f1, f2,
+       |${q204Ests("//").map { case (n, e) =>
+          s"  CAST(($e) AS BIGINT) AS $n"
+        }.mkString(",\n")}
+       |FROM wide ORDER BY col_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder_layout" -> q98ZorderLayout _,
     "q192_range_planner" -> ((s, dir) => q192RangePlanner(s, dir)),
@@ -1142,6 +1259,7 @@ object Layout {
     "q201_join_order" -> q201JoinOrderAudit _,
     "q202_zone_map" -> q202ZoneMapAudit _,
     "q203_mcv_estimation" -> q203McvEstimation _,
+    "q204_sample_ndv" -> q204SampleNdv _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1154,5 +1272,6 @@ object Layout {
     "q201_join_order" -> q201Oracle,
     "q202_zone_map" -> q202Oracle,
     "q203_mcv_estimation" -> q203Oracle,
+    "q204_sample_ndv" -> q204Oracle,
   )
 }

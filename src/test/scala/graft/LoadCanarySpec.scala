@@ -15,6 +15,9 @@ class LoadCanarySpec extends SparkSpec {
     // load, one spike cannot fake it
     assert(LoadCanary.index(Seq(0.07, 0.21, 0.22), 0.07) === 3.0)
     assert(LoadCanary.index(Seq(0.07, 0.07, 0.35), 0.07) === 1.0)
+    // two-probe runs (single-query subsets skip the middle point) take
+    // the LOWER middle: the cold start probe must not read as load
+    assert(LoadCanary.index(Seq(0.2, 0.08), 0.1) === 0.8)
     // failed probes (-1) are dropped; all-failed or bad expected → -1
     assert(LoadCanary.index(Seq(-1.0, 0.14), 0.07) === 2.0)
     assert(LoadCanary.index(Seq(-1.0, -1.0), 0.07) === -1.0)
