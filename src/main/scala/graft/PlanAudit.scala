@@ -151,6 +151,7 @@ object PlanAudit {
     "q200_ndv_sketch" -> "KMV ndv-sketch audit: per column, the exact leg is a countDistinct partial agg (the audit's truth price) and the sketch leg is the production shape — map-side partial distinct on the codegen'd affine-mod-P hash, then TakeOrderedAndProject(K=1024): the shuffle carries per-partition distinct hashes and the result is K rows; the estimator is one integer expression over the K-row sketch",
     "q201_join_order" -> "join-order enumeration audit: per-table count+ndv stats as parallel agg branches; 5 exact sub-chain counts, each ONE count-aggregated join with dimension sides broadcast (the two lineitem probes are the honest fact-sized legs); the 4 cost-distinct left-deep profiles, their cascaded estimates, and both ranking windows run on the broadcast 1-row wide stats — a 4-row window, metadata by construction",
     "q202_zone_map" -> "zone-map pruning audit: file ids are map-side arithmetic over the broadcast stats row (value buckets + the q98 Morton interleave — no global windows, no ntile); zone maps are three 64-group map-side partial aggs (parquet footers in production, recomputed for the oracle); the exact file-match truth is ONE broadcast nested-loop pass against the 10 predicate rows (each row matches ≤ 2); overlap testing and the final counts run on 64·10·3 metadata rows",
+    "q204_sample_ndv" -> "sample-vs-sketch ndv audit, the q199 architecture: six per-column (value → rows, sampled-rows) tables partial-aggregated inside their scan tasks (sample membership = shared affine hash of the row key, % 64), unioned into one tagged frame; ONE groupBy(col_id) emits every stats row; the three estimators and their errors are pure int64 projections — one value-domain shuffle end to end",
     "q203_mcv_estimation" -> "MCV estimation audit: ONE corpus pass partial-aggregates to the value-domain count table (n_chars is a bounded attribute); the frequency ranking window and all 13 conditional sums ride that metadata table (the q192/q196 metadata-window discipline); no join is materialized — exact = the q199 Σ n(v)² identity; the 4 estimator legs are pure int64 over one wide row",
   )
 

@@ -18,29 +18,33 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Per-(session, dir, table) plan cache (r15): every spark.read.parquet
-  // call runs a ~40ms schema-inference job on the driver, SERIALIZED —
-  // q199 alone referenced its tables 16 times and paid ~1s before any
-  // real work. The fixture dirs are immutable, so the analyzed plan
-  // (schema + file listing) is reused for the session's lifetime; plans
-  // are immutable, so sharing one DataFrame object across queries is
-  // safe — and identical scan subplans now canonicalize equal, which is
-  // what lets the exchange-reuse rule actually fire. Keyed on session
+  // Per-(session, dir, table) SCHEMA cache (r15): every
+  // spark.read.parquet call runs a ~40ms footer-reading schema-inference
+  // job on the driver, SERIALIZED — q199 alone referenced its tables 16
+  // times and paid ~1s before any real work. The fixture dirs are
+  // immutable, so the inferred schema is cached and re-supplied via
+  // spark.read.schema(...), which skips the inference job entirely while
+  // every call still gets a FRESH plan with fresh expression ids. The
+  // first cut of this cache shared one DataFrame OBJECT instead; that
+  // made self-composed queries canonicalize their subplans equal and
+  // changed reuse decisions for the worse (q114 measured 8.5s vs 6.2s
+  // isolated) — plan identity is part of a query's tuning surface, so
+  // only the schema, never the plan, is shared. Keyed on session
   // IDENTITY (default AnyRef equality): specs that build many short
-  // sessions leave tiny plan objects behind, so the cache self-clears
-  // at a size far above any real session count.
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+  // sessions leave tiny entries behind, so the cache self-clears at a
+  // size far above any real session count.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), org.apache.spark.sql.types.StructType]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (cache.size > 512) cache.clear()
-    cache.computeIfAbsent((spark, dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        // `div` (integer division) — ts is ~1.7e18, beyond double's 2^53.
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
-    })
+    if (schemaCache.size > 512) schemaCache.clear()
+    val schema = schemaCache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+    val df = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      // `div` (integer division) — ts is ~1.7e18, beyond double's 2^53.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
   }
 }
 
