@@ -378,11 +378,17 @@ object Bench {
     System.err.println(s"[bench] query line ${line.length}/$tailBudget chars " +
       s"at $rung — headroom " +
       s"${tailBudget - line.length} chars (~${(tailBudget - line.length) / 11} more entries on this rung)")
-    def writeFile(name: String, content: String): Unit = try {
+    // Subset (BENCH_ONLY) runs write *_subset.json: target/bench.json and
+    // target/streambench.json are standing judge-read artifacts of the
+    // last FULL run, and a dev subset run must not clobber them with a
+    // 1-query file (it also poisons the re-pass fallback baseline).
+    def writeFile(name0: String, content: String): Unit = try {
+      val name = if (only.isEmpty) name0
+        else name0.stripSuffix(".json") + "_subset.json"
       val out = java.nio.file.Paths.get("target", name)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (content + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($name): ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed ($name0): ${e.getMessage}") }
     // Triple-redundant emission: the driver parses the last JSON line of the
     // captured output, and sbt's logger must not be allowed to decorate it
     // (round-1 failure mode: "[info] {...}" → parsed:null). build.sbt sets
