@@ -586,7 +586,7 @@ object StreamBench {
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
     * sketch,drift,exactdecontam,shards,qualitygate,anomalygate,stats,
-    * ndv,statsgen,mcv,… — the quick-run knob;
+    * ndv,statsgen,mcv,manifest,… — the quick-run knob;
     * unset = all) is also None and is skipped without paying its
     * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
@@ -608,7 +608,8 @@ object StreamBench {
       stats: Option[SeamResult],
       ndv: Option[SeamResult],
       statsGen: Option[SeamResult],
-      mcv: Option[SeamResult]) {
+      mcv: Option[SeamResult],
+      manifest: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -637,7 +638,8 @@ object StreamBench {
         "stats" -> stats,
         "ndv" -> ndv,
         "stats_gen" -> statsGen,
-        "mcv" -> mcv).map { case (k, v) =>
+        "mcv" -> mcv,
+        "manifest" -> manifest).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -680,7 +682,51 @@ object StreamBench {
       guarded("stats")(measureStats(spark, sfDir)),
       guarded("ndv")(measureNdv(spark, sfDir)),
       guarded("statsgen")(measureStatsGen(spark, sfDir)),
-      guarded("mcv")(measureMcv(spark, sfDir)))
+      guarded("mcv")(measureMcv(spark, sfDir)),
+      guarded("manifest")(measureManifest(spark, sfDir)))
+  }
+
+  /** S32 throughput: lineitem prices replayed as a file-source stream
+    * through [[graft.streaming.ManifestStream]] — rows/sec through the
+    * write-files + harvest-real-footers + commit-manifest seam. `clean` =
+    * the standing manifest's total row mass (must equal the record
+    * count), with a middle-fifth pruned read logged: files opened vs
+    * files on disk, the planning win the manifest exists for. */
+  def measureManifest(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-manifest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val prices = Tables(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("p"))
+    for (chunk <- 0 to 2) {
+      prices.filter(pmod(($"p" * 100).cast("long"), lit(3)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("p double").option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = streaming.ManifestStream.run(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:manifest] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val man = streaming.ManifestStream.manifest(spark, s"$root/out")
+      val mass = man.agg(sum($"rows")).as[Long].head()
+      val nFiles = man.count()
+      val (mn, mx) = prices.agg(min($"p"), max($"p")).as[(Double, Double)].head()
+      val (lo, hi) = (mn + (mx - mn) * 2 / 5.0, mn + (mx - mn) * 3 / 5.0)
+      val opened = streaming.ManifestStream
+        .prunedFiles(spark, s"$root/out", lo, hi).size
+      System.err.println(s"[streambench:manifest] middle-fifth read opens " +
+        s"$opened of $nFiles files")
+      SeamResult(n / secs, n, mass, secs)
+    }
   }
 
   /** S31 throughput: documents' `n_chars` replayed as a file-source
