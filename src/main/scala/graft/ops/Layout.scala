@@ -654,13 +654,31 @@ object Layout {
     import s.implicits._
     def leg(table: String, column: String): DataFrame = {
       val base = Tables(s, dir, table)
-      val exact = base.agg(countDistinct(col(column)).as("exact_ndv"))
-      val sk = base.where(col(column).isNotNull)
-        .select(expr(kmvHashSql(column)).as("h")).distinct()
-        .orderBy($"h").limit(KmvK)
-        .agg(coalesce(max($"h"), lit(0L)).as("kth_hash"),
-          count(lit(1)).as("sketch_rows"))
-      exact.crossJoin(sk)
+      // ONE LINEAR CHAIN per column serves BOTH legs (r15: the r14 shape
+      // paid two full scans + two value-domain shuffles per column —
+      // countDistinct for the truth, distinct hashes for the sketch; a
+      // shared distinct-value subplan did NOT dedupe either, because
+      // Catalyst rewrites the count-over-distinct consumer into a
+      // different aggregate than the sketch consumer, so the exchanges
+      // never canonicalize equal — 0 ReusedExchange, 14 scans measured).
+      // Chain: distinct values (partial agg in the scan task) → hash →
+      // distinct hashes CARRYING the value count per hash (nv — exact
+      // ndv is Σ nv, correct even if the fold ever collided two values
+      // onto one hash) → one global window ranks the ndv-sized hash
+      // table once, and a single wide aggregate reads off the exact
+      // count, the sketch size, and the k-th minimum together. One scan
+      // per column; every exchange is ndv-sized or smaller; the final
+      // window orders value-domain metadata (the q203 discipline).
+      val hashes = base.where(col(column).isNotNull)
+        .select(col(column).as("v")).distinct()
+        .select(expr(kmvHashSql("v")).as("h"))
+        .groupBy($"h").agg(count(lit(1)).as("nv"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"h")
+      val wide = hashes.withColumn("r", row_number().over(w))
+        .agg(coalesce(sum($"nv"), lit(0L)).as("exact_ndv"),
+          count(when($"r" <= KmvK, 1)).as("sketch_rows"),
+          coalesce(max(when($"r" <= KmvK, $"h")), lit(0L)).as("kth_hash"))
+      wide
         .select(lit(s"$table.$column").as("col_id"),
           $"exact_ndv", $"sketch_rows", $"kth_hash",
           // (K−1)·P precomputed: as a literal product both parsers would
