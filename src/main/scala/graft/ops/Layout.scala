@@ -1175,7 +1175,12 @@ object Layout {
     * each table's natural row key — the shared affine bijection
     * ([[kmvHashSql]]), valid verbatim in both engines; every estimator
     * is pure int64 (at SF1000 the d·n·64 jackknife numerator wants
-    * DECIMAL headroom, the q199 caveat).
+    * DECIMAL headroom, the q199 caveat). Fixture honesty note:
+    * lineitem's composite key carries the generator's known PK
+    * violation (FIXTURES.md — ~23% of rows duplicate an (orderkey,
+    * linenumber) pair), so those rows sample in lockstep; a
+    * deterministic perturbation of Bernoulli shared by both engines
+    * and the spec's local replay, immaterial to the audit's finding.
     *
     * Scale shape (the q199 architecture): one column-pruned scan per
     * column with the partial agg inside the scan task — the per-value
