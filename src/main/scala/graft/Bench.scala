@@ -279,14 +279,19 @@ object Bench {
             s"[bench] outlier re-pass baseline: $path (${parsed.size} stamps)")
           parsed
         }.getOrElse(Map.empty)
-        val fallback = scala.util.Try {
-          val content = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get("target", "bench.json")), "UTF-8")
-          val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
-          if (parsed.nonEmpty) System.err.println(
-            s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
-          parsed
-        }.getOrElse(Map.empty[String, Double])
+        // the fallback only rides in AUTO mode: an explicit
+        // SPARK_GRAFT_BENCH_PREV path is a pinned baseline and must not
+        // be contaminated with stamps from a different run
+        val fallback =
+          if (spec != "auto") Map.empty[String, Double]
+          else scala.util.Try {
+            val content = new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get("target", "bench.json")), "UTF-8")
+            val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+            if (parsed.nonEmpty) System.err.println(
+              s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
+            parsed
+          }.getOrElse(Map.empty[String, Double])
         fallback ++ primary
       }
     }
@@ -368,9 +373,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900").toInt)
       .getOrElse(1900))
     val li = Some(loadIndex)
-    val (line, rung) = BenchLine.finalLine(results, sfDir, tailBudget, li,
+    val chosen = BenchLine.finalLine(results, sfDir, tailBudget, li,
       System.err.println)
-    if (rung != "3 decimals, stripQ=false") System.err.println(
+    val (line, rung) = (chosen.line, chosen.rung)
+    if (chosen.degraded) System.err.println(
       s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at $rung (${line.length} chars)")
     // Headroom report (VERDICT r10 #2): how much budget the CHOSEN rung
     // leaves, and roughly how many more ~11-char entries fit before the

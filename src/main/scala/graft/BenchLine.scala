@@ -88,7 +88,11 @@ object BenchLine {
   /** The bounded FAMILY line — the ladder's new floor: per-decade
     * subtotals (1 decimal — these are roll-ups, the precision lives on
     * the detail lines) plus the detail pointer. Failed queries (-1) are
-    * excluded from their family subtotal but reported in "failed". */
+    * excluded from their family subtotal and reported as a COUNT plus at
+    * most [[MaxFailedNames]] names — an unbounded name list could blow
+    * the very budget this floor exists to respect (a run whose fixture
+    * dir is missing fails every query). */
+  val MaxFailedNames = 8
   def familyLine(results: Seq[(String, Double)], sfDir: String,
       loadIndex: Option[Double] = None): String = {
     val (ok, failed) = results.partition(_._2 >= 0)
@@ -99,7 +103,9 @@ object BenchLine {
       .mkString("{", ",", "}")
     val failedKey =
       if (failed.isEmpty) ""
-      else s""""failed":${failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")},"""
+      else s""""n_failed":${failed.size},"failed":""" +
+        failed.take(MaxFailedNames).map("\"" + _._1 + "\"")
+          .mkString("[", ",", "]") + ","
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
       loadKey(loadIndex) +
       s""""detail":"target/bench.json",$failedKey"queries":$fams,"sf":"$sfDir"}"""
@@ -126,19 +132,32 @@ object BenchLine {
   private val Ladder = Seq((3, false, false), (2, false, false),
     (1, false, false), (1, true, false), (1, true, true))
 
+  /** A chosen final line: the emitted string, its human rung
+    * description, and whether the full-precision rung was abandoned —
+    * callers branch on `degraded`, never on the description text. */
+  final case class Chosen(line: String, rung: String, degraded: Boolean)
+
   /** The final (driver-parsed) line: the first ladder rung that fits the
-    * budget, else the bounded family line. Returns (line, rung
-    * description). */
+    * budget, else the bounded family line. Warnings (ambiguous short
+    * keys, and a family line that still exceeds the budget — possible
+    * only with absurd sf paths) are deduplicated across the rungs tried
+    * and emitted once. */
   def finalLine(results: Seq[(String, Double)], sfDir: String,
       tailBudget: Int, loadIndex: Option[Double] = None,
-      warn: String => Unit = _ => ()): (String, String) = {
-    Ladder.iterator
+      warn: String => Unit = _ => ()): Chosen = {
+    val warnings = scala.collection.mutable.LinkedHashSet.empty[String]
+    val chosen = Ladder.iterator
       .map { case (d, sq, ds) =>
-        (queryLine(results, sfDir, d, sq, ds, loadIndex, warn),
-          if (ds) s"deciseconds, stripQ=$sq" else s"$d decimals, stripQ=$sq")
+        Chosen(queryLine(results, sfDir, d, sq, ds, loadIndex, warnings += _),
+          if (ds) s"deciseconds, stripQ=$sq" else s"$d decimals, stripQ=$sq",
+          degraded = (d, sq, ds) != Ladder.head)
       }
-      .find { case (l, _) => l.length <= tailBudget }
-      .getOrElse((familyLine(results, sfDir, loadIndex),
-        "family subtotals + detail pointer"))
+      .find(_.line.length <= tailBudget)
+      .getOrElse(Chosen(familyLine(results, sfDir, loadIndex),
+        "family subtotals + detail pointer", degraded = true))
+    if (chosen.line.length > tailBudget)
+      warnings += s"[bench] WARNING: even the family floor is ${chosen.line.length} chars (> $tailBudget) — driver tail may clip"
+    warnings.foreach(warn)
+    chosen
   }
 }

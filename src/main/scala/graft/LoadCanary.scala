@@ -29,12 +29,14 @@ import org.apache.spark.sql.SparkSession
   */
 object LoadCanary {
 
-  /** Probe size: 4M rows per core at the bench's local[32]. ~0.3 s
-    * quiesced on the reference driver machine — big enough to span many
-    * scheduler quanta AND to drown per-job scheduling jitter (a 32M-row
-    * probe swung 0.08–0.22 s quiesced across JVM states, a 2.7× spread
-    * that would have drowned the 1.4× signal the canary looks for),
-    * small enough that three probe points cost ~3 s of a 200+ s run. */
+  /** Probe size: 4M rows per core at the bench's local[32] — big enough
+    * to span many scheduler quanta AND to drown per-job scheduling
+    * jitter (a 32M-row probe swung 0.08–0.22 s quiesced across JVM
+    * states, a 2.7× spread that would have drowned the 1.4× signal the
+    * canary looks for), small enough that three probe points cost a few
+    * seconds of a 150+ s run. The quiesced cost of THIS size, fully
+    * warmed, is [[DefaultExpectedSec]] — calibrate against that
+    * constant, not this comment. */
   val ProbeRows: Long = 128L * 1000 * 1000
 
   /** Timed runs per probe point (after one untimed warmup). */

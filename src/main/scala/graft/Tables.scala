@@ -18,27 +18,30 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  // Per-(session, dir, table) SCHEMA cache (r15): every
-  // spark.read.parquet call runs a ~40ms footer-reading schema-inference
-  // job on the driver, SERIALIZED — q199 alone referenced its tables 16
-  // times and paid ~1s before any real work. The fixture dirs are
-  // immutable, so the inferred schema is cached and re-supplied via
-  // spark.read.schema(...), which skips the inference job entirely while
-  // every call still gets a FRESH plan with fresh expression ids. The
-  // first cut of this cache shared one DataFrame OBJECT instead; that
-  // made self-composed queries canonicalize their subplans equal and
-  // changed reuse decisions for the worse (q114 measured 8.5s vs 6.2s
-  // isolated) — plan identity is part of a query's tuning surface, so
-  // only the schema, never the plan, is shared. Keyed on session
-  // IDENTITY (default AnyRef equality): specs that build many short
-  // sessions leave tiny entries behind, so the cache self-clears at a
-  // size far above any real session count.
+  // SCHEMA cache (r15): every spark.read.parquet call runs a ~40ms
+  // footer-reading schema-inference job on the driver, SERIALIZED —
+  // q199 alone referenced its tables 16 times and paid ~1s before any
+  // real work. The fixture dirs are immutable, so the inferred schema is
+  // cached and re-supplied via spark.read.schema(...), which skips the
+  // inference job entirely while every call still gets a FRESH plan with
+  // fresh expression ids. The first cut of this cache shared one
+  // DataFrame OBJECT instead; that made self-composed queries
+  // canonicalize their subplans equal and changed reuse decisions for
+  // the worse (q114 measured 8.5s vs 6.2s isolated) — plan identity is
+  // part of a query's tuning surface, so only the schema, never the
+  // plan, is shared. The key is (dir, name, nanosAsLong): inference for
+  // these immutable files depends only on the files and the one session
+  // conf that changes a column's inferred type (events.ts), so keying on
+  // the SparkSession would only strongly pin stopped test sessions; the
+  // size guard is a paranoia bound, not a working set.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), org.apache.spark.sql.types.StructType]()
+    (String, String, Boolean), org.apache.spark.sql.types.StructType]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (schemaCache.size > 512) schemaCache.clear()
-    val schema = schemaCache.computeIfAbsent((spark, dir, name),
+    val nanosAsLong = spark.conf
+      .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
+    val schema = schemaCache.computeIfAbsent((dir, name, nanosAsLong),
       _ => spark.read.parquet(s"$dir/$name.parquet").schema)
     val df = spark.read.schema(schema).parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)

@@ -78,6 +78,7 @@ object ManifestStream {
         try {
           var (mn, mx) = (Double.MaxValue, Double.MinValue)
           var rows = 0L
+          var statsSeen = true
           r.getFooter.getBlocks.asScala.foreach { b =>
             rows += b.getRowCount
             b.getColumns.asScala.foreach { c =>
@@ -85,11 +86,19 @@ object ManifestStream {
                 (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax) match {
                   case (lo: java.lang.Double, hi: java.lang.Double) =>
                     mn = math.min(mn, lo); mx = math.max(mx, hi)
-                  case _ =>
+                  case _ => statsSeen = false
                 }
             }
           }
-          Row(st.getPath.toString, rows, mn, mx)
+          // a file whose footer carries NO usable zone for p (parquet-mr
+          // omits float min/max when the column contains NaN) must stay
+          // VISIBLE to every read — an unknown zone means "cannot skip",
+          // never "skip always" (the read ⊇ match invariant); the
+          // infinite zone overlaps every predicate
+          if (!statsSeen || rows == 0L || mn > mx)
+            Row(st.getPath.toString, rows,
+              Double.NegativeInfinity, Double.PositiveInfinity)
+          else Row(st.getPath.toString, rows, mn, mx)
         } finally r.close()
       }
   }

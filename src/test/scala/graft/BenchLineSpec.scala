@@ -18,8 +18,9 @@ class BenchLineSpec extends AnyFunSuite {
   val keyRe = """"metric":"total","value":(\d+\.\d{3}),"unit":"sec"""".r
 
   test("full-precision rung when the budget allows") {
-    val (line, rung) = BenchLine.finalLine(results.take(10), "sfX", 1900)
-    assert(rung === "3 decimals, stripQ=false")
+    val c = BenchLine.finalLine(results.take(10), "sfX", 1900)
+    val (line, rung) = (c.line, c.rung)
+    assert(rung === "3 decimals, stripQ=false" && !c.degraded)
     assert(line.length <= 1900)
     assert(keyRe.findFirstIn(line).isDefined)
     assert(line.contains(""""q1":""") && line.endsWith(""""sf":"sfX"}"""))
@@ -27,8 +28,9 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("family floor under a tight budget: bounded, schema-parseable, pointered") {
-    val (line, rung) = BenchLine.finalLine(results, "sfX", 600)
-    assert(rung === "family subtotals + detail pointer")
+    val c = BenchLine.finalLine(results, "sfX", 600)
+    val (line, rung) = (c.line, c.rung)
+    assert(rung === "family subtotals + detail pointer" && c.degraded)
     assert(line.length <= 600, s"family line must be bounded, got ${line.length}")
     assert(keyRe.findFirstIn(line).isDefined, "driver schema keys intact")
     assert(line.contains(""""detail":"target/bench.json""""))
@@ -73,12 +75,12 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("load_index rides every rung, including the family floor") {
-    val (l1, _) = BenchLine.finalLine(results.take(5), "sf", 1900, Some(1.02))
+    val l1 = BenchLine.finalLine(results.take(5), "sf", 1900, Some(1.02)).line
     assert(l1.contains(""""load_index":1.02,"""))
-    val (l2, _) = BenchLine.finalLine(results, "sf", 600, Some(2.40))
+    val l2 = BenchLine.finalLine(results, "sf", 600, Some(2.40)).line
     assert(l2.contains(""""load_index":2.40,"""))
     // -1 (canary failed) is emitted, not hidden
-    val (l3, _) = BenchLine.finalLine(results.take(5), "sf", 1900, Some(-1.0))
+    val l3 = BenchLine.finalLine(results.take(5), "sf", 1900, Some(-1.0)).line
     assert(l3.contains(""""load_index":-1.00,"""))
   }
 
@@ -86,7 +88,7 @@ class BenchLineSpec extends AnyFunSuite {
     "detail lines preferred over the degraded final line") {
     val names = results.map(_._1).toSet
     val detail = BenchLine.detailLines(results, "sf")
-    val (fin, _) = BenchLine.finalLine(results, "sf", 600, Some(1.0))
+    val fin = BenchLine.finalLine(results, "sf", 600, Some(1.0)).line
     val stdout = (detail :+ fin).mkString("\n")
     val m = BenchPrev.parse(stdout, names)
     // family keys in the final line match no query name; the detail
@@ -104,9 +106,16 @@ class BenchLineSpec extends AnyFunSuite {
     val m = BenchPrev.parse(ds, Set("q5_a", "q6_b"))
     assert(math.abs(m("q5_a") - 4.2) < 1e-9)
     assert(math.abs(m("q6_b") - 0.7) < 1e-9)
-    // a NEIGHBORING object's qunit must not rescale a 3-decimal line
-    val full = BenchLine.queryLine(r, "sf", 3, stripQ = false)
-    val m2 = BenchPrev.parse(ds + "\n" + full, Set("q5_a", "q6_b"))
+    // a NEIGHBORING object's qunit must not rescale a 3-decimal line:
+    // q9_c lives ONLY in the 3-decimal line that FOLLOWS a ds line, so
+    // its stamp can only come from the later object — a too-wide
+    // look-behind window would pick up the ds line's qunit and read
+    // 0.42 instead of 4.2 (first-seen-wins cannot mask this: the name
+    // is absent from the first object)
+    val full = BenchLine.queryLine(Seq("q9_c" -> 4.2), "sf", 3, stripQ = false)
+    val m2 = BenchPrev.parse(ds + "\n" + full, Set("q5_a", "q9_c"))
     assert(math.abs(m2("q5_a") - 4.2) < 1e-9)
+    assert(math.abs(m2("q9_c") - 4.2) < 1e-9,
+      s"the ds line's qunit leaked into the following object: $m2")
   }
 }

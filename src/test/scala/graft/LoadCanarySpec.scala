@@ -31,8 +31,8 @@ class LoadCanarySpec extends SparkSpec {
   }
 
   test("emitted shape: load_index key parseable on the final line") {
-    val (line, _) = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 1900,
-      Some(LoadCanary.index(Seq(0.1), 0.07)))
+    val line = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 1900,
+      Some(LoadCanary.index(Seq(0.1), 0.07))).line
     val re = """"load_index":(-?\d+\.\d{2}),"queries"""".r
     val m = re.findFirstMatchIn(line)
     assert(m.isDefined, s"load_index must precede queries: $line")
@@ -48,9 +48,13 @@ class LoadCanarySpec extends SparkSpec {
     LoadCanary.probe(spark); LoadCanary.probe(spark)
     val quiesced = math.min(LoadCanary.probe(spark), LoadCanary.probe(spark))
     assert(quiesced > 0, "quiesced probe must succeed")
-    // a quiesced re-probe reads ~1.0 against its own calibration
+    // a re-probe under the SAME conditions reads ~1.0 against its own
+    // calibration — the band is wide (external machine load shifts both
+    // measurements together, so only gross instability should fail here;
+    // the real assertion below is the loaded/self RATIO, which external
+    // load cannot fake)
     val self = LoadCanary.index(Seq(LoadCanary.probe(spark)), quiesced)
-    assert(self > 0.5 && self < 1.7, s"quiesced self-index was $self")
+    assert(self > 0.3 && self < 2.5, s"self-index was $self")
     // dual-load simulation: spin 2x the machine's cores so the probe's
     // task threads get roughly half a core each (the r14 scenario —
     // another full bench sharing the box)
@@ -68,11 +72,15 @@ class LoadCanarySpec extends SparkSpec {
     try {
       Thread.sleep(300) // let the scheduler spread the spinners
       // min of 2 loaded probes: under SUSTAINED spin there is no lucky
-      // idle window, so even the min carries the contention
+      // idle window, so even the min carries the contention. Compare
+      // against the self-index measured moments ago under the same
+      // ambient conditions — the RATIO isolates the spinners' effect
+      // even when the whole box is already busy.
       val loaded = LoadCanary.index(Seq(math.min(
         LoadCanary.probe(spark), LoadCanary.probe(spark))), quiesced)
-      assert(loaded >= 1.3,
-        s"2x oversubscription should inflate the canary ≥1.3x, got $loaded")
+      assert(loaded >= 1.3 * math.max(self, 0.5),
+        s"2x oversubscription should inflate the canary ≥1.3x over the " +
+          s"same-conditions self-index $self, got $loaded")
     } finally {
       stop.set(true)
       spinners.foreach(_.join(2000))
