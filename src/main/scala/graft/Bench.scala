@@ -287,10 +287,21 @@ object Bench {
           else scala.util.Try {
             val content = new String(java.nio.file.Files.readAllBytes(
               java.nio.file.Paths.get("target", "bench.json")), "UTF-8")
-            val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
-            if (parsed.nonEmpty) System.err.println(
-              s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
-            parsed
+            // ADVICE r15: target/bench.json may be an arbitrary earlier
+            // LOCAL run — only trust it as a baseline when it measured
+            // the same sf dir as this run (the emitted line always
+            // carries "sf"); cross-sf stamps differ wholesale and would
+            // only feed spurious requeues.
+            if (!content.contains(s""""sf":"$sfDir"""")) {
+              System.err.println("[bench] re-pass fallback skipped: " +
+                s"target/bench.json measured a different sf dir than $sfDir")
+              Map.empty[String, Double]
+            } else {
+              val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+              if (parsed.nonEmpty) System.err.println(
+                s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
+              parsed
+            }
           }.getOrElse(Map.empty[String, Double])
         fallback ++ primary
       }

@@ -37,12 +37,32 @@ object BenchPrev {
       val pair = """"([^"]+)"\s*:\s*(-?\d+(?:\.\d+)?)""".r
       qre.findAllMatchIn(content).toList.foldLeft(Map.empty[String, Double]) {
         (acc, m) =>
-          // Deciseconds detection, anchored to THIS object (ADVICE r14:
-          // a fixed 400-char look-behind could pick up a neighboring
-          // object's qunit): every emit rung prints `"qunit":"ds"`
-          // immediately before `"queries"`, so a 64-char window cannot
-          // reach past this object's own keys.
-          val pre = content.substring(math.max(0, m.start - 64), m.start)
+          // Deciseconds detection, anchored to THIS object. ADVICE r14
+          // killed the fixed long look-behind (neighboring objects'
+          // qunit); ADVICE r15 killed the fixed SHORT one (a reordered
+          // or re-indented driver copy could push qunit past 64 chars
+          // and silently read deciseconds as seconds). So scan back to
+          // the enclosing object's own opening brace — skipping over
+          // balanced `{...}` siblings — or to the previous newline
+          // (every emit rung is one line), whichever comes first: the
+          // window now covers exactly this object's preceding keys, at
+          // any spacing, and nothing outside them.
+          val winStart = {
+            var i = m.start - 1
+            var depth = 0
+            var stop = -1
+            while (i >= 0 && stop < 0) {
+              content.charAt(i) match {
+                case '}' => depth += 1
+                case '{' => if (depth == 0) stop = i else depth -= 1
+                case '\n' => stop = i
+                case _ =>
+              }
+              i -= 1
+            }
+            math.max(0, stop)
+          }
+          val pre = content.substring(winStart, m.start)
           val scale =
             if (""""qunit"\s*:\s*"ds"""".r.findFirstIn(pre).isDefined) 0.1
             else 1.0

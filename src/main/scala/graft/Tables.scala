@@ -34,6 +34,16 @@ object Tables {
   // conf that changes a column's inferred type (events.ts), so keying on
   // the SparkSession would only strongly pin stopped test sessions; the
   // size guard is a paranoia bound, not a working set.
+  //
+  // CONTRACT (ADVICE r15): this cache assumes (a) the fixture dirs are
+  // IMMUTABLE for the JVM's lifetime — regenerating a fixture at the same
+  // path within one process would serve the stale schema — and (b) no
+  // session varies any OTHER parquet-inference conf (binaryAsString,
+  // int96 handling, case sensitivity) across lookups of the same dir.
+  // Both hold for every entry point in this repo (Verify/Bench/specs all
+  // read driver-written fixtures with GraftSession defaults); a future
+  // caller that breaks either must key on the extra conf or bypass
+  // Tables and call spark.read.parquet directly.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Boolean), org.apache.spark.sql.types.StructType]()
 

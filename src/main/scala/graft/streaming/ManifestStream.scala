@@ -94,8 +94,11 @@ object ManifestStream {
           // omits float min/max when the column contains NaN) must stay
           // VISIBLE to every read — an unknown zone means "cannot skip",
           // never "skip always" (the read ⊇ match invariant); the
-          // infinite zone overlaps every predicate
-          if (!statsSeen || rows == 0L || mn > mx)
+          // infinite zone overlaps every predicate. NaN stats themselves
+          // (ADVICE r15: mn > mx is FALSE for NaN, and a NaN zone fails
+          // every overlap test — the file would go permanently invisible)
+          // degrade to the same infinite zone.
+          if (!statsSeen || rows == 0L || mn > mx || mn.isNaN || mx.isNaN)
             Row(st.getPath.toString, rows,
               Double.NegativeInfinity, Double.PositiveInfinity)
           else Row(st.getPath.toString, rows, mn, mx)
