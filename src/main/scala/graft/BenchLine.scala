@@ -46,11 +46,14 @@ object BenchLine {
   private def fmtSec(v: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
 
-  /** The shared line suffix: an optional load_index key (VERDICT r14 #1)
-    * ahead of the queries object. -1 (canary failed) is still emitted —
-    * a missing key would read as "quiesced" to a grep. */
-  private def loadKey(loadIndex: Option[Double]): String =
-    loadIndex.map(l => s""""load_index":${fmtSec(l, 2)},""").getOrElse("")
+  /** The shared line suffix: optional load_index (CPU leg, VERDICT r14
+    * #1) and io_index (disk leg, VERDICT r15 #1) keys ahead of the
+    * queries object. -1 (canary failed) is still emitted — a missing key
+    * would read as "quiesced" to a grep. */
+  private def loadKey(loadIndex: Option[Double],
+      ioIndex: Option[Double]): String =
+    loadIndex.map(l => s""""load_index":${fmtSec(l, 2)},""").getOrElse("") +
+      ioIndex.map(i => s""""io_index":${fmtSec(i, 2)},""").getOrElse("")
 
   private def totalStr(results: Seq[(String, Double)]): String =
     fmtSec(results.map(_._2).filter(_ >= 0).sum, 3)
@@ -62,6 +65,7 @@ object BenchLine {
   def queryLine(results: Seq[(String, Double)], sfDir: String,
       decimals: Int, stripQ: Boolean, deci: Boolean = false,
       loadIndex: Option[Double] = None,
+      ioIndex: Option[Double] = None,
       warn: String => Unit = _ => ()): String = {
     def key0(name: String): String = {
       val p = shortKey(name)
@@ -82,7 +86,7 @@ object BenchLine {
     }.mkString("{", ",", "}")
     val qunit = if (deci) "\"qunit\":\"ds\"," else ""
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
-      loadKey(loadIndex) + qunit + s""""queries":$qs,"sf":"$sfDir"}"""
+      loadKey(loadIndex, ioIndex) + qunit + s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** The bounded FAMILY line — the ladder's new floor: per-decade
@@ -94,7 +98,8 @@ object BenchLine {
     * dir is missing fails every query). */
   val MaxFailedNames = 8
   def familyLine(results: Seq[(String, Double)], sfDir: String,
-      loadIndex: Option[Double] = None): String = {
+      loadIndex: Option[Double] = None,
+      ioIndex: Option[Double] = None): String = {
     val (ok, failed) = results.partition(_._2 >= 0)
     val fams = ok.groupBy { case (k, _) => familyKey(k) }
       .map { case (f, vs) => f -> vs.map(_._2).sum }
@@ -107,7 +112,7 @@ object BenchLine {
         failed.take(MaxFailedNames).map("\"" + _._1 + "\"")
           .mkString("[", ",", "]") + ","
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
-      loadKey(loadIndex) +
+      loadKey(loadIndex, ioIndex) +
       s""""detail":"target/bench.json",$failedKey"queries":$fams,"sf":"$sfDir"}"""
   }
 
@@ -144,16 +149,19 @@ object BenchLine {
     * and emitted once. */
   def finalLine(results: Seq[(String, Double)], sfDir: String,
       tailBudget: Int, loadIndex: Option[Double] = None,
+      ioIndex: Option[Double] = None,
       warn: String => Unit = _ => ()): Chosen = {
     val warnings = scala.collection.mutable.LinkedHashSet.empty[String]
     val chosen = Ladder.iterator
       .map { case (d, sq, ds) =>
-        Chosen(queryLine(results, sfDir, d, sq, ds, loadIndex, warnings += _),
+        Chosen(
+          queryLine(results, sfDir, d, sq, ds, loadIndex, ioIndex,
+            warnings += _),
           if (ds) s"deciseconds, stripQ=$sq" else s"$d decimals, stripQ=$sq",
           degraded = (d, sq, ds) != Ladder.head)
       }
       .find(_.line.length <= tailBudget)
-      .getOrElse(Chosen(familyLine(results, sfDir, loadIndex),
+      .getOrElse(Chosen(familyLine(results, sfDir, loadIndex, ioIndex),
         "family subtotals + detail pointer", degraded = true))
     if (chosen.line.length > tailBudget)
       warnings += s"[bench] WARNING: even the family floor is ${chosen.line.length} chars (> $tailBudget) — driver tail may clip"

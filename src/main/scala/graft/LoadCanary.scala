@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
 /** Load canary for [[Bench]] (VERDICT r14 #1): a fixed, deterministic,
@@ -92,6 +93,89 @@ object LoadCanary {
       System.err.println(s"[bench] load canary failed: ${e.getMessage}")
       -1.0
     }
+
+  // ------------------------------------------------------------ I/O leg
+  // VERDICT r15 #1: the CPU probe is blind to DISK contention — the r15
+  // official run stamped load_index 0.91 ("quiesced") while every
+  // I/O-heavy entry inflated 2–12× under sustained disk load
+  // (compact_prep 26.9s stamped vs 2.26s judge-isolated). So a second
+  // probe leg times a fixed-size parquet WRITE + full-column read-back,
+  // emitted as "io_index" next to "load_index": CPU load moves the CPU
+  // leg, writeback/disk saturation moves this one, and a judge reading
+  // the line sees which regime (if either) taints the stamps.
+
+  /** I/O probe size: 3M rows × two LCG-scrambled longs ≈ 48 MB of
+    * incompressible parquet — big enough that the write is a real
+    * writeback burst (small files vanish into the page cache and read
+    * quiesced even on a saturated disk), small enough that three probe
+    * points cost ~2 s of a 150+ s run. The read-back aggregates BOTH
+    * columns so the scan decodes every page (the q202 noop-sink
+    * discipline); it mostly hits page cache — the WRITE is the
+    * disk-sensitive half, which is exactly the half the r15 preps died
+    * on. */
+  val IoProbeRows: Long = 3L * 1000 * 1000
+
+  /** Timed I/O runs per probe point (after one untimed warmup — the
+    * first write pays committer/codegen init). Two, not three: the probe
+    * is ~4× the CPU leg's cost and min-of-2 under SUSTAINED disk load is
+    * just as immovable (buffered writes stall on writeback whichever run
+    * you take). */
+  val IoProbeIters: Int = 2
+
+  /** The reference machine's quiesced I/O probe cost in seconds
+    * (write + read of the ~48 MB frame at local[32]), overridable with
+    * `SPARK_GRAFT_IO_EXPECTED`. Calibrated like [[DefaultExpectedSec]]:
+    * warmed quiesced probes in the Bench environment on the driver box
+    * read 0.64–0.66 s under its ~5-loadavg ambient; 0.60 centers the
+    * quiesced index at ~1.0. */
+  val DefaultIoExpectedSec: Double = 0.60
+
+  def ioExpectedSec: Double =
+    scala.util.Try(sys.env.get("SPARK_GRAFT_IO_EXPECTED").map(_.toDouble))
+      .toOption.flatten.filter(e => e > 0 && e.isFinite)
+      .getOrElse(DefaultIoExpectedSec)
+
+  /** One timed I/O run: overwrite the fixed frame, read it back through
+    * a both-columns aggregate. xxhash64 produces high-entropy longs
+    * (dictionary/delta/snappy cannot shrink them — and unlike a wrapping
+    * LCG multiply, it cannot trip ANSI overflow), so the on-disk byte
+    * count — the thing the probe exists to push through the disk — is
+    * stable across Spark versions. The sums intentionally stay inside
+    * try-free territory: sum() over hashes can overflow under ANSI, so
+    * aggregate the hashes' low 32 bits. */
+  private def ioProbeOnce(spark: SparkSession, dir: String): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, IoProbeRows, 1L, 4)
+      .selectExpr("xxhash64(id) as a", "xxhash64(id, 1) as b")
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .selectExpr("sum(a & 4294967295) as sa", "sum(b & 4294967295) as sb")
+      .head()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One I/O probe point: one untimed warmup, MIN of [[IoProbeIters]]
+    * timed runs, then the probe directory is DELETED (the probe must not
+    * leave 48 MB of scratch behind, and a stale frame must not let a
+    * later read skip the write). Guarded like [[probe]]: a failure
+    * returns -1 and drops out of the index. */
+  def ioProbe(spark: SparkSession): Double = {
+    val dir = Scratch.dir("canary_io")
+    try {
+      ioProbeOnce(spark, dir)
+      (1 to IoProbeIters).map(_ => ioProbeOnce(spark, dir)).min
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] io canary failed: ${e.getMessage}")
+      -1.0
+    } finally {
+      try {
+        val p = new Path(dir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        ()
+      } catch { case _: Throwable => () }
+    }
+  }
 
   /** The emitted index: median of the (valid) probe points over the
     * expected quiesced cost, 2 decimals. Median across the run's probe

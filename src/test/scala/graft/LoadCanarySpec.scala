@@ -39,6 +39,42 @@ class LoadCanarySpec extends SparkSpec {
     assert(m.get.group(1).toDouble === 1.43)
   }
 
+  test("emitted shape: io_index rides between load_index and queries " +
+    "on every rung (VERDICT r15 #1 — parser shape pinned)") {
+    val li = Some(1.02)
+    val ii = Some(LoadCanary.index(Seq(1.10), 0.55)) // = 2.0
+    val full = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 1900,
+      li, ii).line
+    val re = """"load_index":(-?\d+\.\d{2}),"io_index":(-?\d+\.\d{2}),""".r
+    val m = re.findFirstMatchIn(full)
+    assert(m.isDefined, s"io_index must follow load_index: $full")
+    assert(m.get.group(2).toDouble === 2.0)
+    // the family floor (tiny budget) carries both keys too
+    val floor = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 10, li, ii).line
+    assert(re.findFirstIn(floor).isDefined, s"family floor: $floor")
+    // and a failed io canary is emitted as -1, never omitted
+    val failed = BenchLine.finalLine(Seq("q1_a" -> 1.0), "sf", 1900,
+      li, Some(-1.0)).line
+    assert(failed.contains(""""io_index":-1.00,"""), failed)
+    // io_index before queries must not confuse the prev-stamp parser
+    assert(BenchPrev.parse(full, Set("q1_a")) === Map("q1_a" -> 1.0))
+  }
+
+  test("io probe: times a real write+read-back and cleans up its scratch") {
+    val t = LoadCanary.ioProbe(spark)
+    assert(t > 0, s"io probe must succeed, got $t")
+    info(f"io probe: $t%.3fs (calibrated expected ${LoadCanary.ioExpectedSec}%.3fs)")
+    assert(!new java.io.File(Scratch.dir("canary_io")).exists,
+      "the probe must delete its scratch frame")
+    // the index math is shared with the CPU leg (same function) — one
+    // cross-check that the calibration constant is in the probe's decade,
+    // generously banded: the RATIO semantics are pinned above; this only
+    // guards against a 10x mis-calibration of the shipped constant
+    val idx = LoadCanary.index(Seq(t), LoadCanary.ioExpectedSec)
+    assert(idx > 0.2 && idx < 5.0,
+      s"io probe $t vs expected ${LoadCanary.ioExpectedSec} → index $idx")
+  }
+
   test("CPU contention moves the canary: deliberate 2x oversubscription " +
     "inflates the probe ≥1.3x over the quiesced calibration") {
     // warm until steady, THEN calibrate (min of 2): Spark's own paths
