@@ -2,6 +2,71 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** How to re-run a prep entry cleanly (VERDICT r15 #2): `evict` drops
+    * the session-cached artifact (untimed), `build` is exactly the
+    * original prep's TIMED body, `rewarm` restores the untimed warm
+    * state the main loop's queries ran under (so later requeued queries
+    * in the same pass see the same caches). Preps are clean rebuilds —
+    * unlike gates/dirty queries, a fresh rebuild measures the same cold
+    * work as the original stamp, so min(original, rebuild) cannot
+    * understate them. */
+  final case class PrepRerun(evict: () => Unit, build: () => Unit,
+      rewarm: () => Unit)
+
+  /** The prep entries Bench stamps (also the extra names BENCH_ONLY may
+    * select and the prev-stamp parser must keep — prep names are not in
+    * SparkEntry.queries, and parsing them out of the baseline is what
+    * lets an inflated prep trip the requeue at all). */
+  val PrepNames: Set[String] = Set("dedup_prep", "forget_prep",
+    "compact_prep", "suffix_prep", "ann_prep")
+
+  def prepReruns(spark: SparkSession, sfDir: String): Map[String, PrepRerun] =
+    Map(
+      "dedup_prep" -> PrepRerun(
+        () => { graft.ops.Dedup.evictSession(spark)
+          graft.ops.Curation.evictSession(spark) },
+        () => graft.ops.Dedup.prepShingles(spark, sfDir),
+        () => { graft.ops.Dedup.warmComposedCaches(spark, sfDir)
+          graft.ops.Curation.warmEvalHits(spark, sfDir)
+          graft.ops.TextAnalysis.warmMerges(spark, sfDir) }),
+      "forget_prep" -> PrepRerun(
+        () => graft.ops.Maintenance.evictForgetLake(spark, sfDir),
+        () => { graft.ops.Maintenance.ensureForgetLake(spark, sfDir); () },
+        () => ()),
+      "compact_prep" -> PrepRerun(
+        () => graft.ops.Maintenance.evictFragmentedLake(spark, sfDir),
+        () => { graft.ops.Maintenance.ensureFragmentedLake(spark, sfDir); () },
+        () => ()),
+      "suffix_prep" -> PrepRerun(
+        () => graft.ops.SuffixIndex.evictSession(spark),
+        () => graft.ops.SuffixIndex.prepGlobalRanks(spark, sfDir),
+        () => ()),
+      "ann_prep" -> PrepRerun(
+        () => graft.ops.Similarity.evictCentroids(spark),
+        () => graft.ops.Similarity.stageAnnArtifacts(spark, sfDir),
+        () => ()))
+
+  /** One prep re-stamp: evict (untimed) → rebuild (timed, ONE run — a
+    * prep is seconds-scale, and load noise is one-sided so a single
+    * clean rebuild suffices) → rewarm (untimed) → min(original,
+    * rebuild). Guarded: a rerun failure keeps the original stamp. */
+  def rerunPrep(spark: SparkSession, sfDir: String, name: String,
+      original: Double): Double =
+    prepReruns(spark, sfDir).get(name).map { pr =>
+      try {
+        pr.evict()
+        val t0 = System.nanoTime()
+        pr.build()
+        val re = (System.nanoTime() - t0) / 1e9
+        pr.rewarm()
+        math.min(original, re)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prep rerun $name failed: ${e.getMessage}")
+        original
+      }
+    }.getOrElse(original)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,9 +124,8 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
     // A typo'd name must not silently vanish from the results list.
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet -
-        "dedup_prep" - "forget_prep" - "compact_prep" - "suffix_prep" -
-        "ann_prep" - "streambench"
+      val unknown = names -- SparkEntry.queries.keySet -- PrepNames -
+        "streambench"
       if (unknown.nonEmpty) System.err.println(
         s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names match no query: ${unknown.mkString(",")}")
     }
@@ -283,7 +347,7 @@ object Bench {
             }
           val content = new String(
             java.nio.file.Files.readAllBytes(path), "UTF-8")
-          val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+          val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet ++ PrepNames)
           System.err.println(
             s"[bench] outlier re-pass baseline: $path (${parsed.size} stamps)")
           parsed
@@ -306,7 +370,7 @@ object Bench {
                 s"target/bench.json measured a different sf dir than $sfDir")
               Map.empty[String, Double]
             } else {
-              val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet)
+              val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet ++ PrepNames)
               if (parsed.nonEmpty) System.err.println(
                 s"[bench] re-pass fallback stamps: target/bench.json (${parsed.size})")
               parsed
@@ -317,16 +381,39 @@ object Bench {
     }
     val requeueCap = 12 // bound the re-pass wall-clock; stderr if exceeded
     var requeues = 0
+    val preps = prepReruns(spark, sfDir)
     val results = measured.map { case (name, v) =>
-      val fn = SparkEntry.queries.get(name) // prep entries are not re-runnable
-      // ADVICE r14: only the PURE partition re-runs — a warm isolated
-      // rerun of a gate/dirty query against already-mutated scratch state
-      // can undercut its honest cold cost (and mutate state after the
-      // suite ended), so min(original, rerun) would understate it.
-      val requeueable = fn.nonEmpty &&
-        !sideEffecting(name) && !gateCluster(name)
-      if (!BenchPrev.inflated(v, prevStamps.get(name)) || fn.isEmpty)
+      val fn = SparkEntry.queries.get(name)
+      // ADVICE r14: of the QUERIES only the pure partition re-runs — a
+      // warm isolated rerun of a gate/dirty query against
+      // already-mutated scratch state can undercut its honest cold cost
+      // (and mutate state after the suite ended), so min(original,
+      // rerun) would understate it. PREPS re-run too (VERDICT r15 #2):
+      // they are clean evict-and-rebuild bodies, not gates — a cold
+      // rebuild measures the same work as the original stamp, and in
+      // the r15 run they were the largest stamps in the file with the
+      // worst disk-load inflation (compact_prep 26.9s vs 2.26s).
+      val isPrep = fn.isEmpty && preps.contains(name)
+      val requeueable = isPrep || (fn.nonEmpty &&
+        !sideEffecting(name) && !gateCluster(name))
+      if (!BenchPrev.inflated(v, prevStamps.get(name)) ||
+        (fn.isEmpty && !isPrep))
         name -> v
+      else if (isPrep) {
+        if (requeues >= requeueCap) {
+          System.err.println(s"[bench] requeue cap $requeueCap reached; " +
+            s"$name left at stamped ${f"$v%.2f"}s")
+          name -> v
+        } else {
+          requeues += 1
+          settle()
+          val stamped = rerunPrep(spark, sfDir, name, v)
+          System.err.println(f"[bench] requeued prep $name: stamped $v%.2fs " +
+            f"(prev ${prevStamps(name)}%.2fs); clean rebuild → " +
+            f"final $stamped%.2fs")
+          name -> stamped
+        }
+      }
       else if (!requeueable) {
         System.err.println(f"[bench] $name inflated ≥2× vs prev " +
           f"(${prevStamps(name)}%.2fs → $v%.2fs) but is a gate/dirty " +
