@@ -686,29 +686,34 @@ object StreamBench {
       guarded("manifest")(measureManifest(spark, sfDir)))
   }
 
-  /** S32 throughput: lineitem prices replayed as a file-source stream
-    * through [[graft.streaming.ManifestStream]] — rows/sec through the
-    * write-files + harvest-real-footers + commit-manifest seam. `clean` =
-    * the standing manifest's total row mass (must equal the record
-    * count), with a middle-fifth pruned read logged: files opened vs
-    * files on disk, the planning win the manifest exists for. */
+  /** S32 throughput: lineitem (price, ship-date-days) replayed as a
+    * file-source stream through [[graft.streaming.ManifestStream]] —
+    * rows/sec through the z-lay-files + harvest-real-footers +
+    * commit-manifest seam. `clean` = the standing manifest's total row
+    * mass (must equal the record count), with a conjunctive
+    * middle-fifth×middle-fifth pruned read logged: files opened vs
+    * files on disk, the two-dimensional planning win the manifest
+    * exists for. */
   def measureManifest(spark: SparkSession, sfDir: String,
       timeoutMs: Long = 600000): SeamResult = {
     import spark.implicits._
     val root = s"${Scratch.forSf("streambench", sfDir)}-manifest"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val incoming = s"$root/incoming"
-    val prices = Tables(spark, sfDir, "lineitem")
-      .select($"l_extendedprice".as("p"))
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("p"),
+        expr("cast(datediff(l_shipdate, date'1970-01-01') as double)")
+          .as("d"))
     for (chunk <- 0 to 2) {
-      prices.filter(pmod(($"p" * 100).cast("long"), lit(3)) === chunk)
+      rows.filter(pmod(($"p" * 100).cast("long"), lit(3)) === chunk)
         .write.mode("append").parquet(incoming)
     }
+    val bounds = streaming.ManifestStream.stageBounds(rows)
     val n = spark.read.parquet(incoming).count()
     val t0 = System.nanoTime()
-    val stream = spark.readStream
-      .schema("p double").option("maxFilesPerTrigger", 1).parquet(incoming)
-    val q = streaming.ManifestStream.run(stream, s"$root/out")
+    val stream = spark.readStream.schema("p double, d double")
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = streaming.ManifestStream.run(stream, s"$root/out", bounds)
     val finished = q.awaitTermination(timeoutMs)
     val secs = (System.nanoTime() - t0) / 1e9
     if (!finished) {
@@ -719,12 +724,14 @@ object StreamBench {
       val man = streaming.ManifestStream.manifest(spark, s"$root/out")
       val mass = man.agg(sum($"rows")).as[Long].head()
       val nFiles = man.count()
-      val (mn, mx) = prices.agg(min($"p"), max($"p")).as[(Double, Double)].head()
-      val (lo, hi) = (mn + (mx - mn) * 2 / 5.0, mn + (mx - mn) * 3 / 5.0)
+      def fifth(mn: Double, mx: Double) =
+        (mn + (mx - mn) * 2 / 5.0, mn + (mx - mn) * 3 / 5.0)
+      val (pLo, pHi) = fifth(bounds.pMn, bounds.pMx)
+      val (dLo, dHi) = fifth(bounds.dMn, bounds.dMx)
       val opened = streaming.ManifestStream
-        .prunedFiles(spark, s"$root/out", lo, hi).size
-      System.err.println(s"[streambench:manifest] middle-fifth read opens " +
-        s"$opened of $nFiles files")
+        .prunedFiles(spark, s"$root/out", pLo, pHi, dLo, dHi).size
+      System.err.println(s"[streambench:manifest] conjunctive " +
+        s"middle-fifths read opens $opened of $nFiles files")
       SeamResult(n / secs, n, mass, secs)
     }
   }

@@ -5,10 +5,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+import graft.ops.Layout
 
 /** S32 — streaming FILE-STATS MANIFEST maintenance: the artifact that
   * turns q202's zone-map arithmetic into a production read path. q202
@@ -19,23 +21,51 @@ import org.apache.spark.sql.types._
   * column stats; planning prunes files by stats before any data I/O),
   * re-expressed over plain parquet.
   *
-  * Per micro-batch: write the batch's rows as data files under
-  * `data/batch=<id>` (range-laid on the price column inside the batch,
-  * so each file carries a tight zone — the q202 sorted-layout lesson
-  * applied at write time), then read the REAL footers of exactly the
-  * files just written and overwrite `manifest/batch=<id>` with one row
-  * per file: path, row count, per-column min/max. The footer harvest is
-  * driver-side by design and metadata-sized (a handful of files per
-  * batch; in production these stats arrive in the writer tasks' commit
-  * messages — Iceberg's DataFile — rather than a post-hoc footer read;
-  * same rows, different transport).
+  * Round 16 (VERDICT r15 #4) the manifest went TWO-dimensional — the
+  * q202 lesson is that z-order pays on BOTH dimensions, so the write
+  * path now lays each batch out z-ordered and the manifest tracks both
+  * columns' zones:
+  *
+  *  - Rows carry (p double, d double) — price and date-days in the
+  *    fixtures, any two range-predicated dimensions in production.
+  *  - A STAGED bounds generation (the S28 [[StatsStream]] pattern —
+  *    what production keeps behind a generation pointer and re-elects
+  *    on drift; S30 runs that lifecycle) scales both columns onto the
+  *    1024×1024 Morton grid; out-of-range arrivals clamp to the edge
+  *    cells exactly as S28 clamps to its edge bins.
+  *  - Each batch's file assignment is the top [[GridBits]] bits of the
+  *    q98/q202 Morton key ([[Layout.morton10]] — the literal audit
+  *    expression): fid = zkey >> [[GridShift]], a DETERMINISTIC
+  *    value-domain carve into the [[FilesPerBatch]] cells of a
+  *    √F × √F grid over (p, d). No sampled boundaries anywhere — so
+  *    unlike the r15 range-exchange layout, file CONTENTS and ZONES are
+  *    replay-invariant, not merely the reader-observable results, and
+  *    any consumer (the q205/q206 audits, a DuckDB oracle) can
+  *    recompute the manifest from the data alone. Every file is a grid
+  *    cell, so its footer zone is tight on p AND d by construction.
+  *  - The per-batch write is `repartition(F, fid)` +
+  *    `sortWithinPartitions(fid, zkey)` + `partitionBy(fid)`: one
+  *    shuffle keyed on the cell id, writer-side split, z-clustered
+  *    rows inside each file; empty cells write no file. At 100 TB the
+  *    same plan holds with F sized to batch-rows/128 MB — the carve is
+  *    a map-side projection, never a global sort.
+  *
+  * Per micro-batch: write the batch's z-laid data files under
+  * `data/batch=<id>/fid=<cell>`, then read the REAL footers of exactly
+  * the files just written and overwrite `manifest/batch=<id>` with one
+  * row per file: path, row count, min/max of BOTH columns. The footer
+  * harvest is driver-side by design and metadata-sized (a handful of
+  * files per batch; in production these stats arrive in the writer
+  * tasks' commit messages — Iceberg's DataFile — rather than a post-hoc
+  * footer read; same rows, different transport).
   *
   * The read path: [[prunedRead]] filters the standing manifest by zone
-  * overlap and opens ONLY the surviving files — planning I/O is
-  * manifest-sized, data I/O is proportional to the predicate's true
-  * selectivity × layout quality, never to table size. That is the whole
-  * 100 TB point: the scan cost of a range query over a year of data is
-  * decided by this artifact, not by the table's row count.
+  * overlap on the CONJUNCTION of both range predicates and opens ONLY
+  * the surviving files — planning I/O is manifest-sized, data I/O is
+  * proportional to the predicates' true selectivity × layout quality,
+  * never to table size. That is the whole 100 TB point: the scan cost
+  * of a price×date range query over a year of data is decided by this
+  * artifact, not by the table's row count.
   *
   * Idempotency protocol (S8/S9/S28/S29/S31): both the data directory and
   * the manifest partition are per-batch overwrites keyed by `batch=<id>`,
@@ -43,91 +73,151 @@ import org.apache.spark.sql.types._
   * re-harvests footers from what it just wrote, so the manifest can never
   * describe files that are not on disk (a crash between data and manifest
   * leaves the batch's files invisible to readers until the replay heals
-  * both). File NAMES and file BOUNDARIES are attempt-scoped (the range
-  * exchange samples boundaries per execution), but readers only ever
-  * reach files through the manifest, so the reader-observable contract —
-  * batch masses, zone coverage, and every pruned read's RESULTS — is
-  * replay-invariant (spec-pinned); orphaned files from a pre-crash
-  * attempt are dead weight (production compaction's job — q103) rather
-  * than a correctness hazard. */
+  * both). With the deterministic grid carve a replay rewrites
+  * byte-equivalent cell files, so the manifest zones themselves are
+  * replay-invariant (spec-pinned). */
 object ManifestStream {
 
-  /** Files per batch: small enough that the per-batch footer harvest is
-    * trivially metadata-sized, large enough that in-batch range layout
-    * gives each file a tight price zone to prune on. */
-  val FilesPerBatch = 4
+  /** Grid granularity: 4 bits → a 4×4 grid of 256×256 Morton cells →
+    * at most 16 files per batch. Coarse enough that the per-batch
+    * footer harvest stays trivially metadata-sized, fine enough that a
+    * fifth-range predicate on either dimension skips whole grid rows or
+    * columns (the measured two-dimension skip rate is spec-pinned). */
+  val GridBits = 4
+  val FilesPerBatch: Int = 1 << GridBits
+  /** zkey is 20 bits (10 per dimension); the file id is its top
+    * [[GridBits]] bits — interleaved, so fid bits alternate d/p and the
+    * 16 cells tile the plane 4×4. */
+  val GridShift: Int = 20 - GridBits
+
+  /** The staged scaling generation: global min/max of both columns.
+    * Driver-side four doubles — a generation artifact, not data motion
+    * (the S28 staged-bounds discipline; re-election on drift is S30's
+    * lifecycle, out of scope here). */
+  final case class ZBounds(pMn: Double, pMx: Double, dMn: Double, dMx: Double)
+
+  /** Elect staged bounds from a standing frame carrying (p, d). Requires
+    * non-degenerate ranges on both, like q197/S28. */
+  def stageBounds(rows: DataFrame): ZBounds = {
+    val r = rows.agg(min(col("p")), max(col("p")),
+      min(col("d")), max(col("d"))).head()
+    val b = ZBounds(r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3))
+    require(b.pMx > b.pMn && b.dMx > b.dMn, s"degenerate bounds $b")
+    b
+  }
+
+  /** One dimension's 10-bit grid coordinate under the staged bounds —
+    * the q202/LayoutSpec scaling expression verbatim, clamped to the
+    * edge cells for out-of-generation arrivals. */
+  private def gridCoord(c: Column, mn: Double, mx: Double): Column =
+    greatest(lit(0L), least(
+      floor((c - lit(mn)) * lit(1024.0) / lit(mx - mn)).cast("long"),
+      lit(1023L)))
+
+  /** The batch's z-key and deterministic cell/file id. */
+  private[streaming] def withCell(batch: DataFrame, b: ZBounds): DataFrame =
+    batch
+      .withColumn("zkey", Layout.morton10(
+        gridCoord(col("p"), b.pMn, b.pMx),
+        gridCoord(col("d"), b.dMn, b.dMx)))
+      .withColumn("fid", shiftright(col("zkey"), GridShift))
 
   val ManifestSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("mn_p", DoubleType, nullable = false),
-    StructField("mx_p", DoubleType, nullable = false)))
+    StructField("mx_p", DoubleType, nullable = false),
+    StructField("mn_d", DoubleType, nullable = false),
+    StructField("mx_d", DoubleType, nullable = false)))
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** REAL footer stats of every parquet file under `dir`: (path, rows,
-    * min p, max p) — the writer-commit metadata, harvested post hoc. */
+  /** REAL footer stats of every parquet file under `dir` (recursive —
+    * the z-laid batch writes one `fid=<cell>` directory per non-empty
+    * cell): (path, rows, min/max p, min/max d) — the writer-commit
+    * metadata, harvested post hoc. */
   private[streaming] def harvest(s: SparkSession, dir: String): Seq[Row] = {
     val conf = s.sparkContext.hadoopConfiguration
-    val d = new Path(dir)
-    fs(s, d).listStatus(d).toSeq
-      .filter(st => st.getPath.getName.endsWith(".parquet"))
-      .map { st =>
-        val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
-        try {
-          var (mn, mx) = (Double.MaxValue, Double.MinValue)
-          var rows = 0L
-          var statsSeen = true
-          r.getFooter.getBlocks.asScala.foreach { b =>
-            rows += b.getRowCount
-            b.getColumns.asScala.foreach { c =>
-              if (c.getPath.toDotString == "p")
-                (c.getStatistics.genericGetMin, c.getStatistics.genericGetMax) match {
-                  case (lo: java.lang.Double, hi: java.lang.Double) =>
-                    mn = math.min(mn, lo); mx = math.max(mx, hi)
-                  case _ => statsSeen = false
-                }
+    val d0 = new Path(dir)
+    val f = fs(s, d0)
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
+      }
+    walk(d0).map { path =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try {
+        var (pMn, pMx) = (Double.MaxValue, Double.MinValue)
+        var (dMn, dMx) = (Double.MaxValue, Double.MinValue)
+        var rows = 0L
+        var statsSeen = true
+        r.getFooter.getBlocks.asScala.foreach { b =>
+          rows += b.getRowCount
+          b.getColumns.asScala.foreach { c =>
+            def upd(cur: (Double, Double)): (Double, Double) =
+              (c.getStatistics.genericGetMin,
+                c.getStatistics.genericGetMax) match {
+                case (lo: java.lang.Double, hi: java.lang.Double) =>
+                  (math.min(cur._1, lo), math.max(cur._2, hi))
+                case _ => statsSeen = false; cur
+              }
+            c.getPath.toDotString match {
+              case "p" => val u = upd((pMn, pMx)); pMn = u._1; pMx = u._2
+              case "d" => val u = upd((dMn, dMx)); dMn = u._1; dMx = u._2
+              case _ =>
             }
           }
-          // a file whose footer carries NO usable zone for p (parquet-mr
-          // omits float min/max when the column contains NaN) must stay
-          // VISIBLE to every read — an unknown zone means "cannot skip",
-          // never "skip always" (the read ⊇ match invariant); the
-          // infinite zone overlaps every predicate. NaN stats themselves
-          // (ADVICE r15: mn > mx is FALSE for NaN, and a NaN zone fails
-          // every overlap test — the file would go permanently invisible)
-          // degrade to the same infinite zone.
-          if (!statsSeen || rows == 0L || mn > mx || mn.isNaN || mx.isNaN)
-            Row(st.getPath.toString, rows,
-              Double.NegativeInfinity, Double.PositiveInfinity)
-          else Row(st.getPath.toString, rows, mn, mx)
-        } finally r.close()
-      }
+        }
+        // a file whose footer carries NO usable zone on either column
+        // (parquet-mr omits float min/max when a column contains NaN)
+        // must stay VISIBLE to every read — an unknown zone means
+        // "cannot skip", never "skip always" (the read ⊇ match
+        // invariant); the infinite zone overlaps every predicate. NaN
+        // stats themselves (ADVICE r15: mn > mx is FALSE for NaN, and a
+        // NaN zone fails every overlap test — the file would go
+        // permanently invisible) degrade to the same infinite zone.
+        def bad(mn: Double, mx: Double) = mn > mx || mn.isNaN || mx.isNaN
+        if (!statsSeen || rows == 0L || bad(pMn, pMx) || bad(dMn, dMx))
+          Row(path.toString, rows,
+            Double.NegativeInfinity, Double.PositiveInfinity,
+            Double.NegativeInfinity, Double.PositiveInfinity)
+        else Row(path.toString, rows, pMn, pMx, dMn, dMx)
+      } finally r.close()
+    }
   }
 
-  /** One micro-batch: data files first (range-laid on p within the
-    * batch), then the manifest partition from their REAL footers. */
+  /** One micro-batch: z-laid data files first (the deterministic Morton
+    * cell carve under the staged bounds), then the manifest partition
+    * from their REAL footers. */
   private[streaming] def processBatch(batch: DataFrame, batchId: Long,
-      root: String): Unit = {
+      root: String, b: ZBounds): Unit = {
     val s = batch.sparkSession
     val dataDir = s"$root/data/batch=$batchId"
-    batch.repartitionByRange(FilesPerBatch, col("p"))
-      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    withCell(batch, b)
+      .repartition(FilesPerBatch, col("fid"))
+      .sortWithinPartitions(col("fid"), col("zkey"))
+      .drop("zkey")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("fid").parquet(dataDir)
     val stats = harvest(s, dataDir)
     s.createDataFrame(stats.asJava, ManifestSchema)
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$root/manifest/batch=$batchId")
   }
 
-  /** Streaming driver. `prices` must carry (p double). */
-  def run(prices: DataFrame, root: String,
+  /** Streaming driver. `rows` must carry (p double, d double); `bounds`
+    * is the staged generation from [[stageBounds]]. */
+  def run(rows: DataFrame, root: String, bounds: ZBounds,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    prices.writeStream
+    rows.writeStream
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, root)
+        processBatch(batch, batchId, root, bounds)
       }
       .start()
 
@@ -135,25 +225,39 @@ object ManifestStream {
   def manifest(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/manifest")
 
-  /** Planning: the files a `p ∈ [lo, hi)` read must open — zone overlap
-    * over the manifest, data untouched. */
-  def prunedFiles(s: SparkSession, root: String, lo: Double, hi: Double)
-      : Seq[String] =
+  /** Planning: the files a conjunctive `p ∈ [pLo, pHi) AND d ∈
+    * [dLo, dHi)` read must open — zone overlap on BOTH dimensions over
+    * the manifest, data untouched. Leave a dimension's bounds at the
+    * infinite defaults to read it unconstrained. */
+  def prunedFiles(s: SparkSession, root: String,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): Seq[String] =
     manifest(s, root)
-      .where(col("mx_p") >= lo && col("mn_p") < hi)
+      .where(col("mx_p") >= pLo && col("mn_p") < pHi &&
+        col("mx_d") >= dLo && col("mn_d") < dHi)
       .select("path").collect().map(_.getString(0)).toSeq
 
   /** The manifest-pruned read: open ONLY the overlapping files, then
-    * apply the exact predicate. Returns an empty frame when the
-    * predicate prunes everything (zero files). */
-  def prunedRead(s: SparkSession, root: String, lo: Double, hi: Double)
-      : DataFrame = {
-    val files = prunedFiles(s, root, lo, hi)
+    * apply the exact predicates. A dimension left at its infinite
+    * defaults is not filtered at all (an unconstrained read must not
+    * change semantics for rows with unusual values). Returns an empty
+    * frame when the predicates prune everything (zero files). */
+  def prunedRead(s: SparkSession, root: String,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): DataFrame = {
+    val files = prunedFiles(s, root, pLo, pHi, dLo, dHi)
     val base =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("p", DoubleType))))
+          StructType(Seq(StructField("p", DoubleType),
+            StructField("d", DoubleType))))
       else s.read.parquet(files: _*)
-    base.where(col("p") >= lo && col("p") < hi)
+    val pCond = col("p") >= pLo && col("p") < pHi
+    val dCond =
+      if (dLo.isNegInfinity && dHi.isPosInfinity) lit(true)
+      else col("d") >= dLo && col("d") < dHi
+    base.where(pCond && dCond)
   }
 }
