@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.multimodal.Multimodal
-import graft.ops.{Behavior, Curation, Dedup, Integrity, Layout, Maintenance, Pipeline, Relational, Retrieval, Similarity, SqlSurface, SuffixIndex, TextAnalysis, Versioning}
+import graft.ops.{Behavior, Curation, Dedup, Integrity, Layout, Maintenance, Pipeline, Planner, Relational, Retrieval, Similarity, SqlSurface, SuffixIndex, TextAnalysis, Versioning}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Curation.queries ++ Behavior.queries ++ SqlSurface.queries ++
       Retrieval.queries ++ Versioning.queries ++ Layout.queries ++
-      Maintenance.queries ++ SuffixIndex.queries ++ Integrity.queries
+      Maintenance.queries ++ SuffixIndex.queries ++ Integrity.queries ++
+      Planner.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Curation.oracles ++ Behavior.oracles ++ SqlSurface.oracles ++
       Retrieval.oracles ++ Versioning.oracles ++ Layout.oracles ++
-      Maintenance.oracles ++ SuffixIndex.oracles ++ Integrity.oracles
+      Maintenance.oracles ++ SuffixIndex.oracles ++ Integrity.oracles ++
+      Planner.oracles
 }

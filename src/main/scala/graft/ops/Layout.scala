@@ -64,10 +64,11 @@ object Layout {
   /** The same 20-term interleave, unrolled in SQL. Spark's `/` on longs is
     * integer division only via `div`, so the minute index uses `//` on the
     * DuckDB side and `div`-free cast arithmetic is avoided on both. */
-  /** The 20-term Morton-interleave SQL (shared by q98's oracle and
-    * q202's z-order file assignment — one generator, so the two cannot
-    * diverge); valid Spark SQL and DuckDB verbatim. */
-  private def mortonSql(x: String, y: String): String =
+  /** The 20-term Morton-interleave SQL (shared by q98's oracle, q202's
+    * z-order file assignment, and the q205/q206 manifest-cell oracles —
+    * one generator, so they cannot diverge); valid Spark SQL and DuckDB
+    * verbatim. */
+  private[graft] def mortonSql(x: String, y: String): String =
     (0 until 10).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")

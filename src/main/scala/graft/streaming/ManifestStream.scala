@@ -193,7 +193,7 @@ object ManifestStream {
   /** One micro-batch: z-laid data files first (the deterministic Morton
     * cell carve under the staged bounds), then the manifest partition
     * from their REAL footers. */
-  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
       root: String, b: ZBounds): Unit = {
     val s = batch.sparkSession
     val dataDir = s"$root/data/batch=$batchId"

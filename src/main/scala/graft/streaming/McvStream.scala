@@ -38,6 +38,18 @@ object McvStream {
   private[streaming] def batchCounts(batch: DataFrame): DataFrame =
     batch.groupBy(col("v")).agg(count(lit(1)).as("n"))
 
+  /** One micro-batch: the value-count partial overwritten into its batch
+    * partition — shared by [[run]] and the q205 combined maintenance
+    * pass ([[graft.ops.Planner]]). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    batchCounts(batch)
+      .coalesce(1) // value-domain rows — one file per batch partition
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/mcv/batch=$batchId")
+    ()
+  }
+
   /** Streaming driver. `values` must carry (v bigint). */
   def run(values: DataFrame, root: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -45,11 +57,7 @@ object McvStream {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batchCounts(batch)
-          .coalesce(1) // value-domain rows — one file per batch partition
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$root/mcv/batch=$batchId")
-        ()
+        processBatch(batch, batchId, root)
       }
       .start()
 

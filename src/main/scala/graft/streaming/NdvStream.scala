@@ -42,6 +42,19 @@ object NdvStream {
       .select(expr(Layout.kmvHashSql("v")).as("h")).distinct()
       .orderBy(col("h")).limit(Layout.KmvK)
 
+  /** One micro-batch: the ≤ K-row partial overwritten into its batch
+    * partition — shared by [[run]] and the q205 combined maintenance
+    * pass ([[graft.ops.Planner]]), so the engine-driven and the
+    * audit-driven artifact cannot drift. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    batchSketch(batch)
+      .coalesce(1) // ≤ K rows — one file per batch partition
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/ndv/batch=$batchId")
+    ()
+  }
+
   /** Streaming driver. `values` must carry (v bigint). */
   def run(values: DataFrame, root: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
@@ -49,11 +62,7 @@ object NdvStream {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batchSketch(batch)
-          .coalesce(1) // ≤ K rows — one file per batch partition
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$root/ndv/batch=$batchId")
-        ()
+        processBatch(batch, batchId, root)
       }
       .start()
 

