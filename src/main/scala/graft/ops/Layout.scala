@@ -472,8 +472,9 @@ object Layout {
     * oracle keeps the literal joins on the FK edges — same integers,
     * independent derivation. The estimator itself reads ONLY the wide
     * stats row (pure integer arithmetic; at SF1000 `n_left·n_right`
-    * wants DECIMAL headroom — documented, longs suffice at every test
-    * SF). */
+    * wants DECIMAL headroom — longs are exact at every test SF and the
+    * engine fails LOUDLY past the boundary, both machine-checked by
+    * LayoutSpec's "int64 headroom" spec over [[q199EstSql]]). */
   /** The 9 audited edges: (name, left table, left key, right table,
     * right key). `documents_chars_self` is the skew stress row (n_chars
     * duplicates concentrate mass — Σ n(v)² beats N²/D by the second
@@ -490,6 +491,14 @@ object Layout {
     ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
     ("orders_lineitem_date", "orders", "o_orderdate", "lineitem", "l_shipdate"),
     ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+
+  /** The containment estimator over a stats row — ONE generator shared
+    * by q199's stack legs and the LayoutSpec int64-headroom spec, so the
+    * overflow boundary the spec pins is the boundary of the expression
+    * the audit actually runs. */
+  private[graft] def q199EstSql(nl: String, nr: String,
+      ndl: String, ndr: String): String =
+    s"$nl * $nr div greatest($ndl, $ndr)"
 
   def q199JoinCardinality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -539,7 +548,7 @@ object Layout {
     // single agg would re-aggregate per branch).
     val rows = q199Edges.zipWithIndex.map { case ((name, lt, lk, rt, rk), e) =>
       val (li, ri) = (sideIdx((lt, lk)), sideIdx((rt, rk)))
-      val est = s"nt_$li * nt_$ri div greatest(nd_$li, nd_$ri)"
+      val est = q199EstSql(s"nt_$li", s"nt_$ri", s"nd_$li", s"nd_$ri")
       s"'$name', nt_$li, nt_$ri, nd_$li, nd_$ri, cast(($est) as bigint), " +
         s"x_$e, cast(((1000 * (($est) - x_$e)) div greatest(x_$e, 1)) " +
         "as bigint)"
@@ -757,11 +766,13 @@ object Layout {
     * fact-sized scans (q194's honesty note). Enumeration, cascade
     * arithmetic, and ranking all run on the broadcast 1-row stats —
     * pure int64 (at SF1000 the e·n products want DECIMAL headroom, as
-    * q199 documents). The ranking window orders 4 rows. */
+    * q199 documents — machine-checked by LayoutSpec's "int64 headroom"
+    * spec over these profile expressions). The ranking window orders 4
+    * rows. */
   /** Per-profile (name, est-cost expr, exact-cost expr) — the SAME
     * expression text runs on Spark (div) and DuckDB (//), over the wide
     * stats row (n_*, d_*) and exact sub-chain counts (x_*). */
-  private def q201Profiles(div: String): Seq[(String, String, String)] = {
+  private[graft] def q201Profiles(div: String): Seq[(String, String, String)] = {
     val dNC = "greatest(d_nc_n, d_nc_c)"
     val dCO = "greatest(d_co_c, d_co_o)"
     val dOL = "greatest(d_ol_o, d_ol_l)"
@@ -1176,7 +1187,8 @@ object Layout {
     * each table's natural row key — the shared affine bijection
     * ([[kmvHashSql]]), valid verbatim in both engines; every estimator
     * is pure int64 (at SF1000 the d·n·64 jackknife numerator wants
-    * DECIMAL headroom, the q199 caveat). Fixture honesty note:
+    * DECIMAL headroom, the q199 caveat — machine-checked by LayoutSpec's
+    * "int64 headroom" spec over [[q204Ests]]). Fixture honesty note:
     * lineitem's composite key carries the generator's known PK
     * violation (FIXTURES.md — ~23% of rows duplicate an (orderkey,
     * linenumber) pair), so those rows sample in lockstep; a
@@ -1203,7 +1215,7 @@ object Layout {
 
   /** The shared estimator/error SQL over the wide per-column stats row;
     * `div` = "div" (Spark) / "//" (DuckDB). */
-  private def q204Ests(div: String): Seq[(String, String)] = {
+  private[graft] def q204Ests(div: String): Seq[(String, String)] = {
     val ests = Seq(
       "est_scale" -> "64 * d_samp",
       // n − (1−q)·f1 with q = 1/64, scaled by 64 to stay integral

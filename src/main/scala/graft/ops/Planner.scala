@@ -67,6 +67,22 @@ object Planner {
   /** q206: target output file count for the compaction plan. */
   private val OutFiles = 8
 
+  /** The q205 hybrid join estimate over catalog scalars: MCV head exact
+    * + uniform tail over the sketch's estimated remainder, scaled by the
+    * predicate selectivity under attribute independence — the identical
+    * integer arithmetic to the oracle's
+    * `(est_sel * (mcv_sq + (n−mcv_n)² // greatest(ndv−k, 1))) // n`.
+    * Driver-side Long arithmetic is overflow-CHECKED (multiplyExact /
+    * addExact) so an SF1000-scale catalog fails LOUDLY instead of
+    * silently wrapping — the q199 DECIMAL caveat, machine-checked by
+    * LayoutSpec's "int64 headroom" spec. */
+  private[graft] def hybridJoinEst(estSel: Long, mcvSq: Long, mcvN: Long,
+      nRows: Long, ndvEst: Long): Long = {
+    val tail = Math.multiplyExact(nRows - mcvN, nRows - mcvN) /
+      math.max(ndvEst - McvSlots, 1L)
+    Math.multiplyExact(estSel, Math.addExact(mcvSq, tail)) / nRows
+  }
+
   // ------------------------------------------------------ artifact build
 
   private val cache =
@@ -265,9 +281,8 @@ object Planner {
 
     // the q203 hybrid with the catalog's ndv: MCV head exact, tail
     // uniform over the sketch's estimated remainder
-    val estSelf = mcvSq + (nRows - mcvN) * (nRows - mcvN) /
-      math.max(ndvEst - McvSlots, 1L)
-    val estJoin = Ks.map(k => k -> estSel(k) * estSelf / nRows).toMap
+    val estJoin = Ks.map(k =>
+      k -> hybridJoinEst(estSel(k), mcvSq, mcvN, nRows, ndvEst)).toMap
 
     // ---- exact truth (one value-domain pass, the q199 identity) ----
     val bounds = s.read.parquet(s"$art/bounds")

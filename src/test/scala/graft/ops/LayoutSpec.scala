@@ -584,4 +584,83 @@ class LayoutSpec extends SparkSpec {
     }
     assert(rows(8L)._1 === est8, "k=8 estimator replay")
   }
+
+  test("int64 headroom (VERDICT r15 #7): the caveated estimator products " +
+      "are exact at test-SF stats (BigInt cross-check), exact at " +
+      "synthetic near-boundary stats, and fail LOUDLY past the boundary") {
+    val s = spark
+    import s.implicits._
+    // a loud failure is an exception whose chain carries the overflow —
+    // never a silently wrapped wrong integer
+    def loud(f: => Any): Unit = {
+      val e = intercept[Throwable](f)
+      def chain(t: Throwable, d: Int = 0): Seq[Throwable] =
+        if (t == null || d > 10) Seq.empty else t +: chain(t.getCause, d + 1)
+      assert(chain(e).exists(t => t.isInstanceOf[ArithmeticException] ||
+        String.valueOf(t.getMessage).contains("ARITHMETIC_OVERFLOW")),
+        s"expected a loud overflow, got $e")
+    }
+
+    // ---- q199 containment estimator, REAL test-SF stats: every edge's
+    // n_left·n_right and the estimate itself replay exactly in BigInt —
+    // int64 is EXACT at this SF, not merely unexploded
+    Layout.q199JoinCardinality(s, sf).collect().foreach { r =>
+      val (nl, nr) = (r.getLong(1), r.getLong(2))
+      val nd = math.max(r.getLong(3), r.getLong(4))
+      val big = BigInt(nl) * BigInt(nr) / BigInt(math.max(nd, 1))
+      assert(big.isValidLong && big.toLong === r.getLong(5),
+        s"${r.getString(0)}: int64 est ${r.getLong(5)} vs BigInt $big")
+    }
+
+    // ---- the documented SF1000 boundary is REAL: a TPC-H SF1000
+    // lineitem⋈lineitem-shaped stats row (n ≈ 6e9 a side) overflows
+    // int64, while everything up to ~3e9 a side stays exact
+    assert(!(BigInt(6000000000L) * BigInt(6000000000L)).isValidLong,
+      "SF1000 fact-fact products genuinely exceed int64")
+
+    // ---- q199 expression, synthetic near-boundary stats: exact just
+    // under (vs BigInt), LOUD just past (ANSI overflow, not a wrap)
+    val est = Layout.q199EstSql("nt_0", "nt_1", "nd_0", "nd_1")
+    def q199At(nl: Long, nr: Long, nd: Long): Long =
+      Seq((nl, nr, nd, nd)).toDF("nt_0", "nt_1", "nd_0", "nd_1")
+        .selectExpr(s"cast(($est) as bigint) as e").head().getLong(0)
+    val safe = 3000000000L // 9.0e18 < Long.MaxValue ≈ 9.223e18
+    assert(q199At(safe, safe, 7L) ===
+      (BigInt(safe) * BigInt(safe) / 7).toLong)
+    loud(q199At(3100000000L, 3100000000L, 7L)) // 9.61e18 > Long.MaxValue
+
+    // ---- q201 cascade expression (est-cost of the N.C.O.L profile):
+    // same regime — exact near the boundary, loud past it
+    val (_, cascSql, _) = Layout.q201Profiles("div").head
+    def q201At(nn: Long, nc: Long, no: Long): Long =
+      Seq((nn, nc, no, 1L, 1L, 1L, 1L))
+        .toDF("n_n", "n_c", "n_o", "d_nc_n", "d_nc_c", "d_co_c", "d_co_o")
+        .selectExpr(s"cast(($cascSql) as bigint) as e").head().getLong(0)
+    // e2 = nn·nc div 1; cost = e2 + e2·no div 1 — keep e2·no just under
+    assert(q201At(2000000000L, 2L, 2L) ===
+      4000000000L + 4000000000L * 2L)
+    loud(q201At(2000000000L, 2L, 3000000000L)) // e2·no = 1.2e19
+
+    // ---- q204 unsmoothed-jackknife numerator (d·n·64): exact just
+    // under, loud past
+    val ujack = Layout.q204Ests("div")
+      .collectFirst { case ("est_ujack", e) => e }.get
+    def q204At(d: Long, n: Long, f1: Long): Long =
+      Seq((d, n, f1, 0L))
+        .toDF("d_samp", "sample_rows", "f1", "f2")
+        .selectExpr(s"cast(($ujack) as bigint) as e").head().getLong(0)
+    val dSafe = 379000000L // d·n·64 = 9.19e18 just under Long.MaxValue
+    assert(q204At(dSafe, dSafe, 0L) ===
+      (BigInt(dSafe) * dSafe * 64 /
+        (BigInt(64) * dSafe).max(1)).toLong)
+    loud(q204At(380000000L, 380000000L, 0L)) // 9.24e18 > Long.MaxValue
+
+    // ---- q205 driver-side hybrid estimate: multiplyExact/addExact make
+    // the catalog math equally loud (a plain Scala `*` would WRAP here —
+    // the worst failure mode, silent and plausible-looking)
+    assert(Planner.hybridJoinEst(10L, 0L, 0L, 3000000000L, 1000L) ===
+      (BigInt(10) * (BigInt(3000000000L) * 3000000000L / 968) /
+        3000000000L).toLong)
+    loud(Planner.hybridJoinEst(10L, 0L, 0L, 4000000000L, 1000L))
+  }
 }
