@@ -138,14 +138,6 @@ object Planner {
       art
     })
 
-  /** The staged bounds generation, read back from its artifact. */
-  private def readBounds(s: SparkSession, art: String)
-      : (Double, Double, Double, Double) = {
-    val r = s.read.parquet(s"$art/bounds")
-      .select("p_mn", "p_mx", "d_mn", "d_mx").head()
-    (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
-  }
-
   // ------------------------------------------------- shared SQL fragments
 
   /** Threshold t_k over a row carrying (pmn, pmx) — identical text in
@@ -236,48 +228,54 @@ object Planner {
   def q205PlannerAudit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val art = ensureArtifacts(s, dir)
-    val (pMn, pMx, _, _) = readBounds(s, art)
 
-    // ---- catalog consults (driver-side, metadata-sized artifacts) ----
-    val ts = Ks.map(k => k -> (pMn + (k.toDouble * (pMx - pMn)) / 64.0))
-    val tbins = ts.map { case (k, t) =>
-      k -> math.min(
-        math.floor((t - pMn) * Layout.HistBins / (pMx - pMn)).toLong,
-        Layout.HistBins - 1L)
-    }.toMap
+    // ---- catalog consults: ONE action over four parallel metadata
+    // branches (the q199 lesson — serializing tiny driver jobs costs
+    // more than the jobs; the r15 first-cut here paid 5 sequential
+    // heads). Thresholds and bins are computed IN-PLAN against the
+    // bounds artifact, so the consult arithmetic is the oracle's SQL
+    // verbatim, not a Scala mirror of it.
+    val boundsDf = s.read.parquet(s"$art/bounds")
+      .selectExpr("p_mn as pmn", "p_mx as pmx")
+    def tbinSql(k: Int): String =
+      s"least(cast(floor((${tSql(k)} - pmn) * ${Layout.HistBins} " +
+        s"/ (pmx - pmn)) as bigint), ${Layout.HistBins - 1})"
     val histAggs = Ks.flatMap { k =>
-      Seq(coalesce(sum(when($"bin" < tbins(k), $"n")), lit(0L))
+      Seq(coalesce(sum(when(expr(s"bin < ${tbinSql(k)}"), $"n")), lit(0L))
           .as(s"full_$k"),
-        coalesce(sum(when($"bin" === tbins(k), $"n")), lit(0L))
+        coalesce(sum(when(expr(s"bin = ${tbinSql(k)}"), $"n")), lit(0L))
           .as(s"strad_$k"))
     }
-    val hrow = StatsStream.mergedHistogram(s, art)
-      .agg(histAggs.head, histAggs.tail: _*).head()
-    val estSel = Ks.zipWithIndex.map { case (k, i) =>
-      k -> (hrow.getLong(2 * i) + hrow.getLong(2 * i + 1) / 2)
-    }.toMap
-
-    val ndvEst = NdvStream.estimate(NdvStream.mergedSketch(s, art))
-
-    val mrow = McvStream.mergedCounts(s, art)
+    val histW = StatsStream.mergedHistogram(s, art)
+      .crossJoin(broadcast(boundsDf))
+      .agg(histAggs.head, histAggs.tail: _*)
+    val sketchW = NdvStream.mergedSketch(s, art)
+      .agg(count(lit(1)).as("sk_rows"),
+        coalesce(max($"h"), lit(0L)).as("sk_kth"))
+    val mcvW = McvStream.mergedCounts(s, art)
       .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"v")))
       .agg(coalesce(sum(when($"r" <= McvSlots, $"n" * $"n")), lit(0L))
           .as("mcv_sq"),
         coalesce(sum(when($"r" <= McvSlots, $"n")), lit(0L)).as("mcv_n"))
-      .head()
-    val (mcvSq, mcvN) = (mrow.getLong(0), mrow.getLong(1))
-
     val manAggs = Seq(coalesce(sum($"rows"), lit(0L)).as("n_rows"),
       count(lit(1)).as("files_total")) ++
-      ts.map { case (k, t) =>
-        count(when($"mn_p" <= t, 1)).as(s"fo_$k")
-      }
-    val crow = ManifestStream.manifest(s, art)
-      .agg(manAggs.head, manAggs.tail: _*).head()
-    val (nRows, filesTotal) = (crow.getLong(0), crow.getLong(1))
-    val filesOpen = Ks.zipWithIndex.map { case (k, i) =>
-      k -> crow.getLong(2 + i)
+      Ks.map(k => count(when(expr(s"mn_p <= ${tSql(k)}"), 1)).as(s"fo_$k"))
+    val manW = ManifestStream.manifest(s, art)
+      .crossJoin(broadcast(boundsDf))
+      .agg(manAggs.head, manAggs.tail: _*)
+    val cat = histW.crossJoin(sketchW).crossJoin(mcvW).crossJoin(manW)
+      .head()
+    // field reads by NAME (ADVICE r14: an aggregate reorder must fail
+    // the read, never silently swap columns)
+    val estSel = Ks.map { k =>
+      k -> (cat.getAs[Long](s"full_$k") + cat.getAs[Long](s"strad_$k") / 2)
     }.toMap
+    val ndvEst = Layout.kmvEstimate(
+      cat.getAs[Long]("sk_rows"), cat.getAs[Long]("sk_kth"))
+    val (mcvSq, mcvN) = (cat.getAs[Long]("mcv_sq"), cat.getAs[Long]("mcv_n"))
+    val (nRows, filesTotal) =
+      (cat.getAs[Long]("n_rows"), cat.getAs[Long]("files_total"))
+    val filesOpen = Ks.map(k => k -> cat.getAs[Long](s"fo_$k")).toMap
 
     // the q203 hybrid with the catalog's ndv: MCV head exact, tail
     // uniform over the sketch's estimated remainder
