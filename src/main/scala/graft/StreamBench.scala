@@ -586,7 +586,7 @@ object StreamBench {
     * None; a seam excluded by `SPARK_GRAFT_STREAM_SEAMS` (comma list of
     * signing,dedup,decontam,annrefresh,merge,histogram,chunking,card,
     * sketch,drift,exactdecontam,shards,qualitygate,anomalygate,stats,
-    * ndv,statsgen,mcv,manifest,… — the quick-run knob;
+    * ndv,statsgen,mcv,manifest,compactor,… — the quick-run knob;
     * unset = all) is also None and is skipped without paying its
     * measurement. */
   final case class Combined(signing: Option[Result], dedup: Option[SeamResult],
@@ -609,7 +609,8 @@ object StreamBench {
       ndv: Option[SeamResult],
       statsGen: Option[SeamResult],
       mcv: Option[SeamResult],
-      manifest: Option[SeamResult]) {
+      manifest: Option[SeamResult],
+      compactor: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
       * failed, was skipped, or timed out. */
     def headlineRate: Double = signing match {
@@ -639,7 +640,8 @@ object StreamBench {
         "ndv" -> ndv,
         "stats_gen" -> statsGen,
         "mcv" -> mcv,
-        "manifest" -> manifest).map { case (k, v) =>
+        "manifest" -> manifest,
+        "compactor" -> compactor).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
       }.mkString(",")
       head.stripSuffix("}") + s",$tail}"
@@ -683,7 +685,62 @@ object StreamBench {
       guarded("ndv")(measureNdv(spark, sfDir)),
       guarded("statsgen")(measureStatsGen(spark, sfDir)),
       guarded("mcv")(measureMcv(spark, sfDir)),
-      guarded("manifest")(measureManifest(spark, sfDir)))
+      guarded("manifest")(measureManifest(spark, sfDir)),
+      guarded("compactor")(measureCompactor(spark, sfDir)))
+  }
+
+  /** S33 throughput: the manifest fixture replayed through
+    * [[graft.streaming.CompactStream]] — rows/sec through the
+    * ingest + trigger-check + zone-grouped-rewrite + generation-commit
+    * maintenance seam (the executed q206 loop). `clean` = the compacted
+    * VIEW's total row mass (must equal the record count through every
+    * rewrite), with the read-amplification win logged: files a
+    * conjunctive fifth×fifth read opens through the view vs through the
+    * raw manifest. */
+  def measureCompactor(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-compactor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    val rows = Tables(spark, sfDir, "lineitem")
+      .select($"l_extendedprice".as("p"),
+        expr("cast(datediff(l_shipdate, date'1970-01-01') as double)")
+          .as("d"))
+    for (chunk <- 0 to 4) {
+      rows.filter(pmod(($"p" * 100).cast("long"), lit(5)) === chunk)
+        .write.mode("append").parquet(incoming)
+    }
+    val bounds = streaming.ManifestStream.stageBounds(rows)
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema("p double, d double")
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+    val q = streaming.CompactStream.run(stream, s"$root/out", bounds)
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:compactor] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val v = streaming.CompactStream.view(spark, s"$root/out")
+      val mass = v.agg(sum($"rows")).as[Long].head()
+      def fifth(mn: Double, mx: Double) =
+        (mn + (mx - mn) * 2 / 5.0, mn + (mx - mn) * 3 / 5.0)
+      val (pLo, pHi) = fifth(bounds.pMn, bounds.pMx)
+      val (dLo, dHi) = fifth(bounds.dMn, bounds.dMx)
+      def opens(man: org.apache.spark.sql.DataFrame) = man
+        .where($"mx_p" >= pLo && $"mn_p" < pHi &&
+          $"mx_d" >= dLo && $"mn_d" < dHi).count()
+      val (vOpen, rawOpen) = (opens(v),
+        opens(streaming.ManifestStream.manifest(spark, s"$root/out")))
+      System.err.println(s"[streambench:compactor] conjunctive " +
+        s"middle-fifths read opens $vOpen view files vs $rawOpen raw " +
+        s"(${v.count()} view / " +
+        s"${streaming.ManifestStream.manifest(spark, s"$root/out").count()} raw files)")
+      SeamResult(n / secs, n, mass, secs)
+    }
   }
 
   /** S32 throughput: lineitem (price, ship-date-days) replayed as a

@@ -432,19 +432,33 @@ object Planner {
     * discipline (a production manifest is still ≤ millions of rows; the
     * two-level variant applies verbatim if not). The plan never touches
     * data; only the executor (spec / production rewrite job) does. */
+  /** The shared bin-packing plan over a manifest frame: every file row
+    * gains its rewrite group id — sort by zone (the 5-key total order),
+    * carve by cumulative row count into ceil(N/outFiles)-row groups.
+    * ONE generator shared by q206, its executing spec, and the S33
+    * maintenance stream ([[graft.streaming.CompactStream]]), so the
+    * plan graded and the plan executed cannot drift. Metadata-sized:
+    * the window runs over |files| manifest rows. */
+  private[graft] def planGroups(man: DataFrame,
+      outFiles: Int = OutFiles): DataFrame = {
+    val ordW = Window.orderBy(col("mn_p"), col("mx_p"),
+      col("mn_d"), col("mx_d"), col("rows"))
+    man
+      .withColumn("cum", coalesce(sum(col("rows")).over(
+        ordW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", expr(
+        s"cum div greatest((sum(rows) over ()) div $outFiles, 1)"))
+      .drop("cum")
+  }
+
   def q206CompactionPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val art = ensureArtifacts(s, dir)
     val man = ManifestStream.manifest(s, art)
-    val ordW = Window.orderBy($"mn_p", $"mx_p", $"mn_d", $"mx_d", $"rows")
     val cat = man.agg(coalesce(sum($"rows"), lit(0L)).as("n_rows"),
       count(lit(1)).as("files_total")).head()
     val (nRows, filesTotal) = (cat.getLong(0), cat.getLong(1))
-    val target = math.max(nRows / OutFiles, 1L)
-    val grouped = man
-      .withColumn("cum", coalesce(sum($"rows").over(
-        ordW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("grp", expr(s"cum div $target"))
+    val grouped = planGroups(man)
     val groups = grouped.groupBy($"grp")
       .agg(min($"mn_p").as("g_mn"), max($"mx_p").as("g_mx"),
         sum($"rows").as("g_rows"))

@@ -1,0 +1,208 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Planner
+
+/** S33 — streaming COMPACTION maintenance: q206's bin-packing plan
+  * EXECUTED as the standing maintenance loop — Iceberg's
+  * rewriteDataFiles/OPTIMIZE verb run against the S32 manifest, so the
+  * read amplification q206 priced is continuously bought back as small
+  * files accumulate. This closes the maintenance side of the statistics
+  * loop the way q205 closed the planning side: S32 maintains the zone
+  * metadata, q206 plans from it, S33 acts on it.
+  *
+  * Per micro-batch: ingest through the literal S32 body
+  * ([[ManifestStream.processBatch]] — per-batch z-laid cell files +
+  * REAL-footer manifest partition), then the MAINTENANCE step: read the
+  * standing view, and when more than [[SmallTrigger]] small files
+  * (under half the bin-packing target) have accumulated, execute the
+  * shared plan ([[Planner.planGroups]] — the identical generator q206
+  * grades): rewrite every multi-member group into one merged file under
+  * `compact/gen=<batch>/`, harvest the merged files' REAL footers, and
+  * commit a GENERATION manifest `compact/manifest_gen=<batch>` holding
+  * the merged rows plus the untouched singletons' original rows.
+  *
+  * The generation-pointer read protocol (the S27/S30 listing
+  * discipline): [[view]] lists `compact/manifest_gen=*` through the
+  * Hadoop FS API, takes the highest COMPLETE generation G (Spark's
+  * `_SUCCESS` marker — a crash mid-commit leaves an orphan data dir no
+  * reader ever sees), and unions it with the raw per-batch manifests of
+  * batches ingested AFTER G (generation id = the batch id whose
+  * maintenance committed it, so `batch > G` is exactly "not yet
+  * absorbed"). No file is ever deleted — superseded files become
+  * orphans, the vacuum verb's job (q103's lake discipline), never a
+  * correctness hazard: every committed generation remains readable
+  * forever.
+  *
+  * Idempotency: a replayed batch re-runs ingest (byte-equal cell files —
+  * the S32 deterministic carve) and re-runs maintenance into the SAME
+  * generation id, overwriting `gen=<batch>` and its manifest with
+  * equal-mass, equal-zone content (part-file names are attempt-scoped;
+  * the manifest is harvested from what this attempt wrote, after the
+  * write, so it can never describe absent files). Spec-pinned: view
+  * reads == raw-manifest reads == scan+filter, replay leaves the view's
+  * (rows, zones) multiset identical, and the view's file count stays
+  * bounded while the raw manifest's grows per batch.
+  *
+  * At 100 TB this is the nightly-to-hourly table-maintenance loop:
+  * the trigger reads |files| metadata rows, the rewrite touches only
+  * the small-file groups' data (each group one read + one write), and
+  * the absorption of an occasional already-merged neighbor into a new
+  * group is the standard Iceberg bin-packing trade (documented; a
+  * size-tiered trigger bounds it in production). */
+object CompactStream {
+
+  /** Maintenance trigger: compact when more than this many SMALL files
+    * (rows < target/2) stand in the view. One batch's worth of cells
+    * stays cheap to carry; two batches' worth is worth a rewrite. */
+  val SmallTrigger = 16
+
+  /** Merged-file target count for the executed plan (q206's knob). */
+  val OutFiles = 8
+
+  private def fs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The highest COMPLETE compacted generation under `root`, if any —
+    * a generation is complete when Spark's `_SUCCESS` marker landed
+    * with its manifest (the commit point; an orphan from a crashed
+    * attempt has no marker and is invisible). */
+  private[streaming] def latestGen(s: SparkSession, root: String)
+      : Option[Long] = {
+    val base = new Path(s"$root/compact")
+    val f = fs(s, base)
+    if (!f.exists(base)) None
+    else f.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("manifest_gen=") =>
+        n.stripPrefix("manifest_gen=").toLong
+      }
+      .filter(g => f.exists(new Path(s"$root/compact/manifest_gen=$g/_SUCCESS")))
+      .sorted.lastOption
+  }
+
+  /** The standing VIEW a reader consults: the latest complete
+    * generation's manifest plus the raw per-batch manifests ingested
+    * after it (batch id > generation id — `batch` is the raw
+    * manifest's partition column). Without any generation, the view IS
+    * the raw manifest. Schema: [[ManifestStream.ManifestSchema]]. */
+  def view(s: SparkSession, root: String): DataFrame = {
+    val cols = ManifestStream.ManifestSchema.fieldNames.map(col).toSeq
+    latestGen(s, root) match {
+      case None => ManifestStream.manifest(s, root).select(cols: _*)
+      case Some(g) =>
+        val raw = ManifestStream.manifest(s, root)
+          .where(col("batch") > g).select(cols: _*)
+        s.read.parquet(s"$root/compact/manifest_gen=$g")
+          .select(cols: _*).unionByName(raw)
+    }
+  }
+
+  /** The maintenance step: trigger check on the view's metadata, then
+    * the executed q206 plan — rewrite multi-member groups, carry
+    * singletons, commit the generation manifest LAST. */
+  private[streaming] def maintain(s: SparkSession, root: String,
+      gen: Long): Unit = {
+    import s.implicits._
+    val v = view(s, root)
+    val rows = v.collect() // |files| metadata rows — the planner's input
+    if (rows.isEmpty) return
+    val total = rows.map(_.getLong(1)).sum
+    val target = math.max(total / OutFiles, 1L)
+    val smalls = rows.count(_.getLong(1) < target / 2)
+    if (smalls <= SmallTrigger) return
+    // the SHARED plan (q206's generator) over the same view
+    val planned = Planner.planGroups(
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
+        ManifestStream.ManifestSchema), OutFiles)
+      .select($"grp", $"path")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = planned.groupBy(_._1).toSeq.sortBy(_._1)
+    val dataDir = s"$root/compact/gen=$gen"
+    val merged = byGrp.filter(_._2.length > 1).map { case (g, members) =>
+      s.read.parquet(members.map(_._2): _*)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dataDir/grp=$g")
+      g
+    }
+    // REAL footers of what was just written (manifest-after-data)
+    val mergedRows =
+      if (merged.isEmpty) Seq.empty
+      else ManifestStream.harvest(s, dataDir)
+    val singletonPaths = byGrp.filter(_._2.length == 1)
+      .flatMap(_._2.map(_._2)).toSet
+    val carried = rows.filter(r => singletonPaths.contains(r.getString(0)))
+    s.createDataFrame(
+      s.sparkContext.parallelize(mergedRows ++ carried, 1),
+      ManifestStream.ManifestSchema)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/compact/manifest_gen=$gen")
+    ()
+  }
+
+  /** One micro-batch: heal any stale own-generation from a crashed
+    * attempt, S32 ingest, then maintenance under this batch's
+    * generation id.
+    *
+    * The healing step is what keeps the generation protocol sound under
+    * replay: the engine replays batch b only when b never committed, but
+    * a previous ATTEMPT may have committed `manifest_gen=b` referencing
+    * the attempt's `data/batch=b` part files — which the replayed ingest
+    * is about to overwrite. Deleting the stale generation FIRST drops
+    * the view back to the previous generation ∪ raw manifests (all of
+    * whose files survive — no file is ever deleted outside this one
+    * self-healing case), so the view never references absent files at
+    * rest. */
+  private[streaming] def processBatch(batch: DataFrame, batchId: Long,
+      root: String, b: ManifestStream.ZBounds): Unit = {
+    val s = batch.sparkSession
+    for (d <- Seq(s"$root/compact/manifest_gen=$batchId",
+        s"$root/compact/gen=$batchId")) {
+      val p = new Path(d)
+      fs(s, p).delete(p, true)
+    }
+    ManifestStream.processBatch(batch, batchId, root, b)
+    maintain(s, root, batchId)
+  }
+
+  /** Streaming driver. `rows` must carry (p double, d double); `bounds`
+    * is the staged S32 generation. */
+  def run(rows: DataFrame, root: String, bounds: ManifestStream.ZBounds,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, bounds)
+      }
+      .start()
+
+  /** The view-pruned read — [[ManifestStream.prunedRead]] against the
+    * compacted view: open only view files whose zones overlap the
+    * conjunctive predicates, then apply them exactly. */
+  def prunedRead(s: SparkSession, root: String,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): DataFrame = {
+    import org.apache.spark.sql.types._
+    val files = view(s, root)
+      .where(col("mx_p") >= pLo && col("mn_p") < pHi &&
+        col("mx_d") >= dLo && col("mn_d") < dHi)
+      .select("path").collect().map(_.getString(0)).toSeq
+    val base =
+      if (files.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("p", DoubleType),
+            StructField("d", DoubleType))))
+      else s.read.parquet(files: _*)
+    val dCond =
+      if (dLo.isNegInfinity && dHi.isPosInfinity) lit(true)
+      else col("d") >= dLo && col("d") < dHi
+    base.where(col("p") >= pLo && col("p") < pHi && dCond)
+  }
+}

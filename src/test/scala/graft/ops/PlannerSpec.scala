@@ -49,6 +49,47 @@ class PlannerSpec extends SparkSpec {
     }
   }
 
+  test("q205 decision drives the engine: applying the audited choice " +
+      "yields the matching physical join — broadcast hash for the " +
+      "narrow predicate, sort-merge for the wide ones") {
+    val s = spark
+    import s.implicits._
+    val art = Planner.ensureArtifacts(s, sf)
+    val b = s.read.parquet(s"$art/bounds").head()
+    val (pMn, pMx) = (b.getDouble(0), b.getDouble(1))
+    val choice = Planner.q205PlannerAudit(s, sf).collect()
+      .collect { case r if r.getLong(10) == 1L =>
+        r.getLong(0) -> r.getString(1)
+      }.toMap
+    // disable the engine's own size-based broadcast so the ONLY
+    // broadcast source is the audit's decision applied as a hint —
+    // this test grades the decision→plan seam, not Spark's estimator
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      choice.foreach { case (k, strat) =>
+        val t = pMn + (k.toDouble * (pMx - pMn)) / 64.0
+        val probe = graft.Tables(s, sf, "orders")
+          .where($"o_totalprice" <= t).select($"o_custkey")
+        val build = graft.Tables(s, sf, "orders")
+          .select($"o_custkey".as("ck"))
+        val joined =
+          if (strat == "bcast_probe")
+            broadcast(probe).join(build, $"o_custkey" === $"ck")
+          else probe.join(build, $"o_custkey" === $"ck")
+        joined.count() // finalize (AQE) before reading the plan
+        val plan = joined.queryExecution.executedPlan.toString
+        if (strat == "bcast_probe")
+          assert(plan.contains("BroadcastHashJoin"),
+            s"pred $k chose broadcast; plan must broadcast:\n$plan")
+        else
+          assert(plan.contains("SortMergeJoin") &&
+            !plan.contains("BroadcastHashJoin"),
+            s"pred $k chose shuffle; plan must sort-merge:\n$plan")
+      }
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q206 executed (engine leg): merged rewrite groups carry REAL " +
       "footer zones equal to the planned ones, and a fifth-range read " +
       "over the rewritten manifest opens exactly files_after files with " +
