@@ -42,25 +42,30 @@ object BenchPrev {
           // qunit); ADVICE r15 killed the fixed SHORT one (a reordered
           // or re-indented driver copy could push qunit past 64 chars
           // and silently read deciseconds as seconds). So scan back to
-          // the enclosing object's own opening brace — skipping over
-          // balanced `{...}` siblings — or to the previous newline
-          // (every emit rung is one line), whichever comes first: the
-          // window now covers exactly this object's preceding keys, at
-          // any spacing, and nothing outside them.
+          // the ENCLOSING object's own opening brace, skipping over
+          // balanced `{...}` siblings: the window covers exactly this
+          // object's preceding keys at any spacing or line layout.
+          // (A first cut also stopped at the previous newline — and
+          // promptly missed the ds marker in the driver's PRETTY-PRINTED
+          // copy, where `"qunit"` sits on its own line; that regression
+          // read every r15 ds stamp 10× high and silently disabled the
+          // whole re-pass, caught in the r16 standing run when an 8×
+          // mover failed to requeue. Brace balance only; a 4096-char cap
+          // bounds the walk against pathological content.)
           val winStart = {
             var i = m.start - 1
+            val floor = math.max(0, m.start - 4096)
             var depth = 0
             var stop = -1
-            while (i >= 0 && stop < 0) {
+            while (i >= floor && stop < 0) {
               content.charAt(i) match {
                 case '}' => depth += 1
                 case '{' => if (depth == 0) stop = i else depth -= 1
-                case '\n' => stop = i
                 case _ =>
               }
               i -= 1
             }
-            math.max(0, stop)
+            math.max(floor, stop)
           }
           val pre = content.substring(winStart, m.start)
           val scale =

@@ -25,6 +25,31 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(math.abs(m("dedup_prep") - 1.0) < 1e-9)
   }
 
+  test("deciseconds rung in the driver's PRETTY-PRINTED shape: qunit on " +
+    "its own line still scales (the r16 regression — a newline-stopped " +
+    "window missed the marker and read every stamp 10x high, which " +
+    "silently disabled the re-pass for the whole round)") {
+    val content =
+      "{\n  \"parsed\": {\n    \"metric\": \"total\",\n" +
+        "    \"value\": 241.107,\n    \"unit\": \"sec\",\n" +
+        "    \"load_index\": 0.91,\n    \"qunit\": \"ds\",\n" +
+        "    \"queries\": {\n      \"dedup_prep\": 19,\n" +
+        "      \"138\": 108,\n      \"01\": 16\n    },\n" +
+        "    \"sf\": \"/root/testdata/sf0.1\"\n  }\n}"
+    val m = BenchPrev.parse(content, names)
+    assert(math.abs(m("q138_retrieval_trend") - 10.8) < 1e-9)
+    assert(math.abs(m("dedup_prep") - 1.9) < 1e-9)
+    // and the REAL committed driver file: the r15 ds stamps must come
+    // back in seconds (q151's stamp was 14 ds = 1.4 s — the 8x mover
+    // that exposed the regression when it failed to requeue)
+    val real = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_r15.json")), "UTF-8")
+    val rm = BenchPrev.parse(real, Set("q151_ivf_sweep", "compact_prep"))
+    assert(math.abs(rm("q151_ivf_sweep") - 1.4) < 1e-9,
+      s"driver-file ds scaling: $rm")
+    assert(math.abs(rm("compact_prep") - 26.9) < 1e-9, s"prep stamp: $rm")
+  }
+
   test("full-precision rung with full names and qN short keys") {
     val content =
       """{"parsed": {"metric":"total","value":1.0,"unit":"sec",
