@@ -19,7 +19,7 @@ object Bench {
     * SparkEntry.queries, and parsing them out of the baseline is what
     * lets an inflated prep trip the requeue at all). */
   val PrepNames: Set[String] = Set("dedup_prep", "forget_prep",
-    "compact_prep", "suffix_prep", "ann_prep")
+    "compact_prep", "suffix_prep", "ann_prep", "planner_prep")
 
   def prepReruns(spark: SparkSession, sfDir: String): Map[String, PrepRerun] =
     Map(
@@ -45,6 +45,10 @@ object Bench {
       "ann_prep" -> PrepRerun(
         () => graft.ops.Similarity.evictCentroids(spark),
         () => graft.ops.Similarity.stageAnnArtifacts(spark, sfDir),
+        () => ()),
+      "planner_prep" -> PrepRerun(
+        () => graft.ops.Planner.evictSession(spark),
+        () => { graft.ops.Planner.ensureArtifacts(spark, sfDir); () },
         () => ()))
 
   /** One prep re-stamp: evict (untimed) → rebuild (timed, ONE run — a
@@ -259,6 +263,34 @@ object Bench {
         System.err.println(s"[bench] ann_prep failed: ${e.getMessage}")
         Seq("ann_prep" -> -1.0)
       }
+    // The q205/q206 maintained-statistics artifact suite (one streaming
+    // pass over a 4-batch orders replay — S28/S29/S31/S32 bodies + the
+    // bounds generation), same discipline: built COLD once on the books;
+    // the audits then consult it warm, the way a planner consults a
+    // catalog. Selecting q205/q206 without planner_prep stages it
+    // untimed so the first timed iteration does not mix a streaming
+    // build (with its checkpoint/file churn) into a pure audit stamp.
+    val plannerQueries = Set("q205_planner_audit", "q206_compaction_plan")
+    val plannerPrep: Seq[(String, Double)] =
+      if (!only.forall(_.contains("planner_prep"))) {
+        if (only.exists(names => (names & plannerQueries).nonEmpty)) try {
+          System.err.println(
+            "[bench] planner-backed query selected without planner_prep: building the artifact suite untimed")
+          graft.ops.Planner.ensureArtifacts(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] untimed planner prep failed: ${e.getMessage}")
+        }
+        Seq.empty
+      }
+      else try {
+        graft.ops.Planner.evictSession(spark)
+        val t0 = System.nanoTime()
+        graft.ops.Planner.ensureArtifacts(spark, sfDir)
+        Seq("planner_prep" -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] planner_prep failed: ${e.getMessage}")
+        Seq("planner_prep" -> -1.0)
+      }
     // Side-effecting queries (real file writes in the timed body) run LAST
     // and behind an untimed settle, so their page-cache/GC churn cannot
     // bleed into alphabetical neighbors (VERDICT r8 #1: the stamped r8 run
@@ -289,7 +321,8 @@ object Bench {
     val ordered = (pure ++ gates ++ dirty)
     val midIdx = ordered.size / 2
     val measured = prepEntry ++ forgetPrep ++ compactPrep ++ suffixPrep ++
-      annPrep ++ ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      annPrep ++ plannerPrep ++
+      ordered.zipWithIndex.map { case ((name, fn), idx) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),
       // which is far beyond the 2× regression threshold the gate enforces.

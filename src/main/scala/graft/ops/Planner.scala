@@ -283,13 +283,11 @@ object Planner {
       k -> hybridJoinEst(estSel(k), mcvSq, mcvN, nRows, ndvEst)).toMap
 
     // ---- exact truth (one value-domain pass, the q199 identity) ----
-    val bounds = s.read.parquet(s"$art/bounds")
-      .selectExpr("p_mn as pmn", "p_mx as pmx")
     val vcAggs = count(lit(1)).as("n") +: Ks.map(k =>
       count(when(expr(s"p <= ${tSql(k)}"), 1)).as(s"n_$k"))
     val vc = Tables(s, dir, "orders")
       .select($"o_custkey".as("v"), $"o_totalprice".as("p"))
-      .crossJoin(broadcast(bounds))
+      .crossJoin(broadcast(boundsDf))
       .groupBy($"v")
       .agg(vcAggs.head, vcAggs.tail: _*)
     val exAggs = Ks.flatMap { k =>
@@ -434,20 +432,28 @@ object Planner {
     * data; only the executor (spec / production rewrite job) does. */
   /** The shared bin-packing plan over a manifest frame: every file row
     * gains its rewrite group id — sort by zone (the 5-key total order),
-    * carve by cumulative row count into ceil(N/outFiles)-row groups.
-    * ONE generator shared by q206, its executing spec, and the S33
-    * maintenance stream ([[graft.streaming.CompactStream]]), so the
-    * plan graded and the plan executed cannot drift. Metadata-sized:
-    * the window runs over |files| manifest rows. */
+    * carve by cumulative row count into target-row groups. The target
+    * defaults to ceil(frame total / outFiles) computed in-plan (q206's
+    * full-rewrite OPTIMIZE plan); the S33 maintenance stream passes an
+    * EXPLICIT target derived from the whole view so its small-file-only
+    * input still packs to full-size outputs (size tiering — see
+    * [[graft.streaming.CompactStream.maintain]]). ONE generator shared
+    * by q206, its executing spec, and S33, so the plan graded and the
+    * plan executed cannot drift. Metadata-sized: the window runs over
+    * |files| manifest rows. */
   private[graft] def planGroups(man: DataFrame,
-      outFiles: Int = OutFiles): DataFrame = {
+      outFiles: Int = OutFiles,
+      targetRows: Option[Long] = None): DataFrame = {
     val ordW = Window.orderBy(col("mn_p"), col("mx_p"),
       col("mn_d"), col("mx_d"), col("rows"))
+    val targetSql = targetRows match {
+      case Some(t) => s"${math.max(t, 1L)}"
+      case None => s"greatest((sum(rows) over ()) div $outFiles, 1)"
+    }
     man
       .withColumn("cum", coalesce(sum(col("rows")).over(
         ordW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("grp", expr(
-        s"cum div greatest((sum(rows) over ()) div $outFiles, 1)"))
+      .withColumn("grp", expr(s"cum div $targetSql"))
       .drop("cum")
   }
 
@@ -455,9 +461,10 @@ object Planner {
     import s.implicits._
     val art = ensureArtifacts(s, dir)
     val man = ManifestStream.manifest(s, art)
-    val cat = man.agg(coalesce(sum($"rows"), lit(0L)).as("n_rows"),
-      count(lit(1)).as("files_total")).head()
-    val (nRows, filesTotal) = (cat.getLong(0), cat.getLong(1))
+    // field read by NAME (ADVICE r14 — an aggregate reorder must fail
+    // the read, never silently swap columns)
+    val filesTotal = man.agg(count(lit(1)).as("files_total"))
+      .head().getAs[Long]("files_total")
     val grouped = planGroups(man)
     val groups = grouped.groupBy($"grp")
       .agg(min($"mn_p").as("g_mn"), max($"mx_p").as("g_mx"),

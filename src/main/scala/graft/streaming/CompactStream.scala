@@ -49,11 +49,12 @@ import graft.ops.Planner
   * bounded while the raw manifest's grows per batch.
   *
   * At 100 TB this is the nightly-to-hourly table-maintenance loop:
-  * the trigger reads |files| metadata rows, the rewrite touches only
-  * the small-file groups' data (each group one read + one write), and
-  * the absorption of an occasional already-merged neighbor into a new
-  * group is the standard Iceberg bin-packing trade (documented; a
-  * size-tiered trigger bounds it in production). */
+  * the trigger reads |files| metadata rows, and the rewrite is SIZE
+  * TIERED — only the small tier's data moves (each group one read +
+  * one write, packed to the whole-view target so outputs graduate out
+  * of the tier immediately), which bounds write amplification at one
+  * rewrite per row for this loop rather than the O(corpus)-per-firing
+  * a whole-view bin-pack would pay (see [[maintain]]). */
 object CompactStream {
 
   /** Maintenance trigger: compact when more than this many SMALL files
@@ -103,8 +104,19 @@ object CompactStream {
   }
 
   /** The maintenance step: trigger check on the view's metadata, then
-    * the executed q206 plan — rewrite multi-member groups, carry
-    * singletons, commit the generation manifest LAST. */
+    * the executed q206 plan over the SMALL tier only — rewrite
+    * multi-member small-file groups, carry every large file and
+    * singleton small untouched, commit the generation manifest LAST.
+    *
+    * Size tiering is what bounds write amplification: a first cut
+    * planned over the WHOLE view, which zone-interleaved the new small
+    * cells between the previously-merged large files and re-wrote
+    * essentially all data every other batch (O(corpus) per firing). The
+    * tier split — smalls (under half the whole-view target) pack among
+    * THEMSELVES to an explicit whole-view target, larges carry — means
+    * every merged output immediately graduates to the large tier and
+    * each row is rewritten at most once by this loop, the standard
+    * size-tiered compaction contract. */
   private[streaming] def maintain(s: SparkSession, root: String,
       gen: Long): Unit = {
     import s.implicits._
@@ -113,12 +125,13 @@ object CompactStream {
     if (rows.isEmpty) return
     val total = rows.map(_.getLong(1)).sum
     val target = math.max(total / OutFiles, 1L)
-    val smalls = rows.count(_.getLong(1) < target / 2)
-    if (smalls <= SmallTrigger) return
-    // the SHARED plan (q206's generator) over the same view
+    val (smalls, larges) = rows.partition(_.getLong(1) < target / 2)
+    if (smalls.length <= SmallTrigger) return
+    // the SHARED plan (q206's generator) over the small tier, packed to
+    // the WHOLE-view target so outputs graduate out of the tier
     val planned = Planner.planGroups(
-      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1),
-        ManifestStream.ManifestSchema), OutFiles)
+      s.createDataFrame(s.sparkContext.parallelize(smalls.toSeq, 1),
+        ManifestStream.ManifestSchema), OutFiles, Some(target))
       .select($"grp", $"path")
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -136,7 +149,10 @@ object CompactStream {
       else ManifestStream.harvest(s, dataDir)
     val singletonPaths = byGrp.filter(_._2.length == 1)
       .flatMap(_._2.map(_._2)).toSet
-    val carried = rows.filter(r => singletonPaths.contains(r.getString(0)))
+    val largePaths = larges.map(_.getString(0)).toSet
+    val carried = rows.filter(r =>
+      singletonPaths.contains(r.getString(0)) ||
+        largePaths.contains(r.getString(0)))
     s.createDataFrame(
       s.sparkContext.parallelize(mergedRows ++ carried, 1),
       ManifestStream.ManifestSchema)
@@ -182,27 +198,12 @@ object CompactStream {
       }
       .start()
 
-  /** The view-pruned read — [[ManifestStream.prunedRead]] against the
-    * compacted view: open only view files whose zones overlap the
-    * conjunctive predicates, then apply them exactly. */
+  /** The view-pruned read — the SHARED pruned-read body
+    * ([[ManifestStream.prunedReadFrom]]) against the compacted view, so
+    * a pruning fix can never reach one consumer and miss the other. */
   def prunedRead(s: SparkSession, root: String,
       pLo: Double, pHi: Double,
       dLo: Double = Double.NegativeInfinity,
-      dHi: Double = Double.PositiveInfinity): DataFrame = {
-    import org.apache.spark.sql.types._
-    val files = view(s, root)
-      .where(col("mx_p") >= pLo && col("mn_p") < pHi &&
-        col("mx_d") >= dLo && col("mn_d") < dHi)
-      .select("path").collect().map(_.getString(0)).toSeq
-    val base =
-      if (files.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(Seq(StructField("p", DoubleType),
-            StructField("d", DoubleType))))
-      else s.read.parquet(files: _*)
-    val dCond =
-      if (dLo.isNegInfinity && dHi.isPosInfinity) lit(true)
-      else col("d") >= dLo && col("d") < dHi
-    base.where(col("p") >= pLo && col("p") < pHi && dCond)
-  }
+      dHi: Double = Double.PositiveInfinity): DataFrame =
+    ManifestStream.prunedReadFrom(s, view(s, root), pLo, pHi, dLo, dHi)
 }

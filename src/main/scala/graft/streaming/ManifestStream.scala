@@ -109,11 +109,16 @@ object ManifestStream {
 
   /** One dimension's 10-bit grid coordinate under the staged bounds —
     * the q202/LayoutSpec scaling expression verbatim, clamped to the
-    * edge cells for out-of-generation arrivals. */
+    * edge cells for out-of-generation arrivals. The clamp happens in
+    * DOUBLE space BEFORE the long cast (with NaN collapsed to the low
+    * edge via nanvl): a +Inf or NaN arrival must land in an edge cell
+    * like any other out-of-generation value — under ANSI (this Spark 4
+    * default) `cast(Inf as long)` would instead throw and kill the
+    * whole ingest stream. */
   private def gridCoord(c: Column, mn: Double, mx: Double): Column =
-    greatest(lit(0L), least(
-      floor((c - lit(mn)) * lit(1024.0) / lit(mx - mn)).cast("long"),
-      lit(1023L)))
+    least(greatest(
+      nanvl(floor((c - lit(mn)) * lit(1024.0) / lit(mx - mn)), lit(0.0)),
+      lit(0.0)), lit(1023.0)).cast("long")
 
   /** The batch's z-key and deterministic cell/file id. */
   private[streaming] def withCell(batch: DataFrame, b: ZBounds): DataFrame =
@@ -225,39 +230,65 @@ object ManifestStream {
   def manifest(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/manifest")
 
-  /** Planning: the files a conjunctive `p ∈ [pLo, pHi) AND d ∈
-    * [dLo, dHi)` read must open — zone overlap on BOTH dimensions over
-    * the manifest, data untouched. Leave a dimension's bounds at the
-    * infinite defaults to read it unconstrained. */
-  def prunedFiles(s: SparkSession, root: String,
-      pLo: Double, pHi: Double,
-      dLo: Double = Double.NegativeInfinity,
-      dHi: Double = Double.PositiveInfinity): Seq[String] =
-    manifest(s, root)
-      .where(col("mx_p") >= pLo && col("mn_p") < pHi &&
-        col("mx_d") >= dLo && col("mn_d") < dHi)
-      .select("path").collect().map(_.getString(0)).toSeq
+  /** An unconstrained dimension is one left at the infinite defaults —
+    * it gets NO zone test and NO row predicate at all, because both
+    * would silently drop non-finite values (`mn < +Inf` is false for a
+    * file whose rows are all +Inf; `x >= -Inf` is false for NaN): an
+    * unconstrained read must be a plain read. */
+  private def unconstrained(lo: Double, hi: Double): Boolean =
+    lo.isNegInfinity && hi.isPosInfinity
 
-  /** The manifest-pruned read: open ONLY the overlapping files, then
-    * apply the exact predicates. A dimension left at its infinite
-    * defaults is not filtered at all (an unconstrained read must not
-    * change semantics for rows with unusual values). Returns an empty
-    * frame when the predicates prune everything (zero files). */
-  def prunedRead(s: SparkSession, root: String,
-      pLo: Double, pHi: Double,
-      dLo: Double = Double.NegativeInfinity,
-      dHi: Double = Double.PositiveInfinity): DataFrame = {
-    val files = prunedFiles(s, root, pLo, pHi, dLo, dHi)
+  /** Planning over an arbitrary manifest FRAME (the raw manifest here,
+    * the S33 compacted view in [[CompactStream]] — one helper so a
+    * pruning fix can never miss one consumer): the files a conjunctive
+    * `p ∈ [pLo, pHi) AND d ∈ [dLo, dHi)` read must open. */
+  private[streaming] def prunedFilesFrom(man: DataFrame,
+      pLo: Double, pHi: Double, dLo: Double, dHi: Double): Seq[String] = {
+    val pZone =
+      if (unconstrained(pLo, pHi)) lit(true)
+      else col("mx_p") >= pLo && col("mn_p") < pHi
+    val dZone =
+      if (unconstrained(dLo, dHi)) lit(true)
+      else col("mx_d") >= dLo && col("mn_d") < dHi
+    man.where(pZone && dZone)
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** The pruned read over an arbitrary manifest frame: open ONLY the
+    * overlapping files, then apply the exact predicates (skipping a
+    * dimension left unconstrained). Returns an empty frame when the
+    * predicates prune everything (zero files). */
+  private[streaming] def prunedReadFrom(s: SparkSession, man: DataFrame,
+      pLo: Double, pHi: Double, dLo: Double, dHi: Double): DataFrame = {
+    val files = prunedFilesFrom(man, pLo, pHi, dLo, dHi)
     val base =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("p", DoubleType),
             StructField("d", DoubleType))))
       else s.read.parquet(files: _*)
-    val pCond = col("p") >= pLo && col("p") < pHi
+    val pCond =
+      if (unconstrained(pLo, pHi)) lit(true)
+      else col("p") >= pLo && col("p") < pHi
     val dCond =
-      if (dLo.isNegInfinity && dHi.isPosInfinity) lit(true)
+      if (unconstrained(dLo, dHi)) lit(true)
       else col("d") >= dLo && col("d") < dHi
     base.where(pCond && dCond)
   }
+
+  /** Planning: zone overlap over the standing manifest, data untouched.
+    * Leave a dimension's bounds at the infinite defaults to read it
+    * unconstrained. */
+  def prunedFiles(s: SparkSession, root: String,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): Seq[String] =
+    prunedFilesFrom(manifest(s, root), pLo, pHi, dLo, dHi)
+
+  /** The manifest-pruned read against the standing manifest. */
+  def prunedRead(s: SparkSession, root: String,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): DataFrame =
+    prunedReadFrom(s, manifest(s, root), pLo, pHi, dLo, dHi)
 }

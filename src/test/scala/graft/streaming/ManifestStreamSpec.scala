@@ -179,4 +179,35 @@ class ManifestStreamSpec extends SparkSpec {
       .select($"p").as[Double].collect().sorted.toSeq
     assert(late === Seq(bounds.pMx + 100.0, bounds.pMx + 101.0))
   }
+
+  test("non-finite arrivals survive ingest (ANSI would kill the stream " +
+      "on cast(Inf as long)) and stay reachable: NaN/±Inf rows clamp to " +
+      "edge cells, get the infinite always-read zone, and an " +
+      "unconstrained read returns every row") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-manifest-nan-").toString
+    val bounds = ManifestStream.ZBounds(0.0, 100.0, 0.0, 100.0)
+    val weird = Seq(
+      (Double.NaN, 5.0), (Double.PositiveInfinity, 5.0),
+      (Double.NegativeInfinity, 5.0), (5.0, Double.NaN),
+      (5.0, Double.PositiveInfinity), (50.0, 50.0)).toDF("p", "d")
+    // the write path must not throw (the r16 first cut cast the raw
+    // double grid coordinate to long, which ANSI rejects for NaN/Inf)
+    ManifestStream.processBatch(weird, 0L, root, bounds)
+    val man = ManifestStream.manifest(s, root)
+    assert(man.agg(sum($"rows")).as[Long].head() === 6L,
+      "every non-finite row must land in some cell file")
+    // files containing NaN get the infinite zone (parquet-mr omits the
+    // stats) — visible to EVERY constrained read, never lost
+    val constrained = ManifestStream.prunedRead(s, root, 40.0, 60.0,
+      40.0, 60.0).as[(Double, Double)].collect().toSeq
+    assert(constrained === Seq((50.0, 50.0)),
+      "the finite row is found; non-finite rows fail the row predicate")
+    // an UNCONSTRAINED read applies no predicate at all and returns the
+    // full six rows — including NaN, which any range conjunct would drop
+    val all = ManifestStream.prunedRead(s, root,
+      Double.NegativeInfinity, Double.PositiveInfinity).count()
+    assert(all === 6L, "unconstrained read must be a plain read")
+  }
 }
