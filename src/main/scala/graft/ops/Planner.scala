@@ -231,7 +231,7 @@ object Planner {
 
     // ---- catalog consults: ONE action over four parallel metadata
     // branches (the q199 lesson — serializing tiny driver jobs costs
-    // more than the jobs; the r15 first-cut here paid 5 sequential
+    // more than the jobs; the first cut here paid 5 sequential
     // heads). Thresholds and bins are computed IN-PLAN against the
     // bounds artifact, so the consult arithmetic is the oracle's SQL
     // verbatim, not a Scala mirror of it.
