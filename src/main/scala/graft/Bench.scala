@@ -412,73 +412,82 @@ object Bench {
         fallback ++ primary
       }
     }
-    val requeueCap = 12 // bound the re-pass wall-clock; stderr if exceeded
-    var requeues = 0
+    // VERDICT r16 #1: the re-pass is now TWO-phase — select the roster
+    // first (pure, ratio-DESCENDING so the worst offenders are always
+    // adjudicated before the cap bites; the r16 official run exhausted
+    // the cap in visit order and q199 shipped stamped 3.8s against a
+    // 1.29s isolated truth), then adjudicate — and its outcome rides the
+    // committed artifact: requeued/requeue_cap_hit on every final-line
+    // rung, names + before/after on a bench_requeues detail line.
+    // Cap guarded like every env knob; the default bounds the re-pass
+    // wall-clock at ~12 × (settle + 3 medians).
+    val requeueCap = math.max(0, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUEUE_CAP", "12").toInt)
+      .getOrElse(12))
     val preps = prepReruns(spark, sfDir)
-    val results = measured.map { case (name, v) =>
-      val fn = SparkEntry.queries.get(name)
-      // ADVICE r14: of the QUERIES only the pure partition re-runs — a
-      // warm isolated rerun of a gate/dirty query against
-      // already-mutated scratch state can undercut its honest cold cost
-      // (and mutate state after the suite ended), so min(original,
-      // rerun) would understate it. PREPS re-run too (VERDICT r15 #2):
-      // they are clean evict-and-rebuild bodies, not gates — a cold
-      // rebuild measures the same work as the original stamp, and in
-      // the r15 run they were the largest stamps in the file with the
-      // worst disk-load inflation (compact_prep 26.9s vs 2.26s).
-      val isPrep = fn.isEmpty && preps.contains(name)
-      val requeueable = isPrep || (fn.nonEmpty &&
+    // ADVICE r14: of the QUERIES only the pure partition re-runs — a
+    // warm isolated rerun of a gate/dirty query against already-mutated
+    // scratch state can undercut its honest cold cost (and mutate state
+    // after the suite ended), so min(original, rerun) would understate
+    // it. PREPS re-run too (VERDICT r15 #2): they are clean
+    // evict-and-rebuild bodies — a cold rebuild measures the same work
+    // as the original stamp.
+    def requeueable(name: String): Boolean =
+      preps.contains(name) || (SparkEntry.queries.contains(name) &&
         !sideEffecting(name) && !gateCluster(name))
-      if (!BenchPrev.inflated(v, prevStamps.get(name)) ||
-        (fn.isEmpty && !isPrep))
-        name -> v
-      else if (isPrep) {
-        if (requeues >= requeueCap) {
-          System.err.println(s"[bench] requeue cap $requeueCap reached; " +
-            s"$name left at stamped ${f"$v%.2f"}s")
-          name -> v
-        } else {
-          requeues += 1
-          settle()
-          val stamped = rerunPrep(spark, sfDir, name, v)
-          System.err.println(f"[bench] requeued prep $name: stamped $v%.2fs " +
-            f"(prev ${prevStamps(name)}%.2fs); clean rebuild → " +
-            f"final $stamped%.2fs")
-          name -> stamped
-        }
-      }
-      else if (!requeueable) {
+    // gate/dirty movers are named in stderr (never requeued — a warm
+    // rerun would understate them) so their inflation stays visible
+    measured.foreach { case (name, v) =>
+      if (BenchPrev.inflated(v, prevStamps.get(name)) && !requeueable(name))
         System.err.println(f"[bench] $name inflated ≥2× vs prev " +
           f"(${prevStamps(name)}%.2fs → $v%.2fs) but is a gate/dirty " +
           "query — not requeued (warm rerun would understate it)")
-        name -> v
-      } else if (requeues >= requeueCap) {
-        System.err.println(s"[bench] requeue cap $requeueCap reached; " +
-          s"$name left at stamped ${f"$v%.2f"}s")
-        name -> v
-      } else {
-        requeues += 1
-        settle()
-        val times = (1 to 3).flatMap { _ =>
-          val t0 = System.nanoTime()
-          try { fn.get(spark, sfDir).write.format("noop").mode("overwrite").save()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] requeued $name failed: ${e.getMessage}")
-            None
+    }
+    val roster = BenchPrev.selectRequeues(measured, prevStamps,
+      requeueable, requeueCap)
+    roster.skipped.foreach { name =>
+      System.err.println(s"[bench] requeue cap $requeueCap hit; " +
+        s"$name left at its stamped value (lower inflation ratio than " +
+        "every adjudicated mover)")
+    }
+    val adjudicated = roster.selected.map { name =>
+      val v = measured.collectFirst { case (`name`, t) => t }.getOrElse(-1.0)
+      settle()
+      val stamped =
+        if (preps.contains(name)) {
+          val st = rerunPrep(spark, sfDir, name, v)
+          System.err.println(f"[bench] requeued prep $name: stamped $v%.2fs " +
+            f"(prev ${prevStamps(name)}%.2fs); clean rebuild → " +
+            f"final $st%.2fs")
+          st
+        } else {
+          val fn = SparkEntry.queries(name)
+          val times = (1 to 3).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] requeued $name failed: ${e.getMessage}")
+              None
+            }
+          }
+          if (times.size < 3) v
+          else {
+            val re = times.sorted.apply(1)
+            val st = math.min(v, re)
+            System.err.println(f"[bench] requeued $name: stamped $v%.2fs " +
+              f"(prev ${prevStamps(name)}%.2fs); isolated median $re%.2fs; " +
+              f"final $st%.2fs")
+            st
           }
         }
-        if (times.size < 3) name -> v
-        else {
-          val re = times.sorted.apply(1)
-          val stamped = math.min(v, re)
-          System.err.println(f"[bench] requeued $name: stamped $v%.2fs " +
-            f"(prev ${prevStamps(name)}%.2fs); isolated median $re%.2fs; " +
-            f"final $stamped%.2fs")
-          name -> stamped
-        }
-      }
+      BenchLine.Requeued(name, v, prevStamps(name), stamped)
     }
+    val finals = adjudicated.map(r => r.name -> r.finalStamp).toMap
+    val results = measured.map { case (name, v) =>
+      name -> finals.getOrElse(name, v)
+    }
+    val requeueInfo = Some((adjudicated.size, roster.capHit))
     canary("end")
     val loadIndex = LoadCanary.index(canaryTimes.toSeq, LoadCanary.expectedSec)
     if (loadIndex >= 1.4) System.err.println(
@@ -524,7 +533,7 @@ object Bench {
     val li = Some(loadIndex)
     val ii = Some(ioIndex)
     val chosen = BenchLine.finalLine(results, sfDir, tailBudget, li, ii,
-      System.err.println)
+      requeueInfo, System.err.println)
     val (line, rung) = (chosen.line, chosen.rung)
     if (chosen.degraded) System.err.println(
       s"[bench] WARNING: query line over $tailBudget chars at 3 decimals; emitted at $rung (${line.length} chars)")
@@ -561,13 +570,21 @@ object Bench {
       println(dl)
       System.err.println(dl)
     }
+    // the re-pass outcome as its own detail line (names + before/after),
+    // printed even when nothing requeued — an explicitly-empty roster is
+    // itself the evidence that no stamp tripped the line
+    val rqLine = BenchLine.requeueLine(adjudicated, roster.skipped,
+      requeueCap, sfDir)
+    println(rqLine)
+    System.err.println(rqLine)
+    writeFile("bench_requeues.json", rqLine)
     println(line)
     System.err.println(line)
     // target/bench.json stays self-sufficient for the judge: the full
     // 3-decimal query line (with load_index), with streambench inlined
     // when it was measured.
     val fullLine = BenchLine.queryLine(results, sfDir, 3, stripQ = false,
-      deci = false, loadIndex = li, ioIndex = ii)
+      deci = false, loadIndex = li, ioIndex = ii, requeue = requeueInfo)
     writeFile("bench.json", streamJson match {
       case Some(sj) =>
         fullLine.stripSuffix(s""","sf":"$sfDir"}""") +

@@ -55,6 +55,16 @@ object BenchLine {
     loadIndex.map(l => s""""load_index":${fmtSec(l, 2)},""").getOrElse("") +
       ioIndex.map(i => s""""io_index":${fmtSec(i, 2)},""").getOrElse("")
 
+  /** Re-pass visibility (VERDICT r16 #1): how many entries the outlier
+    * re-pass adjudicated and whether its cap excluded any — on EVERY
+    * rung, so no committed artifact can again say nothing about whether
+    * its stamps were re-passed. The names and before/after ride the
+    * [[requeueLine]] detail emission. */
+  private def requeueKey(requeue: Option[(Int, Boolean)]): String =
+    requeue.map { case (n, capHit) =>
+      s""""requeued":$n,"requeue_cap_hit":$capHit,"""
+    }.getOrElse("")
+
   private def totalStr(results: Seq[(String, Double)]): String =
     fmtSec(results.map(_._2).filter(_ >= 0).sum, 3)
 
@@ -66,6 +76,7 @@ object BenchLine {
       decimals: Int, stripQ: Boolean, deci: Boolean = false,
       loadIndex: Option[Double] = None,
       ioIndex: Option[Double] = None,
+      requeue: Option[(Int, Boolean)] = None,
       warn: String => Unit = _ => ()): String = {
     def key0(name: String): String = {
       val p = shortKey(name)
@@ -86,7 +97,8 @@ object BenchLine {
     }.mkString("{", ",", "}")
     val qunit = if (deci) "\"qunit\":\"ds\"," else ""
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
-      loadKey(loadIndex, ioIndex) + qunit + s""""queries":$qs,"sf":"$sfDir"}"""
+      loadKey(loadIndex, ioIndex) + requeueKey(requeue) + qunit +
+      s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** The bounded FAMILY line — the ladder's new floor: per-decade
@@ -99,7 +111,8 @@ object BenchLine {
   val MaxFailedNames = 8
   def familyLine(results: Seq[(String, Double)], sfDir: String,
       loadIndex: Option[Double] = None,
-      ioIndex: Option[Double] = None): String = {
+      ioIndex: Option[Double] = None,
+      requeue: Option[(Int, Boolean)] = None): String = {
     val (ok, failed) = results.partition(_._2 >= 0)
     val fams = ok.groupBy { case (k, _) => familyKey(k) }
       .map { case (f, vs) => f -> vs.map(_._2).sum }
@@ -112,7 +125,7 @@ object BenchLine {
         failed.take(MaxFailedNames).map("\"" + _._1 + "\"")
           .mkString("[", ",", "]") + ","
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
-      loadKey(loadIndex, ioIndex) +
+      loadKey(loadIndex, ioIndex) + requeueKey(requeue) +
       s""""detail":"target/bench.json",$failedKey"queries":$fams,"sf":"$sfDir"}"""
   }
 
@@ -133,6 +146,38 @@ object BenchLine {
     }
   }
 
+  /** One adjudicated requeue: original full-run stamp, the prev-round
+    * baseline that tripped it, and the final (min) stamp. */
+  final case class Requeued(name: String, stamped: Double, prev: Double,
+      finalStamp: Double)
+
+  /** Bound on the skipped-name list in [[requeueLine]] — the same
+    * budget discipline as [[MaxFailedNames]]. */
+  val MaxSkippedNames = 12
+
+  /** The re-pass detail line (VERDICT r16 #1): every adjudicated entry
+    * with its before/after, plus the names the cap excluded — so a judge
+    * reads WHICH stamps were re-passed and what the re-pass found,
+    * straight off the committed artifact. Selected entries are bounded
+    * by the cap itself; the skipped list is truncated loudly. */
+  def requeueLine(entries: Seq[Requeued], skipped: Seq[String], cap: Int,
+      sfDir: String): String = {
+    val es = entries.map { e =>
+      "\"" + e.name + "\":{\"stamped\":" + fmtSec(e.stamped, 3) +
+        ",\"prev\":" + fmtSec(e.prev, 3) +
+        ",\"final\":" + fmtSec(e.finalStamp, 3) + "}"
+    }.mkString("{", ",", "}")
+    val skip = skipped.take(MaxSkippedNames).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val more =
+      if (skipped.size > MaxSkippedNames)
+        s""","skipped_more":${skipped.size - MaxSkippedNames}"""
+      else ""
+    s"""{"metric":"bench_requeues","requeued":${entries.size},""" +
+      s""""cap":$cap,"cap_hit":${skipped.nonEmpty},"entries":$es,""" +
+      s""""skipped":$skip$more,"sf":"$sfDir"}"""
+  }
+
   /** Rung descriptors for the ladder warning. */
   private val Ladder = Seq((3, false, false), (2, false, false),
     (1, false, false), (1, true, false), (1, true, true))
@@ -150,18 +195,20 @@ object BenchLine {
   def finalLine(results: Seq[(String, Double)], sfDir: String,
       tailBudget: Int, loadIndex: Option[Double] = None,
       ioIndex: Option[Double] = None,
+      requeue: Option[(Int, Boolean)] = None,
       warn: String => Unit = _ => ()): Chosen = {
     val warnings = scala.collection.mutable.LinkedHashSet.empty[String]
     val chosen = Ladder.iterator
       .map { case (d, sq, ds) =>
         Chosen(
-          queryLine(results, sfDir, d, sq, ds, loadIndex, ioIndex,
+          queryLine(results, sfDir, d, sq, ds, loadIndex, ioIndex, requeue,
             warnings += _),
           if (ds) s"deciseconds, stripQ=$sq" else s"$d decimals, stripQ=$sq",
           degraded = (d, sq, ds) != Ladder.head)
       }
       .find(_.line.length <= tailBudget)
-      .getOrElse(Chosen(familyLine(results, sfDir, loadIndex, ioIndex),
+      .getOrElse(Chosen(
+        familyLine(results, sfDir, loadIndex, ioIndex, requeue),
         "family subtotals + detail pointer", degraded = true))
     if (chosen.line.length > tailBudget)
       warnings += s"[bench] WARNING: even the family floor is ${chosen.line.length} chars (> $tailBudget) — driver tail may clip"

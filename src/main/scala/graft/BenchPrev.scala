@@ -51,16 +51,32 @@ object BenchPrev {
           // read every r15 ds stamp 10× high and silently disabled the
           // whole re-pass, caught in the r16 standing run when an 8×
           // mover failed to requeue. Brace balance only; a 4096-char cap
-          // bounds the walk against pathological content.)
+          // bounds the walk against pathological content. ADVICE r16:
+          // braces inside STRING VALUES must not count either — a string
+          // containing an unbalanced `}` would push the window start past
+          // the object's own `{` and read a NEIGHBOR object's qunit — so
+          // the backward walk tracks quote parity: the scan starts
+          // OUTSIDE any string (the match begins at `"queries"`'s opening
+          // quote), each unescaped `"` toggles in-string state, and a
+          // quote preceded by an odd run of backslashes is string content,
+          // not a delimiter.)
           val winStart = {
             var i = m.start - 1
             val floor = math.max(0, m.start - 4096)
             var depth = 0
             var stop = -1
+            var inString = false
             while (i >= floor && stop < 0) {
               content.charAt(i) match {
-                case '}' => depth += 1
-                case '{' => if (depth == 0) stop = i else depth -= 1
+                case '"' =>
+                  // escaped iff preceded by an ODD number of backslashes
+                  var bs = 0
+                  while (i - 1 - bs >= 0 && content.charAt(i - 1 - bs) == '\\')
+                    bs += 1
+                  if (bs % 2 == 0) inString = !inString
+                case '}' if !inString => depth += 1
+                case '{' if !inString =>
+                  if (depth == 0) stop = i else depth -= 1
                 case _ =>
               }
               i -= 1
@@ -85,6 +101,32 @@ object BenchPrev {
           batch ++ acc // first-seen wins: acc (earlier matches) overrides
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The requeue roster (VERDICT r16 #1): which trip-line candidates the
+    * re-pass will actually adjudicate, worst inflation first. The r16
+    * official run had ~17 movers ≥2× and the 12-cap exhausted silently
+    * in visit order — q199 shipped stamped 3.8s against a 1.29s isolated
+    * truth because it happened to sort late. Ratio-DESCENDING order
+    * guarantees the worst offenders are always adjudicated; whatever the
+    * cap excludes is named in `skipped` so the committed artifact says
+    * exactly what was and wasn't re-passed. */
+  final case class Requeues(selected: Seq[String], skipped: Seq[String]) {
+    def capHit: Boolean = skipped.nonEmpty
+  }
+
+  /** Pure roster selection: candidates = requeueable entries tripping
+    * [[inflated]] against their previous stamp, ordered by inflation
+    * ratio descending (name-tiebroken for determinism), split at `cap`. */
+  def selectRequeues(stamps: Seq[(String, Double)],
+      prev: Map[String, Double], requeueable: String => Boolean,
+      cap: Int): Requeues = {
+    val candidates = stamps
+      .filter { case (n, v) => requeueable(n) && inflated(v, prev.get(n)) }
+      .map { case (n, v) => (n, v / prev(n)) }
+      .sortBy { case (n, r) => (-r, n) }
+    val (sel, skip) = candidates.splitAt(math.max(cap, 0))
+    Requeues(sel.map(_._1), skip.map(_._1))
+  }
 
   /** True when a stamp warrants the isolated re-pass: ≥ `ratio`× its
     * previous-round value AND big enough in absolute terms that the

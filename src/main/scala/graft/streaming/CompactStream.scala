@@ -116,7 +116,13 @@ object CompactStream {
     * THEMSELVES to an explicit whole-view target, larges carry — means
     * every merged output immediately graduates to the large tier and
     * each row is rewritten at most once by this loop, the standard
-    * size-tiered compaction contract. */
+    * size-tiered compaction contract. (The planner's tail fold — ADVICE
+    * r16, [[Planner.planGroups]] — is what makes that strict: the
+    * cumulative carve's remainder group could otherwise pack < target/2
+    * rows and stay in the small tier across firings; an undersized tail
+    * now merges into its predecessor, except in the degenerate one-group
+    * case where the single output stays small but collapses the tier to
+    * one file, below any future trigger.) */
   private[streaming] def maintain(s: SparkSession, root: String,
       gen: Long): Unit = {
     import s.implicits._

@@ -36,7 +36,12 @@ import graft.ops.Layout
 object NdvStream {
 
   /** Per-batch ≤ K-row KMV partial — pure in the batch; `batch` carries
-    * (v bigint). The K smallest distinct hashes of the batch's values. */
+    * (v bigint). The K smallest distinct hashes of the batch's NON-NULL
+    * values: a NULL v carries no distinct-count information, and its
+    * NULL hash would otherwise survive distinct(), sort NULLS FIRST into
+    * the limit-K window, and inflate the sketch's row count — the filter
+    * is mirrored by q205's oracle CTE (`WHERE v IS NOT NULL`) so engine
+    * and oracle agree on nullable join columns. */
   private[streaming] def batchSketch(batch: DataFrame): DataFrame =
     batch.where(col("v").isNotNull)
       .select(expr(Layout.kmvHashSql("v")).as("h")).distinct()

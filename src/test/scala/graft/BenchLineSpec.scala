@@ -98,6 +98,44 @@ class BenchLineSpec extends AnyFunSuite {
       results.toMap.apply("q17_some_name_17")) < 1e-9)
   }
 
+  test("requeued/requeue_cap_hit ride every rung (VERDICT r16 #1): the " +
+    "committed artifact can never again say nothing about the re-pass") {
+    val rq = Some((3, true))
+    val l1 = BenchLine.finalLine(results.take(5), "sf", 1900,
+      Some(1.0), Some(0.9), rq).line
+    assert(l1.contains(""""requeued":3,"requeue_cap_hit":true,"""))
+    assert(keyRe.findFirstIn(l1).isDefined, "driver schema keys intact")
+    // the family floor carries it too
+    val l2 = BenchLine.finalLine(results, "sf", 600, Some(1.0), Some(0.9),
+      Some((12, false))).line
+    assert(l2.contains(""""requeued":12,"requeue_cap_hit":false,"""))
+    // and the deciseconds rung still round-trips through BenchPrev with
+    // the new keys in place
+    val ds = BenchLine.queryLine(Seq("q5_a" -> 4.2), "sf", 1, stripQ = true,
+      deci = true, requeue = Some((1, false)))
+    assert(math.abs(BenchPrev.parse(ds, Set("q5_a"))("q5_a") - 4.2) < 1e-9)
+  }
+
+  test("requeue detail line: names + before/after for every adjudicated " +
+    "entry, skipped names bounded, explicitly-empty roster still emitted") {
+    val entries = Seq(
+      BenchLine.Requeued("q199_join_cardinality", 3.807, 1.2, 1.291),
+      BenchLine.Requeued("suffix_prep", 19.1, 8.4, 8.15))
+    val skipped = (1 to 15).map(i => s"q${i}_x")
+    val l = BenchLine.requeueLine(entries, skipped, 12, "sfX")
+    assert(l.contains(""""metric":"bench_requeues""""))
+    assert(l.contains(""""requeued":2,"cap":12,"cap_hit":true"""))
+    assert(l.contains(
+      """"q199_join_cardinality":{"stamped":3.807,"prev":1.200,"final":1.291}"""))
+    assert(l.contains(""""suffix_prep":{"stamped":19.100"""))
+    // skipped list truncated loudly at MaxSkippedNames
+    assert(l.contains(""""q12_x"""") && !l.contains(""""q13_x""""))
+    assert(l.contains(""""skipped_more":3"""))
+    val empty = BenchLine.requeueLine(Seq.empty, Seq.empty, 12, "sfX")
+    assert(empty.contains(""""requeued":0,"cap":12,"cap_hit":false"""))
+    assert(empty.contains(""""entries":{},"skipped":[]"""))
+  }
+
   test("deciseconds rung still parses with qunit anchored to its own object") {
     val r = Seq("q5_a" -> 4.2, "q6_b" -> 0.7)
     val ds = BenchLine.queryLine(r, "sf", 1, stripQ = true, deci = true,

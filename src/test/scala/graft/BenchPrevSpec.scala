@@ -72,6 +72,35 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(BenchPrev.parse("not json at all", names) === Map.empty)
   }
 
+  test("braces inside string values don't move the window (ADVICE r16): " +
+    "an unbalanced '}' in a neighbor key's value must not let a PREVIOUS " +
+    "object's qunit leak into this object's ds detection") {
+    // first object is a ds-rung line; second is full-precision but its
+    // "note" value carries an unbalanced '}' — a brace-blind backward
+    // scan walks past the second object's '{' into the first object and
+    // reads its qunit, mis-scaling q01's 30.0s stamp to 3.0s
+    val content =
+      """{"qunit":"ds","queries":{"dedup_prep":10}}
+        |{"note":"x } y","queries":{"q01_agg":30.0}}""".stripMargin
+    val m = BenchPrev.parse(content, names)
+    assert(m("q01_agg") === 30.0, s"window must stop at this object's brace: $m")
+    assert(math.abs(m("dedup_prep") - 1.0) < 1e-9, "the ds object still scales")
+    // the symmetric trap: an unbalanced '{' inside a string must not
+    // satisfy the depth-0 stop early and clip the window BEFORE the
+    // object's real qunit marker
+    val content2 =
+      """{"qunit":"ds","note":"x { y","queries":{"q01_agg":30}}""".stripMargin
+    val m2 = BenchPrev.parse(content2, names)
+    assert(math.abs(m2("q01_agg") - 3.0) < 1e-9,
+      s"qunit before a braced string value must still be seen: $m2")
+    // escaped quotes are string CONTENT: the quote-parity walk must not
+    // treat \" as a delimiter (an odd backslash run precedes it)
+    val content3 =
+      """{"note":"a \" } b","qunit":"ds","queries":{"q01_agg":30}}"""
+    val m3 = BenchPrev.parse(content3, names)
+    assert(math.abs(m3("q01_agg") - 3.0) < 1e-9, s"escaped-quote parity: $m3")
+  }
+
   test("inflation gate: ≥2× over prev AND ≥0.5s absolute") {
     assert(BenchPrev.inflated(10.8, Some(3.0)))
     assert(BenchPrev.inflated(10.8, Some(5.3)))   // the r13 q138 case
@@ -81,5 +110,33 @@ class BenchPrevSpec extends AnyFunSuite {
     assert(!BenchPrev.inflated(10.8, None))       // new query: no baseline
     assert(!BenchPrev.inflated(10.8, Some(0.0)))  // degenerate prev
     assert(!BenchPrev.inflated(-1.0, Some(3.0)))  // failed query stays -1
+  }
+
+  test("requeue roster is ratio-ordered descending and capped LAST " +
+    "(VERDICT r16 #1): the worst offenders are always adjudicated; the " +
+    "r16 failure was the cap exhausting in visit order") {
+    // stamps listed in a deliberately adversarial visit order: the
+    // mildest mover first, the worst (q199-shaped 3.2×) last
+    val stamps = Seq(
+      "a_mild" -> 2.1,     // 2.1× over 1.0
+      "b_gate" -> 9.0,     // 3.0× but NOT requeueable (gate/dirty)
+      "c_worst" -> 3.84,   // 3.2× over 1.2 — must survive any cap ≥ 1
+      "d_mid" -> 7.5,      // 2.5× over 3.0
+      "e_fine" -> 1.0,     // 1.0× — no trip
+      "f_new" -> 50.0)     // no baseline — no trip
+    val prev = Map("a_mild" -> 1.0, "b_gate" -> 3.0, "c_worst" -> 1.2,
+      "d_mid" -> 3.0, "e_fine" -> 1.0)
+    val r = BenchPrev.selectRequeues(stamps, prev, _ != "b_gate", cap = 2)
+    assert(r.selected === Seq("c_worst", "d_mid"),
+      s"worst inflation first, cap applied after the sort: $r")
+    assert(r.skipped === Seq("a_mild") && r.capHit)
+    // uncapped: all three trip-line movers, still ratio-ordered
+    val r2 = BenchPrev.selectRequeues(stamps, prev, _ != "b_gate", cap = 12)
+    assert(r2.selected === Seq("c_worst", "d_mid", "a_mild") && !r2.capHit)
+    // equal ratios tie-break by name for a deterministic roster
+    val tied = Seq("z_t" -> 4.0, "y_t" -> 4.0)
+    val rt = BenchPrev.selectRequeues(tied,
+      Map("z_t" -> 2.0, "y_t" -> 2.0), _ => true, cap = 1)
+    assert(rt.selected === Seq("y_t") && rt.skipped === Seq("z_t"))
   }
 }

@@ -110,9 +110,17 @@ class PlannerSpec extends SparkSpec {
     val total = man.map(_._2).sum
     val target = math.max(total / 8, 1L)
     var cum = 0L
-    val grouped = man.map { f =>
+    val grouped0 = man.map { f =>
       val g = cum / target; cum += f._2; (g, f)
     }
+    // the generator's tail fold (ADVICE r16): an undersized remainder
+    // group (< target/2 rows) merges into its predecessor
+    val gMax = grouped0.map(_._1).max
+    val tailRows = grouped0.collect { case (g, f) if g == gMax => f._2 }.sum
+    val grouped =
+      if (gMax > 0 && tailRows < target / 2)
+        grouped0.map { case (g, f) => (if (g == gMax) g - 1 else g, f) }
+      else grouped0
     val groups = grouped.groupBy(_._1).toSeq.sortBy(_._1)
     assert(groups.size.toLong === plan(1L)._6, "groups_total replay")
 
