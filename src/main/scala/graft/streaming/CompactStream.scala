@@ -204,6 +204,41 @@ object CompactStream {
       }
       .start()
 
+  /** Drift-aware batch body (VERDICT r16 #2): the S32 ingest runs under
+    * the bounds-generation lifecycle ([[ManifestStream.processBatchDrift]]
+    * — persistent edge-cell clamping re-elects the grid), and the
+    * maintenance step is untouched: it plans over FOOTER zones, which are
+    * physical, so compaction works identically across a generation seam
+    * (a group may merge files carved under different grids — the merged
+    * footer is still exact). */
+  private[streaming] def processBatchDrift(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val s = batch.sparkSession
+    for (d <- Seq(s"$root/compact/manifest_gen=$batchId",
+        s"$root/compact/gen=$batchId")) {
+      val p = new Path(d)
+      fs(s, p).delete(p, true)
+    }
+    ManifestStream.processBatchDrift(batch, batchId, root)
+    maintain(s, root, batchId)
+  }
+
+  /** Drift-aware streaming driver: initial bounds staged as generation
+    * -1, re-elected on persistent drift, compaction maintained per batch. */
+  def runDrift(rows: DataFrame, root: String,
+      initial: ManifestStream.ZBounds,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val s = rows.sparkSession
+    ManifestStream.stageInitialBounds(s, root, initial)
+    rows.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchDrift(batch, batchId, root)
+      }
+      .start()
+  }
+
   /** The view-pruned read — the SHARED pruned-read body
     * ([[ManifestStream.prunedReadFrom]]) against the compacted view, so
     * a pruning fix can never reach one consumer and miss the other. */

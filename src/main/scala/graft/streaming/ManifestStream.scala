@@ -28,11 +28,12 @@ import graft.ops.Layout
   *
   *  - Rows carry (p double, d double) — price and date-days in the
   *    fixtures, any two range-predicated dimensions in production.
-  *  - A STAGED bounds generation (the S28 [[StatsStream]] pattern —
-  *    what production keeps behind a generation pointer and re-elects
-  *    on drift; S30 runs that lifecycle) scales both columns onto the
-  *    1024×1024 Morton grid; out-of-range arrivals clamp to the edge
-  *    cells exactly as S28 clamps to its edge bins.
+  *  - A STAGED bounds generation (the S28 [[StatsStream]] pattern)
+  *    scales both columns onto the 1024×1024 Morton grid; out-of-range
+  *    arrivals clamp to the edge cells exactly as S28 clamps to its
+  *    edge bins. Since r17 the generation lives behind a pointer and
+  *    RE-ELECTS on persistent drift (the S30 lifecycle, wired to this
+  *    grid — [[runDrift]]/[[processBatchDrift]], VERDICT r16 #2).
   *  - Each batch's file assignment is the top [[GridBits]] bits of the
   *    q98/q202 Morton key ([[Layout.morton10]] — the literal audit
   *    expression): fid = zkey >> [[GridShift]], a DETERMINISTIC
@@ -92,8 +93,12 @@ object ManifestStream {
 
   /** The staged scaling generation: global min/max of both columns.
     * Driver-side four doubles — a generation artifact, not data motion
-    * (the S28 staged-bounds discipline; re-election on drift is S30's
-    * lifecycle, out of scope here). */
+    * (the S28 staged-bounds discipline). Fixed-bounds entry points
+    * ([[run]]/[[processBatch]]) take it as a constant; the drift-aware
+    * entry points ([[runDrift]]/[[processBatchDrift]] — VERDICT r16 #2)
+    * keep it behind a generation pointer under `zbounds/` and RE-ELECT
+    * it when arrivals drift out of the staged box, S30's lifecycle wired
+    * to this stream's grid. */
   final case class ZBounds(pMn: Double, pMx: Double, dMn: Double, dMx: Double)
 
   /** Elect staged bounds from a standing frame carrying (p, d). Requires
@@ -225,6 +230,168 @@ object ManifestStream {
         processBatch(batch, batchId, root, bounds)
       }
       .start()
+
+  // ------------------------------------------- drift re-election (r17)
+  // VERDICT r16 #2: under fixed bounds a drifted distribution lands
+  // every arrival in the grid's edge cells — one Morton cell per batch,
+  // so the carve stops splitting and two-dimensional pruning decays to
+  // zero skips on new data (never a correctness loss: footer zones are
+  // PHYSICAL, so edge-cell files still prune against truly-disjoint
+  // predicates — what decays is the tightness the grid exists to buy).
+  // The lifecycle below keeps the staged bounds behind a generation
+  // pointer (`zbounds/gen=<electing batch>`, S27/S30/S33's `_SUCCESS`
+  // listing discipline) and re-elects when arrivals clamp persistently:
+  //
+  //  - per batch, the fraction of arrivals OUTSIDE the staged box is
+  //    written to `zbounds/frac/batch=<id>` (1-row telemetry, overwrite-
+  //    idempotent like every per-batch artifact here);
+  //  - when [[DriftWindow]] consecutive batches clamp ≥ [[DriftThreshold]]
+  //    (the app.ts:547-588 "N evaluation periods" alarm shape — one
+  //    outlier batch must not thrash the grid), the current batch elects
+  //    NEW bounds from its own rows and cuts the grid over: it and every
+  //    later batch carve under the new generation, while files committed
+  //    under old generations stay readable forever — their zones are
+  //    physical, not grid-derived, so the read path never consults the
+  //    bounds at all.
+  //
+  // Replay determinism (the foreachBatch contract — only the latest
+  // uncommitted batch replays): the election decision is a pure function
+  // of PRIOR batches' committed artifacts plus the current batch's rows,
+  // and a replayed batch deletes its own generation and telemetry before
+  // recomputing, so a crashed election heals to the identical decision
+  // (spec-pinned).
+
+  /** Re-elect when this many consecutive batches clamp ≥ the threshold. */
+  val DriftWindow = 2
+
+  /** Fraction of a batch's arrivals outside the staged box that counts
+    * as a drifted batch. */
+  val DriftThreshold = 0.5
+
+  private def boundsDir(root: String) = s"$root/zbounds"
+
+  /** Persist a bounds generation (1-row parquet; Spark's `_SUCCESS` is
+    * the commit marker the listing checks). */
+  private def writeBoundsGen(s: SparkSession, root: String, gen: Long,
+      b: ZBounds): Unit = {
+    import s.implicits._
+    Seq((b.pMn, b.pMx, b.dMn, b.dMx)).toDF("p_mn", "p_mx", "d_mn", "d_mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"${boundsDir(root)}/gen=$gen")
+  }
+
+  /** The highest COMPLETE bounds generation, if any. Initial bounds are
+    * staged as gen=-1 (before any batch id) by [[runDrift]]. */
+  private[streaming] def latestBoundsGen(s: SparkSession, root: String)
+      : Option[(Long, ZBounds)] = {
+    val base = new Path(boundsDir(root))
+    val f = fs(s, base)
+    if (!f.exists(base)) None
+    else f.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").toLong
+      }
+      .filter(g => f.exists(new Path(s"${boundsDir(root)}/gen=$g/_SUCCESS")))
+      .sorted.lastOption
+      .map { g =>
+        val r = s.read.parquet(s"${boundsDir(root)}/gen=$g").head()
+        (g, ZBounds(r.getAs[Double]("p_mn"), r.getAs[Double]("p_mx"),
+          r.getAs[Double]("d_mn"), r.getAs[Double]("d_mx")))
+      }
+  }
+
+  /** One drift-aware micro-batch: heal own election artifacts, decide
+    * under the standing generation, ingest under the (possibly new)
+    * bounds, commit telemetry last. The batch is persisted — the clamp
+    * fraction, a possible election scan, and the ingest are three
+    * consumers of the same rows. */
+  private[graft] def processBatchDrift(batch: DataFrame, batchId: Long,
+      root: String): Unit = {
+    val s = batch.sparkSession
+    // self-heal: a previous ATTEMPT of this batch may have elected a
+    // generation or written telemetry the replay is about to recompute
+    for (d <- Seq(s"${boundsDir(root)}/gen=$batchId",
+        s"${boundsDir(root)}/frac/batch=$batchId")) {
+      val p = new Path(d)
+      fs(s, p).delete(p, true)
+    }
+    val (curGen, cur) = latestBoundsGen(s, root).getOrElse(
+      throw new IllegalStateException(
+        s"no staged bounds generation under $root — use runDrift, which " +
+          "stages the initial generation before the stream starts"))
+    batch.persist()
+    try {
+      // clamp fraction: arrivals outside the staged box on either
+      // dimension (NaN compares false everywhere — a NaN is an edge-cell
+      // CLAMPER but not drift EVIDENCE; it can never vote for new bounds
+      // it could not inform)
+      val a = batch.agg(
+        count(lit(1)).as("n"),
+        count(when(col("p") < cur.pMn || col("p") > cur.pMx ||
+          col("d") < cur.dMn || col("d") > cur.dMx, 1)).as("out")).head()
+      val (n, out) = (a.getAs[Long]("n"), a.getAs[Long]("out"))
+      val frac = if (n == 0) 0.0 else out.toDouble / n
+      // previous consecutive batches' telemetry (committed, so stable
+      // under this batch's replay)
+      val prevDrifted = (1 until DriftWindow).forall { k =>
+        scala.util.Try {
+          s.read.parquet(s"${boundsDir(root)}/frac/batch=${batchId - k}")
+            .head().getAs[Double]("frac") >= DriftThreshold
+        }.getOrElse(false)
+      }
+      val bounds =
+        if (frac >= DriftThreshold && prevDrifted) {
+          // re-elect from this batch's own rows — the drifted regime IS
+          // the new distribution. A degenerate batch (zero range on
+          // either dim) cannot define a grid: keep the standing bounds
+          // rather than kill the stream.
+          val e = scala.util.Try(stageBounds(batch.select(
+            col("p"), col("d")))).toOption
+          e match {
+            case Some(nb) =>
+              writeBoundsGen(s, root, batchId, nb)
+              System.err.println(s"[manifest] drift re-election at batch " +
+                s"$batchId: $DriftWindow consecutive batches clamped ≥ " +
+                s"$DriftThreshold (this batch: $frac); gen $curGen → $batchId")
+              nb
+            case None => cur
+          }
+        } else cur
+      processBatch(batch, batchId, root, bounds)
+      // telemetry LAST: a crash before this point replays the batch,
+      // which recomputes the same fraction from the same rows
+      import s.implicits._
+      Seq(frac).toDF("frac").coalesce(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${boundsDir(root)}/frac/batch=$batchId")
+    } finally batch.unpersist()
+    ()
+  }
+
+  /** Stage `initial` as bounds generation -1 — only when no generation
+    * exists, so a restart keeps the standing pointer. Shared with the
+    * S33 drift driver. */
+  private[streaming] def stageInitialBounds(s: SparkSession, root: String,
+      initial: ZBounds): Unit =
+    if (latestBoundsGen(s, root).isEmpty)
+      writeBoundsGen(s, root, -1L, initial)
+
+  /** Drift-aware streaming driver: stages `initial` as bounds generation
+    * -1 (only when no generation exists — a restart keeps the standing
+    * pointer), then runs [[processBatchDrift]] per micro-batch. */
+  def runDrift(rows: DataFrame, root: String, initial: ZBounds,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val s = rows.sparkSession
+    stageInitialBounds(s, root, initial)
+    rows.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchDrift(batch, batchId, root)
+      }
+      .start()
+  }
 
   /** The standing manifest — |files| metadata rows. */
   def manifest(s: SparkSession, root: String): DataFrame =

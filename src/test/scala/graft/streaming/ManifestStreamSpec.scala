@@ -180,6 +180,100 @@ class ManifestStreamSpec extends SparkSpec {
     assert(late === Seq(bounds.pMx + 100.0, bounds.pMx + 101.0))
   }
 
+  test("drift re-election (VERDICT r16 #2): a drifted tail first decays " +
+      "to edge cells under the stale grid, then two consecutive clamping " +
+      "batches re-elect the bounds generation — post-cutover files carry " +
+      "tight zones again, committed files stay readable, pruned reads == " +
+      "scan+filter across the generation seam, and a crashed election " +
+      "replays to the identical decision") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-manifest-drift-").toString
+
+    val base = graft.Tables(s, sf, "lineitem")
+      .select($"l_extendedprice".as("p"),
+        expr("cast(datediff(l_shipdate, date'1970-01-01') as double)")
+          .as("d"))
+    val b0 = ManifestStream.stageBounds(base)
+    val (pSpan, dSpan) = (b0.pMx - b0.pMn, b0.dMx - b0.dMn)
+    // the drifted regime: the same distribution shifted far outside the
+    // staged box on both dimensions
+    val drifted = base.select(($"p" + 10 * pSpan).as("p"),
+      ($"d" + 10 * dSpan).as("d"))
+    def chunk(df: org.apache.spark.sql.DataFrame, i: Int) =
+      df.filter(pmod(($"p" * 100).cast("long"), lit(2)) === i % 2)
+
+    // batches 0-1 in range, batches 2-3 drifted — driven through the
+    // literal batch body (the engine replays only the latest batch, so
+    // direct calls ARE the engine's sequence)
+    ManifestStream.stageInitialBounds(s, root, b0)
+    ManifestStream.processBatchDrift(chunk(base, 0), 0, root)
+    ManifestStream.processBatchDrift(chunk(base, 1), 1, root)
+    ManifestStream.processBatchDrift(chunk(drifted, 0), 2, root)
+    assert(ManifestStream.latestBoundsGen(s, root).get._1 === -1L,
+      "one drifted batch must NOT re-elect (window = 2 consecutive)")
+    ManifestStream.processBatchDrift(chunk(drifted, 1), 3, root)
+    val (gen, nb) = ManifestStream.latestBoundsGen(s, root).get
+    assert(gen === 3L, "two consecutive clamping batches must re-elect")
+    assert(nb.pMn > b0.pMx && nb.dMn > b0.dMx,
+      s"the new generation must cover the drifted regime: $nb vs $b0")
+
+    // zone tightness across the seam: batch 2 (drifted, stale grid)
+    // collapsed to the single far edge cell; batch 3 (drifted, new grid)
+    // carves again
+    val man = ManifestStream.manifest(s, root)
+    def files(b: Int) = man.where(col("batch") === b).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(files(2).length === 1,
+      s"stale grid: every drifted arrival clamps to ONE edge cell, got " +
+        s"${files(2).length} files")
+    assert(files(3).length > 4,
+      s"re-elected grid must carve the drifted batch again, got " +
+        s"${files(3).length} files")
+    val driftSpan = 10 * pSpan + pSpan // width of the drifted p range
+    assert(files(3).forall { case (_, mn, mx) => mx - mn < driftSpan / 2 },
+      "post-cutover zones must be tight fractions of the drifted range")
+
+    // pruned reads across the generation seam: both regimes answer
+    // exactly, through the one standing manifest
+    val all = chunk(base, 0).unionByName(chunk(base, 1))
+      .unionByName(chunk(drifted, 0)).unionByName(chunk(drifted, 1))
+    def carve(lo: Double, hi: Double) = {
+      val got = ManifestStream.prunedRead(s, root, lo, hi)
+        .as[(Double, Double)].collect().sorted.toSeq
+      val expect = all.where($"p" >= lo && $"p" < hi)
+        .as[(Double, Double)].collect().sorted.toSeq
+      assert(got === expect, s"pruned read [$lo,$hi) != scan+filter")
+      got.size
+    }
+    val inOld = carve(b0.pMn + pSpan / 5, b0.pMn + 2 * pSpan / 5)
+    val inNew = carve(nb.pMn + pSpan / 5, nb.pMn + 2 * pSpan / 5)
+    assert(inOld > 0 && inNew > 0, "both regimes must actually be read")
+    // and old-generation files still prune against the new regime: a
+    // drifted-range read opens no batch-0/1 files (their PHYSICAL zones
+    // are disjoint from the drifted box)
+    val opened = ManifestStream.prunedFiles(s, root,
+      nb.pMn, nb.pMx + 1, nb.dMn, nb.dMx + 1)
+    val oldPaths = (files(0).map(_._1) ++ files(1).map(_._1)).toSet
+    assert(opened.forall(!oldPaths.contains(_)),
+      "pre-drift files must prune out of a drifted-range read")
+
+    // crash-replay of the electing batch: drop its generation AND
+    // telemetry (the self-heal set), re-run batch 3 — identical decision,
+    // identical zones
+    def zones() = ManifestStream.manifest(s, root).collect()
+      .map(_.toSeq.drop(1).toVector).sortBy(_.toString).toSeq
+    val manBefore = zones()
+    for (dir <- Seq(s"$root/zbounds/gen=3", s"$root/zbounds/frac/batch=3"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    assert(ManifestStream.latestBoundsGen(s, root).get._1 === -1L)
+    ManifestStream.processBatchDrift(chunk(drifted, 1), 3, root)
+    val (gen2, nb2) = ManifestStream.latestBoundsGen(s, root).get
+    assert(gen2 === 3L && nb2 === nb, "replayed election must be identical")
+    assert(zones() === manBefore,
+      "replayed zones must be identical (paths are attempt-scoped)")
+  }
+
   test("non-finite arrivals survive ingest (ANSI would kill the stream " +
       "on cast(Inf as long)) and stay reachable: NaN/±Inf rows clamp to " +
       "edge cells, get the infinite always-read zone, and an " +
