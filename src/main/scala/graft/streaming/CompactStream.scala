@@ -33,10 +33,11 @@ import graft.ops.Planner
   * reader ever sees), and unions it with the raw per-batch manifests of
   * batches ingested AFTER G (generation id = the batch id whose
   * maintenance committed it, so `batch > G` is exactly "not yet
-  * absorbed"). No file is ever deleted — superseded files become
-  * orphans, the vacuum verb's job (q103's lake discipline), never a
-  * correctness hazard: every committed generation remains readable
-  * forever.
+  * absorbed"). The WRITE path never deletes — superseded files become
+  * orphans, never a correctness hazard: every committed generation
+  * remains readable (and time-travelable, [[viewAsOf]]) until the
+  * [[vacuum]] verb expires it past an N-generation retention floor
+  * (q103's lake discipline; Iceberg's expire_snapshots).
   *
   * Idempotency: a replayed batch re-runs ingest (byte-equal cell files —
   * the S32 deterministic carve) and re-runs maintenance into the SAME
@@ -68,22 +69,38 @@ object CompactStream {
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The highest COMPLETE compacted generation under `root`, if any —
-    * a generation is complete when Spark's `_SUCCESS` marker landed
-    * with its manifest (the commit point; an orphan from a crashed
-    * attempt has no marker and is invisible). */
-  private[streaming] def latestGen(s: SparkSession, root: String)
-      : Option[Long] = {
+  /** Every COMPLETE compacted generation under `root`, ascending — a
+    * generation is complete when Spark's `_SUCCESS` marker landed with
+    * its manifest (the commit point; an orphan from a crashed attempt
+    * has no marker and is invisible). */
+  private[streaming] def completeGens(s: SparkSession, root: String)
+      : Seq[Long] = {
     val base = new Path(s"$root/compact")
     val f = fs(s, base)
-    if (!f.exists(base)) None
+    if (!f.exists(base)) Seq.empty
     else f.listStatus(base).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("manifest_gen=") =>
         n.stripPrefix("manifest_gen=").toLong
       }
       .filter(g => f.exists(new Path(s"$root/compact/manifest_gen=$g/_SUCCESS")))
-      .sorted.lastOption
+      .sorted
+  }
+
+  /** The highest COMPLETE compacted generation under `root`, if any. */
+  private[streaming] def latestGen(s: SparkSession, root: String)
+      : Option[Long] = completeGens(s, root).lastOption
+
+  /** The raw per-batch manifest, degrading to an empty frame when no
+    * raw partitions stand (a vacuumed root whose every pre-generation
+    * batch was absorbed has none — an empty dir must read as zero rows,
+    * not a schema-inference error). */
+  private def rawManifest(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    scala.util.Try(ManifestStream.manifest(s, root)).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(ManifestStream.ManifestSchema.fields :+
+          StructField("batch", LongType))))
   }
 
   /** The standing VIEW a reader consults: the latest complete
@@ -91,15 +108,41 @@ object CompactStream {
     * after it (batch id > generation id — `batch` is the raw
     * manifest's partition column). Without any generation, the view IS
     * the raw manifest. Schema: [[ManifestStream.ManifestSchema]]. */
-  def view(s: SparkSession, root: String): DataFrame = {
+  def view(s: SparkSession, root: String): DataFrame =
+    viewBetween(s, root, latestGen(s, root), None)
+
+  /** TIME TRAVEL (VERDICT r16 #5): the standing view AS OF generation
+    * `asOfGen` — that generation's manifest plus the raw batches
+    * ingested in (asOfGen, next-gen commit], i.e. the table exactly as
+    * the last reader before the next compaction saw it. Near-free under
+    * the generation protocol: every committed generation manifest is
+    * retained until [[vacuum]] expires it, so as-of resolution is a
+    * listing plus the same union the live view runs. Generations
+    * expired by vacuum fail loudly here. */
+  def viewAsOf(s: SparkSession, root: String, asOfGen: Long): DataFrame = {
+    val gens = completeGens(s, root)
+    require(gens.contains(asOfGen),
+      s"generation $asOfGen is not a complete generation under $root " +
+        s"(standing: ${gens.mkString(",")}) — expired by vacuum, never " +
+        "committed, or crashed before its marker")
+    viewBetween(s, root, Some(asOfGen), gens.find(_ > asOfGen))
+  }
+
+  /** The shared view body: generation manifest (if any) ∪ raw batches in
+    * (gen, hi] — `hi` = the next generation for an as-of read, unbounded
+    * for the live view. */
+  private def viewBetween(s: SparkSession, root: String, gen: Option[Long],
+      hi: Option[Long]): DataFrame = {
     val cols = ManifestStream.ManifestSchema.fieldNames.map(col).toSeq
-    latestGen(s, root) match {
-      case None => ManifestStream.manifest(s, root).select(cols: _*)
+    def rawIn(lo: Long): DataFrame = {
+      val base = rawManifest(s, root).where(col("batch") > lo)
+      hi.fold(base)(h => base.where(col("batch") <= h)).select(cols: _*)
+    }
+    gen match {
+      case None => rawIn(Long.MinValue)
       case Some(g) =>
-        val raw = ManifestStream.manifest(s, root)
-          .where(col("batch") > g).select(cols: _*)
         s.read.parquet(s"$root/compact/manifest_gen=$g")
-          .select(cols: _*).unionByName(raw)
+          .select(cols: _*).unionByName(rawIn(g))
     }
   }
 
@@ -247,4 +290,120 @@ object CompactStream {
       dLo: Double = Double.NegativeInfinity,
       dHi: Double = Double.PositiveInfinity): DataFrame =
     ManifestStream.prunedReadFrom(s, view(s, root), pLo, pHi, dLo, dHi)
+
+  /** The pruned read against a historical snapshot — the same shared
+    * body over [[viewAsOf]]. */
+  def prunedReadAsOf(s: SparkSession, root: String, asOfGen: Long,
+      pLo: Double, pHi: Double,
+      dLo: Double = Double.NegativeInfinity,
+      dHi: Double = Double.PositiveInfinity): DataFrame =
+    ManifestStream.prunedReadFrom(s, viewAsOf(s, root, asOfGen),
+      pLo, pHi, dLo, dHi)
+
+  // ------------------------------------------------------- vacuum (r17)
+
+  /** What [[vacuum]] did: data files deleted, manifest partitions (raw
+    * batch dirs + expired generation manifests) deleted, and the
+    * generations left standing. */
+  final case class VacuumStats(deletedDataFiles: Long,
+      deletedManifestDirs: Long, retained: Seq[Long])
+
+  /** VACUUM (VERDICT r16 #3): delete files no retained reader can reach.
+    * The compaction protocol never deletes at write time — superseded
+    * files become orphans — so without this verb orphan growth is
+    * unbounded (the one cost the no-delete protocol ships). With an
+    * N-generation retention floor (default 2: the live view plus one
+    * pinned historical reader), the reachable set is:
+    *
+    *  - every path referenced by a RETAINED generation's manifest
+    *    (merged files, plus carried singletons/larges — which may live
+    *    in older generations' data dirs or raw batch dirs: reachability
+    *    is PATH-based, never directory-based), and
+    *  - every raw batch dir with batch > min(retained) — the oldest
+    *    retained as-of view unions raw batches above its generation, and
+    *    every newer view unions a subset of those.
+    *
+    * Deleted: unreachable data files under `data/batch=*` and
+    * `compact/gen=*`, raw manifest partitions with batch ≤ min(retained)
+    * (they describe only absorbed-or-deleted files — after vacuum the
+    * RAW manifest is no longer a whole-table view; readers use
+    * [[view]]/[[viewAsOf]], which is already the compacted root's read
+    * contract), and expired generations' manifest dirs — after which
+    * [[viewAsOf]] fails loudly for them, the Iceberg expire_snapshots
+    * contract. Incomplete generation manifests (no `_SUCCESS`) are left
+    * alone: they are invisible to readers and the owning batch's replay
+    * self-heals them.
+    *
+    * Run it quiesced (between firings), like the maintenance verb it
+    * complements: a reader pinned at a retained generation resolves all
+    * its files after vacuum (spec-pinned); a reader pinned BEYOND the
+    * retention floor is the one contract violation, exactly as in
+    * Iceberg/Delta VACUUM. Driver-side and metadata-sized throughout:
+    * the reachable set is |files| path strings. */
+  def vacuum(s: SparkSession, root: String, retainGens: Int = 2)
+      : VacuumStats = {
+    val gens = completeGens(s, root)
+    if (gens.isEmpty) return VacuumStats(0L, 0L, Seq.empty)
+    val retained = gens.takeRight(math.max(retainGens, 1))
+    val minR = retained.min
+    val referenced: Set[String] = retained.flatMap { g =>
+      s.read.parquet(s"$root/compact/manifest_gen=$g")
+        .select("path").collect().map(_.getString(0))
+    }.toSet
+    var dataDeleted = 0L
+    var manifestDeleted = 0L
+    def eachSubdir(dir: String)(f: (String, Path) => Unit): Unit = {
+      val p = new Path(dir)
+      val sys = fs(s, p)
+      if (sys.exists(p))
+        sys.listStatus(p).foreach(st => f(st.getPath.getName, st.getPath))
+    }
+    def deleteUnreferencedUnder(dir: Path): Unit = {
+      val sys = fs(s, dir)
+      def walk(p: Path): Unit =
+        sys.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(st.getPath.toString)) {
+            sys.delete(st.getPath, false)
+            dataDeleted += 1
+          }
+        }
+      walk(dir)
+      // a dir whose every data file was carved away is pure debris
+      def parquetCount(p: Path): Long =
+        sys.listStatus(p).map { st =>
+          if (st.isDirectory) parquetCount(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+        }.sum
+      if (parquetCount(dir) == 0L) { sys.delete(dir, true); () }
+    }
+    // raw batches at or below the oldest retained generation: only
+    // paths carried forward by a retained manifest survive
+    eachSubdir(s"$root/data") { (name, p) =>
+      if (name.startsWith("batch=") &&
+        name.stripPrefix("batch=").toLong <= minR)
+        deleteUnreferencedUnder(p)
+    }
+    // superseded merged files (any generation dir — carried larges keep
+    // old gen dirs partially alive, so this is per-file)
+    eachSubdir(s"$root/compact") { (name, p) =>
+      if (name.startsWith("gen=")) deleteUnreferencedUnder(p)
+    }
+    // raw manifest partitions describing only absorbed batches
+    eachSubdir(s"$root/manifest") { (name, p) =>
+      if (name.startsWith("batch=") &&
+        name.stripPrefix("batch=").toLong <= minR) {
+        fs(s, p).delete(p, true)
+        manifestDeleted += 1
+      }
+    }
+    // expired generations' manifests (complete ones only)
+    gens.filterNot(retained.contains).foreach { g =>
+      val p = new Path(s"$root/compact/manifest_gen=$g")
+      fs(s, p).delete(p, true)
+      manifestDeleted += 1
+    }
+    VacuumStats(dataDeleted, manifestDeleted, retained)
+  }
 }

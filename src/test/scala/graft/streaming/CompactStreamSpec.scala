@@ -138,4 +138,114 @@ class CompactStreamSpec extends SparkSpec {
     assert(got2 === expect,
       "the healed root must serve identical pruned reads")
   }
+
+  test("time travel + vacuum (VERDICT r16 #3/#5): as-of reads resolve " +
+      "historical generations; a vacuumed root serves byte-identical " +
+      "live and retained as-of reads with every referenced file on " +
+      "disk; expiry past the retention floor fails as-of loudly; and a " +
+      "re-vacuum deletes nothing (zero orphans past retention)") {
+    val s = spark
+    import s.implicits._
+    val root0 = Files.createTempDirectory("graft-vacuum-").toString
+    val root = s"$root0/out"
+
+    val rows = graft.Tables(s, sf, "lineitem")
+      .select($"l_extendedprice".as("p"),
+        expr("cast(datediff(l_shipdate, date'1970-01-01') as double)")
+          .as("d"))
+    val bounds = ManifestStream.stageBounds(rows)
+    val nChunks = 12
+    def chunk(i: Int) =
+      rows.filter(pmod(($"p" * 100).cast("long"), lit(nChunks)) === i)
+    def zoneMultiset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"rows", $"mn_p", $"mx_p", $"mn_d", $"mx_d")
+        .as[(Long, Double, Double, Double, Double)].collect().sorted.toSeq
+    // drive batches until at least two generations committed, capturing
+    // the view snapshot after every batch (the mid-stream history the
+    // as-of read must reproduce)
+    val snaps = scala.collection.mutable.Map.empty[Int, Seq[(Long, Double,
+      Double, Double, Double)]]
+    var driven = 0
+    while (CompactStream.completeGens(s, root).size < 2 &&
+        driven < nChunks) {
+      CompactStream.processBatch(chunk(driven), driven, root, bounds)
+      snaps(driven) = zoneMultiset(CompactStream.view(s, root))
+      driven += 1
+    }
+    val gens = CompactStream.completeGens(s, root)
+    assert(gens.size >= 2,
+      s"fixture must commit two generations in $driven batches, got $gens")
+    val (gPrev, gLast) = (gens(gens.size - 2), gens.last)
+
+    // ---- time travel: viewAsOf(G) = gen G's manifest ∪ raw (G, nextG]
+    // zones: the snapshot captured right after batch nextG-1 plus raw
+    // batch nextG's own manifest partition (ingested before nextG's
+    // maintenance absorbed it)
+    val rawLast = zoneMultiset(ManifestStream.manifest(s, root)
+      .where($"batch" === gLast))
+    val expectAsOf =
+      (snaps(gLast.toInt - 1) ++ rawLast).sorted
+    assert(zoneMultiset(CompactStream.viewAsOf(s, root, gPrev))
+      === expectAsOf,
+      "as-of view must equal the historical snapshot + the next " +
+        "generation's own raw batch")
+    // as-of CONTENT: the rows of batches 0..gLast exactly, through the
+    // shared pruned-read body
+    def fifth(mn: Double, mx: Double, k: Int) =
+      (mn + (mx - mn) * (k - 1) / 5.0, mn + (mx - mn) * k / 5.0)
+    val (pLo, pHi) = fifth(bounds.pMn, bounds.pMx, 2)
+    val asOfRows = (0 to gLast.toInt).map(chunk).reduce(_.unionByName(_))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Double, Double)].collect().sorted.toSeq
+    assert(sortedRows(CompactStream.prunedReadAsOf(s, root, gPrev,
+        pLo, pHi))
+      === sortedRows(asOfRows.where($"p" >= pLo && $"p" < pHi)),
+      "pruned as-of read must equal the historical scan+filter")
+    // asking for a never-committed generation fails loudly
+    intercept[IllegalArgumentException] {
+      CompactStream.viewAsOf(s, root, 999L)
+    }
+
+    // ---- vacuum with the default 2-generation retention floor
+    val liveBefore = zoneMultiset(CompactStream.view(s, root))
+    val pruneBefore = sortedRows(CompactStream.prunedRead(s, root, pLo, pHi))
+    val asOfBefore = zoneMultiset(CompactStream.viewAsOf(s, root, gPrev))
+    val stats = CompactStream.vacuum(s, root, retainGens = 2)
+    assert(stats.retained === Seq(gPrev, gLast))
+    assert(stats.deletedDataFiles > 0,
+      s"the no-delete write path must have left orphans to collect: $stats")
+    assert(zoneMultiset(CompactStream.view(s, root)) === liveBefore,
+      "vacuum must not change the live view")
+    assert(sortedRows(CompactStream.prunedRead(s, root, pLo, pHi))
+      === pruneBefore, "vacuum must not change pruned reads")
+    assert(zoneMultiset(CompactStream.viewAsOf(s, root, gPrev))
+      === asOfBefore,
+      "a reader pinned at G-1 within retention still resolves")
+    // the at-rest invariant, post-vacuum: every file either view
+    // references exists on disk
+    (CompactStream.view(s, root).select($"path").as[String].collect() ++
+      CompactStream.viewAsOf(s, root, gPrev).select($"path").as[String]
+        .collect()).foreach { path =>
+      assert(new java.io.File(path.stripPrefix("file:")).exists,
+        s"vacuum deleted a referenced file: $path")
+    }
+
+    // ---- expiry past the floor: retain only the latest generation
+    val stats2 = CompactStream.vacuum(s, root, retainGens = 1)
+    assert(stats2.retained === Seq(gLast))
+    intercept[IllegalArgumentException] {
+      CompactStream.viewAsOf(s, root, gPrev)
+    }
+    assert(zoneMultiset(CompactStream.view(s, root)) === liveBefore,
+      "expiring history must never touch the live view")
+    assert(sortedRows(CompactStream.prunedRead(s, root, pLo, pHi))
+      === pruneBefore)
+
+    // ---- orphan count drops to zero past retention: an immediate
+    // re-vacuum finds nothing to delete
+    val stats3 = CompactStream.vacuum(s, root, retainGens = 1)
+    assert(stats3.deletedDataFiles === 0L &&
+      stats3.deletedManifestDirs === 0L,
+      s"re-vacuum must be a no-op: $stats3")
+  }
 }
