@@ -80,16 +80,23 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-compatible injection of the same function table —
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.GraftExtensions`.
+/** `spark.sql.extensions`-compatible injection of the engine's Catalyst
+  * surface — `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `--conf spark.sql.extensions=graft.GraftExtensions`:
+  *
+  *  - the scalar function table above, and
+  *  - [[graft.plans.CatalogJoinReorder]], the stream-maintained-catalog
+  *    join reorder rule (a verbatim no-op until the session points
+  *    `spark.graft.join.catalog` at a catalog root).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage),
         builder))
     }
+    ext.injectOptimizerRule(graft.plans.CatalogJoinReorder.apply)
+  }
 }

@@ -34,3 +34,16 @@ object FunctionBridge {
     reg.listFunction().map(_.funcName)
   }
 }
+
+/** Bridge into the `private[sql]` optimizer handle: re-run a session's
+  * optimizer over an already-optimized plan — how JoinReorderSpec pins
+  * that [[graft.plans.CatalogJoinReorder]] reaches a fixpoint (a second
+  * optimization pass must leave its own output untouched).
+  */
+object OptimizerBridge {
+  def reoptimize(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.optimizer.execute(plan)
+}

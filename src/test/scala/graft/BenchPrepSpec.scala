@@ -14,7 +14,7 @@ class BenchPrepSpec extends SparkSpec {
 
   test("every prep entry Bench stamps has a rerun recipe") {
     val prepNames = Set("dedup_prep", "forget_prep", "compact_prep",
-      "suffix_prep", "ann_prep", "planner_prep")
+      "suffix_prep", "ann_prep", "planner_prep", "joinstats_prep")
     assert(Bench.prepReruns(spark, sf).keySet === prepNames)
     assert(Bench.PrepNames === prepNames,
       "the parse universe must cover every rerun recipe")

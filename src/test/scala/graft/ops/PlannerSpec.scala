@@ -195,4 +195,136 @@ class PlannerSpec extends SparkSpec {
         s"fifth $k: rewritten read must equal the original data")
     }
   }
+
+  test("q207: the per-table catalog artifacts exist and are exact where " +
+      "they should be, and the full 8-order System-R enumeration read " +
+      "off them ranks exactly like the truth — dimension-first optimum, " +
+      "fact-fact-first worst") {
+    val s = spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    for (sub <- Seq("d_nc_n", "d_nc_c", "d_co_c", "d_co_o", "d_ol_o",
+        "d_ol_l", "n_n", "n_c", "n_o", "n_l"))
+      assert(new java.io.File(s"$art/$sub".stripPrefix("file:")).exists,
+        s"maintained artifact $sub must exist under $art")
+    val rows = Planner.q207JoinOrderPlan(s, sf).collect()
+    assert(rows.length === 8, "all 8 connected left-deep orders")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(5),
+        s"est_rank must equal exact_rank: $r")
+      assert(r.getLong(6) === 1L, s"rank_match: $r")
+    }
+    val costs = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val estRank = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    // the catalog picks the dimension-first optimum and rejects the
+    // fact⋈fact-first orders (the decision join reordering exists for)
+    assert(estRank("C.N.O.L") === 1L && estRank("N.C.O.L") === 2L,
+      s"dimension-first optimum: $estRank")
+    assert(Set(estRank("L.O.C.N"), estRank("O.L.C.N")) === Set(7L, 8L),
+      s"fact-fact-first worst: $estRank")
+    // commuting first pairs cost EXACTLY the same (canonical text), and
+    // the spread quantifies what reordering buys
+    assert(costs("C.N.O.L") === costs("N.C.O.L"))
+    assert(costs("O.L.C.N") > 2 * costs("N.C.O.L"),
+      s"reordering value: $costs")
+    // the catalog's row-count artifacts are EXACT (sum of per-batch
+    // partials == table count — addition is associative)
+    for ((tag, table) <- Seq("n" -> "nation", "c" -> "customer",
+        "o" -> "orders", "l" -> "lineitem")) {
+      val n = s.read.parquet(s"$art/n_$tag/rows")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      assert(n === graft.Tables(s, sf, table).count(),
+        s"catalog count for $table")
+    }
+  }
+
+  test("q207 decision drives the engine: executing the audited best and " +
+      "worst orders as left-deep joins, the engine-measured intermediate " +
+      "row counts equal the audit's exact costs and the best order moves " +
+      "fewer rows") {
+    val s = spark
+    import s.implicits._
+    val audit = Planner.q207JoinOrderPlan(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    val best = audit.collectFirst { case (n, _, 1L) => n }.get
+    val worst = audit.collectFirst { case (n, _, 8L) => n }.get
+    val exactOf = audit.map { case (n, c, _) => n -> c }.toMap
+    // a plain (non-adaptive) plan keeps the join tree readable for the
+    // metric walk; row counts are plan-shape-independent
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      def frame(tag: String) = tag match {
+        case "N" => graft.Tables(s, sf, "nation").select($"n_nationkey")
+        case "C" => graft.Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey")
+        case "O" => graft.Tables(s, sf, "orders")
+          .select($"o_orderkey", $"o_custkey")
+        case "L" => graft.Tables(s, sf, "lineitem").select($"l_orderkey")
+      }
+      // chain edge linking the arriving table to the connected prefix
+      def edge(tag: String, prefix: Set[String]) = tag match {
+        case "N" => $"n_nationkey" === $"c_nationkey"
+        case "C" => if (prefix("N")) $"n_nationkey" === $"c_nationkey"
+          else $"c_custkey" === $"o_custkey"
+        case "O" => if (prefix("C")) $"c_custkey" === $"o_custkey"
+          else $"o_orderkey" === $"l_orderkey"
+        case "L" => $"o_orderkey" === $"l_orderkey"
+      }
+      def run(order: String): Long = {
+        val tags = order.split("\\.").toSeq
+        val joined = tags.tail.foldLeft((frame(tags.head), Set(tags.head))) {
+          case ((df, prefix), tag) =>
+            (df.join(frame(tag), edge(tag, prefix)), prefix + tag)
+        }._1
+        // collect() runs THIS df's queryExecution — count() would plan a
+        // separate execution and leave these join nodes' metrics at zero
+        joined.collect()
+        // pre-order walk: root-most join first (the final 4-table join,
+        // whose output is order-invariant and NOT part of the cost)
+        def joins(p: SparkPlan): Seq[BaseJoinExec] = {
+          val kids = p.children.flatMap(joins)
+          p match { case j: BaseJoinExec => j +: kids; case _ => kids }
+        }
+        val js = joins(joined.queryExecution.executedPlan)
+        assert(js.length === 3, s"left-deep 4-chain has 3 joins: $js")
+        js.drop(1).map(_.metrics("numOutputRows").value).sum
+      }
+      val bestMeasured = run(best)
+      val worstMeasured = run(worst)
+      assert(bestMeasured === exactOf(best),
+        s"engine intermediates for $best vs audit exact cost")
+      assert(worstMeasured === exactOf(worst),
+        s"engine intermediates for $worst vs audit exact cost")
+      assert(bestMeasured < worstMeasured,
+        "the audited best order must move fewer intermediate rows")
+    } finally s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
+  test("q207 int64 headroom: the catalog cascade is exact near the " +
+      "boundary and fails LOUDLY past it (the q199/q201 caveat, " +
+      "machine-checked over the literal q207 generator)") {
+    val s = spark
+    def loud(f: => Any): Unit = {
+      val e = intercept[Throwable](f)
+      def chain(t: Throwable, d: Int = 0): Seq[Throwable] =
+        if (t == null || d > 10) Seq.empty else t +: chain(t.getCause, d + 1)
+      assert(chain(e).exists(t => t.isInstanceOf[ArithmeticException] ||
+        String.valueOf(t.getMessage).contains("ARITHMETIC_OVERFLOW")),
+        s"expected a loud overflow, got $e")
+    }
+    val (_, est, _) = Planner.q207Orders("div").head // C.N.O.L — viaNC
+    // sk_* = 1 puts every estimated ndv on the sk < K exact branch, so
+    // the cascade reduces to (n_n·n_c div 1) + (n_n·n_c div 1)·n_o div 1
+    def at(nn: Long, nc: Long, no: Long): Long =
+      s.range(1).selectExpr(
+        (Planner.JoinSketchColIds.flatMap(id =>
+          Seq(s"1L as sk_$id", s"1L as kth_$id")) ++
+          Seq(s"cast($nn as bigint) as n_n", s"cast($nc as bigint) as n_c",
+            s"cast($no as bigint) as n_o", "1L as n_l")): _*)
+        .selectExpr(s"cast(($est) as bigint) as e").head().getLong(0)
+    assert(at(2000000000L, 2L, 2L) === 4000000000L + 8000000000L)
+    loud(at(2000000000L, 2L, 3000000000L)) // e2·n_o = 1.2e19 > int64
+  }
 }

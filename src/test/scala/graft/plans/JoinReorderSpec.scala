@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{GraftExtensions, GraftSession, SparkSpec, Tables}
+import graft.ops.Planner
+
+/** A dedicated session carrying the [[GraftExtensions]] injection (the
+  * optimizer rule is registered at session CONSTRUCTION — the shared
+  * SparkSpec session cannot retrofit it). Shares the JVM's one
+  * SparkContext; the shared session is restored as default/active so
+  * every other suite is untouched.
+  */
+object ExtSession {
+  lazy val spark: SparkSession = {
+    val prev = SparkSpec.spark // materialize the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = GraftSession.configure(
+      SparkSession.builder().master("local[4]").appName("graft-ext-test")
+        .withExtensions(new GraftExtensions), "4")
+      .getOrCreate()
+    SparkSession.setDefaultSession(prev)
+    SparkSession.setActiveSession(prev)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+/** [[CatalogJoinReorder]] — the q207 catalog driving the ENGINE's own
+  * optimizer: a fact⋈fact-first user plan is rebuilt dimension-first by
+  * the injected rule, results are identical, the engine-measured
+  * intermediate row counts equal the q207 audit's exact costs, the
+  * rewrite is a fixpoint, and everything outside the catalog's reach is
+  * left byte-identical.
+  */
+class JoinReorderSpec extends AnyFunSuite {
+
+  private def sf = SparkSpec.sf
+
+  /** The fact-first worst order O.L.C.N, as a user would write it. */
+  private def worstOrder(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .join(Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey"),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables(s, sf, "nation").select($"n_nationkey"),
+        $"n_nationkey" === $"c_nationkey")
+  }
+
+  /** Left-deep leaf sequence of a logical plan, named by column
+    * evidence — the observable join order. */
+  private def leafTables(p: LogicalPlan): Seq[String] = p match {
+    case j: Join => leafTables(j.left) ++ leafTables(j.right)
+    case leaf if leaf.children.isEmpty =>
+      val names = leaf.output.map(_.name).toSet
+      Seq(
+        if (names("c_custkey") || names("c_nationkey")) "customer"
+        else if (names("n_nationkey")) "nation"
+        else if (names("o_orderkey") || names("o_custkey")) "orders"
+        else if (names("l_orderkey")) "lineitem"
+        else "?")
+    case other => other.children.flatMap(leafTables)
+  }
+
+  /** Engine-measured intermediate join output rows: collect() the frame
+    * (running ITS OWN queryExecution — a count() would plan a separate
+    * one and leave these metrics at zero), then sum numOutputRows over
+    * every join node except the root-most (whose output is
+    * order-invariant and not part of the cost). */
+  private def measuredIntermediates(df: DataFrame): (Long, Seq[Any]) = {
+    val rows = df.collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joins(p: SparkPlan): Seq[BaseJoinExec] = {
+      val kids = p.children.flatMap(joins)
+      p match { case j: BaseJoinExec => j +: kids; case _ => kids }
+    }
+    val js = joins(df.queryExecution.executedPlan)
+    assert(js.length === 3, s"left-deep 4-chain has 3 joins: $js")
+    (js.drop(1).map(_.metrics("numOutputRows").value).sum, rows)
+  }
+
+  test("the injected rule rebuilds a fact-first join dimension-first, " +
+      "results are identical, and the engine-measured intermediate rows " +
+      "equal the q207 audit's exact costs — catalog-driven CBO without " +
+      "ANALYZE TABLE") {
+    val s = ExtSession.spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    val audit = Planner.q207JoinOrderPlan(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // baseline: rule disabled — the user's order survives
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val off = worstOrder(s)
+      assert(leafTables(off.queryExecution.optimizedPlan) ===
+        Seq("orders", "lineitem", "customer", "nation"),
+        "without the catalog, the fact-first user order must survive")
+      val (offRows, offData) = measuredIntermediates(off)
+
+      // catalog on: the SAME user plan comes out dimension-first
+      s.conf.set(CatalogJoinReorder.CatalogKey, art)
+      val on = worstOrder(s)
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("customer", "nation", "orders", "lineitem"),
+        "the rule must rebuild to the catalog's best order C.N.O.L")
+      val (onRows, onData) = measuredIntermediates(on)
+
+      assert(onData === offData, "reordering must not change results")
+      assert(onRows === audit("C.N.O.L"),
+        "engine intermediates under the rule == audit exact cost of C.N.O.L")
+      assert(offRows === audit("O.L.C.N"),
+        "engine intermediates without the rule == audit exact cost of O.L.C.N")
+      assert(onRows < offRows,
+        "the catalog's order must move fewer intermediate rows")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
+  test("fixpoint: re-running the optimizer over the rule's own output " +
+      "leaves it untouched") {
+    val s = ExtSession.spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val optimized = worstOrder(s).queryExecution.optimizedPlan
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, optimized)
+      assert(again.canonicalized === optimized.canonicalized,
+        "a second optimization pass must be a no-op")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("safety: regions the catalog cannot fully price are left " +
+      "byte-identical — an uncataloged relation in the chain, and a " +
+      "2-join region below the rule's threshold") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    def regionChain(): DataFrame =
+      Tables(s, sf, "region").select($"r_regionkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey"),
+          $"r_regionkey" === $"n_regionkey")
+        .join(Tables(s, sf, "customer").select($"c_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    def twoJoin(): DataFrame =
+      Tables(s, sf, "orders").select($"o_orderkey")
+        .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
+    for (build <- Seq(regionChain _, twoJoin _)) {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val off = build().queryExecution.optimizedPlan
+      s.conf.set(CatalogJoinReorder.CatalogKey, art)
+      val on = build().queryExecution.optimizedPlan
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      assert(on.canonicalized === off.canonicalized,
+        "out-of-scope plans must be untouched")
+    }
+  }
+}
