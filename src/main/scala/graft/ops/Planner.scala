@@ -614,16 +614,23 @@ object Planner {
     * overwrite), so the merged artifacts equal their one-pass twins for
     * any batching; the table's own key just keeps replays byte-stable. */
   private val JoinTables: Seq[(String, String, String, String, String)] = Seq(
-    ("n", "nation", "n_nationkey", "n_nationkey", null),
+    ("r", "region", "r_regionkey", "r_regionkey", null),
+    ("n", "nation", "n_nationkey", "n_nationkey", "n_regionkey"),
     ("c", "customer", "c_custkey", "c_nationkey", "c_custkey"),
     ("o", "orders", "o_orderkey", "o_custkey", "o_orderkey"),
     ("l", "lineitem", "l_orderkey", "l_orderkey", null))
 
   /** Sketched join-key columns: (artifact id — mirroring q201's
     * d_<edge>_<side> stats names, table tag, staged column, base table,
-    * base column — the oracle's recompute source). */
+    * base column — the oracle's recompute source). The rn edge (region
+    * ⋈ nation) extends the catalog one dimension past the q201/q207
+    * 4-chain; the graded q207 audit stays on the 4-chain oracle, while
+    * [[graft.plans.CatalogJoinReorder]] prices the full 5-chain
+    * (JoinReorderSpec's 16-order leg). */
   private val JoinSketchCols: Seq[(String, String, String, String, String)] =
     Seq(
+      ("rn_r", "r", "a", "region", "r_regionkey"),
+      ("rn_n", "n", "b", "nation", "n_regionkey"),
       ("nc_n", "n", "a", "nation", "n_nationkey"),
       ("nc_c", "c", "a", "customer", "c_nationkey"),
       ("co_c", "c", "b", "customer", "c_custkey"),
@@ -655,11 +662,12 @@ object Planner {
     cacheJoin.clear()
 
   /** Build (once per session × sf dir) the q207 per-table catalog: for
-    * each chain table, its row count and the S29 KMV sketch of every
-    * join-key column, maintained by ONE streaming pass over a 4-batch
-    * replay of the UNION of all four tables (each micro-batch fans to
-    * the literal [[NdvStream.processBatch]] / [[countBatch]] bodies per
-    * (table, column) — 10 concurrent metadata-sized legs). The union
+    * each chain table (region through lineitem), its row count and the
+    * S29 KMV sketch of every join-key column, maintained by ONE
+    * streaming pass over a 4-batch replay of the UNION of the tables
+    * (each micro-batch fans to the literal [[NdvStream.processBatch]] /
+    * [[countBatch]] bodies per (table, column) — 13 concurrent
+    * metadata-sized legs). The union
     * frame is the replay VEHICLE only: each artifact's partials remain
     * pure functions of its own table's batch rows, and the merged
     * artifacts are batch-invariant, so DuckDB recomputes them from the

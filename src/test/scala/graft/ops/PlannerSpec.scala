@@ -202,8 +202,8 @@ class PlannerSpec extends SparkSpec {
       "fact-fact-first worst") {
     val s = spark
     val art = Planner.ensureJoinArtifacts(s, sf)
-    for (sub <- Seq("d_nc_n", "d_nc_c", "d_co_c", "d_co_o", "d_ol_o",
-        "d_ol_l", "n_n", "n_c", "n_o", "n_l"))
+    for (sub <- Seq("d_rn_r", "d_rn_n", "d_nc_n", "d_nc_c", "d_co_c",
+        "d_co_o", "d_ol_o", "d_ol_l", "n_r", "n_n", "n_c", "n_o", "n_l"))
       assert(new java.io.File(s"$art/$sub".stripPrefix("file:")).exists,
         s"maintained artifact $sub must exist under $art")
     val rows = Planner.q207JoinOrderPlan(s, sf).collect()
@@ -228,8 +228,8 @@ class PlannerSpec extends SparkSpec {
       s"reordering value: $costs")
     // the catalog's row-count artifacts are EXACT (sum of per-batch
     // partials == table count — addition is associative)
-    for ((tag, table) <- Seq("n" -> "nation", "c" -> "customer",
-        "o" -> "orders", "l" -> "lineitem")) {
+    for ((tag, table) <- Seq("r" -> "region", "n" -> "nation",
+        "c" -> "customer", "o" -> "orders", "l" -> "lineitem")) {
       val n = s.read.parquet(s"$art/n_$tag/rows")
         .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
       assert(n === graft.Tables(s, sf, table).count(),

@@ -60,9 +60,10 @@ class JoinReorderSpec extends AnyFunSuite {
       val names = leaf.output.map(_.name).toSet
       Seq(
         if (names("c_custkey") || names("c_nationkey")) "customer"
-        else if (names("n_nationkey")) "nation"
+        else if (names("n_nationkey") || names("n_regionkey")) "nation"
         else if (names("o_orderkey") || names("o_custkey")) "orders"
         else if (names("l_orderkey")) "lineitem"
+        else if (names("r_regionkey")) "region"
         else "?")
     case other => other.children.flatMap(leafTables)
   }
@@ -146,17 +147,17 @@ class JoinReorderSpec extends AnyFunSuite {
     val s = ExtSession.spark
     import s.implicits._
     val art = Planner.ensureJoinArtifacts(s, sf)
-    def regionChain(): DataFrame =
-      Tables(s, sf, "region").select($"r_regionkey")
-        .join(Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey"),
-          $"r_regionkey" === $"n_regionkey")
+    def supplierChain(): DataFrame =
+      Tables(s, sf, "supplier").select($"s_suppkey", $"s_nationkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"s_nationkey" === $"n_nationkey")
         .join(Tables(s, sf, "customer").select($"c_nationkey"),
           $"n_nationkey" === $"c_nationkey")
     def twoJoin(): DataFrame =
       Tables(s, sf, "orders").select($"o_orderkey")
         .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
           $"o_orderkey" === $"l_orderkey")
-    for (build <- Seq(regionChain _, twoJoin _)) {
+    for (build <- Seq(supplierChain _, twoJoin _)) {
       s.conf.unset(CatalogJoinReorder.CatalogKey)
       val off = build().queryExecution.optimizedPlan
       s.conf.set(CatalogJoinReorder.CatalogKey, art)
@@ -165,5 +166,73 @@ class JoinReorderSpec extends AnyFunSuite {
       assert(on.canonicalized === off.canonicalized,
         "out-of-scope plans must be untouched")
     }
+  }
+
+  test("5-chain: the catalog's region edge lets the rule price all 16 " +
+      "connected orders of region–nation–customer–orders–lineitem and " +
+      "rebuild a fact-first chain smallest-dimension-first") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val chain = Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation")
+          .select($"n_nationkey", $"n_regionkey"),
+          $"n_nationkey" === $"c_nationkey")
+        .join(Tables(s, sf, "region").select($"r_regionkey"),
+          $"r_regionkey" === $"n_regionkey")
+      // the dimension pair N⋈R opens every optimal order (25 est rows —
+      // N.R and R.N tie exactly, and the deterministic tiebreak keeps
+      // the extraction-order representative, nation first); the chain
+      // then cascades in table-size order
+      assert(leafTables(chain.queryExecution.optimizedPlan) ===
+        Seq("nation", "region", "customer", "orders", "lineitem"),
+        "16-order enumeration must pick the smallest-dimension-first chain")
+      // reordering must not change results: compare against the same
+      // chain with the rule disabled
+      val got = chain.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val off = Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation")
+          .select($"n_nationkey", $"n_regionkey"),
+          $"n_nationkey" === $"c_nationkey")
+        .join(Tables(s, sf, "region").select($"r_regionkey"),
+          $"r_regionkey" === $"n_regionkey")
+        .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(got === off, "5-chain reordering must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("SQL path: a FROM … JOIN … chain written fact-first in SQL text " +
+      "comes out dimension-first — the rule is engine-level, not a " +
+      "DataFrame-API affordance") {
+    val s = ExtSession.spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    Seq("nation", "customer", "orders", "lineitem").foreach { t =>
+      Tables(s, sf, t).createOrReplaceTempView(t)
+    }
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val q = s.sql(
+        """SELECT o_orderkey, l_orderkey, c_custkey, n_nationkey
+          |FROM orders
+          |JOIN lineitem ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN nation ON n_nationkey = c_nationkey""".stripMargin)
+      assert(leafTables(q.queryExecution.optimizedPlan) ===
+        Seq("customer", "nation", "orders", "lineitem"),
+        "the SQL-authored fact-first chain must rebuild to C.N.O.L")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 }
