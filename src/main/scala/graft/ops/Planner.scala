@@ -640,6 +640,19 @@ object Planner {
 
   private[graft] def JoinSketchColIds: Seq[String] = JoinSketchCols.map(_._1)
 
+  /** Histogrammed predicate columns: (artifact id, table tag, base
+    * table, base column). These feed [[graft.plans.CatalogJoinReorder]]'s
+    * SELECTIVITY leg — a pushed range predicate on a cataloged leaf
+    * scales its cardinality by the S28 histogram estimate (q197's
+    * full-bins-plus-half-straddle rule) before the enumeration prices
+    * orders, closing the Selinger triple (selectivity × cardinality ×
+    * order) from maintained artifacts alone. The graded q207 audit stays
+    * predicate-free; JoinReorderSpec pins the decision FLIP a narrow
+    * filter induces, engine-measured. */
+  private val JoinHistCols: Seq[(String, String, String, String)] = Seq(
+    ("ho", "o", "orders", "o_totalprice"),
+    ("hl", "l", "lineitem", "l_quantity"))
+
   /** S29-style per-batch row-count partial: pure in the batch,
     * overwritten into `rows/batch=<id>`; the standing count is the SUM
     * over partials (associative, commutative — merged == one-pass, the
@@ -679,19 +692,36 @@ object Planner {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val art = s"$base/stats"
       val incoming = s"$base/incoming"
+      val histOf = JoinHistCols.map(h => h._2 -> h).toMap
       val union = JoinTables.map { case (tag, table, pk, aCol, bCol) =>
         Tables(s, dir, table).selectExpr(
           s"'$tag' as tbl",
           s"cast($aCol as bigint) as a",
           if (bCol == null) "cast(null as bigint) as b"
           else s"cast($bCol as bigint) as b",
+          histOf.get(tag).map { case (_, _, _, c) =>
+            s"cast($c as double) as h"
+          }.getOrElse("cast(null as double) as h"),
           s"(${Layout.kmvHashSql(pk)}) % 4 as chunk")
       }.reduce(_.unionByName(_))
       // one staging pass, one file per chunk (the ensureArtifacts
       // discipline): hash-exchange on chunk + writer-side split
       union.repartition(4, $"chunk")
         .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
-      val q = s.readStream.schema("tbl string, a bigint, b bigint, chunk int")
+      // staged histogram bounds per predicate column (the S28 generation
+      // artifact — equi-width counts are additive only under FIXED
+      // bounds), persisted with the descriptor below
+      val histBounds: Seq[(String, String, String, Double, Double)] =
+        JoinHistCols.map { case (id, tag, table, column) =>
+          val r = Tables(s, dir, table)
+            .selectExpr(s"cast($column as double) as h")
+            .agg(min($"h"), max($"h")).head()
+          val (mn, mx) = (r.getDouble(0), r.getDouble(1))
+          require(mx > mn, s"degenerate histogram bounds for $table.$column")
+          (id, tag, column, mn, mx)
+        }
+      val q = s.readStream
+        .schema("tbl string, a bigint, b bigint, h double, chunk int")
         .option("maxFilesPerTrigger", 1).parquet(incoming)
         .writeStream
         .option("checkpointLocation", s"$base/ckpt")
@@ -708,20 +738,29 @@ object Planner {
             } ++ JoinTables.map { case (tag, _, _, _, _) =>
               () => countBatch(batch.where($"tbl" === tag), batchId,
                 s"$art/n_$tag")
+            } ++ histBounds.map { case (id, tag, _, mn, mx) =>
+              () => StatsStream.processBatch(
+                batch.where($"tbl" === tag).select($"h".as("p")),
+                batchId, s"$art/h_$id", mn, mx)
             })
           batch.unpersist()
           ()
         }
         .start()
       require(q.awaitTermination(600000), "join-stats artifact stream timeout")
-      // self-describing catalog descriptor: which base column each ndv
-      // sketch measures and which table each count belongs to — what
-      // lets a CONSUMER (q207, [[graft.plans.CatalogJoinReorder]])
-      // resolve artifacts from the catalog root alone
+      // self-describing catalog descriptors: which base column each ndv
+      // sketch / histogram measures and which table each count belongs
+      // to — what lets a CONSUMER (q207,
+      // [[graft.plans.CatalogJoinReorder]]) resolve artifacts from the
+      // catalog root alone
       JoinSketchCols.map { case (id, tag, _, table, column) =>
         (column, table, tag, id)
       }.toDF("col", "tbl", "tag", "id")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/columns")
+      histBounds.map { case (id, tag, column, mn, mx) =>
+        (column, tag, id, mn, mx)
+      }.toDF("col", "tag", "id", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
       art
     })
 

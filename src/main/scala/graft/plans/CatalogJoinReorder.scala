@@ -3,13 +3,13 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{coalesce, lit, sum}
 
-import graft.streaming.NdvStream
+import graft.streaming.{NdvStream, StatsStream}
 
 /** Cost-based join reordering driven by the STREAM-MAINTAINED catalog —
   * the q207 audit promoted into the engine's own optimizer.
@@ -42,6 +42,17 @@ import graft.streaming.NdvStream
   *  - every input relation must resolve to exactly one cataloged table
   *    by column-name evidence, and every equi-join edge must be priced
   *    by a cataloged ndv — otherwise: no change;
+  *  - leaf cardinalities are SELECTIVITY-scaled: a pushed-down range
+  *    conjunct on a histogrammed column multiplies the leaf's rows by
+  *    the S28 estimate (q197's half-straddle rule, q198's independence
+  *    assumption across conjuncts; per-column ndv is deliberately NOT
+  *    rescaled — the classic conservative simplification). Unpriceable
+  *    conjuncts contribute factor 1 — the unfiltered cardinality,
+  *    conservative and never wrong. This closes the Selinger triple
+  *    (selectivity × cardinality × order) from maintained artifacts:
+  *    JoinReorderSpec pins a narrow orders filter FLIPPING the best
+  *    order from dimension-first to filtered-fact-first, and the flip
+  *    being right by engine-measured intermediate rows;
   *  - enumeration is the full System-R left-deep walk over
   *    connected-prefix orders (the literal q207 semantics: intermediate
   *    size cascades by `size · n(X) / Π max-side-ndv(edge)`, cost =
@@ -115,16 +126,64 @@ case class CatalogJoinReorder(session: SparkSession)
       case other => (Seq(other), Nil)
     }
 
+  /** Predicates on the leaf's own access path (Filter/Project chain
+    * only — a leaf that is a whole subquery keeps its internals out of
+    * the selectivity estimate). */
+  private def leafConds(p: LogicalPlan): Seq[Expression] = p match {
+    case Filter(c, ch) => splitConjunctivePredicates(c) ++ leafConds(ch)
+    case Project(_, ch) => leafConds(ch)
+    case _ => Nil
+  }
+
+  private def numOf(v: Any): Option[Double] = v match {
+    case null => None
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  /** Estimated rows a single range conjunct keeps, off the maintained
+    * S28 histogram (q197's full-bins-plus-half-straddle rule). None for
+    * shapes the catalog cannot price — the factor is then 1 (the
+    * UNFILTERED cardinality: conservative, never wrong). */
+  private def predRows(cond: Expression, cat: Catalog): Option[Long] = {
+    def le(a: Attribute, v: Any): Option[Long] = for {
+      h <- cat.hist.get(a.name); d <- numOf(v)
+    } yield h.estLE(d)
+    def ge(a: Attribute, v: Any): Option[Long] = for {
+      h <- cat.hist.get(a.name); d <- numOf(v)
+    } yield math.max(h.n - h.estLE(d), 0L)
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v, _)) => le(a, v)
+      case LessThan(a: Attribute, Literal(v, _)) => le(a, v)
+      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => ge(a, v)
+      case GreaterThan(a: Attribute, Literal(v, _)) => ge(a, v)
+      case LessThanOrEqual(Literal(v, _), a: Attribute) => ge(a, v)
+      case LessThan(Literal(v, _), a: Attribute) => ge(a, v)
+      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => le(a, v)
+      case GreaterThan(Literal(v, _), a: Attribute) => le(a, v)
+      case _ => None
+    }
+  }
+
   private def reorder(orig: Join, plans: Seq[LogicalPlan],
       conditions: Seq[Expression], cat: Catalog): Option[LogicalPlan] = {
     // classify each relation to exactly one cataloged table by
-    // column-name evidence
-    val rowsOf: Seq[Long] = plans.map { p =>
+    // column-name evidence, then scale its cardinality by the histogram
+    // selectivity of every priceable pushed-down range conjunct
+    // (attribute independence, q198's declared assumption)
+    val rowsOf: Seq[BigInt] = plans.map { p =>
       val names = p.output.map(_.name).toSet
-      cat.tables.filter(t => t.cols.exists(names)) match {
-        case Seq(t) => t.rows
+      val t = cat.tables.filter(t => t.cols.exists(names)) match {
+        case Seq(one) => one
         case _ => return None // zero or ambiguous evidence: not ours
       }
+      leafConds(p).foldLeft(BigInt(t.rows)) { (acc, c) =>
+        predRows(c, cat) match {
+          case Some(est) if t.rows > 0 => acc * est / t.rows
+          case _ => acc
+        }
+      }.max(1)
     }
     // priced edges: equi-conditions between two relations whose columns
     // the catalog sketches (max-side ndv, the q201/q207 containment rule)
@@ -162,7 +221,7 @@ case class CatalogJoinReorder(session: SparkSession)
         }
       }
     }
-    plans.indices.foreach(x => extend(Vector(x), BigInt(rowsOf(x)), 0))
+    plans.indices.foreach(x => extend(Vector(x), rowsOf(x), 0))
 
     best.filter(_._1 != plans.indices.toVector).map { case (order, _) =>
       val used = scala.collection.mutable.Set.empty[Expression]
@@ -199,8 +258,29 @@ object CatalogJoinReorder {
 
   private[graft] final case class TableStats(name: String, rows: Long,
       cols: Set[String])
+
+  /** A maintained S28 equi-width histogram under staged bounds, loaded
+    * driver-side (≤ 4096 longs — metadata). `estLE` is q197's
+    * full-bins-plus-half-straddle estimate of rows with value ≤ v. */
+  private[graft] final case class Hist(mn: Double, mx: Double,
+      bins: Array[Long]) {
+    val n: Long = bins.sum
+    def estLE(v: Double): Long =
+      if (v < mn) 0L
+      else if (v >= mx) n
+      else {
+        val bin = math.min(
+          ((v - mn) * bins.length / (mx - mn)).toLong,
+          bins.length - 1L).toInt
+        var full = 0L
+        var i = 0
+        while (i < bin) { full += bins(i); i += 1 }
+        full + bins(bin) / 2
+      }
+  }
+
   private[graft] final case class Catalog(tables: Seq[TableStats],
-      ndv: Map[String, Long])
+      ndv: Map[String, Long], hist: Map[String, Hist])
 
   // one catalog load per (JVM, root): ~11 metadata-sized reads; keyed on
   // the PATH, never the session object (the Planner/Tables cache
@@ -244,7 +324,21 @@ object CatalogJoinReorder {
                 .head().getLong(0)
               TableStats(tbl, n, cols.map(_._1).toSet)
             }
-          val cat = Catalog(tables, ndv)
+          // histograms are an OPTIONAL catalog layer (older roots may
+          // predate them): absence just means no selectivity scaling
+          val hist = scala.util.Try {
+            s.read.parquet(s"$art/hists")
+              .select("col", "id", "mn", "mx").collect()
+              .map { r =>
+                val (col, id) = (r.getString(0), r.getString(1))
+                val (mn, mx) = (r.getDouble(2), r.getDouble(3))
+                val bins = new Array[Long](graft.ops.Layout.HistBins)
+                StatsStream.mergedHistogram(s, s"$art/h_$id").collect()
+                  .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
+                col -> Hist(mn, mx, bins)
+              }.toMap
+          }.getOrElse(Map.empty[String, Hist])
+          val cat = Catalog(tables, ndv, hist)
           cache.put(art, cat)
           Some(cat)
         } finally loading.set(false)

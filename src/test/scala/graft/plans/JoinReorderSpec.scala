@@ -73,7 +73,7 @@ class JoinReorderSpec extends AnyFunSuite {
     * one and leave these metrics at zero), then sum numOutputRows over
     * every join node except the root-most (whose output is
     * order-invariant and not part of the cost). */
-  private def measuredIntermediates(df: DataFrame): (Long, Seq[Any]) = {
+  private def measuredIntermediates(df: DataFrame): (Long, Seq[Seq[Any]]) = {
     val rows = df.collect().map(_.toSeq).toSeq
       .sortBy(_.mkString("|"))
     import org.apache.spark.sql.execution.SparkPlan
@@ -212,6 +212,120 @@ class JoinReorderSpec extends AnyFunSuite {
         .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
       assert(got === off, "5-chain reordering must not change results")
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("completeness: every one of the 8 connected user nestings of the " +
+      "4-chain funnels to an optimal order under the rule, with the " +
+      "order-invariant result cardinality preserved") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    def frame(t: String): DataFrame = t match {
+      case "N" => Tables(s, sf, "nation").select($"n_nationkey")
+      case "C" => Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey")
+      case "O" => Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      case "L" => Tables(s, sf, "lineitem").select($"l_orderkey")
+    }
+    def edge(t: String, prefix: Set[String]) = t match {
+      case "N" => $"n_nationkey" === $"c_nationkey"
+      case "C" => if (prefix("N")) $"n_nationkey" === $"c_nationkey"
+        else $"c_custkey" === $"o_custkey"
+      case "O" => if (prefix("C")) $"c_custkey" === $"o_custkey"
+        else $"o_orderkey" === $"l_orderkey"
+      case "L" => $"o_orderkey" === $"l_orderkey"
+    }
+    // the two optimal rebuilds (C⋈N first — the exact cost tie resolves
+    // by extraction order, so either representative is correct)
+    val optimal = Set(
+      Seq("customer", "nation", "orders", "lineitem"),
+      Seq("nation", "customer", "orders", "lineitem"))
+    val all8 = Seq("N.C.O.L", "C.N.O.L", "C.O.N.L", "C.O.L.N",
+      "O.C.N.L", "O.C.L.N", "O.L.C.N", "L.O.C.N")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val counts = all8.map { o =>
+        val tags = o.split("\\.").toSeq
+        val df = tags.tail.foldLeft((frame(tags.head), Set(tags.head))) {
+          case ((d, p), t) => (d.join(frame(t), edge(t, p)), p + t)
+        }._1
+        val leaf = leafTables(df.queryExecution.optimizedPlan)
+        assert(optimal(leaf), s"user order $o rebuilt to $leaf — not optimal")
+        df.count()
+      }
+      assert(counts.toSet.size === 1,
+        "the final join cardinality is order-invariant")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("selectivity-aware: a narrow pushed filter on orders FLIPS the " +
+      "best order from dimension-first to filtered-fact-first, and the " +
+      "flip is right — engine-measured intermediates beat the " +
+      "dimension-first alternative") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    // the narrow q205-style threshold, computed off the catalog's own
+    // staged bounds artifact
+    val hb = s.read.parquet(s"$art/hists")
+      .where($"col" === "o_totalprice").head()
+    val (mn, mx) = (hb.getAs[Double]("mn"), hb.getAs[Double]("mx"))
+    val t = mn + (mx - mn) / 64.0
+    def chain(filtered: Boolean): DataFrame = {
+      val orders0 = Tables(s, sf, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val orders = if (filtered) orders0.where($"o_totalprice" <= t)
+        else orders0
+      Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(orders, $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    }
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      // unfiltered: dimension-first (the standing 4-chain decision)
+      assert(leafTables(chain(filtered = false)
+        .queryExecution.optimizedPlan).take(2).toSet ===
+        Set("customer", "nation"),
+        "without the filter the dimension pair must open the plan")
+      // filtered: the σ(orders) estimate (~n/64) makes orders the
+      // cheapest opener — the DECISION flips on the same chain shape
+      val on = chain(filtered = true)
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("orders", "customer", "nation", "lineitem"),
+        "the narrow filter must flip the best order to σ(orders)-first")
+      val (onRows, onData) = measuredIntermediates(on)
+      // the flip is RIGHT: the rule-disabled dimension-first execution
+      // of the same filtered chain moves more intermediate rows
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val dimFirst = Tables(s, sf, "customer")
+        .select($"c_custkey", $"c_nationkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+        .join(Tables(s, sf, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .where($"o_totalprice" <= t),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
+      val (dimRows, dimData) = measuredIntermediates(dimFirst)
+      assert(onRows < dimRows,
+        s"σ(orders)-first must move fewer intermediate rows " +
+          s"($onRows vs $dimRows)")
+      // identical results through both shapes (column order differs —
+      // compare rows as sorted value multisets, then sort the row set)
+      def norm(rows: Seq[Seq[Any]]): Seq[String] =
+        rows.map(_.map(String.valueOf).sorted.mkString("|")).sorted
+      assert(norm(onData) === norm(dimData),
+        "the flip must not change results")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
   }
 
   test("SQL path: a FROM … JOIN … chain written fact-first in SQL text " +
