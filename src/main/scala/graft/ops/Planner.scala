@@ -775,7 +775,18 @@ object Planner {
     * verbatim with the oracle); the cascade is q201's containment rule,
     * integer div at each step. Same expression text runs on Spark (div)
     * and DuckDB (//). */
-  private[graft] def q207Orders(div: String): Seq[(String, String, String)] = {
+  private[graft] def q207Orders(div: String): Seq[(String, String, String)] =
+    chainOrders(div, "n_o")
+
+  /** q208's twin generator: identical enumeration with the ORDERS
+    * cardinality symbol swapped for the histogram-estimated filtered
+    * cardinality — the Selinger selectivity × cardinality × order
+    * composition as one expression-text change. */
+  private[graft] def q208Orders(div: String): Seq[(String, String, String)] =
+    chainOrders(div, "est_o")
+
+  private def chainOrders(div: String,
+      nO: String): Seq[(String, String, String)] = {
     def d(id: String): String =
       s"(case when sk_$id < ${Layout.KmvK} then sk_$id " +
         s"else cast(${(Layout.KmvK - 1L) * Layout.KmvP} $div " +
@@ -785,10 +796,10 @@ object Planner {
     val dOL = s"greatest(${d("ol_o")}, ${d("ol_l")})"
     def casc(e2: String, n3: String, d3: String) =
       s"($e2) + ($e2) * $n3 $div $d3"
-    val viaNC = casc(s"n_n * n_c $div $dNC", "n_o", dCO)
-    val viaCOn = casc(s"n_c * n_o $div $dCO", "n_n", dNC)
-    val viaCOl = casc(s"n_c * n_o $div $dCO", "n_l", dOL)
-    val viaOL = casc(s"n_o * n_l $div $dOL", "n_c", dCO)
+    val viaNC = casc(s"n_n * n_c $div $dNC", nO, dCO)
+    val viaCOn = casc(s"n_c * $nO $div $dCO", "n_n", dNC)
+    val viaCOl = casc(s"n_c * $nO $div $dCO", "n_l", dOL)
+    val viaOL = casc(s"$nO * n_l $div $dOL", "n_c", dCO)
     Seq(
       ("C.N.O.L", viaNC, "x_nc + x_nco"),
       ("C.O.L.N", viaCOl, "x_co + x_col"),
@@ -824,12 +835,12 @@ object Planner {
     * ranking windows order 8 rows. At SF1000 the est products want
     * DECIMAL headroom (the q199/q201 caveat — machine-checked loud by
     * PlannerSpec's int64-headroom leg over these literal generators). */
-  def q207JoinOrderPlan(s: SparkSession, dir: String): DataFrame = {
+  /** Catalog consults: sketch + row-count branches composed IN-PLAN
+    * (one tiny agg per artifact, crossJoined into one wide 1-row frame),
+    * so the estimate arithmetic is the oracle's SQL text verbatim. */
+  private def catalogWide(s: SparkSession, art: String): DataFrame = {
     import s.implicits._
-    val art = ensureJoinArtifacts(s, dir)
-    // catalog consults: 10 metadata-sized branches composed IN-PLAN, so
-    // the estimate arithmetic is the oracle's SQL text verbatim
-    val st = JoinSketchCols.map { case (id, _, _, _, _) =>
+    JoinSketchCols.map { case (id, _, _, _, _) =>
       NdvStream.mergedSketch(s, s"$art/d_$id")
         .agg(count(lit(1)).as(s"sk_$id"),
           coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
@@ -838,36 +849,53 @@ object Planner {
         s.read.parquet(s"$art/n_$tag/rows")
           .agg(coalesce(sum($"n"), lit(0L)).as(s"n_$tag"))
       }.reduce(_.crossJoin(_)))
-    // exact truth: the 5 connected sub-chains, one count-agg join each
-    // (the q201 exact legs verbatim)
+  }
+
+  /** Exact truth: the 5 connected sub-chains, one count-agg join each
+    * (the q201 exact legs verbatim), over a caller-supplied orders
+    * frame — the full table for q207, σ(orders) for q208. */
+  private def exactChainCounts(s: SparkSession, dir: String,
+      ordersDf: DataFrame): DataFrame = {
+    import s.implicits._
     def t(n: String): DataFrame = Tables(s, dir, n)
     def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
     val nc = t("nation").join(t("customer"), $"n_nationkey" === $"c_nationkey")
-    val co = t("customer").join(t("orders"), $"c_custkey" === $"o_custkey")
-    val ol = t("orders").join(t("lineitem"), $"o_orderkey" === $"l_orderkey")
-    val wide = st
-      .crossJoin(cnt(nc, "x_nc"))
-      .crossJoin(cnt(nc.join(t("orders"), $"c_custkey" === $"o_custkey"),
+    val co = t("customer").join(ordersDf, $"c_custkey" === $"o_custkey")
+    val ol = ordersDf.join(t("lineitem"), $"o_orderkey" === $"l_orderkey")
+    cnt(nc, "x_nc")
+      .crossJoin(cnt(nc.join(ordersDf, $"c_custkey" === $"o_custkey"),
         "x_nco"))
       .crossJoin(cnt(co, "x_co"))
       .crossJoin(cnt(co.join(t("lineitem"), $"o_orderkey" === $"l_orderkey"),
         "x_col"))
       .crossJoin(cnt(ol, "x_ol"))
-    val legs = q207Orders("div")
+  }
+
+  /** Shared q207/q208 assembly: stack the 8 order legs over the wide
+    * frame, grade, rank (an 8-row window). */
+  private def rankedOrders(wide: DataFrame,
+      legs: Seq[(String, String, String)]): DataFrame = {
     val rows = wide.selectExpr(s"stack(${legs.size}, " +
       legs.map { case (n, est, exact) =>
         s"'$n', cast(($est) as bigint), cast(($exact) as bigint)"
       }.mkString(", ") + ") as (join_order, est_cost, exact_cost)")
-    val byEst = Window.orderBy($"est_cost", $"join_order")
-    val byExact = Window.orderBy($"exact_cost", $"join_order")
+    val byEst = Window.orderBy(col("est_cost"), col("join_order"))
+    val byExact = Window.orderBy(col("exact_cost"), col("join_order"))
     rows
       .withColumn("err_milli",
         expr("(1000 * (est_cost - exact_cost)) div greatest(exact_cost, 1)"))
       .withColumn("est_rank", row_number().over(byEst).cast("long"))
       .withColumn("exact_rank", row_number().over(byExact).cast("long"))
       .withColumn("rank_match",
-        when($"est_rank" === $"exact_rank", 1L).otherwise(0L))
-      .orderBy($"join_order")
+        when(col("est_rank") === col("exact_rank"), 1L).otherwise(0L))
+      .orderBy(col("join_order"))
+  }
+
+  def q207JoinOrderPlan(s: SparkSession, dir: String): DataFrame = {
+    val art = ensureJoinArtifacts(s, dir)
+    val wide = catalogWide(s, art)
+      .crossJoin(exactChainCounts(s, dir, Tables(s, dir, "orders")))
+    rankedOrders(wide, q207Orders("div"))
   }
 
   val q207Oracle: String = {
@@ -924,15 +952,134 @@ object Planner {
        |FROM costed ORDER BY join_order""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q208
+
+  /** Threshold and straddle-bin over a row carrying the staged histogram
+    * bounds (hmn, hmx) — identical text in Spark SQL and DuckDB. The
+    * narrow t = hmn + range/64 is q205's flip-inducing width. */
+  private val tSelSql = "(hmn + (hmx - hmn) / 64.0)"
+  private val tbinSql =
+    s"least(cast(floor(($tSelSql - hmn) * ${Layout.HistBins} " +
+      s"/ (hmx - hmn)) as bigint), ${Layout.HistBins - 1})"
+
+  /** q208 — SELECTIVITY-aware join-order planning, the graded twin of
+    * [[graft.plans.CatalogJoinReorder]]'s selectivity leg: the q207
+    * enumeration re-run with orders filtered to the narrow
+    * σ(o_totalprice ≤ hmn + range/64), where the ESTIMATED filtered
+    * cardinality is read off the catalog's maintained S28 histogram
+    * (q197's half-straddle rule) and cascaded through every order —
+    * one symbol swap in the shared generator ([[q208Orders]]). The
+    * graded outcome is the Selinger FLIP: the filtered fact becomes the
+    * cheapest opener ({C,O}-first ranks 1) where q207's unfiltered
+    * audit put the dimension pair first — est_rank == exact_rank on all
+    * 8 orders against the filtered sub-chain truth. Same scale shape as
+    * q207; the estimate side adds one ≤4096-row histogram read. */
+  def q208SelectiveJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureJoinArtifacts(s, dir)
+    val boundsDf = s.read.parquet(s"$art/hists")
+      .where($"col" === "o_totalprice")
+      .selectExpr("mn as hmn", "mx as hmx")
+    val estW = StatsStream.mergedHistogram(s, s"$art/h_ho")
+      .crossJoin(broadcast(boundsDf))
+      .agg(
+        coalesce(sum(when(expr(s"bin < $tbinSql"), $"n")), lit(0L))
+          .as("full_o"),
+        coalesce(sum(when(expr(s"bin = $tbinSql"), $"n")), lit(0L))
+          .as("strad_o"))
+      .selectExpr("full_o + (strad_o div 2) as est_o")
+    val sOrders = Tables(s, dir, "orders")
+      .crossJoin(broadcast(boundsDf))
+      .where(expr(s"o_totalprice <= $tSelSql"))
+      .drop("hmn", "hmx")
+    val wide = catalogWide(s, art)
+      .crossJoin(estW)
+      .crossJoin(exactChainCounts(s, dir, sOrders))
+    rankedOrders(wide, q208Orders("div"))
+  }
+
+  val q208Oracle: String = {
+    val skCtes = JoinSketchCols.map { case (id, _, _, table, column) =>
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = JoinTables.map { case (tag, table, _, _, _) =>
+      s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
+    }.mkString(",\n")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c._1}") ++
+      JoinTables.map(t => s"nn_${t._1}") :+ "e8").mkString(", ")
+    val legs = q208Orders("//").map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS join_order,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |b8 AS (
+       |  SELECT MIN(o_totalprice) AS hmn, MAX(o_totalprice) AS hmx
+       |  FROM orders),
+       |hist8 AS (
+       |  SELECT LEAST(CAST(FLOOR((o_totalprice - hmn) * ${Layout.HistBins}
+       |      / (hmx - hmn)) AS BIGINT), ${Layout.HistBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders, b8 GROUP BY 1),
+       |pt8 AS (SELECT $tSelSql AS t, $tbinSql AS tbin FROM b8),
+       |e8 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN h.bin < p.tbin THEN h.n END), 0)
+       |    + COALESCE(SUM(CASE WHEN h.bin = p.tbin THEN h.n END), 0) // 2
+       |    AS BIGINT) AS est_o
+       |  FROM hist8 h, pt8 p),
+       |so AS (
+       |  SELECT o_orderkey, o_custkey FROM orders, pt8
+       |  WHERE o_totalprice <= t),
+       |st AS (SELECT * FROM $stFrom),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey) AS x_nc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey
+       |     JOIN so ON c_custkey = o_custkey) AS x_nco,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey) AS x_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_col,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_ol),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, exact_cost,
+       |  CAST((1000 * (est_cost - exact_cost))
+       |    // GREATEST(exact_cost, 1) AS BIGINT) AS err_milli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
     "q207_join_order_plan" -> q207JoinOrderPlan _,
+    "q208_selective_join_order" -> q208SelectiveJoinOrder _,
   )
 
   val oracles: Map[String, String] = Map(
     "q205_planner_audit" -> q205Oracle,
     "q206_compaction_plan" -> q206Oracle,
     "q207_join_order_plan" -> q207Oracle,
+    "q208_selective_join_order" -> q208Oracle,
   )
 }

@@ -302,6 +302,37 @@ class PlannerSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.adaptive.enabled", savedAqe)
   }
 
+  test("q208: the histogram-estimated filtered cardinality FLIPS the " +
+      "graded best order — {C,O}-first under the narrow σ(orders) where " +
+      "q207's unfiltered audit put the dimension pair first, with " +
+      "est_rank == exact_rank on all 8 orders") {
+    val s = spark
+    val rows = Planner.q208SelectiveJoinOrder(s, sf).collect()
+    assert(rows.length === 8, "all 8 connected left-deep orders")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(5),
+        s"est_rank must equal exact_rank: $r")
+    }
+    val estRank = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    // the Selinger flip: σ(orders) opens the plan (the {C,O} pair),
+    // where the unfiltered q207 audit ranks the dimension pair first
+    assert(estRank("C.O.N.L") === 1L && estRank("O.C.N.L") === 2L,
+      s"filtered-fact-first must win under the narrow filter: $estRank")
+    val q207Rank = Planner.q207JoinOrderPlan(s, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(q207Rank("C.N.O.L") === 1L,
+      "the unfiltered audit keeps the dimension-first optimum — the " +
+        "filter alone causes the flip")
+    // the estimated filtered costs sit near truth (half-bin histogram
+    // error through a 2-step cascade)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && exact > 0 &&
+        math.abs(est - exact) <= math.max(exact / 4, 64L),
+        s"cascaded estimate $est vs exact $exact: $r")
+    }
+  }
+
   test("q207 int64 headroom: the catalog cascade is exact near the " +
       "boundary and fails LOUDLY past it (the q199/q201 caveat, " +
       "machine-checked over the literal q207 generator)") {
