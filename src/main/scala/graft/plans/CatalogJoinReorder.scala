@@ -223,21 +223,31 @@ case class CatalogJoinReorder(session: SparkSession)
     }
     plans.indices.foreach(x => extend(Vector(x), rowsOf(x), 0))
 
-    best.filter(_._1 != plans.indices.toVector).map { case (order, _) =>
-      val used = scala.collection.mutable.Set.empty[Expression]
-      var cur = plans(order.head)
-      order.tail.foreach { x =>
-        val nxt = plans(x)
-        val avail = conditions.filterNot(used).filter(
-          _.references.subsetOf(cur.outputSet ++ nxt.outputSet))
-        used ++= avail
-        cur = Join(cur, nxt, Inner,
-          avail.reduceOption(And), JoinHint.NONE)
+    best.map { case (order, _) =>
+      // Already-best regions are SETTLED: return the original node
+      // untouched (a rebuild would strip the pruning projects and
+      // thrash against ColumnPruning), and do not descend into the
+      // region's own sub-joins either — a sub-chain's LOCAL optimum can
+      // differ from the global best's prefix (optimal substructure
+      // holds per subset, not per prefix), and re-ordering it would
+      // oscillate the fixpoint between the two shapes pass over pass.
+      if (order == plans.indices.toVector) orig
+      else {
+        val used = scala.collection.mutable.Set.empty[Expression]
+        var cur = plans(order.head)
+        order.tail.foreach { x =>
+          val nxt = plans(x)
+          val avail = conditions.filterNot(used).filter(
+            _.references.subsetOf(cur.outputSet ++ nxt.outputSet))
+          used ++= avail
+          cur = Join(cur, nxt, Inner,
+            avail.reduceOption(And), JoinHint.NONE)
+        }
+        val rest = conditions.filterNot(used)
+        val joined = if (rest.isEmpty) cur else Filter(rest.reduce(And), cur)
+        if (joined.output == orig.output) joined
+        else Project(orig.output, joined)
       }
-      val rest = conditions.filterNot(used)
-      val joined = if (rest.isEmpty) cur else Filter(rest.reduce(And), cur)
-      if (joined.output == orig.output) joined
-      else Project(orig.output, joined)
     }
   }
 
@@ -282,12 +292,17 @@ object CatalogJoinReorder {
   private[graft] final case class Catalog(tables: Seq[TableStats],
       ndv: Map[String, Long], hist: Map[String, Hist])
 
-  // one catalog load per (JVM, root): ~11 metadata-sized reads; keyed on
+  // one catalog load per (JVM, root): ~15 metadata-sized reads; keyed on
   // the PATH, never the session object (the Planner/Tables cache
   // contract — an object key pins stopped sessions)
   private val cache = TrieMap.empty[String, Catalog]
 
-  private[graft] def evict(): Unit = cache.clear()
+  // roots whose load already failed: the rule no-ops for them instead of
+  // re-throwing inside the optimizer on EVERY query (a misconfigured
+  // path must degrade to "no CBO", never to "no queries")
+  private val failed = TrieMap.empty[String, Boolean]
+
+  private[graft] def evict(): Unit = { cache.clear(); failed.clear() }
 
   // REENTRANCY GUARD: the catalog load runs Spark actions, each of which
   // re-enters the optimizer and therefore this rule ON THE SAME THREAD —
@@ -305,10 +320,11 @@ object CatalogJoinReorder {
     * Returns None when called reentrantly mid-load (see [[loading]]). */
   private[graft] def load(s: SparkSession, art: String): Option[Catalog] =
     cache.get(art).orElse {
-      if (loading.get) None
+      if (loading.get || failed.contains(art)) None
       else {
         loading.set(true)
         try {
+          try {
           val desc = s.read.parquet(s"$art/columns")
             .select("col", "tbl", "tag", "id").collect()
             .map(r => (r.getString(0), r.getString(1), r.getString(2),
@@ -341,6 +357,13 @@ object CatalogJoinReorder {
           val cat = Catalog(tables, ndv, hist)
           cache.put(art, cat)
           Some(cat)
+          } catch { case e: Exception =>
+            System.err.println(s"[graft] join-catalog load failed for " +
+              s"$art (${e.getMessage}) — CatalogJoinReorder disabled for " +
+              "this root")
+            failed.put(art, true)
+            None
+          }
         } finally loading.set(false)
       }
     }

@@ -168,6 +168,20 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  test("degradation: a misconfigured catalog path disables the rule for " +
+      "that root — queries still plan and run, just without CBO") {
+    val s = ExtSession.spark
+    s.conf.set(CatalogJoinReorder.CatalogKey,
+      "/nonexistent/graft-join-catalog")
+    try {
+      val df = worstOrder(s)
+      assert(leafTables(df.queryExecution.optimizedPlan) ===
+        Seq("orders", "lineitem", "customer", "nation"),
+        "a broken catalog must leave the user's order untouched")
+      assert(df.count() > 0, "and the query must still run")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("5-chain: the catalog's region edge lets the rule price all 16 " +
       "connected orders of region–nation–customer–orders–lineitem and " +
       "rebuild a fact-first chain smallest-dimension-first") {
