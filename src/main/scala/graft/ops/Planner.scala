@@ -679,8 +679,8 @@ object Planner {
     * S29 KMV sketch of every join-key column, maintained by ONE
     * streaming pass over a 4-batch replay of the UNION of the tables
     * (each micro-batch fans to the literal [[NdvStream.processBatch]] /
-    * [[countBatch]] bodies per (table, column) — 13 concurrent
-    * metadata-sized legs). The union
+    * [[countBatch]]/[[StatsStream.processBatch]] bodies per (table,
+    * column) — 15 concurrent metadata-sized legs). The union
     * frame is the replay VEHICLE only: each artifact's partials remain
     * pure functions of its own table's batch rows, and the merged
     * artifacts are batch-invariant, so DuckDB recomputes them from the

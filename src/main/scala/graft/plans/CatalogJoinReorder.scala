@@ -233,6 +233,9 @@ case class CatalogJoinReorder(session: SparkSession)
       // oscillate the fixpoint between the two shapes pass over pass.
       if (order == plans.indices.toVector) orig
       else {
+        logInfo(s"CatalogJoinReorder: ${plans.size}-relation region " +
+          s"reordered to ${order.mkString("[", ",", "]")} " +
+          s"(catalog-estimated intermediate rows: ${best.get._2})")
         val used = scala.collection.mutable.Set.empty[Expression]
         var cur = plans(order.head)
         order.tail.foreach { x =>
