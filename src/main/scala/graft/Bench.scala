@@ -113,7 +113,10 @@ object Bench {
           b.count(); ()
         }
         .start()
-      q.awaitTermination(60000)
+      // a hung warmup must not keep running concurrently with the timed
+      // body — that is the exact contamination the warmup exists to
+      // prevent
+      if (!q.awaitTermination(60000)) q.stop()
       ()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] stream warmup failed: ${e.getMessage}")

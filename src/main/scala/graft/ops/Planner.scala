@@ -111,10 +111,16 @@ object Planner {
     * the sequential fan was the dominant planner_prep cost (tiny-job
     * scheduling floors × 16 jobs). */
   private[graft] def fanOut(legs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    Await.result(Future.sequence(legs.map(f => Future(f()))), 10.minutes)
+    // blocking{}: each leg BLOCKS inside a Spark action, and the global
+    // pool's parallelism is availableProcessors — without the marker a
+    // small machine would run the 15-leg fan ~4 at a time (wall drifts
+    // toward sum(legs)/cores instead of max(leg)) and starve every other
+    // user of the JVM-global pool for the duration
+    Await.result(
+      Future.sequence(legs.map(f => Future(blocking { f() }))), 10.minutes)
     ()
   }
 
@@ -488,10 +494,14 @@ object Planner {
     // pack fewer than target/2 rows — under S33's size-tiered loop such
     // an output would stay in the small tier and be re-read/re-written on
     // every subsequent firing. Fold an undersized tail group into its
-    // predecessor so every planned output is ≥ target/2 whenever more
-    // than one group exists, making "each row is rewritten at most once
-    // by this loop" strictly true. All windows run over |files| metadata
-    // rows.
+    // PREDECESSOR — the largest OCCUPIED group id below g_max, not the
+    // literal g_max−1: an oversized file makes `cum div tgt` skip ids,
+    // and folding to an unoccupied id would merely renumber the tail
+    // instead of merging it (leaving it under target/2 forever). With
+    // the occupied-predecessor fold, every planned output is ≥ target/2
+    // whenever more than one group exists, making "each row is
+    // rewritten at most once by this loop" strictly true. All windows
+    // run over |files| metadata rows.
     man
       .withColumn("cum", coalesce(sum(col("rows")).over(
         ordW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -499,9 +509,11 @@ object Planner {
       .withColumn("grp0", expr("cum div tgt"))
       .withColumn("g_rows", expr("sum(rows) over (partition by grp0)"))
       .withColumn("g_max", expr("max(grp0) over ()"))
+      .withColumn("g_prev",
+        expr("max(case when grp0 <> g_max then grp0 end) over ()"))
       .withColumn("grp", expr("case when grp0 = g_max and grp0 > 0 " +
-        "and g_rows < tgt div 2 then grp0 - 1 else grp0 end"))
-      .drop("cum", "tgt", "grp0", "g_rows", "g_max")
+        "and g_rows < tgt div 2 then coalesce(g_prev, grp0) else grp0 end"))
+      .drop("cum", "tgt", "grp0", "g_rows", "g_max", "g_prev")
   }
 
   def q206CompactionPlan(s: SparkSession, dir: String): DataFrame = {
@@ -564,12 +576,20 @@ object Planner {
        |  SELECT nrows, mn_p, mx_p, GREATEST(n_rows // $OutFiles, 1) AS tgt,
        |    cum // GREATEST(n_rows // $OutFiles, 1) AS grp0
        |  FROM ordered, cat),
+       |g1 AS (
+       |  SELECT nrows, mn_p, mx_p, tgt, grp0,
+       |    MAX(grp0) OVER () AS g_max,
+       |    SUM(nrows) OVER (PARTITION BY grp0) AS g_rows
+       |  FROM g0),
+       |g2 AS (
+       |  SELECT *, MAX(CASE WHEN grp0 <> g_max THEN grp0 END) OVER ()
+       |    AS g_prev
+       |  FROM g1),
        |gf AS (
        |  SELECT nrows, mn_p, mx_p,
-       |    CASE WHEN grp0 = MAX(grp0) OVER () AND grp0 > 0
-       |      AND SUM(nrows) OVER (PARTITION BY grp0) < tgt // 2
-       |      THEN grp0 - 1 ELSE grp0 END AS grp
-       |  FROM g0),
+       |    CASE WHEN grp0 = g_max AND grp0 > 0 AND g_rows < tgt // 2
+       |      THEN COALESCE(g_prev, grp0) ELSE grp0 END AS grp
+       |  FROM g2),
        |grps AS (
        |  SELECT grp,
        |    MIN(mn_p) AS g_mn, MAX(mx_p) AS g_mx,
@@ -761,6 +781,9 @@ object Planner {
         (column, tag, id, mn, mx)
       }.toDF("col", "tag", "id", "mn", "mx")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
+      // a consumer that raced the build (or cached a stale root) must
+      // see THIS catalog on its next load
+      graft.plans.CatalogJoinReorder.invalidate(art)
       art
     })
 

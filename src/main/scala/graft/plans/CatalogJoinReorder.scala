@@ -91,14 +91,17 @@ case class CatalogJoinReorder(session: SparkSession)
     * prefix can differ from the global best's prefix, and re-matching
     * the rebuilt subtree would thrash the fixpoint). Leaf relations ARE
     * recursed — a join region nested under an aggregate or behind a
-    * subquery boundary still gets its own reorder. */
+    * subquery boundary still gets its own reorder, including under a
+    * region that is itself already best (the rebuilt-or-settled result
+    * carries the rewritten leaves either way). */
   private def rewrite(plan: LogicalPlan, cat: Catalog): LogicalPlan =
     plan match {
       case j: Join =>
-        val (plans, conditions) = flatten(j)
+        val (leaves, conditions) = flatten(j)
         val attempt =
-          if (plans.size < 3 || plans.size > MaxRelations) None
-          else reorder(j, plans.map(rewrite(_, cat)), conditions, cat)
+          if (leaves.size < 3 || leaves.size > MaxRelations) None
+          else reorder(j, leaves, leaves.map(rewrite(_, cat)),
+            conditions, cat)
         attempt.getOrElse(j.mapChildren(rewrite(_, cat)))
       case other => other.mapChildren(rewrite(_, cat))
     }
@@ -166,7 +169,8 @@ case class CatalogJoinReorder(session: SparkSession)
     }
   }
 
-  private def reorder(orig: Join, plans: Seq[LogicalPlan],
+  private def reorder(orig: Join, leaves: Seq[LogicalPlan],
+      plans: Seq[LogicalPlan],
       conditions: Seq[Expression], cat: Catalog): Option[LogicalPlan] = {
     // classify each relation to exactly one cataloged table by
     // column-name evidence, then scale its cardinality by the histogram
@@ -224,18 +228,24 @@ case class CatalogJoinReorder(session: SparkSession)
     plans.indices.foreach(x => extend(Vector(x), rowsOf(x), 0))
 
     best.map { case (order, _) =>
-      // Already-best regions are SETTLED: return the original node
-      // untouched (a rebuild would strip the pruning projects and
-      // thrash against ColumnPruning), and do not descend into the
+      // Already-best regions with untouched leaves are SETTLED: return
+      // the original node (a rebuild would strip the pruning projects
+      // and thrash against ColumnPruning), and do not descend into the
       // region's own sub-joins either — a sub-chain's LOCAL optimum can
       // differ from the global best's prefix (optimal substructure
       // holds per subset, not per prefix), and re-ordering it would
       // oscillate the fixpoint between the two shapes pass over pass.
-      if (order == plans.indices.toVector) orig
+      // When a LEAF was rewritten (a nested region under an aggregate
+      // got its own reorder), rebuild once in the identity order so the
+      // leaf work is kept — next pass the leaves are stable and the
+      // settled branch holds.
+      if (order == plans.indices.toVector &&
+          plans.zip(leaves).forall { case (a, b) => a eq b }) orig
       else {
-        logInfo(s"CatalogJoinReorder: ${plans.size}-relation region " +
-          s"reordered to ${order.mkString("[", ",", "]")} " +
-          s"(catalog-estimated intermediate rows: ${best.get._2})")
+        if (order != plans.indices.toVector)
+          logInfo(s"CatalogJoinReorder: ${plans.size}-relation region " +
+            s"reordered to ${order.mkString("[", ",", "]")} " +
+            s"(catalog-estimated intermediate rows: ${best.get._2})")
         val used = scala.collection.mutable.Set.empty[Expression]
         var cur = plans(order.head)
         order.tail.foreach { x =>
@@ -306,6 +316,17 @@ object CatalogJoinReorder {
   private val failed = TrieMap.empty[String, Boolean]
 
   private[graft] def evict(): Unit = { cache.clear(); failed.clear() }
+
+  /** Invalidate one root — called by the catalog BUILDER
+    * ([[graft.ops.Planner.ensureJoinArtifacts]]) after a (re)build, so
+    * a load that failed against a mid-build or stale root recovers as
+    * soon as the catalog is actually there (the negative cache is for
+    * genuinely broken paths, not for losing a race with the builder). */
+  private[graft] def invalidate(art: String): Unit = {
+    cache.remove(art)
+    failed.remove(art)
+    ()
+  }
 
   // REENTRANCY GUARD: the catalog load runs Spark actions, each of which
   // re-enters the optimizer and therefore this rule ON THE SAME THREAD —

@@ -91,16 +91,24 @@ object CompactStream {
   private[streaming] def latestGen(s: SparkSession, root: String)
       : Option[Long] = completeGens(s, root).lastOption
 
-  /** The raw per-batch manifest, degrading to an empty frame when no
-    * raw partitions stand (a vacuumed root whose every pre-generation
-    * batch was absorbed has none — an empty dir must read as zero rows,
-    * not a schema-inference error). */
+  /** The raw per-batch manifest, degrading to an empty frame ONLY when
+    * no raw partitions stand (a vacuumed root whose every
+    * pre-generation batch was absorbed has none — an empty dir must
+    * read as zero rows, not a schema-inference error). The emptiness
+    * test is an explicit LISTING, never a catch-all: a corrupt footer
+    * or an IO failure on a standing partition must fail the read
+    * loudly, not silently shrink the view to generation-only rows. */
   private def rawManifest(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    scala.util.Try(ManifestStream.manifest(s, root)).getOrElse(
+    val dir = new Path(s"$root/manifest")
+    val f = fs(s, dir)
+    val hasBatches = f.exists(dir) && f.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (!hasBatches)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(ManifestStream.ManifestSchema.fields :+
-          StructField("batch", LongType))))
+          StructField("batch", LongType)))
+    else ManifestStream.manifest(s, root)
   }
 
   /** The standing VIEW a reader consults: the latest complete
@@ -332,7 +340,12 @@ object CompactStream {
     * [[viewAsOf]] fails loudly for them, the Iceberg expire_snapshots
     * contract. Incomplete generation manifests (no `_SUCCESS`) are left
     * alone: they are invisible to readers and the owning batch's replay
-    * self-heals them.
+    * self-heals them. On drift-aware roots ([[runDrift]]) the verb also
+    * collects the lifecycle's own debris: frac telemetry behind the
+    * [[ManifestStream.DriftWindow]] look-back and bounds generations
+    * superseded by the latest complete one — per-batch partitions that
+    * would otherwise grow without bound under the very verb that exists
+    * to bound growth.
     *
     * Run it quiesced (between firings), like the maintenance verb it
     * complements: a reader pinned at a retained generation resolves all
@@ -403,6 +416,44 @@ object CompactStream {
       val p = new Path(s"$root/compact/manifest_gen=$g")
       fs(s, p).delete(p, true)
       manifestDeleted += 1
+    }
+    // drift-lifecycle debris on runDrift roots: frac telemetry behind
+    // the decision window (the election looks back DriftWindow−1
+    // batches, never further) and bounds generations superseded by the
+    // latest COMPLETE one (the grid reads only the latest; committed
+    // files' zones are physical, not grid-derived, so old bounds serve
+    // no reader). Without this the per-batch telemetry would be the one
+    // partition set the vacuum verb lets grow without bound.
+    val bDir = ManifestStream.boundsDir(root)
+    val fracIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    eachSubdir(s"$bDir/frac") { (name, _) =>
+      if (name.startsWith("batch=")) fracIds += name.stripPrefix("batch=").toLong
+    }
+    if (fracIds.nonEmpty) {
+      val keepFrom = fracIds.max - (ManifestStream.DriftWindow - 1)
+      eachSubdir(s"$bDir/frac") { (name, p) =>
+        if (name.startsWith("batch=") &&
+          name.stripPrefix("batch=").toLong < keepFrom) {
+          fs(s, p).delete(p, true)
+          manifestDeleted += 1
+        }
+      }
+    }
+    val boundGens = scala.collection.mutable.ArrayBuffer.empty[Long]
+    eachSubdir(bDir) { (name, p) =>
+      if (name.startsWith("gen=") &&
+        fs(s, p).exists(new Path(p, "_SUCCESS")))
+        boundGens += name.stripPrefix("gen=").toLong
+    }
+    if (boundGens.nonEmpty) {
+      val latest = boundGens.max
+      eachSubdir(bDir) { (name, p) =>
+        if (name.startsWith("gen=") &&
+          name.stripPrefix("gen=").toLong < latest) {
+          fs(s, p).delete(p, true)
+          manifestDeleted += 1
+        }
+      }
     }
     VacuumStats(dataDeleted, manifestDeleted, retained)
   }

@@ -268,7 +268,7 @@ object ManifestStream {
     * as a drifted batch. */
   val DriftThreshold = 0.5
 
-  private def boundsDir(root: String) = s"$root/zbounds"
+  private[streaming] def boundsDir(root: String) = s"$root/zbounds"
 
   /** Persist a bounds generation (1-row parquet; Spark's `_SUCCESS` is
     * the commit marker the listing checks). */
@@ -333,11 +333,20 @@ object ManifestStream {
       val (n, out) = (a.getAs[Long]("n"), a.getAs[Long]("out"))
       val frac = if (n == 0) 0.0 else out.toDouble / n
       // previous consecutive batches' telemetry (committed, so stable
-      // under this batch's replay)
+      // under this batch's replay). Only entries measured against the
+      // CURRENT generation count: a batch's fraction vs superseded
+      // bounds says nothing about the bounds that replaced them, and
+      // counting it would let a single outlier right after an election
+      // re-elect immediately — defeating the window's anti-thrash
+      // purpose. The election therefore needs DriftWindow consecutive
+      // drifted batches under the SAME generation.
       val prevDrifted = (1 until DriftWindow).forall { k =>
         scala.util.Try {
-          s.read.parquet(s"${boundsDir(root)}/frac/batch=${batchId - k}")
-            .head().getAs[Double]("frac") >= DriftThreshold
+          val r = s.read
+            .parquet(s"${boundsDir(root)}/frac/batch=${batchId - k}")
+            .head()
+          r.getAs[Double]("frac") >= DriftThreshold &&
+            r.getAs[Long]("gen") == curGen
         }.getOrElse(false)
       }
       val bounds =
@@ -360,9 +369,12 @@ object ManifestStream {
         } else cur
       processBatch(batch, batchId, root, bounds)
       // telemetry LAST: a crash before this point replays the batch,
-      // which recomputes the same fraction from the same rows
+      // which recomputes the same fraction from the same rows. The
+      // entry records the generation the fraction was measured AGAINST
+      // (pre-election `curGen` even when this batch elected), so the
+      // next batch's window check can require same-generation evidence.
       import s.implicits._
-      Seq(frac).toDF("frac").coalesce(1)
+      Seq((frac, curGen)).toDF("frac", "gen").coalesce(1)
         .write.mode(SaveMode.Overwrite)
         .parquet(s"${boundsDir(root)}/frac/batch=$batchId")
     } finally batch.unpersist()

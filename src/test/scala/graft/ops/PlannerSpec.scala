@@ -114,12 +114,17 @@ class PlannerSpec extends SparkSpec {
       val g = cum / target; cum += f._2; (g, f)
     }
     // the generator's tail fold (ADVICE r16): an undersized remainder
-    // group (< target/2 rows) merges into its predecessor
+    // group (< target/2 rows) merges into its predecessor — the largest
+    // OCCUPIED group id below the tail's, since an oversized file can
+    // make the cumulative carve skip ids
     val gMax = grouped0.map(_._1).max
     val tailRows = grouped0.collect { case (g, f) if g == gMax => f._2 }.sum
+    val others = grouped0.map(_._1).filter(_ != gMax)
     val grouped =
-      if (gMax > 0 && tailRows < target / 2)
-        grouped0.map { case (g, f) => (if (g == gMax) g - 1 else g, f) }
+      if (gMax > 0 && tailRows < target / 2 && others.nonEmpty)
+        grouped0.map { case (g, f) =>
+          (if (g == gMax) others.max else g, f)
+        }
       else grouped0
     val groups = grouped.groupBy(_._1).toSeq.sortBy(_._1)
     assert(groups.size.toLong === plan(1L)._6, "groups_total replay")
@@ -194,6 +199,23 @@ class PlannerSpec extends SparkSpec {
       assert(afterRead === beforeRead,
         s"fifth $k: rewritten read must equal the original data")
     }
+  }
+
+  test("planGroups tail fold targets the OCCUPIED predecessor: an " +
+      "oversized file that makes the cumulative carve skip group ids " +
+      "cannot leave a renumbered-but-unmerged tail under target/2") {
+    val s = spark
+    import s.implicits._
+    // file a is oversized (cum div tgt jumps 0 → 7), file b is the tiny
+    // tail — a literal-(g_max−1) fold would land b alone in group 6
+    val man = Seq(
+      ("a", 400L, 1.0, 2.0, 1.0, 2.0),
+      ("b", 15L, 3.0, 4.0, 3.0, 4.0))
+      .toDF("path", "rows", "mn_p", "mx_p", "mn_d", "mx_d")
+    val grps = Planner.planGroups(man, outFiles = 8).select("path", "grp")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grps("a") === grps("b"),
+      s"the undersized tail must MERGE into the occupied group: $grps")
   }
 
   test("q207: the per-table catalog artifacts exist and are exact where " +

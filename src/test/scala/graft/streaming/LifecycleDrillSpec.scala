@@ -121,6 +121,17 @@ class LifecycleDrillSpec extends SparkSpec {
     val stats = CompactStream.vacuum(s, root, retainGens = 2)
     assert(stats.deletedDataFiles > 0, s"orphans must exist to collect: $stats")
     checkInvariant("post-vacuum")
+    // the drift lifecycle's own debris is collected too: frac telemetry
+    // behind the decision window, and every bounds generation superseded
+    // by the latest complete one
+    val fracLeft = new java.io.File(s"$root/zbounds/frac").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(fracLeft.size <= ManifestStream.DriftWindow,
+      s"vacuum must collect stale frac telemetry: $fracLeft")
+    val gensLeft = new java.io.File(s"$root/zbounds").listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSeq
+    assert(gensLeft.size === 1,
+      s"only the latest bounds generation survives vacuum: $gensLeft")
 
     // ---- stage 6: the as-of read still resolves the retained history —
     // exactly the rows of batches 0..gLast, through the pruned-read body

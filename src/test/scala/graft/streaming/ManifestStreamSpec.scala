@@ -272,6 +272,26 @@ class ManifestStreamSpec extends SparkSpec {
     assert(gen2 === 3L && nb2 === nb, "replayed election must be identical")
     assert(zones() === manBefore,
       "replayed zones must be identical (paths are attempt-scoped)")
+
+    // anti-thrash across the election seam: window evidence is
+    // GENERATION-keyed, so one outlier batch right after an election
+    // cannot re-elect off the pre-election batch's telemetry (that
+    // fraction was measured against the superseded bounds — batch 3
+    // clamped 100% of gen -1's box but ~0% of its own). Two consecutive
+    // clamping batches under the NEW generation re-elect as usual.
+    val drifted2 = base.select(($"p" + 30 * pSpan).as("p"),
+      ($"d" + 30 * dSpan).as("d"))
+    ManifestStream.processBatchDrift(chunk(drifted2, 0), 4, root)
+    assert(ManifestStream.latestBoundsGen(s, root).get._1 === 3L,
+      "one drifted batch right after an election must NOT re-elect — " +
+        "the previous batch's clamp fraction was measured against the " +
+        "superseded generation")
+    ManifestStream.processBatchDrift(chunk(drifted2, 1), 5, root)
+    val (gen3, nb3) = ManifestStream.latestBoundsGen(s, root).get
+    assert(gen3 === 5L, "two consecutive clamping batches under the new " +
+      "generation must re-elect")
+    assert(nb3.pMn > nb.pMx, s"the third generation must cover the " +
+      s"second drifted regime: $nb3 vs $nb")
   }
 
   test("non-finite arrivals survive ingest (ANSI would kill the stream " +
