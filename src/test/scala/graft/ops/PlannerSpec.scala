@@ -379,5 +379,17 @@ class PlannerSpec extends SparkSpec {
         .selectExpr(s"cast(($est) as bigint) as e").head().getLong(0)
     assert(at(2000000000L, 2L, 2L) === 4000000000L + 8000000000L)
     loud(at(2000000000L, 2L, 3000000000L)) // e2·n_o = 1.2e19 > int64
+    // the q208 generator (est_o in place of n_o) sits in the same
+    // regime: exact just under the boundary, loud past it
+    val (_, est8, _) = Planner.q208Orders("div").head // C.N.O.L — viaNC
+    def at8(nn: Long, nc: Long, estO: Long): Long =
+      s.range(1).selectExpr(
+        (Planner.JoinSketchColIds.flatMap(id =>
+          Seq(s"1L as sk_$id", s"1L as kth_$id")) ++
+          Seq(s"cast($nn as bigint) as n_n", s"cast($nc as bigint) as n_c",
+            s"cast($estO as bigint) as est_o", "1L as n_l")): _*)
+        .selectExpr(s"cast(($est8) as bigint) as e").head().getLong(0)
+    assert(at8(2000000000L, 2L, 2L) === 4000000000L + 8000000000L)
+    loud(at8(2000000000L, 2L, 3000000000L))
   }
 }

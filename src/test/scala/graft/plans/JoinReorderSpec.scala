@@ -182,6 +182,44 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("self-joins: two instances of one cataloged table classify " +
+      "independently (edges resolve by exprId, stats by name) and the " +
+      "region reorders with identical results; a RENAMED self-join side " +
+      "degrades safely to no change") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    def star(): DataFrame = {
+      val o1 = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val o2 = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val c = Tables(s, sf, "customer").select($"c_custkey")
+      o1.join(c, o1("o_custkey") === $"c_custkey")
+        .join(o2, o2("o_custkey") === $"c_custkey")
+    }
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = star().count()
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      assert(star().count() === off,
+        "self-join region must produce identical results under the rule")
+      // renamed side: no column-name evidence → unclassifiable leaf →
+      // byte-identical no-op
+      def renamed(): DataFrame = {
+        val o1 = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+        val o2 = Tables(s, sf, "orders")
+          .select($"o_orderkey".as("ok2"), $"o_custkey".as("oc2"))
+        val c = Tables(s, sf, "customer").select($"c_custkey")
+        o1.join(c, $"o_custkey" === $"c_custkey")
+          .join(o2, $"oc2" === $"c_custkey")
+      }
+      val on = renamed().queryExecution.optimizedPlan
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val offPlan = renamed().queryExecution.optimizedPlan
+      assert(on.canonicalized === offPlan.canonicalized,
+        "a renamed self-join side must leave the plan untouched")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("5-chain: the catalog's region edge lets the rule price all 16 " +
       "connected orders of region–nation–customer–orders–lineitem and " +
       "rebuild a fact-first chain smallest-dimension-first") {
