@@ -326,7 +326,7 @@ object Bench {
     // table), same discipline: built COLD once on the books; the
     // enumeration then consults it warm.
     val joinstatsQueries = Set("q207_join_order_plan",
-      "q208_selective_join_order")
+      "q208_selective_join_order", "q209_equality_join_order")
     val joinstatsPrep: Seq[(String, Double)] =
       if (!only.forall(_.contains("joinstats_prep"))) {
         if (only.exists(names => (names & joinstatsQueries).nonEmpty)) try {

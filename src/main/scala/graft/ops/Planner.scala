@@ -673,6 +673,14 @@ object Planner {
     ("ho", "o", "orders", "o_totalprice"),
     ("hl", "l", "lineitem", "l_quantity"))
 
+  /** MCV'd join-key columns: (artifact id, table tag, staged column,
+    * base table, base column) — the S31 value-count table maintained
+    * into the catalog, feeding q209's EQUALITY selectivity (head exact,
+    * uniform tail over the KMV-estimated remainder — the pg_stats
+    * n_distinct/most_common_vals pairing). */
+  private val JoinMcvCols: Seq[(String, String, String, String, String)] =
+    Seq(("co_o", "o", "a", "orders", "o_custkey"))
+
   /** S29-style per-batch row-count partial: pure in the batch,
     * overwritten into `rows/batch=<id>`; the standing count is the SUM
     * over partials (associative, commutative — merged == one-pass, the
@@ -762,6 +770,10 @@ object Planner {
               () => StatsStream.processBatch(
                 batch.where($"tbl" === tag).select($"h".as("p")),
                 batchId, s"$art/h_$id", mn, mx)
+            } ++ JoinMcvCols.map { case (id, tag, ab, _, _) =>
+              () => McvStream.processBatch(
+                batch.where($"tbl" === tag).select(col(ab).as("v")),
+                batchId, s"$art/m_$id")
             })
           batch.unpersist()
           ()
@@ -808,12 +820,17 @@ object Planner {
   private[graft] def q208Orders(div: String): Seq[(String, String, String)] =
     chainOrders(div, "est_o")
 
+  /** The q200 KMV estimate over a sketch's (sk_<id>, kth_<id>) columns —
+    * identical text in Spark SQL (div) and DuckDB (//), shared by the
+    * order generators and q209's tail-selectivity CTE. */
+  private def dSql(id: String, div: String): String =
+    s"(case when sk_$id < ${Layout.KmvK} then sk_$id " +
+      s"else cast(${(Layout.KmvK - 1L) * Layout.KmvP} $div " +
+      s"greatest(kth_$id, 1) as bigint) end)"
+
   private def chainOrders(div: String,
       nO: String): Seq[(String, String, String)] = {
-    def d(id: String): String =
-      s"(case when sk_$id < ${Layout.KmvK} then sk_$id " +
-        s"else cast(${(Layout.KmvK - 1L) * Layout.KmvP} $div " +
-        s"greatest(kth_$id, 1) as bigint) end)"
+    def d(id: String): String = dSql(id, div)
     val dNC = s"greatest(${d("nc_n")}, ${d("nc_c")})"
     val dCO = s"greatest(${d("co_c")}, ${d("co_o")})"
     val dOL = s"greatest(${d("ol_o")}, ${d("ol_l")})"
@@ -1092,11 +1109,126 @@ object Planner {
        |FROM costed ORDER BY join_order""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q209
+
+  /** q209 — EQUALITY-predicate join ordering off the maintained MCV:
+    * the third Selinger leg (q207 = cardinality × order, q208 = range
+    * selectivity, here = equality selectivity). The audited predicate is
+    * `o_custkey = <the (McvSlots+1)-th most common key>` — deliberately
+    * the first value PAST the MCV head, so the estimate is the genuine
+    * pg_stats tail rule (uniform over the KMV-estimated remainder:
+    * `(n − Σhead) div greatest(ndv_est − k, 1)`) rather than an exact
+    * head lookup; the key itself and the head mass both come off the
+    * maintained S31 value-count artifact, ndv off the S29 sketch, and
+    * the cascade is the SHARED generator with est_o swapped in (the
+    * q208 pattern — one symbol). Graded q201-style over all 8 orders
+    * against the filtered sub-chain truth: σ(orders) ≈ a dozen rows, so
+    * the {C,O}-first flip lands again, est_rank == exact_rank.
+    *
+    * Scale shape: the MCV consult is a value-domain window (the S31/q203
+    * discipline — value-domain artifacts, never corpus-sized); the ndv
+    * consult is ≤K rows; truth legs are the q207 exact legs over the
+    * equality-filtered orders. */
+  def q209EqualityJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureJoinArtifacts(s, dir)
+    val ranked = McvStream.mergedCounts(s, s"$art/m_co_o")
+      .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"v")))
+    val key = ranked.where($"r" === McvSlots + 1).select($"v".as("k_eq"))
+    val headW = ranked.agg(
+      coalesce(sum(when($"r" <= McvSlots, $"n")), lit(0L)).as("mcv_n"))
+    val sOrders = Tables(s, dir, "orders")
+      .crossJoin(broadcast(key))
+      .where($"o_custkey" === $"k_eq")
+      .drop("k_eq")
+    val wide = catalogWide(s, art)
+      .crossJoin(headW)
+      .crossJoin(exactChainCounts(s, dir, sOrders))
+      .selectExpr("*", s"cast((n_o - mcv_n) div " +
+        s"greatest(${dSql("co_o", "div")} - $McvSlots, 1) as bigint) " +
+        "as est_o")
+    rankedOrders(wide, q208Orders("div"))
+  }
+
+  val q209Oracle: String = {
+    val skCtes = JoinSketchCols.map { case (id, _, _, table, column) =>
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = JoinTables.map { case (tag, table, _, _, _) =>
+      s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
+    }.mkString(",\n")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c._1}") ++
+      JoinTables.map(t => s"nn_${t._1}") :+ "e9").mkString(", ")
+    val legs = q208Orders("//").map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS join_order,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |cnts AS (
+       |  SELECT o_custkey AS v, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |rkd AS (
+       |  SELECT v, n, ROW_NUMBER() OVER (ORDER BY n DESC, v) AS r
+       |  FROM cnts),
+       |k9 AS (SELECT v AS k_eq FROM rkd WHERE r = ${McvSlots + 1}),
+       |h9 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN r <= $McvSlots THEN n END), 0)
+       |    AS BIGINT) AS mcv_n
+       |  FROM rkd),
+       |e9 AS (
+       |  SELECT CAST((n.n_o - h.mcv_n)
+       |    // GREATEST(${dSql("co_o", "//")} - $McvSlots, 1) AS BIGINT)
+       |    AS est_o
+       |  FROM nn_o n, h9 h, a_co_o),
+       |so AS (
+       |  SELECT o_orderkey, o_custkey FROM orders, k9
+       |  WHERE o_custkey = k_eq),
+       |st AS (SELECT * FROM $stFrom),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey) AS x_nc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey
+       |     JOIN so ON c_custkey = o_custkey) AS x_nco,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey) AS x_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_col,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_ol),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, exact_cost,
+       |  CAST((1000 * (est_cost - exact_cost))
+       |    // GREATEST(exact_cost, 1) AS BIGINT) AS err_milli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
     "q207_join_order_plan" -> q207JoinOrderPlan _,
     "q208_selective_join_order" -> q208SelectiveJoinOrder _,
+    "q209_equality_join_order" -> q209EqualityJoinOrder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1104,5 +1236,6 @@ object Planner {
     "q206_compaction_plan" -> q206Oracle,
     "q207_join_order_plan" -> q207Oracle,
     "q208_selective_join_order" -> q208Oracle,
+    "q209_equality_join_order" -> q209Oracle,
   )
 }

