@@ -60,7 +60,7 @@ object Planner {
   private val Ks = Seq(1, 8, 48)
 
   /** MCV slots the join estimate absorbs exactly (q203's k = 32 point). */
-  private val McvSlots = 32
+  private[graft] val McvSlots = 32
 
   /** Cost-model fanout of a broadcast: every worker receives the build
     * side once (rows moved = 32·|build|), vs a shuffle moving each side
@@ -793,6 +793,9 @@ object Planner {
         (column, tag, id, mn, mx)
       }.toDF("col", "tag", "id", "mn", "mx")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
+      JoinMcvCols.map { case (id, tag, _, _, column) => (column, tag, id) }
+        .toDF("col", "tag", "id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
       // a consumer that raced the build (or cached a stale root) must
       // see THIS catalog on its next load
       graft.plans.CatalogJoinReorder.invalidate(art)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Logi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{coalesce, lit, sum}
 
-import graft.streaming.{NdvStream, StatsStream}
+import graft.streaming.{McvStream, NdvStream, StatsStream}
 
 /** Cost-based join reordering driven by the STREAM-MAINTAINED catalog —
   * the q207 audit promoted into the engine's own optimizer.
@@ -44,15 +44,19 @@ import graft.streaming.{NdvStream, StatsStream}
   *    by a cataloged ndv — otherwise: no change;
   *  - leaf cardinalities are SELECTIVITY-scaled: a pushed-down range
   *    conjunct on a histogrammed column multiplies the leaf's rows by
-  *    the S28 estimate (q197's half-straddle rule, q198's independence
-  *    assumption across conjuncts; per-column ndv is deliberately NOT
-  *    rescaled — the classic conservative simplification). Unpriceable
+  *    the S28 estimate (q197's half-straddle rule), and an equality
+  *    conjunct on an MCV'd column by the S31 estimate (pg_stats: head
+  *    values exact, uniform tail over the KMV-estimated remainder — the
+  *    literal q209 arithmetic). Conjuncts compose under q198's declared
+  *    independence assumption; per-column ndv is deliberately NOT
+  *    rescaled — the classic conservative simplification. Unpriceable
   *    conjuncts contribute factor 1 — the unfiltered cardinality,
   *    conservative and never wrong. This closes the Selinger triple
   *    (selectivity × cardinality × order) from maintained artifacts:
-  *    JoinReorderSpec pins a narrow orders filter FLIPPING the best
-  *    order from dimension-first to filtered-fact-first, and the flip
-  *    being right by engine-measured intermediate rows;
+  *    JoinReorderSpec pins a narrow range filter AND a tail-key
+  *    equality filter each FLIPPING the best order from dimension-first
+  *    to filtered-fact-first, the range flip proven right by
+  *    engine-measured intermediate rows;
   *  - enumeration is the full System-R left-deep walk over
   *    connected-prefix orders (the literal q207 semantics: intermediate
   *    size cascades by `size · n(X) / Π max-side-ndv(edge)`, cost =
@@ -145,10 +149,20 @@ case class CatalogJoinReorder(session: SparkSession)
     case _ => None
   }
 
-  /** Estimated rows a single range conjunct keeps, off the maintained
-    * S28 histogram (q197's full-bins-plus-half-straddle rule). None for
-    * shapes the catalog cannot price — the factor is then 1 (the
-    * UNFILTERED cardinality: conservative, never wrong). */
+  private def longOf(v: Any): Option[Long] = v match {
+    case null => None
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toLong)
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Estimated rows a single conjunct keeps: range conjuncts off the
+    * maintained S28 histogram (q197's full-bins-plus-half-straddle
+    * rule), equality conjuncts off the maintained S31 MCV (pg_stats:
+    * head values exact, uniform tail over the KMV-estimated remainder —
+    * the literal q209 arithmetic). None for shapes the catalog cannot
+    * price — the factor is then 1 (the UNFILTERED cardinality:
+    * conservative, never wrong). */
   private def predRows(cond: Expression, cat: Catalog): Option[Long] = {
     def le(a: Attribute, v: Any): Option[Long] = for {
       h <- cat.hist.get(a.name); d <- numOf(v)
@@ -156,6 +170,9 @@ case class CatalogJoinReorder(session: SparkSession)
     def ge(a: Attribute, v: Any): Option[Long] = for {
       h <- cat.hist.get(a.name); d <- numOf(v)
     } yield math.max(h.n - h.estLE(d), 0L)
+    def eq(a: Attribute, v: Any): Option[Long] = for {
+      m <- cat.mcv.get(a.name); l <- longOf(v)
+    } yield m.estEq(l)
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v, _)) => le(a, v)
       case LessThan(a: Attribute, Literal(v, _)) => le(a, v)
@@ -165,6 +182,8 @@ case class CatalogJoinReorder(session: SparkSession)
       case LessThan(Literal(v, _), a: Attribute) => ge(a, v)
       case GreaterThanOrEqual(Literal(v, _), a: Attribute) => le(a, v)
       case GreaterThan(Literal(v, _), a: Attribute) => le(a, v)
+      case EqualTo(a: Attribute, Literal(v, _)) => eq(a, v)
+      case EqualTo(Literal(v, _), a: Attribute) => eq(a, v)
       case _ => None
     }
   }
@@ -302,8 +321,20 @@ object CatalogJoinReorder {
       }
   }
 
+  /** A maintained S31 MCV head, loaded driver-side (top-k rows + one
+    * total — metadata regardless of the value domain's size). `estEq`
+    * is the pg_stats rule: exact count for a head value, uniform tail
+    * over the KMV-estimated remainder otherwise (q209's graded
+    * arithmetic). */
+  private[graft] final case class Mcv(head: Map[Long, Long], headN: Long,
+      n: Long, ndv: Long) {
+    def estEq(v: Long): Long = head.getOrElse(v,
+      math.max(n - headN, 0L) / math.max(ndv - head.size, 1L))
+  }
+
   private[graft] final case class Catalog(tables: Seq[TableStats],
-      ndv: Map[String, Long], hist: Map[String, Hist])
+      ndv: Map[String, Long], hist: Map[String, Hist],
+      mcv: Map[String, Mcv])
 
   // one catalog load per (JVM, root): ~15 metadata-sized reads; keyed on
   // the PATH, never the session object (the Planner/Tables cache
@@ -378,7 +409,27 @@ object CatalogJoinReorder {
                 col -> Hist(mn, mx, bins)
               }.toMap
           }.getOrElse(Map.empty[String, Hist])
-          val cat = Catalog(tables, ndv, hist)
+          // MCV heads: top-k by (count desc, value) pulled IN-PLAN, so
+          // the driver reads k+1 rows per column even when the value
+          // domain is corpus-scaled
+          val mcv = scala.util.Try {
+            import org.apache.spark.sql.functions.col
+            s.read.parquet(s"$art/mcvs")
+              .select("col", "id").collect()
+              .map { r =>
+                val (column, id) = (r.getString(0), r.getString(1))
+                val counts = McvStream.mergedCounts(s, s"$art/m_$id")
+                val head = counts
+                  .orderBy(col("n").desc, col("v"))
+                  .limit(graft.ops.Planner.McvSlots).collect()
+                  .map(x => x.getLong(0) -> x.getLong(1)).toMap
+                val n = counts.agg(coalesce(sum("n"), lit(0L)))
+                  .head().getLong(0)
+                column -> Mcv(head, head.values.sum, n,
+                  ndv.getOrElse(column, head.size.toLong))
+              }.toMap
+          }.getOrElse(Map.empty[String, Mcv])
+          val cat = Catalog(tables, ndv, hist, mcv)
           cache.put(art, cat)
           Some(cat)
           } catch { case e: Exception =>

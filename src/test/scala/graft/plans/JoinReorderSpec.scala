@@ -380,6 +380,39 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  test("equality selectivity off the maintained MCV: a tail-key " +
+      "σ(o_custkey = k) makes orders the cheapest opener — the rule's " +
+      "twin of the graded q209 flip — with identical results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    // the same key q209 audits: the (McvSlots+1)-th most common custkey
+    // — just past the head, so the rule prices it by the uniform tail
+    val k = graft.streaming.McvStream.mergedCounts(s, s"$art/m_co_o")
+      .orderBy($"n".desc, $"v").limit(Planner.McvSlots + 1)
+      .collect().last.getLong(0)
+    def chain(): DataFrame =
+      Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+          .where($"o_custkey" === k), $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("orders", "customer", "nation", "lineitem"),
+        "the equality-filtered fact must open the rebuilt plan")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) === off,
+        "the equality flip must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("SQL path: a FROM … JOIN … chain written fact-first in SQL text " +
       "comes out dimension-first — the rule is engine-level, not a " +
       "DataFrame-API affordance") {
