@@ -97,8 +97,15 @@ object Planner {
   // cold-rebuild hook) clears the whole map: only one sf dir is live per
   // entry point, and an over-wide evict costs a rebuild, never
   // correctness.
+  // ConcurrentHashMap.computeIfAbsent, NOT TrieMap.getOrElseUpdate
+  // (ADVICE r17): the TrieMap form is not atomic — two threads asking
+  // for the same dir could both run the builder, whose first act is a
+  // deleteQuietly of the shared scratch root, one build deleting the
+  // other's in-progress stream output. computeIfAbsent holds the bin
+  // lock for the key, so exactly one build runs per root and latecomers
+  // block until it lands.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private[graft] def evictSession(s: SparkSession): Unit =
     cache.clear()
@@ -118,9 +125,16 @@ object Planner {
     // pool's parallelism is availableProcessors — without the marker a
     // small machine would run the 15-leg fan ~4 at a time (wall drifts
     // toward sum(legs)/cores instead of max(leg)) and starve every other
-    // user of the JVM-global pool for the duration
-    Await.result(
-      Future.sequence(legs.map(f => Future(blocking { f() }))), 10.minutes)
+    // user of the JVM-global pool for the duration.
+    // Every leg is awaited TO COMPLETION before any failure is rethrown
+    // (ADVICE r17): Future.sequence rethrows on the first failed leg
+    // while siblings keep running, and the streaming engine's retry of
+    // the same foreachBatch could then overwrite the same batch=<id>
+    // artifact partitions concurrently with the orphans — a torn write.
+    val done = Await.result(
+      Future.sequence(legs.map(f =>
+        Future(blocking { scala.util.Try(f()) }))), 10.minutes)
+    done.collectFirst { case scala.util.Failure(e) => throw e }
     ()
   }
 
@@ -132,7 +146,7 @@ object Planner {
     * discipline); the audits' timed bodies are the artifact CONSULTS
     * plus exact-truth legs. */
   private[graft] def ensureArtifacts(s: SparkSession, dir: String): String =
-    cache.getOrElseUpdate(dir, {
+    cache.computeIfAbsent(dir, _ => {
       import s.implicits._
       val base = graft.Scratch.forSf("planner", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
@@ -696,8 +710,9 @@ object Planner {
     ()
   }
 
+  // same per-key-locked map as [[cache]] (ADVICE r17)
   private val cacheJoin =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private[graft] def evictJoinSession(s: SparkSession): Unit =
     cacheJoin.clear()
@@ -714,7 +729,7 @@ object Planner {
     * artifacts are batch-invariant, so DuckDB recomputes them from the
     * base tables alone. */
   private[graft] def ensureJoinArtifacts(s: SparkSession, dir: String): String =
-    cacheJoin.getOrElseUpdate(dir, {
+    cacheJoin.computeIfAbsent(dir, _ => {
       import s.implicits._
       val base = graft.Scratch.forSf("planner_join", dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

@@ -188,14 +188,36 @@ case class CatalogJoinReorder(session: SparkSession)
     }
   }
 
+  /** A leaf the catalog may classify: a Filter/Project access path over
+    * a bare relation. An Aggregate/Distinct/Limit/subquery leaf that
+    * happens to project a cataloged column name must NOT be priced at
+    * base-table cardinality (ADVICE r17) — its output is a different
+    * relation entirely, and leafConds() would scale filters above it as
+    * if they applied to base rows. */
+  private def plainLeaf(p: LogicalPlan): Boolean = p match {
+    case Filter(_, ch) => plainLeaf(ch)
+    case Project(_, ch) => plainLeaf(ch)
+    case other => other.children.isEmpty
+  }
+
   private def reorder(orig: Join, leaves: Seq[LogicalPlan],
       plans: Seq[LogicalPlan],
       conditions: Seq[Expression], cat: Catalog): Option[LogicalPlan] = {
+    // DETERMINISM GUARD (ADVICE r17, the upstream
+    // ExtractFiltersAndInnerJoins contract): the rebuild reattaches
+    // pooled conjuncts at the earliest join where their references
+    // resolve, which can relocate a predicate to a different
+    // intermediate relation — sound only for deterministic expressions
+    // (a relocated rand() would be evaluated against a different number
+    // of rows and change results). Any non-deterministic pooled
+    // condition ⇒ the whole region is left verbatim.
+    if (!conditions.forall(_.deterministic)) return None
     // classify each relation to exactly one cataloged table by
     // column-name evidence, then scale its cardinality by the histogram
     // selectivity of every priceable pushed-down range conjunct
     // (attribute independence, q198's declared assumption)
     val rowsOf: Seq[BigInt] = plans.map { p =>
+      if (!plainLeaf(p)) return None // aggregate/limit/subquery leaf
       val names = p.output.map(_.name).toSet
       val t = cat.tables.filter(t => t.cols.exists(names)) match {
         case Seq(one) => one
@@ -343,8 +365,26 @@ object CatalogJoinReorder {
 
   // roots whose load already failed: the rule no-ops for them instead of
   // re-throwing inside the optimizer on EVERY query (a misconfigured
-  // path must degrade to "no CBO", never to "no queries")
-  private val failed = TrieMap.empty[String, Boolean]
+  // path must degrade to "no CBO", never to "no queries"). TIME-BOUNDED
+  // (ADVICE r17): the entry stores the failure instant and expires after
+  // [[RetryKey]] seconds, so a transient FS hiccup costs a retry window,
+  // not the JVM lifetime — an external session pointing at a pre-built
+  // catalog never calls the builder's invalidate() and would otherwise
+  // stay CBO-less forever.
+  private val failed = TrieMap.empty[String, Long]
+
+  /** Session conf: seconds before a failed catalog load is retried
+    * (default 30). 0 retries on the next query. */
+  val RetryKey = "spark.graft.join.catalog.retrySec"
+
+  private def failedRecently(s: SparkSession, art: String): Boolean =
+    failed.get(art).exists { t =>
+      val retrySec = scala.util.Try(
+        s.sessionState.conf.getConfString(RetryKey, "30").toLong)
+        .getOrElse(30L)
+      if (System.nanoTime() - t < retrySec * 1000000000L) true
+      else { failed.remove(art); false }
+    }
 
   private[graft] def evict(): Unit = { cache.clear(); failed.clear() }
 
@@ -375,7 +415,7 @@ object CatalogJoinReorder {
     * Returns None when called reentrantly mid-load (see [[loading]]). */
   private[graft] def load(s: SparkSession, art: String): Option[Catalog] =
     cache.get(art).orElse {
-      if (loading.get || failed.contains(art)) None
+      if (loading.get || failedRecently(s, art)) None
       else {
         loading.set(true)
         try {
@@ -436,7 +476,7 @@ object CatalogJoinReorder {
             System.err.println(s"[graft] join-catalog load failed for " +
               s"$art (${e.getMessage}) — CatalogJoinReorder disabled for " +
               "this root")
-            failed.put(art, true)
+            failed.put(art, System.nanoTime())
             None
           }
         } finally loading.set(false)

@@ -413,6 +413,105 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("determinism guard: a non-deterministic predicate between joins " +
+      "leaves the region byte-identical — relocating rand() would change " +
+      "results (the ExtractFiltersAndInnerJoins contract)") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    def chain(): DataFrame =
+      Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+        .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .where(org.apache.spark.sql.functions.rand(7) < 0.5)
+        .join(Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    // Spark's own ReorderJoin hoists the rand filter ABOVE the region
+    // before this rule ever sees it (leaving a clean, safely-reorderable
+    // region). Exclude it so the mid-chain non-deterministic filter
+    // reaches THIS rule's flattener — the exact pooling hazard the guard
+    // exists for.
+    val exKey = "spark.sql.optimizer.excludedRules"
+    val savedEx = s.conf.getOption(exKey)
+    s.conf.set(exKey, "org.apache.spark.sql.catalyst.optimizer.ReorderJoin")
+    try {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val off = chain().queryExecution.optimizedPlan
+      s.conf.set(CatalogJoinReorder.CatalogKey, art)
+      val on = chain().queryExecution.optimizedPlan
+      assert(on.canonicalized === off.canonicalized,
+        "a region with a non-deterministic pooled predicate must be " +
+          "left untouched")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      savedEx.fold(s.conf.unset(exKey))(v => s.conf.set(exKey, v))
+    }
+  }
+
+  test("aggregate leaf: a leaf that is a groupBy projecting a cataloged " +
+      "column is NOT priced at base-table rows — the region is left " +
+      "byte-identical") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    def chain(): DataFrame = {
+      // an aggregate whose output carries the cataloged name o_orderkey
+      val agg = Tables(s, sf, "orders").groupBy($"o_orderkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .where($"n" > 0)
+      agg.join(Tables(s, sf, "lineitem").select($"l_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer").select($"c_custkey"),
+          $"c_custkey" === $"l_orderkey")
+    }
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain().queryExecution.optimizedPlan
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain().queryExecution.optimizedPlan
+      assert(on.canonicalized === off.canonicalized,
+        "an aggregate leaf must make the region out-of-scope")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("negative-cache retry: a root that failed to load is retried " +
+      "after the conf'd window — a transient failure must not disable " +
+      "CBO for the JVM lifetime") {
+    val s = ExtSession.spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-retry")
+      .toString + "/stats"
+    CatalogJoinReorder.invalidate(tmp)
+    s.conf.set(CatalogJoinReorder.RetryKey, "3600")
+    s.conf.set(CatalogJoinReorder.CatalogKey, tmp)
+    try {
+      // first query: load fails (nothing at tmp), negative cache arms
+      assert(leafTables(worstOrder(s).queryExecution.optimizedPlan) ===
+        Seq("orders", "lineitem", "customer", "nation"))
+      // the catalog MATERIALIZES at that path…
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(art), new java.io.File(tmp))
+      // …but inside the retry window the rule still no-ops
+      assert(leafTables(worstOrder(s).queryExecution.optimizedPlan) ===
+        Seq("orders", "lineitem", "customer", "nation"),
+        "within the retry window the negative cache must hold")
+      // window elapses (retrySec=0) → the next load succeeds
+      s.conf.set(CatalogJoinReorder.RetryKey, "0")
+      assert(leafTables(worstOrder(s).queryExecution.optimizedPlan) ===
+        Seq("customer", "nation", "orders", "lineitem"),
+        "after the retry window the rule must recover without invalidate()")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.unset(CatalogJoinReorder.RetryKey)
+      CatalogJoinReorder.invalidate(tmp)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
+
   test("SQL path: a FROM … JOIN … chain written fact-first in SQL text " +
       "comes out dimension-first — the rule is engine-level, not a " +
       "DataFrame-API affordance") {
