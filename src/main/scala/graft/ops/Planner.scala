@@ -640,60 +640,75 @@ object Planner {
 
   // ----------------------------------------------------------------- q207
 
-  /** Tables of the N–C–O–L FK chain, as staged for the q207 replay:
-    * (tag, table, carve key, column staged as `a`, column staged as `b`).
-    * The carve key only fixes WHICH micro-batch a row replays in — every
-    * q207 artifact is batch-INVARIANT (min-K-of-union and + are
-    * associative and commutative, partials idempotent under per-batch
-    * overwrite), so the merged artifacts equal their one-pass twins for
-    * any batching; the table's own key just keeps replays byte-stable. */
-  private val JoinTables: Seq[(String, String, String, String, String)] = Seq(
-    ("r", "region", "r_regionkey", "r_regionkey", null),
-    ("n", "nation", "n_nationkey", "n_nationkey", "n_regionkey"),
-    ("c", "customer", "c_custkey", "c_nationkey", "c_custkey"),
-    ("o", "orders", "o_orderkey", "o_custkey", "o_orderkey"),
-    ("l", "lineitem", "l_orderkey", "l_orderkey", null))
+  /** The N–C–O–L FK chain as a [[CatalogSpec]] — the spec the graded
+    * q207/q208/q209 audits and their oracles read. The carve key only
+    * fixes WHICH micro-batch a row replays in — every artifact is
+    * batch-INVARIANT (min-K-of-union and + are associative and
+    * commutative, partials idempotent under per-batch overwrite), so the
+    * merged artifacts equal their one-pass twins for any batching; the
+    * table's own key just keeps replays byte-stable.
+    *
+    * The rn edge (region ⋈ nation) extends the catalog one dimension
+    * past the q201/q207 4-chain; the graded q207 audit stays on the
+    * 4-chain oracle, while [[graft.plans.CatalogJoinReorder]] prices the
+    * full 5-chain (JoinReorderSpec's 16-order leg). The hist columns
+    * feed the rule's range-selectivity leg (q197's
+    * full-bins-plus-half-straddle rule); the mcv column feeds q209's
+    * equality selectivity (pg_stats head-exact / uniform-tail). */
+  private[graft] val TpchChainSpec: CatalogSpec = CatalogSpec(
+    name = "planner_join",
+    tables = Seq(
+      CatalogTable("r", "region", "r_regionkey", "r_regionkey"),
+      CatalogTable("n", "nation", "n_nationkey", "n_nationkey",
+        "n_regionkey"),
+      CatalogTable("c", "customer", "c_custkey", "c_nationkey", "c_custkey"),
+      CatalogTable("o", "orders", "o_orderkey", "o_custkey", "o_orderkey"),
+      CatalogTable("l", "lineitem", "l_orderkey", "l_orderkey")),
+    sketches = Seq(
+      CatalogColumn("rn_r", "r", "a", "region", "r_regionkey"),
+      CatalogColumn("rn_n", "n", "b", "nation", "n_regionkey"),
+      CatalogColumn("nc_n", "n", "a", "nation", "n_nationkey"),
+      CatalogColumn("nc_c", "c", "a", "customer", "c_nationkey"),
+      CatalogColumn("co_c", "c", "b", "customer", "c_custkey"),
+      CatalogColumn("co_o", "o", "a", "orders", "o_custkey"),
+      CatalogColumn("ol_o", "o", "b", "orders", "o_orderkey"),
+      CatalogColumn("ol_l", "l", "a", "lineitem", "l_orderkey")),
+    hists = Seq(
+      CatalogHistCol("ho", "o", "orders", "o_totalprice"),
+      CatalogHistCol("hl", "l", "lineitem", "l_quantity")),
+    mcvs = Seq(
+      CatalogColumn("co_o", "o", "a", "orders", "o_custkey")))
 
-  /** Sketched join-key columns: (artifact id — mirroring q201's
-    * d_<edge>_<side> stats names, table tag, staged column, base table,
-    * base column — the oracle's recompute source). The rn edge (region
-    * ⋈ nation) extends the catalog one dimension past the q201/q207
-    * 4-chain; the graded q207 audit stays on the 4-chain oracle, while
-    * [[graft.plans.CatalogJoinReorder]] prices the full 5-chain
-    * (JoinReorderSpec's 16-order leg). */
-  private val JoinSketchCols: Seq[(String, String, String, String, String)] =
-    Seq(
-      ("rn_r", "r", "a", "region", "r_regionkey"),
-      ("rn_n", "n", "b", "nation", "n_regionkey"),
-      ("nc_n", "n", "a", "nation", "n_nationkey"),
-      ("nc_c", "c", "a", "customer", "c_nationkey"),
-      ("co_c", "c", "b", "customer", "c_custkey"),
-      ("co_o", "o", "a", "orders", "o_custkey"),
-      ("ol_o", "o", "b", "orders", "o_orderkey"),
-      ("ol_l", "l", "a", "lineitem", "l_orderkey"))
+  private def JoinTables: Seq[CatalogTable] = TpchChainSpec.tables
+  private def JoinSketchCols: Seq[CatalogColumn] = TpchChainSpec.sketches
+  private[graft] def JoinSketchColIds: Seq[String] = JoinSketchCols.map(_.id)
 
-  private[graft] def JoinSketchColIds: Seq[String] = JoinSketchCols.map(_._1)
-
-  /** Histogrammed predicate columns: (artifact id, table tag, base
-    * table, base column). These feed [[graft.plans.CatalogJoinReorder]]'s
-    * SELECTIVITY leg — a pushed range predicate on a cataloged leaf
-    * scales its cardinality by the S28 histogram estimate (q197's
-    * full-bins-plus-half-straddle rule) before the enumeration prices
-    * orders, closing the Selinger triple (selectivity × cardinality ×
-    * order) from maintained artifacts alone. The graded q207 audit stays
-    * predicate-free; JoinReorderSpec pins the decision FLIP a narrow
-    * filter induces, engine-measured. */
-  private val JoinHistCols: Seq[(String, String, String, String)] = Seq(
-    ("ho", "o", "orders", "o_totalprice"),
-    ("hl", "l", "lineitem", "l_quantity"))
-
-  /** MCV'd join-key columns: (artifact id, table tag, staged column,
-    * base table, base column) — the S31 value-count table maintained
-    * into the catalog, feeding q209's EQUALITY selectivity (head exact,
-    * uniform tail over the KMV-estimated remainder — the pg_stats
-    * n_distinct/most_common_vals pairing). */
-  private val JoinMcvCols: Seq[(String, String, String, String, String)] =
-    Seq(("co_o", "o", "a", "orders", "o_custkey"))
+  /** The registered NON-TPC-H catalog (VERDICT r17 #1's done-bar): the
+    * LLM-pipeline tables joined on user/doc keys —
+    * embeddings ⋈(vec_id = doc_id) documents ⋈(doc_id = user_id)
+    * events ⋈(user_id = c_custkey) customer — cataloged by the SAME
+    * one-pass stream and priced by the same rule (JoinReorderSpec's
+    * registered-set leg). The c_custkey and label histograms feed the
+    * q210 rescaled-selectivity audit; the event-type key is djb2-coded
+    * into the bigint domain the staged slots carry (the engine's own
+    * registered SQL function — reference partitioner/index.js:51 for
+    * the hash's provenance). */
+  private[graft] val PipelineCatalogSpec: CatalogSpec = CatalogSpec(
+    name = "planner_events",
+    tables = Seq(
+      CatalogTable("em", "embeddings", "vec_id", "vec_id"),
+      CatalogTable("dc", "documents", "doc_id", "doc_id"),
+      CatalogTable("ev", "events", "event_id", "user_id",
+        "djb2(event_type)"),
+      CatalogTable("cu", "customer", "c_custkey", "c_custkey")),
+    sketches = Seq(
+      CatalogColumn("em_vec", "em", "a", "embeddings", "vec_id"),
+      CatalogColumn("dc_doc", "dc", "a", "documents", "doc_id"),
+      CatalogColumn("ev_uid", "ev", "a", "events", "user_id"),
+      CatalogColumn("cu_key", "cu", "a", "customer", "c_custkey")),
+    hists = Seq(
+      CatalogHistCol("hcu", "cu", "customer", "c_custkey"),
+      CatalogHistCol("hem", "em", "embeddings", "label")))
 
   /** S29-style per-batch row-count partial: pure in the batch,
     * overwritten into `rows/batch=<id>`; the standing count is the SUM
@@ -717,35 +732,47 @@ object Planner {
   private[graft] def evictJoinSession(s: SparkSession): Unit =
     cacheJoin.clear()
 
-  /** Build (once per session × sf dir) the q207 per-table catalog: for
-    * each chain table (region through lineitem), its row count and the
-    * S29 KMV sketch of every join-key column, maintained by ONE
-    * streaming pass over a 4-batch replay of the UNION of the tables
-    * (each micro-batch fans to the literal [[NdvStream.processBatch]] /
-    * [[countBatch]]/[[StatsStream.processBatch]] bodies per (table,
-    * column) — 15 concurrent metadata-sized legs). The union
+  /** The q207 per-table catalog: [[ensureCatalog]] applied to the
+    * graded [[TpchChainSpec]] (region through lineitem, 15 concurrent
+    * metadata-sized legs per micro-batch). */
+  private[graft] def ensureJoinArtifacts(s: SparkSession, dir: String): String =
+    ensureCatalog(s, dir, TpchChainSpec)
+
+  /** The REGISTRATION API (VERDICT r17 #1): build (once per session ×
+    * sf dir × spec name) the stream-maintained catalog for ANY declared
+    * [[CatalogSpec]] — per-table row counts, S29 KMV sketches, S28
+    * histograms under staged bounds, and S31 MCV value-count tables,
+    * all maintained by ONE streaming pass over a 4-batch replay of the
+    * UNION of the declared tables (each micro-batch fans to the literal
+    * [[NdvStream.processBatch]] / [[countBatch]] /
+    * [[StatsStream.processBatch]] / [[McvStream.processBatch]] bodies
+    * per (table, column) — concurrent metadata-sized legs). The union
     * frame is the replay VEHICLE only: each artifact's partials remain
     * pure functions of its own table's batch rows, and the merged
     * artifacts are batch-invariant, so DuckDB recomputes them from the
-    * base tables alone. */
-  private[graft] def ensureJoinArtifacts(s: SparkSession, dir: String): String =
-    cacheJoin.computeIfAbsent(dir, _ => {
+    * base tables alone. Returns the artifact root — point
+    * `spark.graft.join.catalog` at it and [[graft.plans.CatalogJoinReorder]]
+    * prices the registered tables from the self-describing descriptors. */
+  def ensureCatalog(s: SparkSession, dir: String,
+      spec: CatalogSpec): String =
+    cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
       import s.implicits._
-      val base = graft.Scratch.forSf("planner_join", dir)
+      // staged expressions may use the engine's SQL surface (djb2, …)
+      graft.GraftFunctions.registerAll(s)
+      val base = graft.Scratch.forSf(spec.name, dir)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val art = s"$base/stats"
       val incoming = s"$base/incoming"
-      val histOf = JoinHistCols.map(h => h._2 -> h).toMap
-      val union = JoinTables.map { case (tag, table, pk, aCol, bCol) =>
-        Tables(s, dir, table).selectExpr(
-          s"'$tag' as tbl",
-          s"cast($aCol as bigint) as a",
-          if (bCol == null) "cast(null as bigint) as b"
-          else s"cast($bCol as bigint) as b",
-          histOf.get(tag).map { case (_, _, _, c) =>
-            s"cast($c as double) as h"
-          }.getOrElse("cast(null as double) as h"),
-          s"(${Layout.kmvHashSql(pk)}) % 4 as chunk")
+      val histOf = spec.hists.map(h => h.tag -> h).toMap
+      val union = spec.tables.map { t =>
+        Tables(s, dir, t.table).selectExpr(
+          s"'${t.tag}' as tbl",
+          s"cast(${t.a} as bigint) as a",
+          if (t.b == null) "cast(null as bigint) as b"
+          else s"cast(${t.b} as bigint) as b",
+          histOf.get(t.tag).map(h => s"cast(${h.column} as double) as h")
+            .getOrElse("cast(null as double) as h"),
+          s"(${Layout.kmvHashSql(t.carveKey)}) % 4 as chunk")
       }.reduce(_.unionByName(_))
       // one staging pass, one file per chunk (the ensureArtifacts
       // discipline): hash-exchange on chunk + writer-side split
@@ -755,13 +782,14 @@ object Planner {
       // artifact — equi-width counts are additive only under FIXED
       // bounds), persisted with the descriptor below
       val histBounds: Seq[(String, String, String, Double, Double)] =
-        JoinHistCols.map { case (id, tag, table, column) =>
-          val r = Tables(s, dir, table)
-            .selectExpr(s"cast($column as double) as h")
+        spec.hists.map { h =>
+          val r = Tables(s, dir, h.table)
+            .selectExpr(s"cast(${h.column} as double) as h")
             .agg(min($"h"), max($"h")).head()
           val (mn, mx) = (r.getDouble(0), r.getDouble(1))
-          require(mx > mn, s"degenerate histogram bounds for $table.$column")
-          (id, tag, column, mn, mx)
+          require(mx > mn,
+            s"degenerate histogram bounds for ${h.table}.${h.column}")
+          (h.id, h.tag, h.column, mn, mx)
         }
       val q = s.readStream
         .schema("tbl string, a bigint, b bigint, h double, chunk int")
@@ -774,21 +802,21 @@ object Planner {
           batch.persist()
           batch.count() // materialize ONCE before the concurrent fan
           fanOut(
-            JoinSketchCols.map { case (id, tag, ab, _, _) =>
+            spec.sketches.map { c =>
               () => NdvStream.processBatch(
-                batch.where($"tbl" === tag).select(col(ab).as("v")),
-                batchId, s"$art/d_$id")
-            } ++ JoinTables.map { case (tag, _, _, _, _) =>
-              () => countBatch(batch.where($"tbl" === tag), batchId,
-                s"$art/n_$tag")
+                batch.where($"tbl" === c.tag).select(col(c.staged).as("v")),
+                batchId, s"$art/d_${c.id}")
+            } ++ spec.tables.map { t =>
+              () => countBatch(batch.where($"tbl" === t.tag), batchId,
+                s"$art/n_${t.tag}")
             } ++ histBounds.map { case (id, tag, _, mn, mx) =>
               () => StatsStream.processBatch(
                 batch.where($"tbl" === tag).select($"h".as("p")),
                 batchId, s"$art/h_$id", mn, mx)
-            } ++ JoinMcvCols.map { case (id, tag, ab, _, _) =>
+            } ++ spec.mcvs.map { c =>
               () => McvStream.processBatch(
-                batch.where($"tbl" === tag).select(col(ab).as("v")),
-                batchId, s"$art/m_$id")
+                batch.where($"tbl" === c.tag).select(col(c.staged).as("v")),
+                batchId, s"$art/m_${c.id}")
             })
           batch.unpersist()
           ()
@@ -800,15 +828,14 @@ object Planner {
       // to — what lets a CONSUMER (q207,
       // [[graft.plans.CatalogJoinReorder]]) resolve artifacts from the
       // catalog root alone
-      JoinSketchCols.map { case (id, tag, _, table, column) =>
-        (column, table, tag, id)
-      }.toDF("col", "tbl", "tag", "id")
+      spec.sketches.map(c => (c.column, c.table, c.tag, c.id))
+        .toDF("col", "tbl", "tag", "id")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/columns")
       histBounds.map { case (id, tag, column, mn, mx) =>
         (column, tag, id, mn, mx)
       }.toDF("col", "tag", "id", "mn", "mx")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
-      JoinMcvCols.map { case (id, tag, _, _, column) => (column, tag, id) }
+      spec.mcvs.map(c => (c.column, c.tag, c.id))
         .toDF("col", "tag", "id")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
       // a consumer that raced the build (or cached a stale root) must
@@ -898,12 +925,14 @@ object Planner {
     * so the estimate arithmetic is the oracle's SQL text verbatim. */
   private def catalogWide(s: SparkSession, art: String): DataFrame = {
     import s.implicits._
-    JoinSketchCols.map { case (id, _, _, _, _) =>
+    JoinSketchCols.map { c =>
+      val id = c.id
       NdvStream.mergedSketch(s, s"$art/d_$id")
         .agg(count(lit(1)).as(s"sk_$id"),
           coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
     }.reduce(_.crossJoin(_))
-      .crossJoin(JoinTables.map { case (tag, _, _, _, _) =>
+      .crossJoin(JoinTables.map { t =>
+        val tag = t.tag
         s.read.parquet(s"$art/n_$tag/rows")
           .agg(coalesce(sum($"n"), lit(0L)).as(s"n_$tag"))
       }.reduce(_.crossJoin(_)))
@@ -957,7 +986,8 @@ object Planner {
   }
 
   val q207Oracle: String = {
-    val skCtes = JoinSketchCols.map { case (id, _, _, table, column) =>
+    val skCtes = JoinSketchCols.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
       s"""sk_$id AS (
          |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
          |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
@@ -966,11 +996,12 @@ object Planner {
          |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
          |  FROM sk_$id)""".stripMargin
     }.mkString(",\n")
-    val nCtes = JoinTables.map { case (tag, table, _, _, _) =>
+    val nCtes = JoinTables.map { t =>
+      val (tag, table) = (t.tag, t.table)
       s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
     }.mkString(",\n")
-    val stFrom = (JoinSketchCols.map(c => s"a_${c._1}") ++
-      JoinTables.map(t => s"nn_${t._1}")).mkString(", ")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c.id}") ++
+      JoinTables.map(t => s"nn_${t.tag}")).mkString(", ")
     val legs = q207Orders("//").map { case (n, est, exact) =>
       s"""  SELECT '$n' AS join_order,
          |    CAST(($est) AS BIGINT) AS est_cost,
@@ -1057,7 +1088,8 @@ object Planner {
   }
 
   val q208Oracle: String = {
-    val skCtes = JoinSketchCols.map { case (id, _, _, table, column) =>
+    val skCtes = JoinSketchCols.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
       s"""sk_$id AS (
          |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
          |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
@@ -1066,11 +1098,12 @@ object Planner {
          |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
          |  FROM sk_$id)""".stripMargin
     }.mkString(",\n")
-    val nCtes = JoinTables.map { case (tag, table, _, _, _) =>
+    val nCtes = JoinTables.map { t =>
+      val (tag, table) = (t.tag, t.table)
       s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
     }.mkString(",\n")
-    val stFrom = (JoinSketchCols.map(c => s"a_${c._1}") ++
-      JoinTables.map(t => s"nn_${t._1}") :+ "e8").mkString(", ")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c.id}") ++
+      JoinTables.map(t => s"nn_${t.tag}") :+ "e8").mkString(", ")
     val legs = q208Orders("//").map { case (n, est, exact) =>
       s"""  SELECT '$n' AS join_order,
          |    CAST(($est) AS BIGINT) AS est_cost,
@@ -1169,7 +1202,8 @@ object Planner {
   }
 
   val q209Oracle: String = {
-    val skCtes = JoinSketchCols.map { case (id, _, _, table, column) =>
+    val skCtes = JoinSketchCols.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
       s"""sk_$id AS (
          |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
          |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
@@ -1178,11 +1212,12 @@ object Planner {
          |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
          |  FROM sk_$id)""".stripMargin
     }.mkString(",\n")
-    val nCtes = JoinTables.map { case (tag, table, _, _, _) =>
+    val nCtes = JoinTables.map { t =>
+      val (tag, table) = (t.tag, t.table)
       s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
     }.mkString(",\n")
-    val stFrom = (JoinSketchCols.map(c => s"a_${c._1}") ++
-      JoinTables.map(t => s"nn_${t._1}") :+ "e9").mkString(", ")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c.id}") ++
+      JoinTables.map(t => s"nn_${t.tag}") :+ "e9").mkString(", ")
     val legs = q208Orders("//").map { case (n, est, exact) =>
       s"""  SELECT '$n' AS join_order,
          |    CAST(($est) AS BIGINT) AS est_cost,

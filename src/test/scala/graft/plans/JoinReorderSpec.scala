@@ -413,6 +413,48 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("registered catalog: a NON-TPC-H table set (events/documents/" +
+      "embeddings joined on user/doc keys) registers via CatalogSpec, " +
+      "catalogs through the same one-pass stream, and a fact-first plan " +
+      "over it comes out dimension-first with identical results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    def leafNames(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => leafNames(j.left) ++ leafNames(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("user_id")) "events"
+          else if (names("doc_id")) "documents"
+          else if (names("vec_id")) "embeddings"
+          else "?")
+      case other => other.children.flatMap(leafNames)
+    }
+    // the user writes the 10k-row fact first; the 500-row dims should open
+    def chain(): DataFrame =
+      Tables(s, sf, "events").select($"user_id")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"user_id" === $"doc_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id"),
+          $"doc_id" === $"vec_id")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    assert(leafNames(off.queryExecution.optimizedPlan) ===
+      Seq("events", "documents", "embeddings"),
+      "without the catalog the fact-first user order must survive")
+    val offRows = off.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafNames(on.queryExecution.optimizedPlan) ===
+        Seq("documents", "embeddings", "events"),
+        "the registered catalog must rebuild the chain dimension-first")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "reordering the registered set must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("determinism guard: a non-deterministic predicate between joins " +
       "leaves the region byte-identical — relocating rand() would change " +
       "results (the ExtractFiltersAndInnerJoins contract)") {
