@@ -1276,12 +1276,220 @@ object Planner {
        |FROM costed ORDER BY join_order""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q210
+
+  /** q210's audited threshold over the staged c_custkey bounds (hmn,
+    * hmx): a key-range filter at one eighth of the domain — ABOVE the
+    * entire user_id range, so the filter does not shrink the
+    * events ⋈ customer semi-join at all. Identical text in Spark SQL
+    * and DuckDB. */
+  private val t210Sql = "(hmn + (hmx - hmn) * 8.0 / 64.0)"
+  private val tbin210Sql =
+    s"least(cast(floor(($t210Sql - hmn) * ${Layout.HistBins} " +
+      s"/ (hmx - hmn)) as bigint), ${Layout.HistBins - 1})"
+
+  /** Per-order cost expressions over the REGISTERED pipeline catalog's
+    * wide row — the q207 generator pattern on the
+    * EM–DC–EV–CU path (embeddings ⋈ documents ⋈ events ⋈ customer),
+    * parameterized by whether each edge side's ndv is RESCALED to its
+    * relation's estimated rows (`ndv' = min(ndv, r̂)`). Commuting first
+    * pairs share canonical text, as throughout the family. */
+  private[graft] def q210Orders(div: String,
+      rescaled: Boolean): Seq[(String, String, String)] = {
+    def capped(id: String, rows: String): String =
+      if (rescaled) s"least(${dSql(id, div)}, $rows)" else dSql(id, div)
+    val d12 = s"greatest(${capped("em_vec", "n_em")}, " +
+      s"${capped("dc_doc", "n_dc")})"
+    val d23 = s"greatest(${capped("dc_doc", "n_dc")}, " +
+      s"${capped("ev_uid", "n_ev")})"
+    val d34 = s"greatest(${capped("ev_uid", "n_ev")}, " +
+      s"${capped("cu_key", "est_c")})"
+    val sEd = s"n_em * n_dc $div $d12"
+    val sDv = s"n_dc * n_ev $div $d23"
+    val sVc = s"n_ev * est_c $div $d34"
+    def casc(s2: String, n3: String, d3: String) =
+      s"($s2) + ($s2) * $n3 $div $d3"
+    Seq(
+      ("CU.EV.DC.EM", casc(sVc, "n_dc", d23), "x_vc + x_dvc"),
+      ("DC.EM.EV.CU", casc(sEd, "n_ev", d23), "x_ed + x_edv"),
+      ("DC.EV.CU.EM", casc(sDv, "est_c", d34), "x_dv + x_dvc"),
+      ("DC.EV.EM.CU", casc(sDv, "n_em", d12), "x_dv + x_edv"),
+      ("EM.DC.EV.CU", casc(sEd, "n_ev", d23), "x_ed + x_edv"),
+      ("EV.CU.DC.EM", casc(sVc, "n_dc", d23), "x_vc + x_dvc"),
+      ("EV.DC.CU.EM", casc(sDv, "est_c", d34), "x_dv + x_dvc"),
+      ("EV.DC.EM.CU", casc(sDv, "n_em", d12), "x_dv + x_edv"))
+  }
+
+  /** q210 — POST-FILTER NDV RESCALING, graded (VERDICT r17 #2): the
+    * System-R enumeration over the REGISTERED pipeline catalog's
+    * EM–DC–EV–CU path with σ(c_custkey ≤ hmn + range·8/64) — a
+    * key-range filter whose range still CONTAINS the entire user_id
+    * domain, the classic correlated-predicate setting where the
+    * independence assumption breaks: the unrescaled cascade discounts
+    * the events ⋈ σ(customer) join by the full c_custkey ndv and wrongly
+    * crowns the σ(CU)-opening order, while capping each edge side at its
+    * estimated rows (`ndv' = min(ndv, r̂)` — post-filter
+    * containment-of-value-sets) prices the semi-join right and FLIPS the
+    * best order to the dimension pair. Both cascades are emitted
+    * (est_cost rescaled, noscale_cost unrescaled) and graded against the
+    * exact sub-chain truth: est_rank == exact_rank on all 8 orders at
+    * the audited scales while the noscale ranking's top order differs —
+    * the flip, oracle-checked. [[graft.plans.CatalogJoinReorder]] applies
+    * the same cap in-engine (JoinReorderSpec's rescale leg pins the flip
+    * engine-measured).
+    *
+    * Scale shape: q207's — estimates touch |batches|·≤K metadata rows
+    * per table; the exact legs are the audit's own price. */
+  def q210RescaledJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureCatalog(s, dir, PipelineCatalogSpec)
+    val spec = PipelineCatalogSpec
+    val sketchW = spec.sketches.map { c =>
+      val id = c.id
+      NdvStream.mergedSketch(s, s"$art/d_$id")
+        .agg(count(lit(1)).as(s"sk_$id"),
+          coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
+    }.reduce(_.crossJoin(_))
+    val countW = spec.tables.map { t =>
+      s.read.parquet(s"$art/n_${t.tag}/rows")
+        .agg(coalesce(sum($"n"), lit(0L)).as(s"n_${t.tag}"))
+    }.reduce(_.crossJoin(_))
+    val boundsDf = s.read.parquet(s"$art/hists")
+      .where($"col" === "c_custkey")
+      .selectExpr("mn as hmn", "mx as hmx")
+    val estW = StatsStream.mergedHistogram(s, s"$art/h_hcu")
+      .crossJoin(broadcast(boundsDf))
+      .agg(
+        coalesce(sum(when(expr(s"bin < $tbin210Sql"), $"n")), lit(0L))
+          .as("full_c"),
+        coalesce(sum(when(expr(s"bin = $tbin210Sql"), $"n")), lit(0L))
+          .as("strad_c"))
+      .selectExpr("full_c + (strad_c div 2) as est_c")
+    val sCust = Tables(s, dir, "customer")
+      .crossJoin(broadcast(boundsDf))
+      .where(expr(s"cast(c_custkey as double) <= $t210Sql"))
+      .select($"c_custkey")
+    val em = Tables(s, dir, "embeddings").select($"vec_id")
+    val dc = Tables(s, dir, "documents").select($"doc_id")
+    val ev = Tables(s, dir, "events").select($"user_id")
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val ed = em.join(dc, $"vec_id" === $"doc_id")
+    val dv = dc.join(ev, $"doc_id" === $"user_id")
+    val exactW = cnt(ed, "x_ed")
+      .crossJoin(cnt(dv, "x_dv"))
+      .crossJoin(cnt(ev.join(sCust, $"user_id" === $"c_custkey"), "x_vc"))
+      .crossJoin(cnt(ed.join(ev, $"doc_id" === $"user_id"), "x_edv"))
+      .crossJoin(cnt(dv.join(sCust, $"user_id" === $"c_custkey"), "x_dvc"))
+    val wide = sketchW.crossJoin(countW).crossJoin(estW).crossJoin(exactW)
+    val legs = q210Orders("div", rescaled = true)
+      .zip(q210Orders("div", rescaled = false)).map {
+        case ((name, est, exact), (_, noscale, _)) =>
+          (name, est, noscale, exact)
+      }
+    val rows = wide.selectExpr(s"stack(${legs.size}, " +
+      legs.map { case (n, est, noscale, exact) =>
+        s"'$n', cast(($est) as bigint), cast(($noscale) as bigint), " +
+          s"cast(($exact) as bigint)"
+      }.mkString(", ") +
+      ") as (join_order, est_cost, noscale_cost, exact_cost)")
+    rows
+      .withColumn("est_rank", row_number().over(
+        Window.orderBy(col("est_cost"), col("join_order"))).cast("long"))
+      .withColumn("noscale_rank", row_number().over(
+        Window.orderBy(col("noscale_cost"), col("join_order"))).cast("long"))
+      .withColumn("exact_rank", row_number().over(
+        Window.orderBy(col("exact_cost"), col("join_order"))).cast("long"))
+      .withColumn("rank_match",
+        when(col("est_rank") === col("exact_rank"), 1L).otherwise(0L))
+      .orderBy(col("join_order"))
+  }
+
+  val q210Oracle: String = {
+    val spec = PipelineCatalogSpec
+    val skCtes = spec.sketches.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = spec.tables.map { t =>
+      s"nn_${t.tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_${t.tag} " +
+        s"FROM ${t.table})"
+    }.mkString(",\n")
+    val stFrom = (spec.sketches.map(c => s"a_${c.id}") ++
+      spec.tables.map(t => s"nn_${t.tag}") :+ "e10").mkString(", ")
+    val legs = q210Orders("//", rescaled = true)
+      .zip(q210Orders("//", rescaled = false)).map {
+        case ((n, est, exact), (_, noscale, _)) =>
+          s"""  SELECT '$n' AS join_order,
+             |    CAST(($est) AS BIGINT) AS est_cost,
+             |    CAST(($noscale) AS BIGINT) AS noscale_cost,
+             |    CAST(($exact) AS BIGINT) AS exact_cost
+             |  FROM st, ex""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |b10 AS (
+       |  SELECT MIN(CAST(c_custkey AS DOUBLE)) AS hmn,
+       |    MAX(CAST(c_custkey AS DOUBLE)) AS hmx
+       |  FROM customer),
+       |hist10 AS (
+       |  SELECT LEAST(CAST(FLOOR((CAST(c_custkey AS DOUBLE) - hmn)
+       |      * ${Layout.HistBins} / (hmx - hmn)) AS BIGINT),
+       |      ${Layout.HistBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer, b10 GROUP BY 1),
+       |pt10 AS (SELECT $t210Sql AS t, $tbin210Sql AS tbin FROM b10),
+       |e10 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN h.bin < p.tbin THEN h.n END), 0)
+       |    + COALESCE(SUM(CASE WHEN h.bin = p.tbin THEN h.n END), 0) // 2
+       |    AS BIGINT) AS est_c
+       |  FROM hist10 h, pt10 p),
+       |scu AS (
+       |  SELECT c_custkey FROM customer, pt10
+       |  WHERE CAST(c_custkey AS DOUBLE) <= t),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       |     JOIN documents ON vec_id = doc_id) AS x_ed,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     JOIN events ON doc_id = user_id) AS x_dv,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+       |     JOIN scu ON user_id = c_custkey) AS x_vc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+       |     JOIN documents ON vec_id = doc_id
+       |     JOIN events ON doc_id = user_id) AS x_edv,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     JOIN events ON doc_id = user_id
+       |     JOIN scu ON user_id = c_custkey) AS x_dvc),
+       |st AS (SELECT * FROM $stFrom),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, noscale_cost, exact_cost,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY noscale_cost, join_order)
+       |    AS BIGINT) AS noscale_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
     "q207_join_order_plan" -> q207JoinOrderPlan _,
     "q208_selective_join_order" -> q208SelectiveJoinOrder _,
     "q209_equality_join_order" -> q209EqualityJoinOrder _,
+    "q210_rescaled_join_order" -> q210RescaledJoinOrder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1290,5 +1498,6 @@ object Planner {
     "q207_join_order_plan" -> q207Oracle,
     "q208_selective_join_order" -> q208Oracle,
     "q209_equality_join_order" -> q209Oracle,
+    "q210_rescaled_join_order" -> q210Oracle,
   )
 }

@@ -455,6 +455,74 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("ndv rescale: a correlated key-range filter on customer (range " +
+      "containing the whole user_id domain) keeps the dimension pair " +
+      "first — the unrescaled cascade would crown the filtered-customer " +
+      "opener — and the engine-measured intermediates prove the rescaled " +
+      "choice right (the q210 flip, in-engine)") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    def leafNames(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => leafNames(j.left) ++ leafNames(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("user_id")) "events"
+          else if (names("doc_id")) "documents"
+          else if (names("vec_id")) "embeddings"
+          else if (names("c_custkey")) "customer"
+          else "?")
+      case other => other.children.flatMap(leafNames)
+    }
+    // σ(c_custkey ≤ 18) at sf0.001: est ≈ 18 rows, yet every one of the
+    // 15 users matches — the filter range contains the user domain. The
+    // unrescaled estimate (÷ ndv(c_custkey) = 150) would price the
+    // σ(CU)-opener at ~240 intermediate rows and open with it; the
+    // rescaled estimate (÷ min(150, 18) = 18) prices the semi-join at
+    // its true ~1000 and keeps the dimension pair first.
+    def chain(): DataFrame =
+      Tables(s, sf, "events").select($"user_id")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"user_id" === $"doc_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id"),
+          $"doc_id" === $"vec_id")
+        .join(Tables(s, sf, "customer").select($"c_custkey")
+          .where($"c_custkey" <= 18L),
+          $"user_id" === $"c_custkey")
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafNames(on.queryExecution.optimizedPlan) ===
+        Seq("documents", "embeddings", "events", "customer"),
+        "the rescaled cascade must keep the dimension pair first")
+      val (onRows, onData) = measuredIntermediates(on)
+      // the unrescaled choice, built by hand: σ(customer)-opening
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      val cuFirst = Tables(s, sf, "events").select($"user_id")
+        .join(Tables(s, sf, "customer").select($"c_custkey")
+          .where($"c_custkey" <= 18L),
+          $"user_id" === $"c_custkey")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"user_id" === $"doc_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id"),
+          $"doc_id" === $"vec_id")
+      val (cuRows, cuData) = measuredIntermediates(cuFirst)
+      assert(onRows < cuRows,
+        s"the rescaled order must move fewer intermediate rows " +
+          s"($onRows vs $cuRows)")
+      def norm(rows: Seq[Seq[Any]]): Seq[String] =
+        rows.map(_.map(String.valueOf).sorted.mkString("|")).sorted
+      assert(norm(onData) === norm(cuData),
+        "the rescale flip must not change results")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("determinism guard: a non-deterministic predicate between joins " +
       "leaves the region byte-identical — relocating rand() would change " +
       "results (the ExtractFiltersAndInnerJoins contract)") {
