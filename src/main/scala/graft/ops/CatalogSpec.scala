@@ -33,9 +33,15 @@ final case class CatalogTable(tag: String, table: String, carveKey: String,
 
 /** One sketched/MCV'd column: `id` names the artifact directory
   * (`d_<id>` / `m_<id>`), `staged` the union slot ("a"/"b") it reads,
-  * (`table`, `column`) the base provenance the descriptor records. */
+  * (`table`, `column`) the base provenance the descriptor records.
+  * `bounded` (MCV entries only) selects the heavy-hitter partial
+  * ([[graft.streaming.McvStream.processBatchBounded]] — ≤ M+1 rows per
+  * batch by construction) instead of the full value-count table:
+  * REQUIRED for columns whose value domain scales with the corpus (a
+  * join key), optional for bounded enum domains (n_chars, a type code)
+  * where the exact table is already metadata-sized. */
 final case class CatalogColumn(id: String, tag: String, staged: String,
-    table: String, column: String)
+    table: String, column: String, bounded: Boolean = false)
 
 /** One histogrammed predicate column (staged as the `h` slot, equi-width
   * under bounds staged at build time — the S28 generation artifact). */

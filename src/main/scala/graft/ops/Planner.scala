@@ -677,7 +677,13 @@ object Planner {
       CatalogHistCol("ho", "o", "orders", "o_totalprice"),
       CatalogHistCol("hl", "l", "lineitem", "l_quantity")),
     mcvs = Seq(
-      CatalogColumn("co_o", "o", "a", "orders", "o_custkey")))
+      // o_custkey's domain scales with |customer| — at 100 TB the full
+      // value-count partial is a customer-scaled single-writer file, so
+      // the catalog maintains the BOUNDED heavy-hitter artifact
+      // (VERDICT r17 #3); q209 and the rule read its head + the exact
+      // head/tail mass split, with remainder-ndv from the S29 sketch
+      CatalogColumn("co_o", "o", "a", "orders", "o_custkey",
+        bounded = true)))
 
   private def JoinTables: Seq[CatalogTable] = TpchChainSpec.tables
   private def JoinSketchCols: Seq[CatalogColumn] = TpchChainSpec.sketches
@@ -708,7 +714,14 @@ object Planner {
       CatalogColumn("cu_key", "cu", "a", "customer", "c_custkey")),
     hists = Seq(
       CatalogHistCol("hcu", "cu", "customer", "c_custkey"),
-      CatalogHistCol("hem", "em", "embeddings", "label")))
+      CatalogHistCol("hem", "em", "embeddings", "label")),
+    mcvs = Seq(
+      // user_id is corpus-scaled (grows with the user base) → bounded;
+      // the event-type code is a 5-value enum → the exact table IS
+      // metadata. The q211 skew audit reads both.
+      CatalogColumn("ev_uid", "ev", "a", "events", "user_id",
+        bounded = true),
+      CatalogColumn("ev_et", "ev", "b", "events", "event_code")))
 
   /** S29-style per-batch row-count partial: pure in the batch,
     * overwritten into `rows/batch=<id>`; the standing count is the SUM
@@ -814,9 +827,15 @@ object Planner {
                 batch.where($"tbl" === tag).select($"h".as("p")),
                 batchId, s"$art/h_$id", mn, mx)
             } ++ spec.mcvs.map { c =>
-              () => McvStream.processBatch(
-                batch.where($"tbl" === c.tag).select(col(c.staged).as("v")),
-                batchId, s"$art/m_${c.id}")
+              () =>
+                if (c.bounded) McvStream.processBatchBounded(
+                  batch.where($"tbl" === c.tag)
+                    .select(col(c.staged).as("v")),
+                  batchId, s"$art/m_${c.id}")
+                else McvStream.processBatch(
+                  batch.where($"tbl" === c.tag)
+                    .select(col(c.staged).as("v")),
+                  batchId, s"$art/m_${c.id}")
             })
           batch.unpersist()
           ()
@@ -835,8 +854,9 @@ object Planner {
         (column, tag, id, mn, mx)
       }.toDF("col", "tag", "id", "mn", "mx")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
-      spec.mcvs.map(c => (c.column, c.tag, c.id))
-        .toDF("col", "tag", "id")
+      spec.mcvs.map(c =>
+        (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact"))
+        .toDF("col", "tag", "id", "mode")
         .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
       // a consumer that raced the build (or cached a stale root) must
       // see THIS catalog on its next load
@@ -1176,14 +1196,22 @@ object Planner {
     * against the filtered sub-chain truth: σ(orders) ≈ a dozen rows, so
     * the {C,O}-first flip lands again, est_rank == exact_rank.
     *
-    * Scale shape: the MCV consult is a value-domain window (the S31/q203
-    * discipline — value-domain artifacts, never corpus-sized); the ndv
+    * Scale shape: the MCV consult reads the BOUNDED heavy-hitter
+    * artifact's merged head (≤ |batches|·(M+1) rows by construction —
+    * VERDICT r17 #3's fix for corpus-scaled key domains; the audited
+    * ranking and head mass are the bounded table's own, which the
+    * oracle recomputes from the deterministic batch carve); the ndv
     * consult is ≤K rows; truth legs are the q207 exact legs over the
     * equality-filtered orders. */
   def q209EqualityJoinOrder(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val art = ensureJoinArtifacts(s, dir)
-    val ranked = McvStream.mergedCounts(s, s"$art/m_co_o")
+    // the BOUNDED heavy-hitter artifact (VERDICT r17 #3): its merged
+    // head — per-value sums over ≤ M+1-row partials — replaces the
+    // corpus-scaled full value-count table; head counts are exact for
+    // any value inside every batch's top-M, and the oracle recomputes
+    // the SAME bounded table from the deterministic batch carve
+    val ranked = McvStream.mergedBoundedHead(s, s"$art/m_co_o")
       .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"v")))
     val key = ranked.where($"r" === McvSlots + 1).select($"v".as("k_eq"))
     val headW = ranked.agg(
@@ -1226,9 +1254,18 @@ object Planner {
     }.mkString("\nUNION ALL\n")
     s"""WITH $skCtes,
        |$nCtes,
+       |bch AS (
+       |  SELECT o_custkey AS v,
+       |    (${Layout.kmvHashSql("o_orderkey")}) % 4 AS chunk
+       |  FROM orders),
+       |bcnt AS (
+       |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY chunk
+       |      ORDER BY COUNT(*) DESC, v) AS br
+       |  FROM bch GROUP BY 1, 2),
        |cnts AS (
-       |  SELECT o_custkey AS v, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM orders GROUP BY 1),
+       |  SELECT v, CAST(SUM(n) AS BIGINT) AS n FROM bcnt
+       |  WHERE br <= ${McvStream.BoundSlots} GROUP BY 1),
        |rkd AS (
        |  SELECT v, n, ROW_NUMBER() OVER (ORDER BY n DESC, v) AS r
        |  FROM cnts),

@@ -465,20 +465,32 @@ object CatalogJoinReorder {
           }.getOrElse(Map.empty[String, Hist])
           // MCV heads: top-k by (count desc, value) pulled IN-PLAN, so
           // the driver reads k+1 rows per column even when the value
-          // domain is corpus-scaled
+          // domain is corpus-scaled. `mode` selects the artifact form:
+          // "bounded" (heavy-hitter partials + tail rows — VERDICT r17
+          // #3, the REQUIRED form for corpus-scaled key domains) reads
+          // its merged head for the top-k and the exact head+tail mass
+          // split for n; "exact" reads the full value-count table.
           val mcv = scala.util.Try {
             import org.apache.spark.sql.functions.col
             s.read.parquet(s"$art/mcvs")
-              .select("col", "id").collect()
+              .select("col", "id", "mode").collect()
               .map { r =>
-                val (column, id) = (r.getString(0), r.getString(1))
-                val counts = McvStream.mergedCounts(s, s"$art/m_$id")
+                val (column, id, mode) =
+                  (r.getString(0), r.getString(1), r.getString(2))
+                val counts =
+                  if (mode == "bounded")
+                    McvStream.mergedBoundedHead(s, s"$art/m_$id")
+                  else McvStream.mergedCounts(s, s"$art/m_$id")
                 val head = counts
                   .orderBy(col("n").desc, col("v"))
                   .limit(graft.ops.Planner.McvSlots).collect()
                   .map(x => x.getLong(0) -> x.getLong(1)).toMap
-                val n = counts.agg(coalesce(sum("n"), lit(0L)))
-                  .head().getLong(0)
+                val n =
+                  if (mode == "bounded") {
+                    val (hn, tn) = McvStream.boundedMasses(s, s"$art/m_$id")
+                    hn + tn
+                  } else counts.agg(coalesce(sum("n"), lit(0L)))
+                    .head().getLong(0)
                 column -> Mcv(head, head.values.sum, n,
                   ndv.getOrElse(column, head.size.toLong))
               }.toMap

@@ -68,6 +68,77 @@ object McvStream {
     s.read.parquet(s"$root/mcv")
       .groupBy(col("v")).agg(sum(col("n")).as("n"))
 
+  // ------------------------------------------------- bounded mode (r18)
+
+  /** Per-batch slots the BOUNDED partial keeps (VERDICT r17 #3): for a
+    * column whose value domain scales with the corpus (a join key like
+    * o_custkey or user_id), the full value-count partial is itself
+    * corpus-scaled — a single-writer file that stops being metadata at
+    * 100 TB. The bounded partial keeps the batch's top-[[BoundSlots]]
+    * values exactly plus ONE tail row, so it is ≤ M+1 rows BY
+    * CONSTRUCTION at any scale. */
+  val BoundSlots = 512
+
+  /** One micro-batch, BOUNDED: the batch's value counts ranked by
+    * (count desc, value), the top `m` kept exactly, everything below
+    * folded into a single tail row carrying (dropped mass, dropped
+    * distinct count). Schema: (v, n, d, tail) — head rows have d = 1,
+    * the tail row v = null.
+    *
+    * Maintenance contract (spec-pinned, [[McvStreamSpec]]): the partial
+    * is a pure function of the batch and ≤ m+1 rows; when a batch's
+    * value domain fits the slots (ndv ≤ m) the bounded artifact is
+    * EXACTLY the unbounded one (tail mass 0) — so merged == one-pass
+    * holds verbatim in that regime; past it, a value's merged head
+    * count is a LOWER bound (exact whenever the value makes every
+    * batch's top-m — true of genuine heavy hitters by definition), the
+    * total mass head+tail is exact in any batching, and the per-batch
+    * tail `d` is an upper bound on the remainder ndv (consumers use the
+    * S29 KMV estimate instead, the q209 pairing). Deterministic given
+    * the batch carve, so DuckDB recomputes the merged artifact from the
+    * base table and lands on identical integers — the q209 oracle does
+    * exactly that. */
+  private[graft] def processBatchBounded(batch: DataFrame, batchId: Long,
+      root: String, m: Int = BoundSlots): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = batchCounts(batch)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("v"))))
+    val head = ranked.where(col("r") <= m)
+      .select(col("v"), col("n"), lit(1L).as("d"), lit(false).as("tail"))
+    val tail = ranked.where(col("r") > m)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        count(lit(1)).as("d"))
+      .select(lit(null).cast("bigint").as("v"), col("n"), col("d"),
+        lit(true).as("tail"))
+    head.unionByName(tail)
+      .coalesce(1) // ≤ m+1 rows by construction
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/mcv/batch=$batchId")
+    ()
+  }
+
+  /** The standing HEAD of a bounded artifact: per-value sums over the
+    * head rows of every batch partial. ≤ |batches|·m input rows. */
+  def mergedBoundedHead(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/mcv")
+      .where(!col("tail"))
+      .groupBy(col("v")).agg(sum(col("n")).as("n"))
+
+  /** (head mass, tail mass) of a bounded artifact — their sum is the
+    * EXACT total row count in any batching (every batch row is counted
+    * exactly once, head or tail). */
+  def boundedMasses(s: SparkSession, root: String): (Long, Long) = {
+    val r = s.read.parquet(s"$root/mcv")
+      .agg(
+        coalesce(sum(org.apache.spark.sql.functions.when(!col("tail"),
+          col("n"))), lit(0L)).as("head_n"),
+        coalesce(sum(org.apache.spark.sql.functions.when(col("tail"),
+          col("n"))), lit(0L)).as("tail_n"))
+      .head()
+    (r.getAs[Long]("head_n"), r.getAs[Long]("tail_n"))
+  }
+
   /** The top-k MCV list a catalog serves: frequency-ranked, ties broken
     * by value — the exact q203 ranking. */
   def mcvList(s: SparkSession, root: String, k: Int): DataFrame = {

@@ -388,7 +388,7 @@ class JoinReorderSpec extends AnyFunSuite {
     val art = Planner.ensureJoinArtifacts(s, sf)
     // the same key q209 audits: the (McvSlots+1)-th most common custkey
     // — just past the head, so the rule prices it by the uniform tail
-    val k = graft.streaming.McvStream.mergedCounts(s, s"$art/m_co_o")
+    val k = graft.streaming.McvStream.mergedBoundedHead(s, s"$art/m_co_o")
       .orderBy($"n".desc, $"v").limit(Planner.McvSlots + 1)
       .collect().last.getLong(0)
     def chain(): DataFrame =

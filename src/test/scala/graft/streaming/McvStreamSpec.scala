@@ -92,4 +92,75 @@ class McvStreamSpec extends SparkSpec {
     assert(after(-12345L) === 1L, "fresh value enters")
     assert(after.values.sum === merged.values.sum + 3)
   }
+
+  test("bounded heavy-hitter mode: the per-batch partial is ≤ M+1 rows " +
+      "by construction; within the slot budget it EQUALS the exact " +
+      "table (tail mass 0); past it the top-k and head+tail masses " +
+      "match the exact table on a genuinely skewed fixture; replay is " +
+      "idempotent") {
+    val s = spark
+    import s.implicits._
+    val m = 32
+
+    // a genuinely skewed synthetic corpus: 8 heavy hitters (geometric
+    // masses 512, 256, …, 4) over a 400-value uniform tail of singles —
+    // per-batch ndv ≈ 208 ≫ m, so the bound genuinely bites
+    val heavy = (0 until 8).flatMap(i => Seq.fill(512 >> i)(i.toLong))
+    val tail = (1000L until 1400L)
+    val all = heavy ++ tail
+    // two deterministic batches: even/odd positions — every heavy value
+    // lands in both batches with mass far above each batch's rank-m cut
+    val batches = Seq(
+      all.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v },
+      all.zipWithIndex.collect { case (v, i) if i % 2 == 1 => v })
+
+    val root = Files.createTempDirectory("graft-mcvb-").toString
+    batches.zipWithIndex.foreach { case (vs, i) =>
+      McvStream.processBatchBounded(vs.toDF("v"), i.toLong, root, m)
+    }
+
+    // partial size: ≤ m+1 rows per batch partition, by construction
+    batches.indices.foreach { i =>
+      val rows = s.read.parquet(s"$root/mcv/batch=$i").count()
+      assert(rows <= m + 1, s"batch $i partial must be ≤ ${m + 1} rows")
+    }
+
+    val exact = all.groupBy(identity).map { case (v, xs) =>
+      v -> xs.size.toLong }
+    // top-k (k well under m): bounded head == exact, values AND counts —
+    // a heavy hitter makes every batch's top-m by definition
+    val k = 8
+    val headTop = McvStream.mergedBoundedHead(s, root)
+      .orderBy($"n".desc, $"v").limit(k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val exactTop = exact.toSeq.sortBy { case (v, n) => (-n, v) }.take(k)
+    assert(headTop === exactTop,
+      "bounded top-k must equal the exact table's top-k")
+    // mass conservation: head + tail == total rows, exactly, any batching
+    val (hn, tn) = McvStream.boundedMasses(s, root)
+    assert(hn + tn === all.size.toLong, "head+tail mass is exact")
+    assert(tn > 0, "the fixture must actually overflow the slots")
+
+    // replay idempotence: rewriting a batch partial yields identical rows
+    val before = s.read.parquet(s"$root/mcv").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    McvStream.processBatchBounded(batches.head.toDF("v"), 0L, root, m)
+    val after2 = s.read.parquet(s"$root/mcv").collect()
+      .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(after2 === before, "replaying a batch must rewrite the " +
+      "identical bounded partial")
+
+    // slot-budget regime: ndv ≤ m ⇒ the bounded artifact IS the exact
+    // table — merged == one-pass verbatim, zero tail
+    val root2 = Files.createTempDirectory("graft-mcvb2-").toString
+    val smallBatches = Seq(Seq(1L, 1L, 2L, 3L), Seq(2L, 2L, 4L))
+    smallBatches.zipWithIndex.foreach { case (vs, i) =>
+      McvStream.processBatchBounded(vs.toDF("v"), i.toLong, root2, m)
+    }
+    val mergedSmall = countsOf(McvStream.mergedBoundedHead(s, root2))
+    assert(mergedSmall === Map(1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 1L),
+      "within the slot budget the bounded head is the exact table")
+    assert(McvStream.boundedMasses(s, root2)._2 === 0L,
+      "no tail mass within the slot budget")
+  }
 }
