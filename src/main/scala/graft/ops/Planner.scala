@@ -1520,6 +1520,89 @@ object Planner {
        |FROM costed ORDER BY join_order""".stripMargin
   }
 
+  // ----------------------------------------------------------------- q211
+
+  /** q211 — SKEW-AWARE PHYSICAL PLANNING off the maintained MCV
+    * (VERDICT r17 #6): the catalog's S31 head frequencies decide
+    * salt-vs-plain for a shuffle key BEFORE any data moves. The rule is
+    * the per-task row budget: hash-partitioning over [[Workers]] tasks
+    * gives each task n/[[Workers]] rows under uniformity, and a single
+    * key carrying more than that CANNOT be balanced by any hash
+    * function — the one thing modulo partitioning cannot fix
+    * (partitioner/index.js:17–23's djb2 story) — so the decision is
+    * `salt iff max-head-frequency > n div Workers`. Audited over two
+    * real candidate keys of the registered events table: `user_id`
+    * (corpus-scaled, read from the BOUNDED heavy-hitter head) and the
+    * 5-value `event_code` enum (exact S31 table) — at the graded scale
+    * the enum trips the salt decision (≈n/5 ≫ n/32) while user_id
+    * stays under budget → 'plain'. PlannerSpec's engine leg EXECUTES
+    * the decision: the salted repartition collapses the per-partition
+    * row spread the plain shuffle of the hot key exhibits, and the
+    * plain choice for the uniform key avoids the dim-side salt
+    * explosion q89 pays.
+    *
+    * Scale shape: the consult is the artifact head (≤ |batches|·(M+1)
+    * rows bounded / value-domain exact) + |batches| count rows — the
+    * decision costs metadata, exactly what a planner must pay before
+    * committing a 100 TB shuffle. */
+  def q211SkewSaltDecision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureCatalog(s, dir, PipelineCatalogSpec)
+    val uidW = McvStream.mergedBoundedHead(s, s"$art/m_ev_uid")
+      .agg(coalesce(max($"n"), lit(0L)).as("max_uid"))
+    val etW = McvStream.mergedCounts(s, s"$art/m_ev_et")
+      .agg(coalesce(max($"n"), lit(0L)).as("max_et"))
+    val nW = s.read.parquet(s"$art/n_ev/rows")
+      .agg(coalesce(sum($"n"), lit(0L)).as("n_ev"))
+    uidW.crossJoin(etW).crossJoin(nW)
+      .selectExpr(
+        "stack(2, 'event_code', max_et, 'user_id', max_uid) " +
+          "as (key, max_head_n)",
+        "n_ev")
+      .selectExpr(
+        "key", "max_head_n", "n_ev as n_rows",
+        s"n_ev div $Workers as task_budget",
+        s"(1000 * max_head_n) div greatest(n_ev div $Workers, 1) " +
+          "as skew_ratio_milli",
+        s"case when max_head_n > n_ev div $Workers then 'salt' " +
+          "else 'plain' end as decision")
+      .orderBy($"key")
+  }
+
+  val q211Oracle: String =
+    s"""WITH bch AS (
+       |  SELECT user_id AS v,
+       |    (${Layout.kmvHashSql("event_id")}) % 4 AS chunk
+       |  FROM events),
+       |bcnt AS (
+       |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY chunk
+       |      ORDER BY COUNT(*) DESC, v) AS br
+       |  FROM bch GROUP BY 1, 2),
+       |ucnt AS (
+       |  SELECT v, CAST(SUM(n) AS BIGINT) AS n FROM bcnt
+       |  WHERE br <= ${McvStream.BoundSlots} GROUP BY 1),
+       |umax AS (
+       |  SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_uid FROM ucnt),
+       |ecnt AS (
+       |  SELECT ${graft.ops.Sql.djb2("event_type")} AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |emax AS (
+       |  SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_et FROM ecnt),
+       |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ev FROM events),
+       |keys AS (
+       |  SELECT 'event_code' AS key, max_et AS max_head_n FROM emax
+       |  UNION ALL
+       |  SELECT 'user_id', max_uid FROM umax)
+       |SELECT key, max_head_n, n_ev AS n_rows,
+       |  n_ev // $Workers AS task_budget,
+       |  CAST((1000 * max_head_n) // GREATEST(n_ev // $Workers, 1)
+       |    AS BIGINT) AS skew_ratio_milli,
+       |  CASE WHEN max_head_n > n_ev // $Workers THEN 'salt'
+       |    ELSE 'plain' END AS decision
+       |FROM keys, ne ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
@@ -1527,6 +1610,7 @@ object Planner {
     "q208_selective_join_order" -> q208SelectiveJoinOrder _,
     "q209_equality_join_order" -> q209EqualityJoinOrder _,
     "q210_rescaled_join_order" -> q210RescaledJoinOrder _,
+    "q211_skew_salt_decision" -> q211SkewSaltDecision _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1536,5 +1620,6 @@ object Planner {
     "q208_selective_join_order" -> q208Oracle,
     "q209_equality_join_order" -> q209Oracle,
     "q210_rescaled_join_order" -> q210Oracle,
+    "q211_skew_salt_decision" -> q211Oracle,
   )
 }
