@@ -19,8 +19,7 @@ object Bench {
     * SparkEntry.queries, and parsing them out of the baseline is what
     * lets an inflated prep trip the requeue at all). */
   val PrepNames: Set[String] = Set("dedup_prep", "forget_prep",
-    "compact_prep", "suffix_prep", "ann_prep", "planner_prep",
-    "joinstats_prep")
+    "compact_prep", "suffix_prep", "ann_prep", "planner_prep")
 
   def prepReruns(spark: SparkSession, sfDir: String): Map[String, PrepRerun] =
     Map(
@@ -50,10 +49,6 @@ object Bench {
       "planner_prep" -> PrepRerun(
         () => graft.ops.Planner.evictSession(spark),
         () => { graft.ops.Planner.ensureArtifacts(spark, sfDir); () },
-        () => ()),
-      "joinstats_prep" -> PrepRerun(
-        () => graft.ops.Planner.evictJoinSession(spark),
-        () => { graft.ops.Planner.ensureJoinArtifacts(spark, sfDir); () },
         () => ()))
 
   /** One prep re-stamp: evict (untimed) → rebuild (timed, ONE run — a
@@ -99,7 +94,7 @@ object Bench {
     // Untimed STREAMING warmup, same discipline: the first AvailableNow
     // stream in a JVM pays streaming-machinery classloading + checkpoint
     // IO setup (~2s), which must not be booked against whichever
-    // streaming-built prep runs first (planner_prep / joinstats_prep
+    // streaming-built prep runs first (planner_prep
     // both replay micro-batches through foreachBatch).
     try {
       val wbase = graft.Scratch.dir("bench-stream-warm")
@@ -293,14 +288,19 @@ object Bench {
         System.err.println(s"[bench] ann_prep failed: ${e.getMessage}")
         Seq("ann_prep" -> -1.0)
       }
-    // The q205/q206 maintained-statistics artifact suite (one streaming
-    // pass over a 4-batch orders replay — S28/S29/S31/S32 bodies + the
-    // bounds generation), same discipline: built COLD once on the books;
-    // the audits then consult it warm, the way a planner consults a
-    // catalog. Selecting q205/q206 without planner_prep stages it
-    // untimed so the first timed iteration does not mix a streaming
-    // build (with its checkpoint/file churn) into a pure audit stamp.
-    val plannerQueries = Set("q205_planner_audit", "q206_compaction_plan")
+    // The maintained-statistics artifact suite — ONE combined streaming
+    // pass (VERDICT r17 #5) building the q205/q206 planner suite, the
+    // q207 TPC-H join catalog, AND the registered pipeline catalog from
+    // a single staged union (S28/S29/S31/S32 bodies + every bounds
+    // generation off one aggregate). Same discipline: built COLD once
+    // on the books; the audits then consult it warm, the way a planner
+    // consults a catalog. Selecting any planner-backed query without
+    // planner_prep stages it untimed so the first timed iteration does
+    // not mix a streaming build into a pure audit stamp.
+    val plannerQueries = Set("q205_planner_audit", "q206_compaction_plan",
+      "q207_join_order_plan", "q208_selective_join_order",
+      "q209_equality_join_order", "q210_rescaled_join_order",
+      "q211_skew_salt_decision")
     val plannerPrep: Seq[(String, Double)] =
       if (!only.forall(_.contains("planner_prep"))) {
         if (only.exists(names => (names & plannerQueries).nonEmpty)) try {
@@ -320,32 +320,6 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] planner_prep failed: ${e.getMessage}")
         Seq("planner_prep" -> -1.0)
-      }
-    // The q207 per-table join-stats catalog (one streaming pass over the
-    // 4-table union replay — S29 sketches + row-count partials per
-    // table), same discipline: built COLD once on the books; the
-    // enumeration then consults it warm.
-    val joinstatsQueries = Set("q207_join_order_plan",
-      "q208_selective_join_order", "q209_equality_join_order")
-    val joinstatsPrep: Seq[(String, Double)] =
-      if (!only.forall(_.contains("joinstats_prep"))) {
-        if (only.exists(names => (names & joinstatsQueries).nonEmpty)) try {
-          System.err.println(
-            "[bench] q207 selected without joinstats_prep: building the join-stats catalog untimed")
-          graft.ops.Planner.ensureJoinArtifacts(spark, sfDir)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] untimed joinstats prep failed: ${e.getMessage}")
-        }
-        Seq.empty
-      }
-      else try {
-        graft.ops.Planner.evictJoinSession(spark)
-        val t0 = System.nanoTime()
-        graft.ops.Planner.ensureJoinArtifacts(spark, sfDir)
-        Seq("joinstats_prep" -> (System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] joinstats_prep failed: ${e.getMessage}")
-        Seq("joinstats_prep" -> -1.0)
       }
     // Side-effecting queries (real file writes in the timed body) run LAST
     // and behind an untimed settle, so their page-cache/GC churn cannot
@@ -377,7 +351,7 @@ object Bench {
     val ordered = (pure ++ gates ++ dirty)
     val midIdx = ordered.size / 2
     val measured = prepEntry ++ forgetPrep ++ compactPrep ++ suffixPrep ++
-      annPrep ++ plannerPrep ++ joinstatsPrep ++
+      annPrep ++ plannerPrep ++
       ordered.zipWithIndex.map { case ((name, fn), idx) =>
       // Median of `iters` timed runs: single-run per-query times swing up to
       // 6× run-to-run on identical code at this scale (JIT, GC, page cache),

@@ -15,12 +15,9 @@ object PrepProbe {
     (1 to 3).foreach { i =>
       graft.ops.Planner.evictSession(spark)
       val t0 = System.nanoTime()
+      // the combined single-pass build: planner suite + both catalogs
       graft.ops.Planner.ensureArtifacts(spark, sf)
       println(f"planner_prep iter $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      graft.ops.Planner.evictJoinSession(spark)
-      val t1 = System.nanoTime()
-      graft.ops.Planner.ensureJoinArtifacts(spark, sf)
-      println(f"joinstats_prep iter $i ${(System.nanoTime() - t1) / 1e9}%.2f s")
     }
     spark.stop()
   }

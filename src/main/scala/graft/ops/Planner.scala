@@ -104,11 +104,13 @@ object Planner {
   // other's in-progress stream output. computeIfAbsent holds the bin
   // lock for the key, so exactly one build runs per root and latecomers
   // block until it lands.
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private val cacheAll = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, String, String)]
 
-  private[graft] def evictSession(s: SparkSession): Unit =
-    cache.clear()
+  private[graft] def evictSession(s: SparkSession): Unit = {
+    cacheAll.clear()
+    cacheJoin.clear()
+  }
 
   /** Run independent per-batch maintainer bodies concurrently against a
     * persisted (and pre-materialized) micro-batch. Each leg is its own
@@ -138,59 +140,194 @@ object Planner {
     ()
   }
 
-  /** Build (once per session × sf dir) the maintained-statistics suite:
-    * stage bounds, replay orders as 4 deterministic micro-batches
-    * through ONE stream whose foreachBatch runs all four maintainers'
-    * per-batch bodies, and persist the bounds generation. Returns the
-    * artifact root. The build cost is fixture staging (the q100 lake
-    * discipline); the audits' timed bodies are the artifact CONSULTS
-    * plus exact-truth legs. */
+  /** The maintained-statistics suite root (q205/q206): built by the
+    * SINGLE combined pass ([[buildAll]] — VERDICT r17 #5 folded the
+    * planner suite, the TPC-H join catalog, and the registered pipeline
+    * catalog into one staged union and one stream). */
   private[graft] def ensureArtifacts(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(dir, _ => {
-      import s.implicits._
-      val base = graft.Scratch.forSf("planner", dir)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val art = s"$base/stats"
-      val rows = Tables(s, dir, "orders").selectExpr(
-        "o_custkey as v", "o_totalprice as p",
-        "cast(o_custkey as double) as d",
-        s"(${Layout.kmvHashSql("o_orderkey")}) % 4 as chunk")
-      val incoming = s"$base/incoming"
-      // ONE staging pass (VERDICT r16 #6 — the first cut paid 4 full
-      // scans of orders, one per chunk): hash-exchange on the chunk id,
-      // writer-side split by `partitionBy`. Every row of a chunk lands
-      // in one task, so each chunk directory holds exactly ONE file and
-      // `maxFilesPerTrigger = 1` still replays one chunk per micro-batch
-      // — the batch↔chunk purity the q205/q206 oracles recompute.
-      rows.repartition(4, $"chunk")
-        .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
-      val zb = ManifestStream.stageBounds(rows.select($"p", $"d"))
-      Seq((zb.pMn, zb.pMx, zb.dMn, zb.dMx))
-        .toDF("p_mn", "p_mx", "d_mn", "d_mx")
-        .coalesce(1).write.mode("overwrite").parquet(s"$art/bounds")
-      val q = s.readStream.schema("v bigint, p double, d double, chunk int")
-        .option("maxFilesPerTrigger", 1).parquet(incoming)
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val batch = b.drop("chunk")
-          batch.persist()
-          batch.count() // materialize ONCE before the concurrent fan
-          fanOut(Seq(
-            () => NdvStream.processBatch(batch.select($"v"), batchId, art),
-            () => McvStream.processBatch(batch.select($"v"), batchId, art),
-            () => StatsStream.processBatch(batch.select($"p"), batchId, art,
-              zb.pMn, zb.pMx),
-            () => ManifestStream.processBatch(batch.select($"p", $"d"),
-              batchId, art, zb)))
-          batch.unpersist()
-          ()
-        }
-        .start()
-      require(q.awaitTermination(600000), "planner artifact stream timeout")
-      art
-    })
+    ensureAll(s, dir)._1
+
+  private def ensureAll(s: SparkSession, dir: String)
+      : (String, String, String) =
+    cacheAll.computeIfAbsent(dir, _ => buildAll(s, dir))
+
+  /** ONE staged union, ONE stream, every artifact family (VERDICT r17
+    * #5): the prior layout replayed two overlapping unions back-to-back
+    * (planner suite 5.1s + join catalog 6.4s — each paying its own
+    * staging scan, checkpoint IO, and 4-batch stream spin-up). Now the
+    * 10 table legs (5 TPC-H chain + 4 registered pipeline + the orders
+    * planner columns riding the same `o` rows) stage once, every bound
+    * (the S32 z-grid generation AND all four S28 histogram generations)
+    * comes off one 10-row aggregate of the staged parquet, and each of
+    * the 4 micro-batches fans concurrently to all ~32 maintainer legs —
+    * per-table, per-artifact partials identical to the separate builds
+    * (each leg still reads only its own table's batch rows), so every
+    * oracle's recompute is untouched (merged == one-pass specs pass
+    * verbatim). */
+  private def buildAll(s: SparkSession, dir: String)
+      : (String, String, String) = {
+    import s.implicits._
+    graft.GraftFunctions.registerAll(s)
+    val base = graft.Scratch.forSf("planner_all", dir)
+    val basePlanner = graft.Scratch.forSf("planner", dir)
+    val baseJoin = graft.Scratch.forSf(TpchChainSpec.name, dir)
+    val basePipe = graft.Scratch.forSf(PipelineCatalogSpec.name, dir)
+    Seq(base, basePlanner, baseJoin, basePipe).foreach(b =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(b)))
+    val art205 = s"$basePlanner/stats"
+    val artJoin = s"$baseJoin/stats"
+    val artPipe = s"$basePipe/stats"
+    val incoming = s"$base/incoming"
+    // the combined union: (tbl, a, b, h, d, chunk) — `d` is the S32
+    // z-grid's second dimension, carried only by the orders rows
+    val t0 = System.nanoTime()
+    val union = (stagedTables(s, dir, TpchChainSpec) ++
+      stagedTables(s, dir, PipelineCatalogSpec))
+      .reduce(_.unionByName(_))
+    union.repartition(4, $"chunk")
+      .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
+    val tStage = System.nanoTime()
+    // EVERY bounds generation from one aggregate over the staged
+    // parquet: per-tag min/max of h (the four S28 histograms) and of
+    // (h, d) on the orders tag (the S32 z-grid)
+    val bRows = s.read.parquet(incoming)
+      .groupBy($"tbl")
+      .agg(min($"h").as("hmn"), max($"h").as("hmx"),
+        min($"d").as("dmn"), max($"d").as("dmx"))
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val zb = ManifestStream.ZBounds(
+      bRows("o").getAs[Double]("hmn"), bRows("o").getAs[Double]("hmx"),
+      bRows("o").getAs[Double]("dmn"), bRows("o").getAs[Double]("dmx"))
+    Seq((zb.pMn, zb.pMx, zb.dMn, zb.dMx))
+      .toDF("p_mn", "p_mx", "d_mn", "d_mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$art205/bounds")
+    def boundsOf(spec: CatalogSpec) = spec.hists.map { h =>
+      val r = bRows(h.tag)
+      val (mn, mx) = (r.getAs[Double]("hmn"), r.getAs[Double]("hmx"))
+      require(mx > mn,
+        s"degenerate histogram bounds for ${h.table}.${h.column}")
+      (h.id, h.tag, h.column, mn, mx)
+    }
+    val histJoin = boundsOf(TpchChainSpec)
+    val histPipe = boundsOf(PipelineCatalogSpec)
+    val tBounds = System.nanoTime()
+    val q = s.readStream
+      .schema("tbl string, a bigint, b bigint, h double, d double, chunk int")
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val batch = b.drop("chunk")
+        batch.persist()
+        // materialize ONCE before the concurrent fan — and the
+        // materializing action IS the per-table count partial, so the
+        // 9 count legs below only write a precomputed 1-row frame
+        val counts = batch.groupBy($"tbl").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val orders = batch.where($"tbl" === "o")
+        fanOut(Seq(
+          () => NdvStream.processBatch(orders.select($"a".as("v")),
+            batchId, art205),
+          () => McvStream.processBatch(orders.select($"a".as("v")),
+            batchId, art205),
+          () => StatsStream.processBatch(orders.select($"h".as("p")),
+            batchId, art205, zb.pMn, zb.pMx),
+          () => ManifestStream.processBatch(
+            orders.select($"h".as("p"), $"d"), batchId, art205, zb)) ++
+          specLegs(TpchChainSpec, artJoin, histJoin, batch, batchId,
+            counts) ++
+          specLegs(PipelineCatalogSpec, artPipe, histPipe, batch, batchId,
+            counts))
+        batch.unpersist()
+        ()
+      }
+      .start()
+    require(q.awaitTermination(600000), "combined artifact stream timeout")
+    val tStream = System.nanoTime()
+    writeDescriptors(s, TpchChainSpec, artJoin, histJoin)
+    writeDescriptors(s, PipelineCatalogSpec, artPipe, histPipe)
+    System.err.println(f"[planner] combined build: stage ${
+      (tStage - t0) / 1e9}%.1fs bounds ${(tBounds - tStage) / 1e9}%.1fs " +
+      f"stream ${(tStream - tBounds) / 1e9}%.1fs descriptors ${
+        (System.nanoTime() - tStream) / 1e9}%.1fs")
+    (art205, artJoin, artPipe)
+  }
+
+  /** The staged frames of one spec's tables — the fixed
+    * (tbl, a, b, h, d, chunk) union schema; `d` rides only the TPC-H
+    * orders rows (the planner suite's second z-dimension). */
+  private def stagedTables(s: SparkSession, dir: String,
+      spec: CatalogSpec): Seq[DataFrame] = {
+    val histOf = spec.hists.map(h => h.tag -> h).toMap
+    spec.tables.map { t =>
+      Tables(s, dir, t.table).selectExpr(
+        s"'${t.tag}' as tbl",
+        s"cast(${t.a} as bigint) as a",
+        if (t.b == null) "cast(null as bigint) as b"
+        else s"cast(${t.b} as bigint) as b",
+        histOf.get(t.tag).map(h => s"cast(${h.column} as double) as h")
+          .getOrElse("cast(null as double) as h"),
+        if (t.tag == "o") "cast(o_custkey as double) as d"
+        else "cast(null as double) as d",
+        s"(${Layout.kmvHashSql(t.carveKey)}) % 4 as chunk")
+    }
+  }
+
+  /** One spec's per-batch maintainer legs over the shared persisted
+    * batch — each leg reads only its own table's rows, so the partials
+    * are identical to a standalone build's. */
+  private def specLegs(spec: CatalogSpec, art: String,
+      histBounds: Seq[(String, String, String, Double, Double)],
+      batch: DataFrame, batchId: Long,
+      counts: Map[String, Long]): Seq[() => Unit] = {
+    import org.apache.spark.sql.functions.col
+    spec.sketches.map { c =>
+      () => NdvStream.processBatch(
+        batch.where(col("tbl") === c.tag).select(col(c.staged).as("v")),
+        batchId, s"$art/d_${c.id}")
+    } ++ spec.tables.map { t =>
+      () => writeCount(batch.sparkSession, counts.getOrElse(t.tag, 0L),
+        batchId, s"$art/n_${t.tag}")
+    } ++ histBounds.map { case (id, tag, _, mn, mx) =>
+      () => StatsStream.processBatch(
+        batch.where(col("tbl") === tag).select(col("h").as("p")),
+        batchId, s"$art/h_$id", mn, mx)
+    } ++ spec.mcvs.map { c =>
+      () =>
+        if (c.bounded) McvStream.processBatchBounded(
+          batch.where(col("tbl") === c.tag).select(col(c.staged).as("v")),
+          batchId, s"$art/m_${c.id}")
+        else McvStream.processBatch(
+          batch.where(col("tbl") === c.tag).select(col(c.staged).as("v")),
+          batchId, s"$art/m_${c.id}")
+    }
+  }
+
+  /** The self-describing catalog descriptors: which base column each
+    * artifact measures and which table each count belongs to — what
+    * lets a CONSUMER (q207+, [[graft.plans.CatalogJoinReorder]])
+    * resolve artifacts from the catalog root alone. */
+  private def writeDescriptors(s: SparkSession, spec: CatalogSpec,
+      art: String,
+      histBounds: Seq[(String, String, String, Double, Double)]): Unit = {
+    import s.implicits._
+    spec.sketches.map(c => (c.column, c.table, c.tag, c.id))
+      .toDF("col", "tbl", "tag", "id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$art/columns")
+    histBounds.map { case (id, tag, column, mn, mx) =>
+      (column, tag, id, mn, mx)
+    }.toDF("col", "tag", "id", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
+    spec.mcvs.map(c =>
+      (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact"))
+      .toDF("col", "tag", "id", "mode")
+      .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
+    // a consumer that raced the build (or cached a stale root) must
+    // see THIS catalog on its next load
+    graft.plans.CatalogJoinReorder.invalidate(art)
+  }
 
   // ------------------------------------------------- shared SQL fragments
 
@@ -738,6 +875,21 @@ object Planner {
     ()
   }
 
+  /** [[countBatch]] with the count already in hand: the combined build
+    * computes every table's batch count in ONE grouped job (the same
+    * action that materializes the persisted batch), so the per-table
+    * legs only write their 1-row partial — identical artifact, 9 fewer
+    * scans per micro-batch. */
+  private def writeCount(s: SparkSession, n: Long, batchId: Long,
+      root: String): Unit = {
+    import s.implicits._
+    Seq(n).toDF("n")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/rows/batch=$batchId")
+    ()
+  }
+
   // same per-key-locked map as [[cache]] (ADVICE r17)
   private val cacheJoin =
     new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -768,7 +920,12 @@ object Planner {
     * prices the registered tables from the self-describing descriptors. */
   def ensureCatalog(s: SparkSession, dir: String,
       spec: CatalogSpec): String =
-    cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
+    // the two engine-declared specs ride the combined single-pass build
+    // (their artifacts are byte-identical either way); user-registered
+    // specs build standalone
+    if (spec eq TpchChainSpec) ensureAll(s, dir)._2
+    else if (spec eq PipelineCatalogSpec) ensureAll(s, dir)._3
+    else cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
       import s.implicits._
       // staged expressions may use the engine's SQL surface (djb2, …)
       graft.GraftFunctions.registerAll(s)
@@ -776,36 +933,25 @@ object Planner {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       val art = s"$base/stats"
       val incoming = s"$base/incoming"
-      val histOf = spec.hists.map(h => h.tag -> h).toMap
-      val union = spec.tables.map { t =>
-        Tables(s, dir, t.table).selectExpr(
-          s"'${t.tag}' as tbl",
-          s"cast(${t.a} as bigint) as a",
-          if (t.b == null) "cast(null as bigint) as b"
-          else s"cast(${t.b} as bigint) as b",
-          histOf.get(t.tag).map(h => s"cast(${h.column} as double) as h")
-            .getOrElse("cast(null as double) as h"),
-          s"(${Layout.kmvHashSql(t.carveKey)}) % 4 as chunk")
-      }.reduce(_.unionByName(_))
-      // one staging pass, one file per chunk (the ensureArtifacts
-      // discipline): hash-exchange on chunk + writer-side split
-      union.repartition(4, $"chunk")
+      stagedTables(s, dir, spec).reduce(_.unionByName(_))
+        .repartition(4, $"chunk")
         .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
-      // staged histogram bounds per predicate column (the S28 generation
-      // artifact — equi-width counts are additive only under FIXED
-      // bounds), persisted with the descriptor below
-      val histBounds: Seq[(String, String, String, Double, Double)] =
-        spec.hists.map { h =>
-          val r = Tables(s, dir, h.table)
-            .selectExpr(s"cast(${h.column} as double) as h")
-            .agg(min($"h"), max($"h")).head()
-          val (mn, mx) = (r.getDouble(0), r.getDouble(1))
-          require(mx > mn,
-            s"degenerate histogram bounds for ${h.table}.${h.column}")
-          (h.id, h.tag, h.column, mn, mx)
-        }
+      // staged histogram bounds (the S28 generation artifact —
+      // equi-width counts are additive only under FIXED bounds), off
+      // one aggregate of the staged parquet
+      val bRows = s.read.parquet(incoming)
+        .groupBy($"tbl").agg(min($"h").as("hmn"), max($"h").as("hmx"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val histBounds = spec.hists.map { h =>
+        val r = bRows(h.tag)
+        val (mn, mx) = (r.getAs[Double]("hmn"), r.getAs[Double]("hmx"))
+        require(mx > mn,
+          s"degenerate histogram bounds for ${h.table}.${h.column}")
+        (h.id, h.tag, h.column, mn, mx)
+      }
       val q = s.readStream
-        .schema("tbl string, a bigint, b bigint, h double, chunk int")
+        .schema("tbl string, a bigint, b bigint, h double, d double, " +
+          "chunk int")
         .option("maxFilesPerTrigger", 1).parquet(incoming)
         .writeStream
         .option("checkpointLocation", s"$base/ckpt")
@@ -813,54 +959,15 @@ object Planner {
         .foreachBatch { (b: DataFrame, batchId: Long) =>
           val batch = b.drop("chunk")
           batch.persist()
-          batch.count() // materialize ONCE before the concurrent fan
-          fanOut(
-            spec.sketches.map { c =>
-              () => NdvStream.processBatch(
-                batch.where($"tbl" === c.tag).select(col(c.staged).as("v")),
-                batchId, s"$art/d_${c.id}")
-            } ++ spec.tables.map { t =>
-              () => countBatch(batch.where($"tbl" === t.tag), batchId,
-                s"$art/n_${t.tag}")
-            } ++ histBounds.map { case (id, tag, _, mn, mx) =>
-              () => StatsStream.processBatch(
-                batch.where($"tbl" === tag).select($"h".as("p")),
-                batchId, s"$art/h_$id", mn, mx)
-            } ++ spec.mcvs.map { c =>
-              () =>
-                if (c.bounded) McvStream.processBatchBounded(
-                  batch.where($"tbl" === c.tag)
-                    .select(col(c.staged).as("v")),
-                  batchId, s"$art/m_${c.id}")
-                else McvStream.processBatch(
-                  batch.where($"tbl" === c.tag)
-                    .select(col(c.staged).as("v")),
-                  batchId, s"$art/m_${c.id}")
-            })
+          val counts = batch.groupBy($"tbl").agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          fanOut(specLegs(spec, art, histBounds, batch, batchId, counts))
           batch.unpersist()
           ()
         }
         .start()
-      require(q.awaitTermination(600000), "join-stats artifact stream timeout")
-      // self-describing catalog descriptors: which base column each ndv
-      // sketch / histogram measures and which table each count belongs
-      // to — what lets a CONSUMER (q207,
-      // [[graft.plans.CatalogJoinReorder]]) resolve artifacts from the
-      // catalog root alone
-      spec.sketches.map(c => (c.column, c.table, c.tag, c.id))
-        .toDF("col", "tbl", "tag", "id")
-        .coalesce(1).write.mode("overwrite").parquet(s"$art/columns")
-      histBounds.map { case (id, tag, column, mn, mx) =>
-        (column, tag, id, mn, mx)
-      }.toDF("col", "tag", "id", "mn", "mx")
-        .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
-      spec.mcvs.map(c =>
-        (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact"))
-        .toDF("col", "tag", "id", "mode")
-        .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
-      // a consumer that raced the build (or cached a stale root) must
-      // see THIS catalog on its next load
-      graft.plans.CatalogJoinReorder.invalidate(art)
+      require(q.awaitTermination(600000), "catalog artifact stream timeout")
+      writeDescriptors(s, spec, art, histBounds)
       art
     })
 
