@@ -255,13 +255,34 @@ object CompactStream {
       }
       .start()
 
+  /** Session conf: fire [[vacuum]] from [[runDrift]]'s own firing path
+    * whenever this many complete generations stand BEYOND the retention
+    * floor. 0 (the default) keeps vacuum a manually-invoked verb —
+    * exactly Iceberg's posture, where expire_snapshots is an operator
+    * action unless a table property schedules it. With a cadence set,
+    * the lifecycle runs indefinitely without operator intervention:
+    * every N generations the orphan debris is collected back to the
+    * floor, so the standing file count is bounded
+    * (LifecycleDrillSpec's cadence leg pins it across 3+ firings). */
+  val VacuumEveryKey = "spark.graft.compact.vacuumEvery"
+
+  /** Session conf: the retention floor the cadenced vacuum keeps
+    * (default 2 — the live view plus one pinned historical reader). */
+  val VacuumRetainKey = "spark.graft.compact.vacuumRetain"
+
   /** Drift-aware batch body (VERDICT r16 #2): the S32 ingest runs under
     * the bounds-generation lifecycle ([[ManifestStream.processBatchDrift]]
     * — persistent edge-cell clamping re-elects the grid), and the
     * maintenance step is untouched: it plans over FOOTER zones, which are
     * physical, so compaction works identically across a generation seam
     * (a group may merge files carved under different grids — the merged
-    * footer is still exact). */
+    * footer is still exact). When a vacuum cadence is conf'd
+    * ([[VacuumEveryKey]], VERDICT r17 #7), the verb fires here — after
+    * maintenance, quiesced within the firing path — whenever N complete
+    * generations have accumulated past the retention floor. The trigger
+    * reads only the on-disk generation listing, so a replayed batch
+    * re-derives the same decision, and re-vacuuming is harmless (the
+    * reachable set is recomputed from the retained manifests). */
   private[streaming] def processBatchDrift(batch: DataFrame, batchId: Long,
       root: String): Unit = {
     val s = batch.sparkSession
@@ -272,6 +293,16 @@ object CompactStream {
     }
     ManifestStream.processBatchDrift(batch, batchId, root)
     maintain(s, root, batchId)
+    val every = scala.util.Try(
+      s.conf.get(VacuumEveryKey, "0").toInt).getOrElse(0)
+    if (every > 0) {
+      val retain = math.max(scala.util.Try(
+        s.conf.get(VacuumRetainKey, "2").toInt).getOrElse(2), 1)
+      if (completeGens(s, root).size >= retain + every) {
+        vacuum(s, root, retain)
+        ()
+      }
+    }
   }
 
   /** Drift-aware streaming driver: initial bounds staged as generation

@@ -141,5 +141,52 @@ class LifecycleDrillSpec extends SparkSpec {
       === sortedRows(ingested(gLast.toInt + 1)
         .where($"p" >= pLo && $"p" < pHi)),
       "as-of pruned read must equal the historical scan+filter")
+
+    // ---- stage 7 (VERDICT r17 #7): with the conf'd cadence, the
+    // lifecycle runs INDEFINITELY without operator intervention — keep
+    // ingesting through runDrift's own firing path and pin that the
+    // standing file count stays bounded across 3+ cadenced vacuum
+    // firings (without the cadence, orphan growth is monotone)
+    def fileCount(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(root))
+    }
+    s.conf.set(CompactStream.VacuumEveryKey, "1")
+    s.conf.set(CompactStream.VacuumRetainKey, "2")
+    try {
+      var vacuumFirings = 0
+      var lastGens = CompactStream.completeGens(s, root)
+      val counts = ArrayBuffer.empty[Int]
+      var guard = 0
+      while (vacuumFirings < 3 && guard < 24) {
+        drive(chunk(drifted, batches.size % 6))
+        guard += 1
+        val gens = CompactStream.completeGens(s, root)
+        if (gens != lastGens) {
+          // a new generation committed ⇒ the cadence (every=1, floor 2)
+          // fired in the same batch body; sample the standing footprint
+          vacuumFirings += 1
+          counts += fileCount()
+          lastGens = gens
+        }
+      }
+      assert(vacuumFirings >= 3,
+        s"the drill must drive at least 3 cadenced firings ($guard batches)")
+      // bounded: the footprint after each firing stays within a fixed
+      // band of the first sample — no monotone growth across firings
+      assert(counts.max <= counts.head + CompactStream.SmallTrigger,
+        s"steady-state file count must be bounded across firings: $counts")
+      // expired generations were collected by the in-path cadence, so
+      // only the retention floor stands
+      assert(CompactStream.completeGens(s, root).size <= 2 +
+        1, // one generation may commit after the last firing
+        "the cadence must hold the generation count at the floor")
+      checkInvariant("post-cadenced-vacuum")
+    } finally {
+      s.conf.unset(CompactStream.VacuumEveryKey)
+      s.conf.unset(CompactStream.VacuumRetainKey)
+    }
   }
 }
