@@ -23,10 +23,12 @@ import graft.streaming.{ManifestStream, McvStream, NdvStream, StatsStream}
   * stream pattern maintains.
   *
   * The artifact suite ([[ensureArtifacts]]) is maintained by ONE
-  * streaming pass over a 4-batch replay of `orders` — each micro-batch
-  * fans to the four maintainers' own per-batch bodies (the literal
+  * streaming pass — since r18 the SAME pass that builds both join
+  * catalogs ([[buildAll]]): a single staged union replays all declared
+  * tables as 4 deterministic micro-batches, and each batch fans
+  * concurrently to every maintainer's own per-batch body (the literal
   * S28/S29/S31/S32 `processBatch` code, so the audit-driven and the
-  * engine-driven artifacts cannot drift):
+  * engine-driven artifacts cannot drift). The planner suite's share:
   *
   *  - `hist/`  — S28 4096-bin histogram of o_totalprice under staged
   *    global bounds ([[StatsStream]]),

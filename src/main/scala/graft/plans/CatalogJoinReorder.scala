@@ -104,37 +104,47 @@ case class CatalogJoinReorder(session: SparkSession)
   private def rewrite(plan: LogicalPlan, cat: Catalog): LogicalPlan =
     plan match {
       case j: Join =>
-        val (leaves, conditions) = flatten(j)
+        val (leaves, conditions, shape) = flatten(j)
         val attempt =
           if (leaves.size < 3 || leaves.size > MaxRelations) None
           else reorder(j, leaves, leaves.map(rewrite(_, cat)),
-            conditions, cat)
+            conditions, shape, cat)
         attempt.getOrElse(j.mapChildren(rewrite(_, cat)))
       case other => other.mapChildren(rewrite(_, cat))
     }
 
   /** Flatten a hint-free inner-join region into (input relations, pooled
-    * conjuncts). Attribute-only projects and filters BETWEEN joins are
-    * transparent (their effect is reconstructed by the rebuild: filters
-    * reattach, the region output is restored by a top `Project`); on a
-    * leaf they stay part of the leaf. */
-  private def flatten(p: LogicalPlan): (Seq[LogicalPlan], Seq[Expression]) =
+    * conjuncts, join SHAPE). Attribute-only projects and filters BETWEEN
+    * joins are transparent (their effect is reconstructed by the
+    * rebuild: filters reattach, the region output is restored by a top
+    * `Project`); on a leaf they stay part of the leaf. The shape — the
+    * region's join tree over leaf indices — is what the settled check
+    * compares against the chosen tree (identity-ORDER was only a
+    * left-deep special case; the bushy enumeration needs the tree). */
+  private def flatten(p: LogicalPlan)
+      : (Seq[LogicalPlan], Seq[Expression], Shape) =
     p match {
       case Join(l, r, Inner, cond, JoinHint.NONE) =>
-        val (lp, lc) = flatten(l)
-        val (rp, rc) = flatten(r)
+        val (lp, lc, ls) = flatten(l)
+        val (rp, rc, rs) = flatten(r)
         (lp ++ rp, lc ++ rc ++
-          cond.toSeq.flatMap(splitConjunctivePredicates))
+          cond.toSeq.flatMap(splitConjunctivePredicates),
+          SNode(ls, shiftShape(rs, lp.size)))
       case Project(pl, child)
           if pl.forall(_.isInstanceOf[AttributeReference]) =>
-        val (cp, cc) = flatten(child)
-        if (cp.size > 1) (cp, cc) else (Seq(p), Nil)
+        val (cp, cc, cs) = flatten(child)
+        if (cp.size > 1) (cp, cc, cs) else (Seq(p), Nil, SLeaf(0))
       case Filter(cond, child) =>
-        val (cp, cc) = flatten(child)
-        if (cp.size > 1) (cp, cc ++ splitConjunctivePredicates(cond))
-        else (Seq(p), Nil)
-      case other => (Seq(other), Nil)
+        val (cp, cc, cs) = flatten(child)
+        if (cp.size > 1) (cp, cc ++ splitConjunctivePredicates(cond), cs)
+        else (Seq(p), Nil, SLeaf(0))
+      case other => (Seq(other), Nil, SLeaf(0))
     }
+
+  private def shiftShape(s: Shape, k: Int): Shape = s match {
+    case SLeaf(i) => SLeaf(i + k)
+    case SNode(a, b) => SNode(shiftShape(a, k), shiftShape(b, k))
+  }
 
   /** Predicates on the leaf's own access path (Filter/Project chain
     * only — a leaf that is a whole subquery keeps its internals out of
@@ -205,7 +215,8 @@ case class CatalogJoinReorder(session: SparkSession)
 
   private def reorder(orig: Join, leaves: Seq[LogicalPlan],
       plans: Seq[LogicalPlan],
-      conditions: Seq[Expression], cat: Catalog): Option[LogicalPlan] = {
+      conditions: Seq[Expression], origShape: Shape,
+      cat: Catalog): Option[LogicalPlan] = {
     // DETERMINISM GUARD (ADVICE r17, the upstream
     // ExtractFiltersAndInnerJoins contract): the rebuild reattaches
     // pooled conjuncts at the earliest join where their references
@@ -259,15 +270,101 @@ case class CatalogJoinReorder(session: SparkSession)
     }
     if (edges.isEmpty) return None
 
-    // full System-R left-deep enumeration over connected-prefix orders,
-    // BigInt cascade (the q207 arithmetic without the int64 ceiling)
+    // enumeration: the full System-R left-deep walk by default; DPsize
+    // over connected subsets when `spark.graft.join.bushy` is set
+    // (VERDICT r17 #4 — a star query with two independently-filtered
+    // dimensions has its optimum OUTSIDE the left-deep space: both arms
+    // must reduce before crossing the expanding middle edge)
+    val useBushy = scala.util.Try(
+      conf.getConfString(BushyKey, "false").toBoolean).getOrElse(false)
+    val chosen: Option[(Shape, BigInt)] =
+      if (useBushy) dpBushy(plans.size, rowsOf, edges)
+      else leftDeepWalk(plans.size, rowsOf, edges)
+
+    chosen.map { case (shape, cost) =>
+      // A region whose CURRENT shape already costs the chosen optimum
+      // (== shape, or a tie — commuted pair, equal-cost nesting) with
+      // untouched leaves is SETTLED: return the original node (a
+      // rebuild would strip the pruning projects and thrash against
+      // ColumnPruning), and do not descend into the region's own
+      // sub-joins either — a sub-region's LOCAL optimum can differ from
+      // the global best's sub-tree (optimal substructure holds per
+      // subset, not per prefix), and re-ordering it would oscillate the
+      // fixpoint pass over pass. Settling on cost TIES (not just shape
+      // identity) is what makes the fixpoint robust to tiebreak drift:
+      // the enumeration's tie choice depends on leaf extraction order,
+      // which a rebuild changes — pricing the standing shape instead is
+      // extraction-order-independent. When a LEAF was rewritten (a
+      // nested region under an aggregate got its own reorder), rebuild
+      // once in the original shape so the leaf work is kept — next pass
+      // the leaves are stable and the settled branch holds.
+      val keepShape = shape == origShape ||
+        priceShape(origShape, rowsOf, edges).exists(_ == cost)
+      if (keepShape &&
+          plans.zip(leaves).forall { case (a, b) => a eq b }) orig
+      else {
+        if (!keepShape)
+          logInfo(s"CatalogJoinReorder: ${plans.size}-relation region " +
+            s"rebuilt to $shape " +
+            s"(catalog-estimated intermediate rows: $cost)")
+        val used = scala.collection.mutable.Set.empty[Expression]
+        def build(t: Shape): LogicalPlan = t match {
+          case SLeaf(i) => plans(i)
+          case SNode(l, r) =>
+            val lp = build(l)
+            val rp = build(r)
+            val avail = conditions.filterNot(used).filter(
+              _.references.subsetOf(lp.outputSet ++ rp.outputSet))
+            used ++= avail
+            Join(lp, rp, Inner, avail.reduceOption(And), JoinHint.NONE)
+        }
+        val cur = build(if (keepShape) origShape else shape)
+        val rest = conditions.filterNot(used)
+        val joined = if (rest.isEmpty) cur else Filter(rest.reduce(And), cur)
+        if (joined.output == orig.output) joined
+        else Project(orig.output, joined)
+      }
+    }
+  }
+
+  /** The catalog-priced cost of an EXISTING region shape (sum of
+    * internal join sizes excluding the root, the enumerations'
+    * convention) — None when some node's split has no priced crossing
+    * edge. Extraction-order-independent, which is what the settled
+    * check needs (see above). */
+  private def priceShape(t: Shape, rowsOf: Seq[BigInt],
+      edges: Seq[(Int, Int, BigInt)]): Option[BigInt] = {
+    // returns (leaf mask, subtree size, Σ node sizes incl. this node)
+    def walk(s: Shape): Option[(Int, BigInt, BigInt)] = s match {
+      case SLeaf(i) => Some((1 << i, rowsOf(i), BigInt(0)))
+      case SNode(l, r) =>
+        for {
+          (lm, ls, lc) <- walk(l)
+          (rm, rs, rc) <- walk(r)
+          denom = edges.collect { case (a, b, d)
+            if ((lm & (1 << a)) != 0 && (rm & (1 << b)) != 0) ||
+              ((lm & (1 << b)) != 0 && (rm & (1 << a)) != 0) => d }
+          if denom.nonEmpty
+        } yield {
+          val size = (ls * rs / denom.product).max(1)
+          (lm | rm, size, lc + rc + size)
+        }
+    }
+    walk(t).map { case (_, size, total) => total - size }
+  }
+
+  /** The System-R left-deep walk over connected-prefix orders, BigInt
+    * cascade (the q207 arithmetic without the int64 ceiling); cost =
+    * Σ intermediate sizes excluding the (order-invariant) root. */
+  private def leftDeepWalk(n: Int, rowsOf: Seq[BigInt],
+      edges: Seq[(Int, Int, BigInt)]): Option[(Shape, BigInt)] = {
     var best: Option[(Vector[Int], BigInt)] = None
     def extend(order: Vector[Int], size: BigInt, cost: BigInt): Unit = {
-      if (order.size == plans.size) {
+      if (order.size == n) {
         if (best.forall { case (bo, bc) =>
             cost < bc || (cost == bc && lexLt(order, bo)) })
           best = Some((order, cost))
-      } else plans.indices.foreach { x =>
+      } else (0 until n).foreach { x =>
         if (!order.contains(x)) {
           val denom = edges.collect {
             case (a, b, d) if (order.contains(a) && b == x) ||
@@ -280,43 +377,74 @@ case class CatalogJoinReorder(session: SparkSession)
         }
       }
     }
-    plans.indices.foreach(x => extend(Vector(x), rowsOf(x), 0))
-
-    best.map { case (order, _) =>
-      // Already-best regions with untouched leaves are SETTLED: return
-      // the original node (a rebuild would strip the pruning projects
-      // and thrash against ColumnPruning), and do not descend into the
-      // region's own sub-joins either — a sub-chain's LOCAL optimum can
-      // differ from the global best's prefix (optimal substructure
-      // holds per subset, not per prefix), and re-ordering it would
-      // oscillate the fixpoint between the two shapes pass over pass.
-      // When a LEAF was rewritten (a nested region under an aggregate
-      // got its own reorder), rebuild once in the identity order so the
-      // leaf work is kept — next pass the leaves are stable and the
-      // settled branch holds.
-      if (order == plans.indices.toVector &&
-          plans.zip(leaves).forall { case (a, b) => a eq b }) orig
-      else {
-        if (order != plans.indices.toVector)
-          logInfo(s"CatalogJoinReorder: ${plans.size}-relation region " +
-            s"reordered to ${order.mkString("[", ",", "]")} " +
-            s"(catalog-estimated intermediate rows: ${best.get._2})")
-        val used = scala.collection.mutable.Set.empty[Expression]
-        var cur = plans(order.head)
-        order.tail.foreach { x =>
-          val nxt = plans(x)
-          val avail = conditions.filterNot(used).filter(
-            _.references.subsetOf(cur.outputSet ++ nxt.outputSet))
-          used ++= avail
-          cur = Join(cur, nxt, Inner,
-            avail.reduceOption(And), JoinHint.NONE)
-        }
-        val rest = conditions.filterNot(used)
-        val joined = if (rest.isEmpty) cur else Filter(rest.reduce(And), cur)
-        if (joined.output == orig.output) joined
-        else Project(orig.output, joined)
-      }
+    (0 until n).foreach(x => extend(Vector(x), rowsOf(x), 0))
+    best.map { case (order, cost) =>
+      (order.tail.foldLeft(SLeaf(order.head): Shape)(
+        (t, i) => SNode(t, SLeaf(i))), cost)
     }
+  }
+
+  /** DPsize over CONNECTED subsets (flag-gated — [[BushyKey]]): for
+    * every connected subset S, best(S) minimizes Σ of internal join
+    * sizes over all connected 2-way splits; size(S) is split-invariant
+    * (Π rows / Π internal-edge denominators — each edge divides exactly
+    * once), so the DP is sound. n ≤ [[MaxRelations]] keeps the subset
+    * count ≤ 256 and the submask walk ≤ 3^8 — driver-side arithmetic,
+    * independent of data size. Returns the best tree and its cost under
+    * the SAME convention as the left-deep walk (root size excluded), so
+    * flag-on strictly widens the searched space: the left-deep optimum
+    * is one of DPsize's candidates. Split orientation is canonical
+    * (left side carries the lowest-indexed relation) and ties keep the
+    * first minimum in deterministic submask order. */
+  private def dpBushy(n: Int, rowsOf: Seq[BigInt],
+      edges: Seq[(Int, Int, BigInt)]): Option[(Shape, BigInt)] = {
+    val full = (1 << n) - 1
+    val size = new Array[BigInt](1 << n)
+    val total = new Array[BigInt](1 << n)
+    val tree = new Array[Shape](1 << n)
+    (0 until n).foreach { i =>
+      size(1 << i) = rowsOf(i); total(1 << i) = BigInt(0)
+      tree(1 << i) = SLeaf(i)
+    }
+    def subsetSize(m: Int): BigInt = {
+      var rows = BigInt(1)
+      (0 until n).foreach(i => if ((m & (1 << i)) != 0) rows *= rowsOf(i))
+      var denom = BigInt(1)
+      edges.foreach { case (a, b, d) =>
+        if ((m & (1 << a)) != 0 && (m & (1 << b)) != 0) denom *= d
+      }
+      (rows / denom).max(1)
+    }
+    def crosses(a: Int, b: Int): Boolean = edges.exists { case (x, y, _) =>
+      ((a & (1 << x)) != 0 && (b & (1 << y)) != 0) ||
+        ((a & (1 << y)) != 0 && (b & (1 << x)) != 0)
+    }
+    var m = 3
+    while (m <= full) {
+      if (Integer.bitCount(m) >= 2) {
+        val low = Integer.lowestOneBit(m)
+        var sub = (m - 1) & m
+        while (sub > 0) {
+          val a = sub
+          val b = m ^ sub
+          // canonical orientation: visit each unordered split once,
+          // left = the side holding the lowest-indexed relation
+          if ((a & low) != 0 && total(a) != null && total(b) != null &&
+              crosses(a, b)) {
+            if (size(m) == null) size(m) = subsetSize(m)
+            val c = total(a) + total(b) + size(m)
+            if (total(m) == null || c < total(m)) {
+              total(m) = c
+              tree(m) = SNode(tree(a), tree(b))
+            }
+          }
+          sub = (sub - 1) & m
+        }
+      }
+      m += 1
+    }
+    if (tree(full) == null) None
+    else Some((tree(full), total(full) - size(full)))
   }
 
   private def lexLt(a: Vector[Int], b: Vector[Int]): Boolean =
@@ -328,6 +456,16 @@ object CatalogJoinReorder {
   /** Session conf: path to a [[graft.ops.Planner.ensureJoinArtifacts]]
     * catalog root. Empty/unset disables the rule. */
   val CatalogKey = "spark.graft.join.catalog"
+
+  /** Session conf: enable DPsize bushy enumeration (default false —
+    * the left-deep walk; VERDICT r17 #4). */
+  val BushyKey = "spark.graft.join.bushy"
+
+  /** A join-region tree over leaf indices — what the enumerations
+    * return and the settled check compares. */
+  private[plans] sealed trait Shape
+  private[plans] final case class SLeaf(i: Int) extends Shape
+  private[plans] final case class SNode(l: Shape, r: Shape) extends Shape
 
   /** Left-deep enumeration is factorial — 8 relations (40k orders before
     * connectivity pruning) is the sane ceiling for a driver-side walk;

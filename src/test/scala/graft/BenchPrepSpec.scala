@@ -13,8 +13,10 @@ class BenchPrepSpec extends SparkSpec {
   override val sf = "/root/testdata/sf0.001"
 
   test("every prep entry Bench stamps has a rerun recipe") {
+    // joinstats_prep folded into planner_prep in r18 (the combined
+    // single-pass artifact build — VERDICT r17 #5)
     val prepNames = Set("dedup_prep", "forget_prep", "compact_prep",
-      "suffix_prep", "ann_prep", "planner_prep", "joinstats_prep")
+      "suffix_prep", "ann_prep", "planner_prep")
     assert(Bench.prepReruns(spark, sf).keySet === prepNames)
     assert(Bench.PrepNames === prepNames,
       "the parse universe must cover every rerun recipe")

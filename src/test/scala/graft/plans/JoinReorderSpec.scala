@@ -523,6 +523,78 @@ class JoinReorderSpec extends AnyFunSuite {
     }
   }
 
+  test("bushy enumeration (spark.graft.join.bushy): a chain with two " +
+      "independently-filtered END tables and an expanding middle edge " +
+      "gets a bushy plan — both arms reduce before crossing the " +
+      "expansion — strictly cheaper catalog-priced than every left-deep " +
+      "order; default stays left-deep; results identical either way") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    // σ(label ≤ 1) on embeddings (≈79 est rows) and σ(c_custkey ≤ 2) on
+    // customer (≈2 est rows): the documents→events edge expands 2× at
+    // sf0.001, so every left-deep order pays the expansion over one
+    // REDUCED arm only (best: 237 est rows), while the bushy tree
+    // (σEM⋈DC)⋈(EV⋈σCU) pays both arms pre-expansion (212 est rows)
+    def chain(): DataFrame =
+      Tables(s, sf, "events").select($"user_id")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"user_id" === $"doc_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id", $"label")
+          .where($"label" <= 1L),
+          $"doc_id" === $"vec_id")
+        .join(Tables(s, sf, "customer").select($"c_custkey")
+          .where($"c_custkey" <= 2L),
+          $"user_id" === $"c_custkey")
+    def leafSets(p: LogicalPlan): Option[(Set[String], Set[String])] = {
+      def names(q: LogicalPlan): Set[String] =
+        q.collectLeaves().flatMap(_.output.map(_.name)).toSet
+      p.collectFirst { case j: Join => j } match {
+        case Some(j) => Some((names(j.left), names(j.right)))
+        case None => None
+      }
+    }
+    def topJoinChildren(p: LogicalPlan): Seq[LogicalPlan] =
+      p.collectFirst { case j: Join => Seq(j.left, j.right) }
+        .getOrElse(Seq.empty)
+    def isJoinSubtree(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: Join => true }.getOrElse(false)
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val offRows = chain().collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      // default: left-deep — at most one child of the top join is a join
+      val ld = chain().queryExecution.optimizedPlan
+      assert(topJoinChildren(ld).count(isJoinSubtree) <= 1,
+        s"without the flag the plan must stay left-deep:\n$ld")
+      // flag on: the top join's BOTH children are join subtrees, with
+      // the two reduced arms on either side
+      s.conf.set(CatalogJoinReorder.BushyKey, "true")
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      assert(topJoinChildren(bp).count(isJoinSubtree) === 2,
+        s"the bushy flag must produce a bushy tree:\n$bp")
+      val (lNames, rNames) = leafSets(bp).get
+      val arms = Set(lNames.intersect(Set("vec_id", "doc_id", "user_id",
+        "c_custkey")), rNames.intersect(Set("vec_id", "doc_id", "user_id",
+        "c_custkey")))
+      assert(arms === Set(Set("vec_id", "doc_id"),
+        Set("user_id", "c_custkey")),
+        s"the arms must be (EM⋈DC) and (EV⋈CU): $arms")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the bushy plan must not change results")
+      // fixpoint: re-optimizing the bushy output is a no-op
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "a second optimization pass over the bushy plan must be a no-op")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.BushyKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+    }
+  }
+
   test("determinism guard: a non-deterministic predicate between joins " +
       "leaves the region byte-identical — relocating rand() would change " +
       "results (the ExtractFiltersAndInnerJoins contract)") {
