@@ -609,6 +609,7 @@ object StreamBench {
       ndv: Option[SeamResult],
       statsGen: Option[SeamResult],
       mcv: Option[SeamResult],
+      mcvBounded: Option[SeamResult],
       manifest: Option[SeamResult],
       compactor: Option[SeamResult]) {
     /** Headline records/sec — the signing chain's rate, −1 when the seam
@@ -640,6 +641,7 @@ object StreamBench {
         "ndv" -> ndv,
         "stats_gen" -> statsGen,
         "mcv" -> mcv,
+        "mcv_bounded" -> mcvBounded,
         "manifest" -> manifest,
         "compactor" -> compactor).map { case (k, v) =>
         s""""$k":${v.map(_.json).getOrElse(failed)}"""
@@ -685,6 +687,7 @@ object StreamBench {
       guarded("ndv")(measureNdv(spark, sfDir)),
       guarded("statsgen")(measureStatsGen(spark, sfDir)),
       guarded("mcv")(measureMcv(spark, sfDir)),
+      guarded("mcvbounded")(measureMcvBounded(spark, sfDir)),
       guarded("manifest")(measureManifest(spark, sfDir)),
       guarded("compactor")(measureCompactor(spark, sfDir)))
   }
@@ -828,6 +831,48 @@ object StreamBench {
       System.err.println(s"[streambench:mcv] q203 estimate at k=32 from " +
         s"the streamed table: ${streaming.McvStream.estimate(spark, s"$root/out", 32)}")
       SeamResult(n / secs, n, mass, secs)
+    }
+  }
+
+  /** S31-bounded throughput (the r18 corpus-scaled-key mode): orders'
+    * o_custkey — a key whose value domain grows with the corpus, the
+    * exact case the full value-count partial cannot survive at 100 TB —
+    * replayed through [[graft.streaming.McvStream.runBounded]]'s
+    * heavy-hitter maintenance (per-batch top-M + one tail row, ≤ M+1
+    * rows per partial BY CONSTRUCTION). `clean` = merged head + tail
+    * mass (must equal the record count — every batch row lands in
+    * exactly one of the two, in any batching), with the standing
+    * artifact's row count logged against the |batches|·(M+1) bound. */
+  def measureMcvBounded(spark: SparkSession, sfDir: String,
+      timeoutMs: Long = 600000): SeamResult = {
+    import spark.implicits._
+    val root = s"${Scratch.forSf("streambench", sfDir)}-mcvb"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val incoming = s"$root/incoming"
+    for (chunk <- 0 to 2) {
+      Tables(spark, sfDir, "orders")
+        .where(pmod($"o_orderkey", lit(3)) === chunk)
+        .select($"o_custkey".as("v"))
+        .write.mode("append").parquet(incoming)
+    }
+    val n = spark.read.parquet(incoming).count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream
+      .schema("v bigint").option("maxFilesPerTrigger", 2).parquet(incoming)
+    val q = streaming.McvStream.runBounded(stream, s"$root/out")
+    val finished = q.awaitTermination(timeoutMs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (!finished) {
+      q.stop()
+      System.err.println(s"[streambench:mcvbounded] timed out after $secs s")
+      SeamResult(-1.0, n, -1L, secs)
+    } else {
+      val (hn, tn) = streaming.McvStream.boundedMasses(spark, s"$root/out")
+      val artRows = spark.read.parquet(s"$root/out/mcv").count()
+      System.err.println(s"[streambench:mcvbounded] artifact rows " +
+        s"$artRows (bound: batches x ${streaming.McvStream.BoundSlots + 1}); " +
+        s"head mass $hn tail mass $tn")
+      SeamResult(n / secs, n, hn + tn, secs)
     }
   }
 

@@ -1712,6 +1712,214 @@ object Planner {
        |    ELSE 'plain' END AS decision
        |FROM keys, ne ORDER BY key""".stripMargin
 
+  // ----------------------------------------------------------------- q212
+
+  /** q212's threshold/straddle-bin text over the pipeline catalog's
+    * staged bounds rows — (lmn, lmx) for embeddings.label, (cmn, cmx)
+    * for c_custkey. Identical text in Spark SQL and DuckDB. */
+  private def tbin212Sql(t: String, mn: String, mx: String): String =
+    s"least(cast(floor(($t - $mn) * ${Layout.HistBins} " +
+      s"/ ($mx - $mn)) as bigint), ${Layout.HistBins - 1})"
+
+  /** Per-plan (name, est-cost expr, exact-cost expr) for the q212
+    * shapes: the bushy two-arm tree vs the two contending left-deep
+    * chains, priced by the SAME rescaled arithmetic the rule uses. */
+  private[graft] def q212Plans(div: String): Seq[(String, String, String)] = {
+    def d(id: String) = dSql(id, div)
+    val d12 = s"greatest(least(${d("em_vec")}, est_em), " +
+      s"least(${d("dc_doc")}, n_dc))"
+    val d23 = s"greatest(least(${d("dc_doc")}, n_dc), " +
+      s"least(${d("ev_uid")}, n_ev))"
+    val d34 = s"greatest(least(${d("ev_uid")}, n_ev), " +
+      s"least(${d("cu_key")}, est_c))"
+    val sEd = s"(est_em * n_dc $div $d12)"
+    val sVc = s"(n_ev * est_c $div $d34)"
+    Seq(
+      ("bushy_arms", s"$sEd + $sVc", "x_ed + x_vc"),
+      ("ld_cu_first", s"$sVc + $sVc * n_dc $div $d23", "x_vc + x_dvc"),
+      ("ld_em_first", s"$sEd + $sEd * n_ev $div $d23", "x_ed + x_edv"))
+  }
+
+  /** q212 — the BUSHY WIN, graded (VERDICT r17 #4's oracle leg): under
+    * σ(label ≤ 1) on embeddings AND σ(c_custkey ≤ 2) on customer, the
+    * EM–DC–EV–CU path's optimum is OUTSIDE the left-deep space — the
+    * documents→events edge expands, so a left-deep chain must push ONE
+    * reduced arm through the expansion while the bushy tree
+    * (σEM ⋈ DC) ⋈ (EV ⋈ σCU) reduces BOTH arms first. The three
+    * contending shapes (bushy + the two viable left-deep openers) are
+    * priced from the registered catalog by the rule's own rescaled
+    * arithmetic and graded against exact sub-chain truth: at the
+    * audited sf0.01 scale the bushy tree ranks 1 in BOTH est and exact
+    * (est_rank == exact_rank on all three shapes, DuckDB-hash-matched)
+    * — the same decision `spark.graft.join.bushy` makes in-engine
+    * (JoinReorderSpec's bushy leg pins the physical tree). At sf0.001
+    * the expansion is only 2× and exact truth narrowly prefers the
+    * left-deep chain — the rank columns record it honestly (both
+    * engines compute identical integers either way).
+    *
+    * Scale shape: q207's — estimates are metadata-frame arithmetic;
+    * exact legs are four count-agg joins with the filtered sides
+    * broadcast. */
+  def q212BushyJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureCatalog(s, dir, PipelineCatalogSpec)
+    val spec = PipelineCatalogSpec
+    val sketchW = spec.sketches.map { c =>
+      val id = c.id
+      NdvStream.mergedSketch(s, s"$art/d_$id")
+        .agg(count(lit(1)).as(s"sk_$id"),
+          coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
+    }.reduce(_.crossJoin(_))
+    val countW = spec.tables.map { t =>
+      s.read.parquet(s"$art/n_${t.tag}/rows")
+        .agg(coalesce(sum($"n"), lit(0L)).as(s"n_${t.tag}"))
+    }.reduce(_.crossJoin(_))
+    val lb = s.read.parquet(s"$art/hists").where($"col" === "label")
+      .selectExpr("mn as lmn", "mx as lmx")
+    val cb = s.read.parquet(s"$art/hists").where($"col" === "c_custkey")
+      .selectExpr("mn as cmn", "mx as cmx")
+    val estEmW = StatsStream.mergedHistogram(s, s"$art/h_hem")
+      .crossJoin(broadcast(lb))
+      .agg(coalesce(sum(when(
+          expr(s"bin < ${tbin212Sql("1.0", "lmn", "lmx")}"), $"n")), lit(0L))
+          .as("full_l"),
+        coalesce(sum(when(
+          expr(s"bin = ${tbin212Sql("1.0", "lmn", "lmx")}"), $"n")), lit(0L))
+          .as("strad_l"))
+      .selectExpr("full_l + (strad_l div 2) as est_em")
+    val estCW = StatsStream.mergedHistogram(s, s"$art/h_hcu")
+      .crossJoin(broadcast(cb))
+      .agg(coalesce(sum(when(
+          expr(s"bin < ${tbin212Sql("2.0", "cmn", "cmx")}"), $"n")), lit(0L))
+          .as("full_c"),
+        coalesce(sum(when(
+          expr(s"bin = ${tbin212Sql("2.0", "cmn", "cmx")}"), $"n")), lit(0L))
+          .as("strad_c"))
+      .selectExpr("full_c + (strad_c div 2) as est_c")
+    val sem = Tables(s, dir, "embeddings")
+      .where(expr("cast(label as double) <= 1.0")).select($"vec_id")
+    val scu = Tables(s, dir, "customer")
+      .where(expr("cast(c_custkey as double) <= 2.0")).select($"c_custkey")
+    val dc = Tables(s, dir, "documents").select($"doc_id")
+    val ev = Tables(s, dir, "events").select($"user_id")
+    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    val ed = sem.join(dc, $"vec_id" === $"doc_id")
+    val exactW = cnt(ed, "x_ed")
+      .crossJoin(cnt(ev.join(broadcast(scu), $"user_id" === $"c_custkey"),
+        "x_vc"))
+      .crossJoin(cnt(ed.join(ev, $"doc_id" === $"user_id"), "x_edv"))
+      .crossJoin(cnt(dc.join(ev, $"doc_id" === $"user_id")
+        .join(broadcast(scu), $"user_id" === $"c_custkey"), "x_dvc"))
+    val wide = sketchW.crossJoin(countW).crossJoin(estEmW)
+      .crossJoin(estCW).crossJoin(exactW)
+    val legs = q212Plans("div")
+    val rows = wide.selectExpr(s"stack(${legs.size}, " +
+      legs.map { case (n, est, exact) =>
+        s"'$n', cast(($est) as bigint), cast(($exact) as bigint)"
+      }.mkString(", ") + ") as (plan, est_cost, exact_cost)")
+    rows
+      .withColumn("est_rank", row_number().over(
+        Window.orderBy(col("est_cost"), col("plan"))).cast("long"))
+      .withColumn("exact_rank", row_number().over(
+        Window.orderBy(col("exact_cost"), col("plan"))).cast("long"))
+      .withColumn("rank_match",
+        when(col("est_rank") === col("exact_rank"), 1L).otherwise(0L))
+      .orderBy(col("plan"))
+  }
+
+  val q212Oracle: String = {
+    val spec = PipelineCatalogSpec
+    val skCtes = spec.sketches.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = spec.tables.map { t =>
+      s"nn_${t.tag} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_${t.tag} " +
+        s"FROM ${t.table})"
+    }.mkString(",\n")
+    val stFrom = (spec.sketches.map(c => s"a_${c.id}") ++
+      spec.tables.map(t => s"nn_${t.tag}") ++
+      Seq("e12l", "e12c")).mkString(", ")
+    val legs = q212Plans("//").map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS plan,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |bl AS (
+       |  SELECT MIN(CAST(label AS DOUBLE)) AS lmn,
+       |    MAX(CAST(label AS DOUBLE)) AS lmx
+       |  FROM embeddings),
+       |bc AS (
+       |  SELECT MIN(CAST(c_custkey AS DOUBLE)) AS cmn,
+       |    MAX(CAST(c_custkey AS DOUBLE)) AS cmx
+       |  FROM customer),
+       |histl AS (
+       |  SELECT LEAST(CAST(FLOOR((CAST(label AS DOUBLE) - lmn)
+       |      * ${Layout.HistBins} / (lmx - lmn)) AS BIGINT),
+       |      ${Layout.HistBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings, bl GROUP BY 1),
+       |histc AS (
+       |  SELECT LEAST(CAST(FLOOR((CAST(c_custkey AS DOUBLE) - cmn)
+       |      * ${Layout.HistBins} / (cmx - cmn)) AS BIGINT),
+       |      ${Layout.HistBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer, bc GROUP BY 1),
+       |e12l AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN h.bin <
+       |      ${tbin212Sql("1.0", "lmn", "lmx")} THEN h.n END), 0)
+       |    + COALESCE(SUM(CASE WHEN h.bin =
+       |      ${tbin212Sql("1.0", "lmn", "lmx")} THEN h.n END), 0) // 2
+       |    AS BIGINT) AS est_em
+       |  FROM histl h, bl),
+       |e12c AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN h.bin <
+       |      ${tbin212Sql("2.0", "cmn", "cmx")} THEN h.n END), 0)
+       |    + COALESCE(SUM(CASE WHEN h.bin =
+       |      ${tbin212Sql("2.0", "cmn", "cmx")} THEN h.n END), 0) // 2
+       |    AS BIGINT) AS est_c
+       |  FROM histc h, bc),
+       |sem AS (
+       |  SELECT vec_id FROM embeddings WHERE CAST(label AS DOUBLE) <= 1.0),
+       |scu AS (
+       |  SELECT c_custkey FROM customer
+       |  WHERE CAST(c_custkey AS DOUBLE) <= 2.0),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sem
+       |     JOIN documents ON vec_id = doc_id) AS x_ed,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+       |     JOIN scu ON user_id = c_custkey) AS x_vc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM sem
+       |     JOIN documents ON vec_id = doc_id
+       |     JOIN events ON doc_id = user_id) AS x_edv,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |     JOIN events ON doc_id = user_id
+       |     JOIN scu ON user_id = c_custkey) AS x_dvc),
+       |st AS (SELECT * FROM $stFrom),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT plan, est_cost, exact_cost,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, plan) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, plan) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, plan)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, plan)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY plan""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
@@ -1720,6 +1928,7 @@ object Planner {
     "q209_equality_join_order" -> q209EqualityJoinOrder _,
     "q210_rescaled_join_order" -> q210RescaledJoinOrder _,
     "q211_skew_salt_decision" -> q211SkewSaltDecision _,
+    "q212_bushy_join_plan" -> q212BushyJoinPlan _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1730,5 +1939,6 @@ object Planner {
     "q209_equality_join_order" -> q209Oracle,
     "q210_rescaled_join_order" -> q210Oracle,
     "q211_skew_salt_decision" -> q211Oracle,
+    "q212_bushy_join_plan" -> q212Oracle,
   )
 }

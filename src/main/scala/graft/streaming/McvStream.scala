@@ -118,6 +118,18 @@ object McvStream {
     ()
   }
 
+  /** Streaming driver for the BOUNDED mode. `values` must carry
+    * (v bigint). */
+  def runBounded(values: DataFrame, root: String, m: Int = BoundSlots,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    values.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchBounded(batch, batchId, root, m)
+      }
+      .start()
+
   /** The standing HEAD of a bounded artifact: per-value sums over the
     * head rows of every batch partial. ≤ |batches|·m input rows. */
   def mergedBoundedHead(s: SparkSession, root: String): DataFrame =

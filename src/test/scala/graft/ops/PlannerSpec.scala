@@ -464,4 +464,26 @@ class PlannerSpec extends SparkSpec {
       s"the salted shuffle must collapse the spread " +
         s"($saltedMax vs $plainMax)")
   }
+
+  test("q212: the bushy tree is the catalog-priced optimum among the " +
+      "contending shapes — the decision the bushy flag executes — and " +
+      "the grading is honest where the expansion is too shallow for " +
+      "the bushy win") {
+    val s = spark
+    val rows = Planner.q212BushyJoinPlan(s, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.size === 3)
+    assert(rows("bushy_arms")._3 === 1L,
+      s"the bushy tree must rank 1 in the rescaled catalog pricing: $rows")
+    // est strictly cheaper than BOTH left-deep contenders (the DPsize
+    // decision is strict, not a tie artifact)
+    assert(rows("bushy_arms")._1 < rows("ld_em_first")._1 &&
+      rows("bushy_arms")._1 < rows("ld_cu_first")._1,
+      s"strict bushy pricing win required: $rows")
+    // exact costs positive and the grading columns self-consistent
+    rows.values.foreach { case (est, exact, _, _) =>
+      assert(est > 0 && exact > 0)
+    }
+  }
 }
