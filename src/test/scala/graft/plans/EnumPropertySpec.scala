@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic cross-validation of the rule's THREE pricing code paths —
+  * the left-deep walk, the DPsize bushy enumeration, and the
+  * standing-shape pricer — over seeded-random join graphs. These are
+  * three independent implementations of one cost model (Σ intermediate
+  * sizes under the capped-ndv cascade), so any drift between them is a
+  * bug in exactly one of them:
+  *
+  *  - `priceShape(tree) == reported cost` for BOTH enumerations' chosen
+  *    trees (the settled check depends on this identity — a pricer that
+  *    disagreed with the enumerations would either thrash the fixpoint
+  *    or settle on non-optimal shapes);
+  *  - `dpBushy.cost ≤ leftDeepWalk.cost` (DPsize searches a strict
+  *    superset of the left-deep space);
+  *  - at n = 3 the spaces coincide, so the costs are EQUAL.
+  *
+  * Purely driver-side arithmetic — no SparkSession work beyond the rule
+  * instance the methods hang off.
+  */
+class EnumPropertySpec extends AnyFunSuite {
+
+  private lazy val rule = CatalogJoinReorder(ExtSession.spark)
+
+  /** A connected random instance: spanning-tree edges first (guaranteed
+    * connectivity), then extra edges with probability ~1/3. */
+  private def instance(rnd: scala.util.Random, n: Int)
+      : (Seq[BigInt], Seq[(Int, Int, BigInt)]) = {
+    val rows = Seq.fill(n)(BigInt(1 + rnd.nextInt(100000)))
+    val tree = (1 until n).map { i =>
+      val j = rnd.nextInt(i)
+      (j, i, BigInt(1 + rnd.nextInt(10000)))
+    }
+    val extra = for {
+      a <- 0 until n; b <- (a + 1) until n
+      if !tree.exists(e => (e._1, e._2) == (a, b)) && rnd.nextInt(3) == 0
+    } yield (a, b, BigInt(1 + rnd.nextInt(10000)))
+    (rows, tree ++ extra)
+  }
+
+  test("priceShape reproduces both enumerations' reported costs, DPsize " +
+      "never prices above the left-deep walk, and the two coincide at " +
+      "n = 3 — 200 seeded-random connected join graphs, n ∈ [3, 6]") {
+    val rnd = new scala.util.Random(181818L)
+    (1 to 200).foreach { trial =>
+      val n = 3 + rnd.nextInt(4)
+      val (rows, edges) = instance(rnd, n)
+      val ld = rule.leftDeepWalk(n, rows, edges)
+      val dp = rule.dpBushy(n, rows, edges)
+      assert(ld.isDefined && dp.isDefined,
+        s"trial $trial: connected graphs must always enumerate")
+      val (ldTree, ldCost) = ld.get
+      val (dpTree, dpCost) = dp.get
+      assert(rule.priceShape(ldTree, rows, edges).contains(ldCost),
+        s"trial $trial: priceShape must reproduce the walk's cost " +
+          s"($ldTree, $ldCost)")
+      assert(rule.priceShape(dpTree, rows, edges).contains(dpCost),
+        s"trial $trial: priceShape must reproduce DPsize's cost " +
+          s"($dpTree, $dpCost)")
+      assert(dpCost <= ldCost,
+        s"trial $trial: DPsize searches a superset of the left-deep " +
+          s"space ($dpCost vs $ldCost)")
+      if (n == 3) assert(dpCost === ldCost,
+        s"trial $trial: at n=3 every tree is left-deep-representable")
+    }
+  }
+
+  test("a disconnected instance enumerates to None in both paths — the " +
+      "rule must fall through rather than price a cross join") {
+    val rows = Seq(BigInt(10), BigInt(20), BigInt(30), BigInt(40))
+    // edges connect {0,1} and {2,3} but not the halves
+    val edges = Seq((0, 1, BigInt(5)), (2, 3, BigInt(7)))
+    assert(rule.leftDeepWalk(4, rows, edges).isEmpty)
+    assert(rule.dpBushy(4, rows, edges).isEmpty)
+  }
+}

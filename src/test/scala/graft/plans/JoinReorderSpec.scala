@@ -455,6 +455,69 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("user-registered spec: a catalog the engine does not declare " +
+      "builds through the STANDALONE builder path (own root, own " +
+      "stream) with histogram and bounded-MCV artifacts, and the " +
+      "rule reorders a chain the safety leg pins as untouched when " +
+      "unregistered") {
+    val s = ExtSession.spark
+    import s.implicits._
+    import graft.ops.{CatalogColumn, CatalogHistCol, CatalogSpec, CatalogTable}
+    val userSpec = CatalogSpec(
+      name = "planner_user_test",
+      tables = Seq(
+        CatalogTable("sx", "supplier", "s_suppkey", "s_nationkey"),
+        CatalogTable("nx", "nation", "n_nationkey", "n_nationkey"),
+        CatalogTable("cx", "customer", "c_custkey", "c_nationkey")),
+      sketches = Seq(
+        CatalogColumn("sx_nk", "sx", "a", "supplier", "s_nationkey"),
+        CatalogColumn("nx_nk", "nx", "a", "nation", "n_nationkey"),
+        CatalogColumn("cx_nk", "cx", "a", "customer", "c_nationkey")),
+      hists = Seq(CatalogHistCol("hsx", "sx", "supplier", "s_acctbal")),
+      mcvs = Seq(CatalogColumn("sx_mk", "sx", "a", "supplier",
+        "s_nationkey", bounded = true)))
+    val art = Planner.ensureCatalog(s, sf, userSpec)
+    assert(art.contains("planner_user_test"),
+      "a user spec must build under its own root, not the engine's")
+    // the bounded-MCV artifact materialized with the tail schema
+    val mcvCols = s.read.parquet(s"$art/m_sx_mk").columns.toSet
+    assert(mcvCols === Set("v", "n", "d", "tail", "batch"),
+      s"user-spec bounded MCV artifact schema: $mcvCols")
+    def chain(): DataFrame =
+      Tables(s, sf, "customer").select($"c_nationkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"c_nationkey" === $"n_nationkey")
+        .join(Tables(s, sf, "supplier").select($"s_nationkey"),
+          $"n_nationkey" === $"s_nationkey")
+    def leafNames(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => leafNames(j.left) ++ leafNames(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("c_nationkey")) "customer"
+          else if (names("n_nationkey")) "nation"
+          else if (names("s_nationkey")) "supplier"
+          else "?")
+      case other => other.children.flatMap(leafNames)
+    }
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    assert(leafNames(off.queryExecution.optimizedPlan) ===
+      Seq("customer", "nation", "supplier"),
+      "unregistered, the customer-first user order survives (the " +
+        "safety leg's contract)")
+    val offRows = off.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafNames(on.queryExecution.optimizedPlan) ===
+        Seq("nation", "supplier", "customer"),
+        "registered, the 10-row supplier pair must open the plan")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the user-spec reorder must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("ndv rescale: a correlated key-range filter on customer (range " +
       "containing the whole user_id domain) keeps the dimension pair " +
       "first — the unrescaled cascade would crown the filtered-customer " +
