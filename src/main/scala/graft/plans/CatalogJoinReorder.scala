@@ -532,10 +532,15 @@ object CatalogJoinReorder {
       ndv: Map[String, Long], hist: Map[String, Hist],
       mcv: Map[String, Mcv])
 
-  // one catalog load per (JVM, root): ~15 metadata-sized reads; keyed on
-  // the PATH, never the session object (the Planner/Tables cache
-  // contract — an object key pins stopped sessions)
-  private val cache = TrieMap.empty[String, Catalog]
+  // one catalog load per (JVM, root) per REFRESH WINDOW: ~15
+  // metadata-sized reads; keyed on the PATH, never the session object
+  // (the Planner/Tables cache contract — an object key pins stopped
+  // sessions). The entry carries its load instant: "never staler than a
+  // micro-batch" is only true if a long-running session actually
+  // RE-READS the maintained artifacts, so entries older than
+  // [[RefreshKey]] seconds reload (the builder's invalidate() still
+  // forces an immediate reload after an in-JVM rebuild).
+  private val cache = TrieMap.empty[String, (Catalog, Long)]
 
   // roots whose load already failed: the rule no-ops for them instead of
   // re-throwing inside the optimizer on EVERY query (a misconfigured
@@ -550,6 +555,22 @@ object CatalogJoinReorder {
   /** Session conf: seconds before a failed catalog load is retried
     * (default 30). 0 retries on the next query. */
   val RetryKey = "spark.graft.join.catalog.retrySec"
+
+  /** Session conf: seconds a LOADED catalog stays fresh before the next
+    * query re-reads the maintained artifacts (default 60 — a catalog
+    * refresh is ~15 metadata reads, so a per-minute reload is noise
+    * next to any real query while keeping the planner's view within a
+    * micro-batch of the stream's). 0 reloads on every query. */
+  val RefreshKey = "spark.graft.join.catalog.refreshSec"
+
+  private def fresh(s: SparkSession, art: String): Option[Catalog] =
+    cache.get(art).flatMap { case (cat, loadedAt) =>
+      val refreshSec = scala.util.Try(
+        s.sessionState.conf.getConfString(RefreshKey, "60").toLong)
+        .getOrElse(60L)
+      if (System.nanoTime() - loadedAt < refreshSec * 1000000000L) Some(cat)
+      else { cache.remove(art); None }
+    }
 
   private def failedRecently(s: SparkSession, art: String): Boolean =
     failed.get(art).exists { t =>
@@ -588,7 +609,7 @@ object CatalogJoinReorder {
     * counts are the summed per-batch partials. All metadata-sized.
     * Returns None when called reentrantly mid-load (see [[loading]]). */
   private[graft] def load(s: SparkSession, art: String): Option[Catalog] =
-    cache.get(art).orElse {
+    fresh(s, art).orElse {
       if (loading.get || failedRecently(s, art)) None
       else {
         loading.set(true)
@@ -656,7 +677,7 @@ object CatalogJoinReorder {
               }.toMap
           }.getOrElse(Map.empty[String, Mcv])
           val cat = Catalog(tables, ndv, hist, mcv)
-          cache.put(art, cat)
+          cache.put(art, (cat, System.nanoTime()))
           Some(cat)
           } catch { case e: Exception =>
             System.err.println(s"[graft] join-catalog load failed for " +

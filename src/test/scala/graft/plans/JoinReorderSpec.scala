@@ -722,6 +722,43 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("catalog refresh: a loaded catalog expires after the conf'd " +
+      "window and the next query re-reads the maintained artifacts — " +
+      "'never staler than a micro-batch' requires the planner to " +
+      "actually look again") {
+    val s = ExtSession.spark
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-refresh")
+      .toString + "/stats"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(art), new java.io.File(tmp))
+    CatalogJoinReorder.invalidate(tmp)
+    s.conf.set(CatalogJoinReorder.RefreshKey, "3600")
+    try {
+      val before = CatalogJoinReorder.load(s, tmp).get
+      val nOrders = before.tables.find(_.name == "orders").get.rows
+      // the stream lands another micro-batch: a new count partial
+      // doubles the orders cardinality on disk
+      import s.implicits._
+      Seq(nOrders).toDF("n").coalesce(1).write
+        .mode("append").parquet(s"$tmp/n_o/rows/batch=99")
+      // inside the refresh window the stale view serves
+      assert(CatalogJoinReorder.load(s, tmp).get
+        .tables.find(_.name == "orders").get.rows === nOrders,
+        "within the window the cached catalog must serve")
+      // window elapses (refreshSec=0) → the reload sees the new partial
+      s.conf.set(CatalogJoinReorder.RefreshKey, "0")
+      assert(CatalogJoinReorder.load(s, tmp).get
+        .tables.find(_.name == "orders").get.rows === 2 * nOrders,
+        "past the window the catalog must re-read the artifacts")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.RefreshKey)
+      CatalogJoinReorder.invalidate(tmp)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp).getParentFile)
+    }
+  }
+
   test("negative-cache retry: a root that failed to load is retried " +
       "after the conf'd window — a transient failure must not disable " +
       "CBO for the JVM lifetime") {
