@@ -100,22 +100,36 @@ object McvStream {
     * exactly that. */
   private[graft] def processBatchBounded(batch: DataFrame, batchId: Long,
       root: String, m: Int = BoundSlots): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = batchCounts(batch)
-      .withColumn("r", row_number().over(
-        Window.orderBy(col("n").desc, col("v"))))
-    val head = ranked.where(col("r") <= m)
-      .select(col("v"), col("n"), lit(1L).as("d"), lit(false).as("tail"))
-    val tail = ranked.where(col("r") > m)
-      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
-        count(lit(1)).as("d"))
-      .select(lit(null).cast("bigint").as("v"), col("n"), col("d"),
-        lit(true).as("tail"))
-    head.unionByName(tail)
-      .coalesce(1) // ≤ m+1 rows by construction
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/mcv/batch=$batchId")
-    ()
+    val s = batch.sparkSession
+    import s.implicits._
+    // top-m via orderBy+limit — TakeOrderedAndProject: per-partition
+    // partial top-m, driver merge of ≤ m rows per partition. NEVER a
+    // global unpartitioned window, which would shuffle the batch's
+    // whole value domain to ONE task — the exact corpus-scale
+    // bottleneck this bounded mode exists to avoid. (n, v) is a total
+    // order over the distinct values, so the cut is deterministic and
+    // equals the oracle's per-chunk ROW_NUMBER recompute.
+    val counts = batchCounts(batch)
+    counts.persist()
+    try {
+      val agg = counts
+        .agg(coalesce(sum(col("n")), lit(0L)).as("t"),
+          count(lit(1)).as("d"))
+        .head()
+      val (total, ndv) = (agg.getLong(0), agg.getLong(1))
+      val head = counts.orderBy(col("n").desc, col("v")).limit(m)
+        .collect() // ≤ m rows — metadata by construction
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), 1L, false))
+      val headMass = head.map(_._2).sum
+      val rows = head.toSeq :+
+        ((None: Option[Long], total - headMass, ndv - head.length, true))
+      rows.toDF("v", "n", "d", "tail")
+        .coalesce(1) // ≤ m+1 rows by construction
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/mcv/batch=$batchId")
+      ()
+    } finally { counts.unpersist(); () }
   }
 
   /** Streaming driver for the BOUNDED mode. `values` must carry
