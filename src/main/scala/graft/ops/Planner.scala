@@ -271,7 +271,11 @@ object Planner {
         else s"cast(${t.b} as bigint) as b",
         histOf.get(t.tag).map(h => s"cast(${h.column} as double) as h")
           .getOrElse("cast(null as double) as h"),
-        if (t.tag == "o") "cast(o_custkey as double) as d"
+        // the planner suite's second z-dimension rides ONLY the TPC-H
+        // orders rows (matching on the table name too, so a USER spec
+        // reusing the "o" tag for some other table stages cleanly)
+        if (t.tag == "o" && t.table == "orders")
+          "cast(o_custkey as double) as d"
         else "cast(null as double) as d",
         s"(${Layout.kmvHashSql(t.carveKey)}) % 4 as chunk")
     }
