@@ -39,9 +39,16 @@ final case class CatalogTable(tag: String, table: String, carveKey: String,
   * batch by construction) instead of the full value-count table:
   * REQUIRED for columns whose value domain scales with the corpus (a
   * join key), optional for bounded enum domains (n_chars, a type code)
-  * where the exact table is already metadata-sized. */
+  * where the exact table is already metadata-sized.
+  * `codec` (MCV entries only, ADVICE r18) names the hash that coded the
+  * base column into the staged bigint domain (today: "djb2") — the
+  * descriptor then keys the artifact by the REAL base column, and the
+  * consumer applies the same hash to an equality literal at consult
+  * time, so `event_type = 'click'` prices against the coded
+  * frequencies instead of never matching. */
 final case class CatalogColumn(id: String, tag: String, staged: String,
-    table: String, column: String, bounded: Boolean = false)
+    table: String, column: String, bounded: Boolean = false,
+    codec: Option[String] = None)
 
 /** One histogrammed predicate column (staged as the `h` slot, equi-width
   * under bounds staged at build time — the S28 generation artifact). */

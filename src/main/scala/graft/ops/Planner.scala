@@ -201,6 +201,11 @@ object Planner {
     val zb = ManifestStream.ZBounds(
       bRows("o").getAs[Double]("hmn"), bRows("o").getAs[Double]("hmx"),
       bRows("o").getAs[Double]("dmn"), bRows("o").getAs[Double]("dmx"))
+    // the stageBounds contract, re-asserted (ADVICE r18): a degenerate
+    // orders domain must fail fast, not stage a silently collapsed z-grid
+    require(zb.pMx > zb.pMn && zb.dMx > zb.dMn,
+      s"degenerate z-grid bounds [${zb.pMn}, ${zb.pMx}] × " +
+        s"[${zb.dMn}, ${zb.dMx}]")
     Seq((zb.pMn, zb.pMx, zb.dMn, zb.dMx))
       .toDF("p_mn", "p_mx", "d_mn", "d_mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$art205/bounds")
@@ -327,8 +332,9 @@ object Planner {
     }.toDF("col", "tag", "id", "mn", "mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
     spec.mcvs.map(c =>
-      (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact"))
-      .toDF("col", "tag", "id", "mode")
+      (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact",
+        c.codec.getOrElse("")))
+      .toDF("col", "tag", "id", "mode", "codec")
       .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
     // a consumer that raced the build (or cached a stale root) must
     // see THIS catalog on its next load
@@ -861,10 +867,15 @@ object Planner {
     mcvs = Seq(
       // user_id is corpus-scaled (grows with the user base) → bounded;
       // the event-type code is a 5-value enum → the exact table IS
-      // metadata. The q211 skew audit reads both.
+      // metadata. The q211 skew audit reads both. The descriptor keys
+      // the coded column by its REAL base name with the codec recorded
+      // (ADVICE r18): the rule hashes an `event_type = '…'` literal
+      // with the same djb2 at consult time instead of never matching a
+      // fictional "event_code" attribute.
       CatalogColumn("ev_uid", "ev", "a", "events", "user_id",
         bounded = true),
-      CatalogColumn("ev_et", "ev", "b", "events", "event_code")))
+      CatalogColumn("ev_et", "ev", "b", "events", "event_type",
+        codec = Some("djb2"))))
 
   /** S29-style per-batch row-count partial: pure in the batch,
     * overwritten into `rows/batch=<id>`; the standing count is the SUM
@@ -931,7 +942,17 @@ object Planner {
     // specs build standalone
     if (spec eq TpchChainSpec) ensureAll(s, dir)._2
     else if (spec eq PipelineCatalogSpec) ensureAll(s, dir)._3
-    else cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
+    else {
+      // engine specs route by reference identity above, so a USER spec
+      // reusing an engine catalog's name would delete/rebuild over the
+      // engine's scratch root mid-audit (ADVICE r18) — refuse it, along
+      // with the combined build's own staging roots
+      val reserved = Set(TpchChainSpec.name, PipelineCatalogSpec.name,
+        "planner", "planner_all")
+      require(!reserved(spec.name),
+        s"catalog spec name '${spec.name}' is reserved for the engine's " +
+          "own catalogs — pick another name")
+      cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
       import s.implicits._
       // staged expressions may use the engine's SQL surface (djb2, …)
       graft.GraftFunctions.registerAll(s)
@@ -975,7 +996,8 @@ object Planner {
       require(q.awaitTermination(600000), "catalog artifact stream timeout")
       writeDescriptors(s, spec, art, histBounds)
       art
-    })
+      })
+    }
 
   /** Per-order (name, est-cost expr, exact-cost expr) over the wide
     * catalog row — the q201Profiles pattern widened to the FULL System-R

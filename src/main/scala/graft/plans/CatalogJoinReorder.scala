@@ -168,13 +168,6 @@ case class CatalogJoinReorder(session: SparkSession)
     case _ => None
   }
 
-  private def longOf(v: Any): Option[Long] = v match {
-    case null => None
-    case d: org.apache.spark.sql.types.Decimal => Some(d.toLong)
-    case n: java.lang.Number => Some(n.longValue())
-    case _ => None
-  }
-
   /** Estimated rows a single conjunct keeps: range conjuncts off the
     * maintained S28 histogram (q197's full-bins-plus-half-straddle
     * rule), equality conjuncts off the maintained S31 MCV (pg_stats:
@@ -190,7 +183,7 @@ case class CatalogJoinReorder(session: SparkSession)
       h <- cat.hist.get(a.name); d <- numOf(v)
     } yield math.max(h.n - h.estLE(d), 0L)
     def eq(a: Attribute, v: Any): Option[Long] = for {
-      m <- cat.mcv.get(a.name); l <- longOf(v)
+      m <- cat.mcv.get(a.name); l <- m.code(v)
     } yield m.estEq(l)
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v, _)) => le(a, v)
@@ -303,9 +296,13 @@ case class CatalogJoinReorder(session: SparkSession)
       // extraction-order-independent. When a LEAF was rewritten (a
       // nested region under an aggregate got its own reorder), rebuild
       // once in the original shape so the leaf work is kept — next pass
-      // the leaves are stable and the settled branch holds.
+      // the leaves are stable and the settled branch holds. `<=`, not
+      // `==` (ADVICE r18): with the bushy flag off a user-authored
+      // bushy region can be STRICTLY cheaper than every left-deep
+      // order — the rule must never rebuild a plan its own cost model
+      // prices worse.
       val keepShape = shape == origShape ||
-        priceShape(origShape, rowsOf, edges).exists(_ == cost)
+        priceShape(origShape, rowsOf, edges).exists(_ <= cost)
       if (keepShape &&
           plans.zip(leaves).forall { case (a, b) => a eq b }) orig
       else {
@@ -521,11 +518,33 @@ object CatalogJoinReorder {
     * total — metadata regardless of the value domain's size). `estEq`
     * is the pg_stats rule: exact count for a head value, uniform tail
     * over the KMV-estimated remainder otherwise (q209's graded
-    * arithmetic). */
+    * arithmetic). `codec` (ADVICE r18) names the hash that coded the
+    * base column into the artifact's bigint domain — an equality
+    * literal is passed through [[Mcv.code]] before the head lookup. */
   private[graft] final case class Mcv(head: Map[Long, Long], headN: Long,
-      n: Long, ndv: Long) {
+      n: Long, ndv: Long, codec: Option[String] = None) {
     def estEq(v: Long): Long = head.getOrElse(v,
       math.max(n - headN, 0L) / math.max(ndv - head.size, 1L))
+
+    /** The literal's value in the artifact's coded domain: identity for
+      * an uncoded bigint column, the declared hash for a coded one,
+      * None when the literal's type cannot feed the codec (an unknown
+      * codec prices nothing — conservative, never wrong). */
+    def code(v: Any): Option[Long] = codec match {
+      case None => v match {
+        case null => None
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toLong)
+        case n: java.lang.Number => Some(n.longValue())
+        case _ => None
+      }
+      case Some("djb2") => v match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(graft.functions.Djb2.hash(s.toString))
+        case s: String => Some(graft.functions.Djb2.hash(s))
+        case _ => None
+      }
+      case Some(_) => None
+    }
   }
 
   private[graft] final case class Catalog(tables: Seq[TableStats],
@@ -654,10 +673,11 @@ object CatalogJoinReorder {
           val mcv = scala.util.Try {
             import org.apache.spark.sql.functions.col
             s.read.parquet(s"$art/mcvs")
-              .select("col", "id", "mode").collect()
+              .select("col", "id", "mode", "codec").collect()
               .map { r =>
                 val (column, id, mode) =
                   (r.getString(0), r.getString(1), r.getString(2))
+                val codec = Option(r.getString(3)).filter(_.nonEmpty)
                 val counts =
                   if (mode == "bounded")
                     McvStream.mergedBoundedHead(s, s"$art/m_$id")
@@ -673,7 +693,7 @@ object CatalogJoinReorder {
                   } else counts.agg(coalesce(sum("n"), lit(0L)))
                     .head().getLong(0)
                 column -> Mcv(head, head.values.sum, n,
-                  ndv.getOrElse(column, head.size.toLong))
+                  ndv.getOrElse(column, head.size.toLong), codec)
               }.toMap
           }.getOrElse(Map.empty[String, Mcv])
           val cat = Catalog(tables, ndv, hist, mcv)

@@ -518,6 +518,36 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("coded MCV column: the registered catalog keys events' " +
+      "djb2-coded event-type frequencies by the REAL column name with " +
+      "the codec recorded, and an equality literal prices through the " +
+      "same hash to the exact head count (ADVICE r18)") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    CatalogJoinReorder.invalidate(art)
+    val cat = CatalogJoinReorder.load(s, art).get
+    val m = cat.mcv.get("event_type")
+    assert(m.isDefined,
+      "the coded column must be keyed by its real base name")
+    assert(m.get.codec === Some("djb2"),
+      "the descriptor must record the codec")
+    // a string literal prices via the SAME hash the staging applied —
+    // the 5-value enum fits the head, so the estimate is EXACT
+    val exact = Tables(s, sf, "events")
+      .where($"event_type" === "click").count()
+    val coded = m.get.code(
+      org.apache.spark.unsafe.types.UTF8String.fromString("click"))
+    assert(coded === Some(graft.functions.Djb2.hash("click")),
+      "consult-time coding must be the staged djb2")
+    assert(m.get.estEq(coded.get) === exact,
+      "an in-head coded equality estimate must be the exact frequency")
+    // an unknown-codec or wrong-typed literal prices nothing (factor 1
+    // downstream — conservative, never wrong)
+    assert(m.get.code(java.lang.Long.valueOf(7L)).isEmpty,
+      "a bigint literal cannot feed a string codec")
+  }
+
   test("ndv rescale: a correlated key-range filter on customer (range " +
       "containing the whole user_id domain) keeps the dimension pair " +
       "first — the unrescaled cascade would crown the filtered-customer " +
