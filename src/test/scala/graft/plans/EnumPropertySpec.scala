@@ -2,20 +2,26 @@ package graft.plans
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Algebraic cross-validation of the rule's THREE pricing code paths —
-  * the left-deep walk, the DPsize bushy enumeration, and the
+/** Algebraic cross-validation of the rule's FIVE pricing code paths —
+  * the left-deep walk, its subset-DP twin, the DPsize bushy
+  * enumeration, its DPccp twin (VERDICT r18 #1), and the
   * standing-shape pricer — over seeded-random join graphs. These are
-  * three independent implementations of one cost model (Σ intermediate
+  * five independent implementations of one cost model (Σ intermediate
   * sizes under the capped-ndv cascade), so any drift between them is a
   * bug in exactly one of them:
   *
-  *  - `priceShape(tree) == reported cost` for BOTH enumerations' chosen
-  *    trees (the settled check depends on this identity — a pricer that
-  *    disagreed with the enumerations would either thrash the fixpoint
-  *    or settle on non-optimal shapes);
+  *  - `priceShape(tree) == reported cost` for EVERY enumeration's
+  *    chosen tree (the settled check depends on this identity — a
+  *    pricer that disagreed with the enumerations would either thrash
+  *    the fixpoint or settle on non-optimal shapes);
   *  - `dpBushy.cost ≤ leftDeepWalk.cost` (DPsize searches a strict
   *    superset of the left-deep space);
-  *  - at n = 3 the spaces coincide, so the costs are EQUAL.
+  *  - `dpCcp.cost == dpBushy.cost` and `leftDeepDP.cost ==
+  *    leftDeepWalk.cost` — the large-region forms must find the SAME
+  *    optimum wherever the spaces overlap (shapes may differ on cost
+  *    ties; the settled check compares costs, so that is sufficient);
+  *  - at n = 3 the bushy and left-deep spaces coincide, so the costs
+  *    are EQUAL.
   *
   * Purely driver-side arithmetic — no SparkSession work beyond the rule
   * instance the methods hang off.
@@ -64,15 +70,55 @@ class EnumPropertySpec extends AnyFunSuite {
           s"space ($dpCost vs $ldCost)")
       if (n == 3) assert(dpCost === ldCost,
         s"trial $trial: at n=3 every tree is left-deep-representable")
+      // the large-region twins find the same optima over the same
+      // spaces, and their trees price to their reported costs
+      val (ccpTree, ccpCost) = rule.dpCcp(n, rows, edges).get
+      assert(ccpCost === dpCost,
+        s"trial $trial: DPccp must equal DPsize ($ccpCost vs $dpCost)")
+      assert(rule.priceShape(ccpTree, rows, edges).contains(ccpCost),
+        s"trial $trial: priceShape must reproduce DPccp's cost")
+      val (dpLdTree, dpLdCost) = rule.leftDeepDP(n, rows, edges).get
+      assert(dpLdCost === ldCost,
+        s"trial $trial: the left-deep subset DP must equal the walk " +
+          s"($dpLdCost vs $ldCost)")
+      assert(rule.priceShape(dpLdTree, rows, edges).contains(dpLdCost),
+        s"trial $trial: priceShape must reproduce leftDeepDP's cost")
     }
   }
 
-  test("a disconnected instance enumerates to None in both paths — the " +
-      "rule must fall through rather than price a cross join") {
+  test("past the small-region ceiling: on seeded-random connected " +
+      "graphs at n ∈ [9, 12], DPccp and the left-deep subset DP " +
+      "enumerate (where the walk/submask forms are no longer run), " +
+      "DPccp never prices above left-deep, and priceShape reproduces " +
+      "both costs — 40 trials") {
+    val rnd = new scala.util.Random(191919L)
+    (1 to 40).foreach { trial =>
+      val n = 9 + rnd.nextInt(4)
+      val (rows, edges) = instance(rnd, n)
+      val ld = rule.leftDeepDP(n, rows, edges)
+      val cp = rule.dpCcp(n, rows, edges)
+      assert(ld.isDefined && cp.isDefined,
+        s"trial $trial: connected graphs must always enumerate")
+      val (ldTree, ldCost) = ld.get
+      val (cpTree, cpCost) = cp.get
+      assert(cpCost <= ldCost,
+        s"trial $trial: DPccp searches a superset of the left-deep " +
+          s"space ($cpCost vs $ldCost)")
+      assert(rule.priceShape(ldTree, rows, edges).contains(ldCost),
+        s"trial $trial: priceShape must reproduce leftDeepDP's cost")
+      assert(rule.priceShape(cpTree, rows, edges).contains(cpCost),
+        s"trial $trial: priceShape must reproduce DPccp's cost")
+    }
+  }
+
+  test("a disconnected instance enumerates to None in all four paths — " +
+      "the rule must fall through rather than price a cross join") {
     val rows = Seq(BigInt(10), BigInt(20), BigInt(30), BigInt(40))
     // edges connect {0,1} and {2,3} but not the halves
     val edges = Seq((0, 1, BigInt(5)), (2, 3, BigInt(7)))
     assert(rule.leftDeepWalk(4, rows, edges).isEmpty)
     assert(rule.dpBushy(4, rows, edges).isEmpty)
+    assert(rule.leftDeepDP(4, rows, edges).isEmpty)
+    assert(rule.dpCcp(4, rows, edges).isEmpty)
   }
 }

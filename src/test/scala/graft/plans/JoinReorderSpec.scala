@@ -518,6 +518,119 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("9-relation region (VERDICT r18 #1): the TPC-H chain extended " +
+      "by supplier and joined to the pipeline path through customer — " +
+      "9 relations, past the old 8-relation ceiling, silently " +
+      "untouched in r18 — registers as a user catalog and reorders " +
+      "through the subset-DP enumerations (leftDeepDP default, DPccp " +
+      "under the bushy flag) with identical results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
+    val nineSpec = CatalogSpec(
+      name = "planner_nine_test",
+      tables = Seq(
+        CatalogTable("r9", "region", "r_regionkey", "r_regionkey"),
+        CatalogTable("n9", "nation", "n_nationkey", "n_regionkey",
+          "n_nationkey"),
+        CatalogTable("c9", "customer", "c_custkey", "c_nationkey",
+          "c_custkey"),
+        CatalogTable("o9", "orders", "o_orderkey", "o_custkey",
+          "o_orderkey"),
+        CatalogTable("l9", "lineitem", "l_orderkey", "l_orderkey",
+          "l_suppkey"),
+        CatalogTable("s9", "supplier", "s_suppkey", "s_suppkey"),
+        CatalogTable("e9", "events", "event_id", "user_id"),
+        CatalogTable("d9", "documents", "doc_id", "doc_id"),
+        CatalogTable("m9", "embeddings", "vec_id", "vec_id")),
+      sketches = Seq(
+        CatalogColumn("r9_rk", "r9", "a", "region", "r_regionkey"),
+        CatalogColumn("n9_rk", "n9", "a", "nation", "n_regionkey"),
+        CatalogColumn("n9_nk", "n9", "b", "nation", "n_nationkey"),
+        CatalogColumn("c9_nk", "c9", "a", "customer", "c_nationkey"),
+        CatalogColumn("c9_ck", "c9", "b", "customer", "c_custkey"),
+        CatalogColumn("o9_ck", "o9", "a", "orders", "o_custkey"),
+        CatalogColumn("o9_ok", "o9", "b", "orders", "o_orderkey"),
+        CatalogColumn("l9_ok", "l9", "a", "lineitem", "l_orderkey"),
+        CatalogColumn("l9_sk", "l9", "b", "lineitem", "l_suppkey"),
+        CatalogColumn("s9_sk", "s9", "a", "supplier", "s_suppkey"),
+        CatalogColumn("e9_uid", "e9", "a", "events", "user_id"),
+        CatalogColumn("d9_did", "d9", "a", "documents", "doc_id"),
+        CatalogColumn("m9_vid", "m9", "a", "embeddings", "vec_id")))
+    val art = Planner.ensureCatalog(s, sf, nineSpec)
+    def leafNames(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => leafNames(j.left) ++ leafNames(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("l_orderkey")) "lineitem"
+          else if (names("o_orderkey")) "orders"
+          else if (names("s_suppkey")) "supplier"
+          else if (names("c_custkey")) "customer"
+          else if (names("n_nationkey")) "nation"
+          else if (names("r_regionkey")) "region"
+          else if (names("user_id")) "events"
+          else if (names("doc_id")) "documents"
+          else if (names("vec_id")) "embeddings"
+          else "?")
+      case other => other.children.flatMap(leafNames)
+    }
+    // the user writes the fact tables first — the worst opener
+    def chain(): DataFrame =
+      Tables(s, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "supplier").select($"s_suppkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation")
+          .select($"n_nationkey", $"n_regionkey"),
+          $"n_nationkey" === $"c_nationkey")
+        .join(Tables(s, sf, "region").select($"r_regionkey"),
+          $"r_regionkey" === $"n_regionkey")
+        .join(Tables(s, sf, "events").select($"user_id"),
+          $"user_id" === $"c_custkey")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"doc_id" === $"user_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id"),
+          $"vec_id" === $"doc_id")
+    val userOrder = Seq("lineitem", "orders", "supplier", "customer",
+      "nation", "region", "events", "documents", "embeddings")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    assert(leafNames(off.queryExecution.optimizedPlan) === userOrder,
+      "without the catalog the fact-first user order must survive")
+    val offRows = off.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      val onLeaves = leafNames(on.queryExecution.optimizedPlan)
+      assert(onLeaves !== userOrder,
+        "the 9-relation region must now be REORDERED (it fell through " +
+          "at the old MaxRelations = 8)")
+      assert((onLeaves.head !== "lineitem") && (onLeaves.head !== "orders"),
+        s"a fact table must not open the rebuilt 9-chain: $onLeaves")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the 9-relation reorder must not change results")
+      // the bushy flag routes the same region through DPccp — results
+      // still identical, and the plan is a fixpoint
+      s.conf.set(CatalogJoinReorder.BushyKey, "true")
+      val bushy = chain()
+      assert(bushy.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the DPccp plan must not change results")
+      val bp = bushy.queryExecution.optimizedPlan
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "a second optimization pass over the DPccp plan must be a no-op")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.BushyKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+    }
+  }
+
   test("coded MCV column: the registered catalog keys events' " +
       "djb2-coded event-type frequencies by the REAL column name with " +
       "the codec recorded, and an equality literal prices through the " +
