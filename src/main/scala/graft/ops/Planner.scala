@@ -1946,6 +1946,263 @@ object Planner {
        |FROM costed ORDER BY plan""".stripMargin
   }
 
+  // ----------------------------------------------------------- q214/q215
+
+  /** q214's window thresholds over the staged (hmn, hmx) bounds: a
+    * 2/64-wide slice CENTRED in the domain — identical text in Spark
+    * SQL and DuckDB. Mid-domain is the point: composing the two
+    * one-sided estimates under independence keeps ~24% of the mass
+    * (0.5 × 0.47) and misses the flip; estLE(hi) − estLE(lo) prices
+    * the ~n/32 window right. */
+  private val tLo214Sql = "(hmn + (hmx - hmn) * 30.0 / 64.0)"
+  private val tHi214Sql = "(hmn + (hmx - hmn) * 32.0 / 64.0)"
+  private def tbin214(t: String): String =
+    s"least(cast(floor(($t - hmn) * ${Layout.HistBins} " +
+      s"/ (hmx - hmn)) as bigint), ${Layout.HistBins - 1})"
+
+  /** q214 — BETWEEN selectivity join ordering (VERDICT r18 #7): the
+    * q208 enumeration with orders filtered to the mid-domain window
+    * `o_totalprice BETWEEN lo AND hi`, where the estimated filtered
+    * cardinality is the COMPOSED histogram read
+    * `estLE(hi) − estLE(lo)` — the rule's own arithmetic
+    * ([[graft.plans.CatalogJoinReorder]] pools a lower and an upper
+    * bound per attribute before scaling; JoinReorderSpec's BETWEEN leg
+    * pins the same flip engine-measured). Graded q201-style over all 8
+    * orders against the window-filtered sub-chain truth: the {C,O}
+    * openers flip fact-first exactly as q208's one-sided narrow filter
+    * did, est_rank == exact_rank. Same scale shape as q208 — the
+    * estimate adds one more threshold over the same ≤4096-row
+    * histogram read. */
+  def q214BetweenJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureJoinArtifacts(s, dir)
+    val boundsDf = s.read.parquet(s"$art/hists")
+      .where($"col" === "o_totalprice")
+      .selectExpr("mn as hmn", "mx as hmx")
+    val estW = StatsStream.mergedHistogram(s, s"$art/h_ho")
+      .crossJoin(broadcast(boundsDf))
+      .agg(
+        coalesce(sum(when(expr(s"bin < ${tbin214(tLo214Sql)}"), $"n")),
+          lit(0L)).as("full_lo"),
+        coalesce(sum(when(expr(s"bin = ${tbin214(tLo214Sql)}"), $"n")),
+          lit(0L)).as("strad_lo"),
+        coalesce(sum(when(expr(s"bin < ${tbin214(tHi214Sql)}"), $"n")),
+          lit(0L)).as("full_hi"),
+        coalesce(sum(when(expr(s"bin = ${tbin214(tHi214Sql)}"), $"n")),
+          lit(0L)).as("strad_hi"))
+      .selectExpr("greatest((full_hi + (strad_hi div 2)) - " +
+        "(full_lo + (strad_lo div 2)), 0) as est_o")
+    val sOrders = Tables(s, dir, "orders")
+      .crossJoin(broadcast(boundsDf))
+      .where(expr(s"o_totalprice >= $tLo214Sql and " +
+        s"o_totalprice <= $tHi214Sql"))
+      .drop("hmn", "hmx")
+    val wide = catalogWide(s, art)
+      .crossJoin(estW)
+      .crossJoin(exactChainCounts(s, dir, sOrders))
+    rankedOrders(wide, q208Orders("div"))
+  }
+
+  val q214Oracle: String = {
+    val skCtes = JoinSketchCols.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = JoinTables.map { t =>
+      val (tag, table) = (t.tag, t.table)
+      s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
+    }.mkString(",\n")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c.id}") ++
+      JoinTables.map(t => s"nn_${t.tag}") :+ "e14").mkString(", ")
+    val legs = q208Orders("//").map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS join_order,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |b14 AS (
+       |  SELECT MIN(o_totalprice) AS hmn, MAX(o_totalprice) AS hmx
+       |  FROM orders),
+       |hist14 AS (
+       |  SELECT LEAST(CAST(FLOOR((o_totalprice - hmn) * ${Layout.HistBins}
+       |      / (hmx - hmn)) AS BIGINT), ${Layout.HistBins - 1}) AS bin,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders, b14 GROUP BY 1),
+       |pt14 AS (
+       |  SELECT $tLo214Sql AS t_lo, $tHi214Sql AS t_hi,
+       |    ${tbin214(tLo214Sql)} AS tbin_lo,
+       |    ${tbin214(tHi214Sql)} AS tbin_hi
+       |  FROM b14),
+       |e14 AS (
+       |  SELECT CAST(GREATEST(
+       |    (COALESCE(SUM(CASE WHEN h.bin < p.tbin_hi THEN h.n END), 0)
+       |      + COALESCE(SUM(CASE WHEN h.bin = p.tbin_hi THEN h.n END), 0)
+       |        // 2)
+       |    - (COALESCE(SUM(CASE WHEN h.bin < p.tbin_lo THEN h.n END), 0)
+       |      + COALESCE(SUM(CASE WHEN h.bin = p.tbin_lo THEN h.n END), 0)
+       |        // 2), 0) AS BIGINT) AS est_o
+       |  FROM hist14 h, pt14 p),
+       |so AS (
+       |  SELECT o_orderkey, o_custkey FROM orders, pt14
+       |  WHERE o_totalprice >= t_lo AND o_totalprice <= t_hi),
+       |st AS (SELECT * FROM $stFrom),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey) AS x_nc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey
+       |     JOIN so ON c_custkey = o_custkey) AS x_nco,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey) AS x_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_col,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_ol),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, exact_cost,
+       |  CAST((1000 * (est_cost - exact_cost))
+       |    // GREATEST(exact_cost, 1) AS BIGINT) AS err_milli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
+  /** q215 — IN-LIST selectivity join ordering (VERDICT r18 #7): the
+    * q209 enumeration with orders filtered to
+    * `o_custkey IN (k₃₃, k₃₄, k₃₅)` — the three keys just PAST the MCV
+    * head, so every list member prices by the uniform tail and the
+    * composed estimate is exactly 3 tail slots:
+    * `3 · (n − Σhead) div greatest(ndv_est − k, 1)` — Σ estEq over the
+    * distinct list values, the rule's own IN arithmetic
+    * (JoinReorderSpec's IN-list leg pins the same flip
+    * engine-measured). Keys and head mass come off the maintained
+    * BOUNDED S31 artifact, ndv off the S29 sketch; graded over all 8
+    * orders against the IN-filtered sub-chain truth. Same scale shape
+    * as q209. */
+  def q215InlistJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val art = ensureJoinArtifacts(s, dir)
+    val ranked = McvStream.mergedBoundedHead(s, s"$art/m_co_o")
+      .withColumn("r", row_number().over(Window.orderBy($"n".desc, $"v")))
+    val keys = ranked
+      .where($"r" > McvSlots && $"r" <= McvSlots + 3)
+      .select($"v".as("k_in"))
+    val headW = ranked.agg(
+      coalesce(sum(when($"r" <= McvSlots, $"n")), lit(0L)).as("mcv_n"))
+    val sOrders = Tables(s, dir, "orders")
+      .join(broadcast(keys), $"o_custkey" === $"k_in")
+      .drop("k_in")
+    val wide = catalogWide(s, art)
+      .crossJoin(headW)
+      .crossJoin(exactChainCounts(s, dir, sOrders))
+      .selectExpr("*", s"cast(3 * ((n_o - mcv_n) div " +
+        s"greatest(${dSql("co_o", "div")} - $McvSlots, 1)) as bigint) " +
+        "as est_o")
+    rankedOrders(wide, q208Orders("div"))
+  }
+
+  val q215Oracle: String = {
+    val skCtes = JoinSketchCols.map { c =>
+      val (id, table, column) = (c.id, c.table, c.column)
+      s"""sk_$id AS (
+         |  SELECT DISTINCT ${Layout.kmvHashSql(column)} AS h FROM $table
+         |  WHERE $column IS NOT NULL ORDER BY h LIMIT ${Layout.KmvK}),
+         |a_$id AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS sk_$id,
+         |    CAST(COALESCE(MAX(h), 0) AS BIGINT) AS kth_$id
+         |  FROM sk_$id)""".stripMargin
+    }.mkString(",\n")
+    val nCtes = JoinTables.map { t =>
+      val (tag, table) = (t.tag, t.table)
+      s"nn_$tag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_$tag FROM $table)"
+    }.mkString(",\n")
+    val stFrom = (JoinSketchCols.map(c => s"a_${c.id}") ++
+      JoinTables.map(t => s"nn_${t.tag}") :+ "e15").mkString(", ")
+    val legs = q208Orders("//").map { case (n, est, exact) =>
+      s"""  SELECT '$n' AS join_order,
+         |    CAST(($est) AS BIGINT) AS est_cost,
+         |    CAST(($exact) AS BIGINT) AS exact_cost
+         |  FROM st, ex""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $skCtes,
+       |$nCtes,
+       |bch AS (
+       |  SELECT o_custkey AS v,
+       |    (${Layout.kmvHashSql("o_orderkey")}) % 4 AS chunk
+       |  FROM orders),
+       |bcnt AS (
+       |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY chunk
+       |      ORDER BY COUNT(*) DESC, v) AS br
+       |  FROM bch GROUP BY 1, 2),
+       |cnts AS (
+       |  SELECT v, CAST(SUM(n) AS BIGINT) AS n FROM bcnt
+       |  WHERE br <= ${McvStream.BoundSlots} GROUP BY 1),
+       |rkd AS (
+       |  SELECT v, n, ROW_NUMBER() OVER (ORDER BY n DESC, v) AS r
+       |  FROM cnts),
+       |k15 AS (SELECT v AS k_in FROM rkd
+       |  WHERE r > $McvSlots AND r <= ${McvSlots + 3}),
+       |h15 AS (
+       |  SELECT CAST(COALESCE(SUM(CASE WHEN r <= $McvSlots THEN n END), 0)
+       |    AS BIGINT) AS mcv_n
+       |  FROM rkd),
+       |e15 AS (
+       |  SELECT CAST(3 * ((n.n_o - h.mcv_n)
+       |    // GREATEST(${dSql("co_o", "//")} - $McvSlots, 1)) AS BIGINT)
+       |    AS est_o
+       |  FROM nn_o n, h15 h, a_co_o),
+       |so AS (
+       |  SELECT o_orderkey, o_custkey FROM orders
+       |  JOIN k15 ON o_custkey = k_in),
+       |st AS (SELECT * FROM $stFrom),
+       |ex AS (
+       |  SELECT
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey) AS x_nc,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nation
+       |     JOIN customer ON n_nationkey = c_nationkey
+       |     JOIN so ON c_custkey = o_custkey) AS x_nco,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey) AS x_co,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+       |     JOIN so ON c_custkey = o_custkey
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_col,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM so
+       |     JOIN lineitem ON o_orderkey = l_orderkey) AS x_ol),
+       |costed AS (
+       |$legs
+       |)
+       |SELECT join_order, est_cost, exact_cost,
+       |  CAST((1000 * (est_cost - exact_cost))
+       |    // GREATEST(exact_cost, 1) AS BIGINT) AS err_milli,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY est_cost, join_order) AS BIGINT)
+       |    AS est_rank,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY exact_cost, join_order) AS BIGINT)
+       |    AS exact_rank,
+       |  CAST(CASE WHEN ROW_NUMBER() OVER (ORDER BY est_cost, join_order)
+       |         = ROW_NUMBER() OVER (ORDER BY exact_cost, join_order)
+       |       THEN 1 ELSE 0 END AS BIGINT) AS rank_match
+       |FROM costed ORDER BY join_order""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q205_planner_audit" -> q205PlannerAudit _,
     "q206_compaction_plan" -> q206CompactionPlan _,
@@ -1955,6 +2212,8 @@ object Planner {
     "q210_rescaled_join_order" -> q210RescaledJoinOrder _,
     "q211_skew_salt_decision" -> q211SkewSaltDecision _,
     "q212_bushy_join_plan" -> q212BushyJoinPlan _,
+    "q214_between_join_order" -> q214BetweenJoinOrder _,
+    "q215_inlist_join_order" -> q215InlistJoinOrder _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1966,5 +2225,7 @@ object Planner {
     "q210_rescaled_join_order" -> q210Oracle,
     "q211_skew_salt_decision" -> q211Oracle,
     "q212_bushy_join_plan" -> q212Oracle,
+    "q214_between_join_order" -> q214Oracle,
+    "q215_inlist_join_order" -> q215Oracle,
   )
 }

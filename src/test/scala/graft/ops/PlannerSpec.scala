@@ -383,6 +383,50 @@ class PlannerSpec extends SparkSpec {
     }
   }
 
+  test("q214: the COMPOSED window estimate estLE(hi) − estLE(lo) prices " +
+      "a narrow mid-domain BETWEEN right — the flip lands with " +
+      "est_rank == exact_rank on all 8 orders, where independent " +
+      "one-sided factors would keep ~24% of the mass and miss it") {
+    val s = spark
+    val rows = Planner.q214BetweenJoinOrder(s, sf).collect()
+    assert(rows.length === 8, "all 8 connected left-deep orders")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(5),
+        s"est_rank must equal exact_rank: $r")
+    }
+    val estRank = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(estRank("C.O.N.L") === 1L && estRank("O.C.N.L") === 2L,
+      s"the window-filtered fact must open the best orders: $estRank")
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && exact > 0 &&
+        math.abs(est - exact) <= math.max(exact / 4, 64L),
+        s"window estimate $est vs exact $exact: $r")
+    }
+  }
+
+  test("q215: Σ estEq over a 3-key tail IN-list composes the q209 " +
+      "uniform-tail rule — the flip lands (the IN-filtered fact opens " +
+      "both graded rankings) and the estimate stays inside the tail " +
+      "assumption's band; mid-rank swaps record the estimation error " +
+      "honestly") {
+    val s = spark
+    val rows = Planner.q215InlistJoinOrder(s, sf).collect()
+    assert(rows.length === 8, "all 8 connected left-deep orders")
+    val estRank = rows.map(r => r.getString(0) -> r.getLong(4)).toMap
+    val exactRank = rows.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(estRank("C.O.N.L") === 1L && exactRank("C.O.N.L") === 1L,
+      s"the IN-filtered fact must open both rankings: $estRank")
+    assert(estRank("O.C.N.L") === 2L && exactRank("O.C.N.L") === 2L,
+      s"the commuted opener must rank second in both: $estRank")
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && exact > 0 &&
+        est < 4 * exact && exact < 4 * est,
+        s"3-key tail estimate $est vs exact $exact: $r")
+    }
+  }
+
   test("q207 int64 headroom: the catalog cascade is exact near the " +
       "boundary and fails LOUDLY past it (the q199/q201 caveat, " +
       "machine-checked over the literal q207 generator)") {

@@ -413,6 +413,80 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("BETWEEN pricing (VERDICT r18 #7): a narrow MID-domain window on " +
+      "orders flips the best order to the filtered fact — " +
+      "estLE(hi) − estLE(lo) prices the window right where independent " +
+      "one-sided factors would keep most of the mass — with identical " +
+      "results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    // a 2/64-wide window centred in the domain: the combined estimate is
+    // ~n/32 (flip); two independent one-sided factors would price it at
+    // ~0.24·n (no flip — the exact failure mode the composition fixes)
+    val hb = s.read.parquet(s"$art/hists")
+      .where($"col" === "o_totalprice").head()
+    val (mn, mx) = (hb.getAs[Double]("mn"), hb.getAs[Double]("mx"))
+    val lo = mn + (mx - mn) * 30.0 / 64.0
+    val hi = mn + (mx - mn) * 32.0 / 64.0
+    def chain(): DataFrame =
+      Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .where($"o_totalprice" >= lo && $"o_totalprice" <= hi),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("orders", "customer", "nation", "lineitem"),
+        "the BETWEEN-priced σ(orders) must open the rebuilt plan")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) === off,
+        "the BETWEEN flip must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("IN-list pricing (VERDICT r18 #7): σ(o_custkey IN (three tail " +
+      "keys)) makes orders the cheapest opener — Σ estEq over the coded " +
+      "list values, the q209 tail rule composed — with identical " +
+      "results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    // three keys just past the MCV head — each priced by the uniform
+    // tail, so the estimate is 3 tail slots (~a few dozen rows → flip)
+    val ks = graft.streaming.McvStream.mergedBoundedHead(s, s"$art/m_co_o")
+      .orderBy($"n".desc, $"v").limit(Planner.McvSlots + 3)
+      .collect().takeRight(3).map(_.getLong(0)).toSeq
+    def chain(): DataFrame =
+      Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+          .where($"o_custkey".isin(ks: _*)), $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("orders", "customer", "nation", "lineitem"),
+        "the IN-filtered fact must open the rebuilt plan")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) === off,
+        "the IN-list flip must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("registered catalog: a NON-TPC-H table set (events/documents/" +
       "embeddings joined on user/doc keys) registers via CatalogSpec, " +
       "catalogs through the same one-pass stream, and a fact-first plan " +
