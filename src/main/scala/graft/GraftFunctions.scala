@@ -84,10 +84,13 @@ object GraftFunctions {
   * surface — `SparkSession.builder().withExtensions(new GraftExtensions)`
   * or `--conf spark.sql.extensions=graft.GraftExtensions`:
   *
-  *  - the scalar function table above, and
+  *  - the scalar function table above,
   *  - [[graft.plans.CatalogJoinReorder]], the stream-maintained-catalog
   *    join reorder rule (a verbatim no-op until the session points
-  *    `spark.graft.join.catalog` at a catalog root).
+  *    `spark.graft.join.catalog` at a catalog root), and
+  *  - [[graft.plans.SkewSaltJoin]], the automatic hot-key salt rewrite
+  *    off the same catalog (additionally gated on
+  *    `spark.graft.join.salt`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -98,5 +101,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(graft.plans.CatalogJoinReorder.apply)
+    ext.injectOptimizerRule(graft.plans.SkewSaltJoin.apply)
   }
 }

@@ -872,26 +872,42 @@ object CatalogJoinReorder {
             col ->
               NdvStream.estimate(NdvStream.mergedSketch(s, s"$art/d_$id"))
           }.toMap
+          // the OPTIONAL descriptor layers (older roots may predate
+          // them): their (col, tag) rows also serve as classification
+          // evidence below — a leaf projecting only a histogrammed or
+          // MCV'd column (e.g. events.event_type, the salt rule's hot
+          // key) must still resolve to its table
+          val histDesc = scala.util.Try {
+            s.read.parquet(s"$art/hists")
+              .select("col", "tag", "id", "mn", "mx").collect()
+          }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+          val mcvDesc = scala.util.Try {
+            s.read.parquet(s"$art/mcvs")
+              .select("col", "tag", "id", "mode", "codec").collect()
+          }.getOrElse(Array.empty[org.apache.spark.sql.Row])
+          val extraCols: Map[String, Set[String]] =
+            (histDesc.map(r => r.getString(1) -> r.getString(0)) ++
+              mcvDesc.map(r => r.getString(1) -> r.getString(0)))
+              .groupBy(_._1).map { case (tag, xs) =>
+                tag -> xs.map(_._2).toSet
+              }
           val tables = desc.groupBy(d => (d._2, d._3)).toSeq
             .sortBy(_._1._1).map { case ((tbl, tag), cols) =>
               val n = s.read.parquet(s"$art/n_$tag/rows")
                 .agg(coalesce(sum("n"), lit(0L)).as("n"))
                 .head().getLong(0)
-              TableStats(tbl, n, cols.map(_._1).toSet)
+              TableStats(tbl, n, cols.map(_._1).toSet ++
+                extraCols.getOrElse(tag, Set.empty))
             }
-          // histograms are an OPTIONAL catalog layer (older roots may
-          // predate them): absence just means no selectivity scaling
           val hist = scala.util.Try {
-            s.read.parquet(s"$art/hists")
-              .select("col", "id", "mn", "mx").collect()
-              .map { r =>
-                val (col, id) = (r.getString(0), r.getString(1))
-                val (mn, mx) = (r.getDouble(2), r.getDouble(3))
-                val bins = new Array[Long](graft.ops.Layout.HistBins)
-                StatsStream.mergedHistogram(s, s"$art/h_$id").collect()
-                  .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
-                col -> Hist(mn, mx, bins)
-              }.toMap
+            histDesc.map { r =>
+              val (col, id) = (r.getString(0), r.getString(2))
+              val (mn, mx) = (r.getDouble(3), r.getDouble(4))
+              val bins = new Array[Long](graft.ops.Layout.HistBins)
+              StatsStream.mergedHistogram(s, s"$art/h_$id").collect()
+                .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
+              col -> Hist(mn, mx, bins)
+            }.toMap
           }.getOrElse(Map.empty[String, Hist])
           // MCV heads: top-k by (count desc, value) pulled IN-PLAN, so
           // the driver reads k+1 rows per column even when the value
@@ -902,12 +918,11 @@ object CatalogJoinReorder {
           // split for n; "exact" reads the full value-count table.
           val mcv = scala.util.Try {
             import org.apache.spark.sql.functions.col
-            s.read.parquet(s"$art/mcvs")
-              .select("col", "id", "mode", "codec").collect()
+            mcvDesc
               .map { r =>
                 val (column, id, mode) =
-                  (r.getString(0), r.getString(1), r.getString(2))
-                val codec = Option(r.getString(3)).filter(_.nonEmpty)
+                  (r.getString(0), r.getString(2), r.getString(3))
+                val codec = Option(r.getString(4)).filter(_.nonEmpty)
                 val counts =
                   if (mode == "bounded")
                     McvStream.mergedBoundedHead(s, s"$art/m_$id")

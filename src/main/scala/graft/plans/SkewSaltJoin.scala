@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Literal, Multiply, PredicateHelper, Rand}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, Range}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** The q211 salt decision promoted into the PHYSICAL layer (VERDICT r18
+  * #5): until now the graded audit decided salt-vs-plain and a spec
+  * executed the verdict by hand (the q89 pattern — the user salts their
+  * own join); here the SAME decision, priced from the SAME maintained
+  * artifacts, rewrites the join automatically. One join text, two
+  * physical outcomes purely from conf + catalog.
+  *
+  * The decision is q211's per-task row budget verbatim
+  * ([[graft.ops.Planner.q211SkewSaltDecision]], reference
+  * partitioner/index.js:17–23 for why no hash function can fix it): a
+  * join key whose maintained S31 MCV head carries more rows than
+  * `table rows ÷ shuffle partitions` CANNOT be balanced by hash
+  * partitioning — that key's mass all lands in one task. When the flag
+  * is on and the catalog flags exactly one side's key hot, the join
+  *
+  *   σ(fact) ⋈_{k = d} dim
+  *
+  * is rewritten to the classic salted form:
+  *
+  *   (fact + salt_f := ⌊rand·S⌋) ⋈_{k = d ∧ salt_f = salt_d} (dim × [0, S))
+  *
+  * — the hot side's rows scatter over S salt slots, the other side
+  * replicates S ways (a `Range(0, S)` cross — S rows of metadata), and
+  * a top `Project` restores the original output, so results are
+  * byte-identical (every fact row meets every dim replica exactly once
+  * on its own salt). S is derived from the catalog, not guessed:
+  * `clamp(⌈maxHead ÷ budget⌉, 2, partitions)` — just enough slots to
+  * bring the hottest key under the per-task budget.
+  *
+  * Scope guards (an optimizer rule must never make a plan wrong):
+  * inner, hint-free, deterministic-condition joins only; the hot side
+  * must classify to exactly one cataloged table by column-name
+  * evidence through a plain Filter/Project access path; a join whose
+  * condition already references a salt column is SETTLED (the fixpoint
+  * guard); two hot sides ⇒ untouched. `rand` lands in a `Project` —
+  * nondeterminism never enters the join condition itself, and the
+  * replicated-dim completion makes the output independent of which
+  * salt each row draws.
+  *
+  * Relation to AQE: `OptimizeSkewedJoin` splits oversized partitions at
+  * RUNTIME, after the skewed shuffle has already materialized its map
+  * output, and only for sort-merge shapes between shuffle stages. This
+  * rule spends ≤ |head| metadata rows BEFORE any 100 TB shuffle
+  * commits — the two compose (AQE still re-plans whatever residual
+  * skew the salt leaves). Off by default ([[SkewSaltJoin.SaltKey]]);
+  * enabled per session next to the reorder rule's catalog conf.
+  */
+case class SkewSaltJoin(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  import CatalogJoinReorder.{Catalog, CatalogKey, TableStats}
+  import SkewSaltJoin._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = scala.util.Try(
+      conf.getConfString(SaltKey, "false").toBoolean).getOrElse(false)
+    val path = conf.getConfString(CatalogKey, "")
+    if (!enabled || path.isEmpty) plan
+    else CatalogJoinReorder.load(session, path) match {
+      case Some(cat) => plan.transformUp {
+        case j @ Join(_, _, Inner, Some(cond), JoinHint.NONE)
+            if cond.deterministic &&
+              !cond.references.exists(_.name.startsWith(SaltPrefix)) =>
+          saltJoin(j, cat).getOrElse(j)
+      }
+      case None => plan // catalog mid-load on this thread
+    }
+  }
+
+  /** A plain Filter/Project access path over a bare relation resolving
+    * to exactly one cataloged table (the reorder rule's classification
+    * contract — an aggregate/subquery leaf must not be priced at
+    * base-table stats). */
+  private def classify(p: LogicalPlan, cat: Catalog): Option[TableStats] = {
+    def plain(q: LogicalPlan): Boolean = q match {
+      case Filter(_, ch) => plain(ch)
+      case Project(_, ch) => plain(ch)
+      case other => other.children.isEmpty
+    }
+    if (!plain(p)) None
+    else {
+      val names = p.output.map(_.name).toSet
+      cat.tables.filter(t => t.cols.exists(names)) match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+  }
+
+  private def saltJoin(j: Join, cat: Catalog): Option[LogicalPlan] = {
+    val parts = math.max(session.sessionState.conf.numShufflePartitions, 1)
+    // (max head frequency, per-task budget) when `attr` is this side's
+    // join key and the catalog flags it over budget
+    def hotness(attr: Attribute, side: LogicalPlan): Option[(Long, Long)] =
+      if (!side.outputSet.contains(attr)) None
+      else for {
+        t <- classify(side, cat)
+        m <- cat.mcv.get(attr.name)
+        maxHead <- m.head.values.maxOption
+        budget = math.max(t.rows / parts, 1L)
+        if maxHead > budget
+      } yield (maxHead, budget)
+    // the first equi-edge with exactly ONE hot side decides
+    val hit = splitConjunctivePredicates(j.condition.get).iterator
+      .collect { case EqualTo(a: Attribute, b: Attribute) => (a, b) }
+      .map { case (a, b) =>
+        (hotness(a, j.left).orElse(hotness(b, j.left)),
+          hotness(a, j.right).orElse(hotness(b, j.right)))
+      }
+      .collectFirst {
+        case (Some((mh, bud)), None) => (true, mh, bud)
+        case (None, Some((mh, bud))) => (false, mh, bud)
+      }
+    hit.map { case (leftIsHot, maxHead, budget) =>
+      val nSalt = math.min(
+        math.max((maxHead + budget - 1) / budget, 2L), parts.toLong)
+      val (hot, dim) = if (leftIsHot) (j.left, j.right) else (j.right, j.left)
+      val saltF = Alias(
+        Cast(Multiply(Rand(Literal(SaltSeed)), Literal(nSalt.toDouble)),
+          LongType), s"${SaltPrefix}f")()
+      val hot2 = Project(hot.output :+ saltF, hot)
+      val range = Range(0L, nSalt, 1L, None)
+      val saltD = Alias(range.output.head, s"${SaltPrefix}d")()
+      val dim2 = Join(dim, Project(Seq(saltD), range), Cross, None,
+        JoinHint.NONE)
+      val cond2 = And(j.condition.get,
+        EqualTo(saltF.toAttribute, saltD.toAttribute))
+      val (l2, r2) = if (leftIsHot) (hot2, dim2) else (dim2, hot2)
+      logInfo(s"SkewSaltJoin: hot key over budget " +
+        s"(max head $maxHead > $budget rows/task) — salted $nSalt ways")
+      Project(j.output, Join(l2, r2, Inner, Some(cond2), JoinHint.NONE))
+    }
+  }
+}
+
+object SkewSaltJoin {
+
+  /** Session conf: enable the automatic salt rewrite (default false).
+    * Reads the same catalog root as [[CatalogJoinReorder.CatalogKey]]. */
+  val SaltKey = "spark.graft.join.salt"
+
+  /** Name prefix of the injected salt columns — a join whose condition
+    * already references one is settled (the fixpoint guard). */
+  val SaltPrefix = "__graft_salt_"
+
+  /** Fixed rand seed: replay-stable salting (the draw itself is free to
+    * vary — the replicated dim side makes results salt-independent). */
+  val SaltSeed = 19L
+}

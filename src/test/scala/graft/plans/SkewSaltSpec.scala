@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Range}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+import graft.ops.Planner
+
+/** [[SkewSaltJoin]] — the q211 salt decision executing ITSELF (VERDICT
+  * r18 #5): one user join text, and the physical outcome — plain
+  * shuffle vs automatic salted rewrite — follows purely from conf +
+  * the maintained catalog. The q89 hand-salted pattern becomes an
+  * engine behavior: results byte-identical, the per-partition row
+  * spread collapse engine-measured with the literal q211 spec
+  * machinery (PlannerSpec's spread probe).
+  */
+class SkewSaltSpec extends AnyFunSuite {
+
+  private def sf = SparkSpec.sf
+
+  /** Max rows in any output partition — the q211 engine leg's probe. */
+  private def spread(df: DataFrame): Long =
+    df.rdd.mapPartitions(it => Iterator.single(it.size.toLong))
+      .collect().max
+
+  private def hasRangeLeaf(p: LogicalPlan): Boolean =
+    p.collectFirst { case _: Range => true }.getOrElse(false)
+
+  test("one join text, two physical outcomes from conf+catalog: with " +
+      "the flag off the hot-key join shuffles plain; with it on, the " +
+      "catalog's over-budget head salts the join automatically — " +
+      "results byte-identical, spread collapse engine-measured, " +
+      "fixpoint stable; an under-budget conf leaves the same text " +
+      "plain again") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    // the 5-value enum dim a user joins against the hot event_type key
+    val dimRows = Seq("click", "view", "purchase", "signup", "error")
+    def joined(): DataFrame = {
+      val ev = Tables(s, sf, "events").select($"event_type", $"event_id")
+      val dim = dimRows.toDF("et")
+      ev.join(dim, $"event_type" === $"et")
+    }
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    // a real shuffle regime: no broadcast (the 100 TB dim story), AQE
+    // off so the measured partitioning is the planned one, and enough
+    // tasks that the budget rule flags the enum head hot
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      // flag off: the plain shuffle — one partition carries a full
+      // key's mass (the thing no hash function can fix)
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      val off = joined()
+      assert(!hasRangeLeaf(off.queryExecution.optimizedPlan),
+        "without the flag the join must stay plain")
+      val offRows = off.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      val plainMax = spread(off)
+      assert(plainMax >= offRows.size.toLong / 5,
+        s"the plain shuffle must load one partition with at least one " +
+          s"full key's mass ($plainMax of ${offRows.size})")
+
+      // flag on: the SAME text comes out salted — Range(0, S) dim
+      // replication, salt conjunct in the join condition
+      s.conf.set(SkewSaltJoin.SaltKey, "true")
+      val on = joined()
+      val bp = on.queryExecution.optimizedPlan
+      assert(hasRangeLeaf(bp),
+        s"the salted rewrite must replicate the dim over Range(0, S):\n$bp")
+      assert(bp.collectFirst {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+            if j.condition.exists(_.references.exists(
+              _.name.startsWith(SkewSaltJoin.SaltPrefix))) => j
+      }.isDefined, s"the join condition must carry the salt equality:\n$bp")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the salted join must not change results")
+      val saltedMax = spread(on)
+      assert(saltedMax * 2 < plainMax,
+        s"the salt must collapse the per-partition spread " +
+          s"($saltedMax vs $plainMax)")
+      // fixpoint: a second optimizer pass over the salted plan no-ops
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "re-optimizing the salted plan must be a no-op")
+
+      // same text, fewer tasks: the budget rule goes under threshold
+      // (max head ≈ n/5 < n/4) and the flag-on plan stays PLAIN — the
+      // decision is conf + catalog, not a blanket rewrite
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val under = joined()
+      assert(!hasRangeLeaf(under.queryExecution.optimizedPlan),
+        "an under-budget key must stay plain even with the flag on")
+      assert(under.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the plain verdict must not change results either")
+    } finally {
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+  }
+
+  test("scope guards: a join with BOTH sides hot is left untouched, and " +
+      "an unclassifiable side never trips the rewrite") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    s.conf.set(SkewSaltJoin.SaltKey, "true")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      // self-join on the hot key: both sides classify hot → untouched
+      val both = Tables(s, sf, "events").select($"event_type")
+        .join(Tables(s, sf, "events")
+          .select($"event_type", $"event_id".as("eid2")),
+          Seq("event_type"))
+      assert(!hasRangeLeaf(both.queryExecution.optimizedPlan),
+        "a two-hot-sides join must be left untouched")
+      // an aggregate leaf projecting the hot attr name must NOT be
+      // priced at base-table stats — the join stays out of scope (the
+      // dim probe side is a limit, equally unclassifiable)
+      val agg = Tables(s, sf, "events").groupBy($"event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val viaAgg = agg.join(
+        Tables(s, sf, "events").select($"event_type").limit(10),
+        Seq("event_type"))
+      assert(!hasRangeLeaf(viaAgg.queryExecution.optimizedPlan),
+        "an aggregate leaf must make the join out-of-scope")
+    } finally {
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+  }
+}
