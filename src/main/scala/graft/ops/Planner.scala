@@ -907,12 +907,36 @@ object Planner {
     ()
   }
 
+  /** Session conf: seconds a USER catalog build is trusted before the
+    * next [[ensureCatalog]] call re-probes the base tables' row counts
+    * and rebuilds on movement (default 60 — the same cadence as the
+    * reorder rule's artifact re-read, [[graft.plans.CatalogJoinReorder
+    * .RefreshKey]]). 0 probes on every call. VERDICT r18 #3: without
+    * this, a registered spec's artifacts were a build-time snapshot
+    * pinned for the JVM lifetime, and the rule's 60s artifact re-read
+    * could never SEE new data for user specs. */
+  val MaintainKey = "spark.graft.catalog.maintainSec"
+
+  /** A built user catalog: its artifact root, the instant it was last
+    * validated, and the per-table row counts it was staged from (the
+    * staleness signature). */
+  private final case class UserCatalog(art: String, builtAt: Long,
+      sig: Map[String, Long])
+
   // same per-key-locked map as [[cache]] (ADVICE r17)
   private val cacheJoin =
-    new java.util.concurrent.ConcurrentHashMap[String, String]
+    new java.util.concurrent.ConcurrentHashMap[String, UserCatalog]
 
   private[graft] def evictJoinSession(s: SparkSession): Unit =
     cacheJoin.clear()
+
+  /** The staleness signature: one count per declared table. On parquet
+    * this is a scan-light metadata-weighted job per table (row counts
+    * come from footers) — the price of "never staler than the maintain
+    * window" for tables the engine's standing streams do not own. */
+  private def countSig(s: SparkSession, dir: String,
+      spec: CatalogSpec): Map[String, Long] =
+    spec.tables.map(t => t.tag -> Tables(s, dir, t.table).count()).toMap
 
   /** The q207 per-table catalog: [[ensureCatalog]] applied to the
     * graded [[TpchChainSpec]] (region through lineitem, 15 concurrent
@@ -952,52 +976,74 @@ object Planner {
       require(!reserved(spec.name),
         s"catalog spec name '${spec.name}' is reserved for the engine's " +
           "own catalogs — pick another name")
-      cacheJoin.computeIfAbsent(s"$dir|${spec.name}", _ => {
-      import s.implicits._
-      // staged expressions may use the engine's SQL surface (djb2, …)
-      graft.GraftFunctions.registerAll(s)
-      val base = graft.Scratch.forSf(spec.name, dir)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val art = s"$base/stats"
-      val incoming = s"$base/incoming"
-      stagedTables(s, dir, spec).reduce(_.unionByName(_))
-        .repartition(4, $"chunk")
-        .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
-      // staged histogram bounds (the S28 generation artifact —
-      // equi-width counts are additive only under FIXED bounds), off
-      // one aggregate of the staged parquet
-      val bRows = s.read.parquet(incoming)
-        .groupBy($"tbl").agg(min($"h").as("hmn"), max($"h").as("hmx"))
-        .collect().map(r => r.getString(0) -> r).toMap
-      val histBounds = spec.hists.map { h =>
-        val r = bRows(h.tag)
-        val (mn, mx) = (r.getAs[Double]("hmn"), r.getAs[Double]("hmx"))
-        require(mx > mn,
-          s"degenerate histogram bounds for ${h.table}.${h.column}")
-        (h.id, h.tag, h.column, mn, mx)
-      }
-      val q = s.readStream
-        .schema("tbl string, a bigint, b bigint, h double, d double, " +
-          "chunk int")
-        .option("maxFilesPerTrigger", 1).parquet(incoming)
-        .writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val batch = b.drop("chunk")
-          batch.persist()
-          val counts = batch.groupBy($"tbl").agg(count(lit(1)).as("n"))
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-          fanOut(specLegs(spec, art, histBounds, batch, batchId, counts))
-          batch.unpersist()
-          ()
-        }
-        .start()
-      require(q.awaitTermination(600000), "catalog artifact stream timeout")
-      writeDescriptors(s, spec, art, histBounds)
-      art
-      })
+      // STANDING MAINTENANCE (VERDICT r18 #3): a cached user build is
+      // trusted for the maintain window; past it, the base tables' row
+      // counts are re-probed and a moved signature re-stages + replays
+      // (writeDescriptors invalidates the rule's cached load, so the
+      // next query actually sees the new data) — no explicit evict.
+      val maintainSec = scala.util.Try(
+        s.sessionState.conf.getConfString(MaintainKey, "60").toLong)
+        .getOrElse(60L)
+      cacheJoin.compute(s"$dir|${spec.name}", (_, old) => {
+        val now = System.nanoTime()
+        if (old != null && now - old.builtAt < maintainSec * 1000000000L)
+          old
+        else if (old != null && countSig(s, dir, spec) == old.sig)
+          old.copy(builtAt = now) // unmoved — revalidate the window
+        else buildUserCatalog(s, dir, spec)
+      }).art
     }
+
+  /** One standalone user-catalog build: stage, bound, replay, describe —
+    * the same one-pass stream as the engine catalogs, under the spec's
+    * own scratch root. */
+  private def buildUserCatalog(s: SparkSession, dir: String,
+      spec: CatalogSpec): UserCatalog = {
+    import s.implicits._
+    val sig = countSig(s, dir, spec)
+    // staged expressions may use the engine's SQL surface (djb2, …)
+    graft.GraftFunctions.registerAll(s)
+    val base = graft.Scratch.forSf(spec.name, dir)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val art = s"$base/stats"
+    val incoming = s"$base/incoming"
+    stagedTables(s, dir, spec).reduce(_.unionByName(_))
+      .repartition(4, $"chunk")
+      .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
+    // staged histogram bounds (the S28 generation artifact —
+    // equi-width counts are additive only under FIXED bounds), off
+    // one aggregate of the staged parquet
+    val bRows = s.read.parquet(incoming)
+      .groupBy($"tbl").agg(min($"h").as("hmn"), max($"h").as("hmx"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val histBounds = spec.hists.map { h =>
+      val r = bRows(h.tag)
+      val (mn, mx) = (r.getAs[Double]("hmn"), r.getAs[Double]("hmx"))
+      require(mx > mn,
+        s"degenerate histogram bounds for ${h.table}.${h.column}")
+      (h.id, h.tag, h.column, mn, mx)
+    }
+    val q = s.readStream
+      .schema("tbl string, a bigint, b bigint, h double, d double, " +
+        "chunk int")
+      .option("maxFilesPerTrigger", 1).parquet(incoming)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val batch = b.drop("chunk")
+        batch.persist()
+        val counts = batch.groupBy($"tbl").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        fanOut(specLegs(spec, art, histBounds, batch, batchId, counts))
+        batch.unpersist()
+        ()
+      }
+      .start()
+    require(q.awaitTermination(600000), "catalog artifact stream timeout")
+    writeDescriptors(s, spec, art, histBounds)
+    UserCatalog(art, System.nanoTime(), sig)
+  }
 
   /** Per-order (name, est-cost expr, exact-cost expr) over the wide
     * catalog row — the q201Profiles pattern widened to the FULL System-R
