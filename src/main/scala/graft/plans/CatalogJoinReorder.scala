@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, Logi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{coalesce, lit, sum}
 
-import graft.streaming.{McvStream, NdvStream, StatsStream}
+import graft.streaming.{McvStream, NdvStream, StatsGenStream, StatsStream}
 
 /** Cost-based join reordering driven by the STREAM-MAINTAINED catalog —
   * the q207 audit promoted into the engine's own optimizer.
@@ -902,11 +902,27 @@ object CatalogJoinReorder {
           val hist = scala.util.Try {
             histDesc.map { r =>
               val (col, id) = (r.getString(0), r.getString(2))
-              val (mn, mx) = (r.getDouble(3), r.getDouble(4))
               val bins = new Array[Long](graft.ops.Layout.HistBins)
-              StatsStream.mergedHistogram(s, s"$art/h_$id").collect()
-                .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
-              col -> Hist(mn, mx, bins)
+              // a histogram upgraded to the S30 generation lifecycle
+              // (VERDICT r18 #2 — [[graft.ops.Planner.appendHistBatch]])
+              // serves its CURRENT generation's bounds and merged bins:
+              // under domain drift the re-elected bounds replace the
+              // build-time descriptor staging, so range selectivity
+              // keeps discriminating instead of clamping every new key
+              // into the last bin. Un-upgraded histograms read the flat
+              // layout under the descriptor bounds, as before.
+              val genRoot = s"$art/h_$id/gen"
+              StatsGenStream.currentGen(s, genRoot) match {
+                case Some(g) =>
+                  StatsGenStream.mergedHistogram(s, genRoot).collect()
+                    .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
+                  col -> Hist(g.mn, g.mx, bins)
+                case None =>
+                  val (mn, mx) = (r.getDouble(3), r.getDouble(4))
+                  StatsStream.mergedHistogram(s, s"$art/h_$id").collect()
+                    .foreach(b => bins(b.getLong(0).toInt) = b.getLong(1))
+                  col -> Hist(mn, mx, bins)
+              }
             }.toMap
           }.getOrElse(Map.empty[String, Hist])
           // MCV heads: top-k by (count desc, value) pulled IN-PLAN, so

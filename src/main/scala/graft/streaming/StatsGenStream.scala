@@ -118,6 +118,31 @@ object StatsGenStream {
     gen
   }
 
+  /** Import an EXISTING fixed-bounds histogram as generation 0
+    * (VERDICT r18 #2 — upgrading a one-shot catalog histogram into
+    * this lifecycle): the standing merged bins become the generation's
+    * carry (`batch=-1`, the election-carry convention) under the
+    * already-staged bounds, so subsequent [[append]]ed batches inherit
+    * the full drift machinery — telemetry, re-election, mass-preserving
+    * rebin — without recounting the imported mass. No-op when a
+    * generation already exists (the restart contract). `carry` must
+    * hold (bin bigint, n bigint). */
+  def stageImported(s: SparkSession, root: String, mn: Double, mx: Double,
+      carry: DataFrame): Unit =
+    if (currentGen(s, root).isEmpty) {
+      carry.select(col("bin"), col("n"))
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"$root/hist/g=0/batch=-1")
+      writeGen(s, root, Gen(0L, mn, mx))
+    }
+
+  /** One appended micro-batch — the public maintenance seam over
+    * [[processBatch]] (drift check, possible election + rebin carry,
+    * partial + range telemetry under the current generation). `batch`
+    * must carry (p double). */
+  def append(batch: DataFrame, batchId: Long, root: String): Unit =
+    processBatch(batch, batchId, root)
+
   /** Mass-preserving deterministic rebin of a 4096-bin histogram from
     * `from` bounds to `to` bounds (which must span them): each old bin's
     * mass is a linear density over its width; new bin j receives
