@@ -25,7 +25,7 @@ import graft.streaming.{ManifestStream, McvStream, NdvStream, StatsStream}
   * The artifact suite ([[ensureArtifacts]]) is maintained by ONE
   * streaming pass — since r18 the SAME pass that builds both join
   * catalogs ([[buildAll]]): a single staged union replays all declared
-  * tables as 4 deterministic micro-batches, and each batch fans
+  * tables as [[ReplayCarves]] deterministic micro-batches, and each batch fans
   * concurrently to every maintainer's own per-batch body (the literal
   * S28/S29/S31/S32 `processBatch` code, so the audit-driven and the
   * engine-driven artifacts cannot drift). The planner suite's share:
@@ -44,7 +44,8 @@ import graft.streaming.{ManifestStream, McvStream, NdvStream, StatsStream}
   * their one-pass batch twins for any batching (associative /
   * commutative reductions), and the S32 Morton-cell carve is
   * deterministic per batch — with the batch carve itself deterministic
-  * (`kmvHash(o_orderkey) % 4`, one file per micro-batch), DuckDB can
+  * (`kmvHash(o_orderkey) % ReplayCarves`, one file per micro-batch),
+  * DuckDB can
   * recompute every artifact from the base table and land on identical
   * integers.
   *
@@ -71,6 +72,17 @@ object Planner {
 
   /** q206: target output file count for the compaction plan. */
   private val OutFiles = 8
+
+  /** Replay micro-batches per catalog build (the deterministic
+    * `kmvHash(carveKey) % ReplayCarves` carve). 4 → 2 in r19 (VERDICT
+    * r18 #4): every artifact is batch-invariant by construction —
+    * min-K-of-union, summed counts, fixed-bounds bins — so the carve
+    * count is free for correctness, and the per-batch fan's tiny-job
+    * scheduling floor is the dominant planner_prep cost, so fewer
+    * batches is directly wall-clock. The bounded-MCV partials and the
+    * S32 cells ARE carve-shaped — their oracles recompute the same
+    * `% ReplayCarves` carve, so both engines move together. */
+  private[graft] val ReplayCarves = 2
 
   /** The q205 hybrid join estimate over catalog scalars: MCV head exact
     * + uniform tail over the sketch's estimated remainder, scaled by the
@@ -121,25 +133,44 @@ object Planner {
     * cost of a batch is max(leg) instead of sum(legs). VERDICT r16 #6:
     * the sequential fan was the dominant planner_prep cost (tiny-job
     * scheduling floors × 16 jobs). */
+  /** Fan concurrency: 32 simultaneous tiny Spark jobs inflate EVERY
+    * leg's wall ~10× (scheduler + commit contention — profiled r19:
+    * even a precomputed 1-row count write reads 1.4s inside a 32-wide
+    * fan vs ~0.1s isolated), so the fan runs bounded waves instead.
+    * Overridable for profiling via SPARK_GRAFT_FAN_PAR. */
+  private def fanPar: Int = math.max(1, scala.util.Try(
+    sys.env.getOrElse("SPARK_GRAFT_FAN_PAR", "8").toInt).getOrElse(8))
+
   private[graft] def fanOut(legs: Seq[() => Unit]): Unit = {
-    import scala.concurrent.{Await, Future, blocking}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    // blocking{}: each leg BLOCKS inside a Spark action, and the global
-    // pool's parallelism is availableProcessors — without the marker a
-    // small machine would run the 15-leg fan ~4 at a time (wall drifts
-    // toward sum(legs)/cores instead of max(leg)) and starve every other
-    // user of the JVM-global pool for the duration.
+    // A DEDICATED bounded pool, not the global pool (r19 — see
+    // [[fanPar]]): each leg blocks inside a Spark action, and an
+    // unbounded fan makes every concurrent job ~10× slower than the
+    // same job in a small wave, so max(leg) stops being the wall.
     // Every leg is awaited TO COMPLETION before any failure is rethrown
     // (ADVICE r17): Future.sequence rethrows on the first failed leg
     // while siblings keep running, and the streaming engine's retry of
     // the same foreachBatch could then overwrite the same batch=<id>
     // artifact partitions concurrently with the orphans — a torn write.
-    val done = Await.result(
-      Future.sequence(legs.map(f =>
-        Future(blocking { scala.util.Try(f()) }))), 10.minutes)
-    done.collectFirst { case scala.util.Failure(e) => throw e }
-    ()
+    val dbg = sys.env.contains("SPARK_GRAFT_FAN_DEBUG")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fanPar)
+    val ec = ExecutionContext.fromExecutorService(pool)
+    try {
+      implicit val fanEc: ExecutionContext = ec
+      val done = Await.result(
+        Future.sequence(legs.zipWithIndex.map { case (f, i) =>
+          Future {
+            val t0 = System.nanoTime()
+            val r = scala.util.Try(f())
+            if (dbg) System.err.println(
+              f"[fan] leg $i%2d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            r
+          }
+        }), 10.minutes)
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+      ()
+    } finally { ec.shutdown(); () }
   }
 
   /** The maintained-statistics suite root (q205/q206): built by the
@@ -156,12 +187,13 @@ object Planner {
   /** ONE staged union, ONE stream, every artifact family (VERDICT r17
     * #5): the prior layout replayed two overlapping unions back-to-back
     * (planner suite 5.1s + join catalog 6.4s — each paying its own
-    * staging scan, checkpoint IO, and 4-batch stream spin-up). Now the
+    * staging scan, checkpoint IO, and multi-batch stream spin-up). Now the
     * 10 table legs (5 TPC-H chain + 4 registered pipeline + the orders
     * planner columns riding the same `o` rows) stage once, every bound
     * (the S32 z-grid generation AND all four S28 histogram generations)
     * comes off one 10-row aggregate of the staged parquet, and each of
-    * the 4 micro-batches fans concurrently to all ~32 maintainer legs —
+    * the [[ReplayCarves]] micro-batches fans concurrently to all ~32
+    * maintainer legs —
     * per-table, per-artifact partials identical to the separate builds
     * (each leg still reads only its own table's batch rows), so every
     * oracle's recompute is untouched (merged == one-pass specs pass
@@ -186,21 +218,36 @@ object Planner {
     val union = (stagedTables(s, dir, TpchChainSpec) ++
       stagedTables(s, dir, PipelineCatalogSpec))
       .reduce(_.unionByName(_))
-    union.repartition(4, $"chunk")
+    // EVERY bounds generation rides the staging job ITSELF (VERDICT r18
+    // #4 — "share the staging scan's shuffle with the bounds
+    // aggregate"): per-hist-tag min/max of h (the S28 histograms) and
+    // min/max of d on the orders tag (the S32 z-grid's second
+    // dimension) are Observation metrics on the staging write, so the
+    // post-write bounds re-scan is gone. The staged values are
+    // identical either way — the observation sees exactly the rows the
+    // write persists.
+    val boundTags = ((TpchChainSpec.hists ++ PipelineCatalogSpec.hists)
+      .map(_.tag) :+ "o").distinct
+    val obsAggs = boundTags.flatMap { t =>
+      Seq(min(when($"tbl" === t, $"h")).as(s"hmn_$t"),
+        max(when($"tbl" === t, $"h")).as(s"hmx_$t"))
+    } ++ Seq(
+      min(when($"tbl" === "o", $"d")).as("dmn_o"),
+      max(when($"tbl" === "o", $"d")).as("dmx_o"))
+    val obs = org.apache.spark.sql.Observation()
+    union.observe(obs, obsAggs.head, obsAggs.tail: _*)
+      .repartition(ReplayCarves, $"chunk")
       .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
-    val tStage = System.nanoTime()
-    // EVERY bounds generation from one aggregate over the staged
-    // parquet: per-tag min/max of h (the four S28 histograms) and of
-    // (h, d) on the orders tag (the S32 z-grid)
-    val bRows = s.read.parquet(incoming)
-      .groupBy($"tbl")
-      .agg(min($"h").as("hmn"), max($"h").as("hmx"),
-        min($"d").as("dmn"), max($"d").as("dmx"))
-      .collect()
-      .map(r => r.getString(0) -> r).toMap
+    val om = obs.get
+    def bound(key: String): Double = om(key) match {
+      case null => throw new IllegalStateException(
+        s"no staged rows informed bound $key")
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalStateException(
+        s"non-numeric bound $key: $other")
+    }
     val zb = ManifestStream.ZBounds(
-      bRows("o").getAs[Double]("hmn"), bRows("o").getAs[Double]("hmx"),
-      bRows("o").getAs[Double]("dmn"), bRows("o").getAs[Double]("dmx"))
+      bound("hmn_o"), bound("hmx_o"), bound("dmn_o"), bound("dmx_o"))
     // the stageBounds contract, re-asserted (ADVICE r18): a degenerate
     // orders domain must fail fast, not stage a silently collapsed z-grid
     require(zb.pMx > zb.pMn && zb.dMx > zb.dMn,
@@ -210,8 +257,7 @@ object Planner {
       .toDF("p_mn", "p_mx", "d_mn", "d_mx")
       .coalesce(1).write.mode("overwrite").parquet(s"$art205/bounds")
     def boundsOf(spec: CatalogSpec) = spec.hists.map { h =>
-      val r = bRows(h.tag)
-      val (mn, mx) = (r.getAs[Double]("hmn"), r.getAs[Double]("hmx"))
+      val (mn, mx) = (bound(s"hmn_${h.tag}"), bound(s"hmx_${h.tag}"))
       require(mx > mn,
         s"degenerate histogram bounds for ${h.table}.${h.column}")
       (h.id, h.tag, h.column, mn, mx)
@@ -255,8 +301,8 @@ object Planner {
     val tStream = System.nanoTime()
     writeDescriptors(s, TpchChainSpec, artJoin, histJoin)
     writeDescriptors(s, PipelineCatalogSpec, artPipe, histPipe)
-    System.err.println(f"[planner] combined build: stage ${
-      (tStage - t0) / 1e9}%.1fs bounds ${(tBounds - tStage) / 1e9}%.1fs " +
+    System.err.println(f"[planner] combined build: stage+bounds ${
+      (tBounds - t0) / 1e9}%.1fs " +
       f"stream ${(tStream - tBounds) / 1e9}%.1fs descriptors ${
         (System.nanoTime() - tStream) / 1e9}%.1fs")
     (art205, artJoin, artPipe)
@@ -282,7 +328,7 @@ object Planner {
         if (t.tag == "o" && t.table == "orders")
           "cast(o_custkey as double) as d"
         else "cast(null as double) as d",
-        s"(${Layout.kmvHashSql(t.carveKey)}) % 4 as chunk")
+        s"(${Layout.kmvHashSql(t.carveKey)}) % $ReplayCarves as chunk")
     }
   }
 
@@ -324,18 +370,21 @@ object Planner {
       art: String,
       histBounds: Seq[(String, String, String, Double, Double)]): Unit = {
     import s.implicits._
-    spec.sketches.map(c => (c.column, c.table, c.tag, c.id))
-      .toDF("col", "tbl", "tag", "id")
-      .coalesce(1).write.mode("overwrite").parquet(s"$art/columns")
-    histBounds.map { case (id, tag, column, mn, mx) =>
-      (column, tag, id, mn, mx)
-    }.toDF("col", "tag", "id", "mn", "mx")
-      .coalesce(1).write.mode("overwrite").parquet(s"$art/hists")
-    spec.mcvs.map(c =>
-      (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact",
-        c.codec.getOrElse("")))
-      .toDF("col", "tag", "id", "mode", "codec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")
+    // three independent metadata writes — fanned like the batch legs
+    // (each is a tiny job whose wall cost is scheduling floor)
+    fanOut(Seq(
+      () => spec.sketches.map(c => (c.column, c.table, c.tag, c.id))
+        .toDF("col", "tbl", "tag", "id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/columns"),
+      () => histBounds.map { case (id, tag, column, mn, mx) =>
+        (column, tag, id, mn, mx)
+      }.toDF("col", "tag", "id", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/hists"),
+      () => spec.mcvs.map(c =>
+        (c.column, c.tag, c.id, if (c.bounded) "bounded" else "exact",
+          c.codec.getOrElse("")))
+        .toDF("col", "tag", "id", "mode", "codec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$art/mcvs")))
     // a consumer that raced the build (or cached a stale root) must
     // see THIS catalog on its next load
     graft.plans.CatalogJoinReorder.invalidate(art)
@@ -366,7 +415,7 @@ object Planner {
     s"""src AS (
        |  SELECT o_custkey AS v, o_totalprice AS p,
        |    CAST(o_custkey AS DOUBLE) AS d,
-       |    (${Layout.kmvHashSql("o_orderkey")}) % 4 AS chunk
+       |    (${Layout.kmvHashSql("o_orderkey")}) % $ReplayCarves AS chunk
        |  FROM orders),
        |b AS (
        |  SELECT MIN(p) AS pmn, MAX(p) AS pmx,
@@ -948,7 +997,8 @@ object Planner {
     * sf dir × spec name) the stream-maintained catalog for ANY declared
     * [[CatalogSpec]] — per-table row counts, S29 KMV sketches, S28
     * histograms under staged bounds, and S31 MCV value-count tables,
-    * all maintained by ONE streaming pass over a 4-batch replay of the
+    * all maintained by ONE streaming pass over a [[ReplayCarves]]-batch
+    * replay of the
     * UNION of the declared tables (each micro-batch fans to the literal
     * [[NdvStream.processBatch]] / [[countBatch]] /
     * [[StatsStream.processBatch]] / [[McvStream.processBatch]] bodies
@@ -1008,7 +1058,7 @@ object Planner {
     val art = s"$base/stats"
     val incoming = s"$base/incoming"
     stagedTables(s, dir, spec).reduce(_.unionByName(_))
-      .repartition(4, $"chunk")
+      .repartition(ReplayCarves, $"chunk")
       .write.partitionBy("chunk").mode("overwrite").parquet(incoming)
     // staged histogram bounds (the S28 generation artifact —
     // equi-width counts are additive only under FIXED bounds), off
@@ -1473,7 +1523,7 @@ object Planner {
        |$nCtes,
        |bch AS (
        |  SELECT o_custkey AS v,
-       |    (${Layout.kmvHashSql("o_orderkey")}) % 4 AS chunk
+       |    (${Layout.kmvHashSql("o_orderkey")}) % $ReplayCarves AS chunk
        |  FROM orders),
        |bcnt AS (
        |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1789,7 +1839,7 @@ object Planner {
   val q211Oracle: String =
     s"""WITH bch AS (
        |  SELECT user_id AS v,
-       |    (${Layout.kmvHashSql("event_id")}) % 4 AS chunk
+       |    (${Layout.kmvHashSql("event_id")}) % $ReplayCarves AS chunk
        |  FROM events),
        |bcnt AS (
        |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
@@ -2227,7 +2277,7 @@ object Planner {
        |$nCtes,
        |bch AS (
        |  SELECT o_custkey AS v,
-       |    (${Layout.kmvHashSql("o_orderkey")}) % 4 AS chunk
+       |    (${Layout.kmvHashSql("o_orderkey")}) % $ReplayCarves AS chunk
        |  FROM orders),
        |bcnt AS (
        |  SELECT chunk, v, CAST(COUNT(*) AS BIGINT) AS n,
