@@ -67,9 +67,21 @@ case class SkewSaltJoin(session: SparkSession)
     if (!enabled || path.isEmpty) plan
     else CatalogJoinReorder.load(session, path) match {
       case Some(cat) => plan.transformUp {
+        // the fixpoint guard is COLUMN-FLOW based, not just
+        // condition-based: Spark's own ReorderJoin may restructure a
+        // salted cluster mid-fixpoint (the salt conjunct migrates to a
+        // different join of the flattened region), exposing an inner
+        // join whose own condition carries no salt reference — but any
+        // join INSIDE the cluster sees a salt column in a child's
+        // output until the outer Project strips it, so "either child
+        // outputs a salt column" marks the whole cluster settled
+        // (without it the two rules re-salt a reshaped region every
+        // iteration and the plan grows to the iteration cap).
         case j @ Join(_, _, Inner, Some(cond), JoinHint.NONE)
             if cond.deterministic &&
-              !cond.references.exists(_.name.startsWith(SaltPrefix)) =>
+              !cond.references.exists(_.name.startsWith(SaltPrefix)) &&
+              !j.left.output.exists(_.name.startsWith(SaltPrefix)) &&
+              !j.right.output.exists(_.name.startsWith(SaltPrefix)) =>
           saltJoin(j, cat).getOrElse(j)
       }
       case None => plan // catalog mid-load on this thread

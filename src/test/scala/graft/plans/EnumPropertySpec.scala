@@ -111,6 +111,67 @@ class EnumPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Every binary tree over n labeled leaves, as Shapes — the brute
+    * force the DPs are checked against. Counts n!·Catalan(n−1)/2ⁿ⁻¹…
+    * small enough at n ≤ 5 (≤ 1680 trees before connectivity). */
+  private def allTrees(leaves: Seq[Int]): Seq[CatalogJoinReorder.Shape] = {
+    import CatalogJoinReorder.{SLeaf, SNode}
+    if (leaves.size == 1) Seq(SLeaf(leaves.head))
+    else {
+      // every way to split the leaf SET in two non-empty halves (the
+      // lowest leaf pinned left kills the mirror duplicates)
+      val head +: rest = leaves
+      (0 to rest.size).flatMap { k =>
+        rest.combinations(k).flatMap { rightSet =>
+          if (rightSet.size == leaves.size) Seq.empty
+          else {
+            val leftSet = head +: rest.diff(rightSet)
+            if (rightSet.isEmpty) Seq.empty
+            else for {
+              l <- allTrees(leftSet)
+              r <- allTrees(rightSet)
+            } yield SNode(l, r): CatalogJoinReorder.Shape
+          }
+        }
+      }
+    }
+  }
+
+  test("GROUND TRUTH at n ∈ [3, 5]: the DP optima equal the brute-force " +
+      "minimum over EVERY binary tree (priceShape as the pricer), and " +
+      "the left-deep optima equal the minimum over the left-deep subset " +
+      "— 60 seeded-random connected graphs") {
+    val rnd = new scala.util.Random(202020L)
+    import CatalogJoinReorder.{SLeaf, SNode, Shape}
+    // a caterpillar tree IS left-deep-representable: the pricing is
+    // mirror-invariant, and the generator below pins the lowest leaf on
+    // the left to kill mirror duplicates, so strict "leaf always right"
+    // would miss orders that append that leaf late
+    def isLeftDeep(t: Shape): Boolean = t match {
+      case SLeaf(_) => true
+      case SNode(l: SLeaf, r) => isLeftDeep(r)
+      case SNode(l, r: SLeaf) => isLeftDeep(l)
+      case _ => false
+    }
+    (1 to 60).foreach { trial =>
+      val n = 3 + rnd.nextInt(3)
+      val (rows, edges) = instance(rnd, n)
+      val priced = allTrees(0 until n).flatMap(t =>
+        rule.priceShape(t, rows, edges).map(c => (t, c)))
+      assert(priced.nonEmpty, s"trial $trial: connected graph must price")
+      val bruteBest = priced.map(_._2).min
+      val bruteLd = priced.filter(p => isLeftDeep(p._1)).map(_._2).min
+      assert(rule.dpBushy(n, rows, edges).get._2 === bruteBest,
+        s"trial $trial: DPsize must equal the brute-force optimum")
+      assert(rule.dpCcp(n, rows, edges).get._2 === bruteBest,
+        s"trial $trial: DPccp must equal the brute-force optimum")
+      assert(rule.leftDeepWalk(n, rows, edges).get._2 === bruteLd,
+        s"trial $trial: the walk must equal the brute left-deep optimum")
+      assert(rule.leftDeepDP(n, rows, edges).get._2 === bruteLd,
+        s"trial $trial: leftDeepDP must equal the brute left-deep optimum")
+    }
+  }
+
   test("a disconnected instance enumerates to None in all four paths — " +
       "the rule must fall through rather than price a cross join") {
     val rows = Seq(BigInt(10), BigInt(20), BigInt(30), BigInt(40))

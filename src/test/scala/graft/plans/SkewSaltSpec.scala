@@ -109,6 +109,54 @@ class SkewSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("composition with the reorder rule: both rules on, one fact-first " +
+      "region — the reorder rebuilds dimension-first, the salt rewrite " +
+      "then salts the hot-key join on the rebuilt tree, results stay " +
+      "identical and the combined plan is a fixpoint") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    def chain(): DataFrame =
+      Tables(s, sf, "events").select($"user_id")
+        .join(Tables(s, sf, "documents").select($"doc_id"),
+          $"user_id" === $"doc_id")
+        .join(Tables(s, sf, "embeddings").select($"vec_id"),
+          $"doc_id" === $"vec_id")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // 64 tasks: the 15-user domain's head (~n/15) is over budget (n/64)
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      val offRows = chain().collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      s.conf.set(CatalogJoinReorder.CatalogKey, art)
+      s.conf.set(SkewSaltJoin.SaltKey, "true")
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      assert(hasRangeLeaf(bp),
+        s"the hot user_id key must come out salted:\n$bp")
+      // the reorder happened too: the events leaf is no longer the
+      // plan's FIRST leaf (the dimension pair opens the rebuilt region)
+      val firstLeaf = bp.collectLeaves().head.output.map(_.name).toSet
+      assert(!firstLeaf("user_id"),
+        s"the fact must not open the combined plan:\n$bp")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+        offRows, "the combined rewrites must not change results")
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "the combined plan must be a fixpoint")
+    } finally {
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("scope guards: a join with BOTH sides hot is left untouched, and " +
       "an unclassifiable side never trips the rewrite") {
     val s = ExtSession.spark
