@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Literal, Multiply, PredicateHelper, Rand}
-import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, Range}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.LongType
   * bring the hottest key under the per-task budget.
   *
   * Scope guards (an optimizer rule must never make a plan wrong):
-  * inner, hint-free, deterministic-condition joins only; the hot side
+  * hint-free, deterministic-condition joins of the SOUND types only —
+  * inner (either side hot), left semi / left anti / left outer (left
+  * side hot), right outer (right side hot); full outer is never salted
+  * (the replicated side's unmatched rows would emit once per salt —
+  * see [[saltableType]] for the per-type proof sketch). The hot side
   * must classify to exactly one cataloged table by column-name
   * evidence through a plain Filter/Project access path; a join whose
   * condition already references a salt column is SETTLED (the fixpoint
@@ -77,8 +81,8 @@ case class SkewSaltJoin(session: SparkSession)
         // outputs a salt column" marks the whole cluster settled
         // (without it the two rules re-salt a reshaped region every
         // iteration and the plan grows to the iteration cap).
-        case j @ Join(_, _, Inner, Some(cond), JoinHint.NONE)
-            if cond.deterministic &&
+        case j @ Join(_, _, jt, Some(cond), JoinHint.NONE)
+            if saltableType(jt) && cond.deterministic &&
               !cond.references.exists(_.name.startsWith(SaltPrefix)) &&
               !j.left.output.exists(_.name.startsWith(SaltPrefix)) &&
               !j.right.output.exists(_.name.startsWith(SaltPrefix)) =>
@@ -108,6 +112,39 @@ case class SkewSaltJoin(session: SparkSession)
     }
   }
 
+  /** Join types the salt transform is SOUND for — the proof obligation
+    * is that replicating the non-hot side S ways and completing every
+    * salt changes no output row (r19 extension past Inner):
+    *
+    *  - Inner: each (left, right) match pair meets on exactly the left
+    *    row's salt — output identical; either side may be hot.
+    *  - LeftSemi / LeftAnti: output = LEFT rows filtered by match
+    *    existence, and the replicated right side makes "∃ match in my
+    *    salt" ≡ "∃ match at all" — but ONLY the left side may be hot
+    *    (replicating the left would emit each kept row once per salt).
+    *  - LeftOuter: all left rows survive (matched per right match,
+    *    unmatched once with nulls — the salt never manufactures or
+    *    drops a null row because the right side is never emitted
+    *    unmatched); hot side must be LEFT — replicating the LEFT of an
+    *    outer join would emit every unmatched left row S times.
+    *  - RightOuter: the mirror — hot side must be RIGHT.
+    *  - FullOuter is NOT saltable: the replicated side's unmatched rows
+    *    would be emitted once per salt.
+    *
+    * [[sideMaySalt]] encodes the per-type hot-side constraint. */
+  private def saltableType(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | LeftAnti | LeftOuter | RightOuter => true
+    case _ => false
+  }
+
+  private def sideMaySalt(jt: JoinType, leftIsHot: Boolean): Boolean =
+    jt match {
+      case Inner => true
+      case LeftSemi | LeftAnti | LeftOuter => leftIsHot
+      case RightOuter => !leftIsHot
+      case _ => false
+    }
+
   private def saltJoin(j: Join, cat: Catalog): Option[LogicalPlan] = {
     val parts = math.max(session.sessionState.conf.numShufflePartitions, 1)
     // (max head frequency, per-task budget) when `attr` is this side's
@@ -129,8 +166,10 @@ case class SkewSaltJoin(session: SparkSession)
           hotness(a, j.right).orElse(hotness(b, j.right)))
       }
       .collectFirst {
-        case (Some((mh, bud)), None) => (true, mh, bud)
-        case (None, Some((mh, bud))) => (false, mh, bud)
+        case (Some((mh, bud)), None)
+            if sideMaySalt(j.joinType, leftIsHot = true) => (true, mh, bud)
+        case (None, Some((mh, bud)))
+            if sideMaySalt(j.joinType, leftIsHot = false) => (false, mh, bud)
       }
     hit.map { case (leftIsHot, maxHead, budget) =>
       val nSalt = math.min(
@@ -148,8 +187,10 @@ case class SkewSaltJoin(session: SparkSession)
         EqualTo(saltF.toAttribute, saltD.toAttribute))
       val (l2, r2) = if (leftIsHot) (hot2, dim2) else (dim2, hot2)
       logInfo(s"SkewSaltJoin: hot key over budget " +
-        s"(max head $maxHead > $budget rows/task) — salted $nSalt ways")
-      Project(j.output, Join(l2, r2, Inner, Some(cond2), JoinHint.NONE))
+        s"(max head $maxHead > $budget rows/task) — ${j.joinType} " +
+        s"salted $nSalt ways")
+      Project(j.output,
+        Join(l2, r2, j.joinType, Some(cond2), JoinHint.NONE))
     }
   }
 }

@@ -157,6 +157,59 @@ class SkewSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("extended join types (r19): left semi, left anti, and left outer " +
+      "joins with the HOT side on the kept/stream side salt with " +
+      "identical results; the same outer join with the hot side on the " +
+      "null-producing side stays untouched (replication would emit " +
+      "unmatched rows once per salt)") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    val dimRows = Seq("click", "view", "purchase") // a PARTIAL dim:
+    // unmatched event types exist, so outer/anti semantics are exercised
+    def ev() = Tables(s, sf, "events").select($"event_type", $"event_id")
+    def dim() = dimRows.toDF("et")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      for (jt <- Seq("left_semi", "left_anti", "left_outer")) {
+        def joined(): DataFrame =
+          ev().join(dim(), $"event_type" === $"et", jt)
+        s.conf.unset(SkewSaltJoin.SaltKey)
+        val offRows = joined().collect().map(_.toSeq).toSeq
+          .sortBy(_.mkString("|"))
+        s.conf.set(SkewSaltJoin.SaltKey, "true")
+        val on = joined()
+        assert(hasRangeLeaf(on.queryExecution.optimizedPlan),
+          s"$jt with the hot stream side must salt:\n" +
+            on.queryExecution.optimizedPlan)
+        assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) ===
+          offRows, s"salting a $jt join must not change results " +
+            s"(${offRows.size} rows)")
+      }
+      // the null-producing side hot: a RIGHT outer keeping the dim's
+      // unmatched rows must NOT replicate them — untouched
+      s.conf.set(SkewSaltJoin.SaltKey, "true")
+      val wrongSide = ev().join(dim(), $"event_type" === $"et",
+        "right_outer")
+      assert(!hasRangeLeaf(wrongSide.queryExecution.optimizedPlan),
+        "a right outer join with the hot side on the LEFT must stay " +
+          "plain — replication would emit unmatched dim rows per salt")
+      // and a full outer never salts, whichever side is hot
+      val full = ev().join(dim(), $"event_type" === $"et", "full_outer")
+      assert(!hasRangeLeaf(full.queryExecution.optimizedPlan),
+        "a full outer join is never saltable")
+    } finally {
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+    }
+  }
+
   test("scope guards: a join with BOTH sides hot is left untouched, and " +
       "an unclassifiable side never trips the rewrite") {
     val s = ExtSession.spark
