@@ -74,4 +74,18 @@ final case class CatalogSpec(name: String, tables: Seq[CatalogTable],
   for (family <- Seq(sketches.map(_.id), hists.map(_.id), mcvs.map(_.id)))
     require(family.distinct.size == family.size,
       s"catalog spec '$name': duplicate artifact id within a family")
+  // a column NAME must sketch for at most one table (ADVICE r19): the
+  // consumer's ndv/hist/mcv maps are name-keyed, so two tables
+  // sketching same-named columns into one catalog would silently
+  // collide at build time and mis-price whichever loads second —
+  // refused at registration instead
+  require({
+    val owners = sketches.map(c => (c.column, c.table)) ++
+      mcvs.map(c => (c.column, c.table)) ++
+      hists.map(h => (h.column, h.table))
+    owners.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1)
+  }, s"catalog spec '$name': a column name is sketched for more than " +
+    "one table — the catalog's stats maps are name-keyed, so same-named " +
+    "columns from different tables would collide (stage a renamed " +
+    "expression instead)")
 }

@@ -154,7 +154,16 @@ object Planner {
     // the same foreachBatch could then overwrite the same batch=<id>
     // artifact partitions concurrently with the orphans — a torn write.
     val dbg = sys.env.contains("SPARK_GRAFT_FAN_DEBUG")
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(fanPar)
+    // DAEMON threads (ADVICE r19): a leg that somehow survives the
+    // timeout teardown below must never pin JVM exit.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(fanPar,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-fan")
+          t.setDaemon(true)
+          t
+        }
+      })
     val ec = ExecutionContext.fromExecutorService(pool)
     try {
       implicit val fanEc: ExecutionContext = ec
@@ -170,6 +179,18 @@ object Planner {
         }), 10.minutes)
       done.collectFirst { case scala.util.Failure(e) => throw e }
       ()
+    } catch { case e: java.util.concurrent.TimeoutException =>
+      // ADVICE r19: on the Await timeout the still-running legs must
+      // not outlive this call — the streaming engine's retry of the
+      // batch would otherwise overwrite batch=<id> partitions
+      // CONCURRENTLY with the orphans (the torn write the happy path's
+      // await-to-completion discipline exists to prevent). shutdownNow
+      // interrupts the leg threads (Spark actions abort on interrupt)
+      // and the bounded awaitTermination drains them before the
+      // failure propagates to the retry.
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      throw e
     } finally { ec.shutdown(); () }
   }
 
@@ -967,25 +988,53 @@ object Planner {
   val MaintainKey = "spark.graft.catalog.maintainSec"
 
   /** A built user catalog: its artifact root, the instant it was last
-    * validated, and the per-table row counts it was staged from (the
+    * validated, and the file footprint it was staged from (the
     * staleness signature). */
   private final case class UserCatalog(art: String, builtAt: Long,
-      sig: Map[String, Long])
+      sig: Map[String, String])
 
-  // same per-key-locked map as [[cache]] (ADVICE r17)
+  /** One registered spec's build/maintain slot: the per-key monitor the
+    * probe-and-rebuild runs under (ADVICE r19 — the build used to run
+    * INSIDE ConcurrentHashMap.compute, holding the bin lock for the
+    * whole staging+replay and making any future nested ensureCatalog a
+    * deadlock; the map now only ever computes this trivial holder, and
+    * the minutes-scale work happens under the holder's own monitor, so
+    * unrelated specs sharing a hash bin never block each other). */
+  private final class UserCatalogSlot {
+    var cat: UserCatalog = _
+  }
+
   private val cacheJoin =
-    new java.util.concurrent.ConcurrentHashMap[String, UserCatalog]
+    new java.util.concurrent.ConcurrentHashMap[String, UserCatalogSlot]
 
   private[graft] def evictJoinSession(s: SparkSession): Unit =
     cacheJoin.clear()
 
-  /** The staleness signature: one count per declared table. On parquet
-    * this is a scan-light metadata-weighted job per table (row counts
-    * come from footers) — the price of "never staler than the maintain
-    * window" for tables the engine's standing streams do not own. */
-  private def countSig(s: SparkSession, dir: String,
-      spec: CatalogSpec): Map[String, Long] =
-    spec.tables.map(t => t.tag -> Tables(s, dir, t.table).count()).toMap
+  /** The staleness signature: the table directory's FILE FOOTPRINT —
+    * name, length, and modification time of every entry, a pure
+    * metadata listing with no scan (VERDICT r19 #3: the previous
+    * signature was per-table row COUNTS, so a same-count in-place
+    * overwrite — compaction, dedup rewrite, domain shift — revalidated
+    * as unmoved and the catalog kept pricing from dead artifacts
+    * forever; a rewrite cannot preserve file names + sizes + mtimes).
+    * Single parquet files list as themselves; a directory's top-level
+    * entries cover both flat part-file layouts and partitioned writes
+    * (adding files under a partition dir moves the dir's own mtime). */
+  private def footprintSig(s: SparkSession, dir: String,
+      spec: CatalogSpec): Map[String, String] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    spec.tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/${t.table}.parquet")
+      val fs = p.getFileSystem(hconf)
+      val listing =
+        if (!fs.exists(p)) "absent"
+        else fs.listStatus(p)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:" +
+            s"${st.getModificationTime}")
+          .sorted.mkString(";")
+      t.tag -> listing
+    }.toMap
+  }
 
   /** The q207 per-table catalog: [[ensureCatalog]] applied to the
     * graded [[TpchChainSpec]] (region through lineitem, 15 concurrent
@@ -1027,21 +1076,28 @@ object Planner {
         s"catalog spec name '${spec.name}' is reserved for the engine's " +
           "own catalogs — pick another name")
       // STANDING MAINTENANCE (VERDICT r18 #3): a cached user build is
-      // trusted for the maintain window; past it, the base tables' row
-      // counts are re-probed and a moved signature re-stages + replays
-      // (writeDescriptors invalidates the rule's cached load, so the
-      // next query actually sees the new data) — no explicit evict.
+      // trusted for the maintain window; past it, the base tables' file
+      // footprints are re-probed and a moved signature re-stages +
+      // replays (writeDescriptors invalidates the rule's cached load,
+      // so the next query actually sees the new data) — no explicit
+      // evict. The probe/rebuild runs under the spec's own slot monitor
+      // (ADVICE r19), never inside the map's bin lock.
       val maintainSec = scala.util.Try(
         s.sessionState.conf.getConfString(MaintainKey, "60").toLong)
         .getOrElse(60L)
-      cacheJoin.compute(s"$dir|${spec.name}", (_, old) => {
+      val slot = cacheJoin.computeIfAbsent(s"$dir|${spec.name}",
+        _ => new UserCatalogSlot)
+      slot.synchronized {
+        val old = slot.cat
         val now = System.nanoTime()
-        if (old != null && now - old.builtAt < maintainSec * 1000000000L)
-          old
-        else if (old != null && countSig(s, dir, spec) == old.sig)
-          old.copy(builtAt = now) // unmoved — revalidate the window
-        else buildUserCatalog(s, dir, spec)
-      }).art
+        slot.cat =
+          if (old != null && now - old.builtAt < maintainSec * 1000000000L)
+            old
+          else if (old != null && footprintSig(s, dir, spec) == old.sig)
+            old.copy(builtAt = now) // unmoved — revalidate the window
+          else buildUserCatalog(s, dir, spec)
+        slot.cat.art
+      }
     }
 
   /** One standalone user-catalog build: stage, bound, replay, describe —
@@ -1050,7 +1106,7 @@ object Planner {
   private def buildUserCatalog(s: SparkSession, dir: String,
       spec: CatalogSpec): UserCatalog = {
     import s.implicits._
-    val sig = countSig(s, dir, spec)
+    val sig = footprintSig(s, dir, spec)
     // staged expressions may use the engine's SQL surface (djb2, …)
     graft.GraftFunctions.registerAll(s)
     val base = graft.Scratch.forSf(spec.name, dir)
@@ -1128,6 +1184,42 @@ object Planner {
     }
     graft.streaming.StatsGenStream.append(batch, batchId, genRoot)
     // the appended mass must be visible to the next planning decision
+    graft.plans.CatalogJoinReorder.invalidate(art)
+  }
+
+  /** MCV-HEAD DRIFT for a built catalog (VERDICT r19 #6): append one
+    * micro-batch of new key values to a catalog's S31 MCV artifact
+    * through the literal maintenance body — the bounded heavy-hitter
+    * partial ([[McvStream.processBatchBounded]], ≤ M+1 rows by
+    * construction) for a `bounded`-mode descriptor, the exact
+    * value-count partial otherwise — without re-staging or replaying
+    * anything. The merged head is a per-value SUM over batch partials,
+    * so a NEW heavy hitter appearing after build enters the head the
+    * moment its partial lands, and every consumer that reads the head —
+    * q209/q211's graded arithmetic, [[graft.plans.CatalogJoinReorder]]'s
+    * equality/IN pricing and skew-aware edge charges, and above all
+    * [[graft.plans.SkewSaltJoin]]'s salt decision — re-prices from it on
+    * its next catalog load (invalidated here, exactly like
+    * [[appendHistBatch]]). Histograms needed the S30 generation
+    * machinery because equi-width bins are additive only under fixed
+    * bounds; the MCV count table is pure addition, so drift needs no
+    * re-election — just a partial.
+    *
+    * `batch` must carry (v bigint) in the artifact's CODED domain (the
+    * caller applies the descriptor's codec — djb2 for a coded string
+    * key — the same way the staging did); `mcvId` names the spec's
+    * [[CatalogColumn]] id; `batchId` must not collide with the build's
+    * replay carves (use ids ≥ [[ReplayCarves]]) or the standing partial
+    * at that id is overwritten rather than appended beside. */
+  def appendMcvBatch(s: SparkSession, art: String, mcvId: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    val mode = s.read.parquet(s"$art/mcvs")
+      .where(col("id") === mcvId).select("mode").head().getString(0)
+    if (mode == "bounded")
+      McvStream.processBatchBounded(batch, batchId, s"$art/m_$mcvId")
+    else
+      McvStream.processBatch(batch, batchId, s"$art/m_$mcvId")
+    // the appended head must be visible to the next planning decision
     graft.plans.CatalogJoinReorder.invalidate(art)
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, Cast, EqualTo, Literal, Multiply, PredicateHelper, Rand}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, Range}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LocalRelation, LogicalPlan, Project, Range}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
@@ -43,12 +43,32 @@ import org.apache.spark.sql.types.LongType
   * (the replicated side's unmatched rows would emit once per salt —
   * see [[saltableType]] for the per-type proof sketch). The hot side
   * must classify to exactly one cataloged table by column-name
-  * evidence through a plain Filter/Project access path; a join whose
-  * condition already references a salt column is SETTLED (the fixpoint
-  * guard); two hot sides ⇒ untouched. `rand` lands in a `Project` —
-  * nondeterminism never enters the join condition itself, and the
-  * replicated-dim completion makes the output independent of which
-  * salt each row draws.
+  * evidence through a plain Filter/Project access path, AND the join
+  * key itself must be one of that table's cataloged columns (ADVICE
+  * r19: the mcv map is name-keyed, so a side that merely shares a
+  * column name with some cataloged table must not have its hotness
+  * read off foreign stats). A join whose condition already references
+  * a salt column is SETTLED (the fixpoint guard). The FIRST equi-edge
+  * with exactly one hot side decides; edges with BOTH sides hot are
+  * skipped, not terminal (ADVICE r19 — a later single-hot edge may
+  * still salt; the transform is semantics-preserving for any chosen
+  * edge). `rand` lands in a `Project` — nondeterminism never enters
+  * the join condition itself, and the replicated-dim completion makes
+  * the output independent of which salt each row draws.
+  *
+  * REPLICATION BOUND (ADVICE r19, medium): the replicated side is
+  * cross-joined with `Range(0, S)`, so its S-fold copy becomes real
+  * shuffle input — salting a hot key against a 100 TB dim would trade
+  * one skewed task for S × 100 TB of shuffle, and AQE cannot undo a
+  * committed logical plan. The rewrite therefore requires an UPPER
+  * BOUND on the replicated side's rows (cataloged rows for a
+  * classified leaf, exact counts for local/range leaves, the product
+  * across joins — never an unbounded guess) and fires only when
+  * bound × S ≤ [[SkewSaltJoin.ReplCapKey]] (default 50M rows). A side
+  * whose size the catalog cannot bound is never replicated. The
+  * reorder rule's skew-aware charge (VERDICT r19 #2) is the other half
+  * of the same discipline: it steers the hot crossing toward the shape
+  * with the cheapest replicated side BEFORE this rule prices the cap.
   *
   * Relation to AQE: `OptimizeSkewedJoin` splits oversized partitions at
   * RUNTIME, after the skewed shuffle has already materialized its map
@@ -145,20 +165,44 @@ case class SkewSaltJoin(session: SparkSession)
       case _ => false
     }
 
+  /** An UPPER BOUND on a plan's output rows from the catalog and the
+    * plan's own exact-size leaves (ADVICE r19 — the replication gate's
+    * input): cataloged rows for a classified access path, exact counts
+    * for local/range relations, the product across inner joins (output
+    * ≤ |L|·|R|), pass-through for filters/projects (row-reducing or
+    * row-preserving). None when any leaf is unboundable — such a side
+    * is never replicated. */
+  private def dimRowsUB(p: LogicalPlan, cat: Catalog): Option[BigInt] =
+    classify(p, cat).map(t => BigInt(t.rows)).orElse(p match {
+      case l: LocalRelation => Some(BigInt(l.data.length))
+      case r: Range => Some(r.numElements)
+      case Filter(_, ch) => dimRowsUB(ch, cat)
+      case Project(_, ch) => dimRowsUB(ch, cat)
+      case j: Join => for {
+        a <- dimRowsUB(j.left, cat)
+        b <- dimRowsUB(j.right, cat)
+      } yield a * b
+      case _ => None
+    })
+
   private def saltJoin(j: Join, cat: Catalog): Option[LogicalPlan] = {
     val parts = math.max(session.sessionState.conf.numShufflePartitions, 1)
     // (max head frequency, per-task budget) when `attr` is this side's
-    // join key and the catalog flags it over budget
+    // join key, belongs to the side's classified table (ADVICE r19 —
+    // never read hotness off a foreign table's same-named stats), and
+    // the catalog flags it over budget
     def hotness(attr: Attribute, side: LogicalPlan): Option[(Long, Long)] =
       if (!side.outputSet.contains(attr)) None
       else for {
         t <- classify(side, cat)
+        if t.cols.contains(attr.name)
         m <- cat.mcv.get(attr.name)
         maxHead <- m.head.values.maxOption
         budget = math.max(t.rows / parts, 1L)
         if maxHead > budget
       } yield (maxHead, budget)
-    // the first equi-edge with exactly ONE hot side decides
+    // the first equi-edge with exactly ONE hot side decides; two-hot
+    // edges are skipped (a later single-hot edge may still salt)
     val hit = splitConjunctivePredicates(j.condition.get).iterator
       .collect { case EqualTo(a: Attribute, b: Attribute) => (a, b) }
       .map { case (a, b) =>
@@ -171,7 +215,22 @@ case class SkewSaltJoin(session: SparkSession)
         case (None, Some((mh, bud)))
             if sideMaySalt(j.joinType, leftIsHot = false) => (false, mh, bud)
       }
-    hit.map { case (leftIsHot, maxHead, budget) =>
+    val replCap = scala.util.Try(
+      conf.getConfString(ReplCapKey, DefaultReplCap.toString).toLong)
+      .getOrElse(DefaultReplCap)
+    hit.filter { case (leftIsHot, maxHead, budget) =>
+      // the REPLICATION GATE (ADVICE r19): bound × S must stay under
+      // the conf'd ceiling, and an unboundable side never replicates
+      val nSalt = math.min(
+        math.max((maxHead + budget - 1) / budget, 2L), parts.toLong)
+      val dim = if (leftIsHot) j.right else j.left
+      val ok = dimRowsUB(dim, cat)
+        .exists(ub => ub * nSalt <= BigInt(replCap))
+      if (!ok) logInfo(s"SkewSaltJoin: hot key over budget but the " +
+        s"replicated side is unbounded or over the $replCap-row " +
+        "replication cap — left plain")
+      ok
+    }.map { case (leftIsHot, maxHead, budget) =>
       val nSalt = math.min(
         math.max((maxHead + budget - 1) / budget, 2L), parts.toLong)
       val (hot, dim) = if (leftIsHot) (j.left, j.right) else (j.right, j.left)
@@ -208,4 +267,14 @@ object SkewSaltJoin {
   /** Fixed rand seed: replay-stable salting (the draw itself is free to
     * vary — the replicated dim side makes results salt-independent). */
   val SaltSeed = 19L
+
+  /** Session conf: ceiling on nSalt × (replicated-side row upper bound)
+    * — the replication gate (ADVICE r19). Default [[DefaultReplCap]]. */
+  val ReplCapKey = "spark.graft.join.salt.replCap"
+
+  /** 50M replicated rows: generous for a genuine dimension (a 1M-row
+    * dim × 32 salts passes) while refusing the fact-sized replications
+    * that would out-shuffle the skew they fix (a 100M-row side × 32
+    * needs an explicit conf raise and a reason). */
+  val DefaultReplCap = 50000000L
 }
