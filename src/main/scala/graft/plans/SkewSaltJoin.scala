@@ -240,8 +240,21 @@ case class SkewSaltJoin(session: SparkSession)
       val hot2 = Project(hot.output :+ saltF, hot)
       val range = Range(0L, nSalt, 1L, None)
       val saltD = Alias(range.output.head, s"${SaltPrefix}d")()
-      val dim2 = Join(dim, Project(Seq(saltD), range), Cross, None,
-        JoinHint.NONE)
+      // the salt alias Project sits ABOVE the cross, not under it
+      // (r20 fix, engine-measured): Spark's own ReorderJoin flattens
+      // Join-typed children of an inner join, and with the cross as a
+      // bare Join child it re-associated the cluster to
+      // ((…⋈hot on key)⋈Range on salt) — the key join shuffled WITHOUT
+      // the salt conjunct, so the skewed exchange survived and the
+      // Range join degenerated into a post-hoc replica filter: the
+      // rewrite was silently neutralized exactly when it mattered. An
+      // Alias-carrying Project between the salted join and the cross
+      // stops ExtractFiltersAndInnerJoins from flattening through
+      // (the hot side already survives for the same reason), so the
+      // planned exchange hashes on (key, salt) and the hot key's mass
+      // genuinely spreads over the S slots.
+      val dim2 = Project(dim.output :+ saltD,
+        Join(dim, range, Cross, None, JoinHint.NONE))
       val cond2 = And(j.condition.get,
         EqualTo(saltF.toAttribute, saltD.toAttribute))
       val (l2, r2) = if (leftIsHot) (hot2, dim2) else (dim2, hot2)

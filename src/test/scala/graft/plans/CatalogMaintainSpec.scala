@@ -112,4 +112,89 @@ class CatalogMaintainSpec extends AnyFunSuite {
       FileUtils.deleteQuietly(new File(tmp))
     }
   }
+
+  test("SAME-COUNT overwrite (VERDICT r19 #3): a registered table " +
+      "rewritten in place with an identical row count but a shifted " +
+      "key domain — invisible to the old row-count signature — moves " +
+      "the FILE-FOOTPRINT signature, rebuilds past the maintain " +
+      "window, and the reorder decision changes") {
+    val s = ExtSession.spark
+    import s.implicits._
+    import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat-sig")
+      .toString
+    // T1 80 rows (a1 over 20 values) — T2 100 rows (a2 over 20, b2 over
+    // 5) — T3 600 rows. T3's join key starts ALL-DISTINCT (1..600), so
+    // est|T2⋈T3| = 100·600/600 = 100 beats est|T1⋈T2| = 80·100/20 =
+    // 400 and the (T2,T3) pair opens. The overwrite keeps T3 at 600
+    // rows but collapses the key domain to 5 values — est|T2⋈T3| jumps
+    // to 12,000 and (T1,T2) must open instead.
+    s.range(1, 81).selectExpr("id % 20 + 1 as a1")
+      .coalesce(1).write.parquet(s"$tmp/t1tab.parquet")
+    s.range(1, 101).selectExpr("id % 20 + 1 as a2", "id % 5 + 1 as b2")
+      .coalesce(1).write.parquet(s"$tmp/t2tab.parquet")
+    s.range(1, 601).selectExpr("id as c3")
+      .coalesce(1).write.parquet(s"$tmp/t3tab.parquet")
+    val spec = CatalogSpec(
+      name = "planner_sig_test",
+      tables = Seq(
+        CatalogTable("t1", "t1tab", "a1", "a1"),
+        CatalogTable("t2", "t2tab", "a2", "a2", "b2"),
+        CatalogTable("t3", "t3tab", "c3", "c3")),
+      sketches = Seq(
+        CatalogColumn("t1_a", "t1", "a", "t1tab", "a1"),
+        CatalogColumn("t2_a", "t2", "a", "t2tab", "a2"),
+        CatalogColumn("t2_b", "t2", "b", "t2tab", "b2"),
+        CatalogColumn("t3_c", "t3", "a", "t3tab", "c3")))
+    def chain(): org.apache.spark.sql.DataFrame =
+      Tables(s, tmp, "t1tab")
+        .join(Tables(s, tmp, "t2tab"), $"a1" === $"a2")
+        .join(Tables(s, tmp, "t3tab"), $"b2" === $"c3")
+    def leafNames2(p: LogicalPlan): Seq[String] = p match {
+      case j: Join => leafNames2(j.left) ++ leafNames2(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("a1")) "t1tab"
+          else if (names("a2")) "t2tab"
+          else if (names("c3")) "t3tab"
+          else "?")
+      case other => other.children.flatMap(leafNames2)
+    }
+    s.conf.set(CatalogJoinReorder.RefreshKey, "0")
+    s.conf.set(Planner.MaintainKey, "3600")
+    val art = Planner.ensureCatalog(s, tmp, spec)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val before = s.read.parquet(s"$tmp/t3tab.parquet").count()
+      assert(leafNames2(chain().queryExecution.optimizedPlan) ===
+        Seq("t2tab", "t3tab", "t1tab"),
+        "fresh build: the all-distinct T3 edge must open the plan")
+      // the in-place rewrite: SAME row count, collapsed key domain
+      s.range(1, 601).selectExpr("id % 5 + 1 as c3")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/t3tab.parquet")
+      assert(s.read.parquet(s"$tmp/t3tab.parquet").count() === before,
+        "the overwrite must preserve the row count — the exact move " +
+          "the old count signature could not see")
+      // within the maintain window the snapshot serves
+      assert(Planner.ensureCatalog(s, tmp, spec) === art)
+      assert(leafNames2(chain().queryExecution.optimizedPlan) ===
+        Seq("t2tab", "t3tab", "t1tab"),
+        "within the window the stale snapshot must still serve")
+      // past the window: the footprint moved (new file names/mtimes at
+      // the same row count) → rebuild → the decision flips
+      s.conf.set(Planner.MaintainKey, "0")
+      assert(Planner.ensureCatalog(s, tmp, spec) === art,
+        "the rebuild lands under the same root")
+      assert(leafNames2(chain().queryExecution.optimizedPlan) ===
+        Seq("t1tab", "t2tab", "t3tab"),
+        "the collapsed T3 key domain must flip the opener to (T1,T2)")
+    } finally {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.unset(CatalogJoinReorder.RefreshKey)
+      s.conf.unset(Planner.MaintainKey)
+      CatalogJoinReorder.invalidate(art)
+      FileUtils.deleteQuietly(new File(tmp))
+    }
+  }
 }

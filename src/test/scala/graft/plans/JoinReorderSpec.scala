@@ -487,6 +487,164 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("OR-of-equalities pricing (VERDICT r19 #5): σ(o_custkey = k₁ OR " +
+      "o_custkey = k₂ OR o_custkey = k₃) over the three tail keys flips " +
+      "the best order to the filtered fact EXACTLY like its IN-list " +
+      "twin — an OR chain IS an IN-list Spark did not canonicalize, " +
+      "priced as Σ estEq — with identical results") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureJoinArtifacts(s, sf)
+    // the IN-list leg's exact keys: three just past the MCV head
+    val ks = graft.streaming.McvStream.mergedBoundedHead(s, s"$art/m_co_o")
+      .orderBy($"n".desc, $"v").limit(Planner.McvSlots + 3)
+      .collect().takeRight(3).map(_.getLong(0)).toSeq
+    def chain(): DataFrame =
+      Tables(s, sf, "lineitem").select($"l_orderkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+          .where($"o_custkey" === ks(0) || $"o_custkey" === ks(1) ||
+            $"o_custkey" === ks(2)),
+          $"o_orderkey" === $"l_orderkey")
+        .join(Tables(s, sf, "customer")
+          .select($"c_custkey", $"c_nationkey"),
+          $"c_custkey" === $"o_custkey")
+        .join(Tables(s, sf, "nation").select($"n_nationkey"),
+          $"n_nationkey" === $"c_nationkey")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain().collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      assert(leafTables(on.queryExecution.optimizedPlan) ===
+        Seq("orders", "customer", "nation", "lineitem"),
+        "the OR-filtered fact must open the rebuilt plan, exactly as " +
+          "the IN-list twin does")
+      assert(on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) === off,
+        "the OR flip must not change results")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("15-relation region (VERDICT r19 #1): a TPC-H star with repeated " +
+      "dimension instances — one past the 14-relation exact-DP ceiling, " +
+      "previously a silent fall-through — reorders through the GOO " +
+      "fallback with identical results and a fixpoint no-op") {
+    val s = ExtSession.spark
+    import s.implicits._
+    import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
+    val gooSpec = CatalogSpec(
+      name = "planner_goo_test",
+      tables = Seq(
+        CatalogTable("rg", "region", "r_regionkey", "r_regionkey"),
+        CatalogTable("ng", "nation", "n_nationkey", "n_nationkey",
+          "n_regionkey"),
+        CatalogTable("cg", "customer", "c_custkey", "c_nationkey",
+          "c_custkey"),
+        CatalogTable("og", "orders", "o_orderkey", "o_custkey",
+          "o_orderkey"),
+        CatalogTable("lg", "lineitem", "l_orderkey", "l_orderkey",
+          "l_suppkey"),
+        CatalogTable("sg", "supplier", "s_suppkey", "s_suppkey")),
+      sketches = Seq(
+        CatalogColumn("rg_rk", "rg", "a", "region", "r_regionkey"),
+        CatalogColumn("ng_nk", "ng", "a", "nation", "n_nationkey"),
+        CatalogColumn("ng_rk", "ng", "b", "nation", "n_regionkey"),
+        CatalogColumn("cg_nk", "cg", "a", "customer", "c_nationkey"),
+        CatalogColumn("cg_ck", "cg", "b", "customer", "c_custkey"),
+        CatalogColumn("og_ck", "og", "a", "orders", "o_custkey"),
+        CatalogColumn("og_ok", "og", "b", "orders", "o_orderkey"),
+        CatalogColumn("lg_ok", "lg", "a", "lineitem", "l_orderkey"),
+        CatalogColumn("lg_sk", "lg", "b", "lineitem", "l_suppkey"),
+        CatalogColumn("sg_sk", "sg", "a", "supplier", "s_suppkey")))
+    val art = Planner.ensureCatalog(s, sf, gooSpec)
+    // 15 leaves over 6 cataloged tables: the 6-chain plus 1:1 repeated
+    // dimension instances (self-join classification resolves by column
+    // evidence; edges by exprId)
+    def chain(): DataFrame = {
+      val l = Tables(s, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val o = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val c = Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey")
+      val n = Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey")
+      val r = Tables(s, sf, "region").select($"r_regionkey")
+      val sp = Tables(s, sf, "supplier").select($"s_suppkey")
+      val o2 = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val c2 = Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey")
+      val n2 = Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey")
+      val r2 = Tables(s, sf, "region").select($"r_regionkey")
+      val s2 = Tables(s, sf, "supplier").select($"s_suppkey")
+      val n3 = Tables(s, sf, "nation").select($"n_nationkey")
+      val r3 = Tables(s, sf, "region").select($"r_regionkey")
+      val c3 = Tables(s, sf, "customer").select($"c_custkey")
+      val o3 = Tables(s, sf, "orders").select($"o_orderkey")
+      l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(n, n("n_nationkey") === c("c_nationkey"))
+        .join(r, r("r_regionkey") === n("n_regionkey"))
+        .join(sp, sp("s_suppkey") === l("l_suppkey"))
+        .join(o2, o2("o_orderkey") === l("l_orderkey"))
+        .join(c2, c2("c_custkey") === o("o_custkey"))
+        .join(n2, n2("n_nationkey") === c("c_nationkey"))
+        .join(r2, r2("r_regionkey") === n("n_regionkey"))
+        .join(s2, s2("s_suppkey") === l("l_suppkey"))
+        .join(n3, n3("n_nationkey") === c2("c_nationkey"))
+        .join(r3, r3("r_regionkey") === n2("n_regionkey"))
+        .join(c3, c3("c_custkey") === o2("o_custkey"))
+        .join(o3, o3("o_orderkey") === l("l_orderkey"))
+    }
+    def leaves(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case j: Join => leaves(j.left) ++ leaves(j.right)
+      case leaf if leaf.children.isEmpty => Seq(leaf)
+      case other => other.children.flatMap(leaves)
+    }
+    def checksum(df: DataFrame): Seq[Any] =
+      df.selectExpr("hash(*) as h")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum($"h"))
+        .head().toSeq
+    assert(15 > CatalogJoinReorder.MaxRelations,
+      "the region must sit past the exact-DP ceiling")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    val offLeaves = leaves(off.queryExecution.optimizedPlan)
+    assert(offLeaves.size === 15, "the user plan must flatten to 15 leaves")
+    assert(offLeaves.head.output.exists(_.name == "l_orderkey"),
+      "without the catalog the fact-first user order must survive")
+    val offSum = checksum(off)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      val onLeaves = leaves(bp)
+      assert(onLeaves.size === 15, "the rebuilt region keeps 15 leaves")
+      assert(bp.canonicalized !==
+        off.queryExecution.optimizedPlan.canonicalized,
+        "the 15-relation region must now be REBUILT (it fell through " +
+          "silently at MaxRelations = 14)")
+      // the structural tell of the fallback's bushy rebuild: at least
+      // one join of two bare DIMENSION leaves (nation⋈region and the
+      // like) — impossible in the user's left-deep chain, where every
+      // join keeps the fact-rooted prefix on one side
+      def dimPairJoins(p: LogicalPlan): Int = p match {
+        case j: Join =>
+          def joinFreeDim(q: LogicalPlan): Boolean =
+            q.collectFirst { case _: Join => () }.isEmpty &&
+              !q.collectLeaves().flatMap(_.output).exists(a =>
+                a.name.startsWith("l_") || a.name.startsWith("o_"))
+          val self = joinFreeDim(j.left) && joinFreeDim(j.right)
+          (if (self) 1 else 0) + dimPairJoins(j.left) + dimPairJoins(j.right)
+        case other => other.children.map(dimPairJoins).sum
+      }
+      assert(dimPairJoins(bp) >= 1,
+        s"the GOO rebuild must join dimension pairs before the fact:\n$bp")
+      assert(checksum(on) === offSum,
+        "the 15-relation reorder must not change results")
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "a second optimization pass over the GOO plan must be a no-op")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("registered catalog: a NON-TPC-H table set (events/documents/" +
       "embeddings joined on user/doc keys) registers via CatalogSpec, " +
       "catalogs through the same one-pass stream, and a fact-first plan " +

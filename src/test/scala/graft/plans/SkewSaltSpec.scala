@@ -210,6 +210,167 @@ class SkewSaltSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-aware reorder (VERDICT r19 #2): a hot dimension key flips " +
+      "the enumeration away from the uniform-cheapest order — the salt " +
+      "charge makes the order that crosses the hot edge with the " +
+      "REDUCED fact win — and the salted execution engine-measures the " +
+      "payoff: the Range cross replicates S × |reduced fact| rows, " +
+      "half of what the uniform-favorite order would have committed; " +
+      "results identical, combined plan a fixpoint") {
+    val s = ExtSession.spark
+    import s.implicits._
+    import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
+    import org.apache.spark.sql.functions.{expr, lit}
+    // the EnumPropertySpec ground-number fixture, materialized: F 8000
+    // rows (fa uniform over 1000, fb uniform over 4), A 400 rows with a
+    // 351-row hot head on ka = 7, B 2 rows. Uniform pricing opens with
+    // (F⋈A) (est 3200 < 4000); the charge at S = 59 flips to (F⋈B)
+    // first (240,000 < 475,200), whose hot-edge crossing replicates the
+    // HALVED fact.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skewcost")
+      .toString
+    s.range(1, 8001).selectExpr("id % 1000 + 1 as fa", "id % 4 + 1 as fb")
+      .coalesce(1).write.parquet(s"$tmp/ftab.parquet")
+    s.range(1, 401)
+      .selectExpr("case when id <= 50 then id else 7 end as ka")
+      .coalesce(1).write.parquet(s"$tmp/atab.parquet")
+    s.range(1, 3).selectExpr("id as kb")
+      .coalesce(1).write.parquet(s"$tmp/btab.parquet")
+    val spec = CatalogSpec(
+      name = "planner_skewcost_test",
+      tables = Seq(
+        CatalogTable("f", "ftab", "fa", "fa", "fb"),
+        CatalogTable("a", "atab", "ka", "ka"),
+        CatalogTable("b", "btab", "kb", "kb")),
+      sketches = Seq(
+        CatalogColumn("f_fa", "f", "a", "ftab", "fa"),
+        CatalogColumn("f_fb", "f", "b", "ftab", "fb"),
+        CatalogColumn("a_ka", "a", "a", "atab", "ka"),
+        CatalogColumn("b_kb", "b", "a", "btab", "kb")),
+      mcvs = Seq(
+        CatalogColumn("a_ka", "a", "a", "atab", "ka", bounded = true)))
+    val art = Planner.ensureCatalog(s, tmp, spec)
+    def chain(): DataFrame =
+      Tables(s, tmp, "ftab")
+        .join(Tables(s, tmp, "atab"), $"fa" === $"ka")
+        .join(Tables(s, tmp, "btab"), $"fb" === $"kb")
+    def leafNames(p: LogicalPlan): Seq[String] = p match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        leafNames(j.left) ++ leafNames(j.right)
+      case leaf if leaf.children.isEmpty =>
+        val names = leaf.output.map(_.name).toSet
+        Seq(
+          if (names("fa")) "ftab"
+          else if (names("ka")) "atab"
+          else if (names("kb")) "btab"
+          else "?")
+      case other => other.children.flatMap(leafNames)
+    }
+    val savedAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      val offRows = chain().collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      s.conf.set(CatalogJoinReorder.CatalogKey, art)
+      s.conf.set(SkewSaltJoin.SaltKey, "true")
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      // the FLIP: the uniform-cheapest order opens (F⋈A); the charged
+      // enumeration must open (F⋈B) and cross the hot edge last
+      assert(leafNames(bp).filter(_ != "?").take(2) === Seq("ftab", "btab"),
+        s"the charged enumeration must open with the cold (F⋈B) pair:\n$bp")
+      assert(hasRangeLeaf(bp),
+        s"the hot ka crossing must come out salted:\n$bp")
+      // engine-measured replication: the salted cross's actual output is
+      // S × |F⋈B| = 59 × 4000 — the uniform-favorite order would have
+      // replicated bare F, 59 × 8000
+      val rows = on.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      assert(rows === offRows,
+        "the combined skew-aware rewrites must not change results")
+      import org.apache.spark.sql.execution.SparkPlan
+      // the replication node: the binary node whose subtree holds the
+      // Range scan but whose output carries no salt column yet — the
+      // dim × Range(0, S) cross itself (the top salted join also has a
+      // Range descendant but outputs the hot side's salt_f)
+      def nodes(p: SparkPlan): Seq[SparkPlan] =
+        p +: p.children.flatMap(nodes)
+      def hasRange(p: SparkPlan): Boolean = nodes(p).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.RangeExec])
+      val cross = nodes(on.queryExecution.executedPlan).find { px =>
+        px.children.size == 2 && hasRange(px) &&
+          !px.output.exists(_.name.startsWith(SkewSaltJoin.SaltPrefix)) &&
+          px.metrics.contains("numOutputRows")
+      }
+      assert(cross.isDefined, "the salted plan must carry the Range cross")
+      val replicated = cross.get.metrics("numOutputRows").value
+      assert(replicated === 59L * 4000L,
+        s"the Range cross must replicate S × |F⋈B| rows ($replicated)")
+      assert(replicated * 2 <= 59L * 8000L,
+        "the charged order must halve the committed replication vs the " +
+          "uniform-favorite (F⋈A)-first crossing")
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "the combined skew-aware plan must be a fixpoint")
+    } finally {
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      CatalogJoinReorder.invalidate(art)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("replication gate (ADVICE r19): the same hot join stays PLAIN " +
+      "when nSalt × dim-rows exceeds spark.graft.join.salt.replCap — " +
+      "the rewrite must never trade one skewed task for a cap-busting " +
+      "replicated shuffle — and salts again once the cap allows it; " +
+      "results identical in both regimes") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, Planner.PipelineCatalogSpec)
+    val dimRows = Seq("click", "view", "purchase", "signup", "error")
+    def joined(): DataFrame = {
+      val ev = Tables(s, sf, "events").select($"event_type", $"event_id")
+      ev.join(dimRows.toDF("et"), $"event_type" === $"et")
+    }
+    val savedBc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "64")
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    s.conf.set(SkewSaltJoin.SaltKey, "true")
+    try {
+      s.conf.unset(SkewSaltJoin.ReplCapKey)
+      val allowed = joined()
+      assert(hasRangeLeaf(allowed.queryExecution.optimizedPlan),
+        "under the default cap the 5-row dim salts")
+      val rows = allowed.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      // a cap below nSalt × 5 blocks the rewrite — same text, plain plan
+      s.conf.set(SkewSaltJoin.ReplCapKey, "9")
+      val blocked = joined()
+      assert(!hasRangeLeaf(blocked.queryExecution.optimizedPlan),
+        "a replication over the conf'd cap must leave the join plain")
+      assert(blocked.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+        === rows, "the gate must not change results")
+    } finally {
+      s.conf.unset(SkewSaltJoin.ReplCapKey)
+      s.conf.unset(SkewSaltJoin.SaltKey)
+      s.conf.unset(CatalogJoinReorder.CatalogKey)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
+  }
+
   test("scope guards: a join with BOTH sides hot is left untouched, and " +
       "an unclassifiable side never trips the rewrite") {
     val s = ExtSession.spark
