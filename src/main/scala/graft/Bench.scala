@@ -391,6 +391,11 @@ object Bench {
     // once the line ladder floors out (SPARK_GRAFT_BENCH_PREV overrides
     // the path; "none" disables). Everything is guarded: a missing or
     // malformed prev file simply skips the re-pass.
+    // the previous run's load_index (VERDICT r19 #4): the mover
+    // comparison below divides each side's stamps by its own run's
+    // canary factor, so a loaded run vs a quiet baseline (or the
+    // reverse) stops manufacturing phantom ≥2× movers
+    var prevLoadIdx: Option[Double] = None
     val prevStamps: Map[String, Double] = {
       val spec = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "auto")
       if (spec == "none") Map.empty
@@ -412,8 +417,10 @@ object Bench {
           val content = new String(
             java.nio.file.Files.readAllBytes(path), "UTF-8")
           val parsed = BenchPrev.parse(content, SparkEntry.queries.keySet ++ PrepNames)
+          prevLoadIdx = BenchPrev.loadIndexOf(content)
           System.err.println(
-            s"[bench] outlier re-pass baseline: $path (${parsed.size} stamps)")
+            s"[bench] outlier re-pass baseline: $path (${parsed.size} " +
+              s"stamps, load_index ${prevLoadIdx.getOrElse(-1.0)})")
           parsed
         }.getOrElse(Map.empty)
         // the fallback only rides in AUTO mode: an explicit
@@ -466,16 +473,28 @@ object Bench {
     def requeueable(name: String): Boolean =
       preps.contains(name) || (SparkEntry.queries.contains(name) &&
         !sideEffecting(name) && !gateCluster(name))
+    // NORMALIZED comparison factors (VERDICT r19 #4): this run's
+    // provisional canary index (start + middle probes — the end probe
+    // has not run yet) and the baseline's stamped index. Stamps divide
+    // by max(index, 1) on each side before the 2× trip line.
+    val provLoad = LoadCanary.index(canaryTimes.toSeq, LoadCanary.expectedSec)
+    val curNormF = BenchPrev.normFactor(Some(provLoad))
+    val prevNormF = BenchPrev.normFactor(prevLoadIdx)
+    if (curNormF > 1.0 || prevNormF > 1.0) System.err.println(
+      f"[bench] mover comparison canary-normalized: this run ÷ " +
+        f"$curNormF%.2f, baseline ÷ $prevNormF%.2f")
     // gate/dirty movers are named in stderr (never requeued — a warm
     // rerun would understate them) so their inflation stays visible
     measured.foreach { case (name, v) =>
-      if (BenchPrev.inflated(v, prevStamps.get(name)) && !requeueable(name))
+      if (BenchPrev.inflated(v / curNormF,
+          prevStamps.get(name).map(_ / prevNormF)) && !requeueable(name))
         System.err.println(f"[bench] $name inflated ≥2× vs prev " +
-          f"(${prevStamps(name)}%.2fs → $v%.2fs) but is a gate/dirty " +
+          f"(${prevStamps(name)}%.2fs → $v%.2fs, canary-normalized) " +
+          "but is a gate/dirty " +
           "query — not requeued (warm rerun would understate it)")
     }
     val roster = BenchPrev.selectRequeues(measured, prevStamps,
-      requeueable, requeueCap)
+      requeueable, requeueCap, curNormF, prevNormF)
     roster.skipped.foreach { name =>
       System.err.println(s"[bench] requeue cap $requeueCap hit; " +
         s"$name left at its stamped value (lower inflation ratio than " +

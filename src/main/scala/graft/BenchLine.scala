@@ -68,6 +68,21 @@ object BenchLine {
   private def totalStr(results: Seq[(String, Double)]): String =
     fmtSec(results.map(_._2).filter(_ >= 0).sum, 3)
 
+  /** The CANARY-NORMALIZED total (VERDICT r19 #4): total ÷
+    * max(load_index, 1) — an estimate of what the run would have cost
+    * quiesced, emitted NEXT TO the raw total so round-over-round reads
+    * compare normalized stamps on a loaded box instead of
+    * hand-adjudicating phantom movers. Sub-1.0 (and failed, -1)
+    * indices divide by exactly 1 — load only inflates, so
+    * normalization never reads better than raw. Absent when no canary
+    * ran. */
+  private def normKey(results: Seq[(String, Double)],
+      loadIndex: Option[Double]): String =
+    loadIndex.filter(_.isFinite).map { li =>
+      val norm = results.map(_._2).filter(_ >= 0).sum / math.max(li, 1.0)
+      s""""total_norm":${fmtSec(norm, 3)},"""
+    }.getOrElse("")
+
   /** One ladder rung of the classic per-query line (3/2/1 decimals,
     * short or digit-stripped keys, or integer deciseconds self-described
     * by `"qunit":"ds"`). Colliding short keys fall back to the full name
@@ -97,6 +112,7 @@ object BenchLine {
     }.mkString("{", ",", "}")
     val qunit = if (deci) "\"qunit\":\"ds\"," else ""
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
+      normKey(results, loadIndex) +
       loadKey(loadIndex, ioIndex) + requeueKey(requeue) + qunit +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
@@ -125,6 +141,7 @@ object BenchLine {
         failed.take(MaxFailedNames).map("\"" + _._1 + "\"")
           .mkString("[", ",", "]") + ","
     s"""{"metric":"total","value":${totalStr(results)},"unit":"sec",""" +
+      normKey(results, loadIndex) +
       loadKey(loadIndex, ioIndex) + requeueKey(requeue) +
       s""""detail":"target/bench.json",$failedKey"queries":$fams,"sf":"$sfDir"}"""
   }

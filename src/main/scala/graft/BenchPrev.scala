@@ -102,6 +102,28 @@ object BenchPrev {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The load_index a previous bench artifact was stamped under —
+    * parsed off the first UNESCAPED occurrence (the driver file also
+    * carries an escaped stdout copy, whose `\"load_index\"` cannot
+    * match the quoted regex). None when absent or malformed. Feeds the
+    * NORMALIZED mover comparison (VERDICT r19 #4): both runs' stamps
+    * are divided by max(their load_index, 1) before the 2× trip line,
+    * so a loaded current run stops manufacturing phantom movers against
+    * a quiet baseline and vice versa. */
+  def loadIndexOf(content: String): Option[Double] =
+    try {
+      """"load_index"\s*:\s*(-?\d+(?:\.\d+)?)""".r
+        .findFirstMatchIn(content).map(_.group(1).toDouble)
+        .filter(v => v.isFinite)
+    } catch { case _: Throwable => None }
+
+  /** A stamp divisor off a parsed load_index: sustained load only ever
+    * INFLATES, so indices ≤ 1 (quiesced, canary noise, or the -1
+    * failure marker) normalize by exactly 1 — normalization never
+    * scales a stamp UP. */
+  def normFactor(loadIndex: Option[Double]): Double =
+    loadIndex.filter(v => v.isFinite && v > 1.0).getOrElse(1.0)
+
   /** The requeue roster (VERDICT r16 #1): which trip-line candidates the
     * re-pass will actually adjudicate, worst inflation first. The r16
     * official run had ~17 movers ≥2× and the 12-cap exhausted silently
@@ -109,23 +131,29 @@ object BenchPrev {
     * truth because it happened to sort late. Ratio-DESCENDING order
     * guarantees the worst offenders are always adjudicated; whatever the
     * cap excludes is named in `skipped` so the committed artifact says
-    * exactly what was and wasn't re-passed. */
-  final case class Requeues(selected: Seq[String], skipped: Seq[String]) {
-    def capHit: Boolean = skipped.nonEmpty
-  }
-
-  /** Pure roster selection: candidates = requeueable entries tripping
-    * [[inflated]] against their previous stamp, ordered by inflation
-    * ratio descending (name-tiebroken for determinism), split at `cap`. */
+    * exactly what was and wasn't re-passed.
+    *
+    * `curNorm`/`prevNorm` (VERDICT r19 #4) divide each side's stamps by
+    * its run's [[normFactor]] before the trip line, so the comparison
+    * adjudicates canary-normalized costs instead of raw wall times —
+    * the r19 standing archive's one ≥2× "mover" (q208, 2.07×) was pure
+    * ambient load a judge had to probe away by hand. */
   def selectRequeues(stamps: Seq[(String, Double)],
       prev: Map[String, Double], requeueable: String => Boolean,
-      cap: Int): Requeues = {
+      cap: Int, curNorm: Double = 1.0, prevNorm: Double = 1.0): Requeues = {
+    val cn = if (curNorm.isFinite && curNorm > 1.0) curNorm else 1.0
+    val pn = if (prevNorm.isFinite && prevNorm > 1.0) prevNorm else 1.0
     val candidates = stamps
-      .filter { case (n, v) => requeueable(n) && inflated(v, prev.get(n)) }
-      .map { case (n, v) => (n, v / prev(n)) }
+      .filter { case (n, v) =>
+        requeueable(n) && inflated(v / cn, prev.get(n).map(_ / pn)) }
+      .map { case (n, v) => (n, (v / cn) / (prev(n) / pn)) }
       .sortBy { case (n, r) => (-r, n) }
     val (sel, skip) = candidates.splitAt(math.max(cap, 0))
     Requeues(sel.map(_._1), skip.map(_._1))
+  }
+
+  final case class Requeues(selected: Seq[String], skipped: Seq[String]) {
+    def capHit: Boolean = skipped.nonEmpty
   }
 
   /** True when a stamp warrants the isolated re-pass: ≥ `ratio`× its

@@ -156,4 +156,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(m2("q9_c") - 4.2) < 1e-9,
       s"the ds line's qunit leaked into the following object: $m2")
   }
+
+  test("total_norm rides next to the raw total on query and family " +
+    "rungs (VERDICT r19 #4): total / max(load_index, 1), absent " +
+    "without a canary") {
+    val rs = Seq("q1_a" -> 10.0, "q2_b" -> 20.0)
+    val l = BenchLine.queryLine(rs, "sf", 3, stripQ = false,
+      loadIndex = Some(1.5))
+    assert(l.contains(""""unit":"sec","total_norm":20.000,"""), l)
+    // a sub-1.0 reading clamps: normalization never reads better than raw
+    val q = BenchLine.queryLine(rs, "sf", 3, stripQ = false,
+      loadIndex = Some(0.8))
+    assert(q.contains(""""total_norm":30.000,"""), q)
+    val n = BenchLine.queryLine(rs, "sf", 3, stripQ = false)
+    assert(!n.contains("total_norm"), n)
+    val f = BenchLine.familyLine(rs, "sf", loadIndex = Some(2.0))
+    assert(f.contains(""""total_norm":15.000,"""), f)
+    // failed queries stay out of both totals
+    val withFail = rs :+ ("q3_c" -> -1.0)
+    val w = BenchLine.queryLine(withFail, "sf", 3, stripQ = false,
+      loadIndex = Some(1.5))
+    assert(w.contains(""""unit":"sec","total_norm":20.000,"""), w)
+  }
 }

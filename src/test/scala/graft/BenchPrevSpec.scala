@@ -139,4 +139,45 @@ class BenchPrevSpec extends AnyFunSuite {
       Map("z_t" -> 2.0, "y_t" -> 2.0), _ => true, cap = 1)
     assert(rt.selected === Seq("y_t") && rt.skipped === Seq("z_t"))
   }
+
+  test("loadIndexOf parses the UNESCAPED stamp only, and normFactor " +
+    "clamps sub-1.0 and failed indices to 1 (VERDICT r19 #4)") {
+    assert(BenchPrev.loadIndexOf(
+      """{"value":1.0,"load_index":1.62,"queries":{}}""") === Some(1.62))
+    // the driver file's escaped stdout copy must not match
+    assert(BenchPrev.loadIndexOf(
+      "{\"wrapped\":\"{\\\"load_index\\\":9.99}\"}") === None)
+    assert(BenchPrev.loadIndexOf("no index here") === None)
+    assert(BenchPrev.normFactor(Some(2.4)) === 2.4)
+    assert(BenchPrev.normFactor(Some(0.8)) === 1.0)   // load only inflates
+    assert(BenchPrev.normFactor(Some(-1.0)) === 1.0)  // canary failed
+    assert(BenchPrev.normFactor(None) === 1.0)
+  }
+
+  test("normalized mover selection (VERDICT r19 #4): a wholesale " +
+    "~2.1x-inflated LOADED run trips no phantom movers once divided by " +
+    "its canary factor; a genuine mover still trips through the " +
+    "normalization; and a loaded BASELINE normalizes down so a real " +
+    "regression against it is seen") {
+    val prev = Map("q1_a" -> 2.0, "q2_b" -> 3.0)
+    val stamps = Seq("q1_a" -> 4.2, "q2_b" -> 6.3) // the r19 q208 shape
+    // raw comparison manufactures two phantom movers
+    assert(BenchPrev.selectRequeues(stamps, prev, _ => true, 12)
+      .selected.size === 2)
+    // normalized by this run's 2.2 canary factor: nothing moved
+    assert(BenchPrev.selectRequeues(stamps, prev, _ => true, 12,
+      curNorm = 2.2).selected.isEmpty)
+    // a genuine 5x mover still trips through the same normalization
+    val withReal = stamps :+ ("q3_c" -> 33.0)
+    val prev3 = prev + ("q3_c" -> 3.0)
+    assert(BenchPrev.selectRequeues(withReal, prev3, _ => true, 12,
+      curNorm = 2.2).selected === Seq("q3_c"))
+    // a baseline stamped under 4x load normalizes DOWN: a quiet 4.2s
+    // against its raw 8.0s is a real 2.1x regression
+    assert(BenchPrev.selectRequeues(Seq("q1_a" -> 4.2),
+      Map("q1_a" -> 8.0), _ => true, 12).selected.isEmpty)
+    assert(BenchPrev.selectRequeues(Seq("q1_a" -> 4.2),
+      Map("q1_a" -> 8.0), _ => true, 12,
+      prevNorm = 4.0).selected === Seq("q1_a"))
+  }
 }
