@@ -301,7 +301,8 @@ object Bench {
       "q207_join_order_plan", "q208_selective_join_order",
       "q209_equality_join_order", "q210_rescaled_join_order",
       "q211_skew_salt_decision", "q212_bushy_join_plan",
-      "q214_between_join_order", "q215_inlist_join_order")
+      "q213_nine_join_order", "q214_between_join_order",
+      "q215_inlist_join_order", "q216_or_join_order")
     val plannerPrep: Seq[(String, Double)] =
       if (!only.forall(_.contains("planner_prep"))) {
         if (only.exists(names => (names & plannerQueries).nonEmpty)) try {

@@ -147,17 +147,19 @@ class JoinReorderSpec extends AnyFunSuite {
     val s = ExtSession.spark
     import s.implicits._
     val art = Planner.ensureJoinArtifacts(s, sf)
-    def supplierChain(): DataFrame =
-      Tables(s, sf, "supplier").select($"s_suppkey", $"s_nationkey")
-        .join(Tables(s, sf, "nation").select($"n_nationkey"),
-          $"s_nationkey" === $"n_nationkey")
-        .join(Tables(s, sf, "customer").select($"c_nationkey"),
-          $"n_nationkey" === $"c_nationkey")
+    // part is the uncataloged relation (supplier joined the chain
+    // catalog in r20 for the graded 9-relation audit)
+    def partChain(): DataFrame =
+      Tables(s, sf, "part").select($"p_partkey")
+        .join(Tables(s, sf, "lineitem").select($"l_partkey", $"l_orderkey"),
+          $"p_partkey" === $"l_partkey")
+        .join(Tables(s, sf, "orders").select($"o_orderkey"),
+          $"o_orderkey" === $"l_orderkey")
     def twoJoin(): DataFrame =
       Tables(s, sf, "orders").select($"o_orderkey")
         .join(Tables(s, sf, "lineitem").select($"l_orderkey"),
           $"o_orderkey" === $"l_orderkey")
-    for (build <- Seq(supplierChain _, twoJoin _)) {
+    for (build <- Seq(partChain _, twoJoin _)) {
       s.conf.unset(CatalogJoinReorder.CatalogKey)
       val off = build().queryExecution.optimizedPlan
       s.conf.set(CatalogJoinReorder.CatalogKey, art)
