@@ -301,4 +301,70 @@ class EnumPropertySpec extends AnyFunSuite {
       s"aggregate GOO cost must stay within 1.10× of the summed optima " +
         s"($sumG vs $sumOpt = ${sumG.toDouble / sumOpt.toDouble})")
   }
+
+  test("PAST BIT 31 (r20 Long-mask widening): pricing with relation " +
+      "indices above the Int-mask width is exact — a deliberate " +
+      "aliasing trap (rows(1) ≠ rows(33), so an Int shift's 1<<33 == " +
+      "1<<1 wrap would price the WRONG relation) pins subsetSizeOf, " +
+      "the crossing test, and the salt charge to ground numbers") {
+    import CatalogJoinReorder.{SaltEdge, SLeaf, SNode}
+    // 40 relations; only 0, 20, 33 participate. rows(1) = 7 is the
+    // trap: an Int-masked subsetSizeOf would read it in place of
+    // rows(33) = 500 and the expected BigInts below would all shift.
+    val rows = (0 until 40).map {
+      case 0 => BigInt(1000)
+      case 20 => BigInt(50)
+      case 33 => BigInt(500)
+      case _ => BigInt(7)
+    }
+    val edges = Seq((0, 33, BigInt(100)), (33, 20, BigInt(10)))
+    // ((0 ⋈ 33) ⋈ 20): cost = size({0,33}) = 1000·500/100 = 5000
+    // (root size excluded; the root must still CROSS via edge (33,20))
+    val t = SNode(SNode(SLeaf(0), SLeaf(33)), SLeaf(20))
+    assert(rule.priceShape(t, rows, edges) === Some(BigInt(5000)))
+    // charge on a high-index hot leaf: hot = 33, S = 9 — the 2-leaf
+    // root prices to its charge alone, 9 × rows(0) = 9000 (an Int
+    // shift would mis-test the hot bit and replicate the other side)
+    val salts = Seq(SaltEdge(0, 33, 33, 9L))
+    val t2 = SNode(SLeaf(0), SLeaf(33))
+    assert(rule.priceShape(t2, rows, Seq((0, 33, BigInt(100))), salts)
+      === Some(BigInt(9 * 1000)))
+    // and a split with NO crossing edge past bit 31 still prices None
+    assert(rule.priceShape(SNode(SLeaf(0), SLeaf(20)), rows, edges)
+      .isEmpty)
+  }
+
+  test("GOO past the old 30-relation Int ceiling (r20): seeded-random " +
+      "connected graphs at n ∈ [33, 42] — past bit 31, where the r20 " +
+      "Int masks could not represent a component — enumerate through " +
+      "the Long-mask fallback: every tree is leaf-complete, priceShape " +
+      "reproduces the reported cost (charged legs included), and the " +
+      "result is deterministic call-over-call — 8 trials") {
+    import CatalogJoinReorder.{Shape, SLeaf, SNode}
+    def leafSeq(t: Shape): Seq[Int] = t match {
+      case SLeaf(i) => Seq(i)
+      case SNode(l, r) => leafSeq(l) ++ leafSeq(r)
+    }
+    val rnd = new scala.util.Random(242424L)
+    (1 to 8).foreach { trial =>
+      val n = 33 + rnd.nextInt(10)
+      assert(n <= CatalogJoinReorder.GooMaxRelations,
+        "the trial range must sit inside the widened ceiling")
+      val (rows, edges) = instance(rnd, n)
+      val salts = saltsFor(rnd, edges)
+      val g = rule.goo(n, rows, edges, salts)
+      assert(g.isDefined,
+        s"trial $trial: a connected $n-relation graph must enumerate")
+      val (gTree, gCost) = g.get
+      val ls = leafSeq(gTree)
+      assert(ls.sorted === (0 until n),
+        s"trial $trial: the GOO tree must hold every relation exactly " +
+          s"once (got ${ls.size} leaves over ${ls.distinct.size} ids)")
+      assert(rule.priceShape(gTree, rows, edges, salts).contains(gCost),
+        s"trial $trial: priceShape must reproduce GOO's cost at n=$n")
+      if (trial == 1)
+        assert(rule.goo(n, rows, edges, salts) === g,
+          "the fallback must be deterministic call-over-call")
+    }
+  }
 }

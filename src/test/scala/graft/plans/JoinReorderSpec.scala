@@ -532,32 +532,7 @@ class JoinReorderSpec extends AnyFunSuite {
       "fallback with identical results and a fixpoint no-op") {
     val s = ExtSession.spark
     import s.implicits._
-    import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
-    val gooSpec = CatalogSpec(
-      name = "planner_goo_test",
-      tables = Seq(
-        CatalogTable("rg", "region", "r_regionkey", "r_regionkey"),
-        CatalogTable("ng", "nation", "n_nationkey", "n_nationkey",
-          "n_regionkey"),
-        CatalogTable("cg", "customer", "c_custkey", "c_nationkey",
-          "c_custkey"),
-        CatalogTable("og", "orders", "o_orderkey", "o_custkey",
-          "o_orderkey"),
-        CatalogTable("lg", "lineitem", "l_orderkey", "l_orderkey",
-          "l_suppkey"),
-        CatalogTable("sg", "supplier", "s_suppkey", "s_suppkey")),
-      sketches = Seq(
-        CatalogColumn("rg_rk", "rg", "a", "region", "r_regionkey"),
-        CatalogColumn("ng_nk", "ng", "a", "nation", "n_nationkey"),
-        CatalogColumn("ng_rk", "ng", "b", "nation", "n_regionkey"),
-        CatalogColumn("cg_nk", "cg", "a", "customer", "c_nationkey"),
-        CatalogColumn("cg_ck", "cg", "b", "customer", "c_custkey"),
-        CatalogColumn("og_ck", "og", "a", "orders", "o_custkey"),
-        CatalogColumn("og_ok", "og", "b", "orders", "o_orderkey"),
-        CatalogColumn("lg_ok", "lg", "a", "lineitem", "l_orderkey"),
-        CatalogColumn("lg_sk", "lg", "b", "lineitem", "l_suppkey"),
-        CatalogColumn("sg_sk", "sg", "a", "supplier", "s_suppkey")))
-    val art = Planner.ensureCatalog(s, sf, gooSpec)
+    val art = Planner.ensureCatalog(s, sf, JoinReorderSpec.gooSpec)
     // 15 leaves over 6 cataloged tables: the 6-chain plus 1:1 repeated
     // dimension instances (self-join classification resolves by column
     // evidence; edges by exprId)
@@ -644,6 +619,79 @@ class JoinReorderSpec extends AnyFunSuite {
         .reoptimize(s, bp)
       assert(again.canonicalized === bp.canonicalized,
         "a second optimization pass over the GOO plan must be a no-op")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
+  test("33-relation region (r20 Long-mask widening): a TPC-H star one " +
+      "past the old 30-relation Int-mask ceiling — where an Int-masked " +
+      "GOO could not even represent a component — reorders through the " +
+      "widened fallback with identical results and a fixpoint no-op") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, JoinReorderSpec.gooSpec)
+    // 33 leaves over the same 6 cataloged tables: the 6-chain plus 27
+    // 1:1 repeated dimension instances (each N:1 on a unique key, so
+    // every copy is row-preserving and the result stays checksum-able)
+    def chain(): DataFrame = {
+      val l = Tables(s, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val o = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val c = Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey")
+      val n = Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey")
+      val r = Tables(s, sf, "region").select($"r_regionkey")
+      val sp = Tables(s, sf, "supplier").select($"s_suppkey")
+      val base = l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(n, n("n_nationkey") === c("c_nationkey"))
+        .join(r, r("r_regionkey") === n("n_regionkey"))
+        .join(sp, sp("s_suppkey") === l("l_suppkey"))
+      val withR = (1 to 9).foldLeft(base) { (df, _) =>
+        val ri = Tables(s, sf, "region").select($"r_regionkey")
+        df.join(ri, ri("r_regionkey") === n("n_regionkey"))
+      }
+      val withN = (1 to 9).foldLeft(withR) { (df, _) =>
+        val ni = Tables(s, sf, "nation").select($"n_nationkey")
+        df.join(ni, ni("n_nationkey") === c("c_nationkey"))
+      }
+      (1 to 9).foldLeft(withN) { (df, _) =>
+        val si = Tables(s, sf, "supplier").select($"s_suppkey")
+        df.join(si, si("s_suppkey") === l("l_suppkey"))
+      }
+    }
+    def leaves(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case j: Join => leaves(j.left) ++ leaves(j.right)
+      case leaf if leaf.children.isEmpty => Seq(leaf)
+      case other => other.children.flatMap(leaves)
+    }
+    def checksum(df: DataFrame): Seq[Any] =
+      df.selectExpr("hash(*) as h")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum($"h"))
+        .head().toSeq
+    assert(33 > 30 && 33 <= CatalogJoinReorder.GooMaxRelations,
+      "the region must sit past the r20 Int-mask ceiling but inside " +
+        "the widened Long-mask one")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    val offLeaves = leaves(off.queryExecution.optimizedPlan)
+    assert(offLeaves.size === 33, "the user plan must flatten to 33 leaves")
+    val offSum = checksum(off)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      assert(leaves(bp).size === 33, "the rebuilt region keeps 33 leaves")
+      assert(bp.canonicalized !==
+        off.queryExecution.optimizedPlan.canonicalized,
+        "the 33-relation region must be REBUILT (at the r20 ceiling it " +
+          "fell through with only a log line)")
+      assert(checksum(on) === offSum,
+        "the 33-relation reorder must not change results")
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "a second optimization pass over the widened-GOO plan must be " +
+          "a no-op")
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
@@ -1192,4 +1240,35 @@ class JoinReorderSpec extends AnyFunSuite {
         "the SQL-authored fact-first chain must rebuild to C.N.O.L")
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
+}
+
+object JoinReorderSpec {
+  import graft.ops.{CatalogColumn, CatalogSpec, CatalogTable}
+
+  /** The 6-table TPC-H catalog the GOO fallback legs share (one
+    * ensureCatalog build serves both the 15- and 33-relation tests). */
+  lazy val gooSpec: CatalogSpec = CatalogSpec(
+    name = "planner_goo_test",
+    tables = Seq(
+      CatalogTable("rg", "region", "r_regionkey", "r_regionkey"),
+      CatalogTable("ng", "nation", "n_nationkey", "n_nationkey",
+        "n_regionkey"),
+      CatalogTable("cg", "customer", "c_custkey", "c_nationkey",
+        "c_custkey"),
+      CatalogTable("og", "orders", "o_orderkey", "o_custkey",
+        "o_orderkey"),
+      CatalogTable("lg", "lineitem", "l_orderkey", "l_orderkey",
+        "l_suppkey"),
+      CatalogTable("sg", "supplier", "s_suppkey", "s_suppkey")),
+    sketches = Seq(
+      CatalogColumn("rg_rk", "rg", "a", "region", "r_regionkey"),
+      CatalogColumn("ng_nk", "ng", "a", "nation", "n_nationkey"),
+      CatalogColumn("ng_rk", "ng", "b", "nation", "n_regionkey"),
+      CatalogColumn("cg_nk", "cg", "a", "customer", "c_nationkey"),
+      CatalogColumn("cg_ck", "cg", "b", "customer", "c_custkey"),
+      CatalogColumn("og_ck", "og", "a", "orders", "o_custkey"),
+      CatalogColumn("og_ok", "og", "b", "orders", "o_orderkey"),
+      CatalogColumn("lg_ok", "lg", "a", "lineitem", "l_orderkey"),
+      CatalogColumn("lg_sk", "lg", "b", "lineitem", "l_suppkey"),
+      CatalogColumn("sg_sk", "sg", "a", "supplier", "s_suppkey")))
 }
