@@ -137,10 +137,14 @@ case class CatalogJoinReorder(session: SparkSession)
             // the hard ceiling is now the Long bitmask width, not the
             // DP forms (VERDICT r19 #1/#3: the old >14 fall-through was
             // SILENT — GOO covers 15..62 below, and past that the rule
-            // says so instead of quietly leaving the user's order)
+            // says so instead of quietly leaving the user's order).
+            // Only the ROOT region falls through: the transform keeps
+            // descending, so the largest ≤-ceiling sub-regions still
+            // get cost-based ordering (sound — an inner-join subtree
+            // rebuild preserves semantics under any parent).
             logInfo(s"CatalogJoinReorder: ${leaves.size}-relation region " +
-              s"exceeds the $GooMaxRelations-relation ceiling — left " +
-              "as authored")
+              s"exceeds the $GooMaxRelations-relation ceiling — root " +
+              "kept as authored; sub-ceiling sub-regions still reorder")
             None
           }
           else reorder(j, leaves, leaves.map(rewrite(_, cat)),
@@ -429,13 +433,15 @@ case class CatalogJoinReorder(session: SparkSession)
       conf.getConfString(BushyKey, "false").toBoolean).getOrElse(false)
     val n = plans.size
     val chosen: Option[(Shape, BigInt)] =
-      if (n > MaxRelations) goo(n, rowsOf, edges, salts)
-      else if (useBushy) {
-        if (n <= SmallRelations) dpBushy(n, rowsOf, edges, salts)
-        else dpCcp(n, rowsOf, edges, salts)
-      } else {
-        if (n <= SmallRelations) leftDeepWalk(n, rowsOf, edges, salts)
-        else leftDeepDP(n, rowsOf, edges, salts)
+      CatalogJoinReorder.enumMemo((n, rowsOf, edges, salts, useBushy)) {
+        if (n > MaxRelations) goo(n, rowsOf, edges, salts)
+        else if (useBushy) {
+          if (n <= SmallRelations) dpBushy(n, rowsOf, edges, salts)
+          else dpCcp(n, rowsOf, edges, salts)
+        } else {
+          if (n <= SmallRelations) leftDeepWalk(n, rowsOf, edges, salts)
+          else leftDeepDP(n, rowsOf, edges, salts)
+        }
       }
 
     chosen.map { case (shape, cost) =>
@@ -1036,10 +1042,12 @@ object CatalogJoinReorder {
     * forms at polynomial driver arithmetic; 62 is the Long-bitmask
     * width the GOO-path pricing primitives ([[subsetSizeOf]] masks,
     * bits 0..61 with the sign bit untouched) are built on — past it
-    * the rule logs the fall-through and leaves the region as authored
-    * (no longer silent). The r20 value was 30 (Int masks); the widening
-    * changes NO arithmetic below it — the same subset values price to
-    * the same BigInts — it only moves where the fall-through starts. */
+    * the rule logs the fall-through, keeps the ROOT region as
+    * authored, and still reorders the largest ≤-ceiling sub-regions
+    * on the way down (no longer silent). The r20 value was 30 (Int
+    * masks); the widening changes NO arithmetic below it — the same
+    * subset values price to the same BigInts — it only moves where
+    * the fall-through starts. */
   val GooMaxRelations = 62
 
   /** Multi-start width of the [[goo]] fallback: greedy left-deep chains
@@ -1144,6 +1152,34 @@ object CatalogJoinReorder {
   // catalog never calls the builder's invalidate() and would otherwise
   // stay CBO-less forever.
   private val failed = TrieMap.empty[String, Long]
+
+  // memo for the PURE enumeration step (r20): every form —
+  // walk/leftDeepDP/DPsize/DPccp/goo — is a deterministic function of
+  // (n, rows, edges, salts, bushy-mode), yet the optimizer's fixpoint
+  // re-invokes the rule over the SAME region several times per query
+  // (and once more per derived query), which at the widened 62-relation
+  // ceiling re-prices a multi-second GOO pass each time. Keys are
+  // VALUES (stats vectors), so a catalog refresh that changes any
+  // number simply misses; bounded by wholesale clear, the entries are
+  // a few hundred bytes each.
+  private val enumCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge], Boolean),
+    Option[(Shape, BigInt)]]()
+  private val EnumCacheMax = 256
+
+  private[plans] def enumMemo(
+      key: (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge],
+        Boolean))(body: => Option[(Shape, BigInt)])
+      : Option[(Shape, BigInt)] = {
+    val hit = enumCache.get(key)
+    if (hit != null) hit
+    else {
+      val v = body
+      if (enumCache.size >= EnumCacheMax) enumCache.clear()
+      enumCache.put(key, v)
+      v
+    }
+  }
 
   /** Session conf: seconds before a failed catalog load is retried
     * (default 30). 0 retries on the next query. */

@@ -695,6 +695,76 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
   }
 
+  test("past the 62-relation ceiling: a 63-leaf region's ROOT falls " +
+      "through (logged), but the transform keeps descending and the " +
+      "62-leaf sub-region still gets cost-based ordering — 63 leaves " +
+      "kept, identical results, fixpoint no-op") {
+    val s = ExtSession.spark
+    import s.implicits._
+    val art = Planner.ensureCatalog(s, sf, JoinReorderSpec.gooSpec)
+    def chain(): DataFrame = {
+      val l = Tables(s, sf, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val o = Tables(s, sf, "orders").select($"o_orderkey", $"o_custkey")
+      val c = Tables(s, sf, "customer").select($"c_custkey", $"c_nationkey")
+      val n = Tables(s, sf, "nation").select($"n_nationkey", $"n_regionkey")
+      val r = Tables(s, sf, "region").select($"r_regionkey")
+      val sp = Tables(s, sf, "supplier").select($"s_suppkey")
+      val base = l.join(o, o("o_orderkey") === l("l_orderkey"))
+        .join(c, c("c_custkey") === o("o_custkey"))
+        .join(n, n("n_nationkey") === c("c_nationkey"))
+        .join(r, r("r_regionkey") === n("n_regionkey"))
+        .join(sp, sp("s_suppkey") === l("l_suppkey"))
+      val withR = (1 to 19).foldLeft(base) { (df, _) =>
+        val ri = Tables(s, sf, "region").select($"r_regionkey")
+        df.join(ri, ri("r_regionkey") === n("n_regionkey"))
+      }
+      val withN = (1 to 19).foldLeft(withR) { (df, _) =>
+        val ni = Tables(s, sf, "nation").select($"n_nationkey")
+        df.join(ni, ni("n_nationkey") === c("c_nationkey"))
+      }
+      (1 to 19).foldLeft(withN) { (df, _) =>
+        val si = Tables(s, sf, "supplier").select($"s_suppkey")
+        df.join(si, si("s_suppkey") === l("l_suppkey"))
+      }
+    }
+    def leafCount(p: LogicalPlan): Int = p match {
+      case j: Join => leafCount(j.left) + leafCount(j.right)
+      case leaf if leaf.children.isEmpty => 1
+      case other => other.children.map(leafCount).sum
+    }
+    def checksum(df: DataFrame): Seq[Any] =
+      df.selectExpr("hash(*) as h")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum($"h"))
+        .head().toSeq
+    assert(63 > CatalogJoinReorder.GooMaxRelations,
+      "the region must sit past the widened ceiling")
+    s.conf.unset(CatalogJoinReorder.CatalogKey)
+    val off = chain()
+    val offPlan = off.queryExecution.optimizedPlan
+    assert(leafCount(offPlan) === 63,
+      "the user plan must flatten to 63 leaves")
+    val offSum = checksum(off)
+    s.conf.set(CatalogJoinReorder.CatalogKey, art)
+    try {
+      val on = chain()
+      val bp = on.queryExecution.optimizedPlan
+      assert(leafCount(bp) === 63,
+        "the fall-through must keep all 63 leaves")
+      assert(bp.canonicalized !== offPlan.canonicalized,
+        "the ≤-ceiling SUB-region must still be reordered on the way " +
+          "down (the root alone falls through)")
+      assert(checksum(on) === offSum,
+        "the partial (sub-region) reorder must not change results")
+      val again = org.apache.spark.sql.graft.OptimizerBridge
+        .reoptimize(s, bp)
+      assert(again.canonicalized === bp.canonicalized,
+        "a second optimization pass over the fall-through plan must " +
+          "be a no-op")
+    } finally s.conf.unset(CatalogJoinReorder.CatalogKey)
+  }
+
   test("registered catalog: a NON-TPC-H table set (events/documents/" +
       "embeddings joined on user/doc keys) registers via CatalogSpec, " +
       "catalogs through the same one-pass stream, and a fact-first plan " +
