@@ -433,15 +433,21 @@ case class CatalogJoinReorder(session: SparkSession)
       conf.getConfString(BushyKey, "false").toBoolean).getOrElse(false)
     val n = plans.size
     val chosen: Option[(Shape, BigInt)] =
-      CatalogJoinReorder.enumMemo((n, rowsOf, edges, salts, useBushy)) {
-        if (n > MaxRelations) goo(n, rowsOf, edges, salts)
-        else if (useBushy) {
-          if (n <= SmallRelations) dpBushy(n, rowsOf, edges, salts)
-          else dpCcp(n, rowsOf, edges, salts)
-        } else {
-          if (n <= SmallRelations) leftDeepWalk(n, rowsOf, edges, salts)
-          else leftDeepDP(n, rowsOf, edges, salts)
+      if (n > MaxRelations)
+        // memoized: ONLY the GOO territory — the exact forms below are
+        // sub-millisecond at n ≤ 14, and caching them would pollute the
+        // bounded cache with cheap entries until the wholesale clear
+        // evicted the multi-second results the memo exists to protect
+        // (useBushy is NOT part of the key: goo ignores the mode)
+        CatalogJoinReorder.enumMemo((n, rowsOf, edges, salts)) {
+          goo(n, rowsOf, edges, salts)
         }
+      else if (useBushy) {
+        if (n <= SmallRelations) dpBushy(n, rowsOf, edges, salts)
+        else dpCcp(n, rowsOf, edges, salts)
+      } else {
+        if (n <= SmallRelations) leftDeepWalk(n, rowsOf, edges, salts)
+        else leftDeepDP(n, rowsOf, edges, salts)
       }
 
     chosen.map { case (shape, cost) =>
@@ -905,7 +911,8 @@ case class CatalogJoinReorder(session: SparkSession)
       val raws = Some(gooRaw) +:
         starts.map(greedyChainRaw(_, n, rowsOf, edges, salts))
       raws.flatten.sortBy(_._2).headOption.flatMap {
-        case (t, c) => refine(t, c, rowsOf, edges, salts) }
+        case (t, c) =>
+          refine(t, c, rowsOf, edges, salts, RefineBudget) }
     }
   }
 
@@ -964,10 +971,20 @@ case class CatalogJoinReorder(session: SparkSession)
     * candidates priced at O(n·|edges|) per round, ≤ n rounds (each
     * strictly improves a BigInt cost; in practice 2–3), so the
     * fallback stays polynomial end to end. Invalid placements (a split
-    * with no priced crossing edge) price to None and are skipped. */
+    * with no priced crossing edge) price to None and are skipped.
+    * `budget` caps total candidate pricings (r20: at a near-62-relation
+    * region over a dense edge set, one ROUND alone is ~15k candidates ×
+    * an O(n·|edges|) pricer — unbounded, the first planning of such a
+    * region could stall the driver for minutes and a streaming catalog
+    * refresh would re-pay it every window): when the budget runs out
+    * the search stops with the best tree so far — still a valid,
+    * fully-priced shape, just less polished. Unlimited on the
+    * refine-all path (n ≤ [[GooRefineAllRelations]], where the r20
+    * behavior is quality-pinned and a round is ≤ ~3.6k candidates). */
   private def refine(tree0: Shape, cost0: BigInt, rowsOf: Seq[BigInt],
       edges: Seq[(Int, Int, BigInt)],
-      salts: Seq[SaltEdge]): Option[(Shape, BigInt)] = {
+      salts: Seq[SaltEdge],
+      budget: Int = Int.MaxValue): Option[(Shape, BigInt)] = {
     // every (proper subtree s, tree with s removed) pair
     def removals(t: Shape): Seq[(Shape, Shape)] = t match {
       case SLeaf(_) => Seq.empty
@@ -991,11 +1008,17 @@ case class CatalogJoinReorder(session: SparkSession)
     var bestCost = cost0
     var improved = true
     var rounds = 0
-    while (improved && rounds < rowsOf.size) {
+    var spent = 0
+    while (improved && rounds < rowsOf.size && spent < budget) {
       improved = false
       rounds += 1
-      removals(best).foreach { case (s, rest) =>
-        insertions(rest, s).foreach { cand =>
+      val it = removals(best).iterator
+      while (it.hasNext && spent < budget) {
+        val (s, rest) = it.next()
+        val ins = insertions(rest, s).iterator
+        while (ins.hasNext && spent < budget) {
+          val cand = ins.next()
+          spent += 1
           priceShape(cand, rowsOf, edges, salts).foreach { c =>
             if (c < bestCost) { best = cand; bestCost = c; improved = true }
           }
@@ -1064,6 +1087,15 @@ object CatalogJoinReorder {
     * region's planning cost to roughly one refinement pass
     * (measured ~1–2 s at n ≈ 33, data-size-independent either way). */
   val GooRefineAllRelations = 30
+
+  /** Candidate-pricing budget of the single [[goo]] refinement past
+    * [[GooRefineAllRelations]]: ~50k pricings is ≈ 3–4 full transplant
+    * rounds at n ≈ 33 (typical convergence is 2–3) yet caps the dense
+    * near-62-relation worst case — where ONE round alone is ~15k
+    * candidates over an O(n·|edges|) pricer — at seconds instead of
+    * minutes of blocking driver arithmetic. Exhausting it keeps the
+    * best fully-priced tree found so far. */
+  val RefineBudget = 50000
 
   /** A priced equi-edge whose key the maintained S31 head flags HOT on
     * exactly one side (VERDICT r19 #2): `hot` is the hot leaf's index,
@@ -1153,23 +1185,27 @@ object CatalogJoinReorder {
   // stay CBO-less forever.
   private val failed = TrieMap.empty[String, Long]
 
-  // memo for the PURE enumeration step (r20): every form —
-  // walk/leftDeepDP/DPsize/DPccp/goo — is a deterministic function of
-  // (n, rows, edges, salts, bushy-mode), yet the optimizer's fixpoint
+  // memo for the PURE [[goo]] enumeration (r20): it is a deterministic
+  // function of (n, rows, edges, salts), yet the optimizer's fixpoint
   // re-invokes the rule over the SAME region several times per query
   // (and once more per derived query), which at the widened 62-relation
-  // ceiling re-prices a multi-second GOO pass each time. Keys are
-  // VALUES (stats vectors), so a catalog refresh that changes any
-  // number simply misses; bounded by wholesale clear, the entries are
-  // a few hundred bytes each.
+  // ceiling re-prices a multi-second pass each time. ONLY goo results
+  // are cached — the n ≤ 14 exact forms are sub-millisecond and would
+  // pollute the bounded cache until the wholesale clear evicted the
+  // expensive entries. Keys are VALUES (stats vectors), so a catalog
+  // refresh that changes any number simply misses. One honest bound:
+  // the key is leaf-extraction-ORDER-dependent, so a query whose region
+  // actually rebuilds enumerates at most TWICE (authored order, then
+  // the rebuilt order, which settles) — still a fixed bill, not
+  // once-per-fixpoint-iteration.
   private val enumCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge], Boolean),
+    (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge]),
     Option[(Shape, BigInt)]]()
   private val EnumCacheMax = 256
 
   private[plans] def enumMemo(
-      key: (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge],
-        Boolean))(body: => Option[(Shape, BigInt)])
+      key: (Int, Seq[BigInt], Seq[(Int, Int, BigInt)], Seq[SaltEdge]))(
+      body: => Option[(Shape, BigInt)])
       : Option[(Shape, BigInt)] = {
     val hit = enumCache.get(key)
     if (hit != null) hit
