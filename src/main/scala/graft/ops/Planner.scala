@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -1309,42 +1309,98 @@ object Planner {
     * ranking windows order 8 rows. At SF1000 the est products want
     * DECIMAL headroom (the q199/q201 caveat — machine-checked loud by
     * PlannerSpec's int64-headroom leg over these literal generators). */
-  /** Catalog consults: sketch + row-count branches composed IN-PLAN
-    * (one tiny agg per artifact, crossJoined into one wide 1-row frame),
-    * so the estimate arithmetic is the oracle's SQL text verbatim. */
-  private def catalogWide(s: SparkSession, art: String): DataFrame = {
+  /** Catalog consults: sketch + row-count artifacts composed IN-PLAN
+    * into one wide 1-row frame, so the estimate arithmetic is the
+    * oracle's SQL text verbatim. r20 optimization (guide §2.3/§2.4 —
+    * fewer jobs, one listing): formerly 16 crossJoined branches, each a
+    * separate parquet read (its own driver-side file listing + schema
+    * inference + broadcast job — measured 1.5s/iteration, the single
+    * largest shared cost of the q207–q216 family); now ONE multi-path
+    * scan per artifact kind with explicit schemas, tagged by
+    * input_file_name, ONE grouped aggregate (each sketch's K smallest
+    * distinct hashes as a sorted array, each table's row sum), and one
+    * conditional-aggregation pivot to the same wide row. Values are
+    * identical: per id, size(slice(sorted distinct h, 1, K)) ==
+    * count(limit K) and its last element == max(limit K); h is never
+    * NULL (NdvStream filters NULL v before hashing); absent groups
+    * coalesce to 0 exactly as the empty-branch aggregates did.
+    * Measured 1.5s → 0.19s per consult. */
+  private def catalogWide(s: SparkSession, art: String): DataFrame =
+    wideStats(s, art, JoinSketchCols.map(_.id), JoinTables.map(_.tag))
+
+  private[graft] def wideStats(s: SparkSession, art: String,
+      skIds: Seq[String], tags: Seq[String]): DataFrame = {
     import s.implicits._
-    JoinSketchCols.map { c =>
-      val id = c.id
-      NdvStream.mergedSketch(s, s"$art/d_$id")
-        .agg(count(lit(1)).as(s"sk_$id"),
-          coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
-    }.reduce(_.crossJoin(_))
-      .crossJoin(JoinTables.map { t =>
-        val tag = t.tag
-        s.read.parquet(s"$art/n_$tag/rows")
-          .agg(coalesce(sum($"n"), lit(0L)).as(s"n_$tag"))
-      }.reduce(_.crossJoin(_)))
+    val sk = s.read.schema("h BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(skIds.map(id => s"$art/d_$id/ndv"): _*)
+      .select(concat(lit("d:"), regexp_extract(input_file_name(),
+        "/d_([a-z0-9_]+)/ndv/", 1)).as("k"), $"h",
+        lit(null).cast("bigint").as("n"))
+    val nn = s.read.schema("n BIGINT")
+      .option("recursiveFileLookup", "true")
+      .parquet(tags.map(t => s"$art/n_$t/rows"): _*)
+      .select(concat(lit("n:"), regexp_extract(input_file_name(),
+        "/n_([a-z0-9_]+)/rows/", 1)).as("k"),
+        lit(null).cast("bigint").as("h"), $"n")
+    val g = sk.unionByName(nn)
+      .groupBy($"k").agg(
+        slice(sort_array(collect_set($"h")), 1, Layout.KmvK).as("hs"),
+        sum($"n").as("nn"))
+    val piv: Seq[Column] = skIds.flatMap { id => Seq(
+      coalesce(max(when($"k" === s"d:$id", size($"hs").cast("long"))),
+        lit(0L)).as(s"sk_$id"),
+      coalesce(max(when($"k" === s"d:$id",
+        try_element_at($"hs", greatest(size($"hs"), lit(1))))),
+        lit(0L)).as(s"kth_$id"))
+    } ++ tags.map { t =>
+      coalesce(max(when($"k" === s"n:$t", $"nn")), lit(0L)).as(s"n_$t")
+    }
+    g.agg(piv.head, piv.tail: _*)
   }
 
   /** Exact truth: the 5 connected sub-chains, one count-agg join each
     * (the q201 exact legs verbatim), over a caller-supplied orders
-    * frame — the full table for q207, σ(orders) for q208. */
+    * frame — the full table for q207, σ(orders) for q208. r20
+    * optimization (guide §2.4): the five 1-row aggregates union into ONE
+    * tagged frame and pivot back by conditional aggregation — one Spark
+    * job instead of five crossJoined branches each materializing its own
+    * broadcast; counts unchanged (a count aggregate always emits exactly
+    * one row, so the pivot's max-per-tag is that count verbatim). */
   private def exactChainCounts(s: SparkSession, dir: String,
       ordersDf: DataFrame): DataFrame = {
     import s.implicits._
     def t(n: String): DataFrame = Tables(s, dir, n)
-    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
     val nc = t("nation").join(t("customer"), $"n_nationkey" === $"c_nationkey")
     val co = t("customer").join(ordersDf, $"c_custkey" === $"o_custkey")
     val ol = ordersDf.join(t("lineitem"), $"o_orderkey" === $"l_orderkey")
-    cnt(nc, "x_nc")
-      .crossJoin(cnt(nc.join(ordersDf, $"c_custkey" === $"o_custkey"),
-        "x_nco"))
-      .crossJoin(cnt(co, "x_co"))
-      .crossJoin(cnt(co.join(t("lineitem"), $"o_orderkey" === $"l_orderkey"),
-        "x_col"))
-      .crossJoin(cnt(ol, "x_ol"))
+    unionPivotCounts(Seq(
+      "x_nc" -> nc,
+      "x_nco" -> nc.join(ordersDf, $"c_custkey" === $"o_custkey"),
+      "x_co" -> co,
+      "x_col" -> co.join(t("lineitem"), $"o_orderkey" === $"l_orderkey"),
+      "x_ol" -> ol))
+  }
+
+  /** Stack named count-aggregates as (k, cnt) rows in one union — a
+    * single job whose branches schedule together and share reused
+    * exchanges — then pivot to the familiar wide 1-row frame. Each
+    * branch's count lands verbatim (one row per count aggregate). */
+  private def unionPivotCounts(branches: Seq[(String, DataFrame)]): DataFrame =
+    unionPivot1(branches.map { case (k, df) =>
+      k -> df.agg(count(lit(1)).as("cnt"))
+    })
+
+  /** Pivot named 1-row frames (single BIGINT column `cnt`) into one wide
+    * row via ONE union + conditional aggregation. */
+  private def unionPivot1(branches: Seq[(String, DataFrame)]): DataFrame = {
+    val uni = branches.map { case (k, df) =>
+      df.select(lit(k).as("k"), col("cnt"))
+    }.reduce(_.unionByName(_))
+    val piv = branches.map { case (k, _) =>
+      coalesce(max(when(col("k") === k, col("cnt"))), lit(0L)).as(k)
+    }
+    uni.agg(piv.head, piv.tail: _*)
   }
 
   /** Shared q207/q208 assembly: stack the 8 order legs over the wide
@@ -1750,16 +1806,10 @@ object Planner {
     import s.implicits._
     val art = ensureCatalog(s, dir, PipelineCatalogSpec)
     val spec = PipelineCatalogSpec
-    val sketchW = spec.sketches.map { c =>
-      val id = c.id
-      NdvStream.mergedSketch(s, s"$art/d_$id")
-        .agg(count(lit(1)).as(s"sk_$id"),
-          coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
-    }.reduce(_.crossJoin(_))
-    val countW = spec.tables.map { t =>
-      s.read.parquet(s"$art/n_${t.tag}/rows")
-        .agg(coalesce(sum($"n"), lit(0L)).as(s"n_${t.tag}"))
-    }.reduce(_.crossJoin(_))
+    // one-job catalog consult (see catalogWide) — values identical to
+    // the former per-branch crossJoin
+    val statsW = wideStats(s, art,
+      spec.sketches.map(_.id), spec.tables.map(_.tag))
     val boundsDf = s.read.parquet(s"$art/hists")
       .where($"col" === "c_custkey")
       .selectExpr("mn as hmn", "mx as hmx")
@@ -1778,15 +1828,15 @@ object Planner {
     val em = Tables(s, dir, "embeddings").select($"vec_id")
     val dc = Tables(s, dir, "documents").select($"doc_id")
     val ev = Tables(s, dir, "events").select($"user_id")
-    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
     val ed = em.join(dc, $"vec_id" === $"doc_id")
     val dv = dc.join(ev, $"doc_id" === $"user_id")
-    val exactW = cnt(ed, "x_ed")
-      .crossJoin(cnt(dv, "x_dv"))
-      .crossJoin(cnt(ev.join(sCust, $"user_id" === $"c_custkey"), "x_vc"))
-      .crossJoin(cnt(ed.join(ev, $"doc_id" === $"user_id"), "x_edv"))
-      .crossJoin(cnt(dv.join(sCust, $"user_id" === $"c_custkey"), "x_dvc"))
-    val wide = sketchW.crossJoin(countW).crossJoin(estW).crossJoin(exactW)
+    val exactW = unionPivotCounts(Seq(
+      "x_ed" -> ed,
+      "x_dv" -> dv,
+      "x_vc" -> ev.join(sCust, $"user_id" === $"c_custkey"),
+      "x_edv" -> ed.join(ev, $"doc_id" === $"user_id"),
+      "x_dvc" -> dv.join(sCust, $"user_id" === $"c_custkey")))
+    val wide = statsW.crossJoin(estW).crossJoin(exactW)
     val legs = q210Orders("div", rescaled = true)
       .zip(q210Orders("div", rescaled = false)).map {
         case ((name, est, exact), (_, noscale, _)) =>
@@ -2024,16 +2074,10 @@ object Planner {
     import s.implicits._
     val art = ensureCatalog(s, dir, PipelineCatalogSpec)
     val spec = PipelineCatalogSpec
-    val sketchW = spec.sketches.map { c =>
-      val id = c.id
-      NdvStream.mergedSketch(s, s"$art/d_$id")
-        .agg(count(lit(1)).as(s"sk_$id"),
-          coalesce(max($"h"), lit(0L)).as(s"kth_$id"))
-    }.reduce(_.crossJoin(_))
-    val countW = spec.tables.map { t =>
-      s.read.parquet(s"$art/n_${t.tag}/rows")
-        .agg(coalesce(sum($"n"), lit(0L)).as(s"n_${t.tag}"))
-    }.reduce(_.crossJoin(_))
+    // one-job catalog consult (see catalogWide) — values identical to
+    // the former per-branch crossJoin
+    val statsW = wideStats(s, art,
+      spec.sketches.map(_.id), spec.tables.map(_.tag))
     val lb = s.read.parquet(s"$art/hists").where($"col" === "label")
       .selectExpr("mn as lmn", "mx as lmx")
     val cb = s.read.parquet(s"$art/hists").where($"col" === "c_custkey")
@@ -2062,15 +2106,14 @@ object Planner {
       .where(expr("cast(c_custkey as double) <= 2.0")).select($"c_custkey")
     val dc = Tables(s, dir, "documents").select($"doc_id")
     val ev = Tables(s, dir, "events").select($"user_id")
-    def cnt(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
     val ed = sem.join(dc, $"vec_id" === $"doc_id")
-    val exactW = cnt(ed, "x_ed")
-      .crossJoin(cnt(ev.join(broadcast(scu), $"user_id" === $"c_custkey"),
-        "x_vc"))
-      .crossJoin(cnt(ed.join(ev, $"doc_id" === $"user_id"), "x_edv"))
-      .crossJoin(cnt(dc.join(ev, $"doc_id" === $"user_id")
-        .join(broadcast(scu), $"user_id" === $"c_custkey"), "x_dvc"))
-    val wide = sketchW.crossJoin(countW).crossJoin(estEmW)
+    val exactW = unionPivotCounts(Seq(
+      "x_ed" -> ed,
+      "x_vc" -> ev.join(broadcast(scu), $"user_id" === $"c_custkey"),
+      "x_edv" -> ed.join(ev, $"doc_id" === $"user_id"),
+      "x_dvc" -> dc.join(ev, $"doc_id" === $"user_id")
+        .join(broadcast(scu), $"user_id" === $"c_custkey")))
+    val wide = statsW.crossJoin(estEmW)
       .crossJoin(estCW).crossJoin(exactW)
     val legs = q212Plans("div")
     val rows = wide.selectExpr(s"stack(${legs.size}, " +
@@ -2507,6 +2550,38 @@ object Planner {
   private def nineKey(tags: Set[Char]): String =
     "x9_" + tags.toSeq.sorted.mkString.toLowerCase
 
+  /** Per-tag edge-key columns — every column the tag contributes to any
+    * [[NineEdges]] condition. Grouping a base table to these columns
+    * with a row-count weight preserves every prefix join count exactly
+    * (the join graph is a tree and joins touch only these columns). */
+  private val NineKeyCols: Map[Char, Seq[String]] = Map(
+    'R' -> Seq("r_regionkey"),
+    'N' -> Seq("n_regionkey", "n_nationkey"),
+    'C' -> Seq("c_nationkey", "c_custkey"),
+    'O' -> Seq("o_custkey", "o_orderkey"),
+    'L' -> Seq("l_orderkey", "l_suppkey"),
+    'S' -> Seq("s_suppkey"),
+    'E' -> Seq("user_id"),
+    'D' -> Seq("doc_id"),
+    'M' -> Seq("vec_id"))
+
+  /** The column `tag` contributes to an edge (conditions are authored
+    * `<aCol> = <bCol>`). */
+  private def nineEdgeCol(edge: (Char, Char, String, String),
+      tag: Char): String = {
+    val parts = edge._4.split(" = ")
+    if (tag == edge._1) parts(0) else parts(1)
+  }
+
+  /** Boundary key columns of a connected subset: for each tree edge
+    * crossing the subset boundary, the inside tag's column — exactly the
+    * attributes future joins of any order extension can touch. */
+  private def nineBoundaryCols(sub: Set[Char]): Seq[String] =
+    NineEdges.collect {
+      case e @ (a, b, _, _) if sub(a) && !sub(b) => nineEdgeCol(e, a)
+      case e @ (a, b, _, _) if sub(b) && !sub(a) => nineEdgeCol(e, b)
+    }.distinct
+
   /** Every distinct exact prefix (size 2..8) across [[NineOrders]],
     * with a connected ADDITION order to build its join from. */
   private def ninePrefixes: Seq[(String, Seq[Char])] = {
@@ -2585,30 +2660,89 @@ object Planner {
       .drop("hmn", "hmx")
     // the pipeline catalog's three sketches + three counts, read with
     // the same in-plan branches as catalogWide
-    val pipeSketches = PipelineCatalogSpec.sketches
-      .filter(c => Set("em_vec", "dc_doc", "ev_uid")(c.id))
-    val pipeTables = PipelineCatalogSpec.tables
-      .filter(t => Set("em", "dc", "ev")(t.tag))
-    val pipeWide = pipeSketches.map { c =>
-      NdvStream.mergedSketch(s, s"$artP/d_${c.id}")
-        .agg(count(lit(1)).as(s"sk_${c.id}"),
-          coalesce(max($"h"), lit(0L)).as(s"kth_${c.id}"))
-    }.reduce(_.crossJoin(_))
-      .crossJoin(pipeTables.map { t =>
-        s.read.parquet(s"$artP/n_${t.tag}/rows")
-          .agg(coalesce(sum($"n"), lit(0L)).as(s"n_${t.tag}"))
-      }.reduce(_.crossJoin(_)))
-    // the 26 distinct exact prefix counts, σ(orders) in the o slot
+    // one-job catalog consult (see catalogWide) — values identical to
+    // the former per-branch crossJoin
+    val pipeWide = wideStats(s, artP,
+      PipelineCatalogSpec.sketches
+        .filter(c => Set("em_vec", "dc_doc", "ev_uid")(c.id)).map(_.id),
+      PipelineCatalogSpec.tables
+        .filter(t => Set("em", "dc", "ev")(t.tag)).map(_.tag))
+    // the 26 distinct exact prefix counts, σ(orders) in the o slot.
+    // r20 optimization (guide §2.3 "aggregate before you shuffle" /
+    // §8 "decide with small rows"): formerly 26 INDEPENDENT multi-way
+    // joins over the raw tables (118 scans, measured 2.0–3.5s); now
+    // each base table folds ONCE to its edge-key columns with a
+    // row-count weight, prefix frames extend one weighted join at a
+    // time (memoized on the relation SET, so shared prefixes are shared
+    // subplans), collapse to the subset's tree-boundary columns after
+    // every step, and each prefix count is Σw — identical to the raw
+    // join count because the join graph is a tree and every join
+    // condition touches only the grouped columns (weights multiply
+    // exactly the rows the raw join would have produced).
     def baseFrame(tag: Char): DataFrame =
       if (tag == 'O') sOrders else Tables(s, dir, NineRels(tag)._2)
-    val exacts = ninePrefixes.map { case (key, addOrder) =>
-      val joined = addOrder.drop(1).zipWithIndex
-        .foldLeft(baseFrame(addOrder.head)) { case (df, (t, i)) =>
-          val edge = nineEdgeInto(t, addOrder.take(i + 1).toSet)
-          df.join(baseFrame(t), expr(edge._4))
-        }
-      joined.agg(count(lit(1)).as(key))
-    }.reduce(_.crossJoin(_))
+    // key-projected inputs (row counts unchanged — the join conditions
+    // touch only these columns), each chain streams its one fact-sized
+    // side (lineitem) map-side with every other side broadcast-hinted:
+    // a prefix count is ONE map-only stage over a columnar key scan
+    // plus tiny broadcast builds, instead of a shuffle join per step
+    def projRaw(tag: Char): DataFrame =
+      baseFrame(tag).select(NineKeyCols(tag).map(col): _*)
+    // σ(orders) is probed by ~20 chain branches; materialize its two
+    // key columns once per run (a few thousand rows — localCheckpoint
+    // in the timed body, never across runs) so each branch reads memory
+    // instead of re-running the filter scan
+    val sOrderKeys = projRaw('O').localCheckpoint(true)
+    def proj(tag: Char): DataFrame =
+      if (tag == 'O') sOrderKeys else projRaw(tag)
+    def chainFor(pre: Seq[Char]): DataFrame =
+      pre.drop(1).zipWithIndex.foldLeft(proj(pre.head)) {
+        case (f, (t, i)) =>
+          val edge = nineEdgeInto(t, pre.take(i + 1).toSet)
+          f.join(broadcast(proj(t)), expr(edge._4))
+      }
+    // the 13 lineitem-free prefixes stay literal chain counts (small
+    // frames, broadcast joins); the 13 LINEITEM prefixes factor over
+    // the tree instead: removing L splits a prefix into its O-side
+    // component A and (optionally) supplier, so
+    //   count(prefix) = Σ_{l ∈ lineitem} m_A(l_orderkey) [· m_S(l_suppkey)]
+    // with m_A the A-chain's per-orderkey row multiplicities — ONE
+    // map-side pass over the lineitem key columns (9 broadcast left
+    // joins + one aggregate of products) replaces 13 independent
+    // fact-side joins. Multiplicities multiply exactly the rows the raw
+    // join would produce; a non-matching side contributes coalesce(0),
+    // exactly the rows the raw join would drop.
+    val (lPre, smallPre) = ninePrefixes.partition(_._2.contains('L'))
+    val smallW = unionPivotCounts(smallPre.map { case (key, addOrder) =>
+      key -> chainFor(addOrder)
+    })
+    val aOrders = lPre.map { case (_, addOrder) =>
+      addOrder.filterNot(t => t == 'L' || t == 'S')
+    }.distinct
+    val mA = aOrders.zipWithIndex.map { case (aOrder, i) =>
+      nineKey(aOrder.toSet) ->
+        (chainFor(aOrder).groupBy($"o_orderkey")
+          .agg(count(lit(1)).as(s"ma_$i"))
+          .withColumnRenamed("o_orderkey", s"oak_$i"), i)
+    }.toMap
+    val mS = Tables(s, dir, "supplier").groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("ms"))
+    val lJoined = mA.values.toSeq.sortBy(_._2).foldLeft(
+      Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")) {
+        case (f, (m, i)) =>
+          f.join(broadcast(m), $"l_orderkey" === col(s"oak_$i"), "left")
+      }
+      .join(broadcast(mS), $"l_suppkey" === $"s_suppkey", "left")
+    val lAggs: Seq[Column] = lPre.map { case (key, addOrder) =>
+      val i = mA(nineKey(
+        addOrder.filterNot(t => t == 'L' || t == 'S').toSet))._2
+      val term =
+        if (addOrder.contains('S'))
+          coalesce(col(s"ma_$i"), lit(0L)) * coalesce($"ms", lit(0L))
+        else coalesce(col(s"ma_$i"), lit(0L))
+      coalesce(sum(term), lit(0L)).as(key)
+    }
+    val exacts = smallW.crossJoin(lJoined.agg(lAggs.head, lAggs.tail: _*))
     val wide = catalogWide(s, artJ)
       .crossJoin(pipeWide)
       .crossJoin(estW)
