@@ -974,11 +974,16 @@ object Layout {
     val st = li.agg(min($"p").as("mn_p"), max($"p").as("mx_p"),
       min($"d").as("mn_d"), max($"d").as("mx_d"), max($"ok").as("mx_ok"))
       .localCheckpoint(true)
+    // r20 optimization (guide §2.4): the keyed rows feed both the
+    // exact-match pass and the zone-map aggregation — materialized once
+    // per run (localCheckpoint of 5 narrow columns in the timed body,
+    // never across runs) so the Morton interleave is computed once
     val rows = li.crossJoin(broadcast(st))
       .selectExpr("p", "d",
         s"${e("f_nat")} as f_nat", s"${e("f_sort")} as f_sort",
         s"${e("zx")} as zx", s"${e("zy")} as zy")
       .selectExpr("p", "d", "f_nat", "f_sort", s"${e("f_z")} as f_z")
+      .localCheckpoint(true)
     val preds = st.selectExpr(s"stack(${zmPreds.size}, " +
       zmPreds.map { case (k, c, lo, hi, cl) =>
         s"$k, '$c', cast(($lo) as double), cast(($hi) as double), $cl"
@@ -994,15 +999,18 @@ object Layout {
       .selectExpr("k", "stack(3, 'natural', m_natural, " +
         "'sorted', m_sorted, 'zorder', m_zorder) as (layout, files_match)")
     // zone maps: 64 (min, max) rows per layout — parquet footers in
-    // production, recomputed for the oracle
-    def zones(f: String, layout: String): DataFrame =
-      rows.groupBy(col(f).as("f"))
-        .agg(min($"p").as("zmin_p"), max($"p").as("zmax_p"),
-          min($"d").as("zmin_d"), max($"d").as("zmax_d"))
-        .withColumn("layout", lit(layout))
-    val allZones = zones("f_nat", "natural")
-      .unionByName(zones("f_sort", "sorted"))
-      .unionByName(zones("f_z", "zorder"))
+    // production, recomputed for the oracle. r20: ONE pass computes all
+    // three layouts' zones — stack() unpivots (f_nat, f_sort, f_z) to
+    // (layout, f) map-side, one partial-aggregated groupBy with ≤ 192
+    // surviving groups replaces three full aggregation passes; the
+    // per-layout (min, max) rows are identical (same rows reach each
+    // (layout, file) group)
+    val allZones = rows
+      .selectExpr("p", "d", "stack(3, 'natural', f_nat, 'sorted', f_sort, " +
+        "'zorder', f_z) as (layout, f)")
+      .groupBy($"layout", $"f")
+      .agg(min($"p").as("zmin_p"), max($"p").as("zmax_p"),
+        min($"d").as("zmin_d"), max($"d").as("zmax_d"))
     val read = allZones.join(broadcast(preds), expr(zmOverlapCond))
       .groupBy($"layout", $"k").agg(count(lit(1)).as("files_read"))
     read.join(matched, Seq("layout", "k"), "left")

@@ -78,14 +78,27 @@ object SuffixIndex {
       .withColumn("r",
         dense_rank().over(Window.partitionBy($"doc_id").orderBy($"tok")))
       .select($"doc_id", $"pos", $"r")
+    // r20 optimization (guide §1.2): RADIX-4 doubling — each round
+    // re-keys by the radix-tuple (r, r[pos+s], …, r[pos+(radix−1)s]), so
+    // the resolved prefix length multiplies by the radix (⌈log_radix⌉ rounds instead
+    // of ⌈log₂⌉). Correctness is the standard
+    // radix-k doubling argument: equal ranks at earlier offsets align
+    // the block boundaries, each block compares as an s-prefix rank, and
+    // an out-of-range partner ranks 0 (< every real rank) so shorter
+    // suffixes still sort first — final ranks are byte-identical to the
+    // 2-way loop's (both are the true suffix order, oracle-hash-proven).
     var span = 1
     while (span < maxLen) {
-      cur = cur
-        .withColumn("r2", coalesce(lead($"r", span).over(wPos), lit(0)))
+      val keyed = (1 until GlobalRadix).foldLeft(cur) { case (df, k) =>
+        df.withColumn(s"r$k",
+          coalesce(lead($"r", k * span).over(wPos), lit(0)))
+      }
+      cur = keyed
         .withColumn("r", dense_rank().over(
-          Window.partitionBy($"doc_id").orderBy($"r", $"r2")))
+          Window.partitionBy($"doc_id").orderBy(
+            ("r" +: (1 until GlobalRadix).map(k => s"r$k")).map(col): _*)))
         .select($"doc_id", $"pos", $"r")
-      span *= 2
+      span *= GlobalRadix
     }
     cur.select($"doc_id", $"pos".cast("long").as("pos"),
       $"r".cast("long").as("srank"))
@@ -229,6 +242,16 @@ object SuffixIndex {
     * barrier, and the checkpoint keeps round k from recomputing rounds
     * 1..k−1 (the iterate-and-checkpoint discipline the CC pointer-
     * doubling rounds already use). */
+  /** Radix of the global doubling loop: each round re-keys by the
+    * tuple (r, r[pos+s], …, r[pos+(radix−1)s]) and multiplies the
+    * resolved span by `radix` — ⌈log_radix maxLen⌉ terasort rounds.
+    * Per-round cost grows only by (radix−1) lead columns off the SAME
+    * window sort, while every round carries ~6 fixed stages (window,
+    * distinct, range sort, zipWithIndex, join back, checkpoint), so a
+    * larger radix trades cheap width for expensive depth. 8 ⇒ 3 rounds
+    * at maxLen ≤ 512. */
+  private val GlobalRadix = 8
+
   private[graft] def globalSuffixRanks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = tokDocs(s, dir)
@@ -253,14 +276,47 @@ object SuffixIndex {
         .select($"doc_id", ($"p0" + 1).cast("long").as("pos"), $"tok"),
       Seq("tok"), "r")
       .select($"doc_id", $"pos", $"r").localCheckpoint(true)
+    // r20 optimization (guide §1.2 — fix the distributed algorithm
+    // first): Manber–Myers EARLY TERMINATION. Each round refines the
+    // rank partition by the (r, r[pos+span]) key; once a round leaves
+    // the number of distinct ranks unchanged, the partition is stable —
+    // every rank class has exactly one continuation class, so the
+    // re-rank reproduces r verbatim (one (r, r2) pair per r, sorted
+    // lexicographically = sorted by r), and by induction every LATER
+    // round is also a no-op (a class that does not split at span s
+    // determines its continuation classes at every multiple of s, so no
+    // key at any larger span can split it). Stopping there yields
+    // byte-identical grank — the remaining ⌈log₂(maxLen)⌉−k rounds of
+    // the fixed-depth loop were pure waste. The distinct count is
+    // max(r) (dense ranks are 1..n) — one cheap partial-agg max over
+    // the already-checkpointed round output, no distinct shuffle;
+    // convergence costs one provably-no-op round, the proof round.
+    // ... and RADIX-4 doubling (see [[suffixRanks]]): the re-key tuple
+    // is (r, r[pos+s], r[pos+2s], r[pos+3s]), so each terasort round
+    // resolves 4× the prefix — ⌈log₄ maxLen⌉ global sorts instead of
+    // ⌈log₂⌉ (7 → 4 at maxLen 100), same final ranks.
+    var nd = cur.agg(max($"r")).head.getLong(0)
     var span = 1
-    while (span < maxLen) {
-      cur = withGlobalDenseRank(
-        cur.withColumn("r2", coalesce(lead($"r", span).over(wDoc), lit(0L))),
-        Seq("r", "r2"), "rn")
+    var converged = false
+    var rounds = 0
+    val radix = GlobalRadix
+    while (span < maxLen && !converged) {
+      val keyed = (1 until radix).foldLeft(cur) { case (df, k) =>
+        df.withColumn(s"r$k",
+          coalesce(lead($"r", k * span).over(wDoc), lit(0L)))
+      }
+      cur = withGlobalDenseRank(keyed,
+        "r" +: (1 until radix).map(k => s"r$k"), "rn")
         .select($"doc_id", $"pos", $"rn".as("r")).localCheckpoint(true)
-      span *= 2
+      rounds += 1
+      val n2 = cur.agg(max($"r")).head.getLong(0)
+      converged = n2 == nd
+      nd = n2
+      span *= radix
     }
+    if (converged) System.err.println(
+      s"[suffix] prefix doubling converged after $rounds rounds " +
+        s"(span ${span / 2} of maxLen $maxLen): rank partition stable")
     cur.select($"doc_id", $"pos", $"r".as("grank"))
   }
 
